@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
+  *
+  * All queries in the engine take a scale-factor directory and read these
+  * tables; the physical layout is one parquet file/dir per table. At cluster
+  * scale these would be partitioned datasets — the reader path is identical
+  * (`spark.read.parquet` handles multi-file dirs and partition discovery).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

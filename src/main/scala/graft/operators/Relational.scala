@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational core: every projection/filter/join/aggregate/window/sort/scalar
+  * operator from SURVEY.md §2.2–§2.7, expressed as declarative DataFrame
+  * programs over the testdata tables and oracle-checked against DuckDB.
+  *
+  * Scale posture: every query here is shuffle-minimal by construction —
+  * filters/projections sit directly over the parquet scan (Catalyst pushes
+  * them into the FileScan), aggregates are two-phase hash aggregates
+  * (partial map-side combine is automatic), dimension joins broadcast the
+  * small side explicitly, and windows partition on their natural key.
+  *
+  * Numeric-determinism rule for oracle parity: any SUM/AVG over a double
+  * column is computed over DECIMAL(18,2) (exact, order-independent) and cast
+  * back to double, so Spark's and DuckDB's different accumulation orders
+  * cannot diverge. Per-row double arithmetic (no accumulation) is IEEE-exact
+  * in both engines and needs no such treatment.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** A1-flavor pricing summary (mirrors the reference's group-count shape,
+    * Silver_Customers.py:28, at lineitem scale; TPC-H Q1 family). */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** P1/P4/P5-flavor: predicate + projection, pushed into the parquet scan
+    * (TPC-H Q6 shape; reference filter: Silver_Customers.py:32). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A1/O1: group-count + sort desc (Silver_Customers.py:28 — customers per
+    * email domain → here customers per market segment). */
+  def domainAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(col("c_custkey")).as("total_customers"))
+      .orderBy(desc("total_customers"), asc("c_mktsegment"))
+
+  /** A2/P5: filtered group-count (Silver_Customers.py:32-34 — gmail-only
+    * customers per state → BUILDING-segment customers per nation). */
+  def filteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("c_nationkey")
+      .agg(count(col("c_custkey")).as("total_customers"))
+      .orderBy(desc("total_customers"), asc("c_nationkey"))
+
+  /** W1+W2+W3: the Silver-Orders flagship — dense_rank/rank/row_number over
+    * (partition by year, order by total desc) (Silver_Orders.py:38-62).
+    * o_orderkey added as deterministic tie-break so ranks are reproducible. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_year"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("dense_rank_flag", dense_rank().over(w))
+      .withColumn("rank_flag", rank().over(w))
+      .withColumn("row_no", row_number().over(w))
+      .select("o_orderkey", "o_year", "o_totalprice",
+        "dense_rank_flag", "rank_flag", "row_no")
+      .orderBy("o_year", "row_no")
+  }
+
+  /** W4/P6: duplicate detection via ROW_NUMBER + outer filter row_no > 1
+    * (Gold_Customers.py:3-7). */
+  def dupDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("row_no", row_number().over(w))
+      .filter(col("row_no") > 1)
+      .select("l_orderkey", "l_linenumber", "row_no")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Top-k per group: ranking window + filter (reference's window showcase
+    * composed with P6's filter-on-window shape). */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_year"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_year", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_year", "rn")
+  }
+
+  /** J1+J2: fact ← dim left equi-joins (Gold_Orders.py:36-37). The dims are
+    * explicitly broadcast — at 100 TB the fact side never shuffles for these
+    * lookups; only small dim relations move. */
+  def factDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.join(broadcast(o), Seq("l_orderkey"), "left")
+      .join(broadcast(p), Seq("l_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
+        col("p_brand"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Left-anti join (the "not matched" building block of the merge rewrite,
+    * SURVEY §2.3): customers with no urgent order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join (EXISTS — the "matched" building block of the merge
+    * rewrite): customers with at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** F1/F2/F6/F11: scalar-function suite — split+index (email→domain shape,
+    * Silver_Customers.py:23), null-safe concat_ws (fixing §2.10.4), sha2-256
+    * change-detection hash (Gold_Customers.py:36-48), upper/lower
+    * (Silver_Products.py:46). Doubles are hashed via DECIMAL(18,2) text so
+    * both engines render identical digits. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        split(col("c_name"), "#").getItem(1).as("cust_num"),
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("fullname"),
+        sha2(concat_ws("|",
+          col("c_name"), col("c_mktsegment"),
+          dec(col("c_acctbal")).cast("string")), 256).as("hash_value"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"))
+      .orderBy("c_custkey")
+
+  /** F4/F5/F9: timestamp functions — year/month/day extraction, month
+    * truncation, typed null cast (Silver_Orders.py:38-43,
+    * Gold_Products_No_Delta_Live.py:51). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        lit(null).cast("timestamp").as("end_date"))
+      .orderBy("o_orderkey")
+
+  /** Conditional aggregate (the DQ violation-count shape, SURVEY §2.4):
+    * sum(when(pred,1)) per group. */
+  def caseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L)).as("n_big"))
+      .orderBy("o_orderpriority")
+
+  /** Distinct projection (dropDuplicates shape). */
+  def distinctValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Set ops: UNION distinct + EXCEPT (the internal building blocks of the
+    * SCD2 rewrite, SURVEY §2.6). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 300000.0).select("o_orderkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val finished = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    big.union(urgent).distinct().except(finished).orderBy("o_orderkey")
+  }
+
+  /** ROLLUP multi-level aggregate (extension past the reference's flat
+    * group-bys; exercises grouping-set planning). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Multi-way join + aggregate: revenue per nation (exercises join
+    * reordering + partial aggregation under AQE; broadcast dims). */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    li.join(o, Seq("l_orderkey"))
+      .join(broadcast(c), Seq("o_custkey"))
+      .join(broadcast(n), Seq("c_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing"    -> (aggPricing _),
+    "q02_filter_project" -> (filterProject _),
+    "q03_domain_agg"     -> (domainAgg _),
+    "q04_filtered_agg"   -> (filteredAgg _),
+    "q05_window_rank"    -> (windowRank _),
+    "q06_dup_detect"     -> (dupDetect _),
+    "q07_topk_per_group" -> (topKPerGroup _),
+    "q08_fact_dim_join"  -> (factDimJoin _),
+    "q09_anti_join"      -> (antiJoin _),
+    "q10_semi_join"      -> (semiJoin _),
+    "q11_scalar_funcs"   -> (scalarFuncs _),
+    "q12_date_funcs"     -> (dateFuncs _),
+    "q13_case_agg"       -> (caseAgg _),
+    "q14_distinct"       -> (distinctValues _),
+    "q15_set_ops"        -> (setOps _),
+    "q16_rollup"         -> (rollupAgg _),
+    "q17_join_agg"       -> (joinAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_domain_agg" ->
+      """SELECT c_mktsegment, COUNT(c_custkey) AS total_customers
+         FROM customer GROUP BY c_mktsegment
+         ORDER BY total_customers DESC, c_mktsegment ASC""",
+    "q04_filtered_agg" ->
+      """SELECT c_nationkey, COUNT(c_custkey) AS total_customers
+         FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+         ORDER BY total_customers DESC, c_nationkey ASC""",
+    "q05_window_rank" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice,
+         DENSE_RANK() OVER w AS dense_rank_flag,
+         RANK() OVER w AS rank_flag,
+         ROW_NUMBER() OVER w AS row_no
+         FROM orders
+         WINDOW w AS (PARTITION BY year(o_orderdate)
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_year, row_no""",
+    "q06_dup_detect" ->
+      """SELECT l_orderkey, l_linenumber, row_no FROM (
+           SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS row_no
+           FROM lineitem) t
+         WHERE row_no > 1
+         ORDER BY l_orderkey, l_linenumber""",
+    "q07_topk_per_group" ->
+      """SELECT o_year, rn, o_orderkey, o_totalprice FROM (
+           SELECT year(o_orderdate) AS o_year, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY year(o_orderdate)
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3
+         ORDER BY o_year, rn""",
+    "q08_fact_dim_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus,
+         year(o_orderdate) AS o_year, p_brand
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q11_scalar_funcs" ->
+      """SELECT c_custkey,
+         string_split(c_name, '#')[2] AS cust_num,
+         concat_ws(' ', c_name, c_mktsegment) AS fullname,
+         sha256(concat_ws('|', c_name, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))) AS hash_value,
+         upper(c_mktsegment) AS seg_upper,
+         lower(c_name) AS name_lower
+         FROM customer ORDER BY c_custkey""",
+    "q12_date_funcs" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS o_year,
+         month(o_orderdate) AS o_month,
+         day(o_orderdate) AS o_day,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(NULL AS TIMESTAMP) AS end_date
+         FROM orders ORDER BY o_orderkey""",
+    "q13_case_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q15_set_ops" ->
+      """(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0
+         UNION
+         SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey""",
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q17_join_agg" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")
+}

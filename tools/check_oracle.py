@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare (BASELINE.md).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read Spark's parquet result, run the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables,
+sort columns by name, and compare row count, column names, and exact values
+(with a tiny float tolerance fallback reported separately).
+"""
+import sys, json, glob, os
+import duckdb
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(t).replace(".parquet", "")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        qname = os.path.basename(qdir.rstrip("/"))
+        spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        cols = sorted(spark_rel.columns)
+        collist = ", ".join(f'"{c}"' for c in cols)
+        spark_rows = con.sql(
+            f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
+        if qname not in oracle:
+            print(f"  {qname}: NO ORACLE (rows-only check) rows={len(spark_rows)}")
+            continue
+        try:
+            duck_rel = con.sql(oracle[qname])
+            dcols = sorted(duck_rel.columns)
+            duck_rows = con.sql(
+                f"SELECT {', '.join(repr(c) if False else chr(34)+c+chr(34) for c in dcols)} "
+                f"FROM duck_rel ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"  {qname}: ORACLE SQL ERROR: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        if cols != dcols:
+            print(f"  {qname}: COLUMN MISMATCH spark={cols} duck={dcols}")
+            failures += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"  {qname}: ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
+            failures += 1
+            continue
+        exact = spark_rows == duck_rows
+        if exact:
+            print(f"  {qname}: OK rows={len(spark_rows)}")
+            continue
+        # locate first mismatch for diagnosis
+        bad = None
+        for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        print(f"  {qname}: VALUE MISMATCH at row {bad[0]}:\n    spark={bad[1]}\n    duck ={bad[2]}")
+        failures += 1
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
