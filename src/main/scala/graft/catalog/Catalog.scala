@@ -1,0 +1,78 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lakehouse namespace: `layer.table` → path, with snapshot-semantics
+  * overwrite (SURVEY.md §1.1).
+  *
+  * The reference's namespace is three ADLS containers (`abfss://bronze@…`,
+  * `abfss://silver@…`, `abfss://gold@…` — Bronze_Layer.py:35,
+  * Silver_Customers.py:41, Gold_Orders.py:20) plus Unity-Catalog 3-part
+  * names. Here the same shape is `<warehouse>/{bronze,silver,gold}/<table>`
+  * over any Hadoop filesystem.
+  *
+  * Snapshot swap (SURVEY §7.3): an overwrite writes to `<table>.tmp`, then
+  * renames current → `.prev` and tmp → current. On HDFS/local FS rename is
+  * atomic per directory move, so a reader resolving the path either sees the
+  * old or the new snapshot, never a half-written one; `.prev` is the
+  * crash-recovery fallback. (On S3-like stores a manifest-pointer commit
+  * would replace the rename pair — same protocol, different primitive.)
+  */
+class Catalog(spark: SparkSession, warehouse: String) {
+  val layers: Seq[String] = Seq("bronze", "silver", "gold")
+
+  def path(layer: String, table: String): String = s"$warehouse/$layer/$table"
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(layer: String, table: String): Boolean =
+    fs.exists(new Path(path(layer, table)))
+
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  /** First-load create (the reference's `saveAsTable` path,
+    * Gold_Customers.py:65-68). */
+  def create(df: DataFrame, layer: String, table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(layer, table))
+  }
+
+  /** Snapshot overwrite with atomic swap (replaces Delta's transactional
+    * overwrite, Silver_Customers.py:41). */
+  def overwriteSnapshot(df: DataFrame, layer: String, table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val dst = new Path(path(layer, table))
+    val tmp = new Path(path(layer, table) + ".tmp")
+    val prev = new Path(path(layer, table) + ".prev")
+    val f = fs
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    if (f.exists(prev)) f.delete(prev, true)
+    if (f.exists(dst)) f.rename(dst, prev)
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot swap failed for $dst")
+  }
+
+  /** Register the table in the session catalog so `spark.table` /
+    * `spark.sql` can address it by name (the reference's external-location
+    * DDL, Silver_Customers.py:46-48). */
+  def register(layer: String, table: String): Unit = {
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS $layer")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $layer.$table
+          USING parquet LOCATION '${path(layer, table)}'""")
+  }
+
+  def tableExists(layer: String, table: String): Boolean =
+    spark.catalog.tableExists(s"$layer.$table")
+
+  def dropRegistration(layer: String, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $layer.$table")
+}

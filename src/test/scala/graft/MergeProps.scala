@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.merge.MergeEngine
+
+/** Property-based merge invariants (SURVEY.md §5.2.3), sampled from
+  * scalacheck generators with fixed seeds (no scalatestplus bridge in the
+  * offline dependency set):
+  *  - scd1 is idempotent: merging the same source twice == once;
+  *  - result key set == keys(target) ∪ keys(source);
+  *  - scd2 keeps exactly one is_current row per key in target∪source.
+  */
+class MergeProps extends SparkSuite {
+  import spark.implicits._
+
+  private val t0 = lit("2025-01-01 00:00:00").cast("timestamp")
+  private val t1 = lit("2026-01-01 00:00:00").cast("timestamp")
+
+  private val entryGen: Gen[(Long, String)] = for {
+    k <- Gen.chooseNum(1L, 12L)
+    v <- Gen.oneOf("a", "b", "c", null)
+  } yield (k, v)
+
+  private val tableGen: Gen[Map[Long, String]] =
+    Gen.listOfN(8, entryGen).map(_.toMap)
+
+  private def cases(n: Int): Seq[(Map[Long, String], Map[Long, String])] =
+    (1 to n).flatMap { i =>
+      for {
+        t <- tableGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        s <- tableGen.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } yield (t, s)
+    }
+
+  private def mkDim(m: Map[Long, String]): DataFrame =
+    m.toSeq.toDF("customer_id", "name")
+      .withColumn("customer_skey", col("customer_id") * 10)
+      .withColumn("created_date", t0).withColumn("updated_date", t0)
+      .withColumn("change_type", lit("I"))
+      .withColumn("hash_value", MergeEngine.nullSafeHash(Seq(col("name"))))
+
+  private def mkScd2(m: Map[Long, String]): DataFrame =
+    m.toSeq.toDF("product_id", "brand")
+      .withColumn("product_skey", col("product_id") * 10)
+      .withColumn("hash_value", MergeEngine.nullSafeHash(Seq(col("brand"))))
+      .withColumn("effective_start_date", t0)
+      .withColumn("effective_end_date", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .withColumn("insert_date", t0).withColumn("update_date", t0)
+
+  test("scd1 idempotence + key-union over random target/source") {
+    cases(5).foreach { case (t, s) =>
+      val target = mkDim(t)
+      val source = s.toSeq.toDF("customer_id", "name")
+      val once = MergeEngine.scd1(target, source, Seq("customer_id"),
+        Seq("name"), "customer_skey", t1)
+      val twice = MergeEngine.scd1(once, source, Seq("customer_id"),
+        Seq("name"), "customer_skey", t1)
+      assert(rowsOf(once, "customer_id") == rowsOf(twice, "customer_id"),
+        s"not idempotent for target=$t source=$s")
+      val keys = once.select("customer_id").as[Long].collect().toSet
+      assert(keys == t.keySet ++ s.keySet)
+    }
+  }
+
+  test("scd2 single-current invariant over random target/source") {
+    cases(5).foreach { case (t, s) =>
+      val out = MergeEngine.scd2(mkScd2(t),
+        s.toSeq.toDF("product_id", "brand"), Seq("product_id"),
+        Seq("brand"), "product_skey", t1)
+      val bad = out.filter(col("is_current"))
+        .groupBy("product_id").count().filter(col("count") > 1).count()
+      assert(bad == 0L, s"multiple current rows for target=$t source=$s")
+      val curKeys = out.filter(col("is_current"))
+        .select("product_id").as[Long].collect().toSet
+      assert(curKeys == t.keySet ++ s.keySet)
+    }
+  }
+}

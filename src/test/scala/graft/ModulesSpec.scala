@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.merge.SurrogateKeys
+import graft.quality.Expectations
+
+class ExpectationsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq((1, 10.0), (2, -1.0), (3, 0.0), (4, 5.0))
+    .toDF("id", "price")
+
+  test("applyOrDrop keeps only rows satisfying every rule") {
+    val r = Expectations.applyOrDrop(df,
+      Map("pos" -> "price > 0", "small" -> "price < 6"))
+    assert(r.kept.select("id").as[Int].collect().sorted.toSeq == Seq(4))
+  }
+
+  test("violation counts are per-rule and one-pass") {
+    val r = Expectations.applyOrDrop(df,
+      Map("pos" -> "price > 0", "small" -> "price < 6"))
+    assert(r.violations == Map("pos" -> 2L, "small" -> 1L))
+  }
+
+  test("applyOrFail throws when violated, passes through when clean") {
+    intercept[IllegalStateException] {
+      Expectations.applyOrFail(df, Map("pos" -> "price > 0"))
+    }
+    assert(Expectations.applyOrFail(df, Map("has_id" -> "id IS NOT NULL"))
+      .count() == 4)
+  }
+}
+
+class SurrogateKeysSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("assign: dense, gap-free, deterministic keys continuing from start") {
+    val df = Seq(30L, 10L, 20L, 40L).toDF("k")
+    val out = SurrogateKeys.assign(df, "skey", Seq("k"), start = 100L)
+    val got = out.orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("skey"))).toSeq
+    assert(got == Seq((10L, 101L), (20L, 102L), (30L, 103L), (40L, 104L)))
+    // deterministic across re-computation
+    val again = SurrogateKeys.assign(df, "skey", Seq("k"), start = 100L)
+    assert(rowsOf(again, "k") == rowsOf(out, "k"))
+  }
+
+  test("assignSmallBatch matches assign on the same input") {
+    val df = Seq(3L, 1L, 2L).toDF("k")
+    assert(rowsOf(SurrogateKeys.assign(df, "s", Seq("k")), "k") ==
+           rowsOf(SurrogateKeys.assignSmallBatch(df, "s", Seq("k")), "k"))
+  }
+}
+
+class CatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("snapshot overwrite swaps atomically and keeps .prev") {
+    val cat = new Catalog(spark, tmpDir("graft-wh"))
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val v2 = Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "v")
+    cat.overwriteSnapshot(v1, "silver", "t")
+    assert(cat.read("silver", "t").count() == 2)
+    cat.overwriteSnapshot(v2, "silver", "t")
+    assert(cat.read("silver", "t").count() == 3)
+    assert(spark.read.parquet(cat.path("silver", "t") + ".prev").count() == 2)
+  }
+
+  test("register + tableExists + SQL addressing (S8/S9/S11/S12)") {
+    val cat = new Catalog(spark, tmpDir("graft-wh2"))
+    cat.overwriteSnapshot(Seq((1, "x")).toDF("id", "v"), "gold", "dim")
+    assert(!cat.tableExists("gold", "dim"))
+    cat.register("gold", "dim")
+    assert(cat.tableExists("gold", "dim"))
+    assert(spark.sql("SELECT count(*) c FROM gold.dim").collect()(0).getLong(0) == 1L)
+    cat.dropRegistration("gold", "dim")
+    assert(!cat.tableExists("gold", "dim"))
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for scalatest suites (one JVM-wide session). */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def rowsOf(df: DataFrame, sortCols: String*): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.functions.col
+    val sorted = if (sortCols.nonEmpty) df.orderBy(sortCols.map(col): _*) else df
+    sorted.collect().toSeq.map(_.toSeq)
+  }
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val sf0001 = "/root/testdata/sf0.001"
+}
