@@ -19,12 +19,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
     functions.Udfs.queries ++
-    operators.MergeQueries.queries
+    operators.MergeQueries.queries ++
+    operators.EventQueries.queries ++
+    operators.TextQueries.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
     functions.Udfs.oracles ++
-    operators.MergeQueries.oracles
+    operators.MergeQueries.oracles ++
+    operators.EventQueries.oracles ++
+    operators.TextQueries.oracles ++
+    operators.Dedup.oracles ++
+    operators.Similarity.oracles ++
+    multimodal.Multimodal.oracles
 }

@@ -16,4 +16,19 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark only
+    * reads via `spark.sql.legacy.parquet.nanosAsLong` (set in every session
+    * builder here). The fixture's nanos are micro-aligned, so the
+    * long→timestamp_micros conversion is lossless. */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 }

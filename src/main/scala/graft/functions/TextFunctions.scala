@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-training-data pipelines
+  * (BASELINE.json north star; SURVEY.md §7.6): tokenization, language ID,
+  * quality scoring, fingerprinting, MinHash signatures, SimHash.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen'd, no UDF/closure in the hot
+  * path, so a 100 TB documents scan stays inside whole-stage codegen with
+  * the text column pruned straight off the parquet footer.
+  */
+object TextFunctions {
+
+  /** Whitespace word tokens of the lower-cased, trimmed text. */
+  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count (long, matching SQL engines' BIGINT len()). */
+  def tokenCountWs(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alnum marks (a cheap, deterministic stand-in for a real BPE
+    * vocabulary's token count). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      .cast("long")
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Stopword-to-word ratio (English function words). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    val stops = filter(ws, w => stopwords.map(s => w === s).reduce(_ || _))
+    size(stops).cast("double") / greatest(size(ws).cast("double"), lit(1.0))
+  }
+
+  /** Composite document-quality score in [0,1]: length adequacy +
+    * stopword naturalness + punctuation sanity. Truncated (floor) to 6
+    * decimals rather than rounded: both engines floor the *identical*
+    * double, whereas round() diverges on exact half-boundaries (Spark
+    * rounds the binary expansion, DuckDB the shortest decimal repr). */
+  def qualityScore(text: Column): Column = {
+    val raw =
+      lit(0.4) * least(length(text).cast("double") / lit(500.0), lit(1.0)) +
+      lit(0.3) * least(stopwordRatio(text) * 5.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0)))
+    floor(raw * 1e6).cast("double") / 1e6
+  }
+
+  /** N-gram-presence language ID over a small function-word table — the
+    * classic heuristic: score each language by marker-word hits, pick the
+    * best; 'und' (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def hits(markers: Seq[String]): Column =
+      markers.map(m => when(padded.contains(s" $m "), 1).otherwise(0))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val de = hits(Seq("der", "die", "und", "ist", "das"))
+    val fr = hits(Seq("le", "la", "et", "est", "les"))
+    val es = hits(Seq("el", "los", "y", "es", "las"))
+    when(greatest(en, de, fr, es) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * word set (bag-of-words identity — catches shuffled near-copies). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  /** MinHash signature component i: the minimum md5 over seeded words.
+    * Uniform string hashing makes the lexicographic min a valid MinHash;
+    * P(sig_i(A)==sig_i(B)) == Jaccard(A,B). */
+  def minhashSig(text: Column, i: Int): Column =
+    array_min(transform(array_distinct(words(text)),
+      w => md5(concat(lit(s"$i|"), w))))
+
+  /** Word 3-gram shingles (null-safe: short docs fall back to the whole
+    * trimmed text as a single shingle). */
+  def shingles3(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array(trim(lower(text))))
+  }
+
+  /** 16-bit SimHash bit-vote for bit b: +1/-1 per word according to an
+    * md5-derived word hash. Summed per document it yields the sign vote. */
+  def simhashVote(word: Column, b: Int): Column = {
+    // 60-bit word hash from the md5 hex prefix (engine-portable).
+    val h = conv(substring(md5(word), 1, 15), 16, 10).cast("long")
+    when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.streaming.Streams
+
+/** Event-stream analytics over the `events` fixture: tumbling-window
+  * aggregation (batch AND genuinely streaming-executed variants, both
+  * oracle-checked) and gap-based sessionization via analytic windows
+  * (lag + running sum — the analytic-function surface the reference's
+  * ranking-only windows don't cover).
+  */
+object EventQueries {
+
+  /** Tumbling hourly aggregate, batch execution. */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** The same aggregate executed through Structured Streaming
+    * (readStream → watermark → window → memory sink, drained with
+    * Trigger.AvailableNow) — proving the streaming path produces the
+    * batch-identical answer on a static source. */
+  def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val name = "graft_stream_hourly"
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    // the file streaming source wants a directory: stage the fixture file
+    // into a temp dir (hardlink when possible, copy otherwise)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val srcFile = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val dst = stageDir.resolve("events.parquet")
+    try java.nio.file.Files.createLink(dst, srcFile)
+    catch { case _: Exception => java.nio.file.Files.copy(srcFile, dst) }
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val normalized = if (schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+    val streamed = Streams.runToMemory(Streams.hourlyCounts(normalized), name)
+    streamed
+      .withColumn("sum_value",
+        col("sum_value").cast(DecimalType(18, 6)).cast("double"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity threshold): lag +
+    * conditional running sum assigns session numbers; one row per session. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val newSession = when(
+      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1L)
+      .otherwise(0L)
+    Tables.loadEvents(spark, dir)
+      .withColumn("is_new", newSession)
+      .withColumn("session_no",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_events_hourly"        -> (hourlyAgg _),
+    "q25_events_sessionize"    -> (sessionize _),
+    "q26_events_hourly_stream" -> (hourlyAggStreaming _))
+
+  private val hourlySql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "q24_events_hourly" -> hourlySql,
+    "q26_events_hourly_stream" -> hourlySql,
+    "q25_events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - CAST(FLOOR(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+           FROM flagged)
+         SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM sessions GROUP BY user_id, session_no
+         ORDER BY user_id, session_no""")
+}

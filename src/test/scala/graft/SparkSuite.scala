@@ -11,6 +11,7 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   def rowsOf(df: DataFrame, sortCols: String*): Seq[Seq[Any]] = {
