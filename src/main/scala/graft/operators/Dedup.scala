@@ -44,30 +44,73 @@ object Dedup {
 
   /** MinHash LSH near-dup pairs: 12 signature components in 4 bands of 3;
     * docs colliding on any band key become candidates; candidates are
-    * verified with exact word-set Jaccard >= 0.5. */
+    * verified with exact word-set Jaccard >= 0.5.
+    *
+    * Scale shape: bucket pair-count is quadratic in cluster size, so the
+    * self-join and the pair-dedup run over slim (band_key, doc_id) rows
+    * ONLY — the word-set arrays are fetched per side AFTER `distinct()`,
+    * so each array crosses the wire once per surviving pair instead of
+    * being hashed/shuffled per raw candidate. |A∪B| is computed as
+    * |A|+|B|−|A∩B| (arrays are distinct) to avoid materializing the
+    * union array per pair. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPart = spark.sparkContext.defaultParallelism
+    // The fixture is one small parquet file → a 1-partition scan; the
+    // signature computation and (quadratic) candidate expansion would run
+    // on a single core without this spread.
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).repartition(nPart)
     val sigs = (0 until 12).map(i => minhashSig(col("text"), i))
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (lit(b) +: sigs.slice(b * 3, b * 3 + 3)): _*))
         .as(s"band$b"))
-    val bands = d.select(
-      Seq(col("doc_id"), array_distinct(words(col("text"))).as("wset")) ++
-        bandCols: _*)
-    val exploded = bands.select(col("doc_id"), col("wset"),
-      explode(array((0 until 4).map(b => col(s"band$b")): _*)).as("band_key"))
-    val a = exploded.select(col("band_key"), col("doc_id").as("doc_a"),
-      col("wset").as("wset_a"))
-    val b = exploded.select(col("band_key"), col("doc_id").as("doc_b"),
-      col("wset").as("wset_b"))
-    val candidates = a.join(b, Seq("band_key"))
+    val exploded = d.select(Seq(col("doc_id")) ++ bandCols: _*)
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b => col(s"band$b")): _*)).as("band_key"))
+    val a = exploded.select(col("band_key"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("band_key"), col("doc_id").as("doc_b"))
+    // Build side is |docs|×4 slim rows → broadcast; probe side streams the
+    // bucket-quadratic expansion evenly across cores (round-robin spread,
+    // no bucket-key skew since broadcast join needs no co-location).
+    val pairs = a.join(broadcast(b), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "wset_a", "wset_b").distinct()
-    candidates
-      .withColumn("jaccard", round(
-        size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
-        size(array_union(col("wset_a"), col("wset_b"))).cast("double"), 6))
+      .select("doc_a", "doc_b").distinct()
+    // --- exact verification over dictionary-encoded bitset word-sets ---
+    // Candidate pairs vastly outnumber documents, so per-pair cost rules:
+    // each word-set becomes a map<chunk, 64-bit mask> over dense vocab ids;
+    // |A∩B| is a bit_count of ANDed masks (a few ALU ops) instead of a
+    // string-array intersection (dozens of hash probes). The vocab window
+    // sort is single-partition but runs over distinct *words*, which is
+    // O(vocab) « O(corpus) even at 100 TB (a cluster would swap it for a
+    // zipWithIndex). Doc-feature tables broadcast here (docs are dim-sized
+    // vs the pair fact); at cluster scale both sides bucket by doc id.
+    val docWords = d.select(col("doc_id"),
+      explode(array_distinct(words(col("text")))).as("w"))
+    val vocab = docWords.select("w").distinct()
+      .withColumn("wid",
+        (row_number().over(Window.orderBy("w")) - 1).cast("long"))
+    val masks = docWords.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"), (col("wid") / 64).cast("int").as("chunk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)))")
+        .as("m"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("chunk"), col("m"))))
+        .as("mask"),
+        sum(bit_count(col("m"))).as("n_words"))
+    val inter = aggregate(
+      map_values(map_zip_with(col("mask_a"), col("mask_b"),
+        (_, x, y) => bit_count(coalesce(x, lit(0L))
+          .bitwiseAND(coalesce(y, lit(0L)))).cast("long"))),
+      lit(0L), (acc, v) => acc + v)
+    pairs
+      .join(broadcast(masks.select(col("doc_id").as("doc_a"),
+        col("mask").as("mask_a"), col("n_words").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(masks.select(col("doc_id").as("doc_b"),
+        col("mask").as("mask_b"), col("n_words").as("n_b"))), Seq("doc_b"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -98,17 +141,27 @@ object Dedup {
     * over the full 16 bits. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhash(spark, dir)
-      .withColumn("lo", col("simhash").bitwiseAND(255))
-      .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(255))
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("lo").as("lo_a"), col("hi").as("hi_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-      col("lo").as("lo_b"), col("hi").as("hi_b"))
-    val byLo = a.join(b, col("lo_a") === col("lo_b") && col("doc_a") < col("doc_b"))
-    val byHi = a.join(b, col("hi_a") === col("hi_b") && col("doc_a") < col("doc_b"))
-    val cand = byLo.select("doc_a", "doc_b", "sh_a", "sh_b")
-      .union(byHi.select("doc_a", "doc_b", "sh_a", "sh_b")).distinct()
-    cand
+    // Band the 16 bits into two bytes; one explode + one self-join on the
+    // (band, value) key replaces two joins + union, and the pair-dedup
+    // runs on slim (doc_a, doc_b) before the simhash values are re-fetched.
+    val banded = s.select(col("doc_id"), explode(array(
+      concat_ws(":", lit("lo"), col("simhash").bitwiseAND(255)),
+      concat_ws(":", lit("hi"), shiftright(col("simhash"), 8).bitwiseAND(255))
+    )).as("band_key"))
+    // round-robin spread of the probe side: the bucket-quadratic pair
+    // expansion must not run at the parallelism of the small input scan
+    val pairs = banded.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(broadcast(
+        banded.select(col("band_key"), col("doc_id").as("doc_b"))),
+        Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")),
+        Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
@@ -120,18 +173,34 @@ object Dedup {
     * 100 TB corpus requires. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+    // Inverted-index formulation: blocking on (lang, len_bucket) alone
+    // admits every same-block pair (quadratic, almost all jaccard≈0); but
+    // jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
+    // (shingle, doc) index with itself and COUNTING matches per pair gives
+    // |A∩B| directly and visits only pairs that share shingles — the
+    // candidate space is sum over shingles of bucket², not block². This is
+    // the classic set-similarity-join shape (cf. PPJoin/VerifyJoin).
+    val ex = d.repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bucket"),
-        array_distinct(shingles3(col("text"))).as("sh"))
-    val a = d.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "len_bucket"))
+        explode(array_distinct(shingles3(col("text")))).as("s"))
+    val inter = ex
+      .select(col("s"), col("lang"), col("len_bucket"),
+        col("doc_id").as("doc_a"))
+      .join(broadcast(ex.select(col("s"), col("lang"), col("len_bucket"),
+        col("doc_id").as("doc_b"))), Seq("s", "lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .groupBy("doc_a", "doc_b", "lang")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id"),
+      size(array_distinct(shingles3(col("text")))).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "lang", "jaccard")
       .orderBy("doc_a", "doc_b")
