@@ -12,6 +12,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: first Spark action in a JVM pays ~4s of classloading
+    // + codegen compilation that has nothing to do with any query's cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.read.parquet(s"$sfDir/region.parquet")
+      w.join(w.select("r_regionkey").limit(1), Seq("r_regionkey"), "left")
+        .groupBy("r_name").count().orderBy("r_name").count()
+      // warm the interpreted higher-order-function + regexp + md5 paths
+      // the text/dedup queries lean on
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.shingles3(col("text")))).as("s"))
+        .withColumn("h", md5(col("s")))
+        .groupBy("h").count().count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -86,13 +86,21 @@ object TextFunctions {
       w => md5(concat(lit(s"$i|"), w))))
 
   /** Word 3-gram shingles (null-safe: short docs fall back to the whole
-    * trimmed text as a single shingle). */
+    * trimmed text as a single shingle).
+    *
+    * Built from `zip_with` over the array and its two shifted slices
+    * rather than `transform(sequence(...), i => slice(ws, i, 3))`: a
+    * subtree referenced *inside* a lambda body is re-evaluated per
+    * element, so the indexed form re-runs the regexp split O(n) times
+    * per row; as HOF *arguments*, each `ws` evaluates once per row. */
   def shingles3(text: Column): Column = {
     val ws = words(text)
-    when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", slice(ws, i, lit(3)))))
-      .otherwise(array(trim(lower(text))))
+    val s3 = filter(
+      zip_with(
+        zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b)),
+        slice(ws, lit(3), size(ws)), (ab, c) => concat(ab, lit(" "), c)),
+      x => x.isNotNull)
+    when(size(ws) >= 3, s3).otherwise(array(trim(lower(text))))
   }
 
   /** 16-bit SimHash bit-vote for bit b: +1/-1 per word according to an

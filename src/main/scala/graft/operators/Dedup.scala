@@ -58,16 +58,20 @@ object Dedup {
     val nPart = spark.sparkContext.defaultParallelism
     // The fixture is one small parquet file → a 1-partition scan; the
     // signature computation and (quadratic) candidate expansion would run
-    // on a single core without this spread.
+    // on a single core without this spread. Cached: the join sides and the
+    // mask build all re-read it, and it is tiny next to the pair fact.
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).repartition(nPart)
+      .select(col("doc_id"), col("text")).repartition(nPart).cache()
     val sigs = (0 until 12).map(i => minhashSig(col("text"), i))
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (lit(b) +: sigs.slice(b * 3, b * 3 + 3)): _*))
         .as(s"band$b"))
+    // cached: the self-join's probe and build sides would otherwise BOTH
+    // recompute the 12 minhash signatures per document
     val exploded = d.select(Seq(col("doc_id")) ++ bandCols: _*)
       .select(col("doc_id"),
         explode(array((0 until 4).map(b => col(s"band$b")): _*)).as("band_key"))
+      .cache()
     val a = exploded.select(col("band_key"), col("doc_id").as("doc_a"))
     val b = exploded.select(col("band_key"), col("doc_id").as("doc_b"))
     // Build side is |docs|×4 slim rows → broadcast; probe side streams the
@@ -78,39 +82,55 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     // --- exact verification over dictionary-encoded bitset word-sets ---
     // Candidate pairs vastly outnumber documents, so per-pair cost rules:
-    // each word-set becomes a map<chunk, 64-bit mask> over dense vocab ids;
-    // |A∩B| is a bit_count of ANDed masks (a few ALU ops) instead of a
-    // string-array intersection (dozens of hash probes). The vocab window
-    // sort is single-partition but runs over distinct *words*, which is
-    // O(vocab) « O(corpus) even at 100 TB (a cluster would swap it for a
-    // zipWithIndex). Doc-feature tables broadcast here (docs are dim-sized
-    // vs the pair fact); at cluster scale both sides bucket by doc id.
+    // each word-set becomes ceil(V/64) 64-bit mask COLUMNS over dense
+    // vocab ids, and |A∩B| is bit_count(a & b) — straight-line codegen'd
+    // integer ops — rather than a per-pair array/map traversal (arrays and
+    // higher-order functions run interpreted). The vocab window sort is
+    // single-partition but runs over distinct *words*: O(vocab) « O(corpus)
+    // even at 100 TB (a cluster would swap it for zipWithIndex). The
+    // doc-feature table broadcasts (docs are dim-sized vs the pair fact);
+    // at cluster scale both sides would bucket by doc id instead.
     val docWords = d.select(col("doc_id"),
       explode(array_distinct(words(col("text")))).as("w"))
     val vocab = docWords.select("w").distinct()
       .withColumn("wid",
         (row_number().over(Window.orderBy("w")) - 1).cast("long"))
-    val masks = docWords.join(broadcast(vocab), Seq("w"))
-      .groupBy(col("doc_id"), (col("wid") / 64).cast("int").as("chunk"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)))")
-        .as("m"))
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("chunk"), col("m"))))
-        .as("mask"),
-        sum(bit_count(col("m"))).as("n_words"))
-    val inter = aggregate(
-      map_values(map_zip_with(col("mask_a"), col("mask_b"),
-        (_, x, y) => bit_count(coalesce(x, lit(0L))
-          .bitwiseAND(coalesce(y, lit(0L)))).cast("long"))),
-      lit(0L), (acc, v) => acc + v)
+      .cache()
+    val nChunks = math.max(1, ((vocab.count() + 63) / 64).toInt)
+    // Dense masks only pay while rows stay narrow; past 64 chunks (4096
+    // distinct words) fall back to sorted-array intersection.
+    val masks =
+      if (nChunks <= 64) {
+        val maskAggs = (0 until nChunks).map(c => expr(
+          s"bit_or(IF(CAST(wid DIV 64 AS INT) = $c, " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)), " +
+            "CAST(0 AS BIGINT)))").as(s"m$c"))
+        docWords.join(broadcast(vocab), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), maskAggs: _*)
+      } else {
+        d.select(col("doc_id"),
+          array_sort(array_distinct(words(col("text")))).as("wset"))
+          .select(col("doc_id"),
+            size(col("wset")).cast("long").as("n_words"), col("wset"))
+      }
+    val msk = masks.cache()
+    val featCols = msk.columns.filterNot(_ == "doc_id").toSeq
+    def side(tag: String) = msk.select(
+      col("doc_id").as(s"doc_$tag") +:
+        featCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    val inter =
+      if (nChunks <= 64)
+        (0 until nChunks).map(c => bit_count(
+          col(s"a_m$c").bitwiseAND(col(s"b_m$c"))).cast("long"))
+          .reduce(_ + _)
+      else size(array_intersect(col("a_wset"), col("b_wset"))).cast("long")
     pairs
-      .join(broadcast(masks.select(col("doc_id").as("doc_a"),
-        col("mask").as("mask_a"), col("n_words").as("n_a"))), Seq("doc_a"))
-      .join(broadcast(masks.select(col("doc_id").as("doc_b"),
-        col("mask").as("mask_b"), col("n_words").as("n_b"))), Seq("doc_b"))
+      .join(broadcast(side("a")), Seq("doc_a"))
+      .join(broadcast(side("b")), Seq("doc_b"))
       .withColumn("inter", inter)
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+        (col("a_n_words") + col("b_n_words") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -140,7 +160,8 @@ object Dedup {
     * pairs agreeing on either byte (hamming LSH) with hamming distance <= 3
     * over the full 16 bits. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhash(spark, dir)
+    // cached: referenced three times (band explode + both pair-fetch sides)
+    val s = simhash(spark, dir).cache()
     // Band the 16 bits into two bytes; one explode + one self-join on the
     // (band, value) key replaces two joins + union, and the pair-dedup
     // runs on slim (doc_a, doc_b) before the simhash values are re-fetched.
@@ -173,6 +194,7 @@ object Dedup {
     * 100 TB corpus requires. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
     // Inverted-index formulation: blocking on (lang, len_bucket) alone
     // admits every same-block pair (quadratic, almost all jaccard≈0); but
     // jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
@@ -180,15 +202,15 @@ object Dedup {
     // |A∩B| directly and visits only pairs that share shingles — the
     // candidate space is sum over shingles of bucket², not block². This is
     // the classic set-similarity-join shape (cf. PPJoin/VerifyJoin).
-    val ex = d.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 100).cast("long").as("len_bucket"),
-        explode(array_distinct(shingles3(col("text")))).as("s"))
+    val ex = d.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast("long").as("len_bucket"),
+      explode(array_distinct(shingles3(col("text")))).as("s"))
     val inter = ex
       .select(col("s"), col("lang"), col("len_bucket"),
         col("doc_id").as("doc_a"))
-      .join(broadcast(ex.select(col("s"), col("lang"), col("len_bucket"),
-        col("doc_id").as("doc_b"))), Seq("s", "lang", "len_bucket"))
+      .join(ex.select(col("s"), col("lang"), col("len_bucket"),
+        col("doc_id").as("doc_b")).hint("SHUFFLE_HASH"),
+        Seq("s", "lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "lang")
       .agg(count(lit(1)).as("inter"))
