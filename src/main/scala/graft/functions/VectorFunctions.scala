@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native (codegen'd) vector primitives for the similarity-search surface.
+  *
+  * A dot product over `array<float>` is the one hot-loop operation the
+  * built-in function set cannot express without interpreted higher-order
+  * functions (`zip_with` + `aggregate` dispatch a lambda per element, per
+  * row). Per the engine's extension ladder (SURVEY.md §4.2) this is the
+  * case for a custom Catalyst `Expression` with `doGenCode`: the generated
+  * loop is a straight-line fused multiply-add over the unsafe array data,
+  * keeping embedding scans inside whole-stage codegen at 100 TB scale.
+  *
+  * Accumulation is sequential in ascending index order, in double
+  * precision — bit-identical to the `aggregate(zip_with(...))` formulation
+  * and to DuckDB's `list_sum(list_transform(list_zip(...)))` oracle.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$x.getFloat($i) * (double)$y.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Codegen'd float-vector dot product (double accumulation). */
+  def dotF(a: Column, b: Column): Column =
+    GraftShims.column(
+      DotProductF(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** L2 norm as sqrt(self-dot) — same sequential accumulation as the
+    * `aggregate(transform(...))` formulation it replaces. */
+  def l2normF(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Cosine over precomputed norms (callers should compute each side's
+    * norm ONCE per vector, not once per pair). */
+  def cosineFromNorms(dot: Column, normA: Column, normB: Column): Column =
+    round(dot / (normA * normB), 6)
+}
+
+/** `SparkSessionExtensions` installer making the native expressions
+  * SQL-addressable (`SELECT vec_dot(a.embedding, b.embedding) ...`) via
+  * `spark.sql.extensions=graft.GraftExtensions`-style wiring or
+  * [[GraftExtensions.register]] on an existing session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[graft] val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
+    (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+
+  /** Idempotent per-session registration for sessions built without the
+    * extensions config (e.g. the driver-owned Verify/Bench sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = vecDotDescriptor
+    GraftShims.registerFunction(spark, id, info, builder)
+  }
+}

@@ -21,14 +21,15 @@ import graft.Tables
 object Similarity {
 
   /** Sequential-order dot product in double precision (deterministic
-    * accumulation order — oracle-parity requirement). */
+    * accumulation order — oracle-parity requirement). Backed by the
+    * codegen'd [[graft.functions.DotProductF]] expression: identical
+    * arithmetic to `aggregate(zip_with(...))` without the per-element
+    * interpreted-lambda dispatch. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotF(a, b)
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorFunctions.l2normF(a)
 
   /** Cosine similarity, rounded for cross-engine determinism. */
   def cosine(a: Column, b: Column): Column =
@@ -47,11 +48,16 @@ object Similarity {
     * against the full corpus; k=5 by (cosine desc, vec_id asc). */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
+    // norms are per-vector, so compute them on each SIDE (O(N+Q) norms)
+    // rather than inside the pair expression (O(N·Q) norms)
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      l2norm(col("embedding")).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -71,11 +77,14 @@ object Similarity {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signBucket(col("embedding"), 4))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
+    val c = e.select(col("bucket"), col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), l2norm(col("embedding")).as("cn"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -92,11 +101,14 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signBucket(col("embedding"), 8))
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), l2norm(col("embedding")).as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), l2norm(col("embedding")).as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.35)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
