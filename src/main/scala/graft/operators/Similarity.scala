@@ -93,6 +93,47 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to sign-LSH: a small coarse-quantizer centroid set (here a
+    * deterministic, training-free pick: every 101st vector) partitions the
+    * corpus into inverted lists by nearest centroid; each query probes only
+    * its `nprobe` closest lists.
+    *
+    * Scale shape: centroids always broadcast (a coarse quantizer is tiny by
+    * construction); assignment is the O(N·C) scan IVF always pays, done as
+    * one broadcast-join + codegen'd dot products; the probe join shuffles
+    * on `cent_id` — corpus-proportional, never quadratic. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") % 101 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn")), 6))
+      .withColumn("rn_c", row_number().over(wAssign))
+    val lists = assigned.filter(col("rn_c") === 1)
+      .select(col("cent_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("lv"), col("nrm").as("ln"))
+    val qprobe = assigned
+      .filter(col("vec_id") % 100 === 0 && col("rn_c") <= nprobe)
+      .select(col("cent_id"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = qprobe.join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(dot(col("qv"), col("lv")) /
+        (col("qn") * col("ln")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs via the same sign buckets —
     * near-identical vectors share all sign bits with overwhelming
     * probability. (Threshold 0.35 ≈ the fixture's 99th percentile of
@@ -118,7 +159,8 @@ object Similarity {
     "q38_embed_norms"    -> (norms _),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "q41_embed_neardup"  -> (embeddingNearDup _))
+    "q41_embed_neardup"  -> (embeddingNearDup _),
+    "q44_ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -175,5 +217,32 @@ object Similarity {
             ${cosSql("a.embedding", "b.embedding")} AS cos
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
-          ORDER BY vec_a, vec_b""")
+          ORDER BY vec_a, vec_b""",
+    "q44_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                     FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+                   FROM e WHERE vec_id % 101 = 7),
+          assigned AS (
+            SELECT e.vec_id, e.embedding, e.nrm, cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "cv")} / (e.nrm * cn), 6) DESC,
+                         cent_id ASC) AS rn_c
+            FROM e CROSS JOIN cent),
+          lists AS (SELECT cent_id, vec_id AS cand_id, embedding AS lv, nrm AS ln
+                    FROM assigned WHERE rn_c = 1),
+          qprobe AS (SELECT cent_id, vec_id AS query_id, embedding AS qv, nrm AS qn
+                     FROM assigned WHERE vec_id % 100 = 0 AND rn_c <= 2),
+          scored AS (
+            SELECT query_id, cand_id,
+              round(${dotSql("qv", "lv")} / (qn * ln), 6) AS cos
+            FROM qprobe q JOIN lists l USING (cent_id)
+            WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 3
+          ORDER BY query_id, rn""")
 }
