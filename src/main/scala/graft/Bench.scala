@@ -26,6 +26,19 @@ object Bench {
           graft.functions.TextFunctions.shingles3(col("text")))).as("s"))
         .withColumn("h", md5(col("s")))
         .groupBy("h").count().count()
+      // warm the Structured Streaming machinery (MicroBatchExecution,
+      // state store, memory sink) that q26 exercises; the file source
+      // wants a directory, so stage the small fixture into a temp dir
+      val stage = java.nio.file.Files.createTempDirectory("graft-warm")
+      val srcF = java.nio.file.Paths.get(s"$sfDir/region.parquet")
+      val dstF = stage.resolve("region.parquet")
+      try java.nio.file.Files.createLink(dstF, srcF)
+      catch { case _: Exception => java.nio.file.Files.copy(srcF, dstF) }
+      graft.streaming.Streams.runToMemory(
+        spark.readStream
+          .schema(spark.read.parquet(s"$sfDir/region.parquet").schema)
+          .parquet(stage.toString)
+          .groupBy("r_name").count(), "graft_warmup_stream").count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -143,7 +143,9 @@ object Dedup {
   /** 16-bit SimHash per document: per-bit ±1 votes summed over distinct
     * words, bit set where the vote is positive. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // spread the 1-partition fixture scan before the per-word md5 work
     val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
     val w = d.select(col("doc_id"),
       explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", wordHash(col("w")))
