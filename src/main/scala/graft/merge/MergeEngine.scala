@@ -47,7 +47,10 @@ object MergeEngine {
   private def tPresent(keys: Seq[String]): Column = col(s"t.${keys.head}").isNotNull
 
   /** Next-surrogate-key source: scalar max over the target, broadcast into
-    * the insert branch lazily (no driver-side action, stays one plan). */
+    * the insert branch lazily (no driver-side action, stays one plan).
+    * Partition-pruned merges pass the FULL table as `skeyBase` so the
+    * high-water mark is global even though the merge target is a slice
+    * (a column-pruned scan of just the skey column — cheap). */
   private def withNewKeys(inserts: DataFrame, target: DataFrame, skeyCol: String,
       orderCols: Seq[String]): DataFrame = {
     val maxKey = target.agg(coalesce(max(col(skeyCol)), lit(0L)).as("__max_skey"))
@@ -93,7 +96,8 @@ object MergeEngine {
     */
   def scd1(target: DataFrame, source: DataFrame, keys: Seq[String],
       tracked: Seq[String], skeyCol: String = "customer_skey",
-      now: Column = current_timestamp()): DataFrame = {
+      now: Column = current_timestamp(),
+      skeyBase: Option[DataFrame] = None): DataFrame = {
     val attrs = source.columns.filterNot(keys.contains).toSeq
     val src = source.withColumn("__hash", nullSafeHash(tracked.map(col)))
     val j = target.alias("t").join(src.alias("s"), keyCond(keys), "full_outer")
@@ -114,7 +118,7 @@ object MergeEngine {
       attrs.map(c => col(s"s.$c").as(c)) ++
       Seq(now.as("created_date"), now.as("updated_date"),
         lit("I").as("change_type"), col("s.__hash").as("hash_value")): _*)
-    val inserts = withNewKeys(inserts0, target, skeyCol, keys)
+    val inserts = withNewKeys(inserts0, skeyBase.getOrElse(target), skeyCol, keys)
       .select(existing.columns.map(col): _*)
 
     existing.unionByName(inserts)
@@ -132,7 +136,8 @@ object MergeEngine {
     */
   def scd2(target: DataFrame, source: DataFrame, keys: Seq[String],
       tracked: Seq[String], skeyCol: String = "product_skey",
-      now: Column = current_timestamp()): DataFrame = {
+      now: Column = current_timestamp(),
+      skeyBase: Option[DataFrame] = None): DataFrame = {
     val attrs = source.columns.filterNot(keys.contains).toSeq
     val src = source.withColumn("__hash", nullSafeHash(tracked.map(col)))
     val history = target.filter(!col("is_current"))
@@ -163,7 +168,7 @@ object MergeEngine {
         lit(null).cast("timestamp").as("effective_end_date"),
         lit(true).as("is_current"),
         now.as("insert_date"), now.as("update_date")): _*)
-    val versions = withNewKeys(versions0, target, skeyCol, keys)
+    val versions = withNewKeys(versions0, skeyBase.getOrElse(target), skeyCol, keys)
       .select(history.columns.map(col): _*)
 
     history.unionByName(keptOrExpired).unionByName(versions)
