@@ -24,6 +24,7 @@ object SparkEntry {
     operators.TextQueries.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
+    operators.SkewQueries.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
     operators.TextQueries.oracles ++
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
+    operators.SkewQueries.oracles ++
     multimodal.Multimodal.oracles
 }
