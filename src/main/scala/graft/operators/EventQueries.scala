@@ -69,10 +69,39 @@ object EventQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** Spark's native session_window (merge-on-gap grouping) — the
+    * declarative form of q25's lag+running-sum sessionization; the oracle
+    * reuses that formulation since ANSI SQL has no session windows.
+    * On a stream the same expression runs with a watermark bounding state. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+
+  /** Approximate aggregates — the sketch surface a 100 TB profile pass
+    * uses instead of exact distinct/percentile (HLL++ and KLL-style
+    * sketches are mergeable across partitions, so they aggregate in one
+    * map-side-combinable pass with O(sketch) memory). Engine-specific
+    * sketch estimates → rows-only driver check; accuracy bounds are
+    * asserted against exact values in ApproxSpec. */
+  def approxProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_events_hourly"        -> (hourlyAgg _),
     "q25_events_sessionize"    -> (sessionize _),
-    "q26_events_hourly_stream" -> (hourlyAggStreaming _))
+    "q26_events_hourly_stream" -> (hourlyAggStreaming _),
+    "q47_approx_profile"       -> (approxProfile _),
+    "q48_session_window"       -> (sessionWindow _))
 
   private val hourlySql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -83,6 +112,27 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q24_events_hourly" -> hourlySql,
     "q26_events_hourly_stream" -> hourlySql,
+    // q47 intentionally absent: sketch estimates are engine-specific
+    // (rows-only driver check; accuracy asserted in ApproxSpec)
+    "q48_session_window" ->
+      // Spark merges an event into a session iff ts < prev_ts + gap, so a
+      // NEW session starts at diff >= gap — computed in integer micros
+      // (epoch_us) to match Spark's microsecond timestamp comparison
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                    - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+           FROM flagged)
+         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+         FROM sessions GROUP BY user_id, sno
+         ORDER BY user_id, session_start""",
     "q25_events_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts,
