@@ -103,6 +103,31 @@ object TextFunctions {
     when(size(ws) >= 3, s3).otherwise(array(trim(lower(text))))
   }
 
+  /** Polynomial rolling hash of one word's characters:
+    * fold((acc * 31 + ascii(c)) mod 1e9+7). Pure integer arithmetic —
+    * bit-identical across engines, unlike float/md5-prefix tricks. */
+  def wordRollingHash(w: Column): Column =
+    aggregate(split(w, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+
+  /** Per-word rolling hashes for a document (applied to the word array so
+    * the tokenization subtree is evaluated once per row, not per use). */
+  def wordHashes(ws: Column): Column = transform(ws, wordRollingHash(_))
+
+  /** Rolling word-trigram hashes from a *materialized* word-hash array
+    * column: g_i = ((h_i·131 + h_{i+1}) mod M ·131 + h_{i+2}) mod M, via
+    * the same zip-of-shifted-slices shape as [[shingles3]] (no indexed
+    * lambda → no per-element re-evaluation). Null tails (from the slice
+    * padding) propagate through the arithmetic and are filtered. */
+  def rollingTrigramHashes(hs: Column): Column =
+    filter(
+      zip_with(
+        zip_with(hs, slice(hs, lit(2), size(hs)),
+          (a, b) => (a * 131L + b) % 1000000007L),
+        slice(hs, lit(3), size(hs)),
+        (ab, c) => (ab * 131L + c) % 1000000007L),
+      x => x.isNotNull)
+
   /** 16-bit SimHash bit-vote for bit b: +1/-1 per word according to an
     * md5-derived word hash. Summed per document it yields the sign vote. */
   def simhashVote(word: Column, b: Int): Column = {

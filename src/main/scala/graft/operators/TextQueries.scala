@@ -59,12 +59,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash (winnowing-style) document fingerprint: min over rolling
+    * word-trigram polynomial hashes + distinct-gram count — order-SENSITIVE
+    * (catches near-identical edits), complementing q31's order-insensitive
+    * bag-of-words md5. Exact integer arithmetic → oracle-checkable.
+    * Two explicit projections keep the word-hash array materialized once
+    * per row rather than re-deriving it per downstream reference. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wordHashes(words(col("text"))).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) >= 3,
+          array_min(rollingTrigramHashes(col("hs"))))
+          .otherwise(array_min(col("hs"))).as("fp_min"),
+        when(size(col("hs")) >= 3,
+          size(array_distinct(rollingTrigramHashes(col("hs")))).cast("long"))
+          .otherwise(size(array_distinct(col("hs"))).cast("long"))
+          .as("n_distinct_grams"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
     "q30_token_count" -> (tokenCounts _),
-    "q31_fingerprint" -> (fingerprintQuery _))
+    "q31_fingerprint" -> (fingerprintQuery _),
+    "q49_rolling_fp"  -> (rollingFingerprint _))
 
   // DuckDB formulations of the same expressions. `words` =
   // string_split_regex(trim(lower(text)),'\s+'); stopword/marker logic uses
@@ -116,5 +136,29 @@ object TextQueries {
             FROM documents)
           SELECT doc_id, fp, n_same_fp FROM fp
           JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "q49_rolling_fp" -> {
+      val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(w, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+      s"""WITH h AS (
+            SELECT doc_id,
+              list_transform($wordsSql, w -> $whash) AS hs
+            FROM documents),
+          g AS (
+            SELECT doc_id, hs,
+              list_transform(range(1, len(hs) - 1),
+                i -> ((hs[i] * 131 + hs[i+1]) % 1000000007 * 131 + hs[i+2])
+                     % 1000000007) AS gs
+            FROM h)
+          SELECT doc_id,
+            CASE WHEN len(hs) >= 3 THEN list_min(gs)
+                 ELSE list_min(hs) END AS fp_min,
+            CASE WHEN len(hs) >= 3
+                 THEN CAST(len(list_distinct(gs)) AS BIGINT)
+                 ELSE CAST(len(list_distinct(hs)) AS BIGINT)
+            END AS n_distinct_grams
+          FROM g ORDER BY doc_id"""
+    })
 }
