@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Bronze-layer incremental ingest (SURVEY.md §2.1 S1/S2, §2.9 T1-T4):
   * the vanilla-Spark replacement for Databricks Auto Loader
@@ -14,8 +14,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * file-sink commit log, run-once drain trigger (`Trigger.AvailableNow`,
   * Spark 4's successor to `trigger(once=True)`), schema pinned at first run
   * (persisted next to the checkpoint, like `cloudFiles.schemaLocation`),
-  * and a nullable `_rescued_data` column for schema-compat with the
-  * reference's Silver layer, which drops it (Silver_Customers.py:18).
+  * and the `_rescued_data` column the reference's Silver layer expects and
+  * drops (Silver_Customers.py:18):
+  *   - parquet (self-describing): a nullable placeholder, as documented in
+  *     SURVEY §7.4;
+  *   - csv/json: REAL rescue — PERMISSIVE parsing captures malformed
+  *     records into the column via `columnNameOfCorruptRecord`.
   *
   * Scale posture: file listing is driver-side but incremental (the
   * checkpoint's file log bounds re-listing); `maxFilesPerTrigger` caps
@@ -24,18 +28,27 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object Ingest {
 
+  val RescueCol = "_rescued_data"
+
   final case class IngestSpec(name: String, srcDir: String, dstDir: String,
-      checkpointDir: String, schemaFile: String)
+      checkpointDir: String, schemaFile: String,
+      format: String = "parquet", options: Map[String, String] = Map.empty)
 
   /** Infer-once-and-pin schema, like Auto Loader's schemaLocation
-    * (Bronze_Layer.py:22). */
+    * (Bronze_Layer.py:22). The pinned DDL never includes the rescue
+    * column — it is an ingest-time artifact, not part of the data schema. */
   def pinnedSchema(spark: SparkSession, spec: IngestSpec): StructType = {
     val p = new java.io.File(spec.schemaFile)
     if (p.exists()) {
       StructType.fromDDL(new String(
         java.nio.file.Files.readAllBytes(p.toPath), "UTF-8"))
     } else {
-      val s = spark.read.parquet(spec.srcDir).schema
+      val inferOpts = spec.format match {
+        case "csv" => spec.options ++ Map("inferSchema" -> "true")
+        case _ => spec.options
+      }
+      val s = StructType(spark.read.format(spec.format).options(inferOpts)
+        .load(spec.srcDir).schema.filterNot(_.name == RescueCol))
       p.getParentFile.mkdirs()
       java.nio.file.Files.write(p.toPath, s.toDDL.getBytes("UTF-8"))
       s
@@ -47,11 +60,26 @@ object Ingest {
   def runOnce(spark: SparkSession, spec: IngestSpec,
       maxFilesPerTrigger: Int = 1000): Long = {
     val schema = pinnedSchema(spark, spec)
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(spec.srcDir)
-      .withColumn("_rescued_data", lit(null).cast(StringType))
+    val stream = spec.format match {
+      case "parquet" =>
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(spec.srcDir)
+          .withColumn(RescueCol, lit(null).cast(StringType))
+      case fmt =>
+        // PERMISSIVE (the default) + corrupt-record column = Auto Loader's
+        // rescued-data semantics: schema-conforming fields parse, the raw
+        // malformed record lands in _rescued_data instead of killing the run
+        spark.readStream
+          .format(fmt)
+          .schema(StructType(schema.fields :+
+            StructField(RescueCol, StringType, nullable = true)))
+          .options(spec.options)
+          .option("columnNameOfCorruptRecord", RescueCol)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .load(spec.srcDir)
+    }
     val before = countIfExists(spark, spec.dstDir)
     val q = stream.writeStream
       .format("parquet")

@@ -37,6 +37,53 @@ class IngestSpecSuite extends SparkSuite {
     assert(new java.io.File(spec.schemaFile).exists())
   }
 
+  test("csv ingest: schema-conforming rows parse, malformed rows are rescued") {
+    val root = tmpDir("graft-ingest-csv")
+    val src = new java.io.File(s"$root/landing"); src.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/landing/part1.csv"),
+      "id,amount\n1,10.5\n2,20.0\nnot-a-number,oops\n")
+    val spec = IngestSpec("pays", src.toString, s"$root/bronze/pays",
+      s"$root/_cp/pays", s"$root/_schemas/pays.ddl",
+      format = "csv", options = Map("header" -> "true"))
+    // pin the declared schema up front (otherwise inference, seeing the
+    // malformed row, would widen both columns to string and "rescue" nothing)
+    new java.io.File(s"$root/_schemas").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(spec.schemaFile), "id BIGINT,amount DOUBLE")
+    assert(Ingest.runOnce(spark, spec) == 3L)
+
+    val bronze = Ingest.readBronze(spark, spec.dstDir)
+    val good = bronze.filter(col(Ingest.RescueCol).isNull)
+    val rescued = bronze.filter(col(Ingest.RescueCol).isNotNull)
+    assert(good.count() == 2L)
+    assert(rescued.count() == 1L)
+    assert(rescued.select(Ingest.RescueCol).as[String].collect()
+      .head.contains("not-a-number"))
+    // second file: incremental pickup, csv path too
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/landing/part2.csv"),
+      "id,amount\n3,30.0\n")
+    assert(Ingest.runOnce(spark, spec) == 1L)
+  }
+
+  test("json ingest: malformed document rescued, fields parsed otherwise") {
+    val root = tmpDir("graft-ingest-json")
+    val src = new java.io.File(s"$root/landing"); src.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/landing/a.json"),
+      """{"id": 1, "tag": "x"}
+        |{"id": 2, "tag": "y"}
+        |{"id": broken
+        |""".stripMargin)
+    val spec = IngestSpec("tags", src.toString, s"$root/bronze/tags",
+      s"$root/_cp/tags", s"$root/_schemas/tags.ddl", format = "json")
+    Ingest.runOnce(spark, spec)
+    val bronze = Ingest.readBronze(spark, spec.dstDir)
+    assert(bronze.filter(col(Ingest.RescueCol).isNull).count() == 2L)
+    assert(bronze.filter(col(Ingest.RescueCol).isNotNull).count() == 1L)
+  }
+
   test("fan-out runAll ingests every spec (parameters.py loop)") {
     val root = tmpDir("graft-ingest2")
     val specs = Seq("a", "b").map { n =>
