@@ -155,8 +155,23 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid components (the k-means/IVF "train" step q44's
+    * training-free quantizer skips): posexplode spreads components so the
+    * aggregation is an ordinary (label, pos) hash-agg — map-side partial,
+    * one shuffle, no array-zip reduce tree. Component sums use scaled
+    * integers (floor(x·1e9) as BIGINT): exact, order-independent, engine-
+    * portable — double accumulation across partitions is neither. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v").cast("double") * 1e9).cast("long"))
+        .as("sum_scaled"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_embed_norms"    -> (norms _),
+    "q50_label_centroids" -> (labelCentroids _),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q41_embed_neardup"  -> (embeddingNearDup _),
@@ -175,6 +190,18 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q50_label_centroids" ->
+      // parallel unnests zip positionally in DuckDB (no WITH ORDINALITY in 1.0)
+      """WITH x AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+           FROM embeddings)
+         SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT)
+             AS sum_scaled,
+           COUNT(*) AS n
+         FROM x GROUP BY label, pos ORDER BY label, pos""",
     "q38_embed_norms" ->
       s"""SELECT vec_id, label, round(${normSql("embedding")}, 6) AS norm,
           round(CAST(embedding[1] AS DOUBLE), 6) AS c0,

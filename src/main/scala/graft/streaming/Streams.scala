@@ -55,4 +55,26 @@ object Streams {
           UserRunning(user, n)
       }
   }
+
+  final case class Threshold(user_id: Long, n_events: Long, crossed_at: Long)
+
+  /** flatMapGroupsWithState — the 0-or-many-output stateful shape: emit a
+    * record each time a user's cumulative event count crosses a multiple
+    * of `every` (alert-style output; nothing emitted otherwise). State is
+    * one counter per key; on a real stream an event-time timeout would
+    * evict idle keys to bound the store. */
+  def thresholdAlerts(events: Dataset[UserEvent], every: Long = 10)
+      : Dataset[Threshold] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Threshold](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + batch.size
+          state.update(after)
+          ((before / every + 1) to (after / every))
+            .map(k => Threshold(user, k * every, after)).iterator
+      }
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Threshold, UserEvent}
+
+/** Custom keyed state across micro-batches: mapGroupsWithState keeps one
+  * running value per key; flatMapGroupsWithState emits 0..n alert rows per
+  * batch. Two `addData` rounds prove the state store carries between
+  * micro-batches (the property a 100 TB/day stream depends on). */
+class StreamsSpec extends SparkSuite {
+
+  private def ev(u: Long, s: String) =
+    UserEvent(u, Timestamp.valueOf(s"2026-01-01 00:00:0$s"), "click")
+
+  test("mapGroupsWithState: running counts persist across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = Streams.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("running_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(ev(1, "1"), ev(1, "2"), ev(2, "1"))
+      q.processAllAvailable()
+      val batch1 = spark.table("running_counts").as[(Long, Long)].collect().toMap
+      assert(batch1 == Map(1L -> 2L, 2L -> 1L))
+      in.addData(ev(1, "3"), ev(2, "2"), ev(3, "1"))
+      q.processAllAvailable()
+      val all = spark.table("running_counts").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(all == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: threshold alerts fire once per crossing") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = Streams.thresholdAlerts(in.toDS(), every = 3)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1 to 4).map(i => ev(7, i.toString)): _*) // count 4 → alert at 3
+      q.processAllAvailable()
+      assert(spark.table("alerts").as[Threshold].collect().toSeq ==
+        Seq(Threshold(7, 3, 4)))
+      in.addData((5 to 10).map(i => ev(7, i.toString)): _*) // 10 → alerts 6, 9
+      q.processAllAvailable()
+      assert(spark.table("alerts").as[Threshold].collect().toSet ==
+        Set(Threshold(7, 3, 4), Threshold(7, 6, 10), Threshold(7, 9, 10)))
+    } finally q.stop()
+  }
+}
