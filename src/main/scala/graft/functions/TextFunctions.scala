@@ -82,8 +82,13 @@ object TextFunctions {
     * Uniform string hashing makes the lexicographic min a valid MinHash;
     * P(sig_i(A)==sig_i(B)) == Jaccard(A,B). */
   def minhashSig(text: Column, i: Int): Column =
-    array_min(transform(array_distinct(words(text)),
-      w => md5(concat(lit(s"$i|"), w))))
+    minhashSigOfSet(array_distinct(words(text)), i)
+
+  /** Same over an already-materialized distinct word-set column — callers
+    * computing many components should tokenize ONCE into a column and use
+    * this (the text→set subtree re-evaluates per component otherwise). */
+  def minhashSigOfSet(wset: Column, i: Int): Column =
+    array_min(transform(wset, w => md5(concat(lit(s"$i|"), w))))
 
   /** Word 3-gram shingles (null-safe: short docs fall back to the whole
     * trimmed text as a single shingle).

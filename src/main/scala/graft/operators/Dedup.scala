@@ -60,9 +60,14 @@ object Dedup {
     // signature computation and (quadratic) candidate expansion would run
     // on a single core without this spread. Cached: the join sides and the
     // mask build all re-read it, and it is tiny next to the pair fact.
+    // the distinct word-set is materialized INTO the cached projection so
+    // the 12 signature components and the mask build read it as a column
+    // instead of re-running the regexp tokenization per use
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).repartition(nPart).cache()
-    val sigs = (0 until 12).map(i => minhashSig(col("text"), i))
+      .select(col("doc_id"),
+        array_distinct(words(col("text"))).as("wset"))
+      .repartition(nPart).cache()
+    val sigs = (0 until 12).map(i => minhashSigOfSet(col("wset"), i))
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (lit(b) +: sigs.slice(b * 3, b * 3 + 3)): _*))
         .as(s"band$b"))
@@ -90,8 +95,7 @@ object Dedup {
     // even at 100 TB (a cluster would swap it for zipWithIndex). The
     // doc-feature table broadcasts (docs are dim-sized vs the pair fact);
     // at cluster scale both sides would bucket by doc id instead.
-    val docWords = d.select(col("doc_id"),
-      explode(array_distinct(words(col("text")))).as("w"))
+    val docWords = d.select(col("doc_id"), explode(col("wset")).as("w"))
     val vocab = docWords.select("w").distinct()
       .withColumn("wid",
         (row_number().over(Window.orderBy("w")) - 1).cast("long"))
@@ -109,8 +113,7 @@ object Dedup {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), maskAggs: _*)
       } else {
-        d.select(col("doc_id"),
-          array_sort(array_distinct(words(col("text")))).as("wset"))
+        d.select(col("doc_id"), array_sort(col("wset")).as("wset"))
           .select(col("doc_id"),
             size(col("wset")).cast("long").as("n_words"), col("wset"))
       }
