@@ -245,7 +245,32 @@ object Relational {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** Pivot (wide aggregation): order totals per year split by status
+    * column values. Values enumerated explicitly — at scale an un-valued
+    * pivot runs a distinct-collect over the pivot column first; declaring
+    * them keeps the plan a single pass. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast("double"))
+      .orderBy("yr")
+
+  /** Unpivot/melt (wide → long): numeric part attributes to (metric, val)
+    * rows — pure projection+explode under the hood, no shuffle. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pivot"          -> (pivotAgg _),
+    "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
     "q02_filter_project" -> (filterProject _),
     "q03_domain_agg"     -> (domainAgg _),
@@ -265,6 +290,22 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q51_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P
+         FROM orders GROUP BY yr ORDER BY yr""",
+    "q52_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+         FROM part
+         ORDER BY p_partkey, metric""",
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
