@@ -96,12 +96,24 @@ object EventQueries {
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type")
 
+  /** Exact distinct users per event type via the custom mergeable-bitmap
+    * aggregate (one-pass, map-side partial; no Expand + distinct shuffle)
+    * — oracle-checked against plain COUNT(DISTINCT). */
+  def bitmapUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"))
+        .as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_events_hourly"        -> (hourlyAgg _),
     "q25_events_sessionize"    -> (sessionize _),
     "q26_events_hourly_stream" -> (hourlyAggStreaming _),
     "q47_approx_profile"       -> (approxProfile _),
-    "q48_session_window"       -> (sessionWindow _))
+    "q48_session_window"       -> (sessionWindow _),
+    "q53_bitmap_distinct"      -> (bitmapUsers _))
 
   private val hourlySql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -114,6 +126,10 @@ object EventQueries {
     "q26_events_hourly_stream" -> hourlySql,
     // q47 intentionally absent: sketch estimates are engine-specific
     // (rows-only driver check; accuracy asserted in ApproxSpec)
+    "q53_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q48_session_window" ->
       // Spark merges an event into a session iff ts < prev_ts + gap, so a
       // NEW session starts at diff >= gap — computed in integer micros
