@@ -107,7 +107,50 @@ object EventQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** As-of (point-in-time) join: each click matched to the user's most
+    * recent view at-or-before it — the lookup shape behind SCD2-versioned
+    * dim joins and market-data alignment, which Spark has no native
+    * operator for.
+    *
+    * Scale shape: the naive formulation (range join + per-row max) plans a
+    * quadratic range join; this one UNIONS both sides with a marker and
+    * carries the reference payload forward with last_value(ignoreNulls)
+    * over (key, time) — ONE shuffle + sort, linear in input, the same plan
+    * shape regardless of how many clicks share a view. Views sort before
+    * clicks at equal timestamps, giving ASOF's inclusive (>=) semantics. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    // dedupe the reference side at (user, ts) so equal-timestamp picks are
+    // deterministic in both engines
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("value")).as("view_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+        col("click_value"),
+        lit(null).cast("timestamp").as("view_ts"),
+        lit(null).cast("double").as("view_value"))
+      .unionByName(views.select(col("user_id"),
+        col("view_ts").as("ts"), lit(0).as("is_left"),
+        lit(null).cast("double").as("click_value"),
+        col("view_ts"), col("view_value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_view_value",
+        last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("user_id"), col("ts"), col("click_value"),
+        col("asof_view_ts"), col("asof_view_value"))
+      .orderBy("user_id", "ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_asof_join"            -> (asofJoin _),
     "q24_events_hourly"        -> (hourlyAgg _),
     "q25_events_sessionize"    -> (sessionize _),
     "q26_events_hourly_stream" -> (hourlyAggStreaming _),
@@ -130,6 +173,18 @@ object EventQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q54_asof_join" ->
+      """WITH v AS (
+           SELECT user_id, ts AS view_ts, MAX(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+         c AS (
+           SELECT user_id, ts, value AS click_value
+           FROM events WHERE event_type = 'click')
+         SELECT c.user_id, c.ts, c.click_value,
+           v.view_ts AS asof_view_ts, v.view_value AS asof_view_value
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND c.ts >= v.view_ts
+         ORDER BY c.user_id, c.ts""",
     "q48_session_window" ->
       // Spark merges an event into a session iff ts < prev_ts + gap, so a
       // NEW session starts at diff >= gap — computed in integer micros
