@@ -149,8 +149,38 @@ object EventQueries {
       .orderBy("user_id", "ts")
   }
 
+  /** Range (interval) join: clicks falling inside a 10-minute window after
+    * each purchase — no equi key, so Spark's planner would fall back to a
+    * quadratic nested-loop join.
+    *
+    * Scale shape: bucket time on a grid equal to the interval width; an
+    * interval then overlaps ≤2 buckets, so exploding intervals to their
+    * buckets and equi-joining on the bucket makes candidates per-bucket
+    * products instead of |purchases|×|clicks|, with the exact range
+    * predicate re-applied after (the standard interval-bucketing rewrite). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    val widthSec = 600L
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("p_end"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val pb = purchases.withColumn("bucket", explode(sequence(
+      floor(unix_timestamp(col("p_start")) / widthSec).cast("long"),
+      floor(unix_timestamp(col("p_end")) / widthSec).cast("long"))))
+    val cb = clicks.withColumn("bucket",
+      floor(unix_timestamp(col("c_ts")) / widthSec).cast("long"))
+    pb.join(cb, Seq("bucket"))
+      .filter(col("c_ts") >= col("p_start") && col("c_ts") <= col("p_end"))
+      .groupBy("purchase_id", "p_start")
+      .agg(count(lit(1)).as("n_clicks_10m"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_asof_join"            -> (asofJoin _),
+    "q55_range_join"           -> (rangeJoin _),
     "q24_events_hourly"        -> (hourlyAgg _),
     "q25_events_sessionize"    -> (sessionize _),
     "q26_events_hourly_stream" -> (hourlyAggStreaming _),
@@ -185,6 +215,13 @@ object EventQueries {
          FROM c ASOF LEFT JOIN v
            ON c.user_id = v.user_id AND c.ts >= v.view_ts
          ORDER BY c.user_id, c.ts""",
+    "q55_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.ts AS p_start,
+         COUNT(*) AS n_clicks_10m
+         FROM events p JOIN events c
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+         GROUP BY p.event_id, p.ts ORDER BY purchase_id""",
     "q48_session_window" ->
       // Spark merges an event into a session iff ts < prev_ts + gap, so a
       // NEW session starts at diff >= gap — computed in integer micros
