@@ -37,6 +37,44 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: SCD2 merges per micro-batch via foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-cdc")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val fixedNow = to_timestamp(lit("2026-02-01 00:00:00"))
+    def drain(): Unit = Streams.applyChangesScd2(
+      spark.readStream
+        .schema("product_id BIGINT, brand STRING, price DOUBLE")
+        .parquet(land.toString),
+      cat, "product_dim_stream", Seq("product_id"), Seq("brand", "price"),
+      "product_skey", s"$root/_cp", fixedNow)
+
+    // batch 1: initial load
+    Seq((1L, "acme", 10.0), (2L, "bolt", 20.0)).toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val v1 = cat.read("gold", "product_dim_stream")
+    assert(v1.count() == 2 && v1.filter(col("is_current")).count() == 2)
+
+    // batch 2: one change + one new key → expire + two new current versions
+    Seq((1L, "acme", 12.5), (3L, "core", 30.0)).toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val v2 = cat.read("gold", "product_dim_stream")
+    assert(v2.count() == 4) // 2 current originals -> 1 kept + 1 expired + 2 new
+    assert(v2.filter(col("is_current")).count() == 3)
+    val p1 = v2.filter(col("product_id") === 1L)
+    assert(p1.count() == 2)
+    assert(p1.filter(!col("is_current") && col("price") === 10.0).count() == 1)
+    assert(p1.filter(col("is_current") && col("price") === 12.5).count() == 1)
+
+    // drain with nothing new: checkpoint makes it a no-op
+    drain()
+    assert(cat.read("gold", "product_dim_stream").count() == 4)
+  }
+
   test("flatMapGroupsWithState: threshold alerts fire once per crossing") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
