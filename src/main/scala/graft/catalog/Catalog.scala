@@ -33,6 +33,15 @@ class Catalog(spark: SparkSession, warehouse: String) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
+  /** One-version time travel: the snapshot replaced by the most recent
+    * overwrite (Delta `VERSION AS OF` reduced to depth 1 — the `.prev`
+    * dir the swap protocol already retains for crash recovery). */
+  def readPrevious(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table) + ".prev")
+
+  def hasPrevious(layer: String, table: String): Boolean =
+    fs.exists(new Path(path(layer, table) + ".prev"))
+
   /** First-load create (the reference's `saveAsTable` path,
     * Gold_Customers.py:65-68). */
   def create(df: DataFrame, layer: String, table: String,

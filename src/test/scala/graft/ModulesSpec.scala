@@ -65,7 +65,8 @@ class CatalogSpec extends SparkSuite {
     assert(cat.read("silver", "t").count() == 2)
     cat.overwriteSnapshot(v2, "silver", "t")
     assert(cat.read("silver", "t").count() == 3)
-    assert(spark.read.parquet(cat.path("silver", "t") + ".prev").count() == 2)
+    assert(cat.hasPrevious("silver", "t"))
+    assert(cat.readPrevious("silver", "t").count() == 2)
   }
 
   test("register + tableExists + SQL addressing (S8/S9/S11/S12)") {
