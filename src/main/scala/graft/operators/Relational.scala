@@ -268,7 +268,32 @@ object Relational {
         Array(col("p_size"), col("p_retailprice")), "metric", "val")
       .orderBy("p_partkey", "metric")
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filters pushed to
+    * all three scans, two shuffle joins on the key spine, top-10 by
+    * revenue — the canonical "does the optimizer do its job" query.
+    * Revenue through DECIMAL for exact cross-engine totals. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, Seq("l_orderkey")).join(broadcast(c), Seq("o_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_tpch_q3"        -> (shippingPriority _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -290,6 +315,17 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q56_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "q51_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
