@@ -233,13 +233,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup cluster assignment — connected components over the near-dup
+    * pair graph, the "keep one representative per cluster" step every
+    * dedup pipeline ends with. (Pairwise output alone over-removes: A~B
+    * and B~C must collapse to ONE cluster even when A!~C.)
+    *
+    * Iterative min-label propagation: each doc's label becomes the min
+    * label in its closed neighborhood, repeated to fixpoint — O(diameter)
+    * data-parallel rounds, each one join + aggregate (the driver loop only
+    * checks the convergence count, no data comes to the driver). Near-dup
+    * clusters are dense, so diameter — and the round count — stays tiny.
+    * Uses q37's shingle-Jaccard pairs as the edge set. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .cache()
+    var labels = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .unionByName(viaEdges)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact"    -> (exact _),
     "q33_minhash_sig"    -> (minhashSignatures _),
     "q34_minhash_lsh"    -> (minhashLsh _),
     "q35_simhash"        -> (simhash _),
     "q36_simhash_pairs"  -> (simhashPairs _),
-    "q37_ngram_jaccard"  -> (ngramJaccard _))
+    "q37_ngram_jaccard"  -> (ngramJaccard _),
+    "q57_dedup_clusters" -> (dedupClusters _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
   private val wsetSql = s"list_distinct($wordsSql)"
@@ -297,6 +337,27 @@ object Dedup {
                 CAST(len(list_distinct(list_concat(wset_a, wset_b))) AS DOUBLE), 6) >= 0.5
           ORDER BY doc_a, doc_b"""
     },
+    "q57_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
+          SELECT d_id AS doc_id, MIN(r) AS cluster_id,
+            CAST(d_id = MIN(r) AS INTEGER) AS is_kept
+          FROM reach GROUP BY d_id ORDER BY doc_id""",
     "q35_simhash" -> s"""$simhashSql ORDER BY doc_id""",
     "q36_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql),
