@@ -78,7 +78,42 @@ object TextQueries {
           .as("n_distinct_grams"))
       .orderBy("doc_id")
 
+  /** Token-budget sequence packing (LLM training batch assembly): docs
+    * stream into fixed 2048-token batches per language, batch id =
+    * exclusive-prefix token sum div budget. One window sum over
+    * (lang, doc order) — exact BIGINT arithmetic, single shuffle; at
+    * 100 TB the same expression runs per partition-range with the batch
+    * offset rebased, or as the streaming cumulative state. */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokenCountWs(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id", floor(
+        (col("cum_tokens") - col("n_tokens")).cast("double") / 2048.0)
+        .cast("long"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Stratified sampling (per-language downsampling — the data-mixing
+    * step of corpus curation). Seeded → deterministic per run; sampling
+    * is engine-RNG-specific, so the driver check is rows-only and the
+    * statistical/determinism contract lives in SamplingSpec. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .stat.sampleBy("lang",
+        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0,
+          "zh" -> 0.5),
+        seed = 42L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_stratified_sample" -> (stratifiedSample _),
+    "q59_token_packing"     -> (tokenPacking _),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -111,6 +146,15 @@ object TextQueries {
         ELSE 'es' END"""
 
   val oracles: Map[String, String] = Map(
+    // q58 intentionally absent (engine-specific RNG; SamplingSpec covers it)
+    "q59_token_packing" ->
+      s"""SELECT doc_id, lang, len($wordsSql) AS n_tokens,
+          SUM(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          CAST(FLOOR(CAST(SUM(len($wordsSql)) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - len($wordsSql) AS DOUBLE) / 2048.0) AS BIGINT) AS batch_id
+          FROM documents ORDER BY lang, doc_id""",
     "q27_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars_m,
           len($wordsSql) AS n_words,
