@@ -178,9 +178,26 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** Semi-structured extraction: JSON `props` column → typed field +
+    * aggregation. get_json_object is codegen'd path extraction (Jackson
+    * streaming under the hood) — at 100 TB the right move is extracting
+    * ONCE into a typed silver column exactly like this, not re-parsing
+    * per downstream query. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_asof_join"            -> (asofJoin _),
     "q55_range_join"           -> (rangeJoin _),
+    "q60_json_extract"         -> (jsonExtract _),
     "q24_events_hourly"        -> (hourlyAgg _),
     "q25_events_sessionize"    -> (sessionize _),
     "q26_events_hourly_stream" -> (hourlyAggStreaming _),
@@ -215,6 +232,13 @@ object EventQueries {
          FROM c ASOF LEFT JOIN v
            ON c.user_id = v.user_id AND c.ts >= v.view_ts
          ORDER BY c.user_id, c.ts""",
+    "q60_json_extract" ->
+      """SELECT event_type,
+         COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+         MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q55_range_join" ->
       """SELECT p.event_id AS purchase_id, p.ts AS p_start,
          COUNT(*) AS n_clicks_10m

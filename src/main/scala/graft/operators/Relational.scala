@@ -292,8 +292,19 @@ object Relational {
       .limit(10)
   }
 
+  /** CUBE over (status, priority): all four grouping combinations in one
+    * pass (Expand + single hash-agg — not four scans). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_tpch_q3"        -> (shippingPriority _),
+    "q61_cube"           -> (cubeAgg _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -315,6 +326,11 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q61_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q56_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
