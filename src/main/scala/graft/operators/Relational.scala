@@ -302,9 +302,35 @@ object Relational {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** Ordered array aggregation: per-nation sorted top-customer list,
+    * rendered as a string (collect_list order is partition-dependent, so
+    * determinism requires the explicit sort_array; rendering as a joined
+    * string keeps the oracle comparison format-stable). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_list(col("c_custkey"))), ",")
+        .as("top_customers"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** Exact interpolated percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition;
+    * round(6) absorbs last-ulp differences). */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_tpch_q3"        -> (shippingPriority _),
     "q61_cube"           -> (cubeAgg _),
+    "q62_array_agg"      -> (arrayAgg _),
+    "q63_exact_median"   -> (exactMedian _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -326,6 +352,18 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q62_array_agg" ->
+      """SELECT c_nationkey,
+         array_to_string(list_sort(list(c_custkey)), ',') AS top_customers,
+         COUNT(*) AS n
+         FROM customer WHERE c_acctbal > 9000
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q63_exact_median" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q61_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
