@@ -326,11 +326,39 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** SQL entry path with a correlated scalar subquery (decorrelated by
+    * Catalyst into a join-aggregate — same plan the DataFrame formulation
+    * would produce; the point is the SQL surface parity). */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer_v o
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v i
+                            WHERE i.c_nationkey = o.c_nationkey) * 1.5
+         ORDER BY c_custkey""")
+  }
+
+  /** Extended string-function suite: regexp_extract, lpad, translate,
+    * levenshtein, initcap-ish casing — all codegen'd builtins with exact
+    * cross-engine semantics. */
+  def stringSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"),
+        levenshtein(col("p_brand"), lit("Brand-00")).as("brand_dist"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_tpch_q3"        -> (shippingPriority _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
     "q63_exact_median"   -> (exactMedian _),
+    "q64_corr_subquery"  -> (correlatedSubquery _),
+    "q65_string_suite"   -> (stringSuite _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -352,6 +380,20 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q64_corr_subquery" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer o
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                            WHERE i.c_nationkey = o.c_nationkey) * 1.5
+         ORDER BY c_custkey""",
+    "q65_string_suite" ->
+      """SELECT p_partkey,
+         coalesce(regexp_extract(p_name, '^(\w+)', 1), '') AS first_word,
+         lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+         replace(p_brand, '#', '-') AS brand_dashed,
+         levenshtein(p_brand, 'Brand-00') AS brand_dist,
+         length(p_name) AS name_len
+         FROM part ORDER BY p_partkey""",
     "q62_array_agg" ->
       """SELECT c_nationkey,
          array_to_string(list_sort(list(c_custkey)), ',') AS top_customers,
