@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, Relational}
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, two-phase aggregation) asserted
+  * against the actual physical plans, so a refactor that silently
+  * de-optimizes a plan fails CI instead of a 100 TB run. */
+class PlanQualitySpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // execute THIS Dataset so AQE finalizes its own plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection pushed into the parquet scan") {
+    val p = plan(Relational.filterProject(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters not pushed:\n$p")
+    // column pruning: the scan reads only the needed columns, not the
+    // 16-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q08: dimension lookups are broadcast joins (fact never shuffles)") {
+    val p = plan(Relational.factDimJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey")),
+      s"fact side shuffled for a dim lookup:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before exchange)") {
+    val p = plan(Relational.aggPricing(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q34: pair-join feature columns stay slim until after pair dedup") {
+    val p = plan(Dedup.minhashLsh(spark, sfDir))
+    // the distinct over candidate pairs must group ONLY (doc_a, doc_b) —
+    // wide arrays in those keys would mean features ride through the
+    // quadratic expansion again
+    val distinctAgg = p.linesIterator.find(l =>
+      l.contains("HashAggregate(keys=[doc_a") && l.contains("doc_b"))
+    assert(distinctAgg.isDefined, s"slim pair dedup not found:\n$p")
+    assert(!distinctAgg.get.contains("wset"),
+      s"feature column inside pair dedup keys: ${distinctAgg.get}")
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    val p = plan(Relational.aggPricing(spark, sfDir))
+    assert(p.contains("*("), s"no WholeStageCodegen spans:\n$p")
+  }
+}
