@@ -326,6 +326,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Analytic window functions beyond the reference's ranking trio:
+    * lag/lead (offset), ntile (bucketing), cume_dist (distribution),
+    * and a running frame sum — one Window spec, one shuffle+sort. */
+  def analyticWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("prev_total", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_total", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "prev_total",
+        "next_total", "quartile", "cume", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** SQL entry path with a correlated scalar subquery (decorrelated by
     * Catalyst into a join-aggregate — same plan the DataFrame formulation
     * would produce; the point is the SQL surface parity). */
@@ -359,6 +380,7 @@ object Relational {
     "q63_exact_median"   -> (exactMedian _),
     "q64_corr_subquery"  -> (correlatedSubquery _),
     "q65_string_suite"   -> (stringSuite _),
+    "q66_analytic_windows" -> (analyticWindows _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -380,6 +402,19 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q66_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_total,
+         lead(o_totalprice, 1) OVER w AS next_total,
+         ntile(4) OVER w AS quartile,
+         round(cume_dist() OVER w, 6) AS cume,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q64_corr_subquery" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
          FROM customer o

@@ -40,6 +40,23 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: each click matched to same-user views at
+    * most 10 minutes older. Watermarks on BOTH sides are what bound the
+    * join state store — without them every past row must be retained
+    * forever; with them rows age out once the other stream's event time
+    * passes (the property that keeps an unbounded 100 TB/day join viable). */
+  def clickViewStreamJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+    val v = views
+      .withColumnRenamed("ts", "view_ts")
+      .withColumnRenamed("user_id", "view_user_id")
+      .withWatermark("view_ts", "30 minutes")
+    c.join(v, expr(
+      """user_id = view_user_id AND
+         ts >= view_ts AND ts <= view_ts + INTERVAL 10 MINUTES"""))
+      .select(col("user_id"), col("ts").as("click_ts"), col("view_ts"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class UserRunning(user_id: Long, n_events: Long)
 

@@ -75,6 +75,31 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("gold", "product_dim_stream").count() == 4)
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val joined = Streams.clickViewStreamJoin(
+      clicks.toDS().toDF(), views.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("cv_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+      views.addData(UserEvent(1, t("10:00:00"), "view"),
+        UserEvent(2, t("10:00:00"), "view"))
+      clicks.addData(
+        UserEvent(1, t("10:05:00"), "click"),  // in window → match
+        UserEvent(1, t("10:20:00"), "click"),  // past 10 min → no match
+        UserEvent(2, t("09:55:00"), "click"),  // before the view → no match
+        UserEvent(3, t("10:05:00"), "click"))  // no view at all → no match
+      q.processAllAvailable()
+      val got = spark.table("cv_join")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(got == Set((1L, t("10:05:00"), t("10:00:00"))))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: threshold alerts fire once per crossing") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
