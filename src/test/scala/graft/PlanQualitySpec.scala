@@ -52,6 +52,12 @@ class PlanQualitySpec extends SparkSuite {
       s"feature column inside pair dedup keys: ${distinctAgg.get}")
   }
 
+  test("q56: orderBy+limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.shippingPriority(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k materialized a full global sort:\n$p")
+  }
+
   test("whole-stage codegen covers the relational core") {
     val p = plan(Relational.aggPricing(spark, sfDir))
     assert(p.contains("*("), s"no WholeStageCodegen spans:\n$p")
