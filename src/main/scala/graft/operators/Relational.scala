@@ -326,6 +326,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Date arithmetic beyond q12's extraction functions: day differences,
+    * offsets, month-end, quarter, day-of-week (Spark's 1=Sunday convention
+    * aligned explicitly in the oracle), month offset with end-clamping. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1998-12-31").cast("date"), col("od")).as("days_to_eoy"),
+        date_add(col("od"), 30).as("due_date"),
+        last_day(col("od")).as("month_end"),
+        quarter(col("od")).as("qtr"),
+        dayofweek(col("od")).as("dow"),
+        add_months(col("od"), 3).as("plus_quarter"))
+      .orderBy("o_orderkey")
+
   /** Analytic window functions beyond the reference's ranking trio:
     * lag/lead (offset), ntile (bucketing), cume_dist (distribution),
     * and a running frame sum — one Window spec, one shuffle+sort. */
@@ -381,6 +397,7 @@ object Relational {
     "q64_corr_subquery"  -> (correlatedSubquery _),
     "q65_string_suite"   -> (stringSuite _),
     "q66_analytic_windows" -> (analyticWindows _),
+    "q67_date_arith"     -> (dateArithmetic _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -402,6 +419,17 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q67_date_arith" ->
+      """SELECT o_orderkey,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+           AS days_to_eoy,
+         CAST(o_orderdate AS DATE) + 30 AS due_date,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         quarter(CAST(o_orderdate AS DATE)) AS qtr,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+           AS plus_quarter
+         FROM orders ORDER BY o_orderkey""",
     "q66_analytic_windows" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
          lag(o_totalprice, 1) OVER w AS prev_total,
