@@ -326,6 +326,19 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS (neither rollup's prefix chain nor cube's full
+    * lattice — exactly the requested combinations) + grouping_id to tell
+    * the aggregation levels apart; one Expand + one hash-agg pass. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping__id AS gid, COUNT(*) AS cnt
+         FROM orders_v
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
   /** Date arithmetic beyond q12's extraction functions: day differences,
     * offsets, month-end, quarter, day-of-week (Spark's 1=Sunday convention
     * aligned explicitly in the oracle), month offset with end-clamping. */
@@ -398,6 +411,7 @@ object Relational {
     "q65_string_suite"   -> (stringSuite _),
     "q66_analytic_windows" -> (analyticWindows _),
     "q67_date_arith"     -> (dateArithmetic _),
+    "q68_grouping_sets"  -> (groupingSets _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -419,6 +433,14 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q68_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+           AS BIGINT) AS gid,
+         COUNT(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q67_date_arith" ->
       """SELECT o_orderkey,
          datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
