@@ -326,6 +326,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Explicit window frames: a centered 3-row moving sum, the partition's
+    * first value, and the 2nd value in the running frame — the
+    * rowsBetween surface the reference's ranking windows never touch. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("moving3",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(-1, 1))
+          .cast("double"))
+      .withColumn("first_price",
+        first(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("second_price",
+        nth_value(col("o_totalprice"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "moving3",
+        "first_price", "second_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Explicit GROUPING SETS (neither rollup's prefix chain nor cube's full
     * lattice — exactly the requested combinations) + grouping_id to tell
     * the aggregation levels apart; one Expand + one hash-agg pass. */
@@ -412,6 +434,7 @@ object Relational {
     "q66_analytic_windows" -> (analyticWindows _),
     "q67_date_arith"     -> (dateArithmetic _),
     "q68_grouping_sets"  -> (groupingSets _),
+    "q69_window_frames"  -> (windowFrames _),
     "q51_pivot"          -> (pivotAgg _),
     "q52_unpivot"        -> (unpivotMetrics _),
     "q01_agg_pricing"    -> (aggPricing _),
@@ -433,6 +456,17 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q69_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS moving3,
+         first_value(o_totalprice) OVER w AS first_price,
+         nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
     "q68_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
