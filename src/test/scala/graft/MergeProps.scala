@@ -67,6 +67,49 @@ class MergeProps extends SparkSuite {
     }
   }
 
+  test("upsert idempotence + pass-through of unmatched target rows") {
+    cases(5).foreach { case (t, s) =>
+      val target = t.toSeq.toDF("order_id", "status")
+        .withColumn("created_dt", t0).withColumn("updated_dt", t0)
+      val source = s.toSeq.toDF("order_id", "status")
+      val once = MergeEngine.upsert(target, source, Seq("order_id"), t1)
+      val twice = MergeEngine.upsert(once, source, Seq("order_id"), t1)
+      assert(rowsOf(once, "order_id") == rowsOf(twice, "order_id"),
+        s"upsert not idempotent for target=$t source=$s")
+      // unmatched target rows pass through untouched
+      val untouched = t.keySet -- s.keySet
+      val kept = once.filter(col("order_id").isin(untouched.toSeq: _*))
+        .select("order_id", "status", "updated_dt").collect()
+      kept.foreach { r =>
+        assert(Option(t(r.getLong(0))) == Option(r.getString(1)))
+        assert(r.getTimestamp(2).toString.startsWith("2025-01-01"))
+      }
+      val keys = once.select("order_id").as[Long].collect().toSet
+      assert(keys == t.keySet ++ s.keySet)
+    }
+  }
+
+  test("scd2 partition-pruned merge equals full merge on random inputs") {
+    cases(3).foreach { case (t, s) =>
+      val target = mkScd2(t)
+      val source = s.toSeq.toDF("product_id", "brand")
+      val path = tmpDir("mprop") + "/dim"
+      graft.merge.PartitionedMerge.write(target, path, Seq("product_id"), 4)
+      graft.merge.PartitionedMerge.prunedMerge(
+        spark, path, source, Seq("product_id"), 4) { (pt, src) =>
+        MergeEngine.scd2(pt, src, Seq("product_id"), Seq("brand"),
+          "product_skey", t1,
+          skeyBase = Some(graft.merge.PartitionedMerge.read(spark, path)))
+      }
+      val full = MergeEngine.scd2(target, source, Seq("product_id"),
+        Seq("brand"), "product_skey", t1)
+      assert(rowsOf(graft.merge.PartitionedMerge.read(spark, path),
+        "product_id", "is_current", "brand")
+        == rowsOf(full, "product_id", "is_current", "brand"),
+        s"pruned != full for target=$t source=$s")
+    }
+  }
+
   test("scd2 single-current invariant over random target/source") {
     cases(5).foreach { case (t, s) =>
       val out = MergeEngine.scd2(mkScd2(t),
