@@ -149,8 +149,8 @@ object TextQueries {
     // q58 intentionally absent (engine-specific RNG; SamplingSpec covers it)
     "q59_token_packing" ->
       s"""SELECT doc_id, lang, len($wordsSql) AS n_tokens,
-          SUM(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          CAST(SUM(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
           CAST(FLOOR(CAST(SUM(len($wordsSql)) OVER (PARTITION BY lang
             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             - len($wordsSql) AS DOUBLE) / 2048.0) AS BIGINT) AS batch_id

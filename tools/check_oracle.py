@@ -42,6 +42,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  {qname}: COLUMN MISMATCH spark={cols} duck={dcols}")
             failures += 1
             continue
+        # The driver's hash is TYPE-sensitive (DuckDB SUM(BIGINT) -> HUGEINT
+        # bit r1 q59/q60 even though Python values compared equal), but it
+        # tolerates machine-int width differences (INTEGER vs BIGINT passed
+        # r1). Canonicalize int widths <= 64 bits and flag anything else —
+        # notably HUGEINT (int128), which does not round-trip.
+        canon = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT",
+                 "INTEGER": "BIGINT", "BIGINT": "BIGINT"}
+        def ctype(t):
+            s = str(t)
+            return canon.get(s, s)
+        stypes = dict(zip(spark_rel.columns, [ctype(t) for t in spark_rel.types]))
+        dtypes = dict(zip(duck_rel.columns, [ctype(t) for t in duck_rel.types]))
+        typediff = {c: (stypes[c], dtypes[c]) for c in cols if stypes[c] != dtypes[c]}
+        if typediff:
+            print(f"  {qname}: TYPE MISMATCH (spark,duck) per column: {typediff}")
+            failures += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"  {qname}: ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
             failures += 1
