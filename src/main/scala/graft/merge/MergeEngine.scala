@@ -43,6 +43,30 @@ object MergeEngine {
   private def keyCond(keys: Seq[String]): Column =
     keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
 
+  /** Plan-embedded source-key-uniqueness guard. The full-outer merge join
+    * FANS OUT on duplicate source keys — each target row matches every
+    * duplicate, silently emitting multiple post-merge versions per key —
+    * so fail loudly instead, exactly as Delta's MERGE INTO raises
+    * `DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`. Implemented as a
+    * per-key window count feeding a raise_error wrapped INTO the first key
+    * column: it cannot be column-pruned away, adds no driver-side action,
+    * and the window's hash partitioning is on the same keys the merge join
+    * shuffles on. Callers with genuinely multi-change sources must pick
+    * one row per key first (see Streams.applyChangesScd2's sequenceBy). */
+  private def requireUniqueKeys(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val k = keys.head
+    source
+      .withColumn("__key_rows", count(lit(1)).over(w))
+      .withColumn(k,
+        when(col("__key_rows") > 1, raise_error(concat(
+          lit("MergeEngine: duplicate source rows for merge key ("),
+          concat_ws(", ", keys.map(c => col(c).cast("string")): _*),
+          lit(") — the merge join would fan out; dedupe the source to one row per key first"))))
+          .otherwise(col(k)))
+      .drop("__key_rows")
+  }
+
   private def sPresent(keys: Seq[String]): Column = col(s"s.${keys.head}").isNotNull
   private def tPresent(keys: Seq[String]): Column = col(s"t.${keys.head}").isNotNull
 
@@ -74,7 +98,8 @@ object MergeEngine {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       now: Column = current_timestamp()): DataFrame = {
     val dataCols = source.columns.filterNot(keys.contains).toSeq
-    val j = target.alias("t").join(source.alias("s"), keyCond(keys), "full_outer")
+    val src = requireUniqueKeys(source, keys)
+    val j = target.alias("t").join(src.alias("s"), keyCond(keys), "full_outer")
     val sp = sPresent(keys)
     val keyOut = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
     val dataOut = dataCols.map(c => when(sp, col(s"s.$c")).otherwise(col(s"t.$c")).as(c))
@@ -99,7 +124,8 @@ object MergeEngine {
       now: Column = current_timestamp(),
       skeyBase: Option[DataFrame] = None): DataFrame = {
     val attrs = source.columns.filterNot(keys.contains).toSeq
-    val src = source.withColumn("__hash", nullSafeHash(tracked.map(col)))
+    val src = requireUniqueKeys(source, keys)
+      .withColumn("__hash", nullSafeHash(tracked.map(col)))
     val j = target.alias("t").join(src.alias("s"), keyCond(keys), "full_outer")
     val sp = sPresent(keys); val tp = tPresent(keys)
     val changed = sp && tp && (col("t.hash_value") =!= col("s.__hash"))
@@ -139,7 +165,8 @@ object MergeEngine {
       now: Column = current_timestamp(),
       skeyBase: Option[DataFrame] = None): DataFrame = {
     val attrs = source.columns.filterNot(keys.contains).toSeq
-    val src = source.withColumn("__hash", nullSafeHash(tracked.map(col)))
+    val src = requireUniqueKeys(source, keys)
+      .withColumn("__hash", nullSafeHash(tracked.map(col)))
     val history = target.filter(!col("is_current"))
     val current = target.filter(col("is_current"))
 

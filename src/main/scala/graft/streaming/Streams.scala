@@ -80,7 +80,15 @@ object Streams {
     * snapshot-swap write being idempotent for a replayed batch (same hash
     * → no-op merge). At scale the merge inside the batch is the ordinary
     * [[graft.merge.MergeEngine]] join — or [[graft.merge.PartitionedMerge]]
-    * when the dim is bucket-partitioned. */
+    * when the dim is bucket-partitioned.
+    *
+    * CDC micro-batches routinely carry SEVERAL changes for the same key;
+    * feeding them raw into the merge would fan out the join (MergeEngine
+    * now raises on that). `sequenceBy` is DLT apply_changes' `sequence_by`:
+    * each batch is first reduced to the latest change per key (row_number
+    * over the keys ordered by the sequence columns descending). When empty,
+    * the source is required to be key-unique per batch — MergeEngine's
+    * guard enforces it. */
   def applyChangesScd2(
       changes: DataFrame,
       cat: graft.catalog.Catalog,
@@ -89,12 +97,23 @@ object Streams {
       tracked: Seq[String],
       skeyCol: String,
       checkpoint: String,
-      now: org.apache.spark.sql.Column): Unit = {
+      now: org.apache.spark.sql.Column,
+      sequenceBy: Seq[String] = Nil): Unit = {
+    def latestPerKey(batch: DataFrame): DataFrame =
+      if (sequenceBy.isEmpty) batch
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(sequenceBy.map(c => col(c).desc): _*)
+        batch.withColumn("__seq_rn", row_number().over(w))
+          .filter(col("__seq_rn") === 1).drop("__seq_rn")
+      }
     val q = changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = latestPerKey(batch0)
         if (!batch.isEmpty) {
           if (!cat.exists("gold", table)) {
             val initial = graft.merge.SurrogateKeys.assign(batch, skeyCol, keys)

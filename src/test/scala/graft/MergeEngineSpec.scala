@@ -116,6 +116,38 @@ class MergeEngineSpec extends SparkSuite {
     assert(multi == 0)
   }
 
+  test("duplicate source keys raise instead of fanning out the merge join") {
+    val target = dim(Seq((1L, "ann", "oslo")))
+    val dupSrc = src(Seq((1L, "ann", "oslo"), (1L, "ann", "bern")))
+    val e1 = intercept[Exception] {
+      MergeEngine.scd1(target, dupSrc, Seq("customer_id"),
+        Seq("name", "city"), "customer_skey", t1).collect()
+    }
+    assert(e1.getMessage.contains("duplicate source rows"))
+
+    val ptarget = productDim(Seq((1L, "acme")))
+    val pdup = Seq((1L, "acme"), (1L, "apex")).toDF("product_id", "brand")
+    val e2 = intercept[Exception] {
+      MergeEngine.scd2(ptarget, pdup, Seq("product_id"),
+        Seq("brand"), "product_skey", t1).collect()
+    }
+    assert(e2.getMessage.contains("duplicate source rows"))
+
+    val ftarget = Seq((1L, "F", 10.0)).toDF("order_id", "status", "total")
+      .withColumn("created_dt", t0).withColumn("updated_dt", t0)
+    val fdup = Seq((1L, "F", 11.0), (1L, "O", 12.0))
+      .toDF("order_id", "status", "total")
+    val e3 = intercept[Exception] {
+      MergeEngine.upsert(ftarget, fdup, Seq("order_id"), t1).collect()
+    }
+    assert(e3.getMessage.contains("duplicate source rows"))
+
+    // key-unique sources still merge exactly as before
+    val ok = MergeEngine.scd1(target, src(Seq((1L, "ann", "bern"))),
+      Seq("customer_id"), Seq("name", "city"), "customer_skey", t1)
+    assert(ok.count() == 1 && ok.collect()(0).getAs[String]("city") == "bern")
+  }
+
   test("scd2: re-run with the same source changes nothing (hash fixpoint)") {
     val target = productDim(Seq((1L, "acme"), (2L, "nova")))
     val source = Seq((2L, "nova2"), (3L, "kilo")).toDF("product_id", "brand")

@@ -75,6 +75,42 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("gold", "product_dim_stream").count() == 4)
   }
 
+  test("streaming CDC apply: sequenceBy keeps only the latest change per key in a batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-cdc-seq")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val fixedNow = to_timestamp(lit("2026-02-01 00:00:00"))
+    def drain(): Unit = Streams.applyChangesScd2(
+      spark.readStream
+        .schema("product_id BIGINT, brand STRING, price DOUBLE, change_seq BIGINT")
+        .parquet(land.toString),
+      cat, "product_dim_seq", Seq("product_id"), Seq("brand", "price"),
+      "product_skey", s"$root/_cp", fixedNow, sequenceBy = Seq("change_seq"))
+
+    // batch 1: key 1 appears THREE times (raw CDC) — only seq=3 may land
+    Seq((1L, "acme", 10.0, 1L), (1L, "acme", 11.0, 2L), (1L, "acme", 12.0, 3L),
+        (2L, "bolt", 20.0, 1L))
+      .toDF("product_id", "brand", "price", "change_seq")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val v1 = cat.read("gold", "product_dim_seq")
+    assert(v1.count() == 2)
+    assert(v1.filter(col("product_id") === 1L).collect()(0)
+      .getAs[Double]("price") == 12.0)
+
+    // batch 2: two more changes for key 1 → one expire + one new current at seq=5
+    Seq((1L, "acme", 13.0, 4L), (1L, "acme", 14.0, 5L))
+      .toDF("product_id", "brand", "price", "change_seq")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val v2 = cat.read("gold", "product_dim_seq")
+    assert(v2.count() == 3) // bolt current + acme expired + acme current
+    val cur1 = v2.filter(col("product_id") === 1L && col("is_current"))
+    assert(cur1.count() == 1 && cur1.collect()(0).getAs[Double]("price") == 14.0)
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
