@@ -133,8 +133,9 @@ object TextFunctions {
         (ab, c) => (ab * 131L + c) % 1000000007L),
       x => x.isNotNull)
 
-  /** 16-bit SimHash bit-vote for bit b: +1/-1 per word according to an
-    * md5-derived word hash. Summed per document it yields the sign vote. */
+  /** SimHash bit-vote for bit b (valid for b in 0..59): +1/-1 per word
+    * according to a 60-bit md5-derived word hash. Summed per document it
+    * yields the sign vote (see Dedup.SimhashBits for the fingerprint width). */
   def simhashVote(word: Column, b: Int): Column = {
     // 60-bit word hash from the md5 hex prefix (engine-portable).
     val h = conv(substring(md5(word), 1, 15), 16, 10).cast("long")

@@ -143,7 +143,23 @@ object Dedup {
   private def wordHash(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
-  /** 16-bit SimHash per document: per-bit ±1 votes summed over distinct
+  /** SimHash width: 60 bits (the full md5-hex-prefix word hash), banded
+    * into 4 disjoint 15-bit keys for the LSH self-join. 60 rather than 64
+    * keeps the fingerprint sign-safe as a BIGINT in BOTH engines (16 hex
+    * chars would overflow DuckDB's CAST('0x…' AS BIGINT)).
+    *
+    * Why the width matters at scale: each band bucket holds ~N/2^15 docs,
+    * so candidate pairs grow as N²/32768 per band — vs N²/256 for the old
+    * 16-bit/8-bit-band design, which was bucket-quadratic at any real
+    * corpus size AND birthday-saturated (hamming<=3 over 16 bits collides
+    * constantly). With 60 bits, hamming<=3 is a meaningful near-dup bound
+    * (Manku et al., WWW'07 use 64-bit fingerprints, k=3, 4 bands). */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  private val BandBits = SimhashBits / SimhashBands // 15
+  private val BandMask = (1L << BandBits) - 1
+
+  /** 60-bit SimHash per document: per-bit ±1 votes summed over distinct
     * words, bit set where the vote is positive. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // spread the 1-partition fixture scan before the per-word md5 work
@@ -152,27 +168,29 @@ object Dedup {
     val w = d.select(col("doc_id"),
       explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", wordHash(col("w")))
-    val votes = (0 until 16).map(b =>
+    val votes = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$b"))
     val agg = w.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 16).map(b =>
+    val sim = (0 until SimhashBits).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup candidate pairs: band the 16 bits into two bytes;
-    * pairs agreeing on either byte (hamming LSH) with hamming distance <= 3
-    * over the full 16 bits. */
+  /** SimHash near-dup candidate pairs: band the 60 bits into 4×15-bit
+    * keys; pairs agreeing on any band (hamming LSH — any fingerprint with
+    * hamming<=3 differs in at most 3 of the 4 bands, so it MUST agree on
+    * one) with hamming distance <= 3 over the full 60 bits. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached: referenced three times (band explode + both pair-fetch sides)
     val s = simhash(spark, dir).cache()
-    // Band the 16 bits into two bytes; one explode + one self-join on the
-    // (band, value) key replaces two joins + union, and the pair-dedup
+    // Band into 4 15-bit keys; one explode + one self-join on the
+    // (band, value) key replaces four joins + union, and the pair-dedup
     // runs on slim (doc_a, doc_b) before the simhash values are re-fetched.
     val banded = s.select(col("doc_id"), explode(array(
-      concat_ws(":", lit("lo"), col("simhash").bitwiseAND(255)),
-      concat_ws(":", lit("hi"), shiftright(col("simhash"), 8).bitwiseAND(255))
+      (0 until SimhashBands).map(j =>
+        concat_ws(":", lit(j),
+          shiftright(col("simhash"), j * BandBits).bitwiseAND(BandMask))): _*
     )).as("band_key"))
     // round-robin spread of the probe side: the bucket-quadratic pair
     // expansion must not run at the parallelism of the small input scan
@@ -293,10 +311,10 @@ object Dedup {
   private val whashSql =
     "CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)"
   private val simhashSql = {
-    val votes = (0 until 16).map(b =>
+    val votes = (0 until SimhashBits).map(b =>
       s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
       .mkString(", ")
-    val bits = (0 until 16).map(b =>
+    val bits = (0 until SimhashBits).map(b =>
       s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""WITH wx AS (
@@ -359,21 +377,23 @@ object Dedup {
             CAST(d_id = MIN(r) AS INTEGER) AS is_kept
           FROM reach GROUP BY d_id ORDER BY doc_id""",
     "q35_simhash" -> s"""$simhashSql ORDER BY doc_id""",
-    "q36_simhash_pairs" ->
+    "q36_simhash_pairs" -> {
+      val bandCols = (0 until SimhashBands).map(j =>
+        s"(simhash >> ${j * BandBits}) & $BandMask AS b$j").mkString(", ")
+      val bandJoins = (0 until SimhashBands).map(j =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+            FROM k a JOIN k b ON a.b$j = b.b$j AND a.doc_id < b.doc_id""")
+        .mkString("\n            UNION\n            ")
       s"""WITH sh AS ($simhashSql),
-          k AS (SELECT doc_id, simhash, simhash & 255 AS lo,
-                (simhash >> 8) & 255 AS hi FROM sh),
+          k AS (SELECT doc_id, simhash, $bandCols FROM sh),
           cand AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.simhash AS sh_a, b.simhash AS sh_b
-            FROM k a JOIN k b ON a.lo = b.lo AND a.doc_id < b.doc_id
-            UNION
-            SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-            FROM k a JOIN k b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+            $bandJoins)
           SELECT doc_a, doc_b,
             CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
           FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
-          ORDER BY doc_a, doc_b""",
+          ORDER BY doc_a, doc_b"""
+    },
     "q37_ngram_jaccard" ->
       s"""WITH d AS (
             SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
