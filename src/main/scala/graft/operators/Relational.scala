@@ -113,9 +113,14 @@ object Relational {
       .orderBy("o_year", "rn")
   }
 
-  /** J1+J2: fact ← dim left equi-joins (Gold_Orders.py:36-37). The dims are
-    * explicitly broadcast — at 100 TB the fact side never shuffles for these
-    * lookups; only small dim relations move. */
+  /** J1+J2: fact ← dim left equi-joins (Gold_Orders.py:36-37). NO explicit
+    * broadcast hints: orders and part scale WITH the fact in TPC-H
+    * (orders = lineitem/4), so a forced broadcast is an executor OOM at
+    * 100 TB, not an optimization. AQE picks broadcast when the built side
+    * measures under the threshold (it does at test SFs) and falls back to
+    * a shuffle join when it doesn't — which is the right behavior at every
+    * scale. Explicit hints are reserved for genuinely bounded dims
+    * (nation/region: 25/5 rows at any SF). */
   def factDimJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val o = Tables.load(spark, dir, "orders")
@@ -123,8 +128,8 @@ object Relational {
         col("o_orderdate"), col("o_orderstatus"))
     val p = Tables.load(spark, dir, "part")
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-    li.join(broadcast(o), Seq("l_orderkey"), "left")
-      .join(broadcast(p), Seq("l_partkey"), "left")
+    li.join(o, Seq("l_orderkey"), "left")
+      .join(p, Seq("l_partkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
         col("p_brand"))
@@ -225,7 +230,9 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Multi-way join + aggregate: revenue per nation (exercises join
-    * reordering + partial aggregation under AQE; broadcast dims). */
+    * reordering + partial aggregation under AQE). Only nation — 25 rows at
+    * ANY scale factor — carries a broadcast hint; customer scales with the
+    * fact, so its join strategy is left to AQE's measured size. */
   def joinAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val o = Tables.load(spark, dir, "orders")
@@ -235,7 +242,7 @@ object Relational {
     val n = Tables.load(spark, dir, "nation")
       .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
     li.join(o, Seq("l_orderkey"))
-      .join(broadcast(c), Seq("o_custkey"))
+      .join(c, Seq("o_custkey"))
       .join(broadcast(n), Seq("c_nationkey"))
       .groupBy("n_name")
       .agg(
@@ -284,7 +291,9 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    li.join(o, Seq("l_orderkey")).join(broadcast(c), Seq("o_custkey"))
+    // customer scales with SF — no broadcast hint; the BUILDING-segment
+    // filter makes it small enough that AQE broadcasts it when measured.
+    li.join(o, Seq("l_orderkey")).join(c, Seq("o_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(DecimalType(18, 6))).cast("double").as("revenue"))

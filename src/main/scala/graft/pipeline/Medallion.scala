@@ -129,10 +129,12 @@ class Medallion(spark: SparkSession, cat: Catalog) {
     cat.read("gold", "product_dim")
   }
 
-  /** Gold_Orders.py — order fact: dim lookups for surrogate keys (broadcast;
-    * selecting the REAL product_skey, fixing SURVEY §2.10.5), then upsert
-    * keyed on order_id. DQ expectations gate the load (Gold_Products.py:71-82
-    * pattern applied to the fact). */
+  /** Gold_Orders.py — order fact: dim lookups for surrogate keys (selecting
+    * the REAL product_skey, fixing SURVEY §2.10.5), then upsert keyed on
+    * order_id. DQ expectations gate the load (Gold_Products.py:71-82 pattern
+    * applied to the fact). The dims grow with the customer/product
+    * population, so no forced broadcast — AQE broadcasts them while they
+    * measure small and degrades to a shuffle join when they don't. */
   def goldOrderFact(silverOrders: DataFrame, now: Column = current_timestamp()): DataFrame = {
     val gated = Expectations.applyOrDrop(silverOrders, Map(
       "order_id_not_null" -> "order_id IS NOT NULL",
@@ -143,8 +145,8 @@ class Medallion(spark: SparkSession, cat: Catalog) {
       .filter(col("is_current"))
       .select(col("product_id"), col("product_skey"))
     val source = gated
-      .join(broadcast(dimC), Seq("customer_id"), "left")
-      .join(broadcast(dimP), Seq("product_id"), "left")
+      .join(dimC, Seq("customer_id"), "left")
+      .join(dimP, Seq("product_id"), "left")
       .select(col("order_id"), col("order_date"), col("year"),
         col("customer_skey"), col("product_skey"),
         col("quantity"), col("total_amount"))

@@ -26,12 +26,24 @@ class PlanQualitySpec extends SparkSuite {
       s"scan reads pruned columns: $readSchema")
   }
 
-  test("q08: dimension lookups are broadcast joins (fact never shuffles)") {
+  test("q08: AQE broadcasts under-threshold dims WITHOUT an explicit hint") {
+    // The invariant at scale is the absence of a FORCED broadcast: orders/
+    // part grow with the fact, so the strategy must be AQE's measured
+    // choice. At this SF both sides are far under the threshold, so the
+    // correct AQE outcome is still a broadcast join with no fact shuffle —
+    // but it must come from runtime statistics, not a hint that would OOM
+    // at 100x.
     val p = plan(Relational.factDimJoin(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast an under-threshold dim:\n$p")
     assert(!p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning(l_orderkey")),
       s"fact side shuffled for a dim lookup:\n$p")
+    // and the logical plan carries no broadcast hint on either join input
+    val lp = Relational.factDimJoin(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"),
+      s"explicit broadcast hint on a table that scales with SF:\n$lp")
   }
 
   test("q01: aggregation is two-phase (map-side partial before exchange)") {
