@@ -19,6 +19,22 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Join-strategy gate for CORPUS-DERIVED build sides (exploded band
+    * tables, per-doc feature tables, the vocab): these scale with the
+    * corpus, so `broadcast()` is only valid while the corpus is known to
+    * be small. Below the doc-count threshold (conf
+    * `graft.dedup.broadcastMaxDocs`, default 1M) the build side is
+    * broadcast — the fixture/single-node fast path, no shuffle, skew-free
+    * probe. Above it — the 100 TB posture — the join degrades to an
+    * explicit SHUFFLE_HASH equi-join on the band/doc key: both sides
+    * hash-partition on the key (bucket co-location), no sort, no
+    * driver-sized build. The count is on an already-cached relation. */
+  private def maybeBroadcast(df: DataFrame, nDocs: Long): DataFrame = {
+    val maxDocs = df.sparkSession.conf
+      .get("graft.dedup.broadcastMaxDocs", "1000000").toLong
+    if (nDocs <= maxDocs) broadcast(df) else df.hint("SHUFFLE_HASH")
+  }
+
   /** Exact dedup: md5 text hash, keep the lowest doc_id of each group
     * (hash-groupBy — two-phase aggregate, no sort). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -77,12 +93,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(array((0 until 4).map(b => col(s"band$b")): _*)).as("band_key"))
       .cache()
+    val nDocs = d.count() // cached — one cheap job, feeds the join gate
     val a = exploded.select(col("band_key"), col("doc_id").as("doc_a"))
     val b = exploded.select(col("band_key"), col("doc_id").as("doc_b"))
-    // Build side is |docs|×4 slim rows → broadcast; probe side streams the
-    // bucket-quadratic expansion evenly across cores (round-robin spread,
-    // no bucket-key skew since broadcast join needs no co-location).
-    val pairs = a.join(broadcast(b), Seq("band_key"))
+    // Build side is |docs|×4 slim rows. Small corpus → broadcast (probe
+    // streams the bucket-quadratic expansion evenly, no bucket-key skew);
+    // large corpus → shuffle-hash on band_key (see maybeBroadcast).
+    val pairs = a.join(maybeBroadcast(b, nDocs), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // --- exact verification over dictionary-encoded bitset word-sets ---
@@ -109,7 +126,7 @@ object Dedup {
           s"bit_or(IF(CAST(wid DIV 64 AS INT) = $c, " +
             "shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)), " +
             "CAST(0 AS BIGINT)))").as(s"m$c"))
-        docWords.join(broadcast(vocab), Seq("w"))
+        docWords.join(maybeBroadcast(vocab, nDocs), Seq("w"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), maskAggs: _*)
       } else {
@@ -128,9 +145,12 @@ object Dedup {
           col(s"a_m$c").bitwiseAND(col(s"b_m$c"))).cast("long"))
           .reduce(_ + _)
       else size(array_intersect(col("a_wset"), col("b_wset"))).cast("long")
+    // Feature fetch: doc-feature table is dim-sized next to the pair fact.
+    // Small corpus → broadcast; large → bucket-equi-join by doc id (both
+    // sides hash-partition on doc_a/doc_b, arrays cross the wire once).
     pairs
-      .join(broadcast(side("a")), Seq("doc_a"))
-      .join(broadcast(side("b")), Seq("doc_b"))
+      .join(maybeBroadcast(side("a"), nDocs), Seq("doc_a"))
+      .join(maybeBroadcast(side("b"), nDocs), Seq("doc_b"))
       .withColumn("inter", inter)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("a_n_words") + col("b_n_words") - col("inter")).cast("double"), 6))
@@ -194,10 +214,11 @@ object Dedup {
     )).as("band_key"))
     // round-robin spread of the probe side: the bucket-quadratic pair
     // expansion must not run at the parallelism of the small input scan
+    val nDocs = s.count() // cached — feeds the corpus-size join gate
     val pairs = banded.repartition(spark.sparkContext.defaultParallelism)
       .select(col("band_key"), col("doc_id").as("doc_a"))
-      .join(broadcast(
-        banded.select(col("band_key"), col("doc_id").as("doc_b"))),
+      .join(maybeBroadcast(
+        banded.select(col("band_key"), col("doc_id").as("doc_b")), nDocs),
         Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

@@ -64,6 +64,28 @@ class PlanQualitySpec extends SparkSuite {
       s"feature column inside pair dedup keys: ${distinctAgg.get}")
   }
 
+  test("q34: cluster-scale gate swaps corpus-derived broadcasts for shuffle-hash joins, same result") {
+    // gated path FIRST from a clean cache: cache lookup canonicalizes join
+    // hints away, so running the broadcast path first would hand its cached
+    // (broadcast-built) mask relation to the gated run and mask the plan.
+    spark.catalog.clearCache()
+    spark.conf.set("graft.dedup.broadcastMaxDocs", "0")
+    val got =
+      try {
+        val df = Dedup.minhashLsh(spark, sfDir)
+        val r = df.collect().toSet
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ShuffledHashJoin"),
+          s"gated path did not shuffle-hash-join:\n$p")
+        assert(!p.contains("BroadcastHashJoin"),
+          s"corpus-derived table still broadcast under the cluster gate:\n$p")
+        r
+      } finally spark.conf.unset("graft.dedup.broadcastMaxDocs")
+    spark.catalog.clearCache()
+    val expected = Dedup.minhashLsh(spark, sfDir).collect().toSet
+    assert(got == expected, "gated path changed the q34 result")
+  }
+
   test("q56: orderBy+limit plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(Relational.shippingPriority(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
