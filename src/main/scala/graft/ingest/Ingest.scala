@@ -43,15 +43,48 @@ object Ingest {
       StructType.fromDDL(new String(
         java.nio.file.Files.readAllBytes(p.toPath), "UTF-8"))
     } else {
-      val inferOpts = spec.format match {
-        case "csv" => spec.options ++ Map("inferSchema" -> "true")
-        case _ => spec.options
-      }
-      val s = StructType(spark.read.format(spec.format).options(inferOpts)
-        .load(spec.srcDir).schema.filterNot(_.name == RescueCol))
+      val s = inferSource(spark, spec)
       p.getParentFile.mkdirs()
       java.nio.file.Files.write(p.toPath, s.toDDL.getBytes("UTF-8"))
       s
+    }
+  }
+
+  private def inferSource(spark: SparkSession, spec: IngestSpec): StructType = {
+    val inferOpts = spec.format match {
+      case "csv" => spec.options ++ Map("inferSchema" -> "true")
+      // without mergeSchema the parquet reader infers from ONE footer and
+      // never sees columns that only newer files carry
+      case "parquet" => spec.options ++ Map("mergeSchema" -> "true")
+      case _ => spec.options
+    }
+    StructType(spark.read.format(spec.format).options(inferOpts)
+      .load(spec.srcDir).schema.filterNot(_.name == RescueCol))
+  }
+
+  /** Schema evolution, Auto Loader `addNewColumns` semantics
+    * (Bronze_Layer.py:20-23): on each drain, diff the landed files' inferred
+    * schema against the pinned DDL; genuinely NEW top-level columns are
+    * appended (as nullable) to the schema file before the stream starts, so
+    * a landed schema change widens the bronze table instead of silently
+    * dropping the new fields into nothing (parquet) or rescue (csv/json).
+    * Auto Loader does this via fail-and-restart; our drains are explicit
+    * runs, so the evolved schema simply applies from this run on. Columns
+    * are only ever ADDED — type changes and drops keep the pinned type
+    * (old parquet/csv files read the appended columns as null). */
+  def evolvedSchema(spark: SparkSession, spec: IngestSpec): StructType = {
+    val pinned = pinnedSchema(spark, spec)
+    val incoming = inferSource(spark, spec)
+    val newCols = incoming.fields
+      .filterNot(f => pinned.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    if (newCols.isEmpty) pinned
+    else {
+      val evolved = StructType(pinned.fields ++ newCols)
+      java.nio.file.Files.write(
+        new java.io.File(spec.schemaFile).toPath,
+        evolved.toDDL.getBytes("UTF-8"))
+      evolved
     }
   }
 
@@ -59,7 +92,7 @@ object Ingest {
     * (Bronze_Layer.py:20-37). Returns rows appended this run. */
   def runOnce(spark: SparkSession, spec: IngestSpec,
       maxFilesPerTrigger: Int = 1000): Long = {
-    val schema = pinnedSchema(spark, spec)
+    val schema = evolvedSchema(spark, spec)
     val stream = spec.format match {
       case "parquet" =>
         spark.readStream
@@ -100,6 +133,8 @@ object Ingest {
   private def countIfExists(spark: SparkSession, dir: String): Long =
     try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
 
+  /** mergeSchema: files appended before a schema evolution lack the newer
+    * columns; merging unions the file schemas and backfills nulls. */
   def readBronze(spark: SparkSession, dstDir: String): DataFrame =
-    spark.read.parquet(dstDir)
+    spark.read.option("mergeSchema", "true").parquet(dstDir)
 }

@@ -37,6 +37,40 @@ class IngestSpecSuite extends SparkSuite {
     assert(new java.io.File(spec.schemaFile).exists())
   }
 
+  test("schema evolution: a new landed column widens the pinned schema, old rows read as null") {
+    val root = tmpDir("graft-ingest-evolve")
+    val src = s"$root/landing"
+    val spec = IngestSpec("orders", src, s"$root/bronze/orders",
+      s"$root/_cp/orders", s"$root/_schemas/orders.ddl")
+
+    // batch 1 pins (id, status)
+    Seq((1L, "open"), (2L, "open")).toDF("id", "status")
+      .write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 2L)
+    assert(!Ingest.readBronze(spark, spec.dstDir).columns.contains("channel"))
+
+    // batch 2 lands with an EXTRA column → schema file evolves, new rows
+    // carry it, batch-1 rows backfill null
+    Seq((3L, "closed", "web")).toDF("id", "status", "channel")
+      .write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(spec.schemaFile).toPath), "UTF-8")
+    assert(ddl.contains("channel"), s"schema file not evolved: $ddl")
+    val bronze = Ingest.readBronze(spark, spec.dstDir)
+    assert(bronze.columns.contains("channel"))
+    assert(bronze.filter(col("id") === 3L).select("channel")
+      .as[String].collect().head == "web")
+    assert(bronze.filter(col("channel").isNull).count() == 2L) // backfilled
+    // dropped/renamed columns do NOT shrink the pinned schema: batch 3
+    // without `channel` still ingests, channel null
+    Seq((4L, "open")).toDF("id", "status").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    assert(Ingest.readBronze(spark, spec.dstDir)
+      .filter(col("id") === 4L && col("channel").isNull).count() == 1L)
+  }
+
   test("csv ingest: schema-conforming rows parse, malformed rows are rescued") {
     val root = tmpDir("graft-ingest-csv")
     val src = new java.io.File(s"$root/landing"); src.mkdirs()
