@@ -64,9 +64,21 @@ class Catalog(spark: SparkSession, warehouse: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     if (f.exists(prev)) f.delete(prev, true)
-    if (f.exists(dst)) f.rename(dst, prev)
+    // A failed current→prev rename must ABORT: Hadoop rename INTO a
+    // still-existing directory moves the new snapshot inside the old one
+    // (rename-into-dir semantics), silently corrupting the table.
+    if (f.exists(dst) && !f.rename(dst, prev))
+      throw new IllegalStateException(
+        s"snapshot swap failed for $dst: could not retire current to $prev")
     if (!f.rename(tmp, dst))
       throw new IllegalStateException(s"snapshot swap failed for $dst")
+    // Cached relations (file lists) outlive the swap; without a refresh,
+    // readers keep resolving the retired snapshot's deleted files. Path
+    // refresh covers path-based reads, table refresh covers the session
+    // catalog's named-relation cache.
+    spark.catalog.refreshByPath(dst.toString)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
   }
 
   /** Register the table in the session catalog so `spark.table` /

@@ -69,6 +69,20 @@ class CatalogSpec extends SparkSuite {
     assert(cat.readPrevious("silver", "t").count() == 2)
   }
 
+  test("registered tables serve the NEW snapshot after an overwrite (relation cache refreshed)") {
+    val cat = new Catalog(spark, tmpDir("graft-wh3"))
+    cat.overwriteSnapshot(Seq((1, "x")).toDF("id", "v"), "gold", "dim_rf")
+    cat.register("gold", "dim_rf")
+    // populate the relation cache with the v1 file list
+    assert(spark.table("gold.dim_rf").count() == 1L)
+    cat.overwriteSnapshot(Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v"),
+      "gold", "dim_rf")
+    // without refreshByPath this read either fails (deleted files) or
+    // silently serves the retired snapshot
+    assert(spark.table("gold.dim_rf").count() == 3L)
+    cat.dropRegistration("gold", "dim_rf")
+  }
+
   test("register + tableExists + SQL addressing (S8/S9/S11/S12)") {
     val cat = new Catalog(spark, tmpDir("graft-wh2"))
     cat.overwriteSnapshot(Seq((1, "x")).toDF("id", "v"), "gold", "dim")
