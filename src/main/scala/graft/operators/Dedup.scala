@@ -285,13 +285,37 @@ object Dedup {
     * Uses q37's shingle-Jaccard pairs as the edge set. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs
+    val labels0 = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    connectedComponents(labels0, pairs)
+      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to fixpoint over an undirected edge set:
+    * each node's label becomes the min over its closed neighborhood,
+    * O(diameter) data-parallel rounds of one join + one aggregate. The
+    * driver loop touches only the convergence count.
+    *
+    * Each round's labels are `localCheckpoint`ed (eager): without
+    * truncation the logical plan nests one join+union+agg PER ROUND, so a
+    * high-diameter graph (a chain of near-dup shingles is enough) blows up
+    * analysis time and eventually the driver — caching alone bounds
+    * recomputation but not plan growth. localCheckpoint trades fault
+    * tolerance for speed, the right call for a driver-looped iterative
+    * refinement (a lost executor fails the job, the job reruns); on a
+    * long-lived cluster pipeline swap in reliable `checkpoint()` with a
+    * checkpoint dir, same protocol.
+    *
+    * @param labels0 (doc_id, cluster_id) initial labels, cluster_id=doc_id
+    * @param pairs   (doc_a, doc_b) undirected edges, either orientation */
+  def connectedComponents(labels0: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select("doc_a", "doc_b")
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .cache()
-    var labels = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .repartition(spark.sparkContext.defaultParallelism).cache()
+    var labels = labels0.localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaEdges = edges
@@ -300,15 +324,13 @@ object Dedup {
       val next = labels.select(col("doc_id"), col("cluster_id"))
         .unionByName(viaEdges)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint() // eager: materializes AND truncates lineage
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
     }
+    edges.unpersist()
     labels
-      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast("int"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

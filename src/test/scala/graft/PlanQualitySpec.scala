@@ -92,6 +92,28 @@ class PlanQualitySpec extends SparkSuite {
       s"top-k materialized a full global sort:\n$p")
   }
 
+  test("q57: connected components converge on a depth-15 chain with truncated lineage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a pure chain is the worst case for min-label propagation: one hop of
+    // progress per round, so 15 rounds — the lineage-growth stress test
+    val n = 16
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val labels0 = (0 until n).map(_.toLong).toDF("doc_id")
+      .withColumn("cluster_id", col("doc_id"))
+    val out = Dedup.connectedComponents(labels0, pairs)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap,
+      s"chain did not collapse to one cluster: $got")
+    // per-round localCheckpoint must leave a flat RDD-backed plan, not 15
+    // nested join+union+agg rounds
+    val planStr = out.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("LogicalRDD"), s"lineage not truncated:\n$planStr")
+    assert(planStr.linesIterator.size < 10,
+      s"plan grew with round count:\n$planStr")
+  }
+
   test("whole-stage codegen covers the relational core") {
     val p = plan(Relational.aggPricing(spark, sfDir))
     assert(p.contains("*("), s"no WholeStageCodegen spans:\n$p")
