@@ -61,7 +61,11 @@ object Bench {
       }
       name -> times.min
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" interpolation uses the JVM default locale, which on
+    // comma-decimal locales (de_DE, fr_FR, ...) would emit "1,234" and break
+    // the single-line JSON contract this main exists to serve.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

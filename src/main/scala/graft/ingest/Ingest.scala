@@ -43,14 +43,19 @@ object Ingest {
       StructType.fromDDL(new String(
         java.nio.file.Files.readAllBytes(p.toPath), "UTF-8"))
     } else {
+      val covered = listDataFiles(spec.srcDir)
       val s = inferSource(spark, spec)
       p.getParentFile.mkdirs()
       java.nio.file.Files.write(p.toPath, s.toDDL.getBytes("UTF-8"))
+      // first-run inference covered every currently-landed file; record it
+      // so the evolution pass doesn't immediately re-read them all
+      writeManifest(spec, covered.toSet)
       s
     }
   }
 
-  private def inferSource(spark: SparkSession, spec: IngestSpec): StructType = {
+  private def inferSource(spark: SparkSession, spec: IngestSpec,
+      paths: Seq[String] = Nil): StructType = {
     val inferOpts = spec.format match {
       case "csv" => spec.options ++ Map("inferSchema" -> "true")
       // without mergeSchema the parquet reader infers from ONE footer and
@@ -58,8 +63,46 @@ object Ingest {
       case "parquet" => spec.options ++ Map("mergeSchema" -> "true")
       case _ => spec.options
     }
-    StructType(spark.read.format(spec.format).options(inferOpts)
-      .load(spec.srcDir).schema.filterNot(_.name == RescueCol))
+    val reader = spark.read.format(spec.format).options(inferOpts)
+    val df = if (paths.isEmpty) reader.load(spec.srcDir)
+             else reader.load(paths: _*)
+    StructType(df.schema.filterNot(_.name == RescueCol))
+  }
+
+  /** Driver-side listing of data files under the landing dir (recursive,
+    * skipping hidden/metadata entries) — the same cheap listing the file
+    * stream source performs; used only to decide whether inference has any
+    * new files to look at. */
+  private def listDataFiles(srcDir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(srcDir)
+    if (!java.nio.file.Files.exists(root)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+            !n.startsWith("_") && !n.startsWith("."))
+          out += p.toString
+      }
+    } finally stream.close()
+    out.toSeq.sorted
+  }
+
+  private def inferManifestPath(spec: IngestSpec) = spec.schemaFile + ".files"
+
+  private def readManifest(spec: IngestSpec): Set[String] = {
+    val p = new java.io.File(inferManifestPath(spec))
+    if (!p.exists()) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  private def writeManifest(spec: IngestSpec, files: Set[String]): Unit = {
+    val p = new java.io.File(inferManifestPath(spec))
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath,
+      files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
   }
 
   /** Schema evolution, Auto Loader `addNewColumns` semantics
@@ -71,13 +114,37 @@ object Ingest {
     * Auto Loader does this via fail-and-restart; our drains are explicit
     * runs, so the evolved schema simply applies from this run on. Columns
     * are only ever ADDED — type changes and drops keep the pinned type
-    * (old parquet/csv files read the appended columns as null). */
+    * (old parquet/csv files read the appended columns as null).
+    *
+    * Incremental: inference is a full read of whatever it covers (all
+    * parquet footers; a csv data scan), so re-inferring the entire landing
+    * dir on every drain would make ingest cost grow with total history. A
+    * manifest next to the schema file records which files inference has
+    * already covered; each drain lists the dir (cheap, driver-side — the
+    * stream source does the same listing anyway) and infers over ONLY the
+    * not-yet-covered files. Nothing new landed → pinned-DDL fast path, zero
+    * data reads.
+    *
+    * The new-column diff is case-insensitive when `spark.sql.caseSensitive`
+    * is false (Spark's default resolution): a landed `Status` next to a
+    * pinned `status` is the same column, not a new one — appending it would
+    * produce a case-variant duplicate that fails analysis on the next read. */
   def evolvedSchema(spark: SparkSession, spec: IngestSpec): StructType = {
     val pinned = pinnedSchema(spark, spec)
-    val incoming = inferSource(spark, spec)
+    val seen = readManifest(spec)
+    val files = listDataFiles(spec.srcDir)
+    val fresh = files.filterNot(seen)
+    if (fresh.isEmpty) return pinned
+    val incoming = inferSource(spark, spec, fresh)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def known(name: String): Boolean =
+      if (caseSensitive) pinned.fieldNames.contains(name)
+      else pinned.fieldNames.exists(_.equalsIgnoreCase(name))
     val newCols = incoming.fields
-      .filterNot(f => pinned.fieldNames.contains(f.name))
+      .filterNot(f => known(f.name))
       .map(_.copy(nullable = true))
+    writeManifest(spec, seen ++ fresh)
     if (newCols.isEmpty) pinned
     else {
       val evolved = StructType(pinned.fields ++ newCols)

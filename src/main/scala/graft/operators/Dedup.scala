@@ -305,17 +305,39 @@ object Dedup {
     * recomputation but not plan growth. localCheckpoint trades fault
     * tolerance for speed, the right call for a driver-looped iterative
     * refinement (a lost executor fails the job, the job reruns); on a
-    * long-lived cluster pipeline swap in reliable `checkpoint()` with a
-    * checkpoint dir, same protocol.
+    * long-lived cluster pipeline pass `checkpointDir` to swap in reliable
+    * `checkpoint()` — same protocol, blocks written to fault-tolerant
+    * storage so a round survives executor loss.
+    *
+    * Superseded rounds are released: once `changed` is computed against the
+    * new labels, the previous round's checkpointed blocks are unpersisted —
+    * otherwise executor storage grows O(rounds) on high-diameter graphs,
+    * the very case the checkpointing targets.
     *
     * @param labels0 (doc_id, cluster_id) initial labels, cluster_id=doc_id
-    * @param pairs   (doc_a, doc_b) undirected edges, either orientation */
-  def connectedComponents(labels0: DataFrame, pairs: DataFrame): DataFrame = {
+    * @param pairs   (doc_a, doc_b) undirected edges, either orientation
+    * @param checkpointDir when set, reliable `checkpoint()` into this dir
+    *                      instead of executor-local `localCheckpoint()` */
+  def connectedComponents(labels0: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = labels0.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // release the materialized blocks behind a checkpointed frame: the
+    // Dataset's plan is a LogicalRDD over the (local)checkpointed RDD —
+    // df.unpersist() only consults the CacheManager and would miss it
+    def release(df: DataFrame): Unit =
+      df.queryExecution.logical.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val edges = pairs.select("doc_a", "doc_b")
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .cache()
-    var labels = labels0.localCheckpoint()
+    var labels = snap(labels0)
     var changed = 1L
     while (changed > 0) {
       val viaEdges = edges
@@ -324,10 +346,11 @@ object Dedup {
       val next = labels.select(col("doc_id"), col("cluster_id"))
         .unionByName(viaEdges)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+      val snapped = snap(next) // eager: materializes AND truncates lineage
+      changed = snapped.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      release(labels) // superseded round: free its blocks before moving on
+      labels = snapped
     }
     edges.unpersist()
     labels

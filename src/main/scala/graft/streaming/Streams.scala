@@ -88,7 +88,17 @@ object Streams {
     * each batch is first reduced to the latest change per key (row_number
     * over the keys ordered by the sequence columns descending). When empty,
     * the source is required to be key-unique per batch — MergeEngine's
-    * guard enforces it. */
+    * guard enforces it.
+    *
+    * Ordering holds ACROSS batches too, not just within one: the sequence
+    * columns ride along into the dimension (they are ordinary source
+    * columns), so the current row stores the sequence it was applied at.
+    * Each batch is compared against that stored sequence and changes at or
+    * below it are dropped BEFORE the merge — a late-arriving or replayed
+    * CDC file carrying an older change can no longer expire the newer
+    * current row and install the stale version (DLT apply_changes'
+    * out-of-order guarantee). Requires the sequence columns to be part of
+    * the change schema, which they are by construction of `sequence_by`. */
   def applyChangesScd2(
       changes: DataFrame,
       cat: graft.catalog.Catalog,
@@ -107,6 +117,23 @@ object Streams {
           .orderBy(sequenceBy.map(c => col(c).desc): _*)
         batch.withColumn("__seq_rn", row_number().over(w))
           .filter(col("__seq_rn") === 1).drop("__seq_rn")
+      }
+    // Cross-batch ordering: drop changes whose sequence is <= the sequence
+    // stored on the target's current row for that key. Tuple comparison via
+    // struct ordering; unmatched keys (left-join nulls → null comparison)
+    // coalesce to kept.
+    def newerThanApplied(batch: DataFrame, target: DataFrame): DataFrame =
+      if (sequenceBy.isEmpty) batch
+      else {
+        val applied = target.filter(col("is_current"))
+          .select((keys.map(col) ++
+            sequenceBy.map(c => col(c).as(s"__applied_$c"))): _*)
+        batch.join(applied, keys, "left")
+          .filter(coalesce(
+            struct(sequenceBy.map(col): _*) >
+              struct(sequenceBy.map(c => col(s"__applied_$c")): _*),
+            lit(true)))
+          .drop(sequenceBy.map(s"__applied_" + _): _*)
       }
     val q = changes.writeStream
       .outputMode(OutputMode.Append())
@@ -127,9 +154,13 @@ object Streams {
               .withColumn("update_date", now)
             cat.create(initial, "gold", table)
           } else {
-            val merged = graft.merge.MergeEngine.scd2(
-              cat.read("gold", table), batch, keys, tracked, skeyCol, now)
-            cat.overwriteSnapshot(merged, "gold", table)
+            val target = cat.read("gold", table)
+            val fresh = newerThanApplied(batch, target)
+            if (!fresh.isEmpty) {
+              val merged = graft.merge.MergeEngine.scd2(
+                target, fresh, keys, tracked, skeyCol, now)
+              cat.overwriteSnapshot(merged, "gold", table)
+            }
           }
         }
       }

@@ -71,6 +71,43 @@ class IngestSpecSuite extends SparkSuite {
       .filter(col("id") === 4L && col("channel").isNull).count() == 1L)
   }
 
+  test("schema evolution: case-variant of a pinned column is NOT a new column") {
+    val root = tmpDir("graft-ingest-case")
+    val src = s"$root/landing"
+    val spec = IngestSpec("orders", src, s"$root/bronze/orders",
+      s"$root/_cp/orders", s"$root/_schemas/orders.ddl")
+    Seq((1L, "open")).toDF("id", "status").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    // `Status` lands next to pinned `status`: under Spark's default
+    // case-insensitive resolution it is the SAME column — appending it
+    // would create a case-variant duplicate that fails analysis
+    Seq((2L, "closed")).toDF("id", "Status").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    val evolved = Ingest.evolvedSchema(spark, spec)
+    assert(evolved.fieldNames.count(_.equalsIgnoreCase("status")) == 1,
+      s"case-variant duplicated: ${evolved.toDDL}")
+  }
+
+  test("schema evolution: inference is incremental — already-covered files are not re-read") {
+    val root = tmpDir("graft-ingest-incr")
+    val src = s"$root/landing"
+    val spec = IngestSpec("orders", src, s"$root/bronze/orders",
+      s"$root/_cp/orders", s"$root/_schemas/orders.ddl")
+    Seq((1L, "open")).toDF("id", "status").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    // corrupt every already-ingested landing file: if evolvedSchema
+    // re-inferred over history it would now throw; the manifest fast path
+    // must return the pinned schema without touching them
+    val dirStream = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+    try dirStream.filter(java.nio.file.Files.isRegularFile(_)).forEach { p =>
+      if (!p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        java.nio.file.Files.write(p, "not parquet".getBytes("UTF-8"))
+    } finally dirStream.close()
+    val pinned = Ingest.evolvedSchema(spark, spec)
+    assert(pinned.fieldNames.toSeq == Seq("id", "status"))
+  }
+
   test("csv ingest: schema-conforming rows parse, malformed rows are rescued") {
     val root = tmpDir("graft-ingest-csv")
     val src = new java.io.File(s"$root/landing"); src.mkdirs()

@@ -102,6 +102,7 @@ class PlanQualitySpec extends SparkSuite {
       .toDF("doc_a", "doc_b")
     val labels0 = (0 until n).map(_.toLong).toDF("doc_id")
       .withColumn("cluster_id", col("doc_id"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val out = Dedup.connectedComponents(labels0, pairs)
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0 until n).map(_.toLong -> 0L).toMap,
@@ -112,6 +113,33 @@ class PlanQualitySpec extends SparkSuite {
     assert(planStr.contains("LogicalRDD"), s"lineage not truncated:\n$planStr")
     assert(planStr.linesIterator.size < 10,
       s"plan grew with round count:\n$planStr")
+    // superseded rounds must be unpersisted: 15 rounds pin 15 checkpointed
+    // RDDs if nothing is freed; with the release only the FINAL labels (+
+    // unpersist-in-flight slack) may remain beyond the pre-CC baseline
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore + 2,
+      s"$persistedAfter persistent RDDs after CC (was $persistedBefore) — " +
+        "superseded rounds not freed")
+  }
+
+  test("q57: reliable-checkpoint mode converges identically on the chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 16
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val labels0 = (0 until n).map(_.toLong).toDF("doc_id")
+      .withColumn("cluster_id", col("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val out = Dedup.connectedComponents(labels0, pairs, Some(dir))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap,
+      s"chain did not collapse to one cluster: $got")
+    // reliable mode actually wrote checkpoint data to the configured dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val files = try wrote.filter(java.nio.file.Files.isRegularFile(_)).count()
+                finally wrote.close()
+    assert(files > 0, "reliable checkpoint dir is empty")
   }
 
   test("whole-stage codegen covers the relational core") {

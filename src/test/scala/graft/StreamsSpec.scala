@@ -109,6 +109,27 @@ class StreamsSpec extends SparkSuite {
     assert(v2.count() == 3) // bolt current + acme expired + acme current
     val cur1 = v2.filter(col("product_id") === 1L && col("is_current"))
     assert(cur1.count() == 1 && cur1.collect()(0).getAs[Double]("price") == 14.0)
+
+    // batch 3: a LATE-ARRIVING older change (seq=2 < applied seq=5) — the
+    // cross-batch guard must drop it before the merge; without it the stale
+    // row would expire the newer current version
+    Seq((1L, "acme", 99.0, 2L))
+      .toDF("product_id", "brand", "price", "change_seq")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val v3 = cat.read("gold", "product_dim_seq")
+    assert(v3.count() == 3, "late change must not add a version")
+    val cur3 = v3.filter(col("product_id") === 1L && col("is_current"))
+    assert(cur3.count() == 1 && cur3.collect()(0).getAs[Double]("price") == 14.0,
+      "late change must not displace the newer current row")
+
+    // batch 4: an exact REPLAY of the applied change (seq=5) — equal
+    // sequence is not newer; dropped, state unchanged
+    Seq((1L, "acme", 14.0, 5L))
+      .toDF("product_id", "brand", "price", "change_seq")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("gold", "product_dim_seq").count() == 3)
   }
 
   test("stream-stream interval join matches within the time bound only") {
