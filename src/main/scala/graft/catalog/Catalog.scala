@@ -55,28 +55,7 @@ class Catalog(spark: SparkSession, warehouse: String) {
     * overwrite, Silver_Customers.py:41). */
   def overwriteSnapshot(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val dst = new Path(path(layer, table))
-    val tmp = new Path(path(layer, table) + ".tmp")
-    val prev = new Path(path(layer, table) + ".prev")
-    val f = fs
-    if (f.exists(tmp)) f.delete(tmp, true)
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.toString)
-    if (f.exists(prev)) f.delete(prev, true)
-    // A failed current→prev rename must ABORT: Hadoop rename INTO a
-    // still-existing directory moves the new snapshot inside the old one
-    // (rename-into-dir semantics), silently corrupting the table.
-    if (f.exists(dst) && !f.rename(dst, prev))
-      throw new IllegalStateException(
-        s"snapshot swap failed for $dst: could not retire current to $prev")
-    if (!f.rename(tmp, dst))
-      throw new IllegalStateException(s"snapshot swap failed for $dst")
-    // Cached relations (file lists) outlive the swap; without a refresh,
-    // readers keep resolving the retired snapshot's deleted files. Path
-    // refresh covers path-based reads, table refresh covers the session
-    // catalog's named-relation cache.
-    spark.catalog.refreshByPath(dst.toString)
+    Catalog.overwritePath(spark, df, path(layer, table), partitionBy)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }
@@ -96,4 +75,33 @@ class Catalog(spark: SparkSession, warehouse: String) {
 
   def dropRegistration(layer: String, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $layer.$table")
+}
+
+object Catalog {
+  /** The swap protocol on a raw table directory (shared by the layer.table
+    * API above and SQL surfaces that resolve a table to its location, e.g.
+    * `graft.sql.MergeIntoSql`): write to `<dir>.tmp`, retire current to
+    * `<dir>.prev`, rename tmp → current. Aborts on a failed retire rename —
+    * Hadoop rename INTO a still-existing directory nests the new snapshot
+    * inside the old one, silently corrupting the table. */
+  def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val dst = new Path(dir)
+    val tmp = new Path(dir + ".tmp")
+    val prev = new Path(dir + ".prev")
+    val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    if (f.exists(prev)) f.delete(prev, true)
+    if (f.exists(dst) && !f.rename(dst, prev))
+      throw new IllegalStateException(
+        s"snapshot swap failed for $dst: could not retire current to $prev")
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot swap failed for $dst")
+    // Cached relations (file lists) outlive the swap; without a refresh,
+    // readers keep resolving the retired snapshot's deleted files.
+    spark.catalog.refreshByPath(dst.toString)
+  }
 }

@@ -85,6 +85,11 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    // MERGE INTO support: the native parser already produces MergeIntoTable;
+    // the delegating parser swaps it for graft's executable lowering
+    // (graft.sql.MergeIntoRunner) so `spark.sql("MERGE INTO ...")` runs
+    // against plain parquet catalog tables.
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

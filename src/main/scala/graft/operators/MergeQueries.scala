@@ -113,6 +113,79 @@ object MergeQueries {
       .orderBy("product_id", "effective_start_date", "product_skey")
   }
 
+  /** J3 through the SQL surface — the SAME SCD1 scenario as [[scd1Dim]] but
+    * executed as the reference's `MERGE INTO` text (Gold_Customers.py:75-97)
+    * lowered by [[graft.sql.MergeIntoRunner]] onto a registered parquet
+    * catalog table. Shares q20's oracle verbatim: the two paths must agree
+    * with DuckDB AND (transitively) with each other. The source carries
+    * precomputed insert skeys (max target skey + row_number, what silver
+    * hands the reference's MERGE) so INSERT VALUES can assign them. */
+  def mergeSqlScd1(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val wh = java.nio.file.Files.createTempDirectory("graft-q70").toString
+    val cat = new graft.catalog.Catalog(spark, wh)
+    val table = "dim_customers_mergesql"
+    val target = c.filter(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      decStr(col("c_acctbal")).as("acctbal"),
+      (col("c_custkey") * 10).as("customer_skey"),
+      ts(T0).as("created_date"), ts(T0).as("updated_date"),
+      lit("I").as("change_type"),
+      MergeEngine.nullSafeHash(Seq(
+        col("c_name"), col("c_mktsegment"), decStr(col("c_acctbal"))))
+        .as("hash_value"))
+    cat.create(target, "gold", table)
+    // re-point the registration at THIS run's warehouse (a previous run in
+    // the same session registered a different temp location)
+    cat.dropRegistration("gold", table)
+    cat.register("gold", table)
+
+    val source = c.filter(col("c_custkey") % 2 === 0).select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      decStr(when(col("c_custkey") % 4 === 0,
+        col("c_acctbal").cast(DecimalType(18, 2)) + 100)
+        .otherwise(col("c_acctbal").cast(DecimalType(18, 2)))).as("acctbal"))
+      .withColumn("hash_value", MergeEngine.nullSafeHash(Seq(
+        col("name"), col("segment"), col("acctbal"))))
+    val maxSkey = target.agg(
+      coalesce(max(col("customer_skey")), lit(0L)).as("__max"))
+    val newKeys = source
+      .join(target.select("customer_id"), Seq("customer_id"), "left_anti")
+      .select("customer_id")
+      .crossJoin(broadcast(maxSkey))
+      .withColumn("customer_skey",
+        col("__max") + row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("customer_id")))
+      .select("customer_id", "customer_skey")
+    source.join(newKeys, Seq("customer_id"), "left")
+      .createOrReplaceTempView("graft_q70_updates")
+
+    graft.sql.GraftSql.merge(spark, s"""
+      MERGE INTO gold.$table AS target
+      USING graft_q70_updates AS source
+      ON target.customer_id = source.customer_id
+      WHEN MATCHED AND (target.hash_value != source.hash_value) THEN
+        UPDATE SET
+          target.name = source.name,
+          target.segment = source.segment,
+          target.acctbal = source.acctbal,
+          target.updated_date = TIMESTAMP '$T1',
+          target.change_type = 'U',
+          target.hash_value = source.hash_value
+      WHEN NOT MATCHED THEN
+        INSERT (customer_skey, customer_id, name, segment, acctbal, created_date, updated_date, change_type, hash_value)
+        VALUES (source.customer_skey, source.customer_id, source.name, source.segment, source.acctbal, TIMESTAMP '$T1', TIMESTAMP '$T1', 'I', source.hash_value)
+    """)
+    cat.read("gold", table)
+      .select("customer_id", "name", "segment", "acctbal", "customer_skey",
+        "created_date", "updated_date", "change_type", "hash_value")
+      .orderBy("customer_id")
+  }
+
   /** T7 — expectations drop mode (Gold_Products.py:71-74,82). */
   def dqDrop(spark: SparkSession, dir: String): DataFrame =
     Expectations.applyOrDrop(
@@ -135,9 +208,10 @@ object MergeQueries {
     "q20_merge_scd1"   -> (scd1Dim _),
     "q21_merge_scd2"   -> (scd2Dim _),
     "q22_dq_drop"      -> (dqDrop _),
-    "q23_dq_metrics"   -> (dqMetrics _))
+    "q23_dq_metrics"   -> (dqMetrics _),
+    "q70_merge_sql"    -> (mergeSqlScd1 _))
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesCore: Map[String, String] = Map(
     "q19_merge_upsert" ->
       s"""WITH target AS (
             SELECT o_orderkey AS order_id, o_orderstatus AS status,
@@ -290,4 +364,9 @@ object MergeQueries {
          CAST(SUM(CASE WHEN NOT (p_retailprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
          COUNT(*) AS total_rows
          FROM part""")
+
+  // the SQL MERGE surface runs the exact q20 scenario, so its expected
+  // result IS q20's oracle
+  val oracles: Map[String, String] =
+    oraclesCore + ("q70_merge_sql" -> oraclesCore("q20_merge_scd1"))
 }

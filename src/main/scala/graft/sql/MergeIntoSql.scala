@@ -1,0 +1,231 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `MERGE INTO` SQL surface (SURVEY.md §2.5 J3-J5's SQL entry point).
+  *
+  * The reference drives all three Gold loads through SQL MERGE text
+  * (Gold_Customers.py:75-97, Gold_Orders.py:60-81,
+  * Gold_Products_No_Delta_Live.py:69-95). Vanilla Spark PARSES the
+  * statement (`MergeIntoTable` has been in Catalyst since 3.0) but only
+  * executes it against v2 tables with a merge-capable catalog — a plain
+  * parquet external table raises. This module closes that gap Spark-first:
+  * the native parser's `MergeIntoTable` is lowered onto the same join-based
+  * relational program [[graft.merge.MergeEngine]] uses, and the result
+  * replaces the table via the catalog's atomic snapshot swap.
+  *
+  * Semantics (ANSI + the Delta extensions the reference relies on):
+  *   - any number of WHEN MATCHED [AND cond] THEN UPDATE SET ... / DELETE
+  *     clauses — first matching clause wins, later ones never fire;
+  *   - WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (...) and
+  *     INSERT * — unassigned target columns become NULL;
+  *   - UPDATE SET * (assign every target column from the same-named source
+  *     column);
+  *   - WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE;
+  *   - a target row matching MULTIPLE source rows raises (Delta's
+  *     `MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`), plan-embedded like
+  *     MergeEngine's duplicate-key guard;
+  *   - assignments are cast to the target column's type.
+  *
+  * Scale posture: one full-outer join shuffled on the merge condition's
+  * equi-keys (AQE broadcasts a small source batch), one window for the
+  * cardinality guard partitioned by a per-row id — no driver-side action
+  * anywhere; the whole statement is a single distributed plan followed by
+  * the snapshot swap. This is the same shape Delta's MergeIntoCommand
+  * plans internally after file pruning.
+  */
+object MergeIntoRunner {
+  private val TM = "__graft_t_present"
+  private val SM = "__graft_s_present"
+  private val TID = "__graft_t_id"
+  private val SID = "__graft_s_id"
+  private val KEEP = "__graft_keep"
+
+  def run(spark: SparkSession, m: MergeIntoTable): Unit = {
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported")
+    val (nameParts, tAlias) = targetNameAndAlias(m.targetTable)
+    val tableName = nameParts.map(p => s"`$p`").mkString(".")
+    val (locationUri, partCols) = GraftShims.tableStorage(spark, nameParts)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO target $tableName must be a catalog table with a " +
+          "storage location (temp views cannot be merged into)"))
+
+    val targetDF = spark.table(tableName)
+    val targetSchema = targetDF.schema
+
+    // Marker columns tell the three MERGE branches apart after the
+    // full-outer join; the per-row ids feed the cardinality guard.
+    val t = targetDF.alias(tAlias.getOrElse(nameParts.last))
+      .withColumn(TM, lit(true))
+      .withColumn(TID, monotonically_increasing_id())
+    val s = GraftShims.ofRows(spark, m.sourceTable)
+      .withColumn(SM, lit(true))
+      .withColumn(SID, monotonically_increasing_id())
+
+    val joined = t.join(s, GraftShims.column(m.mergeCondition), "full_outer")
+    val tm = col(TM).isNotNull
+    val sm = col(SM).isNotNull
+
+    def condCol(c: Option[Expression]): Column =
+      c.map(GraftShims.column).getOrElse(lit(true))
+
+    // First-clause-wins chain: WHEN order is significant in MERGE.
+    def chain(actions: Seq[MergeAction], value: MergeAction => Column,
+        default: Column): Column =
+      actions.foldLeft(Option.empty[Column]) { (acc, a) =>
+        Some(acc match {
+          case None => when(condCol(a.condition), value(a))
+          case Some(prev) => prev.when(condCol(a.condition), value(a))
+        })
+      }.map(_.otherwise(default)).getOrElse(default)
+
+    def assignmentKeyName(e: Expression): String = e match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.last
+      case a: Attribute => a.name
+      case other => other.sql
+    }
+
+    def assigned(assigns: Seq[Assignment], c: String): Option[Column] =
+      assigns.collectFirst {
+        case a if assignmentKeyName(a.key).equalsIgnoreCase(c) =>
+          GraftShims.column(a.value)
+      }
+
+    val outCols = targetSchema.fields.map { f =>
+      val c = f.name
+      val matchedVal = chain(m.matchedActions, {
+        case u: UpdateAction => assigned(u.assignments, c).getOrElse(t(c))
+        case _: UpdateStarAction => s(c)
+        case _: DeleteAction => t(c) // value irrelevant: row dropped by KEEP
+        case other => unsupported(other)
+      }, t(c))
+      val insertVal = chain(m.notMatchedActions, {
+        case i: InsertAction =>
+          assigned(i.assignments, c).getOrElse(lit(null))
+        case _: InsertStarAction => s(c)
+        case other => unsupported(other)
+      }, lit(null))
+      val bySourceVal = chain(m.notMatchedBySourceActions, {
+        case u: UpdateAction => assigned(u.assignments, c).getOrElse(t(c))
+        case _: DeleteAction => t(c)
+        case other => unsupported(other)
+      }, t(c))
+      when(tm && sm, matchedVal)
+        .when(!tm && sm, insertVal)
+        .otherwise(bySourceVal)
+        .cast(f.dataType).as(c)
+    }
+
+    val matchedKeep = chain(m.matchedActions,
+      { case _: DeleteAction => lit(false); case _ => lit(true) }, lit(true))
+    val insertKeep = chain(m.notMatchedActions, _ => lit(true), lit(false))
+    val bySourceKeep = chain(m.notMatchedBySourceActions,
+      { case _: DeleteAction => lit(false); case _ => lit(true) }, lit(true))
+
+    // Cardinality guard: >1 source match for one target row would fan the
+    // row out into several post-merge versions — raise instead, exactly as
+    // Delta does. Unmatched-source rows get their own (negative) partition
+    // key so the window doesn't funnel them into one giant null partition.
+    val guardPart = coalesce(col(TID), -col(SID) - lit(1L))
+    val srcMatches =
+      sum(when(tm && sm, lit(1)).otherwise(lit(0)))
+        .over(Window.partitionBy(guardPart))
+    val keepRaw = when(tm && sm, matchedKeep)
+      .when(!tm && sm, insertKeep)
+      .otherwise(bySourceKeep)
+    val keep = when(tm && sm && srcMatches > 1,
+      raise_error(lit("MERGE INTO: a target row matched multiple source " +
+        "rows — dedupe the source or tighten the ON condition"))
+        .cast("boolean"))
+      .otherwise(keepRaw)
+
+    val merged = joined
+      .select(outCols.toSeq :+ keep.as(KEEP): _*)
+      .filter(col(KEEP)).drop(KEEP)
+
+    graft.catalog.Catalog.overwritePath(spark, merged,
+      new org.apache.hadoop.fs.Path(locationUri).toString, partCols)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  private def unsupported(a: MergeAction): Nothing =
+    throw new IllegalArgumentException(
+      s"unsupported MERGE action: ${a.getClass.getSimpleName}")
+
+  private def targetNameAndAlias(p: LogicalPlan): (Seq[String], Option[String]) =
+    p match {
+      case SubqueryAlias(ident, u: UnresolvedRelation) =>
+        (u.multipartIdentifier, Some(ident.name))
+      case u: UnresolvedRelation => (u.multipartIdentifier, None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE INTO target shape: ${other.nodeName}")
+    }
+}
+
+/** The executable the parser substitutes for a raw `MergeIntoTable`: a leaf
+  * command, so the analyzer treats the held (pre-resolution) merge plan as
+  * opaque — resolution happens inside [[MergeIntoRunner]] against the live
+  * session, the same late-binding a v2 merge-capable catalog performs. */
+case class GraftMergeIntoCommand(merge: MergeIntoTable)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MergeIntoRunner.run(spark, merge)
+    Seq.empty
+  }
+}
+
+/** Delegating parser: everything is the session's own parser, except a
+  * parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def wrap(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => GraftMergeIntoCommand(m)
+    case other => other
+  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    wrap(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    wrap(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** MERGE entry point for sessions built WITHOUT the parser extension (a
+  * parser cannot be injected into an already-built `SessionState`): parses
+  * with the session's own parser and runs the same lowering `spark.sql`
+  * reaches through [[GraftSqlParser]]. */
+object GraftSql {
+  def merge(spark: SparkSession, sqlText: String): Unit =
+    GraftShims.parsePlan(spark, sqlText) match {
+      case m: MergeIntoTable => MergeIntoRunner.run(spark, m)
+      case other => throw new IllegalArgumentException(
+        s"not a MERGE statement (parsed to ${other.nodeName})")
+    }
+}

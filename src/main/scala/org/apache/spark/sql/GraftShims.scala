@@ -1,12 +1,17 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Minimal bridge to `private[sql]` seams needed by graft's native
-  * Catalyst expressions (see `graft.functions.VectorFunctions`): wrapping
-  * an `Expression` in a user-facing `Column` and registering a function
-  * builder on an already-built session. Kept to exactly these two seams —
+  * Catalyst expressions and its MERGE INTO surface (see
+  * `graft.functions.VectorFunctions`, `graft.sql.MergeIntoSql`): wrapping an
+  * `Expression` in a user-facing `Column`, registering a function builder on
+  * an already-built session, running a parsed `LogicalPlan` as a DataFrame,
+  * parsing SQL text, and reading a table's catalog entry. The same
+  * extension-package pattern every open-source Spark format layer uses
+  * (Delta ships `org.apache.spark.sql.delta` for exactly these seams);
   * everything else in the engine uses public API.
   */
 object GraftShims {
@@ -21,5 +26,31 @@ object GraftShims {
       builder: Seq[Expression] => Expression): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+
+  /** Analyze + wrap a logical plan as a DataFrame (`Dataset.ofRows`). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Parse SQL text with the session's own parser (so an engine entry point
+    * can accept MERGE text on sessions built WITHOUT the parser extension). */
+  def parsePlan(spark: SparkSession, sqlText: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sqlText)
+
+  /** The storage location + partition columns of a session-catalog table;
+    * None when the name is a temp view or not a catalog table. */
+  def tableStorage(spark: SparkSession, nameParts: Seq[String])
+      : Option[(java.net.URI, Seq[String])] = {
+    val catalog = spark.sessionState.catalog
+    val ident = nameParts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (catalog.isTempView(nameParts) || !catalog.tableExists(ident)) None
+    else {
+      val meta = catalog.getTableMetadata(ident)
+      meta.storage.locationUri.map(u => (u, meta.partitionColumnNames))
+    }
   }
 }

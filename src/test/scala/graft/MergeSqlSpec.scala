@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.merge.MergeEngine
+import graft.sql.GraftSql
+
+/** MERGE INTO SQL surface (graft.sql.MergeIntoSql): the reference's SCD1
+  * MERGE text (Gold_Customers.py:75-97, modulo catalog names and pinned
+  * timestamps) must execute through `spark.sql` on an extension-enabled
+  * session and equal MergeEngine.scd1 row-for-row; plus the fact-upsert
+  * text shape (Gold_Orders.py:60-81), DELETE / NOT MATCHED BY SOURCE
+  * clauses, the multi-match cardinality guard, and the non-extension entry
+  * point GraftSql.merge. */
+class MergeSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val t0lit = "TIMESTAMP'2025-01-01 00:00:00'"
+  private val t1lit = "TIMESTAMP'2026-01-01 00:00:00'"
+  private val t0 = lit("2025-01-01 00:00:00").cast("timestamp")
+  private val t1 = lit("2026-01-01 00:00:00").cast("timestamp")
+
+  /** Dedicated session WITH the parser extension (a parser cannot be
+    * injected into an already-built SessionState). Shares the JVM's
+    * SparkContext and external catalog; the suite-shared session is
+    * restored as default so later suites are unaffected. */
+  private lazy val sqlSpark: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    s
+  }
+
+  private def dim(s: SparkSession, rows: Seq[(Long, String, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("customer_id", "name", "city")
+      .withColumn("customer_skey", col("customer_id") * 10)
+      .withColumn("created_date", t0)
+      .withColumn("updated_date", t0)
+      .withColumn("change_type", lit("I"))
+      .withColumn("hash_value",
+        MergeEngine.nullSafeHash(Seq(col("name"), col("city"))))
+  }
+
+  test("reference SCD1 MERGE text through spark.sql equals MergeEngine.scd1 row-for-row") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql"))
+    val target = dim(s, Seq((1L, "ann", "oslo"), (2L, "bob", "rome"), (3L, "cat", "kiev")))
+    cat.create(target, "gold", "dim_customers_sql")
+    cat.register("gold", "dim_customers_sql")
+
+    // the silver update batch, skeys + hash precomputed upstream exactly as
+    // the reference's silver_customers_updates carries them
+    // (scd1 would assign max(30)+row_number → 31 for the one new key)
+    Seq((2L, "bob", "paris", 20L), (4L, "dan", "lima", 31L))
+      .toDF("customer_id", "name", "city", "customer_skey")
+      .withColumn("hash_value",
+        MergeEngine.nullSafeHash(Seq(col("name"), col("city"))))
+      .createOrReplaceTempView("silver_customers_updates")
+
+    // Gold_Customers.py:75-97, columns reduced to the fixture's, timestamps
+    // pinned for determinism
+    s.sql(s"""
+      MERGE INTO gold.dim_customers_sql AS target
+      USING silver_customers_updates AS source
+      ON target.customer_id = source.customer_id
+      WHEN MATCHED AND (target.hash_value != source.hash_value) THEN
+        UPDATE SET
+          target.name = source.name,
+          target.city = source.city,
+          target.updated_date = $t1lit,
+          target.change_type = 'U',
+          target.hash_value = source.hash_value
+      WHEN NOT MATCHED THEN
+        INSERT (customer_skey, customer_id, name, city, created_date, updated_date, change_type, hash_value)
+        VALUES (source.customer_skey, source.customer_id, source.name, source.city, $t1lit, $t1lit, 'I', source.hash_value)
+    """)
+
+    val expected = MergeEngine.scd1(
+      dim(s, Seq((1L, "ann", "oslo"), (2L, "bob", "rome"), (3L, "cat", "kiev"))),
+      Seq((2L, "bob", "paris"), (4L, "dan", "lima")).toDF("customer_id", "name", "city"),
+      Seq("customer_id"), Seq("name", "city"), "customer_skey", t1)
+
+    val colsInOrder = expected.columns.toSeq
+    val got = cat.read("gold", "dim_customers_sql")
+      .select(colsInOrder.map(col): _*)
+    assert(rowsOf(got, "customer_id") == rowsOf(expected, "customer_id"),
+      "SQL MERGE result differs from MergeEngine.scd1")
+  }
+
+  test("fact-upsert MERGE text via GraftSql.merge on a plain (extension-less) session") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-mergesql-fact"))
+    val target = Seq((1L, "F", 10.0), (2L, "O", 20.0))
+      .toDF("order_id", "status", "total")
+      .withColumn("created_dt", t0).withColumn("updated_dt", t0)
+    cat.create(target, "gold", "fact_orders_sql")
+    cat.register("gold", "fact_orders_sql")
+    Seq((2L, "F", 25.0), (3L, "O", 30.0)).toDF("order_id", "status", "total")
+      .createOrReplaceTempView("order_updates")
+
+    // Gold_Orders.py:60-81's clause shape: matched → touch updated_dt only
+    GraftSql.merge(spark, s"""
+      MERGE INTO gold.fact_orders_sql t
+      USING order_updates s
+      ON t.order_id = s.order_id
+      WHEN MATCHED THEN UPDATE SET t.updated_dt = $t1lit
+      WHEN NOT MATCHED THEN
+        INSERT (order_id, status, total, created_dt, updated_dt)
+        VALUES (s.order_id, s.status, s.total, $t1lit, $t1lit)
+    """)
+
+    val out = cat.read("gold", "fact_orders_sql").collect()
+      .map(r => r.getAs[Long]("order_id") -> r).toMap
+    assert(out.size == 3)
+    // unmatched target row untouched
+    assert(out(1L).getAs[java.sql.Timestamp]("updated_dt").toString.startsWith("2025"))
+    // matched: only updated_dt touched, data columns NOT updated
+    assert(out(2L).getAs[java.sql.Timestamp]("updated_dt").toString.startsWith("2026"))
+    assert(out(2L).getAs[Double]("total") == 20.0)
+    assert(out(2L).getAs[java.sql.Timestamp]("created_dt").toString.startsWith("2025"))
+    // inserted with both stamps
+    assert(out(3L).getAs[Double]("total") == 30.0)
+    assert(out(3L).getAs[java.sql.Timestamp]("created_dt").toString.startsWith("2026"))
+  }
+
+  test("DELETE, conditional clauses, and NOT MATCHED BY SOURCE") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql-del"))
+    cat.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "val"),
+      "gold", "dim_del_sql")
+    cat.register("gold", "dim_del_sql")
+    Seq((1L, "x", "D"), (2L, "b2", "U"), (4L, "d", "I"))
+      .toDF("id", "val", "op").createOrReplaceTempView("del_updates")
+
+    s.sql("""
+      MERGE INTO gold.dim_del_sql t
+      USING del_updates s
+      ON t.id = s.id
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.val = s.val
+      WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.val = 'stale'
+    """)
+
+    val got = cat.read("gold", "dim_del_sql").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("val")).toMap
+    assert(got == Map(2L -> "b2", 3L -> "stale", 4L -> "d"),
+      s"unexpected merge result: $got")
+  }
+
+  test("a target row matching multiple source rows raises (cardinality guard)") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql-dup"))
+    cat.create(Seq((1L, "a")).toDF("id", "val"), "gold", "dim_dup_sql")
+    cat.register("gold", "dim_dup_sql")
+    Seq((1L, "x"), (1L, "y")).toDF("id", "val")
+      .createOrReplaceTempView("dup_updates")
+    val ex = intercept[Throwable] {
+      s.sql("""
+        MERGE INTO gold.dim_dup_sql t USING dup_updates s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.val = s.val
+      """)
+    }
+    def messages(e: Throwable): String =
+      if (e == null) "" else e.toString + messages(e.getCause)
+    assert(messages(ex).contains("matched multiple source rows"))
+  }
+
+  test("MERGE into a temp view is rejected with a clear error") {
+    val s = sqlSpark
+    import s.implicits._
+    Seq((1L, "a")).toDF("id", "val").createOrReplaceTempView("tv_target")
+    Seq((1L, "b")).toDF("id", "val").createOrReplaceTempView("tv_src")
+    val ex = intercept[IllegalArgumentException] {
+      s.sql("""
+        MERGE INTO tv_target t USING tv_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.val = s.val
+      """)
+    }
+    assert(ex.getMessage.contains("catalog table"))
+  }
+}
