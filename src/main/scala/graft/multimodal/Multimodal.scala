@@ -8,43 +8,72 @@ import org.apache.spark.sql.functions._
   * per-partition extractors — the Scala equivalent of `mapInPandas` (same
   * batch shape: partition iterator → fixed-size batches → vectorized call).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * container): `DecoderStub` produces deterministic pseudo-metadata from
-  * the bytes. Everything around it — schema, partitioning, batch size,
-  * typed Dataset plumbing, frame-sampling explode — is real and tested,
-  * so swapping in a real JNI/FFmpeg decoder changes one function.
+  * The image path is a REAL codec: `javax.imageio` (pure JVM, ships with
+  * the JDK) decodes PNG/JPEG/GIF/BMP bytes to true dimensions and an
+  * 8-bin luminance histogram. Bytes no installed reader understands (the
+  * text-bytes fixture, audio/video payloads — no FFmpeg in this container)
+  * take the deterministic byte-statistics fallback, flagged by
+  * `decoded=false` so downstream filters can tell real metadata from
+  * fallback metadata.
   */
 object Multimodal {
 
   final case class MediaAsset(asset_id: Long, media: Array[Byte],
       media_type: String)
   final case class MediaFeatures(asset_id: Long, media_type: String,
-      n_bytes: Long, width: Int, height: Int, checksum: Long,
-      features: Array[Float])
+      n_bytes: Long, decoded: Boolean, width: Int, height: Int,
+      checksum: Long, features: Array[Float])
   final case class Frame(asset_id: Long, frame_no: Int, offset_bytes: Long)
 
-  /** STUB decoder — stands in for e.g. libjpeg/FFmpeg. Deterministic fake:
-    * dimensions and features derived from byte statistics. Replace the body
-    * with a real codec call; the signature (one batch in, one batch out) is
-    * the production contract. */
-  object DecoderStub {
+  /** Image decoder over `javax.imageio`. One batch in, one batch out — the
+    * production contract a vectorized codec (libjpeg-turbo, nvJPEG) slots
+    * into; ImageIO itself decodes per asset inside the batch loop.
+    * Everything emitted is deterministic for fixed input bytes. */
+  object Decoder {
     def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
-      batch.map { a =>
-        val n = a.media.length
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum = sum * 31 + (a.media(i) & 0xff); i += 1 }
+      batch.map(decodeOne)
+
+    private def decodeOne(a: MediaAsset): MediaFeatures = {
+      val n = a.media.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum = sum * 31 + (a.media(i) & 0xff); i += 1 }
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
+        catch { case _: Exception => null }
+      if (img != null) {
+        // real decode: true dimensions + 8-bin luminance histogram
+        val w = img.getWidth; val h = img.getHeight
+        val bins = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            bins(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = (w.toLong * h).max(1L)
+        MediaFeatures(a.asset_id, a.media_type, n.toLong, decoded = true,
+          width = w, height = h, checksum = sum,
+          features = bins.map(b => b.toFloat / total))
+      } else {
+        // no installed reader for these bytes: deterministic byte-stat
+        // fallback, dimensions zeroed so they can't be mistaken for real
         val feats = Array.tabulate(8) { j =>
           var acc = 0L
           var k = j
           while (k < n) { acc += (a.media(k) & 0xff); k += 8 }
           (acc % 1000).toFloat / 1000f
         }
-        MediaFeatures(a.asset_id, a.media_type, n.toLong,
-          width = 64 + (math.abs(sum) % 512).toInt,
-          height = 64 + (math.abs(sum / 7) % 512).toInt,
-          checksum = sum, features = feats)
+        MediaFeatures(a.asset_id, a.media_type, n.toLong, decoded = false,
+          width = 0, height = 0, checksum = sum, features = feats)
       }
+    }
   }
 
   /** Batched per-partition feature extraction (the mapInPandas shape:
@@ -53,7 +82,7 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(DecoderStub.decodeBatch)
+      it.grouped(batchSize).flatMap(Decoder.decodeBatch)
     }
   }
 
