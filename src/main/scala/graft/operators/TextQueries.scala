@@ -98,16 +98,31 @@ object TextQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Hash-based stratified sampling: a row is kept iff the first 4 hex
+    * digits of md5(id || '#' || seed) fall below floor(rate·65536) for its
+    * stratum. Unlike engine-RNG `sampleBy`, membership is a pure function
+    * of (id, seed) — deterministic across runs, engines, partitionings AND
+    * cluster sizes (at 100 TB a re-run or a failed-stage retry samples the
+    * SAME rows, and the DuckDB oracle can replay it exactly). Granularity
+    * is 1/65536; strata absent from `rates` are dropped, like sampleBy. */
+  def hashStratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], seed: String = "42"): DataFrame = {
+    val h = substring(md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 4)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
+      val cond =
+        if (rate >= 1.0) lit(true)
+        else h < lit(f"${math.max(math.floor(rate * 65536).toInt, 0)}%04x")
+      when(col(strataCol) === stratum, cond).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Stratified sampling (per-language downsampling — the data-mixing
-    * step of corpus curation). Seeded → deterministic per run; sampling
-    * is engine-RNG-specific, so the driver check is rows-only and the
-    * statistical/determinism contract lives in SamplingSpec. */
+    * step of corpus curation), hash-based and therefore oracle-checkable. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .stat.sampleBy("lang",
-        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0,
-          "zh" -> 0.5),
-        seed = 42L)
+    hashStratifiedSample(Tables.load(spark, dir, "documents"),
+      "lang", "doc_id",
+      Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.5))
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
@@ -146,7 +161,16 @@ object TextQueries {
         ELSE 'es' END"""
 
   val oracles: Map[String, String] = Map(
-    // q58 intentionally absent (engine-specific RNG; SamplingSpec covers it)
+    // hash-based sampling is engine-independent: DuckDB replays the exact
+    // md5 membership function (en 0.25→0x4000, zh 0.5→0x8000)
+    "q58_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE lang
+           WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 4) < '4000'
+           WHEN 'zh' THEN substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 4) < '8000'
+           WHEN 'de' THEN TRUE WHEN 'fr' THEN TRUE WHEN 'es' THEN TRUE
+           ELSE FALSE END
+         ORDER BY doc_id""",
     "q59_token_packing" ->
       s"""SELECT doc_id, lang, len($wordsSql) AS n_tokens,
           CAST(SUM(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id
