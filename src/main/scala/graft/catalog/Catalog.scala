@@ -13,13 +13,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * over any Hadoop filesystem.
   *
   * Snapshot swap (SURVEY §7.3): an overwrite writes to `<table>.tmp`, then
-  * renames current → `.prev` and tmp → current. On HDFS/local FS rename is
-  * atomic per directory move, so a reader resolving the path either sees the
-  * old or the new snapshot, never a half-written one; `.prev` is the
-  * crash-recovery fallback. (On S3-like stores a manifest-pointer commit
+  * retires current into the version log `<table>.history/v{N}` and renames
+  * tmp → current. On HDFS/local FS rename is atomic per directory move, so
+  * a reader resolving the path either sees the old or the new snapshot,
+  * never a half-written one. (On S3-like stores a manifest-pointer commit
   * would replace the rename pair — same protocol, different primitive.)
+  *
+  * Time travel (Delta `VERSION AS OF`, Gold_Customers.py:105 context): the
+  * version log keeps the last `keepVersions` retired snapshots; the live
+  * snapshot's version number is recorded in `<table>.history/_current`
+  * AFTER the swap completes, so a crash mid-swap leaves the pointer on the
+  * old version — whose data is intact in the log — and never names a
+  * half-committed state.
   */
-class Catalog(spark: SparkSession, warehouse: String) {
+class Catalog(spark: SparkSession, warehouse: String,
+    val keepVersions: Int = 10) {
   val layers: Seq[String] = Seq("bronze", "silver", "gold")
 
   def path(layer: String, table: String): String = s"$warehouse/$layer/$table"
@@ -33,14 +41,41 @@ class Catalog(spark: SparkSession, warehouse: String) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
-  /** One-version time travel: the snapshot replaced by the most recent
-    * overwrite (Delta `VERSION AS OF` reduced to depth 1 — the `.prev`
-    * dir the swap protocol already retains for crash recovery). */
-  def readPrevious(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table) + ".prev")
+  /** The live snapshot's version number (1-based; 0 = table absent). */
+  def currentVersion(layer: String, table: String): Int =
+    Catalog.readPointer(fs, path(layer, table))
 
-  def hasPrevious(layer: String, table: String): Boolean =
-    fs.exists(new Path(path(layer, table) + ".prev"))
+  /** Version-addressed read (Delta `VERSION AS OF`): the live version reads
+    * the current dir, older versions read the retained log entry. */
+  def readVersion(layer: String, table: String, v: Int): DataFrame = {
+    val cur = currentVersion(layer, table)
+    require(v >= 1 && v <= cur,
+      s"version $v out of range for $layer.$table (current = $cur)")
+    if (v == cur) read(layer, table)
+    else {
+      val p = Catalog.versionDir(path(layer, table), v)
+      require(fs.exists(p),
+        s"version $v of $layer.$table was pruned (keepVersions = $keepVersions)")
+      spark.read.parquet(p.toString)
+    }
+  }
+
+  /** Versions currently readable: the retained log entries + the live one. */
+  def listVersions(layer: String, table: String): Seq[Int] = {
+    val cur = currentVersion(layer, table)
+    if (cur == 0) Nil
+    else (1 until cur).filter(v =>
+      fs.exists(Catalog.versionDir(path(layer, table), v))) :+ cur
+  }
+
+  /** The snapshot replaced by the most recent overwrite. */
+  def readPrevious(layer: String, table: String): DataFrame =
+    readVersion(layer, table, currentVersion(layer, table) - 1)
+
+  def hasPrevious(layer: String, table: String): Boolean = {
+    val cur = currentVersion(layer, table)
+    cur > 1 && fs.exists(Catalog.versionDir(path(layer, table), cur - 1))
+  }
 
   /** First-load create (the reference's `saveAsTable` path,
     * Gold_Customers.py:65-68). */
@@ -55,7 +90,8 @@ class Catalog(spark: SparkSession, warehouse: String) {
     * overwrite, Silver_Customers.py:41). */
   def overwriteSnapshot(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    Catalog.overwritePath(spark, df, path(layer, table), partitionBy)
+    Catalog.overwritePath(spark, df, path(layer, table), partitionBy,
+      keepVersions)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }
@@ -78,28 +114,76 @@ class Catalog(spark: SparkSession, warehouse: String) {
 }
 
 object Catalog {
+  import org.apache.hadoop.fs.FileSystem
+
+  private[catalog] def historyDir(dir: String) = new Path(dir + ".history")
+  private[catalog] def versionDir(dir: String, v: Int) =
+    new Path(historyDir(dir), f"v$v%05d")
+  private def pointerFile(dir: String) = new Path(historyDir(dir), "_current")
+
+  /** The live snapshot's version: the `_current` pointer when present;
+    * a pointer-less existing dir is version 1 (created outside the swap,
+    * e.g. first-load `create`); 0 when the table doesn't exist. */
+  private[catalog] def readPointer(f: FileSystem, dir: String): Int = {
+    val p = pointerFile(dir)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](64)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, "UTF-8").trim.toInt
+      } finally in.close()
+    } else if (f.exists(new Path(dir))) 1
+    else 0
+  }
+
+  private def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
+    val p = pointerFile(dir)
+    val tmp = new Path(historyDir(dir), "_current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit version pointer $p")
+  }
+
   /** The swap protocol on a raw table directory (shared by the layer.table
     * API above and SQL surfaces that resolve a table to its location, e.g.
-    * `graft.sql.MergeIntoSql`): write to `<dir>.tmp`, retire current to
-    * `<dir>.prev`, rename tmp → current. Aborts on a failed retire rename —
-    * Hadoop rename INTO a still-existing directory nests the new snapshot
-    * inside the old one, silently corrupting the table. */
+    * `graft.sql.MergeIntoSql`): write to `<dir>.tmp`, retire current into
+    * the version log `<dir>.history/v{N}`, rename tmp → current, THEN
+    * advance the `_current` pointer — so a crash at any step leaves the
+    * pointer naming a version whose data is intact (the old one). Aborts on
+    * a failed retire rename — Hadoop rename INTO a still-existing directory
+    * nests the new snapshot inside the old one, silently corrupting the
+    * table — and never overwrites an existing log entry. Log entries older
+    * than `keepVersions` behind the new head are pruned. */
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, keepVersions: Int = 10): Unit = {
     val dst = new Path(dir)
     val tmp = new Path(dir + ".tmp")
-    val prev = new Path(dir + ".prev")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(tmp)) f.delete(tmp, true)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    if (f.exists(prev)) f.delete(prev, true)
-    if (f.exists(dst) && !f.rename(dst, prev))
-      throw new IllegalStateException(
-        s"snapshot swap failed for $dst: could not retire current to $prev")
+    val cur = readPointer(f, dir)
+    if (f.exists(dst)) {
+      f.mkdirs(historyDir(dir))
+      val retired = versionDir(dir, cur)
+      if (f.exists(retired) || !f.rename(dst, retired))
+        throw new IllegalStateException(
+          s"snapshot swap failed for $dst: could not retire current to $retired")
+    }
     if (!f.rename(tmp, dst))
       throw new IllegalStateException(s"snapshot swap failed for $dst")
+    writePointer(f, dir, cur + 1)
+    // prune log entries that fell out of the retention window
+    (1 to cur - keepVersions).foreach { v =>
+      val old = versionDir(dir, v)
+      if (f.exists(old)) f.delete(old, true)
+    }
     // Cached relations (file lists) outlive the swap; without a refresh,
     // readers keep resolving the retired snapshot's deleted files.
     spark.catalog.refreshByPath(dst.toString)

@@ -57,7 +57,7 @@ class SurrogateKeysSpec extends SparkSuite {
 class CatalogSpec extends SparkSuite {
   import spark.implicits._
 
-  test("snapshot overwrite swaps atomically and keeps .prev") {
+  test("snapshot overwrite swaps atomically and keeps the previous version") {
     val cat = new Catalog(spark, tmpDir("graft-wh"))
     val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val v2 = Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "v")
@@ -67,6 +67,50 @@ class CatalogSpec extends SparkSuite {
     assert(cat.read("silver", "t").count() == 3)
     assert(cat.hasPrevious("silver", "t"))
     assert(cat.readPrevious("silver", "t").count() == 2)
+  }
+
+  test("time travel: three overwrites, each version readable; pointer survives a crashed swap") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-tt"))
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i, s"v$v")).toDF("id", "v"),
+        "gold", "tt")
+    }
+    assert(cat.currentVersion("gold", "tt") == 3)
+    assert(cat.listVersions("gold", "tt") == Seq(1, 2, 3))
+    (1 to 3).foreach { v =>
+      val got = cat.readVersion("gold", "tt", v)
+      assert(got.count() == v, s"version $v wrong row count")
+      assert(got.select("v").distinct().collect()(0).getString(0) == s"v$v")
+    }
+    // crash-abort: the NEXT retire target is blocked by a junk file → the
+    // swap must abort, the pointer must still name version 3, and every
+    // logged version must stay readable
+    val block = new org.apache.hadoop.fs.Path(
+      cat.path("gold", "tt") + ".history/v00003")
+    val fs = block.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(block, true)
+    val out = fs.create(block, true); out.write(1); out.close() // a FILE, not a dir
+    intercept[IllegalStateException] {
+      cat.overwriteSnapshot(Seq((9, "v4")).toDF("id", "v"), "gold", "tt")
+    }
+    assert(cat.currentVersion("gold", "tt") == 3,
+      "crashed swap moved the version pointer")
+    assert(cat.read("gold", "tt").count() == 3, "live snapshot lost")
+    assert(cat.readVersion("gold", "tt", 2).count() == 2)
+  }
+
+  test("time travel: versions beyond the retention window are pruned") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-ret"), keepVersions = 2)
+    (1 to 4).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i, s"v$v")).toDF("id", "v"),
+        "gold", "ret")
+    }
+    assert(cat.currentVersion("gold", "ret") == 4)
+    assert(cat.listVersions("gold", "ret") == Seq(2, 3, 4))
+    assert(cat.readVersion("gold", "ret", 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      cat.readVersion("gold", "ret", 1)
+    }
   }
 
   test("registered tables serve the NEW snapshot after an overwrite (relation cache refreshed)") {
