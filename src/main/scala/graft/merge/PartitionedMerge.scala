@@ -78,6 +78,8 @@ object PartitionedMerge {
         throw new IllegalStateException(s"bucket swap failed for $dst")
     }
     fs.delete(new Path(tmp), true)
+    // cached file lists outlive the bucket swap, same as a snapshot swap
+    spark.catalog.refreshByPath(path)
     touched
   }
 }

@@ -98,7 +98,15 @@ object Streams {
     * CDC file carrying an older change can no longer expire the newer
     * current row and install the stale version (DLT apply_changes'
     * out-of-order guarantee). Requires the sequence columns to be part of
-    * the change schema, which they are by construction of `sequence_by`. */
+    * the change schema, which they are by construction of `sequence_by`.
+    *
+    * `nBuckets`: when set, the dimension is stored bucket-partitioned by
+    * `pmod(hash(keys), n)` and each micro-batch merges through
+    * [[graft.merge.PartitionedMerge.prunedMerge]] — only bucket directories
+    * containing changed keys are read and rewritten, the Delta-file-pruning
+    * analogue that keeps per-batch I/O O(changed buckets) instead of
+    * O(table). This is the 100 TB default for large dims; the full-snapshot
+    * path remains for small unbucketed tables. */
   def applyChangesScd2(
       changes: DataFrame,
       cat: graft.catalog.Catalog,
@@ -108,7 +116,15 @@ object Streams {
       skeyCol: String,
       checkpoint: String,
       now: org.apache.spark.sql.Column,
-      sequenceBy: Seq[String] = Nil): Unit = {
+      sequenceBy: Seq[String] = Nil,
+      nBuckets: Option[Int] = None): Unit = {
+    import graft.merge.PartitionedMerge
+    val tablePath = cat.path("gold", table)
+    def readTarget(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      nBuckets match {
+        case Some(_) => PartitionedMerge.read(spark, tablePath)
+        case None => cat.read("gold", table)
+      }
     def latestPerKey(batch: DataFrame): DataFrame =
       if (sequenceBy.isEmpty) batch
       else {
@@ -142,6 +158,7 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val batch = latestPerKey(batch0)
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           if (!cat.exists("gold", table)) {
             val initial = graft.merge.SurrogateKeys.assign(batch, skeyCol, keys)
               .withColumn("hash_value",
@@ -152,14 +169,30 @@ object Streams {
               .withColumn("is_current", lit(true))
               .withColumn("insert_date", now)
               .withColumn("update_date", now)
-            cat.create(initial, "gold", table)
+            nBuckets match {
+              case Some(n) => PartitionedMerge.write(initial, tablePath, keys, n)
+              case None => cat.create(initial, "gold", table)
+            }
           } else {
-            val target = cat.read("gold", table)
+            val target = readTarget(spark)
             val fresh = newerThanApplied(batch, target)
             if (!fresh.isEmpty) {
-              val merged = graft.merge.MergeEngine.scd2(
-                target, fresh, keys, tracked, skeyCol, now)
-              cat.overwriteSnapshot(merged, "gold", table)
+              nBuckets match {
+                case Some(n) =>
+                  // partition-pruned path: only buckets holding changed
+                  // keys are scanned and swapped; the skey high-water mark
+                  // still comes from the FULL table (column-pruned scan)
+                  PartitionedMerge.prunedMerge(spark, tablePath, fresh, keys, n) {
+                    (pruned, s) => graft.merge.MergeEngine.scd2(
+                      pruned, s, keys, tracked, skeyCol, now,
+                      skeyBase = Some(PartitionedMerge.read(spark, tablePath)))
+                  }
+                  ()
+                case None =>
+                  val merged = graft.merge.MergeEngine.scd2(
+                    target, fresh, keys, tracked, skeyCol, now)
+                  cat.overwriteSnapshot(merged, "gold", table)
+              }
             }
           }
         }

@@ -121,4 +121,41 @@ class MedallionSpec extends SparkSuite {
     assert(fact.filter(col("order_id") === 12).select("product_skey")
       .collect()(0).getLong(0) > 0)
   }
+
+  test("bucketed gold (dimBuckets) produces identical results to the full-snapshot path") {
+    def runBoth(buckets: Option[Int]): (Catalog, Medallion) = {
+      val cat = new Catalog(spark, tmpDir("graft-medallion-b"))
+      val m = new Medallion(spark, cat, buckets)
+      def load(t: org.apache.spark.sql.Column,
+          custCity: String, extra: Boolean): Unit =
+        m.run(
+          customers(Seq(
+            (1L, "Ann", "Ash", "ann@gmail.com", custCity, "NO"),
+            (2L, "Bob", "Bix", "bob@yahoo.com", "Rome", "IT")) ++
+            (if (extra) Seq((3L, "Cat", "Cox", "cat@gmail.com", "Kiev", "UA")) else Nil)),
+          orders(Seq(
+            (10L, "2026-01-05", 1L, 100L, 2L, if (extra) 55.0 else 50.0),
+            (11L, "2026-01-06", 2L, 101L, 1L, 70.0)) ++
+            (if (extra) Seq((12L, "2026-02-01", 3L, 100L, 5L, 99.0)) else Nil)),
+          products(Seq(
+            (100L, "Widget", "tools", 10.0, if (extra) "acme2" else "acme", "s1"),
+            (101L, "Gadget", "toys", 20.0, "nova", "s2"))),
+          regions(Seq((1L, "Europe"))),
+          t)
+      load(t1, "Oslo", extra = false)
+      load(t2, "Bergen", extra = true)
+      (cat, m)
+    }
+    val (catPlain, _) = runBoth(None)
+    val (catBuck, _) = runBoth(Some(4))
+    for (table <- Seq("customer_dim", "product_dim", "order_fact")) {
+      val plain = catPlain.read("gold", table)
+      val cols = plain.columns.toSeq.sorted
+      val buck = graft.merge.PartitionedMerge.read(spark,
+        catBuck.path("gold", table))
+      assert(rowsOf(plain.select(cols.map(col): _*), cols: _*) ==
+        rowsOf(buck.select(cols.map(col): _*), cols: _*),
+        s"bucketed gold.$table diverged from the full-snapshot path")
+    }
+  }
 }

@@ -132,6 +132,68 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("gold", "product_dim_seq").count() == 3)
   }
 
+  test("streaming CDC apply with nBuckets: only buckets holding changed keys rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.merge.PartitionedMerge
+    val root = tmpDir("graft-cdc-buck")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val fixedNow = to_timestamp(lit("2026-02-01 00:00:00"))
+    val nB = 8
+    def drain(): Unit = Streams.applyChangesScd2(
+      spark.readStream
+        .schema("product_id BIGINT, brand STRING, price DOUBLE")
+        .parquet(land.toString),
+      cat, "product_dim_buck", Seq("product_id"), Seq("brand", "price"),
+      "product_skey", s"$root/_cp", fixedNow, nBuckets = Some(nB))
+
+    // batch 1: 20 keys spread over the buckets
+    (1L to 20L).map(i => (i, s"brand$i", i * 1.0))
+      .toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val path = cat.path("gold", "product_dim_buck")
+    def bucketState(): Map[String, Seq[(String, Long, Long)]] = {
+      val dir = new java.io.File(path)
+      dir.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(s"${PartitionedMerge.BucketCol}="))
+        .map { d =>
+          d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+            .map(f => (f.getName, f.lastModified(), f.length()))
+            .sortBy(_._1).toSeq
+        }.toMap
+    }
+    val before = bucketState()
+    assert(before.nonEmpty)
+
+    // batch 2: change key 3, add key 33 — only their buckets may rewrite
+    Seq((3L, "brand3x", 3.5), (33L, "brand33", 33.0))
+      .toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val after = bucketState()
+    val touched = Seq(3L, 33L).toDF("product_id")
+      .select(PartitionedMerge.bucketExpr(Seq("product_id"), nB).as("b"))
+      .distinct().collect().map(r => s"${PartitionedMerge.BucketCol}=${r.getInt(0)}").toSet
+
+    before.keys.filterNot(touched).foreach { b =>
+      assert(after(b) == before(b),
+        s"untouched bucket $b was rewritten by the CDC merge")
+    }
+    touched.foreach(b => assert(after.get(b) != before.get(b),
+      s"touched bucket $b was not rewritten"))
+
+    // and the merge semantics held: key 3 has two versions, one current
+    val dim = PartitionedMerge.read(spark, path)
+    assert(dim.count() == 22) // 20 + expired v of key 3 + ...
+    assert(dim.filter(col("product_id") === 3L).count() == 2)
+    assert(dim.filter(col("product_id") === 3L && col("is_current"))
+      .collect()(0).getAs[String]("brand") == "brand3x")
+    assert(dim.filter(col("product_id") === 33L && col("is_current")).count() == 1)
+    assert(dim.filter(col("is_current")).count() == 21)
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
