@@ -40,10 +40,13 @@ object Bench {
           .parquet(stage.toString)
           .groupBy("r_name").count(), "graft_warmup_stream").count()
     }
-    // Two timed runs per query, report the min: a single-shot number on a
-    // shared VM folds transient host contention into the engine's score;
-    // the min of two is the standard steady-state estimator.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Timed runs per query, report the min: a single-shot number on a
+    // shared VM folds transient host contention into the engine's score.
+    // Three reps (was two): round-2's flagged 3-5x per-query swings were
+    // traced with graft.TimeQ to first-run JIT/codegen/page-cache effects —
+    // steady state needs the first run discarded AND one spare against a
+    // contention spike landing on the second (see BENCH_NOTES.md).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var failed = List.empty[String]
     // sorted by query name: stable key order makes round-over-round BENCH
     // diffs line up; 3-decimal rounding keeps the single JSON line short

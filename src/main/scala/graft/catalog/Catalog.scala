@@ -47,18 +47,9 @@ class Catalog(spark: SparkSession, warehouse: String,
 
   /** Version-addressed read (Delta `VERSION AS OF`): the live version reads
     * the current dir, older versions read the retained log entry. */
-  def readVersion(layer: String, table: String, v: Int): DataFrame = {
-    val cur = currentVersion(layer, table)
-    require(v >= 1 && v <= cur,
-      s"version $v out of range for $layer.$table (current = $cur)")
-    if (v == cur) read(layer, table)
-    else {
-      val p = Catalog.versionDir(path(layer, table), v)
-      require(fs.exists(p),
-        s"version $v of $layer.$table was pruned (keepVersions = $keepVersions)")
-      spark.read.parquet(p.toString)
-    }
-  }
+  def readVersion(layer: String, table: String, v: Int): DataFrame =
+    spark.read.parquet(
+      Catalog.resolveVersionPath(spark, path(layer, table), v))
 
   /** Versions currently readable: the retained log entries + the live one. */
   def listVersions(layer: String, table: String): Seq[Int] = {
@@ -147,6 +138,22 @@ object Catalog {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"could not commit version pointer $p")
+  }
+
+  /** Resolve a version number to its snapshot directory (live dir for the
+    * current version, log entry otherwise) — the seam SQL `VERSION AS OF`
+    * resolution shares with [[Catalog.readVersion]]. */
+  def resolveVersionPath(spark: SparkSession, dir: String, v: Int): String = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readPointer(f, dir)
+    require(v >= 1 && v <= cur,
+      s"version $v out of range for $dir (current = $cur)")
+    if (v == cur) dir
+    else {
+      val p = versionDir(dir, v)
+      require(f.exists(p), s"version $v of $dir was pruned from the log")
+      p.toString
+    }
   }
 
   /** The swap protocol on a raw table directory (shared by the layer.table

@@ -89,7 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the delegating parser swaps it for graft's executable lowering
     // (graft.sql.MergeIntoRunner) so `spark.sql("MERGE INTO ...")` runs
     // against plain parquet catalog tables.
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }
 

@@ -36,18 +36,57 @@ import org.apache.spark.sql.functions._
   *   - assignments are cast to the target column's type.
   *
   * Scale posture: one full-outer join shuffled on the merge condition's
-  * equi-keys (AQE broadcasts a small source batch), one window for the
-  * cardinality guard partitioned by a per-row id — no driver-side action
+  * equi-keys (AQE broadcasts a small source batch) — no driver-side action
   * anywhere; the whole statement is a single distributed plan followed by
   * the snapshot swap. This is the same shape Delta's MergeIntoCommand
-  * plans internally after file pruning.
+  * plans internally after file pruning. The cardinality guard is free at
+  * scale for the common pure-equi ON condition: a target row can only
+  * match multiple source rows if the source duplicates its key tuple, so
+  * the guard is a window count over the SOURCE keys (small side, and hash
+  * partitioned on the same keys the join shuffles on). Only a non-equi ON
+  * falls back to a post-join window over per-target-row ids.
   */
 object MergeIntoRunner {
   private val TM = "__graft_t_present"
   private val SM = "__graft_s_present"
   private val TID = "__graft_t_id"
   private val SID = "__graft_s_id"
+  private val SCNT = "__graft_s_keycount"
   private val KEEP = "__graft_keep"
+
+  /** When EVERY conjunct of the ON condition is `t.x = s.y` (both sides
+    * qualified, one per relation), return the source-side key columns; any
+    * residual filter, unqualified attribute, or non-equality disables the
+    * source-side guard (a source-key count would then over- or under-count
+    * actual matches). */
+  private def equiSourceKeys(cond: Expression, tAlias: String,
+      sAlias: Option[String]): Option[Seq[Column]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // which single relation does this (sub)expression read from?
+    def sideOf(e: Expression): Option[Char] = {
+      val attrs = e.collect { case ua: UnresolvedAttribute => ua }
+      if (attrs.isEmpty || attrs.exists(_.nameParts.size < 2)) return None
+      val quals = attrs.map(_.nameParts.head)
+      if (quals.forall(_.equalsIgnoreCase(tAlias))) Some('t')
+      else if (sAlias.exists(a => quals.forall(_.equalsIgnoreCase(a)))) Some('s')
+      else None
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(l, r) => (sideOf(l), sideOf(r)) match {
+        case (Some('t'), Some('s')) => Some(GraftShims.column(r))
+        case (Some('s'), Some('t')) => Some(GraftShims.column(l))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten)
+    else None
+  }
 
   def run(spark: SparkSession, m: MergeIntoTable): Unit = {
     require(!m.withSchemaEvolution,
@@ -61,15 +100,31 @@ object MergeIntoRunner {
 
     val targetDF = spark.table(tableName)
     val targetSchema = targetDF.schema
+    val tAliasName = tAlias.getOrElse(nameParts.last)
+    val sAliasName = m.sourceTable match {
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+
+    // Pure-equi ON (every conjunct `t.x = s.y`)? Then a target row matches
+    // >1 source rows iff the source duplicates its key tuple — the guard
+    // can count over the source keys BEFORE the join (small side, same
+    // hash partitioning as the join) instead of windowing the full joined
+    // output by target-row id.
+    val srcEquiKeys: Option[Seq[Column]] =
+      equiSourceKeys(m.mergeCondition, tAliasName, sAliasName)
 
     // Marker columns tell the three MERGE branches apart after the
-    // full-outer join; the per-row ids feed the cardinality guard.
-    val t = targetDF.alias(tAlias.getOrElse(nameParts.last))
-      .withColumn(TM, lit(true))
-      .withColumn(TID, monotonically_increasing_id())
-    val s = GraftShims.ofRows(spark, m.sourceTable)
-      .withColumn(SM, lit(true))
-      .withColumn(SID, monotonically_increasing_id())
+    // full-outer join; the per-row ids feed the non-equi guard fallback.
+    val t0 = targetDF.alias(tAliasName).withColumn(TM, lit(true))
+    val t = if (srcEquiKeys.isDefined) t0
+            else t0.withColumn(TID, monotonically_increasing_id())
+    val s0 = GraftShims.ofRows(spark, m.sourceTable).withColumn(SM, lit(true))
+    val s = srcEquiKeys match {
+      case Some(keys) =>
+        s0.withColumn(SCNT, count(lit(1)).over(Window.partitionBy(keys: _*)))
+      case None => s0.withColumn(SID, monotonically_increasing_id())
+    }
 
     val joined = t.join(s, GraftShims.column(m.mergeCondition), "full_outer")
     val tm = col(TM).isNotNull
@@ -134,16 +189,23 @@ object MergeIntoRunner {
 
     // Cardinality guard: >1 source match for one target row would fan the
     // row out into several post-merge versions — raise instead, exactly as
-    // Delta does. Unmatched-source rows get their own (negative) partition
-    // key so the window doesn't funnel them into one giant null partition.
-    val guardPart = coalesce(col(TID), -col(SID) - lit(1L))
-    val srcMatches =
-      sum(when(tm && sm, lit(1)).otherwise(lit(0)))
-        .over(Window.partitionBy(guardPart))
+    // Delta does. Equi path: the pre-join source key count; non-equi
+    // fallback: a post-join window by target-row id (unmatched-source rows
+    // get their own negative partition key so the window doesn't funnel
+    // them into one giant null partition).
+    val multiMatch = srcEquiKeys match {
+      case Some(_) => tm && sm && col(SCNT) > 1
+      case None =>
+        val guardPart = coalesce(col(TID), -col(SID) - lit(1L))
+        val srcMatches =
+          sum(when(tm && sm, lit(1)).otherwise(lit(0)))
+            .over(Window.partitionBy(guardPart))
+        tm && sm && srcMatches > 1
+    }
     val keepRaw = when(tm && sm, matchedKeep)
       .when(!tm && sm, insertKeep)
       .otherwise(bySourceKeep)
-    val keep = when(tm && sm && srcMatches > 1,
+    val keep = when(multiMatch,
       raise_error(lit("MERGE INTO: a target row matched multiple source " +
         "rows — dedupe the source or tighten the ON condition"))
         .cast("boolean"))
@@ -184,13 +246,39 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
   }
 }
 
-/** Delegating parser: everything is the session's own parser, except a
-  * parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def wrap(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable => GraftMergeIntoCommand(m)
-    case other => other
-  }
+/** Delegating parser: everything is the session's own parser, except
+  *  - a parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution;
+  *  - `VERSION AS OF n` over a graft-registered parquet table resolves to
+  *    the catalog's snapshot-log entry (Spark only supports time travel for
+  *    v2 merge-capable catalogs). Tables that aren't ours pass through to
+  *    Spark's own resolution.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+
+  private def rewriteTimeTravel(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        GraftShims.tableStorage(session, u.multipartIdentifier) match {
+          case Some((uri, _)) =>
+            require(ts.isEmpty,
+              "TIMESTAMP AS OF is not supported on graft tables; use VERSION AS OF <n>")
+            val v = ver.map(_.trim).filter(_.forall(_.isDigit)).map(_.toInt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"VERSION AS OF expects an integer version, got $ver"))
+            val dir = graft.catalog.Catalog.resolveVersionPath(session,
+              new org.apache.hadoop.fs.Path(uri).toString, v)
+            session.read.parquet(dir).queryExecution.analyzed
+          case None => tt
+        }
+    }
+
+  private def wrap(plan: LogicalPlan): LogicalPlan =
+    rewriteTimeTravel(plan) match {
+      case m: MergeIntoTable => GraftMergeIntoCommand(m)
+      case other => other
+    }
   override def parsePlan(sqlText: String): LogicalPlan =
     wrap(delegate.parsePlan(sqlText))
   override def parsePlanWithParameters(sqlText: String,

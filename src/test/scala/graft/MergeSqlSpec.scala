@@ -178,6 +178,71 @@ class MergeSqlSpec extends SparkSuite {
     assert(messages(ex).contains("matched multiple source rows"))
   }
 
+  test("residual-filter ON falls back to the per-target-row guard: dup source keys with ONE real match pass") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql-resid"))
+    cat.create(Seq((1L, "a"), (2L, "b")).toDF("id", "val"), "gold", "dim_resid_sql")
+    cat.register("gold", "dim_resid_sql")
+    // key 1 appears twice in the source but only the op='U' row matches the
+    // ON condition — a source-key-count guard would falsely raise here; the
+    // per-target-row guard must let it through
+    Seq((1L, "x", "U"), (1L, "y", "D")).toDF("id", "val", "op")
+      .createOrReplaceTempView("resid_updates")
+    s.sql("""
+      MERGE INTO gold.dim_resid_sql t
+      USING resid_updates s
+      ON t.id = s.id AND s.op = 'U'
+      WHEN MATCHED THEN UPDATE SET t.val = s.val
+    """)
+    val got = cat.read("gold", "dim_resid_sql").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("val")).toMap
+    assert(got == Map(1L -> "x", 2L -> "b"), s"unexpected: $got")
+  }
+
+  test("non-equi ON with a genuine multi-match raises through the fallback guard") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql-nonequi"))
+    cat.create(Seq((1L, "a")).toDF("id", "val"), "gold", "dim_nonequi_sql")
+    cat.register("gold", "dim_nonequi_sql")
+    Seq((5L, "x"), (6L, "y")).toDF("id", "val")
+      .createOrReplaceTempView("nonequi_updates")
+    val ex = intercept[Throwable] {
+      s.sql("""
+        MERGE INTO gold.dim_nonequi_sql t
+        USING nonequi_updates s
+        ON t.id <= s.id
+        WHEN MATCHED THEN UPDATE SET t.val = s.val
+      """)
+    }
+    def messages(e: Throwable): String =
+      if (e == null) "" else e.toString + messages(e.getCause)
+    assert(messages(ex).contains("matched multiple source rows"))
+  }
+
+  test("SELECT ... VERSION AS OF n reads the snapshot log through spark.sql") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-tt"))
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i.toLong, s"v$v")).toDF("id", "v"),
+        "gold", "tt_sql")
+    }
+    cat.register("gold", "tt_sql")
+    def countAt(v: Int): Long =
+      s.sql(s"SELECT count(*) AS c FROM gold.tt_sql VERSION AS OF $v")
+        .collect()(0).getLong(0)
+    assert(countAt(1) == 1 && countAt(2) == 2 && countAt(3) == 3)
+    // live read unaffected
+    assert(s.sql("SELECT count(*) AS c FROM gold.tt_sql")
+      .collect()(0).getLong(0) == 3)
+    // out-of-range version fails clearly
+    val ex = intercept[Exception] { countAt(9) }
+    assert(ex.getMessage.contains("out of range"))
+    cat.dropRegistration("gold", "tt_sql")
+  }
+
   test("MERGE into a temp view is rejected with a clear error") {
     val s = sqlSpark
     import s.implicits._
