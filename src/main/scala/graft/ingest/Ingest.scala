@@ -32,7 +32,8 @@ object Ingest {
 
   final case class IngestSpec(name: String, srcDir: String, dstDir: String,
       checkpointDir: String, schemaFile: String,
-      format: String = "parquet", options: Map[String, String] = Map.empty)
+      format: String = "parquet", options: Map[String, String] = Map.empty,
+      sourceFileCol: Option[String] = None)
 
   /** Infer-once-and-pin schema, like Auto Loader's schemaLocation
     * (Bronze_Layer.py:22). The pinned DDL never includes the rescue
@@ -180,8 +181,15 @@ object Ingest {
           .option("maxFilesPerTrigger", maxFilesPerTrigger)
           .load(spec.srcDir)
     }
+    // file provenance (Auto Loader's `_metadata.file_path` surface): which
+    // landed file produced each bronze row — the lineage hook audits and
+    // selective re-processing need
+    val withProv = spec.sourceFileCol match {
+      case Some(c) => stream.withColumn(c, col("_metadata.file_path"))
+      case None => stream
+    }
     val before = countIfExists(spark, spec.dstDir)
-    val q = stream.writeStream
+    val q = withProv.writeStream
       .format("parquet")
       .outputMode("append")
       .option("path", spec.dstDir)

@@ -356,7 +356,39 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination (the eval-set hygiene step of corpus
+    * curation): flag training documents sharing word n-grams with a
+    * benchmark/eval set. Benchmark here = `doc_id % 97 == 0` (~1% of the
+    * corpus, standing in for an external eval suite); a training doc is
+    * contaminated when ≥2 of its distinct 3-gram shingles appear in the
+    * benchmark shingle set (n and threshold are corpus-tuning knobs).
+    *
+    * Scale shape: the benchmark gram set is DISTINCT over a ~1% slice —
+    * orders of magnitude smaller than the corpus — so it broadcasts below
+    * the corpus-derived-build-side gate and degrades to a SHUFFLE_HASH
+    * equi-join on the gram above it ([[maybeBroadcast]], same 100 TB
+    * posture as the LSH joins). One shuffle for the per-doc overlap count;
+    * the n-gram explode is data-proportional. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isBench = col("doc_id") % 97 === 0
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(col("text")))).as("gram"))
+    val benchGrams = grams.filter(isBench).select("gram").distinct()
+    val nBenchDocs = docs.filter(isBench).count()
+    val overlap = grams.filter(!isBench)
+      .join(maybeBroadcast(benchGrams, nBenchDocs), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap")) // grams pre-distinct per doc
+    docs.filter(!isBench).select("doc_id", "lang")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated", (col("n_overlap") >= 2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_decontaminate"  -> (decontaminate _),
     "q32_dedup_exact"    -> (exact _),
     "q33_minhash_sig"    -> (minhashSignatures _),
     "q34_minhash_lsh"    -> (minhashLsh _),
@@ -391,6 +423,22 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q71_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram
+            FROM documents),
+          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          ov AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM g JOIN bench USING (gram)
+            WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+          SELECT d.doc_id, d.lang,
+            CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+            CASE WHEN coalesce(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END
+              AS is_contaminated
+          FROM documents d LEFT JOIN ov USING (doc_id)
+          WHERE d.doc_id % 97 <> 0
+          ORDER BY doc_id""",
     "q32_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
          COUNT(*) AS n_copies

@@ -108,6 +108,24 @@ class IngestSpecSuite extends SparkSuite {
     assert(pinned.fieldNames.toSeq == Seq("id", "status"))
   }
 
+  test("sourceFileCol records which landed file produced each bronze row") {
+    val root = tmpDir("graft-ingest-prov")
+    val src = s"$root/landing"
+    val spec = IngestSpec("events", src, s"$root/bronze/events",
+      s"$root/_cp/events", s"$root/_schemas/events.ddl",
+      sourceFileCol = Some("_source_file"))
+    Seq((1L, "click")).toDF("id", "etype").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    Seq((2L, "view")).toDF("id", "etype").write.mode("append").parquet(src)
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    val bronze = Ingest.readBronze(spark, spec.dstDir)
+    assert(bronze.columns.contains("_source_file"))
+    val files = bronze.select("id", "_source_file").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(files(1L) != files(2L), "rows from different files share provenance")
+    assert(files.values.forall(_.contains("landing")), s"bad paths: $files")
+  }
+
   test("csv ingest: schema-conforming rows parse, malformed rows are rescued") {
     val root = tmpDir("graft-ingest-csv")
     val src = new java.io.File(s"$root/landing"); src.mkdirs()
