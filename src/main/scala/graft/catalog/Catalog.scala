@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Lakehouse namespace: `layer.table` → path, with snapshot-semantics
   * overwrite (SURVEY.md §1.1).
@@ -57,6 +58,26 @@ class Catalog(spark: SparkSession, warehouse: String,
     if (cur == 0) Nil
     else (1 until cur).filter(v =>
       fs.exists(Catalog.versionDir(path(layer, table), v))) :+ cur
+  }
+
+  /** `DESCRIBE HISTORY` equivalent: one row per readable version with its
+    * commit time and physical footprint. Driver-side listing, bounded by
+    * `keepVersions` (file sizes are summed one directory level deep —
+    * partitioned snapshots report their top-level footprint). */
+  def history(layer: String, table: String): DataFrame = {
+    import spark.implicits._
+    val dir = path(layer, table)
+    val cur = currentVersion(layer, table)
+    val f = fs
+    listVersions(layer, table).map { v =>
+      val p = if (v == cur) new Path(dir) else Catalog.versionDir(dir, v)
+      val entries = f.listStatus(p)
+        .filterNot(s => s.getPath.getName.startsWith("_"))
+      (v, v == cur,
+        new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
+        entries.length, entries.map(_.getLen).sum)
+    }.toDF("version", "is_current", "snapshot_time", "num_entries",
+      "size_bytes").orderBy(col("version").desc)
   }
 
   /** The snapshot replaced by the most recent overwrite. */

@@ -108,6 +108,18 @@ object TextFunctions {
     when(size(ws) >= 3, s3).otherwise(array(trim(lower(text))))
   }
 
+  /** Word 2-gram shingles — same zip-of-shifted-slices shape as
+    * [[shingles3]] (see that doc for why NOT an indexed lambda); short
+    * docs fall back to the whole trimmed text. */
+  def shingles2(text: Column): Column = {
+    val ws = words(text)
+    val s2 = filter(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    when(size(ws) >= 2, s2).otherwise(array(trim(lower(text))))
+  }
+
   /** Polynomial rolling hash of one word's characters:
     * fold((acc * 31 + ascii(c)) mod 1e9+7). Pure integer arithmetic —
     * bit-identical across engines, unlike float/md5-prefix tricks. */

@@ -126,7 +126,34 @@ object TextQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals (quality filtering for LLM corpora):
+    * the fraction of a doc's word 2-grams taken by its MOST FREQUENT
+    * 2-gram (template/boilerplate detector) and the duplicate-word
+    * fraction (1 − distinct/total). Both as exact fractions floored at 1e-6
+    * so the DuckDB oracle hashes identically.
+    *
+    * Scale shape: the top-gram computation is explode → two-phase count
+    * (partial aggregation map-side) → per-doc max/sum — data-proportional,
+    * no per-doc quadratic work; the word-duplication signal is a pure
+    * Column expression on the tokenized array (evaluated once per row). */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val top = docs
+      .select(col("doc_id"), explode(shingles2(col("text"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_c"), sum(col("c")).as("n_g"))
+      .select(col("doc_id"),
+        (floor(col("max_c").cast("double") / col("n_g") * 1e6) / 1e6)
+          .as("top2_frac"))
+    val dupWords = docs.select(col("doc_id"),
+      (floor((lit(1.0) -
+        size(array_distinct(words(col("text")))).cast("double") /
+          size(words(col("text")))) * 1e6) / 1e6).as("dup_word_frac"))
+    top.join(dupWords, Seq("doc_id")).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_token_packing"     -> (tokenPacking _),
     "q27_text_stats"  -> (textStats _),
@@ -160,7 +187,27 @@ object TextQueries {
         WHEN ($frS) >= ($esS) THEN 'fr'
         ELSE 'es' END"""
 
+  private val grams2Sql =
+    s"""CASE WHEN len($wordsSql) >= 2
+        THEN list_transform(range(1, len($wordsSql)),
+               i -> array_to_string(($wordsSql)[i:i+1], ' '))
+        ELSE [trim(lower(text))] END"""
+
   val oracles: Map[String, String] = Map(
+    "q72_repetition" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest($grams2Sql) AS g FROM documents),
+          c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+          t AS (SELECT doc_id,
+                  floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000.0)
+                    / 1000000.0 AS top2_frac
+                FROM c GROUP BY 1),
+          w AS (SELECT doc_id,
+                  floor((1.0 - CAST(len(list_distinct($wordsSql)) AS DOUBLE)
+                    / len($wordsSql)) * 1000000.0) / 1000000.0 AS dup_word_frac
+                FROM documents)
+          SELECT t.doc_id, t.top2_frac, w.dup_word_frac
+          FROM t JOIN w USING (doc_id) ORDER BY doc_id""",
     // hash-based sampling is engine-independent: DuckDB replays the exact
     // md5 membership function (en 0.25→0x4000, zh 0.5→0x8000)
     "q58_stratified_sample" ->

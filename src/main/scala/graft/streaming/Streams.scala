@@ -201,6 +201,20 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup (at-least-once source → effectively-once
+    * output): `dropDuplicatesWithinWatermark` keys the state store by the
+    * id columns and drops re-deliveries arriving within the watermark
+    * delay. The watermark is what BOUNDS the dedup state — without it the
+    * key set grows forever; with it a key is evicted once event time
+    * passes, which is the property that keeps an unbounded 100 TB/day
+    * stream viable (late re-deliveries beyond the delay are a source SLA,
+    * not a state-size problem). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Threshold(user_id: Long, n_events: Long, crossed_at: Long)
 
   /** flatMapGroupsWithState — the 0-or-many-output stateful shape: emit a

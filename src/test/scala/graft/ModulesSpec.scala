@@ -99,6 +99,20 @@ class CatalogSpec extends SparkSuite {
     assert(cat.readVersion("gold", "tt", 2).count() == 2)
   }
 
+  test("history lists every readable version with commit time and footprint") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-hist"))
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i, s"v$v")).toDF("id", "v"),
+        "gold", "hist")
+    }
+    val h = cat.history("gold", "hist").collect()
+    assert(h.length == 3)
+    assert(h(0).getAs[Int]("version") == 3 && h(0).getAs[Boolean]("is_current"))
+    assert(h.count(_.getAs[Boolean]("is_current")) == 1)
+    assert(h.forall(_.getAs[Long]("size_bytes") > 0))
+    assert(h.forall(r => r.getAs[java.sql.Timestamp]("snapshot_time") != null))
+  }
+
   test("time travel: versions beyond the retention window are pruned") {
     val cat = new Catalog(spark, tmpDir("graft-wh-ret"), keepVersions = 2)
     (1 to 4).foreach { v =>

@@ -194,6 +194,42 @@ class StreamsSpec extends SparkSuite {
     assert(dim.filter(col("is_current")).count() == 21)
   }
 
+  test("streaming dedup: re-delivered events within the watermark are dropped across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-stream-dedup")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val out = s"$root/out"
+    def drain(): Unit = {
+      val q = Streams.dedupStream(
+        spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, v STRING")
+          .parquet(land.toString),
+        Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/_cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.toDF("event_id", "ts_s", "v")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("v"))
+    ev(Seq((1L, "2026-01-01 10:00:00", "a"), (2L, "2026-01-01 10:00:10", "b")))
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    // event 1 re-delivered (same id, within the watermark) + a new event 3
+    ev(Seq((1L, "2026-01-01 10:00:00", "a"), (3L, "2026-01-01 10:00:20", "c")))
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3, "re-delivered event was not deduped")
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
