@@ -169,7 +169,27 @@ object Similarity {
         .as("sum_scaled"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** int8 scalar quantization (the 4× memory/IO lever for 100 TB embedding
+    * stores — ANN probes scan int8 codes, exact re-rank fetches floats):
+    * per-vector symmetric scale 127/max|x|, q_i = floor(x_i·scale). Pure
+    * deterministic double arithmetic (left-fold max, floor — no
+    * banker's-rounding divergence across engines), codegen'd HOFs, arrays
+    * passed as lambda ARGUMENTS so the cast subtree evaluates once per row. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("mx",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q_scale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x * col("q_scale")).cast("int"))
+          .as("q_vec"),
+        (floor(col("q_scale") * 1e6) / 1e6).as("q_scale"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
     "q50_label_centroids" -> (labelCentroids _),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
@@ -190,6 +210,23 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q73_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_reduce(
+               list_prepend(0.0, list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))),
+               (a, b) -> greatest(a, b)) AS mx
+           FROM embeddings),
+         sc AS (
+           SELECT vec_id, v,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS q_scale
+           FROM s)
+         SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * q_scale) AS INTEGER)) AS q_vec,
+           floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
+         FROM sc ORDER BY vec_id""",
     "q50_label_centroids" ->
       // parallel unnests zip positionally in DuckDB (no WITH ORDINALITY in 1.0)
       """WITH x AS (

@@ -86,6 +86,23 @@ class PlanQualitySpec extends SparkSuite {
     assert(got == expected, "gated path changed the q34 result")
   }
 
+  test("q71: decontamination honors the cluster-scale gate, same result") {
+    spark.catalog.clearCache()
+    spark.conf.set("graft.dedup.broadcastMaxDocs", "0")
+    val got =
+      try {
+        val df = Dedup.decontaminate(spark, sfDir)
+        val r = df.collect().toSet
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ShuffledHashJoin"),
+          s"gated decontamination did not shuffle-hash-join:\n$p")
+        r
+      } finally spark.conf.unset("graft.dedup.broadcastMaxDocs")
+    spark.catalog.clearCache()
+    val expected = Dedup.decontaminate(spark, sfDir).collect().toSet
+    assert(got == expected, "gated path changed the q71 result")
+  }
+
   test("q56: orderBy+limit plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(Relational.shippingPriority(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
