@@ -188,7 +188,51 @@ object Similarity {
         (floor(col("q_scale") * 1e6) / 1e6).as("q_scale"))
       .orderBy("vec_id")
 
+  /** Quantized-scan ANN, composing [[quantizeInt8]] with exact re-rank:
+    * the coarse pass ranks every candidate by the INT8 code dot product
+    * (integer arithmetic over codes — at scale this scans a store 4×
+    * smaller than the floats, the point of quantization), keeps a 4k pool
+    * per query, and re-ranks the pool exactly on the float vectors. The
+    * approx score divides by only the CANDIDATE's scale — the query's own
+    * scale is constant per query group and cannot change its ranking. */
+  def annQuantized(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("mx",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("qscale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .withColumn("qv8",
+        transform(col("v"), x => floor(x * col("qscale")).cast("long")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2norm(col("embedding")).as("qn"), col("qv8").as("qq"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      l2norm(col("embedding")).as("cn"), col("qv8").as("cq"),
+      col("qscale").as("cscale"))
+    val idot = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val pool = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("approx",
+        when(col("cscale") > 0, idot.cast("double") / col("cscale"))
+          .otherwise(lit(0.0)))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    pool.withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= 4 * k)
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
     "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
     "q50_label_centroids" -> (labelCentroids _),
@@ -210,6 +254,48 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q74_ann_quantized" ->
+      s"""WITH s AS (
+            SELECT vec_id, embedding,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              list_reduce(
+                list_prepend(0.0, list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))),
+                (a, b) -> greatest(a, b)) AS mx
+            FROM embeddings),
+          e AS (
+            SELECT vec_id, embedding,
+              CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale,
+              list_transform(v, x -> CAST(floor(x *
+                (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)) AS BIGINT))
+                AS qv8
+            FROM s),
+          q AS (SELECT vec_id AS query_id, embedding AS qv, qv8 AS qq
+                FROM e WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id AS cand_id, embedding AS cv, qv8 AS cq,
+                       qscale AS cscale FROM e),
+          pool AS (
+            SELECT query_id, cand_id, qv, cv,
+              CASE WHEN cscale > 0 THEN
+                CAST(list_sum(list_transform(range(1, len(qq) + 1),
+                  i -> qq[i] * cq[i])) AS DOUBLE) / cscale
+              ELSE 0.0 END AS approx
+            FROM q JOIN c ON query_id <> cand_id),
+          cand AS (
+            SELECT query_id, cand_id, qv, cv,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx DESC, cand_id ASC) AS arn
+            FROM pool),
+          rer AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+            FROM cand WHERE arn <= 20),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM rer)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
+          ORDER BY query_id, rn""",
     "q73_quantize_int8" ->
       """WITH s AS (
            SELECT vec_id,
