@@ -123,6 +123,35 @@ class Catalog(spark: SparkSession, warehouse: String,
 
   def dropRegistration(layer: String, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $layer.$table")
+
+  /** Delta VACUUM's job for this layout: delete abandoned staging dirs
+    * (`.tmp`, `.tmp-merge` from a crashed swap), retired per-bucket
+    * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log
+    * entries that fell out of the retention window. Never touches the live
+    * snapshot, the pointer, or retained versions. Returns deleted paths. */
+  def vacuum(layer: String, table: String): Seq[String] = {
+    val base = path(layer, table)
+    val f = fs
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rm(p: Path): Unit =
+      if (f.exists(p)) { f.delete(p, true); deleted += p.toString }
+    rm(new Path(base + ".tmp"))
+    rm(new Path(base + ".tmp-merge"))
+    val tableDir = new Path(base)
+    if (f.exists(tableDir))
+      f.listStatus(tableDir).map(_.getPath)
+        .filter(_.getName.startsWith(".prev-")).foreach(rm)
+    val cur = currentVersion(layer, table)
+    val hist = Catalog.historyDir(base)
+    if (f.exists(hist))
+      f.listStatus(hist).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt <= cur - 1 - keepVersions
+        }.foreach(rm)
+    deleted.toSeq
+  }
 }
 
 object Catalog {

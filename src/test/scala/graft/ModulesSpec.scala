@@ -127,6 +127,30 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("vacuum removes staging leftovers and out-of-window versions, keeps live + retained") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-vac"), keepVersions = 1)
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i, s"v$v")).toDF("id", "v"),
+        "gold", "vac")
+    }
+    val base = cat.path("gold", "vac")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant crash leftovers: a staging dir, a bucket .prev- dir, and a
+    // version-log entry beyond the retention window
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + ".tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/.prev-gbucket=1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + ".history/v00001"))
+    val deleted = cat.vacuum("gold", "vac")
+    assert(deleted.exists(_.endsWith(".tmp")))
+    assert(deleted.exists(_.contains(".prev-gbucket=1")))
+    assert(deleted.exists(_.endsWith("v00001")))
+    // live snapshot + retained version untouched
+    assert(cat.read("gold", "vac").count() == 3)
+    assert(cat.currentVersion("gold", "vac") == 3)
+    assert(cat.readVersion("gold", "vac", 2).count() == 2)
+  }
+
   test("registered tables serve the NEW snapshot after an overwrite (relation cache refreshed)") {
     val cat = new Catalog(spark, tmpDir("graft-wh3"))
     cat.overwriteSnapshot(Seq((1, "x")).toDF("id", "v"), "gold", "dim_rf")
