@@ -89,6 +89,15 @@ object MergeIntoRunner {
   }
 
   def run(spark: SparkSession, m: MergeIntoTable): Unit = {
+    val (merged, dir, partCols, tableName) = lowered(spark, m)
+    graft.catalog.Catalog.overwritePath(spark, merged, dir, partCols)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** The lowering without the write-back — split out so plan-quality specs
+    * can assert the merged frame's physical shape. */
+  private[graft] def lowered(spark: SparkSession, m: MergeIntoTable)
+      : (org.apache.spark.sql.DataFrame, String, Seq[String], String) = {
     require(!m.withSchemaEvolution,
       "MERGE ... WITH SCHEMA EVOLUTION is not supported")
     val (nameParts, tAlias) = targetNameAndAlias(m.targetTable)
@@ -215,9 +224,8 @@ object MergeIntoRunner {
       .select(outCols.toSeq :+ keep.as(KEEP): _*)
       .filter(col(KEEP)).drop(KEEP)
 
-    graft.catalog.Catalog.overwritePath(spark, merged,
-      new org.apache.hadoop.fs.Path(locationUri).toString, partCols)
-    spark.catalog.refreshTable(tableName)
+    (merged, new org.apache.hadoop.fs.Path(locationUri).toString,
+      partCols, tableName)
   }
 
   private def unsupported(a: MergeAction): Nothing =

@@ -215,6 +215,53 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Dedup-on-ingest against the EXISTING corpus (the arrival-time half of
+    * corpus curation: never append a document whose content is already
+    * stored). Each micro-batch is reduced to one row per content hash
+    * (lowest `idCol` wins — deterministic), then LEFT ANTI joined against
+    * the corpus's persisted `content_hash` column; only novel rows append.
+    *
+    * Scale shape: the anti-join hash-partitions on the content hash; the
+    * corpus side is a column-pruned scan of ONE string column (not the
+    * documents themselves), and AQE broadcasts the batch when it measures
+    * small. The corpus table is append-only (bronze posture) — no
+    * snapshot rewrite, so ingest I/O is O(batch), not O(corpus). */
+  def appendNewDocs(
+      changes: DataFrame,
+      cat: graft.catalog.Catalog,
+      layer: String,
+      table: String,
+      contentCols: Seq[String],
+      idCol: String,
+      checkpoint: String): Unit = {
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash")).orderBy(col(idCol))
+        val batch = batch0
+          .withColumn("content_hash",
+            md5(concat_ws("|", contentCols.map(col): _*)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val novel =
+          if (!cat.exists(layer, table)) batch
+          else batch.join(
+            cat.read(layer, table).select("content_hash"),
+            Seq("content_hash"), "left_anti")
+        if (!novel.isEmpty) {
+          if (!cat.exists(layer, table))
+            cat.create(novel, layer, table)
+          else novel.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(cat.path(layer, table))
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   final case class Threshold(user_id: Long, n_events: Long, crossed_at: Long)
 
   /** flatMapGroupsWithState — the 0-or-many-output stateful shape: emit a

@@ -103,6 +103,33 @@ class PlanQualitySpec extends SparkSuite {
     assert(got == expected, "gated path changed the q71 result")
   }
 
+  test("MERGE lowering: equi ON guards on the source side, no per-target-row ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-merge-plan"))
+    cat.create(Seq((1L, "a")).toDF("id", "val"), "gold", "plan_eq")
+    cat.register("gold", "plan_eq")
+    Seq((1L, "x")).toDF("id", "val").createOrReplaceTempView("plan_eq_src")
+    def loweredPlan(on: String): String = {
+      val m = org.apache.spark.sql.GraftShims.parsePlan(spark, s"""
+        MERGE INTO gold.plan_eq t USING plan_eq_src s ON $on
+        WHEN MATCHED THEN UPDATE SET t.val = s.val
+      """).asInstanceOf[MergeIntoTable]
+      graft.sql.MergeIntoRunner.lowered(spark, m)._1
+        .queryExecution.executedPlan.toString
+    }
+    // equi ON: the guard is a pre-join source-key window — the merged plan
+    // must NOT pay a post-join full-width id window
+    val equi = loweredPlan("t.id = s.id")
+    assert(!equi.contains("monotonically_increasing_id"),
+      s"equi MERGE fell back to per-row-id guard:\n$equi")
+    // non-equi ON: the per-target-row fallback is required
+    val nonEqui = loweredPlan("t.id <= s.id")
+    assert(nonEqui.contains("monotonically_increasing_id"),
+      s"non-equi MERGE lost its cardinality guard:\n$nonEqui")
+    cat.dropRegistration("gold", "plan_eq")
+  }
+
   test("q56: orderBy+limit plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(Relational.shippingPriority(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),

@@ -194,6 +194,36 @@ class StreamsSpec extends SparkSuite {
     assert(dim.filter(col("is_current")).count() == 21)
   }
 
+  test("appendNewDocs: duplicate content never re-appends, in-batch or cross-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-ingest-dedup")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    def drain(): Unit = Streams.appendNewDocs(
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(land.toString),
+      cat, "bronze", "corpus", Seq("text"), "doc_id", s"$root/_cp")
+
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("bronze", "corpus").count() == 2)
+
+    // batch 2: doc 3 duplicates doc 1's content (cross-batch), doc 4 is
+    // new, doc 5 duplicates doc 4 IN the same batch
+    Seq((3L, "alpha"), (4L, "gamma"), (5L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val corpus = cat.read("bronze", "corpus")
+    assert(corpus.count() == 3, "duplicate content re-appended")
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // replay with nothing new: checkpoint makes it a no-op
+    drain()
+    assert(cat.read("bronze", "corpus").count() == 3)
+  }
+
   test("streaming dedup: re-delivered events within the watermark are dropped across runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
