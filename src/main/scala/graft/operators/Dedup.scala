@@ -236,9 +236,13 @@ object Dedup {
   /** N-gram (3-word shingle) Jaccard near-dup within blocking buckets
     * (lang + length decile) — blocking bounds the pair space the way a
     * 100 TB corpus requires. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.load(spark, dir, "documents"))
+
+  /** DataFrame-based form (composable from pipelines over any snapshot of
+    * the documents shape: doc_id, text, lang, n_chars). */
+  def ngramJaccardOf(d0: DataFrame): DataFrame = {
+    val d = d0.repartition(d0.sparkSession.sparkContext.defaultParallelism)
     // Inverted-index formulation: blocking on (lang, len_bucket) alone
     // admits every same-block pair (quadratic, almost all jaccard≈0); but
     // jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
@@ -283,11 +287,15 @@ object Dedup {
     * checks the convergence count, no data comes to the driver). Near-dup
     * clusters are dense, so diameter — and the round count — stays tiny.
     * Uses q37's shingle-Jaccard pairs as the edge set. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
-    val labels0 = Tables.load(spark, dir, "documents")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(Tables.load(spark, dir, "documents"))
+
+  /** DataFrame-based form for pipeline composition. */
+  def dedupClustersOf(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardOf(docs).select("doc_a", "doc_b")
+    val labels0 = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     connectedComponents(labels0, pairs)
       .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast("int"))
       .orderBy("doc_id")

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, TextQueries}
+
+/** End-to-end training-corpus curation over the medallion catalog — the
+  * LLM-data counterpart of [[Medallion]] (the engine's north star
+  * workload): each stage is a versioned snapshot table, so a re-run
+  * rolls the whole corpus forward atomically and every previous state
+  * stays time-travelable.
+  *
+  *   - `bronze.documents`     — raw corpus (what `Streams.appendNewDocs`
+  *                              lands incrementally);
+  *   - `silver.documents`     — annotated (quality, lang-ID, token count,
+  *                              content hash) and gated on quality/lang;
+  *   - `silver.documents_dedup` — exact-dup survivors (lowest id per
+  *                              content hash) minus near-dup cluster
+  *                              non-representatives (shingle-Jaccard →
+  *                              connected components);
+  *   - `gold.training_batches` — hash-stratified language mix, token-packed
+  *                              into fixed-budget batches.
+  *
+  * Scale posture: every stage is one declarative plan over the previous
+  * snapshot — annotations are codegen'd Column expressions; exact dedup is
+  * a key window (one shuffle on the content hash); near-dup is the banded
+  * inverted-index join + checkpointed label propagation from [[Dedup]];
+  * the mix is the engine-independent hash sampler; packing is one window
+  * per language partition. No driver-side data paths anywhere.
+  */
+class CorpusPipeline(spark: SparkSession, cat: Catalog,
+    minQuality: Double = 0.2,
+    sampleRates: Map[String, Double] = Map(
+      "en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
+    tokensPerBatch: Long = 2048L) {
+
+  def run(raw: DataFrame): DataFrame = {
+    cat.overwriteSnapshot(raw, "bronze", "documents")
+
+    val annotated = cat.read("bronze", "documents")
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("n_tokens", tokenCountWs(col("text")))
+      .withColumn("content_hash", md5(col("text")))
+    val gated = annotated
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    cat.overwriteSnapshot(gated, "silver", "documents")
+
+    val silver = cat.read("silver", "documents")
+    val exactSurvivors = silver
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val keepers = Dedup.dedupClustersOf(exactSurvivors)
+      .filter(col("is_kept") === 1).select("doc_id")
+    val deduped = exactSurvivors.join(keepers, Seq("doc_id"), "left_semi")
+    cat.overwriteSnapshot(deduped, "silver", "documents_dedup")
+
+    val mixed = TextQueries.hashStratifiedSample(
+      cat.read("silver", "documents_dedup"), "lang", "doc_id", sampleRates)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val packed = mixed
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id", floor(
+        (col("cum_tokens") - col("n_tokens")).cast("double") / tokensPerBatch)
+        .cast("long"))
+      .select("doc_id", "lang", "quality", "n_tokens", "batch_id")
+    cat.overwriteSnapshot(packed, "gold", "training_batches")
+    cat.read("gold", "training_batches")
+  }
+}

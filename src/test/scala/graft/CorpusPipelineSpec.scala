@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.pipeline.CorpusPipeline
+
+/** The curation pipeline's invariants over the fixture corpus: gating,
+  * exact + near-dup removal, stratified mix containment, packing bounds,
+  * and versioned idempotent re-runs. */
+class CorpusPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bronze→silver→dedup→gold invariants hold; re-run is idempotent and versioned") {
+    val cat = new Catalog(spark, tmpDir("graft-corpus"))
+    val pipe = new CorpusPipeline(spark, cat)
+    val raw = Tables.load(spark, sf0001, "documents")
+    val gold = pipe.run(raw)
+
+    val bronze = cat.read("bronze", "documents")
+    assert(bronze.count() == raw.count())
+
+    val silver = cat.read("silver", "documents")
+    assert(silver.count() > 0 && silver.count() <= bronze.count())
+    assert(silver.filter(col("quality") < 0.2).count() == 0)
+    assert(silver.filter(col("lang_pred") === "und").count() == 0)
+
+    val dedup = cat.read("silver", "documents_dedup")
+    assert(dedup.count() > 0 && dedup.count() <= silver.count())
+    // exact: one survivor per content hash
+    assert(dedup.select("content_hash").distinct().count() == dedup.count())
+
+    // gold ⊆ dedup; full-rate strata survive completely
+    val goldIds = gold.select("doc_id")
+    assert(goldIds.join(dedup.select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+    for (l <- Seq("de", "fr", "es"))
+      assert(gold.filter(col("lang") === l).count() ==
+        dedup.filter(col("lang") === l).count(), s"full-rate stratum $l cut")
+
+    // packing: within each (lang, batch) the tokens BEFORE each doc fit
+    // the budget (a batch closes once the cumulative budget is crossed)
+    val over = gold.withColumn("cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("batch_id") =!=
+        floor((col("cum") - col("n_tokens")).cast("double") / 2048.0).cast("long"))
+    assert(over.count() == 0, "batch assignment inconsistent with packing rule")
+
+    // re-run: same result, new version of every stage (collect run-1 rows
+    // BEFORE the swap retires its files)
+    val run1Rows = rowsOf(gold, "doc_id")
+    val run1Count = gold.count()
+    val gold2 = pipe.run(raw)
+    assert(rowsOf(gold2, "doc_id") == run1Rows)
+    assert(cat.currentVersion("gold", "training_batches") == 2)
+    assert(cat.readVersion("gold", "training_batches", 1).count() == run1Count)
+  }
+}
