@@ -277,7 +277,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 s"VERSION AS OF expects an integer version, got $ver"))
             val dir = graft.catalog.Catalog.resolveVersionPath(session,
               new org.apache.hadoop.fs.Path(uri).toString, v)
-            session.read.parquet(dir).queryExecution.analyzed
+            // alias-wrap so qualified references (`tbl.col`) still resolve
+            // against the substituted relation
+            SubqueryAlias(u.multipartIdentifier.last,
+              session.read.parquet(dir).queryExecution.analyzed)
           case None => tt
         }
     }

@@ -237,6 +237,10 @@ class MergeSqlSpec extends SparkSuite {
     // live read unaffected
     assert(s.sql("SELECT count(*) AS c FROM gold.tt_sql")
       .collect()(0).getLong(0) == 3)
+    // qualified references resolve against the substituted relation
+    assert(s.sql(
+      "SELECT tt_sql.id FROM gold.tt_sql VERSION AS OF 2 ORDER BY tt_sql.id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
     // out-of-range version fails clearly
     val ex = intercept[Exception] { countAt(9) }
     assert(ex.getMessage.contains("out of range"))
