@@ -263,30 +263,8 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
-  import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-
-  private def rewriteTimeTravel(plan: LogicalPlan): LogicalPlan =
-    plan.transformDown {
-      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
-        GraftShims.tableStorage(session, u.multipartIdentifier) match {
-          case Some((uri, _)) =>
-            require(ts.isEmpty,
-              "TIMESTAMP AS OF is not supported on graft tables; use VERSION AS OF <n>")
-            val v = ver.map(_.trim).filter(_.forall(_.isDigit)).map(_.toInt)
-              .getOrElse(throw new IllegalArgumentException(
-                s"VERSION AS OF expects an integer version, got $ver"))
-            val dir = graft.catalog.Catalog.resolveVersionPath(session,
-              new org.apache.hadoop.fs.Path(uri).toString, v)
-            // alias-wrap so qualified references (`tbl.col`) still resolve
-            // against the substituted relation
-            SubqueryAlias(u.multipartIdentifier.last,
-              session.read.parquet(dir).queryExecution.analyzed)
-          case None => tt
-        }
-    }
-
   private def wrap(plan: LogicalPlan): LogicalPlan =
-    rewriteTimeTravel(plan) match {
+    GraftSql.rewriteTimeTravel(session, plan) match {
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case other => other
     }
@@ -316,15 +294,55 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseDataType(sqlText)
 }
 
-/** MERGE entry point for sessions built WITHOUT the parser extension (a
-  * parser cannot be injected into an already-built `SessionState`): parses
-  * with the session's own parser and runs the same lowering `spark.sql`
-  * reaches through [[GraftSqlParser]]. */
+/** SQL entry points for sessions built WITHOUT the parser extension (a
+  * parser cannot be injected into an already-built `SessionState`): the
+  * same rewrites `spark.sql` reaches through [[GraftSqlParser]]. */
 object GraftSql {
+  import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+
+  /** `VERSION AS OF n` over a graft-registered table → the catalog's
+    * snapshot-log entry for that version. Non-graft tables pass through to
+    * Spark's own (v2-only) time-travel resolution. */
+  private[sql] def rewriteTimeTravel(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        GraftShims.tableStorage(session, u.multipartIdentifier) match {
+          case Some((uri, _)) =>
+            require(ts.isEmpty,
+              "TIMESTAMP AS OF is not supported on graft tables; use VERSION AS OF <n>")
+            val v = ver.map(_.trim).filter(_.forall(_.isDigit)).map(_.toInt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"VERSION AS OF expects an integer version, got $ver"))
+            val dir = graft.catalog.Catalog.resolveVersionPath(session,
+              new org.apache.hadoop.fs.Path(uri).toString, v)
+            // alias-wrap so qualified references (`tbl.col`) still resolve
+            // against the substituted relation
+            SubqueryAlias(u.multipartIdentifier.last,
+              session.read.parquet(dir).queryExecution.analyzed)
+          case None => tt
+        }
+    }
+
   def merge(spark: SparkSession, sqlText: String): Unit =
     GraftShims.parsePlan(spark, sqlText) match {
-      case m: MergeIntoTable => MergeIntoRunner.run(spark, m)
+      case m: MergeIntoTable =>
+        MergeIntoRunner.run(spark,
+          rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
       case other => throw new IllegalArgumentException(
         s"not a MERGE statement (parsed to ${other.nodeName})")
+    }
+
+  /** Universal entry: MERGE statements run through the graft lowering,
+    * `VERSION AS OF` resolves against the snapshot log, anything else is
+    * plain `spark.sql`. Gives extension-less sessions the full surface. */
+  def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    GraftShims.parsePlan(spark, sqlText) match {
+      case m: MergeIntoTable =>
+        MergeIntoRunner.run(spark,
+          rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
+        spark.emptyDataFrame
+      case other =>
+        GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))
     }
 }

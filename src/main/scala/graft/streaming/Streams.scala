@@ -155,7 +155,14 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // Transactional replay guard: foreachBatch re-delivers a batch when
+        // the previous attempt crashed between the merge and the sink
+        // commit. The marker (written AFTER the snapshot swap) makes the
+        // re-delivery a no-op; a crash between swap and marker falls back
+        // to the merge's own idempotence (same hash / not-newer sequence →
+        // no-op), so both orders are safe.
+        if (batchId > Streams.lastAppliedBatch(batch0.sparkSession, checkpoint)) {
         val batch = latestPerKey(batch0)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
@@ -196,9 +203,47 @@ object Streams {
             }
           }
         }
+        Streams.recordAppliedBatch(batch0.sparkSession, checkpoint, batchId)
+        }
       }
       .start()
     q.awaitTermination()
+  }
+
+  private def appliedMarker(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint, "__graft_last_applied")
+
+  /** Highest batchId whose merge COMPLETED (marker written post-swap);
+    * -1 when none. */
+  private[graft] def lastAppliedBatch(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): Long = {
+    val p = appliedMarker(checkpoint)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](32)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  private[graft] def recordAppliedBatch(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String,
+      batchId: Long): Unit = {
+    val p = appliedMarker(checkpoint)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+      "__graft_last_applied.tmp")
+    val out = f.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit batch marker $p")
   }
 
   /** Streaming exact dedup (at-least-once source → effectively-once

@@ -247,6 +247,30 @@ class MergeSqlSpec extends SparkSuite {
     cat.dropRegistration("gold", "tt_sql")
   }
 
+  test("GraftSql.sql gives extension-less sessions MERGE + VERSION AS OF + passthrough") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-sql-univ"))
+    (1 to 2).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i.toLong, s"v$v")).toDF("id", "v"),
+        "gold", "tt_plain")
+    }
+    cat.register("gold", "tt_plain")
+    // time travel through the universal entry on the PLAIN session
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS c FROM gold.tt_plain VERSION AS OF 1")
+      .collect()(0).getLong(0) == 1L)
+    // MERGE through the universal entry
+    Seq((1L, "patched")).toDF("id", "v").createOrReplaceTempView("univ_src")
+    GraftSql.sql(spark, """
+      MERGE INTO gold.tt_plain t USING univ_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+    """)
+    assert(cat.read("gold", "tt_plain")
+      .filter(col("id") === 1L).collect()(0).getAs[String]("v") == "patched")
+    // anything else passes through
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()(0).getInt(0) == 1)
+    cat.dropRegistration("gold", "tt_plain")
+  }
+
   test("MERGE into a temp view is rejected with a clear error") {
     val s = sqlSpark
     import s.implicits._

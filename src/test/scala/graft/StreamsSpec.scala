@@ -194,6 +194,37 @@ class StreamsSpec extends SparkSuite {
     assert(dim.filter(col("is_current")).count() == 21)
   }
 
+  test("CDC replay guard: batches at or below the applied marker are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-cdc-guard")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val fixedNow = to_timestamp(lit("2026-02-01 00:00:00"))
+    def drain(): Unit = Streams.applyChangesScd2(
+      spark.readStream
+        .schema("product_id BIGINT, brand STRING, price DOUBLE")
+        .parquet(land.toString),
+      cat, "product_dim_guard", Seq("product_id"), Seq("brand", "price"),
+      "product_skey", s"$root/_cp", fixedNow)
+
+    Seq((1L, "acme", 10.0)).toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("gold", "product_dim_guard").count() == 1)
+    assert(Streams.lastAppliedBatch(spark, s"$root/_cp") == 0L)
+
+    // simulate an already-applied marker from a crashed future attempt:
+    // the next delivered batch id (1) is <= marker → the merge must skip
+    Streams.recordAppliedBatch(spark, s"$root/_cp", 999L)
+    Seq((1L, "acme", 99.0)).toDF("product_id", "brand", "price")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val dim = cat.read("gold", "product_dim_guard")
+    assert(dim.count() == 1, "guarded batch still merged")
+    assert(dim.collect()(0).getAs[Double]("price") == 10.0)
+  }
+
   test("appendNewDocs: duplicate content never re-appends, in-batch or cross-batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
