@@ -52,12 +52,22 @@ class Catalog(spark: SparkSession, warehouse: String,
     spark.read.parquet(
       Catalog.resolveVersionPath(spark, path(layer, table), v))
 
-  /** Versions currently readable: the retained log entries + the live one. */
+  /** Versions currently readable: the retained log entries + the live one.
+    * One `listStatus` of the (bounded) history dir — NOT an existence
+    * probe per historical version number, which would grow with table age. */
   def listVersions(layer: String, table: String): Seq[Int] = {
     val cur = currentVersion(layer, table)
     if (cur == 0) Nil
-    else (1 until cur).filter(v =>
-      fs.exists(Catalog.versionDir(path(layer, table), v))) :+ cur
+    else {
+      val hist = Catalog.historyDir(path(layer, table))
+      val logged =
+        if (!fs.exists(hist)) Nil
+        else fs.listStatus(hist).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toInt).filter(_ < cur).sorted.toSeq
+      logged :+ cur
+    }
   }
 
   /** `DESCRIBE HISTORY` equivalent: one row per readable version with its
@@ -80,13 +90,20 @@ class Catalog(spark: SparkSession, warehouse: String,
       "size_bytes").orderBy(col("version").desc)
   }
 
-  /** The snapshot replaced by the most recent overwrite. */
-  def readPrevious(layer: String, table: String): DataFrame =
-    readVersion(layer, table, currentVersion(layer, table) - 1)
+  /** The snapshot replaced by the most recent overwrite. Falls back to the
+    * pre-version-log single-depth `.prev` layout so warehouses written by
+    * an older engine stay readable. */
+  def readPrevious(layer: String, table: String): DataFrame = {
+    val cur = currentVersion(layer, table)
+    if (cur > 1 && fs.exists(Catalog.versionDir(path(layer, table), cur - 1)))
+      readVersion(layer, table, cur - 1)
+    else spark.read.parquet(path(layer, table) + ".prev")
+  }
 
   def hasPrevious(layer: String, table: String): Boolean = {
     val cur = currentVersion(layer, table)
-    cur > 1 && fs.exists(Catalog.versionDir(path(layer, table), cur - 1))
+    (cur > 1 && fs.exists(Catalog.versionDir(path(layer, table), cur - 1))) ||
+      fs.exists(new Path(path(layer, table) + ".prev")) // legacy layout
   }
 
   /** First-load create (the reference's `saveAsTable` path,
@@ -143,13 +160,19 @@ class Catalog(spark: SparkSession, warehouse: String,
         .filter(_.getName.startsWith(".prev-")).foreach(rm)
     val cur = currentVersion(layer, table)
     val hist = Catalog.historyDir(base)
-    if (f.exists(hist))
+    if (f.exists(hist)) {
       f.listStatus(hist).map(_.getPath)
         .filter { p =>
           val n = p.getName
-          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) &&
             n.drop(1).toInt <= cur - 1 - keepVersions
         }.foreach(rm)
+      // a version log supersedes the legacy single-depth `.prev` dir —
+      // reclaim it (kept while no log exists: it is still the only
+      // previous-snapshot copy for old-layout warehouses)
+      rm(new Path(base + ".prev"))
+    }
     deleted.toSeq
   }
 }
@@ -236,9 +259,13 @@ object Catalog {
     if (!f.rename(tmp, dst))
       throw new IllegalStateException(s"snapshot swap failed for $dst")
     writePointer(f, dir, cur + 1)
-    // prune log entries that fell out of the retention window
-    (1 to cur - keepVersions).foreach { v =>
-      val old = versionDir(dir, v)
+    // Prune the ONE entry that just fell out of the retention window —
+    // every earlier commit pruned its own, so probing all version numbers
+    // from 1 would add FS round-trips that grow with table age (a
+    // per-micro-batch table reaches tens of thousands of commits). Entries
+    // orphaned by a lowered keepVersions are vacuum's job.
+    if (cur - keepVersions >= 1) {
+      val old = versionDir(dir, cur - keepVersions)
       if (f.exists(old)) f.delete(old, true)
     }
     // Cached relations (file lists) outlive the swap; without a refresh,

@@ -44,7 +44,7 @@ object Ingest {
       StructType.fromDDL(new String(
         java.nio.file.Files.readAllBytes(p.toPath), "UTF-8"))
     } else {
-      val covered = listDataFiles(spec.srcDir)
+      val covered = listDataFiles(spark, spec.srcDir)
       val s = inferSource(spark, spec)
       p.getParentFile.mkdirs()
       java.nio.file.Files.write(p.toPath, s.toDDL.getBytes("UTF-8"))
@@ -71,22 +71,28 @@ object Ingest {
   }
 
   /** Driver-side listing of data files under the landing dir (recursive,
-    * skipping hidden/metadata entries) — the same cheap listing the file
-    * stream source performs; used only to decide whether inference has any
-    * new files to look at. */
-  private def listDataFiles(srcDir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(srcDir)
-    if (!java.nio.file.Files.exists(root)) return Nil
+    * skipping hidden/metadata entries AND anything beneath a hidden or
+    * metadata directory — `_spark_metadata/0` is a sink manifest, not
+    * data) — the same cheap listing the file stream source performs; used
+    * only to decide whether inference has any new files to look at.
+    * Hadoop `FileSystem`, not java.nio: the landing dir is hdfs://, s3a://
+    * or abfss:// in the 100 TB posture, where a local-FS walk would list
+    * nothing and silently disable evolution. */
+  private def listDataFiles(spark: SparkSession, srcDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.forEach { p =>
-        val n = p.getFileName.toString
-        if (java.nio.file.Files.isRegularFile(p) &&
-            !n.startsWith("_") && !n.startsWith("."))
-          out += p.toString
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (!hidden(n)) {
+          if (st.isDirectory) walk(st.getPath)
+          else out += st.getPath.toString
+        }
       }
-    } finally stream.close()
+    walk(root)
     out.toSeq.sorted
   }
 
@@ -133,7 +139,7 @@ object Ingest {
   def evolvedSchema(spark: SparkSession, spec: IngestSpec): StructType = {
     val pinned = pinnedSchema(spark, spec)
     val seen = readManifest(spec)
-    val files = listDataFiles(spec.srcDir)
+    val files = listDataFiles(spark, spec.srcDir)
     val fresh = files.filterNot(seen)
     if (fresh.isEmpty) return pinned
     val incoming = inferSource(spark, spec, fresh)
@@ -145,15 +151,21 @@ object Ingest {
     val newCols = incoming.fields
       .filterNot(f => known(f.name))
       .map(_.copy(nullable = true))
+    // Order matters: the evolved DDL commits BEFORE the manifest. A crash
+    // between the two merely re-infers the same files next run; the
+    // opposite order would mark the files seen with their new columns
+    // never recorded — lost forever.
+    val result =
+      if (newCols.isEmpty) pinned
+      else {
+        val evolved = StructType(pinned.fields ++ newCols)
+        java.nio.file.Files.write(
+          new java.io.File(spec.schemaFile).toPath,
+          evolved.toDDL.getBytes("UTF-8"))
+        evolved
+      }
     writeManifest(spec, seen ++ fresh)
-    if (newCols.isEmpty) pinned
-    else {
-      val evolved = StructType(pinned.fields ++ newCols)
-      java.nio.file.Files.write(
-        new java.io.File(spec.schemaFile).toPath,
-        evolved.toDDL.getBytes("UTF-8"))
-      evolved
-    }
+    result
   }
 
   /** One checkpointed drain of available files into the bronze layer

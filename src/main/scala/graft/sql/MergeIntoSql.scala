@@ -329,18 +329,25 @@ object GraftSql {
       case m: MergeIntoTable =>
         MergeIntoRunner.run(spark,
           rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
+      // a session built WITH the parser extension already wrapped it
+      case c: GraftMergeIntoCommand => MergeIntoRunner.run(spark, c.merge)
       case other => throw new IllegalArgumentException(
         s"not a MERGE statement (parsed to ${other.nodeName})")
     }
 
   /** Universal entry: MERGE statements run through the graft lowering,
     * `VERSION AS OF` resolves against the snapshot log, anything else is
-    * plain `spark.sql`. Gives extension-less sessions the full surface. */
+    * plain `spark.sql`. Gives extension-less sessions the full surface
+    * (and stays correct on extension sessions, whose parser has already
+    * wrapped MERGE / rewritten time travel). */
   def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
     GraftShims.parsePlan(spark, sqlText) match {
       case m: MergeIntoTable =>
         MergeIntoRunner.run(spark,
           rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
+        spark.emptyDataFrame
+      case c: GraftMergeIntoCommand =>
+        MergeIntoRunner.run(spark, c.merge)
         spark.emptyDataFrame
       case other =>
         GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))

@@ -286,9 +286,16 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("content_hash")).orderBy(col(idCol))
+        // NOT md5(concat_ws("|", cols)): concat_ws silently skips NULLs and
+        // a "|" inside a value is injectable — ("x|y","z") and ("x","y|z")
+        // would collide and one distinct document would be dropped forever.
+        // Hashing each column to a FIXED-WIDTH digest first makes the
+        // concatenation unambiguous with no separator to inject.
         val batch = batch0
           .withColumn("content_hash",
-            md5(concat_ws("|", contentCols.map(col): _*)))
+            sha2(concat(contentCols.map(c =>
+              md5(coalesce(col(c).cast("string"),
+                lit(graft.merge.MergeEngine.NullMark)))): _*), 256))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val novel =

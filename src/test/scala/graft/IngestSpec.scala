@@ -108,6 +108,24 @@ class IngestSpecSuite extends SparkSuite {
     assert(pinned.fieldNames.toSeq == Seq("id", "status"))
   }
 
+  test("schema evolution ignores files under hidden/metadata directories") {
+    val root = tmpDir("graft-ingest-hiddendir")
+    val src = s"$root/landing"
+    val spec = IngestSpec("events", src, s"$root/bronze/events",
+      s"$root/_cp/events", s"$root/_schemas/events.ddl")
+    Seq((1L, "click")).toDF("id", "etype").write.mode("append").parquet(src)
+    // metadata lives under hidden dirs whose LEAF names look like data
+    // files (a sink's _spark_metadata/0, a writer's .staging/part-...) —
+    // the manifest listing must skip the whole subtree, not just hidden
+    // leaf names, or inference chokes on non-parquet bytes
+    val staging = new java.io.File(s"$src/.staging"); staging.mkdirs()
+    java.nio.file.Files.write(new java.io.File(staging, "part-0").toPath,
+      "not parquet".getBytes("UTF-8"))
+    assert(Ingest.runOnce(spark, spec) == 1L)
+    assert(Ingest.evolvedSchema(spark, spec).fieldNames.toSeq ==
+      Seq("id", "etype"))
+  }
+
   test("sourceFileCol records which landed file produced each bronze row") {
     val root = tmpDir("graft-ingest-prov")
     val src = s"$root/landing"

@@ -127,6 +127,27 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("legacy single-depth .prev layout stays readable; vacuum reclaims it once a log exists") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-legacy"))
+    // simulate a warehouse written by the pre-version-log engine: a live
+    // snapshot + a bare .prev dir, no history
+    Seq((1, "new"), (2, "new")).toDF("id", "v")
+      .write.parquet(cat.path("silver", "legacy"))
+    Seq((1, "old")).toDF("id", "v")
+      .write.parquet(cat.path("silver", "legacy") + ".prev")
+    assert(cat.hasPrevious("silver", "legacy"))
+    assert(cat.readPrevious("silver", "legacy").count() == 1)
+    // no version log yet → vacuum must NOT delete the only previous copy
+    cat.vacuum("silver", "legacy")
+    assert(cat.hasPrevious("silver", "legacy"))
+    // a new-protocol overwrite starts the log; .prev is then superseded
+    cat.overwriteSnapshot(Seq((1, "newer")).toDF("id", "v"), "silver", "legacy")
+    assert(cat.readPrevious("silver", "legacy").count() == 2) // from the log
+    val deleted = cat.vacuum("silver", "legacy")
+    assert(deleted.exists(_.endsWith(".prev")), "superseded .prev not reclaimed")
+    assert(cat.hasPrevious("silver", "legacy")) // the log still serves v1
+  }
+
   test("vacuum removes staging leftovers and out-of-window versions, keeps live + retained") {
     val cat = new Catalog(spark, tmpDir("graft-wh-vac"), keepVersions = 1)
     (1 to 3).foreach { v =>
