@@ -123,4 +123,53 @@ class MergeProps extends SparkSuite {
       assert(curKeys == t.keySet ++ s.keySet)
     }
   }
+
+  test("SQL MERGE surface equals MergeEngine.scd1 on random target/source") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("mprop-sql"))
+    cases(4).zipWithIndex.foreach { case ((t, s), i) =>
+      val table = s"prop_merge_$i"
+      val target = mkDim(t)
+      cat.create(target, "gold", table)
+      cat.dropRegistration("gold", table)
+      cat.register("gold", table)
+      val source0 = s.toSeq.toDF("customer_id", "name")
+        .withColumn("hash_value", MergeEngine.nullSafeHash(Seq(col("name"))))
+      // insert skeys precomputed as scd1 assigns them: max target skey +
+      // row_number over new keys in key order (the q70 convention)
+      val maxSkey = target.agg(
+        coalesce(max(col("customer_skey")), lit(0L)).as("__max"))
+      val newKeys = source0
+        .join(target.select("customer_id"), Seq("customer_id"), "left_anti")
+        .select("customer_id").crossJoin(broadcast(maxSkey))
+        .withColumn("customer_skey", col("__max") + row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("customer_id")))
+        .select("customer_id", "customer_skey")
+      source0.join(newKeys, Seq("customer_id"), "left")
+        .createOrReplaceTempView(s"prop_merge_src_$i")
+
+      graft.sql.GraftSql.merge(spark, s"""
+        MERGE INTO gold.$table AS target
+        USING prop_merge_src_$i AS source
+        ON target.customer_id = source.customer_id
+        WHEN MATCHED AND (target.hash_value != source.hash_value) THEN
+          UPDATE SET
+            target.name = source.name,
+            target.updated_date = TIMESTAMP'2026-01-01 00:00:00',
+            target.change_type = 'U',
+            target.hash_value = source.hash_value
+        WHEN NOT MATCHED THEN
+          INSERT (customer_skey, customer_id, name, created_date, updated_date, change_type, hash_value)
+          VALUES (source.customer_skey, source.customer_id, source.name, TIMESTAMP'2026-01-01 00:00:00', TIMESTAMP'2026-01-01 00:00:00', 'I', source.hash_value)
+      """)
+
+      val expected = MergeEngine.scd1(mkDim(t),
+        s.toSeq.toDF("customer_id", "name"),
+        Seq("customer_id"), Seq("name"), "customer_skey", t1)
+      val cols = expected.columns.toSeq
+      val got = cat.read("gold", table).select(cols.map(col): _*)
+      assert(rowsOf(got, "customer_id") == rowsOf(expected, "customer_id"),
+        s"SQL merge != engine for target=$t source=$s")
+      cat.dropRegistration("gold", table)
+    }
+  }
 }
