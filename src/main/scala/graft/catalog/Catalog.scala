@@ -73,21 +73,14 @@ class Catalog(spark: SparkSession, warehouse: String,
   /** `DESCRIBE HISTORY` equivalent: one row per readable version with its
     * commit time and physical footprint. Driver-side listing, bounded by
     * `keepVersions` (file sizes are summed one directory level deep —
-    * partitioned snapshots report their top-level footprint). */
+    * partitioned snapshots report their top-level footprint). The SQL
+    * surface (`DESCRIBE HISTORY <table>` via graft.sql) shares
+    * [[Catalog.historyRows]]. */
   def history(layer: String, table: String): DataFrame = {
     import spark.implicits._
-    val dir = path(layer, table)
-    val cur = currentVersion(layer, table)
-    val f = fs
-    listVersions(layer, table).map { v =>
-      val p = if (v == cur) new Path(dir) else Catalog.versionDir(dir, v)
-      val entries = f.listStatus(p)
-        .filterNot(s => s.getPath.getName.startsWith("_"))
-      (v, v == cur,
-        new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
-        entries.length, entries.map(_.getLen).sum)
-    }.toDF("version", "is_current", "snapshot_time", "num_entries",
-      "size_bytes").orderBy(col("version").desc)
+    Catalog.historyRows(spark, path(layer, table))
+      .toDF("version", "is_current", "snapshot_time", "num_entries",
+        "size_bytes").orderBy(col("version").desc)
   }
 
   /** The snapshot replaced by the most recent overwrite. Falls back to the
@@ -211,6 +204,32 @@ object Catalog {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"could not commit version pointer $p")
+  }
+
+  /** Per-version (version, is_current, commit time, entry count, bytes)
+    * rows for a table directory — the computation behind both
+    * [[Catalog!.history]] and the SQL `DESCRIBE HISTORY` command. */
+  def historyRows(spark: SparkSession, dir: String)
+      : Seq[(Int, Boolean, java.sql.Timestamp, Int, Long)] = {
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readPointer(f, dir)
+    if (cur == 0) return Nil
+    val hist = historyDir(dir)
+    val logged =
+      if (!f.exists(hist)) Nil
+      else f.listStatus(hist).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toInt).filter(_ < cur).sorted.toSeq
+    (logged :+ cur).map { v =>
+      val p = if (v == cur) root else versionDir(dir, v)
+      val entries = f.listStatus(p)
+        .filterNot(s => s.getPath.getName.startsWith("_"))
+      (v, v == cur,
+        new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
+        entries.length, entries.map(_.getLen).sum)
+    }
   }
 
   /** Resolve a version number to its snapshot directory (live dir for the

@@ -254,12 +254,40 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
   }
 }
 
+/** `DESCRIBE HISTORY <table>` — Delta's syntax, unknown to Spark's
+  * grammar, so it is intercepted as text before delegation. One row per
+  * readable version of the snapshot log, newest first. */
+case class GraftDescribeHistoryCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("is_current", BooleanType, nullable = false)(),
+      AttributeReference("snapshot_time", TimestampType)(),
+      AttributeReference("num_entries", IntegerType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (uri, _) = GraftShims.tableStorage(spark, nameParts).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE HISTORY target ${nameParts.mkString(".")} must be a " +
+          "catalog table with a storage location"))
+    graft.catalog.Catalog.historyRows(spark,
+      new org.apache.hadoop.fs.Path(uri).toString)
+      .sortBy(-_._1)
+      .map { case (v, cur, ts, n, sz) => Row(v, cur, ts, n, sz) }
+  }
+}
+
 /** Delegating parser: everything is the session's own parser, except
   *  - a parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution;
   *  - `VERSION AS OF n` over a graft-registered parquet table resolves to
   *    the catalog's snapshot-log entry (Spark only supports time travel for
   *    v2 merge-capable catalogs). Tables that aren't ours pass through to
-  *    Spark's own resolution.
+  *    Spark's own resolution;
+  *  - `DESCRIBE HISTORY <table>` (not in Spark's grammar) lists the
+  *    snapshot log.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -268,11 +296,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case other => other
     }
+  private def parseOrIntercept(sqlText: String,
+      parse: String => LogicalPlan): LogicalPlan =
+    sqlText match {
+      case GraftSql.DescribeHistoryRe(ident) =>
+        GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case _ => wrap(parse(sqlText))
+    }
   override def parsePlan(sqlText: String): LogicalPlan =
-    wrap(delegate.parsePlan(sqlText))
+    parseOrIntercept(sqlText, delegate.parsePlan)
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    wrap(delegate.parsePlanWithParameters(sqlText, ctx))
+    parseOrIntercept(sqlText, delegate.parsePlanWithParameters(_, ctx))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -299,6 +334,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * same rewrites `spark.sql` reaches through [[GraftSqlParser]]. */
 object GraftSql {
   import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+
+  /** Anchored full-statement match so a string literal mentioning
+    * "DESCRIBE HISTORY" can never trigger the interception. */
+  private[sql] val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
   /** `VERSION AS OF n` over a graft-registered table → the catalog's
     * snapshot-log entry for that version. Non-graft tables pass through to
@@ -341,15 +381,21 @@ object GraftSql {
     * (and stays correct on extension sessions, whose parser has already
     * wrapped MERGE / rewritten time travel). */
   def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
-    GraftShims.parsePlan(spark, sqlText) match {
-      case m: MergeIntoTable =>
-        MergeIntoRunner.run(spark,
-          rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
-        spark.emptyDataFrame
-      case c: GraftMergeIntoCommand =>
-        MergeIntoRunner.run(spark, c.merge)
-        spark.emptyDataFrame
-      case other =>
-        GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))
+    sqlText match {
+      case DescribeHistoryRe(ident) =>
+        val parts = ident.split('.').toSeq
+          .map(_.stripPrefix("`").stripSuffix("`"))
+        GraftShims.ofRows(spark, GraftDescribeHistoryCommand(parts))
+      case _ => GraftShims.parsePlan(spark, sqlText) match {
+        case m: MergeIntoTable =>
+          MergeIntoRunner.run(spark,
+            rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])
+          spark.emptyDataFrame
+        case c: GraftMergeIntoCommand =>
+          MergeIntoRunner.run(spark, c.merge)
+          spark.emptyDataFrame
+        case other =>
+          GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))
+      }
     }
 }

@@ -268,7 +268,32 @@ class MergeSqlSpec extends SparkSuite {
       .filter(col("id") === 1L).collect()(0).getAs[String]("v") == "patched")
     // anything else passes through
     assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()(0).getInt(0) == 1)
+
+    // DESCRIBE HISTORY (Delta syntax, not in Spark's grammar) lists the log
+    val h = GraftSql.sql(spark, "DESCRIBE HISTORY gold.tt_plain").collect()
+    assert(h.length >= 2, s"expected 2+ versions, got ${h.length}")
+    assert(h(0).getAs[Int]("version") > h.last.getAs[Int]("version"))
+    assert(h(0).getAs[Boolean]("is_current"))
+    assert(h.forall(_.getAs[Long]("size_bytes") > 0))
     cat.dropRegistration("gold", "tt_plain")
+  }
+
+  test("DESCRIBE HISTORY through spark.sql on the extension session") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-dh"))
+    (1 to 2).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i.toLong, s"v$v")).toDF("id", "v"),
+        "gold", "dh_ext")
+    }
+    cat.register("gold", "dh_ext")
+    val h = s.sql("DESCRIBE HISTORY gold.dh_ext").collect()
+    assert(h.length == 2 && h(0).getAs[Int]("version") == 2)
+    assert(h(0).getAs[Boolean]("is_current") && !h(1).getAs[Boolean]("is_current"))
+    // a string literal mentioning the phrase must NOT trigger interception
+    assert(s.sql("SELECT 'DESCRIBE HISTORY x' AS t").collect()(0)
+      .getString(0).startsWith("DESCRIBE"))
+    cat.dropRegistration("gold", "dh_ext")
   }
 
   test("MERGE into a temp view is rejected with a clear error") {
