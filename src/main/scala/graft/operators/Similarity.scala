@@ -174,7 +174,9 @@ object Similarity {
     * per-vector symmetric scale 127/max|x|, q_i = floor(x_i·scale). Pure
     * deterministic double arithmetic (left-fold max, floor — no
     * banker's-rounding divergence across engines), codegen'd HOFs, arrays
-    * passed as lambda ARGUMENTS so the cast subtree evaluates once per row. */
+    * passed as lambda ARGUMENTS so the cast subtree evaluates once per row.
+    * q_vec is rendered as a comma-joined string (exact ints — lossless):
+    * harness row-sorters choke on array columns (q62 precedent). */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", transform(col("embedding"), _.cast("double")))
@@ -183,7 +185,8 @@ object Similarity {
       .withColumn("q_scale",
         when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
       .select(col("vec_id"),
-        transform(col("v"), x => floor(x * col("q_scale")).cast("int"))
+        array_join(transform(col("v"),
+          x => floor(x * col("q_scale")).cast("int").cast("string")), ",")
           .as("q_vec"),
         (floor(col("q_scale") * 1e6) / 1e6).as("q_scale"))
       .orderBy("vec_id")
@@ -310,7 +313,9 @@ object Similarity {
              CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS q_scale
            FROM s)
          SELECT vec_id,
-           list_transform(v, x -> CAST(floor(x * q_scale) AS INTEGER)) AS q_vec,
+           array_to_string(list_transform(v,
+             x -> CAST(CAST(floor(x * q_scale) AS INTEGER) AS VARCHAR)), ',')
+             AS q_vec,
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
     "q50_label_centroids" ->
