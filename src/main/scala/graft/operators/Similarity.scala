@@ -71,17 +71,39 @@ object Similarity {
     (0 until bits).map(i =>
       when(v.getItem(i) > 0.0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
 
+  /** Join-strategy gate for CORPUS-DERIVED join sides (the probe set, a
+    * bucketed self-join side): these scale with the corpus, so
+    * `broadcast()` is only valid while the corpus is known small. Below
+    * the size threshold (conf `graft.ann.broadcastMaxBytes`, default
+    * 256 MB) the side broadcasts — the fixture/single-node fast path that
+    * avoids shuffling the (much larger) streamed side. Above it — the
+    * 100 TB posture — the join degrades to an explicit SHUFFLE_HASH
+    * equi-join on the bucket key: both sides hash-partition, no sort, no
+    * driver-sized build. Same posture as [[Dedup]]'s corpus-derived
+    * builds, but the signal is Catalyst's own relation size estimate
+    * (file-size stats) — a driver-side metadata read, zero extra jobs. */
+  private def maybeBroadcast(df: DataFrame, estBytes: BigInt): DataFrame = {
+    val maxBytes = BigInt(df.sparkSession.conf
+      .get("graft.ann.broadcastMaxBytes", (256L << 20).toString))
+    if (estBytes <= maxBytes) broadcast(df) else df.hint("SHUFFLE_HASH")
+  }
+
   /** LSH-bucketed approximate top-k: queries probe only their own sign
-    * bucket (16 buckets over 4 hyperplanes). */
+    * bucket (16 buckets over 4 hyperplanes). The probe side (1% of the
+    * corpus by construction) goes through the broadcast gate: tiny probe
+    * sets broadcast (the join then streams the corpus with NO shuffle of
+    * the big side), corpus-scale probe sets degrade to SHUFFLE_HASH. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signBucket(col("embedding"), 4))
+    // probe set is 1% of the corpus by construction (vec_id % 100)
+    val probeBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes / 100
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("bucket"), col("vec_id").as("query_id"),
         col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
     val c = e.select(col("bucket"), col("vec_id").as("cand_id"),
       col("embedding").as("cv"), l2norm(col("embedding")).as("cn"))
-    val scored = q.join(c, Seq("bucket"))
+    val scored = maybeBroadcast(q, probeBytes).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
@@ -142,11 +164,12 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signBucket(col("embedding"), 8))
+    val corpusBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), l2norm(col("embedding")).as("na"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("vb"), l2norm(col("embedding")).as("nb"))
-    a.join(b, Seq("bucket"))
+    maybeBroadcast(a, corpusBytes).join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) /
         (col("na") * col("nb")), 6))

@@ -103,6 +103,34 @@ class PlanQualitySpec extends SparkSuite {
     assert(got == expected, "gated path changed the q71 result")
   }
 
+  test("q40/q41: ANN probe broadcast honors the cluster-scale gate, same result") {
+    import graft.operators.Similarity
+    // gated path first from a clean cache (same reasoning as the q34 test)
+    spark.catalog.clearCache()
+    spark.conf.set("graft.ann.broadcastMaxBytes", "0")
+    val (gotLsh, gotDup) =
+      try {
+        val lsh = Similarity.annLsh(spark, sfDir)
+        val rLsh = lsh.collect().toSet
+        val pLsh = lsh.queryExecution.executedPlan.toString
+        assert(pLsh.contains("ShuffledHashJoin"),
+          s"gated ANN probe did not shuffle-hash-join:\n$pLsh")
+        assert(!pLsh.contains("BroadcastHashJoin"),
+          s"corpus-derived probe set still broadcast under the gate:\n$pLsh")
+        val dup = Similarity.embeddingNearDup(spark, sfDir)
+        val rDup = dup.collect().toSet
+        val pDup = dup.queryExecution.executedPlan.toString
+        assert(pDup.contains("ShuffledHashJoin"),
+          s"gated near-dup self-join did not shuffle-hash-join:\n$pDup")
+        (rLsh, rDup)
+      } finally spark.conf.unset("graft.ann.broadcastMaxBytes")
+    spark.catalog.clearCache()
+    assert(gotLsh == Similarity.annLsh(spark, sfDir).collect().toSet,
+      "gated path changed the q40 result")
+    assert(gotDup == Similarity.embeddingNearDup(spark, sfDir).collect().toSet,
+      "gated path changed the q41 result")
+  }
+
   test("MERGE lowering: equi ON guards on the source side, no per-target-row ids") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
