@@ -52,6 +52,13 @@ class Catalog(spark: SparkSession, warehouse: String,
     spark.read.parquet(
       Catalog.resolveVersionPath(spark, path(layer, table), v))
 
+  /** Timestamp-addressed read (Delta `TIMESTAMP AS OF`): the newest version
+    * committed at or before `ts`. */
+  def readTimestamp(layer: String, table: String, ts: java.sql.Timestamp)
+      : DataFrame =
+    spark.read.parquet(
+      Catalog.resolveTimestampPath(spark, path(layer, table), ts.getTime))
+
   /** Versions currently readable: the retained log entries + the live one.
     * One `listStatus` of the (bounded) history dir — NOT an existence
     * probe per historical version number, which would grow with table age. */
@@ -246,6 +253,27 @@ object Catalog {
       require(f.exists(p), s"version $v of $dir was pruned from the log")
       p.toString
     }
+  }
+
+  /** Resolve a commit timestamp to a snapshot directory: the NEWEST version
+    * whose commit time is ≤ `millis` (Delta's `TIMESTAMP AS OF` rule). A
+    * timestamp at or past the latest commit reads the live snapshot; one
+    * before the earliest RETAINED commit raises (that state is no longer
+    * reconstructible — same contract as a pruned `VERSION AS OF`). Commit
+    * times are the per-version times `historyRows` reports: a snapshot
+    * directory's files are written once and the directory is only ever
+    * renamed afterwards, so its modification time is the write time of
+    * that version — the swap never rewrites retired data. */
+  def resolveTimestampPath(spark: SparkSession, dir: String, millis: Long)
+      : String = {
+    val rows = historyRows(spark, dir)
+    require(rows.nonEmpty, s"table $dir does not exist")
+    val eligible = rows.filter(_._3.getTime <= millis)
+    require(eligible.nonEmpty,
+      s"timestamp ${new java.sql.Timestamp(millis)} is before the earliest " +
+        "retained version of " + dir + " (earliest commit: " +
+        new java.sql.Timestamp(rows.map(_._3.getTime).min) + ")")
+    resolveVersionPath(spark, dir, eligible.map(_._1).max)
   }
 
   /** The swap protocol on a raw table directory (shared by the layer.table

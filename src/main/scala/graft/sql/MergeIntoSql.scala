@@ -282,10 +282,10 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
 
 /** Delegating parser: everything is the session's own parser, except
   *  - a parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution;
-  *  - `VERSION AS OF n` over a graft-registered parquet table resolves to
-  *    the catalog's snapshot-log entry (Spark only supports time travel for
-  *    v2 merge-capable catalogs). Tables that aren't ours pass through to
-  *    Spark's own resolution;
+  *  - `VERSION AS OF n` / `TIMESTAMP AS OF ts` over a graft-registered
+  *    parquet table resolve to the catalog's snapshot-log entry (Spark only
+  *    supports time travel for v2 merge-capable catalogs). Tables that
+  *    aren't ours pass through to Spark's own resolution;
   *  - `DESCRIBE HISTORY <table>` (not in Spark's grammar) lists the
   *    snapshot log.
   */
@@ -340,22 +340,44 @@ object GraftSql {
   private[sql] val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
-  /** `VERSION AS OF n` over a graft-registered table → the catalog's
-    * snapshot-log entry for that version. Non-graft tables pass through to
-    * Spark's own (v2-only) time-travel resolution. */
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis. The grammar
+    * admits any expression (`'2024-01-01'`, `now() - INTERVAL 1 DAY`); it is
+    * constant with respect to the query, so it is evaluated once driver-side
+    * through a one-row local plan — the same eager resolution Delta applies.
+    * Session time zone governs string→timestamp interpretation. */
+  private def evalTimestampMillis(session: SparkSession, e: Expression): Long = {
+    val row = session.range(1)
+      .select(GraftShims.column(e).cast("timestamp").as("__graft_tt_ts"))
+      .collect()(0)
+    require(!row.isNullAt(0),
+      s"TIMESTAMP AS OF expression ${e.sql} did not evaluate to a timestamp")
+    row.getTimestamp(0).getTime
+  }
+
+  /** `VERSION AS OF n` / `TIMESTAMP AS OF ts` over a graft-registered table
+    * → the catalog's snapshot-log entry (for a timestamp: the newest version
+    * committed at or before it — Delta's rule). Non-graft tables pass
+    * through to Spark's own (v2-only) time-travel resolution. */
   private[sql] def rewriteTimeTravel(session: SparkSession,
       plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
         GraftShims.tableStorage(session, u.multipartIdentifier) match {
           case Some((uri, _)) =>
-            require(ts.isEmpty,
-              "TIMESTAMP AS OF is not supported on graft tables; use VERSION AS OF <n>")
-            val v = ver.map(_.trim).filter(_.forall(_.isDigit)).map(_.toInt)
-              .getOrElse(throw new IllegalArgumentException(
-                s"VERSION AS OF expects an integer version, got $ver"))
-            val dir = graft.catalog.Catalog.resolveVersionPath(session,
-              new org.apache.hadoop.fs.Path(uri).toString, v)
+            val tableDir = new org.apache.hadoop.fs.Path(uri).toString
+            val dir = (ver, ts) match {
+              case (Some(verStr), _) =>
+                val v = Some(verStr.trim).filter(_.forall(_.isDigit))
+                  .map(_.toInt)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"VERSION AS OF expects an integer version, got $verStr"))
+                graft.catalog.Catalog.resolveVersionPath(session, tableDir, v)
+              case (None, Some(tsExpr)) =>
+                graft.catalog.Catalog.resolveTimestampPath(session, tableDir,
+                  evalTimestampMillis(session, tsExpr))
+              case (None, None) => throw new IllegalArgumentException(
+                "time travel requires VERSION AS OF or TIMESTAMP AS OF")
+            }
             // alias-wrap so qualified references (`tbl.col`) still resolve
             // against the substituted relation
             SubqueryAlias(u.multipartIdentifier.last,

@@ -247,6 +247,43 @@ class MergeSqlSpec extends SparkSuite {
     cat.dropRegistration("gold", "tt_sql")
   }
 
+  test("SELECT ... TIMESTAMP AS OF resolves the newest version at or before ts") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-tstt"))
+    val between = scala.collection.mutable.ArrayBuffer.empty[java.sql.Timestamp]
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i.toLong, s"v$v")).toDF("id", "v"),
+        "gold", "ts_sql")
+      Thread.sleep(120)
+      between += new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(20)
+    }
+    cat.register("gold", "ts_sql")
+    def countAt(lit: String): Long =
+      s.sql(s"SELECT count(*) AS c FROM gold.ts_sql TIMESTAMP AS OF $lit")
+        .collect()(0).getLong(0)
+    // instants strictly between commits pick the version committed before
+    assert(countAt(s"'${between(0)}'") == 1)
+    assert(countAt(s"'${between(1)}'") == 2)
+    assert(countAt(s"'${between(2)}'") == 3)
+    // a version's exact commit time reads that version (inclusive bound)
+    val commits = cat.history("gold", "ts_sql").collect()
+      .map(r => r.getAs[Int]("version") ->
+        r.getAs[java.sql.Timestamp]("snapshot_time")).toMap
+    assert(countAt(s"'${commits(2)}'") == 2)
+    // the grammar admits expressions, not just literals
+    assert(countAt("now()") == 3)
+    // pre-history fails with the retention contract's message
+    val ex = intercept[Exception] {
+      countAt(s"'${new java.sql.Timestamp(commits(1).getTime - 60000)}'")
+    }
+    def messages(e: Throwable): String =
+      if (e == null) "" else e.toString + messages(e.getCause)
+    assert(messages(ex).contains("before the earliest"))
+    cat.dropRegistration("gold", "ts_sql")
+  }
+
   test("GraftSql.sql gives extension-less sessions MERGE + VERSION AS OF + passthrough") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-sql-univ"))
     (1 to 2).foreach { v =>
@@ -266,6 +303,11 @@ class MergeSqlSpec extends SparkSuite {
     """)
     assert(cat.read("gold", "tt_plain")
       .filter(col("id") === 1L).collect()(0).getAs[String]("v") == "patched")
+    // TIMESTAMP AS OF through the universal entry: now() is at-or-past the
+    // latest commit, so it reads the live (post-merge) snapshot
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS c FROM gold.tt_plain TIMESTAMP AS OF now()")
+      .collect()(0).getLong(0) == 2L)
     // anything else passes through
     assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()(0).getInt(0) == 1)
 

@@ -113,6 +113,36 @@ class CatalogSpec extends SparkSuite {
     assert(h.forall(r => r.getAs[java.sql.Timestamp]("snapshot_time") != null))
   }
 
+  test("time travel by timestamp: newest version at or before ts; pre-history raises") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-tstt"))
+    // sleeps straddle each commit so the captured instants land strictly
+    // BETWEEN version commit times (local-FS mtimes are millisecond-grained)
+    val between = scala.collection.mutable.ArrayBuffer.empty[java.sql.Timestamp]
+    (1 to 3).foreach { v =>
+      cat.overwriteSnapshot((1 to v).map(i => (i, s"v$v")).toDF("id", "v"),
+        "gold", "tst")
+      Thread.sleep(120)
+      between += new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(20)
+    }
+    // an instant between commit(v) and commit(v+1) reads version v
+    assert(cat.readTimestamp("gold", "tst", between(0)).count() == 1)
+    assert(cat.readTimestamp("gold", "tst", between(1)).count() == 2)
+    // at or past the latest commit: the live snapshot
+    assert(cat.readTimestamp("gold", "tst", between(2)).count() == 3)
+    // a version's exact commit time reads that version (<= is inclusive)
+    val commits = cat.history("gold", "tst").collect()
+      .map(r => r.getAs[Int]("version") ->
+        r.getAs[java.sql.Timestamp]("snapshot_time")).toMap
+    assert(cat.readTimestamp("gold", "tst", commits(2)).count() == 2)
+    // before the earliest retained commit: no reconstructible state
+    val ex = intercept[IllegalArgumentException] {
+      cat.readTimestamp("gold", "tst",
+        new java.sql.Timestamp(commits(1).getTime - 60000))
+    }
+    assert(ex.getMessage.contains("before the earliest"))
+  }
+
   test("time travel: versions beyond the retention window are pruned") {
     val cat = new Catalog(spark, tmpDir("graft-wh-ret"), keepVersions = 2)
     (1 to 4).foreach { v =>
