@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *   - UPDATE SET * (assign every target column from the same-named source
   *     column);
   *   - WHEN NOT MATCHED BY SOURCE THEN UPDATE / DELETE;
+  *   - MERGE WITH SCHEMA EVOLUTION INTO ...: new source columns are
+  *     appended to the target as nullable before the lowering (the add-only
+  *     widening rule ingest's evolvedSchema uses) — pre-existing rows read
+  *     them as NULL;
   *   - a target row matching MULTIPLE source rows raises (Delta's
   *     `MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`), plan-embedded like
   *     MergeEngine's duplicate-key guard;
@@ -89,17 +93,25 @@ object MergeIntoRunner {
   }
 
   def run(spark: SparkSession, m: MergeIntoTable): Unit = {
-    val (merged, dir, partCols, tableName) = lowered(spark, m)
+    val (merged, dir, partCols, tableName, evolvedCols) = lowered(spark, m)
     graft.catalog.Catalog.overwritePath(spark, merged, dir, partCols)
+    // Schema evolution must reach the REGISTRATION, not just the files: a
+    // v1 external table pins its metastore schema at CREATE time, so
+    // without ALTER TABLE the next spark.table / MERGE would still see the
+    // old shape — and a later non-evolving merge would silently drop the
+    // new column from the snapshot it rewrites.
+    if (evolvedCols.nonEmpty)
+      spark.sql(s"ALTER TABLE $tableName ADD COLUMNS (" +
+        evolvedCols.map(f => s"`${f.name}` ${f.dataType.sql}")
+          .mkString(", ") + ")")
     spark.catalog.refreshTable(tableName)
   }
 
   /** The lowering without the write-back — split out so plan-quality specs
     * can assert the merged frame's physical shape. */
   private[graft] def lowered(spark: SparkSession, m: MergeIntoTable)
-      : (org.apache.spark.sql.DataFrame, String, Seq[String], String) = {
-    require(!m.withSchemaEvolution,
-      "MERGE ... WITH SCHEMA EVOLUTION is not supported")
+      : (org.apache.spark.sql.DataFrame, String, Seq[String], String,
+         Array[org.apache.spark.sql.types.StructField]) = {
     val (nameParts, tAlias) = targetNameAndAlias(m.targetTable)
     val tableName = nameParts.map(p => s"`$p`").mkString(".")
     val (locationUri, partCols) = GraftShims.tableStorage(spark, nameParts)
@@ -108,7 +120,25 @@ object MergeIntoRunner {
           "storage location (temp views cannot be merged into)"))
 
     val targetDF = spark.table(tableName)
-    val targetSchema = targetDF.schema
+    // WITH SCHEMA EVOLUTION (Delta's merge extension): widen the target with
+    // source columns it lacks, appended as nullable — the same add-only rule
+    // ingest's evolvedSchema applies (types come from the source; existing
+    // columns keep their pinned type). Pre-existing target rows read the new
+    // columns as NULL; the name diff is case-insensitive unless
+    // spark.sql.caseSensitive. Without the clause, the target schema is law
+    // and extra source columns are simply never projected.
+    val baseSchema = targetDF.schema
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def inTarget(n: String): Boolean =
+      if (caseSensitive) baseSchema.fieldNames.contains(n)
+      else baseSchema.fieldNames.exists(_.equalsIgnoreCase(n))
+    val evolvedCols =
+      if (!m.withSchemaEvolution) Array.empty[org.apache.spark.sql.types.StructField]
+      else GraftShims.ofRows(spark, m.sourceTable).schema.fields
+        .filterNot(f => inTarget(f.name)).map(_.copy(nullable = true))
+    val targetSchema =
+      org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolvedCols)
     val tAliasName = tAlias.getOrElse(nameParts.last)
     val sAliasName = m.sourceTable match {
       case SubqueryAlias(ident, _) => Some(ident.name)
@@ -167,12 +197,14 @@ object MergeIntoRunner {
 
     val outCols = targetSchema.fields.map { f =>
       val c = f.name
+      // an evolved column has no target-side value: pre-existing rows read NULL
+      def tCol: Column = if (inTarget(c)) t(c) else lit(null)
       val matchedVal = chain(m.matchedActions, {
-        case u: UpdateAction => assigned(u.assignments, c).getOrElse(t(c))
+        case u: UpdateAction => assigned(u.assignments, c).getOrElse(tCol)
         case _: UpdateStarAction => s(c)
-        case _: DeleteAction => t(c) // value irrelevant: row dropped by KEEP
+        case _: DeleteAction => tCol // value irrelevant: row dropped by KEEP
         case other => unsupported(other)
-      }, t(c))
+      }, tCol)
       val insertVal = chain(m.notMatchedActions, {
         case i: InsertAction =>
           assigned(i.assignments, c).getOrElse(lit(null))
@@ -180,10 +212,10 @@ object MergeIntoRunner {
         case other => unsupported(other)
       }, lit(null))
       val bySourceVal = chain(m.notMatchedBySourceActions, {
-        case u: UpdateAction => assigned(u.assignments, c).getOrElse(t(c))
-        case _: DeleteAction => t(c)
+        case u: UpdateAction => assigned(u.assignments, c).getOrElse(tCol)
+        case _: DeleteAction => tCol
         case other => unsupported(other)
-      }, t(c))
+      }, tCol)
       when(tm && sm, matchedVal)
         .when(!tm && sm, insertVal)
         .otherwise(bySourceVal)
@@ -225,7 +257,7 @@ object MergeIntoRunner {
       .filter(col(KEEP)).drop(KEEP)
 
     (merged, new org.apache.hadoop.fs.Path(locationUri).toString,
-      partCols, tableName)
+      partCols, tableName, evolvedCols)
   }
 
   private def unsupported(a: MergeAction): Nothing =

@@ -159,6 +159,45 @@ class MergeSqlSpec extends SparkSuite {
       s"unexpected merge result: $got")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION appends new source columns as nullable") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-mergesql-evolve"))
+    cat.create(Seq((1L, "a"), (2L, "b")).toDF("id", "val"),
+      "gold", "dim_evolve_sql")
+    cat.register("gold", "dim_evolve_sql")
+    // source carries `extra`, unknown to the target
+    Seq((2L, "b2", "tag2"), (3L, "c", "tag3")).toDF("id", "val", "extra")
+      .createOrReplaceTempView("evolve_updates")
+    s.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO gold.dim_evolve_sql t
+      USING evolve_updates s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val out = cat.read("gold", "dim_evolve_sql")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "val", "extra"))
+    assert(out.schema("extra").nullable)
+    val got = out.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("val"), r.getAs[String]("extra"))).toMap
+    // row 1 pre-existed: evolved column reads NULL; 2 updated; 3 inserted
+    assert(got == Map(1L -> ("a", null), 2L -> ("b2", "tag2"),
+      3L -> ("c", "tag3")), s"unexpected: $got")
+
+    // WITHOUT the clause, the target schema is law: extra is not projected
+    Seq((4L, "d", "tag4")).toDF("id", "val", "extra")
+      .createOrReplaceTempView("evolve_updates2")
+    s.sql("""
+      MERGE INTO gold.dim_evolve_sql t USING evolve_updates2 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """)
+    val after = cat.read("gold", "dim_evolve_sql")
+    assert(after.schema.fieldNames.toSeq == Seq("id", "val", "extra"))
+    assert(after.filter(col("id") === 4L).collect()(0)
+      .getAs[String]("extra") == null)
+  }
+
   test("a target row matching multiple source rows raises (cardinality guard)") {
     val s = sqlSpark
     import s.implicits._
