@@ -141,6 +141,45 @@ class Catalog(spark: SparkSession, warehouse: String,
   def dropRegistration(layer: String, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $layer.$table")
 
+  /** Delta OPTIMIZE's job for this layout: rewrite the live snapshot into
+    * ~`targetFileSize`-byte files as a NEW version through the ordinary
+    * swap (contents unchanged, history gains an entry, the retired version
+    * ages out through retention/vacuum). Small files accumulate from
+    * frequent merges/micro-batches; scan cost at 100 TB is dominated by
+    * file-open overhead once files shrink below ~100 MB, so periodic
+    * compaction is part of the scale posture, not cosmetics.
+    * Bucket-partitioned tables compact per bucket via
+    * [[graft.merge.PartitionedMerge.compact]] — only oversized buckets are
+    * rewritten. `partitionBy` (for directory-partitioned snapshots) packs
+    * each partition into one file instead of size-targeted global packing. */
+  def compact(layer: String, table: String, targetFileSize: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val dir = path(layer, table)
+    if (Catalog.isBucketedLayout(fs, dir)) {
+      graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
+        keepVersions)
+      ()
+    } else {
+      val it = fs.listFiles(new Path(dir), true)
+      var bytes = 0L; var nFiles = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          bytes += st.getLen; nFiles += 1
+        }
+      }
+      val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
+      if (nFiles <= n) return // already packed: no pointless version churn
+      val df = read(layer, table)
+      val packed =
+        if (partitionBy.nonEmpty)
+          df.repartition(partitionBy.map(col): _*)
+        else df.repartition(n)
+      overwriteSnapshot(packed, layer, table, partitionBy)
+    }
+  }
+
   /** Delta VACUUM's job for this layout: delete abandoned staging dirs
     * (`.tmp`, `.tmp-merge` from a crashed swap), retired per-bucket
     * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log
@@ -180,15 +219,15 @@ class Catalog(spark: SparkSession, warehouse: String,
 object Catalog {
   import org.apache.hadoop.fs.FileSystem
 
-  private[catalog] def historyDir(dir: String) = new Path(dir + ".history")
-  private[catalog] def versionDir(dir: String, v: Int) =
+  private[graft] def historyDir(dir: String) = new Path(dir + ".history")
+  private[graft] def versionDir(dir: String, v: Int) =
     new Path(historyDir(dir), f"v$v%05d")
   private def pointerFile(dir: String) = new Path(historyDir(dir), "_current")
 
   /** The live snapshot's version: the `_current` pointer when present;
     * a pointer-less existing dir is version 1 (created outside the swap,
     * e.g. first-load `create`); 0 when the table doesn't exist. */
-  private[catalog] def readPointer(f: FileSystem, dir: String): Int = {
+  private[graft] def readPointer(f: FileSystem, dir: String): Int = {
     val p = pointerFile(dir)
     if (f.exists(p)) {
       val in = f.open(p)
@@ -203,7 +242,7 @@ object Catalog {
     else 0
   }
 
-  private def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
+  private[graft] def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
     val p = pointerFile(dir)
     val tmp = new Path(historyDir(dir), "_current.tmp")
     val out = f.create(tmp, true)
@@ -255,7 +294,7 @@ object Catalog {
     }
   }
 
-  /** Resolve a commit timestamp to a snapshot directory: the NEWEST version
+  /** Resolve a commit timestamp to a version number: the NEWEST version
     * whose commit time is ≤ `millis` (Delta's `TIMESTAMP AS OF` rule). A
     * timestamp at or past the latest commit reads the live snapshot; one
     * before the earliest RETAINED commit raises (that state is no longer
@@ -263,9 +302,16 @@ object Catalog {
     * times are the per-version times `historyRows` reports: a snapshot
     * directory's files are written once and the directory is only ever
     * renamed afterwards, so its modification time is the write time of
-    * that version — the swap never rewrites retired data. */
-  def resolveTimestampPath(spark: SparkSession, dir: String, millis: Long)
-      : String = {
+    * that version — the swap never rewrites retired data. Bucketed tables
+    * raise: their log entries are created at RETIRE time (the next
+    * version's commit), so directory times do not date the version they
+    * hold — use `VERSION AS OF` there. */
+  def resolveTimestampVersion(spark: SparkSession, dir: String, millis: Long)
+      : Int = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!isBucketedLayout(f, dir),
+      "TIMESTAMP AS OF is not supported on bucket-partitioned tables; " +
+        "use VERSION AS OF <n>")
     val rows = historyRows(spark, dir)
     require(rows.nonEmpty, s"table $dir does not exist")
     val eligible = rows.filter(_._3.getTime <= millis)
@@ -273,7 +319,30 @@ object Catalog {
       s"timestamp ${new java.sql.Timestamp(millis)} is before the earliest " +
         "retained version of " + dir + " (earliest commit: " +
         new java.sql.Timestamp(rows.map(_._3.getTime).min) + ")")
-    resolveVersionPath(spark, dir, eligible.map(_._1).max)
+    eligible.map(_._1).max
+  }
+
+  def resolveTimestampPath(spark: SparkSession, dir: String, millis: Long)
+      : String =
+    resolveVersionPath(spark, dir, resolveTimestampVersion(spark, dir, millis))
+
+  /** Does `dir` hold PartitionedMerge's bucket layout? One listing. */
+  private[graft] def isBucketedLayout(
+      f: FileSystem, dir: String): Boolean = {
+    val p = new Path(dir)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName
+      .startsWith(graft.merge.PartitionedMerge.BucketCol + "="))
+  }
+
+  /** Version-addressed relation — the seam SQL time travel reads through.
+    * Plain snapshots read the resolved snapshot dir; bucket-partitioned
+    * tables reconstruct the version from the per-bucket retire log (bucket
+    * column retained, matching the registered live relation's shape). */
+  def versionRead(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (isBucketedLayout(f, dir))
+      graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v)
+    else spark.read.parquet(resolveVersionPath(spark, dir, v))
   }
 
   /** The swap protocol on a raw table directory (shared by the layer.table

@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
   *      (global surrogate-key high-water via `skeyBase` on the full table —
   *      a column-pruned scan of one long column);
   *   4. stages the merged buckets to `<path>.tmp-merge` and atomically
-  *      swaps ONLY those bucket directories into place (previous dirs kept
-  *      as dot-prefixed `.prev-…`, invisible to partition discovery, until
-  *      the next merge of the same bucket).
+  *      swaps ONLY those bucket directories into place, retiring each
+  *      replaced dir into the table's `<path>.history/v{N}` version log —
+  *      the same N-deep log Catalog snapshots keep, holding just the
+  *      CHANGED buckets per version, so bucketed dims are time-travelable
+  *      at O(touched) history cost per merge.
   *
   * Crash consistency matches Catalog.overwriteSnapshot's documented
-  * posture: per-directory rename is atomic on HDFS/local FS; a crash
-  * between renames leaves recoverable `.prev-` dirs (an object store would
-  * use a manifest-pointer commit instead).
+  * posture: per-directory rename is atomic on HDFS/local FS; the version
+  * pointer advances only after every touched bucket is swapped, and a
+  * crashed swap's half-retired buckets are rolled back by the next merge
+  * (an object store would use a manifest-pointer commit instead).
   */
 object PartitionedMerge {
 
@@ -47,10 +50,20 @@ object PartitionedMerge {
   /** Partition-pruned merge. `mergeFn` receives (prunedTarget, source) and
     * returns the merged slice — e.g.
     * `(t, s) => MergeEngine.scd1(t, s, keys, tracked, skeyBase = Some(read(spark, path)))`.
-    * Returns the buckets that were rewritten. */
+    * Returns the buckets that were rewritten.
+    *
+    * Each merge is a table version: the touched buckets' pre-merge dirs are
+    * retired into the same `<path>.history/v{N}` + `_current` pointer log
+    * Catalog snapshots use (only the CHANGED buckets are moved — per-merge
+    * history cost is O(touched), the Delta-manifest property), so bucketed
+    * dims are time-travelable through [[readVersion]] and SQL
+    * `VERSION AS OF`. */
   def prunedMerge(spark: SparkSession, path: String, source: DataFrame,
-      keys: Seq[String], nBuckets: Int)(
+      keys: Seq[String], nBuckets: Int, keepVersions: Int = 10)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAbortedSwap(spark, fs, path)
     val touched = source
       .select(bucketExpr(keys, nBuckets).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -60,26 +73,166 @@ object PartitionedMerge {
     val merged = mergeFn(pruned, source)
 
     val tmp = s"$path.tmp-merge"
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     // staging write runs BEFORE any rename, so the (lazy) pruned scan and
     // skeyBase scan still read the original files
     merged.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
 
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    touched
+  }
+
+  /** The versioned bucket rotation shared by merge and compaction: retire
+    * each touched live bucket dir into `<path>.history/v{cur}` (an empty
+    * marker dir when the bucket did not exist — reconstruction reads that
+    * as "absent at this version"), rename the staged dir in, THEN advance
+    * the pointer. A crash before the pointer write leaves the table
+    * addressable at the old version; [[recoverAbortedSwap]] rolls the
+    * half-moved buckets back on the next merge. */
+  private def swapBuckets(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
+      touched: Seq[Int], keepVersions: Int): Unit = {
+    import graft.catalog.Catalog
+    val cur = Catalog.readPointer(fs, path)
+    val retireRoot = Catalog.versionDir(path, cur)
+    fs.mkdirs(retireRoot)
     touched.foreach { b =>
       val dst = new Path(s"$path/$BucketCol=$b")
       val src = new Path(s"$tmp/$BucketCol=$b")
-      val prev = new Path(s"$path/.prev-$BucketCol=$b")
-      if (fs.exists(prev)) fs.delete(prev, true)
-      if (fs.exists(dst)) fs.rename(dst, prev)
+      val retired = new Path(retireRoot, s"$BucketCol=$b")
+      // an entry under v{cur} can only be an aborted attempt at THIS
+      // transition (a completed one advances the pointer) — clear it
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (fs.exists(dst)) {
+        if (!fs.rename(dst, retired))
+          throw new IllegalStateException(s"bucket retire failed for $dst")
+      } else fs.mkdirs(retired) // bucket absent before this version
       if (fs.exists(src) && !fs.rename(src, dst))
         throw new IllegalStateException(s"bucket swap failed for $dst")
     }
     fs.delete(new Path(tmp), true)
+    Catalog.writePointer(fs, path, cur + 1)
+    // prune the one entry that just left the retention window (reads at
+    // versions <= it are no longer reconstructible; orphans from a lowered
+    // keepVersions are vacuum's job — same contract as Catalog snapshots)
+    if (cur - keepVersions >= 1) {
+      val old = Catalog.versionDir(path, cur - keepVersions)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
     // cached file lists outlive the bucket swap, same as a snapshot swap
     spark.catalog.refreshByPath(path)
+  }
+
+  /** Roll back a swap that crashed before its pointer write: entries under
+    * `v{current}` whose live bucket dir is MISSING were retired but never
+    * replaced — restore them so the pruned scan reads pre-merge data.
+    * Entries whose live dir exists are aborted-attempt leftovers handled at
+    * the next retire. */
+  private def recoverAbortedSwap(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import graft.catalog.Catalog
+    val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
+    if (!fs.exists(inFlight)) return
+    fs.listStatus(inFlight).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BucketCol=")).foreach { retired =>
+        val dst = new Path(path, retired.getName)
+        if (!fs.exists(dst)) fs.rename(retired, dst)
+      }
+  }
+
+  /** Reconstruct table version `v` (bucket column retained). Version v of
+    * bucket b is the EARLIEST retire entry `>= v` that holds b — that copy
+    * is b's state at every version from its previous change through v — or
+    * the live dir when no later merge touched b. An empty retire entry
+    * means b did not exist at v. Requires every transition in [v, current)
+    * to still be in the retention window. */
+  private[graft] def reconstructVersion(spark: SparkSession, path: String,
+      v: Int): DataFrame = {
+    import graft.catalog.Catalog
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = Catalog.readPointer(fs, path)
+    require(v >= 1 && v <= cur,
+      s"version $v out of range for $path (current = $cur)")
+    if (v == cur) return spark.read.parquet(path)
+    val missing = (v until cur).filterNot(w =>
+      fs.exists(Catalog.versionDir(path, w)))
+    require(missing.isEmpty,
+      s"version $v of $path was pruned from the log (missing transitions: " +
+        missing.mkString(", ") + ")")
+    // bucket -> its earliest retire entry at or after v
+    val chosen = scala.collection.mutable.LinkedHashMap.empty[String, (String, Path)]
+    (v until cur).foreach { w =>
+      val vdir = Catalog.versionDir(path, w)
+      fs.listStatus(vdir).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol=")).foreach { p =>
+          if (!chosen.contains(p.getName))
+            chosen(p.getName) = (vdir.toString, p)
+        }
+    }
+    fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BucketCol=")).foreach { p =>
+        if (!chosen.contains(p.getName)) chosen(p.getName) = (path, p)
+      }
+    // empty retire entry = bucket absent at v; group the rest by their base
+    // dir so the partition column survives the read
+    val live = chosen.toSeq.filter { case (_, (_, p)) =>
+      fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")) }
+    val parts = live.groupBy(_._2._1).toSeq.map { case (base, entries) =>
+      spark.read.option("basePath", base)
+        .parquet(entries.map(_._2._2.toString): _*)
+    }
+    if (parts.isEmpty) spark.read.parquet(path).limit(0)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Version-addressed read, [[read]]'s shape (bucket column dropped). */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
+    reconstructVersion(spark, path, v).drop(BucketCol)
+
+  /** OPTIMIZE's bin-packing for the bucketed layout: rewrite every bucket
+    * whose file count exceeds what `targetFileSize` calls for into
+    * ~target-sized files, as a NEW table version through the same retire
+    * protocol as a merge (contents unchanged, history gains a version).
+    * One distributed job for all touched buckets: rows are shuffled to
+    * `ceil(bucketBytes / target)` groups per bucket, so each bucket lands
+    * in at most that many files. Returns the compacted buckets. */
+  def compact(spark: SparkSession, path: String, targetFileSize: Long,
+      keepVersions: Int = 10): Seq[Int] = {
+    require(targetFileSize > 0, "targetFileSize must be positive")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAbortedSwap(spark, fs, path)
+    val perBucket = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BucketCol="))
+      .map { p =>
+        val files = fs.listStatus(p)
+          .filterNot(_.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize)
+        (p.getName.stripPrefix(s"$BucketCol=").toInt, files.length, want.toInt)
+      }
+    val plan = perBucket.filter { case (_, nFiles, want) => nFiles > want }
+      .map { case (b, _, want) => b -> want }.toSeq.sortBy(_._1)
+    if (plan.isEmpty) return Nil
+    val touched = plan.map(_._1)
+    // per-bucket file-count control in one shuffle: a deterministic salt in
+    // [0, want_b) per row; repartitioning on (bucket, salt) caps the number
+    // of tasks — hence files — holding each bucket at want_b
+    val wantFor = plan.foldLeft(lit(1)) { case (acc, (b, want)) =>
+      when(col(BucketCol) === b, lit(want)).otherwise(acc)
+    }
+    val df = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.map(Int.box): _*))
+    val salted = df.withColumn("__graft_salt",
+      pmod(hash(struct(df.columns.map(col): _*)), wantFor))
+    val tmp = s"$path.tmp-merge"
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    salted.repartition(col(BucketCol), col("__graft_salt"))
+      .drop("__graft_salt")
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
     touched
   }
 }

@@ -397,23 +397,22 @@ object GraftSql {
         GraftShims.tableStorage(session, u.multipartIdentifier) match {
           case Some((uri, _)) =>
             val tableDir = new org.apache.hadoop.fs.Path(uri).toString
-            val dir = (ver, ts) match {
+            val v = (ver, ts) match {
               case (Some(verStr), _) =>
-                val v = Some(verStr.trim).filter(_.forall(_.isDigit))
-                  .map(_.toInt)
+                Some(verStr.trim).filter(_.forall(_.isDigit)).map(_.toInt)
                   .getOrElse(throw new IllegalArgumentException(
                     s"VERSION AS OF expects an integer version, got $verStr"))
-                graft.catalog.Catalog.resolveVersionPath(session, tableDir, v)
               case (None, Some(tsExpr)) =>
-                graft.catalog.Catalog.resolveTimestampPath(session, tableDir,
-                  evalTimestampMillis(session, tsExpr))
+                graft.catalog.Catalog.resolveTimestampVersion(session,
+                  tableDir, evalTimestampMillis(session, tsExpr))
               case (None, None) => throw new IllegalArgumentException(
                 "time travel requires VERSION AS OF or TIMESTAMP AS OF")
             }
             // alias-wrap so qualified references (`tbl.col`) still resolve
             // against the substituted relation
             SubqueryAlias(u.multipartIdentifier.last,
-              session.read.parquet(dir).queryExecution.analyzed)
+              graft.catalog.Catalog.versionRead(session, tableDir, v)
+                .queryExecution.analyzed)
           case None => tt
         }
     }

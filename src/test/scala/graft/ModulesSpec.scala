@@ -178,6 +178,38 @@ class CatalogSpec extends SparkSuite {
     assert(cat.hasPrevious("silver", "legacy")) // the log still serves v1
   }
 
+  test("compact packs the snapshot into fewer files as a new version; vacuum reclaims it after a retention cut") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-compact"))
+    val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.overwriteSnapshot(df.repartition(32), "gold", "cmp")
+    val base = cat.path("gold", "cmp")
+    def dataFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles
+    assert(before > 1, "fixture must start fragmented")
+    val rowsBefore = rowsOf(cat.read("gold", "cmp"), "id")
+    cat.compact("gold", "cmp", 512L * 1024 * 1024)
+    // fewer files, identical contents, history gained a version
+    assert(dataFiles == 1, s"expected one packed file, found $dataFiles")
+    assert(rowsOf(cat.read("gold", "cmp"), "id") == rowsBefore)
+    assert(cat.currentVersion("gold", "cmp") == 2)
+    assert(cat.listVersions("gold", "cmp") == Seq(1, 2))
+    assert(rowsOf(cat.readVersion("gold", "cmp", 1), "id") == rowsBefore)
+    // already packed → no pointless version churn
+    cat.compact("gold", "cmp", 512L * 1024 * 1024)
+    assert(cat.currentVersion("gold", "cmp") == 2)
+    // retention lowered afterwards: vacuum reclaims the pre-compact version
+    val narrowed = new Catalog(spark, cat.path("gold", "cmp")
+      .stripSuffix("/gold/cmp"), keepVersions = 0)
+    val deleted = narrowed.vacuum("gold", "cmp")
+    assert(deleted.exists(_.endsWith("v00001")), s"v1 not reclaimed: $deleted")
+    intercept[IllegalArgumentException] { cat.readVersion("gold", "cmp", 1) }
+    assert(rowsOf(cat.read("gold", "cmp"), "id") == rowsBefore) // live intact
+  }
+
   test("vacuum removes staging leftovers and out-of-window versions, keeps live + retained") {
     val cat = new Catalog(spark, tmpDir("graft-wh-vac"), keepVersions = 1)
     (1 to 3).foreach { v =>

@@ -96,23 +96,81 @@ class PartitionedMergeSpec extends SparkSuite {
       s"bucket predicate not pushed to partition level: $scanLine")
   }
 
-  test("second merge of the same bucket rotates .prev and stays correct") {
+  test("every merge is a version: readVersion reconstructs each state across two merges") {
     import spark.implicits._
     val path = tmpDir("pmerge3") + "/dim"
     val target = dim(20)
     PartitionedMerge.write(target, path, keys, nBuckets)
     val s1 = Seq((3L, "v2", 31L)).toDF("k", "a", "b")
-    val s2 = Seq((3L, "v3", 32L)).toDF("k", "a", "b")
+    val s2 = Seq((3L, "v3", 32L), (999L, "new", 1L)).toDF("k", "a", "b")
     def run(src: DataFrame) =
       PartitionedMerge.prunedMerge(spark, path, src, keys, nBuckets) {
         (t, s) => MergeEngine.scd1(t, s, keys, tracked, "customer_skey",
           fixedNow, skeyBase = Some(PartitionedMerge.read(spark, path)))
       }
+    val afterS1 = MergeEngine.scd1(target, s1, keys, tracked,
+      "customer_skey", fixedNow)
+    val afterS2 = MergeEngine.scd1(afterS1, s2, keys, tracked,
+      "customer_skey", fixedNow)
     run(s1); run(s2)
-    val expected = MergeEngine.scd1(
-      MergeEngine.scd1(target, s1, keys, tracked, "customer_skey", fixedNow),
-      s2, keys, tracked, "customer_skey", fixedNow)
+    // live state is version 3 and correct
     assert(rowsOf(PartitionedMerge.read(spark, path), "k")
-      == rowsOf(expected, "k"))
+      == rowsOf(afterS2, "k"))
+    // each historical version reconstructs: untouched buckets come from the
+    // live dir, touched ones from the earliest retire entry at or after v
+    assert(rowsOf(PartitionedMerge.readVersion(spark, path, 1), "k")
+      == rowsOf(target, "k"))
+    assert(rowsOf(PartitionedMerge.readVersion(spark, path, 2), "k")
+      == rowsOf(afterS1, "k"))
+    assert(rowsOf(PartitionedMerge.readVersion(spark, path, 3), "k")
+      == rowsOf(afterS2, "k"))
+    // key 999 was born in version 3: version 2 must NOT contain it even
+    // though its bucket only has a live copy plus an empty retire marker
+    assert(PartitionedMerge.readVersion(spark, path, 2)
+      .filter(col("k") === 999L).count() == 0)
+    // SQL VERSION AS OF over a registered bucketed table reads the same
+    // reconstruction (bucket column retained, like the live relation)
+    spark.sql("CREATE SCHEMA IF NOT EXISTS pm")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS pm.dim_tt USING parquet LOCATION '$path'")
+    try {
+      assert(graft.sql.GraftSql.sql(spark,
+        "SELECT count(*) AS c FROM pm.dim_tt VERSION AS OF 2")
+        .collect()(0).getLong(0) == afterS1.count())
+      assert(graft.sql.GraftSql.sql(spark,
+        "SELECT count(*) AS c FROM pm.dim_tt VERSION AS OF 3")
+        .collect()(0).getLong(0) == afterS2.count())
+      // TIMESTAMP AS OF on a bucketed table: clear error, not wrong data
+      val ex = intercept[Exception] {
+        graft.sql.GraftSql.sql(spark,
+          "SELECT count(*) AS c FROM pm.dim_tt TIMESTAMP AS OF now()")
+          .collect()
+      }
+      assert(ex.getMessage.contains("bucket-partitioned"))
+    } finally spark.sql("DROP TABLE IF EXISTS pm.dim_tt")
+  }
+
+  test("compact packs oversized buckets into target-sized files as a new version") {
+    import spark.implicits._
+    val path = tmpDir("pmerge-compact") + "/dim"
+    // many small files per bucket: write each row group separately
+    PartitionedMerge.write(dim(40).repartition(16), path, keys, nBuckets)
+    val before = fileState(path)
+    val rowsBefore = rowsOf(PartitionedMerge.read(spark, path), "k")
+    // a large target: every bucket should pack to a single file
+    val touched = PartitionedMerge.compact(spark, path, 512L * 1024 * 1024)
+    assert(touched.nonEmpty, "expected oversized buckets to compact")
+    val after = fileState(path)
+    assert(after.size < before.size,
+      s"file count did not drop: ${before.size} -> ${after.size}")
+    touched.foreach { b =>
+      val n = after.keys.count(_.contains(s"${PartitionedMerge.BucketCol}=$b/"))
+      assert(n == 1, s"bucket $b has $n files after compaction")
+    }
+    // contents unchanged, history gained a version, old state reconstructs
+    assert(rowsOf(PartitionedMerge.read(spark, path), "k") == rowsBefore)
+    assert(rowsOf(PartitionedMerge.readVersion(spark, path, 1), "k")
+      == rowsBefore)
+    // compacting again is a no-op: everything already meets the target
+    assert(PartitionedMerge.compact(spark, path, 512L * 1024 * 1024).isEmpty)
   }
 }
