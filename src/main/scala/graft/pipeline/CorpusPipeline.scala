@@ -38,39 +38,66 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
       "en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
     tokensPerBatch: Long = 2048L) {
 
-  def run(raw: DataFrame): DataFrame = {
-    cat.overwriteSnapshot(raw, "bronze", "documents")
+  private def annotate(raw: DataFrame): DataFrame = raw
+    .withColumn("quality", qualityScore(col("text")))
+    .withColumn("lang_pred", langId(col("text")))
+    .withColumn("n_tokens", tokenCountWs(col("text")))
+    .withColumn("content_hash", md5(col("text")))
 
-    val annotated = cat.read("bronze", "documents")
-      .withColumn("quality", qualityScore(col("text")))
-      .withColumn("lang_pred", langId(col("text")))
-      .withColumn("n_tokens", tokenCountWs(col("text")))
-      .withColumn("content_hash", md5(col("text")))
-    val gated = annotated
-      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
-    cat.overwriteSnapshot(gated, "silver", "documents")
+  private val gateRules = Map(
+    "min_quality" -> s"quality >= $minQuality",
+    "lang_known" -> "lang_pred <> 'und'")
 
-    val silver = cat.read("silver", "documents")
+  private def dedupStage(silver: DataFrame): DataFrame = {
     val exactSurvivors = silver
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
     val keepers = Dedup.dedupClustersOf(exactSurvivors)
       .filter(col("is_kept") === 1).select("doc_id")
-    val deduped = exactSurvivors.join(keepers, Seq("doc_id"), "left_semi")
-    cat.overwriteSnapshot(deduped, "silver", "documents_dedup")
+    exactSurvivors.join(keepers, Seq("doc_id"), "left_semi")
+  }
 
+  private def packStage(deduped: DataFrame): DataFrame = {
     val mixed = TextQueries.hashStratifiedSample(
-      cat.read("silver", "documents_dedup"), "lang", "doc_id", sampleRates)
+      deduped, "lang", "doc_id", sampleRates)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val packed = mixed
+    mixed
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("batch_id", floor(
         (col("cum_tokens") - col("n_tokens")).cast("double") / tokensPerBatch)
         .cast("long"))
       .select("doc_id", "lang", "quality", "n_tokens", "batch_id")
-    cat.overwriteSnapshot(packed, "gold", "training_batches")
+  }
+
+  def run(raw: DataFrame): DataFrame = {
+    cat.overwriteSnapshot(raw, "bronze", "documents")
+    val gated = annotate(cat.read("bronze", "documents"))
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    cat.overwriteSnapshot(gated, "silver", "documents")
+    cat.overwriteSnapshot(dedupStage(cat.read("silver", "documents")),
+      "silver", "documents_dedup")
+    cat.overwriteSnapshot(packStage(cat.read("silver", "documents_dedup")),
+      "gold", "training_batches")
     cat.read("gold", "training_batches")
   }
+
+  /** The same curation chain declared DLT-style: the quality/language gate
+    * becomes the node's EXPECTATIONS (expect_all_or_drop — identical rows
+    * kept, violation counts reported), dependencies drive the order. */
+  def declarativeGraph(): PipelineGraph =
+    new PipelineGraph(spark, cat)
+      .table("bronze.documents", inputs = Seq("raw"))(r => r("raw"))
+      .table("silver.documents", inputs = Seq("bronze.documents"),
+        expectations = gateRules)(
+        r => annotate(r("bronze.documents")))
+      .table("silver.documents_dedup", inputs = Seq("silver.documents"))(
+        r => dedupStage(r("silver.documents")))
+      .table("gold.training_batches", inputs = Seq("silver.documents_dedup"))(
+        r => packStage(r("silver.documents_dedup")))
+
+  /** [[run]] through the declarative graph. */
+  def runDeclarative(raw: DataFrame): PipelineGraph.RunResult =
+    declarativeGraph().run(Map("raw" -> raw))
 }

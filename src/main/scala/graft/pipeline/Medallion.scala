@@ -6,7 +6,6 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.catalog.Catalog
 import graft.functions.Udfs
-import graft.merge.MergeEngine
 import graft.quality.Expectations
 
 /** Chained ranking-window combinator (the reference's `windows` helper
@@ -43,29 +42,8 @@ class RankingWindows(partitionCol: String, orderCol: String) {
 class Medallion(spark: SparkSession, cat: Catalog,
     dimBuckets: Option[Int] = None) {
 
-  import graft.merge.PartitionedMerge
-
-  private def readGold(table: String): DataFrame = dimBuckets match {
-    case Some(_) => PartitionedMerge.read(spark, cat.path("gold", table))
-    case None => cat.read("gold", table)
-  }
-
-  private def createGold(df: DataFrame, table: String, keys: Seq[String]): Unit =
-    dimBuckets match {
-      case Some(n) => PartitionedMerge.write(df, cat.path("gold", table), keys, n)
-      case None => cat.create(df, "gold", table)
-    }
-
-  /** Incremental gold load: partition-pruned when bucketed, full-snapshot
-    * merge + swap otherwise. `fn` gets (target-slice, source). */
-  private def mergeGold(table: String, source: DataFrame, keys: Seq[String])(
-      fn: (DataFrame, DataFrame) => DataFrame): Unit = dimBuckets match {
-    case Some(n) =>
-      PartitionedMerge.prunedMerge(spark, cat.path("gold", table),
-        source, keys, n)(fn)
-    case None =>
-      cat.overwriteSnapshot(fn(readGold(table), source), "gold", table)
-  }
+  private def readGold(table: String): DataFrame =
+    GoldLoad.read(spark, cat, dimBuckets, table)
 
   // ---- Silver (cleanse/enrich) ------------------------------------------
 
@@ -113,56 +91,30 @@ class Medallion(spark: SparkSession, cat: Catalog,
     * (The reference's MERGE keys on id+first+last, Gold_Customers.py:78-80;
     * the business key is customer_id — name changes are tracked attributes,
     * not identity.) */
-  def goldCustomerDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame = {
-    val source = silver.select(
+  def goldCustomerDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame =
+    GoldLoad.scd1(spark, cat, dimBuckets, "customer_dim",
+      customerSource(silver), Seq("customer_id"), customerTracked,
+      "customer_skey", now)
+
+  private def customerSource(silver: DataFrame): DataFrame =
+    silver.select(
       (Seq("customer_id") ++ customerTracked ++ Seq("domains", "fullname"))
         .map(col): _*)
-    if (!cat.exists("gold", "customer_dim")) {
-      val initial = graft.merge.SurrogateKeys.assign(
-        source, "customer_skey", Seq("customer_id"))
-        .withColumn("created_date", now)
-        .withColumn("updated_date", now)
-        .withColumn("change_type", lit("I"))
-        .withColumn("hash_value",
-          MergeEngine.nullSafeHash(customerTracked.map(col)))
-      createGold(initial, "customer_dim", Seq("customer_id"))
-    } else {
-      mergeGold("customer_dim", source, Seq("customer_id")) { (t, s) =>
-        MergeEngine.scd1(t, s, Seq("customer_id"), customerTracked,
-          "customer_skey", now, skeyBase = Some(readGold("customer_dim")))
-      }
-    }
-    readGold("customer_dim")
-  }
 
   private val productTracked = Seq("brand", "price", "supplier")
 
   /** Gold_Products_No_Delta_Live.py / Gold_Products.py — SCD2 product
     * dimension (corrected two-phase semantics; tracks brand AND supplier,
     * reconciling SURVEY §2.10.7). */
-  def goldProductDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame = {
-    val source = silver.select(
+  def goldProductDim(silver: DataFrame, now: Column = current_timestamp()): DataFrame =
+    GoldLoad.scd2(spark, cat, dimBuckets, "product_dim",
+      productSource(silver), Seq("product_id"), productTracked,
+      "product_skey", now)
+
+  private def productSource(silver: DataFrame): DataFrame =
+    silver.select(
       col("product_id"), col("product_name"), col("category"),
       col("price"), col("brand"), col("supplier"), col("discounted_price"))
-    if (!cat.exists("gold", "product_dim")) {
-      val initial = graft.merge.SurrogateKeys.assign(
-        source, "product_skey", Seq("product_id"))
-        .withColumn("hash_value",
-          MergeEngine.nullSafeHash(productTracked.map(col)))
-        .withColumn("effective_start_date", now)
-        .withColumn("effective_end_date", lit(null).cast("timestamp"))
-        .withColumn("is_current", lit(true))
-        .withColumn("insert_date", now)
-        .withColumn("update_date", now)
-      createGold(initial, "product_dim", Seq("product_id"))
-    } else {
-      mergeGold("product_dim", source, Seq("product_id")) { (t, s) =>
-        MergeEngine.scd2(t, s, Seq("product_id"), productTracked,
-          "product_skey", now, skeyBase = Some(readGold("product_dim")))
-      }
-    }
-    readGold("product_dim")
-  }
 
   /** Gold_Orders.py — order fact: dim lookups for surrogate keys (selecting
     * the REAL product_skey, fixing SURVEY §2.10.5), then upsert keyed on
@@ -170,31 +122,32 @@ class Medallion(spark: SparkSession, cat: Catalog,
     * applied to the fact). The dims grow with the customer/product
     * population, so no forced broadcast — AQE broadcasts them while they
     * measure small and degrades to a shuffle join when they don't. */
+  private val orderRules = Map(
+    "order_id_not_null" -> "order_id IS NOT NULL",
+    "amount_non_negative" -> "total_amount >= 0")
+
   def goldOrderFact(silverOrders: DataFrame, now: Column = current_timestamp()): DataFrame = {
-    val gated = Expectations.applyOrDrop(silverOrders, Map(
-      "order_id_not_null" -> "order_id IS NOT NULL",
-      "amount_non_negative" -> "total_amount >= 0")).kept
-    val dimC = readGold("customer_dim")
-      .select(col("customer_id"), col("customer_skey"))
-    val dimP = readGold("product_dim")
-      .filter(col("is_current"))
+    val gated = Expectations.applyOrDrop(silverOrders, orderRules).kept
+    GoldLoad.upsert(spark, cat, dimBuckets, "order_fact",
+      orderFactSource(gated, readGold("customer_dim"),
+        readGold("product_dim")),
+      Seq("order_id"), now)
+  }
+
+  /** Dim lookups for surrogate keys — the dims join 1:1 on their keys
+    * (SCD1 dim unique per key; SCD2 filtered to is_current), so gating the
+    * orders before or after this join drops the same rows. */
+  private def orderFactSource(orders: DataFrame, customerDim: DataFrame,
+      productDim: DataFrame): DataFrame = {
+    val dimC = customerDim.select(col("customer_id"), col("customer_skey"))
+    val dimP = productDim.filter(col("is_current"))
       .select(col("product_id"), col("product_skey"))
-    val source = gated
+    orders
       .join(dimC, Seq("customer_id"), "left")
       .join(dimP, Seq("product_id"), "left")
       .select(col("order_id"), col("order_date"), col("year"),
         col("customer_skey"), col("product_skey"),
         col("quantity"), col("total_amount"))
-    if (!cat.exists("gold", "order_fact")) {
-      createGold(source
-        .withColumn("created_dt", now).withColumn("updated_dt", now),
-        "order_fact", Seq("order_id"))
-    } else {
-      mergeGold("order_fact", source, Seq("order_id")) { (t, s) =>
-        MergeEngine.upsert(t, s, Seq("order_id"), now)
-      }
-    }
-    readGold("order_fact")
   }
 
   /** Full silver+gold run over bronze inputs (the DLT-equivalent dependency
@@ -214,4 +167,47 @@ class Medallion(spark: SparkSession, cat: Catalog,
     goldProductDim(cat.read("silver", "products"), now)
     goldOrderFact(cat.read("silver", "orders"), now)
   }
+
+  /** The SAME medallion graph, declared DLT-style
+    * (Gold_Products.py:84-105's entry style): table defs + dependencies +
+    * expectations, ordered and executed by [[PipelineGraph]]. Produces
+    * tables identical to [[run]] — the gold materializers are the same
+    * [[GoldLoad]] calls (MedallionSpec asserts the parity end to end). */
+  def declarativeGraph(now: Column = current_timestamp()): PipelineGraph = {
+    import PipelineGraph._
+    new PipelineGraph(spark, cat, dimBuckets, now)
+      .table("silver.customers", inputs = Seq("bronze_customers"))(
+        r => silverCustomers(r("bronze_customers")))
+      .table("silver.orders", inputs = Seq("bronze_orders"))(
+        r => silverOrders(r("bronze_orders")))
+      .table("silver.products", inputs = Seq("bronze_products"))(
+        r => silverProducts(r("bronze_products")))
+      .table("silver.regions", inputs = Seq("bronze_regions"))(
+        r => silverRegions(r("bronze_regions")))
+      .table("gold.customer_dim", inputs = Seq("silver.customers"),
+        materialize = Scd1(Seq("customer_id"), customerTracked,
+          "customer_skey"))(
+        r => customerSource(r("silver.customers")))
+      .table("gold.product_dim", inputs = Seq("silver.products"),
+        materialize = Scd2(Seq("product_id"), productTracked,
+          "product_skey"))(
+        r => productSource(r("silver.products")))
+      .table("gold.order_fact",
+        inputs = Seq("silver.orders", "gold.customer_dim",
+          "gold.product_dim"),
+        expectations = orderRules,
+        materialize = Upsert(Seq("order_id")))(
+        r => orderFactSource(r("silver.orders"), r("gold.customer_dim"),
+          r("gold.product_dim")))
+  }
+
+  /** [[run]] through the declarative graph. */
+  def runDeclarative(bronzeCustomers: DataFrame, bronzeOrders: DataFrame,
+      bronzeProducts: DataFrame, bronzeRegions: DataFrame,
+      now: Column = current_timestamp()): PipelineGraph.RunResult =
+    declarativeGraph(now).run(Map(
+      "bronze_customers" -> bronzeCustomers,
+      "bronze_orders" -> bronzeOrders,
+      "bronze_products" -> bronzeProducts,
+      "bronze_regions" -> bronzeRegions))
 }

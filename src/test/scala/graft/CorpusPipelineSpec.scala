@@ -57,4 +57,30 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(cat.currentVersion("gold", "training_batches") == 2)
     assert(cat.readVersion("gold", "training_batches", 1).count() == run1Count)
   }
+
+  test("declarative graph run matches the imperative pipeline table for table") {
+    val raw = Tables.load(spark, sf0001, "documents")
+    val impCat = new Catalog(spark, tmpDir("graft-corpus-imp"))
+    new CorpusPipeline(spark, impCat).run(raw)
+    val decCat = new Catalog(spark, tmpDir("graft-corpus-dec"))
+    val res = new CorpusPipeline(spark, decCat).runDeclarative(raw)
+    assert(res.order == Seq("bronze.documents", "silver.documents",
+      "silver.documents_dedup", "gold.training_batches"))
+    for (table <- Seq("bronze/documents", "silver/documents",
+        "silver/documents_dedup", "gold/training_batches")) {
+      val Array(layer, name) = table.split('/')
+      val a = impCat.read(layer, name)
+      val cols = a.columns.toSeq.sorted
+      val b = decCat.read(layer, name)
+      assert(rowsOf(a.select(cols.map(col): _*), cols: _*) ==
+        rowsOf(b.select(cols.map(col): _*), cols: _*),
+        s"declarative $table diverged from the imperative run")
+    }
+    // the gate ran as expectations: per-rule drop counts were reported
+    val gateCounts = res.violations("silver.documents")
+    assert(gateCounts.keySet == Set("min_quality", "lang_known"))
+    val bronzeN = decCat.read("bronze", "documents").count()
+    val silverN = decCat.read("silver", "documents").count()
+    assert(silverN < bronzeN && gateCounts.values.sum >= bronzeN - silverN)
+  }
 }

@@ -158,4 +158,89 @@ class MedallionSpec extends SparkSuite {
         s"bucketed gold.$table diverged from the full-snapshot path")
     }
   }
+
+  test("declarative graph run produces tables identical to the imperative run") {
+    def runTwice(declarative: Boolean): Catalog = {
+      val cat = new Catalog(spark, tmpDir("graft-medallion-dlt"))
+      val m = new Medallion(spark, cat)
+      def load(t: org.apache.spark.sql.Column, custCity: String,
+          extra: Boolean): Unit = {
+        val bc = customers(Seq(
+          (1L, "Ann", "Ash", "ann@gmail.com", custCity, "NO"),
+          (2L, "Bob", "Bix", "bob@yahoo.com", "Rome", "IT")) ++
+          (if (extra) Seq((3L, "Cat", "Cox", "cat@gmail.com", "Kiev", "UA")) else Nil))
+        val bo = orders(Seq(
+          (10L, "2026-01-05", 1L, 100L, 2L, if (extra) 55.0 else 50.0),
+          (11L, "2026-01-06", 2L, 101L, 1L, 70.0)) ++
+          (if (extra) Seq((12L, "2026-02-01", 3L, 100L, 5L, 99.0),
+            (13L, "2026-02-02", 1L, 101L, 1L, -5.0)) else Nil)) // DQ-dropped
+        val bp = products(Seq(
+          (100L, "Widget", "tools", 10.0, if (extra) "acme2" else "acme", "s1"),
+          (101L, "Gadget", "toys", 20.0, "nova", "s2")))
+        val br = regions(Seq((1L, "Europe")))
+        if (declarative) m.runDeclarative(bc, bo, bp, br, t)
+        else m.run(bc, bo, bp, br, t)
+      }
+      load(t1, "Oslo", extra = false)
+      load(t2, "Bergen", extra = true)
+      cat
+    }
+    val imp = runTwice(declarative = false)
+    val dec = runTwice(declarative = true)
+    for (table <- Seq("silver/customers", "silver/orders", "silver/products",
+        "silver/regions", "gold/customer_dim", "gold/product_dim",
+        "gold/order_fact")) {
+      val Array(layer, name) = table.split('/')
+      val a = imp.read(layer, name)
+      val cols = a.columns.toSeq.sorted
+      val b = dec.read(layer, name)
+      assert(b.columns.toSeq.sorted == cols,
+        s"$table schema diverged: ${b.columns.toSeq.sorted} vs $cols")
+      assert(rowsOf(a.select(cols.map(col): _*), cols: _*) ==
+        rowsOf(b.select(cols.map(col): _*), cols: _*),
+        s"declarative $table diverged from the imperative run")
+    }
+    // the DQ gate reported the dropped fact row
+    val m2 = new Medallion(spark, dec)
+    val res = m2.runDeclarative(
+      customers(Seq((1L, "Ann", "Ash", "ann@gmail.com", "Bergen", "NO"))),
+      orders(Seq((14L, "2026-03-01", 1L, 100L, 1L, -1.0))),
+      products(Seq((100L, "Widget", "tools", 10.0, "acme2", "s1"))),
+      regions(Seq((1L, "Europe"))), t2)
+    assert(res.violations("gold.order_fact")("amount_non_negative") == 1L)
+    // execution order respected dependencies
+    val pos = res.order.zipWithIndex.toMap
+    assert(pos("silver.customers") < pos("gold.customer_dim"))
+    assert(pos("gold.customer_dim") < pos("gold.order_fact"))
+    assert(pos("gold.product_dim") < pos("gold.order_fact"))
+  }
+
+  test("pipeline graph rejects cycles, unknown inputs, and undeclared reads") {
+    import graft.pipeline.PipelineGraph
+    val cat = new Catalog(spark, tmpDir("graft-graph-err"))
+    // cycle: a -> b -> a
+    val cyclic = new PipelineGraph(spark, cat)
+      .view("a", inputs = Seq("b"))(r => r("b"))
+      .view("b", inputs = Seq("a"))(r => r("a"))
+    val ex = intercept[IllegalStateException] { cyclic.run() }
+    assert(ex.getMessage.contains("cycle"))
+    assert(ex.getMessage.contains("a") && ex.getMessage.contains("b"))
+    // unknown input fails at validation, before anything runs
+    val dangling = new PipelineGraph(spark, cat)
+      .view("x", inputs = Seq("nope"))(r => r("nope"))
+    val ex2 = intercept[IllegalArgumentException] { dangling.run() }
+    assert(ex2.getMessage.contains("nope"))
+    // a build reading something it never declared is caught
+    val sneaky = new PipelineGraph(spark, cat)
+      .view("src")(_ => Seq(1).toDF("v"))
+      .view("y", inputs = Seq.empty)(r => r("src"))
+    val ex3 = intercept[IllegalArgumentException] { sneaky.run() }
+    assert(ex3.getMessage.contains("not among its declared inputs"))
+    // FailRun expectation mode aborts on violation
+    val failing = new PipelineGraph(spark, cat)
+      .table("silver.gated", expectations = Map("pos" -> "v > 0"),
+        onViolation = PipelineGraph.FailRun)(
+        _ => Seq(1, -1).toDF("v"))
+    intercept[IllegalStateException] { failing.run() }
+  }
 }
