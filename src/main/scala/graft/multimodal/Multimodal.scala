@@ -130,9 +130,54 @@ object Multimodal {
           col("text").cast("binary").as("media"))
   }
 
+  /** Deterministic synthetic PNGs: per document a (1 + id%7)×(1 + id%5)
+    * uniform-gray image (gray = id%256) ENCODED through ImageIO — real PNG
+    * bytes on the wire, not a fabricated header. */
+  def syntheticPngAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 1 + (id % 7).toInt
+          val h = 1 + (id % 5).toInt
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaAsset(id, bos.toByteArray, "image/png")
+        }
+      }
+  }
+
+  /** The oracle-able slice of the image path (VERDICT r3 stretch): PNG
+    * encode → REAL ImageIO decode round-trip, where every decoded output
+    * is arithmetic of doc_id — width/height by construction, the luminance
+    * histogram collapses to one full bin at gray>>5 (uniform image, and
+    * gray (g,g,g) has luminance exactly g under the 299/587/114 weights) —
+    * so DuckDB replicates the result without decoding anything. A decoder
+    * regression (wrong dimensions, wrong luminance, fallback path taken)
+    * breaks the hash compare. */
+  def roundtripQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(syntheticPngAssets(spark, dir))
+      .withColumn("lum_bin",
+        (array_position(col("features"), lit(1.0f)) - 1).cast("int"))
+      .select(col("asset_id"), col("width"), col("height"), col("decoded"),
+        col("lum_bin"))
+      .orderBy("asset_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_multimodal_features" -> (featureQuery _),
-    "q43_multimodal_frames"   -> (frameQuery _))
+    "q42_multimodal_features"  -> (featureQuery _),
+    "q43_multimodal_frames"    -> (frameQuery _),
+    "q75_multimodal_roundtrip" -> (roundtripQuery _))
 
   val oracles: Map[String, String] = Map(
     // q42 is rows-only (JVM closure); q43 is pure arithmetic on byte lengths:
@@ -140,5 +185,13 @@ object Multimodal {
       """SELECT doc_id AS asset_id, frame_no,
          CAST(frame_no * octet_length(CAST(text AS BLOB)) // 4 AS BIGINT) AS offset_bytes
          FROM documents, (SELECT unnest([0,1,2,3]) AS frame_no)
-         ORDER BY asset_id, frame_no""")
+         ORDER BY asset_id, frame_no""",
+    // q75: the decode outputs are doc_id arithmetic by construction
+    "q75_multimodal_roundtrip" ->
+      """SELECT doc_id AS asset_id,
+         CAST(1 + doc_id % 7 AS INTEGER) AS width,
+         CAST(1 + doc_id % 5 AS INTEGER) AS height,
+         TRUE AS decoded,
+         CAST((doc_id % 256) // 32 AS INTEGER) AS lum_bin
+         FROM documents ORDER BY asset_id""")
 }

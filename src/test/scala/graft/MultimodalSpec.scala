@@ -66,6 +66,19 @@ class MultimodalSpec extends SparkSuite {
       run1.features.toSeq == run2.features.toSeq, "fallback must be deterministic")
   }
 
+  test("synthetic-PNG round trip: decoded outputs equal the doc_id arithmetic the oracle uses") {
+    val out = Multimodal.roundtripQuery(spark, sf0001).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Boolean]("decoded"), s"asset $id fell to the fallback")
+      assert(r.getAs[Int]("width") == 1 + (id % 7).toInt)
+      assert(r.getAs[Int]("height") == 1 + (id % 5).toInt)
+      assert(r.getAs[Int]("lum_bin") == (id % 256).toInt / 32,
+        s"asset $id: luminance bin disagrees with gray>>5")
+    }
+  }
+
   test("mixed batch: images and non-images keep their lanes (batched mapPartitions)") {
     val png = encode(solid(2, 2, 0xffffff), "png")
     val assets = (1L to 50L).map { i =>
