@@ -154,30 +154,20 @@ class Catalog(spark: SparkSession, warehouse: String,
     * each partition into one file instead of size-targeted global packing. */
   def compact(layer: String, table: String, targetFileSize: Long,
       partitionBy: Seq[String] = Nil): Unit = {
-    val dir = path(layer, table)
-    if (Catalog.isBucketedLayout(fs, dir)) {
-      graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
-        keepVersions)
-      ()
-    } else {
-      val it = fs.listFiles(new Path(dir), true)
-      var bytes = 0L; var nFiles = 0
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) {
-          bytes += st.getLen; nFiles += 1
-        }
-      }
-      val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
-      if (nFiles <= n) return // already packed: no pointless version churn
-      val df = read(layer, table)
-      val packed =
-        if (partitionBy.nonEmpty)
-          df.repartition(partitionBy.map(col): _*)
-        else df.repartition(n)
-      overwriteSnapshot(packed, layer, table, partitionBy)
-    }
+    Catalog.compactPath(spark, path(layer, table), targetFileSize,
+      keepVersions, partitionBy)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+  }
+
+  /** Delta RESTORE's job: make version `v`'s contents the LIVE snapshot, as
+    * a NEW version (the restored-from state stays in the log — Delta's
+    * semantics exactly). Bucketed tables materialize the reconstruction as
+    * a full bucket-partitioned snapshot. */
+  def restore(layer: String, table: String, v: Int): Unit = {
+    Catalog.restorePath(spark, path(layer, table), v, keepVersions)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
   }
 
   /** Delta VACUUM's job for this layout: delete abandoned staging dirs
@@ -185,35 +175,8 @@ class Catalog(spark: SparkSession, warehouse: String,
     * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log
     * entries that fell out of the retention window. Never touches the live
     * snapshot, the pointer, or retained versions. Returns deleted paths. */
-  def vacuum(layer: String, table: String): Seq[String] = {
-    val base = path(layer, table)
-    val f = fs
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    def rm(p: Path): Unit =
-      if (f.exists(p)) { f.delete(p, true); deleted += p.toString }
-    rm(new Path(base + ".tmp"))
-    rm(new Path(base + ".tmp-merge"))
-    val tableDir = new Path(base)
-    if (f.exists(tableDir))
-      f.listStatus(tableDir).map(_.getPath)
-        .filter(_.getName.startsWith(".prev-")).foreach(rm)
-    val cur = currentVersion(layer, table)
-    val hist = Catalog.historyDir(base)
-    if (f.exists(hist)) {
-      f.listStatus(hist).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith("v") && n.drop(1).nonEmpty &&
-            n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt <= cur - 1 - keepVersions
-        }.foreach(rm)
-      // a version log supersedes the legacy single-depth `.prev` dir —
-      // reclaim it (kept while no log exists: it is still the only
-      // previous-snapshot copy for old-layout warehouses)
-      rm(new Path(base + ".prev"))
-    }
-    deleted.toSeq
-  }
+  def vacuum(layer: String, table: String): Seq[String] =
+    Catalog.vacuumPath(spark, path(layer, table), keepVersions)
 }
 
 object Catalog {
@@ -343,6 +306,86 @@ object Catalog {
     if (isBucketedLayout(f, dir))
       graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v)
     else spark.read.parquet(resolveVersionPath(spark, dir, v))
+  }
+
+  /** [[Catalog!.compact]] on a raw table directory — the seam SQL
+    * `OPTIMIZE <table>` shares with the layer.table API. */
+  def compactPath(spark: SparkSession, dir: String, targetFileSize: Long,
+      keepVersions: Int = 10, partitionBy: Seq[String] = Nil): Unit = {
+    require(targetFileSize > 0, "targetFileSize must be positive")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (isBucketedLayout(f, dir)) {
+      graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
+        keepVersions)
+      ()
+    } else {
+      val it = f.listFiles(new Path(dir), true)
+      var bytes = 0L; var nFiles = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          bytes += st.getLen; nFiles += 1
+        }
+      }
+      val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
+      if (nFiles <= n) return // already packed: no pointless version churn
+      val df = spark.read.parquet(dir)
+      val packed =
+        if (partitionBy.nonEmpty)
+          df.repartition(partitionBy.map(col): _*)
+        else df.repartition(n)
+      overwritePath(spark, packed, dir, partitionBy, keepVersions)
+    }
+  }
+
+  /** [[Catalog!.restore]] on a raw table directory — the seam SQL
+    * `RESTORE TABLE ... VERSION AS OF n` shares with the layer.table API.
+    * A bucketed reconstruction is rewritten as a FULL bucket-partitioned
+    * snapshot; the whole pre-restore live dir retires as one log entry, so
+    * earlier versions keep reconstructing (a full entry covers every
+    * bucket an older read could need). */
+  def restorePath(spark: SparkSession, dir: String, v: Int,
+      keepVersions: Int = 10): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (isBucketedLayout(f, dir))
+      overwritePath(spark,
+        graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v),
+        dir, Seq(graft.merge.PartitionedMerge.BucketCol), keepVersions)
+    else
+      overwritePath(spark, versionRead(spark, dir, v), dir, Nil, keepVersions)
+  }
+
+  /** [[Catalog!.vacuum]] on a raw table directory — the seam SQL
+    * `VACUUM <table>` shares with the layer.table API. */
+  def vacuumPath(spark: SparkSession, dir: String, keepVersions: Int = 10)
+      : Seq[String] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rm(p: Path): Unit =
+      if (f.exists(p)) { f.delete(p, true); deleted += p.toString }
+    rm(new Path(dir + ".tmp"))
+    rm(new Path(dir + ".tmp-merge"))
+    val tableDir = new Path(dir)
+    if (f.exists(tableDir))
+      f.listStatus(tableDir).map(_.getPath)
+        .filter(_.getName.startsWith(".prev-")).foreach(rm)
+    val cur = readPointer(f, dir)
+    val hist = historyDir(dir)
+    if (f.exists(hist)) {
+      f.listStatus(hist).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt <= cur - 1 - keepVersions
+        }.foreach(rm)
+      // a version log supersedes the legacy single-depth `.prev` dir —
+      // reclaim it (kept while no log exists: it is still the only
+      // previous-snapshot copy for old-layout warehouses)
+      rm(new Path(dir + ".prev"))
+    }
+    deleted.toSeq
   }
 
   /** The swap protocol on a raw table directory (shared by the layer.table

@@ -312,14 +312,58 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
   }
 }
 
+/** `OPTIMIZE <table>` — Delta's small-file compaction statement (not in
+  * Spark's grammar). Packs the table into ~target-sized files as a new
+  * version; bucketed tables compact per bucket. The target comes from
+  * `spark.graft.optimize.targetFileSize` (default 128 MiB). */
+case class GraftOptimizeCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "OPTIMIZE")
+    val target = spark.conf
+      .get("spark.graft.optimize.targetFileSize", (128L * 1024 * 1024).toString)
+      .toLong
+    graft.catalog.Catalog.compactPath(spark, dir, target)
+    spark.catalog.refreshByPath(dir)
+    Seq.empty
+  }
+}
+
+/** `VACUUM <table>` — Delta's syntax. One row per reclaimed path. */
+case class GraftVacuumCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "VACUUM")
+    graft.catalog.Catalog.vacuumPath(spark, dir).map(Row(_))
+  }
+}
+
+/** `RESTORE TABLE <t> TO VERSION AS OF n` — Delta's syntax: version n's
+  * contents become the live snapshot, committed as a NEW version (the
+  * restored-from state stays in the log). */
+case class GraftRestoreCommand(nameParts: Seq[String], version: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "RESTORE")
+    graft.catalog.Catalog.restorePath(spark, dir, version)
+    spark.catalog.refreshByPath(dir)
+    Seq.empty
+  }
+}
+
 /** Delegating parser: everything is the session's own parser, except
   *  - a parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution;
   *  - `VERSION AS OF n` / `TIMESTAMP AS OF ts` over a graft-registered
   *    parquet table resolve to the catalog's snapshot-log entry (Spark only
   *    supports time travel for v2 merge-capable catalogs). Tables that
   *    aren't ours pass through to Spark's own resolution;
-  *  - `DESCRIBE HISTORY <table>` (not in Spark's grammar) lists the
-  *    snapshot log.
+  *  - `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` / `RESTORE ... VERSION
+  *    AS OF` (none in Spark's grammar) are intercepted as text and run the
+  *    snapshot log's list / compact / reclaim / restore operations.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -333,6 +377,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     sqlText match {
       case GraftSql.DescribeHistoryRe(ident) =>
         GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.OptimizeRe(ident) =>
+        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.VacuumRe(ident) =>
+        GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.RestoreRe(ident, v) =>
+        GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), v.toInt)
       case _ => wrap(parse(sqlText))
     }
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -367,10 +417,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSql {
   import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
 
-  /** Anchored full-statement match so a string literal mentioning
-    * "DESCRIBE HISTORY" can never trigger the interception. */
+  /** Anchored full-statement matches so a string literal mentioning one of
+    * these statements can never trigger the interception. */
   private[sql] val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  /** A statement target's storage directory (raises for temp views /
+    * tables without a location). */
+  private[sql] def resolveDir(spark: SparkSession, nameParts: Seq[String],
+      stmt: String): String = {
+    val (uri, _) = GraftShims.tableStorage(spark, nameParts).getOrElse(
+      throw new IllegalArgumentException(
+        s"$stmt target ${nameParts.mkString(".")} must be a catalog table " +
+          "with a storage location"))
+    new org.apache.hadoop.fs.Path(uri).toString
+  }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis. The grammar
     * admits any expression (`'2024-01-01'`, `now() - INTERVAL 1 DAY`); it is
@@ -417,6 +484,9 @@ object GraftSql {
         }
     }
 
+  private def splitIdent(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+
   def merge(spark: SparkSession, sqlText: String): Unit =
     GraftShims.parsePlan(spark, sqlText) match {
       case m: MergeIntoTable =>
@@ -436,9 +506,14 @@ object GraftSql {
   def sql(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
     sqlText match {
       case DescribeHistoryRe(ident) =>
-        val parts = ident.split('.').toSeq
-          .map(_.stripPrefix("`").stripSuffix("`"))
-        GraftShims.ofRows(spark, GraftDescribeHistoryCommand(parts))
+        GraftShims.ofRows(spark, GraftDescribeHistoryCommand(splitIdent(ident)))
+      case OptimizeRe(ident) =>
+        GraftShims.ofRows(spark, GraftOptimizeCommand(splitIdent(ident)))
+      case VacuumRe(ident) =>
+        GraftShims.ofRows(spark, GraftVacuumCommand(splitIdent(ident)))
+      case RestoreRe(ident, v) =>
+        GraftShims.ofRows(spark,
+          GraftRestoreCommand(splitIdent(ident), v.toInt))
       case _ => GraftShims.parsePlan(spark, sqlText) match {
         case m: MergeIntoTable =>
           MergeIntoRunner.run(spark,

@@ -198,6 +198,43 @@ class MergeSqlSpec extends SparkSuite {
       .getAs[String]("extra") == null)
   }
 
+  test("OPTIMIZE / VACUUM / RESTORE SQL statements drive the snapshot log") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-opt"))
+    val v1 = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+    cat.overwriteSnapshot(v1.repartition(16), "gold", "opt_sql") // fragmented
+    cat.overwriteSnapshot(
+      (1 to 3000).map(i => (i.toLong, s"b$i")).toDF("id", "v").repartition(16),
+      "gold", "opt_sql")
+    cat.register("gold", "opt_sql")
+    val base = cat.path("gold", "opt_sql")
+    def files: Int = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files > 1)
+    // OPTIMIZE through the extension session: packed, contents unchanged,
+    // committed as version 3
+    s.sql("OPTIMIZE gold.opt_sql")
+    assert(files == 1)
+    assert(s.table("gold.opt_sql").count() == 3000)
+    assert(cat.currentVersion("gold", "opt_sql") == 3)
+    // RESTORE version 1 through the universal (extension-less) entry: its
+    // contents come back as a NEW version, nothing is erased
+    graft.sql.GraftSql.sql(s,
+      "RESTORE TABLE gold.opt_sql TO VERSION AS OF 1")
+    assert(cat.currentVersion("gold", "opt_sql") == 4)
+    assert(cat.read("gold", "opt_sql").count() == 2000)
+    assert(cat.readVersion("gold", "opt_sql", 3).count() == 3000)
+    // VACUUM through SQL: plant a stale staging dir, expect it reported
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base + ".tmp"))
+    val reclaimed = s.sql("VACUUM gold.opt_sql")
+      .collect().map(_.getString(0)).toSeq
+    assert(reclaimed.exists(_.endsWith(".tmp")), s"unexpected: $reclaimed")
+    cat.dropRegistration("gold", "opt_sql")
+  }
+
   test("a target row matching multiple source rows raises (cardinality guard)") {
     val s = sqlSpark
     import s.implicits._
