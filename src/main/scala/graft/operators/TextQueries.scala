@@ -152,10 +152,107 @@ object TextQueries {
     top.join(dupWords, Seq("doc_id")).orderBy("doc_id")
   }
 
+  // PII patterns: no lookarounds, so they mean the same thing to Java
+  // regex (Spark) and RE2 (DuckDB).
+  private[graft] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9][0-9-]{7,}"
+  private[graft] val Ipv4Re =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction (mandatory curation pass before text
+    * becomes training data). The fixture corpus carries no PII, so — the
+    * q75 pattern — deterministic PII is synthesized in-query from doc_id
+    * (an email for every doc, a phone for every 3rd, an IP for every 5th),
+    * then counted and redacted innermost-first (email before IP, so an
+    * address's dotted domain can't be half-eaten by the IP rule). The
+    * DuckDB oracle replays the same synthesis and the same regexes: a
+    * redaction regression breaks the hash. Pure codegen'd string
+    * expressions — at 100 TB this is a map-only pass, no shuffle. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      lit("contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(lit("")),
+      lit(" "), col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), pii.as("pii"))
+      .select(col("doc_id"),
+        regexp_count(col("pii"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("pii"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        substring(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            Ipv4Re, "<IP>"),
+          1, 64).as("redacted_head"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted mixture upsampling (the other half of data mixing — q58
+    * downsamples, this REPLICATES: weight 2.5 means every doc twice plus a
+    * deterministic half keep a third copy). The fractional part is the
+    * same md5 membership function as q58, so replication is a pure
+    * function of doc_id — identical across runs, engines and cluster
+    * sizes, and the oracle replays it exactly. explode(sequence(...))
+    * keeps the fan-out distributed and codegen'd. */
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Seq("en" -> 0.3, "de" -> 2.5, "fr" -> 1.0,
+      "es" -> 2.0, "zh" -> 0.7)
+    val h = substring(
+      md5(concat(col("doc_id").cast("string"), lit("#mix42"))), 1, 4)
+    val nCopies = weights.foldLeft(lit(0)) { case (acc, (lang, w)) =>
+      val base = math.floor(w).toInt
+      val thresh = f"${math.floor((w - base) * 65536).toInt}%04x"
+      when(col("lang") === lang,
+        lit(base) + (h < lit(thresh)).cast("int")).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), nCopies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_no", explode(sequence(lit(1), col("n_copies"))))
+      .select("doc_id", "lang", "copy_no")
+      .orderBy("doc_id", "copy_no")
+  }
+
+  /** Per-document script mix (writing-system profile: Latin vs CJK vs
+    * digits vs whitespace) — corpus-composition auditing for multilingual
+    * training data. Counts are exact integers (no double hashing risk);
+    * the Latin fraction uses the cross-engine floor idiom. The CJK class
+    * demonstrates unicode-range counting (the fixture is Latin-only, so
+    * the column is 0 there; TextOpsSpec proves the class on real CJK). */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_latin"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+        regexp_count(col("text"), lit(" ")).cast("long").as("n_space"),
+        regexp_count(col("text"), lit("[一-鿿]")).cast("long")
+          .as("n_cjk"),
+        (floor(regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double") * 1e6) / 1e6)
+          .as("latin_frac"))
+      .withColumn("dominant",
+        when(col("n_cjk") > col("n_latin"), lit("cjk"))
+          .when(col("n_latin") > 0, lit("latin"))
+          .otherwise(lit("other")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_token_packing"     -> (tokenPacking _),
+    "q76_pii_redact"        -> (piiRedact _),
+    "q77_mix_upsample"      -> (mixUpsample _),
+    "q78_script_mix"        -> (scriptMix _),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -218,6 +315,64 @@ object TextQueries {
            WHEN 'de' THEN TRUE WHEN 'fr' THEN TRUE WHEN 'es' THEN TRUE
            ELSE FALSE END
          ORDER BY doc_id""",
+    // same in-query PII synthesis, same regexes (Java and RE2 agree on
+    // these lookaround-free patterns), same innermost-first redaction order
+    "q76_pii_redact" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+              concat('contact user', CAST(doc_id AS VARCHAR), '@example.com',
+                CASE WHEN doc_id % 3 = 0
+                  THEN concat(' call +1-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                  ELSE '' END,
+                CASE WHEN doc_id % 5 = 0
+                  THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                    '.', CAST((doc_id * 7) % 256 AS VARCHAR))
+                  ELSE '' END,
+                ' ', text) AS pii
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(pii, '$Ipv4Re')) AS BIGINT) AS n_ips,
+            substring(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(pii, '$EmailRe', '<EMAIL>', 'g'),
+                  '$PhoneRe', '<PHONE>', 'g'),
+                '$Ipv4Re', '<IP>', 'g'),
+              1, 64) AS redacted_head
+          FROM p ORDER BY doc_id""",
+    // q58's md5 membership function, applied to the FRACTIONAL part of the
+    // replication weight (en 0.3→0x4ccc, de 2.5→0x8000, zh 0.7→0xb333)
+    "q77_mix_upsample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#mix42'), 1, 4) < '4ccc' THEN 1 ELSE 0 END
+               WHEN 'de' THEN 2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#mix42'), 1, 4) < '8000' THEN 1 ELSE 0 END
+               WHEN 'fr' THEN 1
+               WHEN 'es' THEN 2
+               WHEN 'zh' THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#mix42'), 1, 4) < 'b333' THEN 1 ELSE 0 END
+               ELSE 0 END AS n_copies
+           FROM documents)
+         SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_no
+         FROM w WHERE n_copies > 0 ORDER BY doc_id, copy_no""",
+    "q78_script_mix" ->
+      raw"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+          CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+          CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_cjk,
+          floor(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1000000.0)
+            / 1000000.0 AS latin_frac,
+          CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                 > len(regexp_extract_all(text, '[A-Za-z]')) THEN 'cjk'
+               WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin'
+               ELSE 'other' END AS dominant
+          FROM documents ORDER BY doc_id""",
     "q59_token_packing" ->
       s"""SELECT doc_id, lang, len($wordsSql) AS n_tokens,
           CAST(SUM(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id

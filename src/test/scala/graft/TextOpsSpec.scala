@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextQueries
+
+/** The corners of the round-4 text operators the fixture corpus cannot
+  * reach: CJK counting on real CJK text, PII patterns on real PII shapes,
+  * and the replication-weight semantics of mixture upsampling. */
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("script classes count real CJK and mixed text correctly") {
+    val df = Seq(
+      (1L, "汉字文本 abc 12"),
+      (2L, "pure latin words"),
+      (3L, "唯一汉字")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]")).as("n_latin"),
+        regexp_count(col("text"), lit("[0-9]")).as("n_digit"),
+        regexp_count(col("text"), lit("[一-鿿]")).as("n_cjk"))
+    val got = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_latin"), r.getAs[Int]("n_digit"),
+        r.getAs[Int]("n_cjk"))).toMap
+    assert(got(1L) == ((3, 2, 4)), s"mixed text: ${got(1L)}")
+    assert(got(2L) == ((14, 0, 0)))
+    assert(got(3L) == ((0, 0, 4)))
+  }
+
+  test("PII patterns match and redact real PII shapes, innermost first") {
+    val text = "mail jo.doe+x@corp.example.org or call +49-30-1234567 " +
+      "from 192.168.0.17 twice 192.168.0.18"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(
+        regexp_count(col("text"), lit(TextQueries.EmailRe)).as("e"),
+        regexp_count(col("text"), lit(TextQueries.PhoneRe)).as("p"),
+        regexp_count(col("text"), lit(TextQueries.Ipv4Re)).as("i"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
+            TextQueries.PhoneRe, "<PHONE>"),
+          TextQueries.Ipv4Re, "<IP>").as("red"))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("e") == 1 && r.getAs[Int]("p") == 1 &&
+      r.getAs[Int]("i") == 2)
+    assert(r.getAs[String]("red") ==
+      "mail <EMAIL> or call <PHONE> from <IP> twice <IP>")
+  }
+
+  test("mixture upsampling replicates by floor(weight) plus a deterministic fraction") {
+    val out = TextQueries.mixUpsample(spark, sf0001)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val copies = out.groupBy("doc_id", "lang")
+      .agg(max("copy_no").as("n"), count(lit(1)).as("c"))
+    // copy_no is dense 1..n per doc
+    assert(copies.filter(col("n") =!= col("c")).count() == 0)
+    val byLang = copies.groupBy("lang")
+      .agg(min("n").as("lo"), max("n").as("hi"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Int]("lo"), r.getAs[Int]("hi"))).toMap
+    // fr weight 1.0 → exactly one copy; es 2.0 → exactly two;
+    // de 2.5 → two or three; en 0.3 / zh 0.7 → the kept docs have one
+    assert(byLang("fr") == ((1, 1)) && byLang("es") == ((2, 2)))
+    assert(byLang("de")._1 >= 2 && byLang("de")._2 <= 3)
+    assert(byLang.get("en").forall(_ == ((1, 1))))
+    // determinism: a re-run replicates the same docs the same number of times
+    assert(rowsOf(TextQueries.mixUpsample(spark, sf0001), "doc_id", "copy_no")
+      == rowsOf(out, "doc_id", "copy_no"))
+    // sub-1.0 strata actually dropped some docs
+    val enAll = docs.filter(col("lang") === "en").count()
+    val enKept = out.filter(col("lang") === "en")
+      .select("doc_id").distinct().count()
+    assert(enKept > 0 && enKept < enAll)
+  }
+}
