@@ -246,6 +246,36 @@ object TextQueries {
           .otherwise(lit("other")))
       .orderBy("doc_id")
 
+  /** Fixed-window document chunking with overlap (context-window prep:
+    * pretraining corpora are consumed as W-token chunks, stride S < W so
+    * no boundary context is lost). Chunk count is closed-form integer
+    * arithmetic — `1 + ceil((n-W)/S)` for n > W — so the fan-out is a
+    * codegen'd explode(sequence(...)), map-only, no shuffle; the last
+    * chunk clamps at the document end (Spark `slice` and DuckDB list
+    * slicing both clamp, so the engines agree). Offsets are emitted
+    * 1-based so a consumer can address tokens without re-splitting. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val nChunks = when(col("n_tokens") <= window, lit(1L))
+      .otherwise(lit(1L) + floor(
+        (col("n_tokens") - window + (stride - 1)).cast("double") / stride)
+        .cast("long"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("start_token", col("chunk_id") * stride + 1)
+      .withColumn("chunk",
+        slice(col("ws"), col("start_token").cast("int"), lit(window)))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -253,6 +283,7 @@ object TextQueries {
     "q76_pii_redact"        -> (piiRedact _),
     "q77_mix_upsample"      -> (mixUpsample _),
     "q78_script_mix"        -> (scriptMix _),
+    "q79_chunking"          -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -359,6 +390,35 @@ object TextQueries {
          SELECT doc_id, lang,
            CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_no
          FROM w WHERE n_copies > 0 ORDER BY doc_id, copy_no""",
+    // same closed-form chunk count (ceil via integer-safe floor over
+    // doubles — values << 2^53), same 1-based clamped slice: Spark
+    // slice(ws, start, 64) == DuckDB ws[start : least(start+63, n)]
+    "q79_chunking" ->
+      s"""WITH t AS (
+            SELECT doc_id, $wordsSql AS ws,
+              CAST(len($wordsSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          n AS (
+            SELECT doc_id, ws, n_tokens,
+              CASE WHEN n_tokens <= 64 THEN CAST(1 AS BIGINT)
+                   ELSE 1 + CAST(floor(
+                     CAST(n_tokens - 64 + 47 AS DOUBLE) / 48.0) AS BIGINT)
+              END AS n_chunks
+            FROM t),
+          c AS (
+            SELECT doc_id, ws, n_tokens,
+              unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1))
+                AS chunk_id
+            FROM n)
+          SELECT doc_id, chunk_id,
+            chunk_id * 48 + 1 AS start_token,
+            CAST(len(ws[CAST(chunk_id * 48 + 1 AS INT) :
+              CAST(least(chunk_id * 48 + 64, n_tokens) AS INT)]) AS BIGINT)
+              AS n_chunk_tokens,
+            array_to_string(ws[CAST(chunk_id * 48 + 1 AS INT) :
+              CAST(least(chunk_id * 48 + 64, n_tokens) AS INT)], ' ')
+              AS chunk_text
+          FROM c ORDER BY doc_id, chunk_id""",
     "q78_script_mix" ->
       raw"""SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,

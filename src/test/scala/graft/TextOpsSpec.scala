@@ -47,6 +47,36 @@ class TextOpsSpec extends SparkSuite {
       "mail <EMAIL> or call <PHONE> from <IP> twice <IP>")
   }
 
+  test("chunking covers every token, overlaps by window-stride, clamps the tail") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val docs = Seq(
+      (1L, (1 to 200).map(i => s"w$i").mkString(" "), "en"), // 4 chunks
+      (2L, "just a few tokens", "en"),                       // 1 chunk
+      (3L, (1 to 64).map(i => s"x$i").mkString(" "), "en"))  // exactly W -> 1
+      .toDF("doc_id", "text", "lang")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.chunkDocuments(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(out(2L).length == 1 && out(3L).length == 1)
+    assert(out(2L)(0).getAs[String]("chunk_text") == "just a few tokens")
+    val c1 = out(1L).sortBy(_.getAs[Long]("chunk_id"))
+    // starts 1, 49, 97, 145; interior chunks 64 tokens, tail clamps to 56
+    assert(c1.map(_.getAs[Long]("start_token")).toSeq == Seq(1L, 49L, 97L, 145L))
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(64L, 64L, 64L, 56L))
+    // every token index covered, consecutive chunks overlap by exactly 16
+    val covered = c1.flatMap { r =>
+      val s = r.getAs[Long]("start_token")
+      s until (s + r.getAs[Long]("n_chunk_tokens"))
+    }.toSet
+    assert(covered == (1L to 200L).toSet)
+    assert(c1.sliding(2).forall { case Array(a, b) =>
+      a.getAs[Long]("start_token") + 64 - b.getAs[Long]("start_token") == 16
+    })
+    // chunk text is the real token slice (spot-check the tail chunk)
+    assert(c1.last.getAs[String]("chunk_text") ==
+      (145 to 200).map(i => s"w$i").mkString(" "))
+  }
+
   test("mixture upsampling replicates by floor(weight) plus a deterministic fraction") {
     val out = TextQueries.mixUpsample(spark, sf0001)
     val docs = Tables.load(spark, sf0001, "documents")
