@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.SkewQueries.queries ++
-    multimodal.Multimodal.queries
+    multimodal.Multimodal.queries ++
+    sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.SkewQueries.oracles ++
-    multimodal.Multimodal.oracles
+    multimodal.Multimodal.oracles ++
+    sources.Formats.oracles
 }
