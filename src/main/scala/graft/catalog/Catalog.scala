@@ -153,9 +153,9 @@ class Catalog(spark: SparkSession, warehouse: String,
     * rewritten. `partitionBy` (for directory-partitioned snapshots) packs
     * each partition into one file instead of size-targeted global packing. */
   def compact(layer: String, table: String, targetFileSize: Long,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Unit = {
     Catalog.compactPath(spark, path(layer, table), targetFileSize,
-      keepVersions, partitionBy)
+      keepVersions, partitionBy, zorderBy)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }
@@ -311,10 +311,16 @@ object Catalog {
   /** [[Catalog!.compact]] on a raw table directory — the seam SQL
     * `OPTIMIZE <table>` shares with the layer.table API. */
   def compactPath(spark: SparkSession, dir: String, targetFileSize: Long,
-      keepVersions: Int = 10, partitionBy: Seq[String] = Nil): Unit = {
+      keepVersions: Int = 10, partitionBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Unit = {
     require(targetFileSize > 0, "targetFileSize must be positive")
+    require(partitionBy.isEmpty || zorderBy.isEmpty,
+      "ZORDER clusters across files; combine it with bucketed layouts, " +
+        "not hive partitioning")
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (isBucketedLayout(f, dir)) {
+      require(zorderBy.isEmpty, "ZORDER on bucketed tables is unsupported " +
+        "(bucket pruning already governs their file skipping)")
       graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
         keepVersions)
       ()
@@ -329,10 +335,14 @@ object Catalog {
         }
       }
       val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
-      if (nFiles <= n) return // already packed: no pointless version churn
+      // ZORDER always rewrites (re-clustering has value at any file count,
+      // Delta's semantics); plain compaction skips when already packed
+      if (zorderBy.isEmpty && nFiles <= n) return
       val df = spark.read.parquet(dir)
       val packed =
-        if (partitionBy.nonEmpty)
+        if (zorderBy.nonEmpty)
+          graft.layout.ZOrder.cluster(df, zorderBy, n)
+        else if (partitionBy.nonEmpty)
           df.repartition(partitionBy.map(col): _*)
         else df.repartition(n)
       overwritePath(spark, packed, dir, partitionBy, keepVersions)

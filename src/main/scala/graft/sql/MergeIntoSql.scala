@@ -312,18 +312,21 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
   }
 }
 
-/** `OPTIMIZE <table>` — Delta's small-file compaction statement (not in
-  * Spark's grammar). Packs the table into ~target-sized files as a new
-  * version; bucketed tables compact per bucket. The target comes from
+/** `OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]` — Delta's small-file
+  * compaction statement (not in Spark's grammar). Packs the table into
+  * ~target-sized files as a new version; with ZORDER BY the rewrite also
+  * Morton-clusters rows on the named columns ([[graft.layout.ZOrder]]) so
+  * every file's min/max footer range is tight on all of them. Bucketed
+  * tables compact per bucket. The target comes from
   * `spark.graft.optimize.targetFileSize` (default 128 MiB). */
-case class GraftOptimizeCommand(nameParts: Seq[String])
-    extends LeafRunnableCommand {
+case class GraftOptimizeCommand(nameParts: Seq[String],
+    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "OPTIMIZE")
     val target = spark.conf
       .get("spark.graft.optimize.targetFileSize", (128L * 1024 * 1024).toString)
       .toLong
-    graft.catalog.Catalog.compactPath(spark, dir, target)
+    graft.catalog.Catalog.compactPath(spark, dir, target, zorderBy = zorderBy)
     spark.catalog.refreshByPath(dir)
     Seq.empty
   }
@@ -377,8 +380,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     sqlText match {
       case GraftSql.DescribeHistoryRe(ident) =>
         GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident))
-      case GraftSql.OptimizeRe(ident) =>
-        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.OptimizeRe(ident, zcols) =>
+        GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident),
+          GraftSql.splitZOrderCols(zcols))
       case GraftSql.VacuumRe(ident) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.RestoreRe(ident, v) =>
@@ -422,7 +426,12 @@ object GraftSql {
   private[sql] val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+
+  /** `ZORDER BY (a, b)` column list → trimmed, backtick-stripped names. */
+  private[sql] def splitZOrderCols(group: String): Seq[String] =
+    Option(group).toSeq.flatMap(_.split(","))
+      .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
@@ -507,8 +516,9 @@ object GraftSql {
     sqlText match {
       case DescribeHistoryRe(ident) =>
         GraftShims.ofRows(spark, GraftDescribeHistoryCommand(splitIdent(ident)))
-      case OptimizeRe(ident) =>
-        GraftShims.ofRows(spark, GraftOptimizeCommand(splitIdent(ident)))
+      case OptimizeRe(ident, zcols) =>
+        GraftShims.ofRows(spark,
+          GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols)))
       case VacuumRe(ident) =>
         GraftShims.ofRows(spark, GraftVacuumCommand(splitIdent(ident)))
       case RestoreRe(ident, v) =>
