@@ -203,7 +203,33 @@ object MergeQueries {
       sum(when(!expr("p_retailprice > 0"), 1L).otherwise(0L)).as("v_price_positive"),
       count(lit(1)).as("total_rows"))
 
+  /** Incrementally maintained customer rollup ([[graft.pipeline
+    * .MaterializedAgg]]): orders arrive as three deterministic batches
+    * (`o_orderkey % 3`), each refresh merges partial states — the oracle
+    * recomputes the SAME aggregate from scratch in one GROUP BY, so any
+    * drift between incremental maintenance and full recompute breaks the
+    * hash. Money goes through integer cents (scaled-BIGINT idiom): sums
+    * stay exact and engine-portable where double accumulation is not. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.MaterializedAgg
+    import MaterializedAgg._
+    val wh = java.nio.file.Files.createTempDirectory("graft-magg").toString
+    val cat = new graft.catalog.Catalog(spark, wh)
+    val ma = new MaterializedAgg(spark, cat, "gold", "cust_rollup",
+      Seq("o_custkey"),
+      Seq(CountRows("n_orders"), Sum(col("cents"), "sum_cents"),
+        Min(col("cents"), "min_cents"), Max(col("cents"), "max_cents")))
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    (0 to 2).foreach { i =>
+      ma.refresh(o.filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong)
+    }
+    ma.read().orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_incr_agg"     -> (incrementalAgg _),
     "q19_merge_upsert" -> (upsertFact _),
     "q20_merge_scd1"   -> (scd1Dim _),
     "q21_merge_scd2"   -> (scd2Dim _),
@@ -212,6 +238,17 @@ object MergeQueries {
     "q70_merge_sql"    -> (mergeSqlScd1 _))
 
   private val oraclesCore: Map[String, String] = Map(
+    // full single-pass recompute of what q81 maintains incrementally
+    "q81_incr_agg" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+         FROM o GROUP BY o_custkey ORDER BY o_custkey""",
     "q19_merge_upsert" ->
       s"""WITH target AS (
             SELECT o_orderkey AS order_id, o_orderstatus AS status,

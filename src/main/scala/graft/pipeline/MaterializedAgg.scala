@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.merge.PartitionedMerge
+
+/** Incrementally maintained materialized aggregate — the DLT/Databricks
+  * materialized-view refresh the reference's gold rollups would get from
+  * `CREATE MATERIALIZED VIEW` (Gold_Products.py keeps full-recompute
+  * aggregates; at 100 TB a full recompute per batch re-reads the entire
+  * fact history, which is exactly what this avoids).
+  *
+  * Only ALGEBRAIC aggregates are admitted — `count`, `sum`, `min`, `max`
+  * — because their partial states merge associatively: refresh cost is
+  * O(batch) + O(groups), never O(all facts ever). `avg` is `sum/count`
+  * derived at read time; non-algebraic aggregates (exact distinct,
+  * median) genuinely need the history and belong to a full recompute.
+  *
+  * Exactly-once: every refresh carries a monotonically increasing
+  * `refreshId` stored in a `_graft_refresh_id` column that commits
+  * ATOMICALLY with the data (same snapshot/bucket swap — there is no
+  * separate marker file to crash between). A replayed batch (same or
+  * older id) is a no-op, so a restarted driver can blindly re-send the
+  * last batch — the Delta `txnAppId` idiom on this layout.
+  *
+  * Layout: unbucketed tables snapshot-swap the whole (small) aggregate;
+  * with `nBuckets` the state is bucket-partitioned on the group keys and
+  * a refresh rewrites ONLY buckets containing batch groups
+  * ([[PartitionedMerge.prunedMerge]]) — per-batch I/O is O(touched
+  * buckets), the posture for group cardinalities that are themselves
+  * large (e.g. per-document stats over 10^10 documents). */
+class MaterializedAgg(spark: SparkSession, cat: Catalog,
+    layer: String, table: String,
+    groupBy: Seq[String], measures: Seq[MaterializedAgg.Measure],
+    nBuckets: Option[Int] = None) {
+  import MaterializedAgg._
+
+  require(groupBy.nonEmpty && measures.nonEmpty,
+    "need at least one group column and one measure")
+  require(measures.map(_.out).distinct.size == measures.size,
+    "measure output names must be unique")
+
+  private val IdCol = "_graft_refresh_id"
+  private def path = cat.path(layer, table)
+
+  /** Per-batch partial state: one shuffle of the BATCH only (map-side
+    * combine), nothing of the stored history. */
+  private def partial(batch: DataFrame, refreshId: Long): DataFrame =
+    batch.groupBy(groupBy.map(col): _*)
+      .agg(measures.head.partialExpr, measures.tail.map(_.partialExpr): _*)
+      .withColumn(IdCol, lit(refreshId))
+
+  /** Merge two states: re-aggregate with each measure's COMBINE function
+    * (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs). */
+  private def combine(states: DataFrame): DataFrame =
+    states.groupBy(groupBy.map(col): _*)
+      .agg(measures.head.combineExpr,
+        measures.tail.map(_.combineExpr) :+ max(col(IdCol)).as(IdCol): _*)
+
+  /** The last applied refresh id (high-water mark), -1 before first load.
+    * Read from the committed state itself — it cannot disagree with the
+    * data it guards. */
+  def lastRefreshId: Long =
+    if (!exists) -1L
+    else stateRead().agg(max(col(IdCol))).head().getLong(0)
+
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def stateRead(): DataFrame =
+    if (nBuckets.isDefined) PartitionedMerge.read(spark, path)
+    else cat.read(layer, table)
+
+  /** Apply one append batch. Returns true when applied, false when the
+    * refreshId was already covered (replay — dropped whole). */
+  def refresh(batch: DataFrame, refreshId: Long): Boolean = {
+    if (refreshId <= lastRefreshId) return false
+    val p = partial(batch, refreshId)
+    (nBuckets, exists) match {
+      case (Some(n), false) =>
+        PartitionedMerge.write(p, path, groupBy, n)
+      case (Some(n), true) =>
+        PartitionedMerge.prunedMerge(spark, path, p, groupBy, n)(
+          (target, src) => combine(target.unionByName(src)))
+        ()
+      case (None, false) => cat.overwriteSnapshot(p, layer, table)
+      case (None, true) =>
+        // snapshot swap stages before renaming, so the lazy read of the
+        // live state during the staging write sees the original files
+        cat.overwriteSnapshot(
+          combine(stateRead().unionByName(p)), layer, table)
+    }
+    true
+  }
+
+  /** The maintained aggregate (without the refresh-id bookkeeping column). */
+  def read(): DataFrame = stateRead().drop(IdCol)
+}
+
+object MaterializedAgg {
+  /** An algebraic measure: `partialExpr` folds raw batch rows,
+    * `combineExpr` folds partial states of the SAME output column. */
+  sealed abstract class Measure(val out: String,
+      val partialExpr: Column, val combineExpr: Column)
+  case class CountRows(override val out: String) extends Measure(out,
+    count(lit(1)).as(out), sum(col(out)).as(out))
+  case class Sum(src: Column, override val out: String) extends Measure(out,
+    sum(src).as(out), sum(col(out)).as(out))
+  case class Min(src: Column, override val out: String) extends Measure(out,
+    min(src).as(out), min(col(out)).as(out))
+  case class Max(src: Column, override val out: String) extends Measure(out,
+    max(src).as(out), max(col(out)).as(out))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MaterializedAgg
+import graft.pipeline.MaterializedAgg._
+
+/** MaterializedAgg invariants the q81 oracle can't see: exactly-once
+  * replay, bucket-pruned refresh I/O, version history, and the bucketed
+  * layout's parity with the snapshot layout. */
+class MaterializedAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def batches = Seq(
+    Seq((1L, 10L), (2L, 20L), (1L, 30L)),
+    Seq((2L, 5L), (3L, 7L)),
+    Seq((1L, 100L), (3L, 1L), (4L, 4L))).map(_.toDF("k", "v"))
+
+  private def expected = Map(
+    1L -> (3L, 140L, 10L, 100L),
+    2L -> (2L, 25L, 5L, 20L),
+    3L -> (2L, 8L, 1L, 7L),
+    4L -> (1L, 4L, 4L, 4L))
+
+  private def measures = Seq(CountRows("n"), Sum(col("v"), "s"),
+    Min(col("v"), "lo"), Max(col("v"), "hi"))
+
+  private def check(ma: MaterializedAgg): Unit = {
+    val got = ma.read().collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+    assert(got == expected, s"state diverged: $got")
+  }
+
+  test("snapshot layout: three refreshes equal the full recompute; replay is a no-op") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-snap"))
+    val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"), measures)
+    assert(ma.lastRefreshId == -1L)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(ma.refresh(b, i.toLong), s"batch $i not applied")
+    }
+    check(ma)
+    // replaying any covered id is dropped whole — no double counting
+    assert(!ma.refresh(batches(1), 1L) && !ma.refresh(batches(2), 0L))
+    check(ma)
+    assert(ma.lastRefreshId == 2L)
+    // refreshes are versions: the state after batch 0 is still addressable
+    val v1 = cat.readVersion("gold", "roll", 1)
+    assert(v1.agg(sum("n")).head().getLong(0) == 3L)
+  }
+
+  test("bucketed layout: same result, refresh rewrites only touched buckets") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-bkt"))
+    val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"),
+      measures, nBuckets = Some(8))
+    batches.zipWithIndex.foreach { case (b, i) => ma.refresh(b, i.toLong) }
+    check(ma)
+    assert(!ma.refresh(batches(0), 2L))
+    check(ma)
+    // a refresh touching one key leaves every other bucket's files alone
+    val base = cat.path("gold", "roll")
+    val bucketOf = graft.merge.PartitionedMerge.bucketExpr(Seq("k"), 8)
+    val touched = Seq((9L, 1L)).toDF("k", "v")
+      .select(bucketOf).head().getInt(0)
+    def fileSet(except: Int): Set[String] =
+      new java.io.File(base).listFiles()
+        .filter(d => d.getName.startsWith("gbucket=") &&
+          d.getName != s"gbucket=$except")
+        .flatMap(_.listFiles()).map(_.getPath).toSet
+    val before = fileSet(touched)
+    ma.refresh(Seq((9L, 1L)).toDF("k", "v"), 3L)
+    assert(fileSet(touched) == before,
+      "untouched buckets were rewritten by a single-key refresh")
+    assert(ma.read().filter(col("k") === 9L).head().getAs[Long]("s") == 1L)
+  }
+}
