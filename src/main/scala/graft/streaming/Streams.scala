@@ -260,6 +260,28 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming materialized view: maintain a [[graft.pipeline
+    * .MaterializedAgg]] from an append stream. `foreachBatch`'s batchId IS
+    * the refresh id, and the aggregate stores its high-water mark in the
+    * committed state itself — so when foreachBatch re-delivers a batch
+    * after a crash between the state swap and the checkpoint commit, the
+    * replay is dropped whole by [[graft.pipeline.MaterializedAgg.refresh]]
+    * (no separate marker, nothing to disagree). Per-batch cost is
+    * O(batch) + O(touched groups); the fact history is never re-read —
+    * the streaming half of the materialized-view posture. */
+  def maintainAgg(appends: DataFrame,
+      ma: graft.pipeline.MaterializedAgg, checkpoint: String): Unit = {
+    val q = appends.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ma.refresh(batch, batchId); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Dedup-on-ingest against the EXISTING corpus (the arrival-time half of
     * corpus curation: never append a document whose content is already
     * stored). Each micro-batch is reduced to one row per content hash

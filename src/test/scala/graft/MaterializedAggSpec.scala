@@ -49,6 +49,27 @@ class MaterializedAggSpec extends SparkSuite {
     assert(v1.agg(sum("n")).head().getLong(0) == 3L)
   }
 
+  test("streaming maintenance: file-source batches maintain the aggregate exactly once") {
+    val root = tmpDir("graft-ma-stream")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"), measures)
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    def drain(): Unit = graft.streaming.Streams.maintainAgg(
+      spark.readStream.schema("k BIGINT, v BIGINT").parquet(land.toString),
+      ma, s"$root/_cp")
+
+    batches(0).write.mode("append").parquet(land.toString)
+    drain()
+    assert(ma.read().filter(col("k") === 1L).head().getAs[Long]("s") == 40L)
+    batches(1).write.mode("append").parquet(land.toString)
+    batches(2).write.mode("append").parquet(land.toString)
+    drain()
+    check(ma) // both remaining batches applied (one or two micro-batches)
+    // an empty drain replays nothing and changes nothing
+    drain()
+    check(ma)
+  }
+
   test("bucketed layout: same result, refresh rewrites only touched buckets") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-bkt"))
     val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"),
