@@ -85,6 +85,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.nfcDescriptor)
     // MERGE INTO support: the native parser already produces MergeIntoTable;
     // the delegating parser swaps it for graft's executable lowering
     // (graft.sql.MergeIntoRunner) so `spark.sql("MERGE INTO ...")` runs
@@ -101,10 +102,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
     (children: Seq[Expression]) => DotProductF(children(0), children(1)))
 
+  private[graft] val nfcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => NfcNormalizeExpr(children.head))
+
   /** Idempotent per-session registration for sessions built without the
     * extensions config (e.g. the driver-owned Verify/Bench sessions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    GraftShims.registerFunction(spark, id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(vecDotDescriptor, nfcDescriptor).foreach { case (id, info, builder) =>
+      GraftShims.registerFunction(spark, id, info, builder)
+    }
 }

@@ -276,6 +276,32 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Unicode normalization + whitespace/control cleanup (the first pass
+    * of every curation pipeline; [[graft.functions.TextNormalize]]). The
+    * fixture text is clean ASCII, so — the q76 pattern — mess is
+    * synthesized in-query: a DECOMPOSED accent (combining mark chosen by
+    * doc_id), a tab run and a control byte are spliced in; both engines
+    * then normalize with their own NFC implementation (JDK Normalizer vs
+    * DuckDB's) and the same RE2/Java-compatible regexes. Byte-identical
+    * output proves the native `nfc_normalize` expression against an
+    * independent Unicode implementation, not against itself. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNormalize
+    val suffix = when(col("doc_id") % 3 === 0, lit("cafe\u0301")) // e + acute
+      .when(col("doc_id") % 3 === 1, lit("A\u030A"))              // ring above
+      .otherwise(lit("o\u0308"))                                  // diaeresis
+    val raw = concat(lit("x \t "), suffix,
+      lit(" \u0001 "), col("text")) // tab run, control byte
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(TextNormalize.nfc(col("raw"))).cast("long").as("n_nfc"),
+        length(TextNormalize.cleanText(col("raw"))).cast("long").as("n_clean"),
+        substring(TextNormalize.cleanText(col("raw")), 1, 48).as("clean_head"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -284,6 +310,7 @@ object TextQueries {
     "q77_mix_upsample"      -> (mixUpsample _),
     "q78_script_mix"        -> (scriptMix _),
     "q79_chunking"          -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
+    "q82_normalize"         -> (normalizeText _),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -390,6 +417,32 @@ object TextQueries {
          SELECT doc_id, lang,
            CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_no
          FROM w WHERE n_copies > 0 ORDER BY doc_id, copy_no""",
+    // the same decomposed-accent synthesis (chr() builds the combining
+    // marks), DuckDB's own nfc_normalize, and the same RE2-compatible
+    // cleanup regexes — an independent Unicode implementation must agree
+    // byte for byte
+    "q82_normalize" ->
+      raw"""WITH r AS (
+            SELECT doc_id,
+              concat('x ', chr(9), ' ',
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'cafe' || chr(769)
+                  WHEN 1 THEN 'A' || chr(778)
+                  ELSE 'o' || chr(776) END,
+                ' ', chr(1), ' ', text) AS raw
+            FROM documents),
+          c AS (
+            SELECT doc_id, raw,
+              trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS clean
+            FROM r)
+          SELECT doc_id,
+            CAST(length(raw) AS BIGINT) AS n_raw,
+            CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+            CAST(length(clean) AS BIGINT) AS n_clean,
+            substring(clean, 1, 48) AS clean_head
+          FROM c ORDER BY doc_id""",
     // same closed-form chunk count (ceil via integer-safe floor over
     // doubles — values << 2^53), same 1-based clamped slice: Spark
     // slice(ws, start, 64) == DuckDB ws[start : least(start+63, n)]

@@ -47,6 +47,27 @@ class TextOpsSpec extends SparkSuite {
       "mail <EMAIL> or call <PHONE> from <IP> twice <IP>")
   }
 
+  test("nfc_normalize: native expression composes, idempotent, SQL-addressable") {
+    import graft.functions.TextNormalize
+    val df = Seq(
+      (1L, "café"), (2L, "café"), (3L, "Ångström"),
+      (4L, "plain"), (5L, null)).toDF("id", "t")
+      .select(col("id"), TextNormalize.nfc(col("t")).as("n"),
+        TextNormalize.cleanText(concat(lit(" a \t "), col("t"))).as("c"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[String]("n"), r.getAs[String]("c"))).toMap
+    assert(got(1L)._1 == "café" && got(2L)._1 == "café",
+      s"decomposed and composed must converge: $got")
+    assert(got(3L)._1 == "Ångström")
+    assert(got(4L)._1 == "plain" && got(5L)._1 == null)
+    assert(got(1L)._2 == "a café", s"cleanup: '${got(1L)._2}'")
+    assert(got(5L)._2 == null)
+    // registered SQL surface (plain-session registration path)
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('café') AS n")
+      .head().getString(0) == "café")
+  }
+
   test("chunking covers every token, overlaps by window-stride, clamps the tail") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
     val docs = Seq(
