@@ -160,6 +160,16 @@ object TextQueries {
   private[graft] val Ipv4Re =
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** Innermost-first PII rewrite (email before IP so a dotted domain can't
+    * be half-eaten by the IP rule) — shared by q76 and the corpus
+    * pipeline's silver annotation. */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** PII detection + redaction (mandatory curation pass before text
     * becomes training data). The fixture corpus carries no PII, so — the
     * q75 pattern — deterministic PII is synthesized in-query from doc_id
@@ -187,13 +197,7 @@ object TextQueries {
         regexp_count(col("pii"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count(col("pii"), lit(PhoneRe)).cast("long").as("n_phones"),
         regexp_count(col("pii"), lit(Ipv4Re)).cast("long").as("n_ips"),
-        substring(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
-              PhoneRe, "<PHONE>"),
-            Ipv4Re, "<IP>"),
-          1, 64).as("redacted_head"))
+        substring(redactPii(col("pii")), 1, 64).as("redacted_head"))
       .orderBy("doc_id")
   }
 
@@ -255,14 +259,20 @@ object TextQueries {
     * slicing both clamp, so the engines agree). Offsets are emitted
     * 1-based so a consumer can address tokens without re-splitting. */
   def chunkDocuments(spark: SparkSession, dir: String,
-      window: Int = 64, stride: Int = 48): DataFrame = {
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkOf(Tables.load(spark, dir, "documents"), window, stride)
+
+  /** [[chunkDocuments]] over an arbitrary (doc_id, text, ...) frame — the
+    * seam [[graft.pipeline.CorpusPipeline]] chunks its curated corpus
+    * through. */
+  def chunkOf(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val nChunks = when(col("n_tokens") <= window, lit(1L))
       .otherwise(lit(1L) + floor(
         (col("n_tokens") - window + (stride - 1)).cast("double") / stride)
         .cast("long"))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("n_tokens", size(col("ws")).cast("long"))
       .withColumn("chunk_id",

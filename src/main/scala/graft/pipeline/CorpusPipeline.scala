@@ -38,11 +38,20 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
       "en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
     tokensPerBatch: Long = 2048L) {
 
+  /** Silver annotation starts from CANONICAL text: NFC + control/space
+    * cleanup, then PII redaction (q82/q76 passes) — normalization must
+    * run BEFORE hashing or byte-variant duplicates (composed vs
+    * decomposed accents, whitespace runs) defeat every dedup stage
+    * downstream. The raw text column is preserved; all signals, hashes,
+    * shingles and chunks read `text_clean`. */
   private def annotate(raw: DataFrame): DataFrame = raw
-    .withColumn("quality", qualityScore(col("text")))
-    .withColumn("lang_pred", langId(col("text")))
-    .withColumn("n_tokens", tokenCountWs(col("text")))
-    .withColumn("content_hash", md5(col("text")))
+    .withColumn("text_clean",
+      TextQueries.redactPii(
+        graft.functions.TextNormalize.cleanText(col("text"))))
+    .withColumn("quality", qualityScore(col("text_clean")))
+    .withColumn("lang_pred", langId(col("text_clean")))
+    .withColumn("n_tokens", tokenCountWs(col("text_clean")))
+    .withColumn("content_hash", md5(col("text_clean")))
 
   private val gateRules = Map(
     "min_quality" -> s"quality >= $minQuality",
@@ -57,6 +66,14 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
       .filter(col("is_kept") === 1).select("doc_id")
     exactSurvivors.join(keepers, Seq("doc_id"), "left_semi")
   }
+
+  /** Context-window chunks of the curated corpus (q79's operator over the
+    * deduped snapshot): what a trainer actually consumes. */
+  private def chunkStage(deduped: DataFrame): DataFrame =
+    TextQueries.chunkOf(
+      deduped.select(col("doc_id"), col("text_clean").as("text")),
+      window = 64, stride = 48)
+      .join(deduped.select("doc_id", "lang"), Seq("doc_id"))
 
   private def packStage(deduped: DataFrame): DataFrame = {
     val mixed = TextQueries.hashStratifiedSample(
@@ -78,6 +95,8 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
     cat.overwriteSnapshot(gated, "silver", "documents")
     cat.overwriteSnapshot(dedupStage(cat.read("silver", "documents")),
       "silver", "documents_dedup")
+    cat.overwriteSnapshot(chunkStage(cat.read("silver", "documents_dedup")),
+      "gold", "training_chunks")
     cat.overwriteSnapshot(packStage(cat.read("silver", "documents_dedup")),
       "gold", "training_batches")
     cat.read("gold", "training_batches")
@@ -94,6 +113,8 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
         r => annotate(r("bronze.documents")))
       .table("silver.documents_dedup", inputs = Seq("silver.documents"))(
         r => dedupStage(r("silver.documents")))
+      .table("gold.training_chunks", inputs = Seq("silver.documents_dedup"))(
+        r => chunkStage(r("silver.documents_dedup")))
       .table("gold.training_batches", inputs = Seq("silver.documents_dedup"))(
         r => packStage(r("silver.documents_dedup")))
 

@@ -48,6 +48,12 @@ class CorpusPipelineSpec extends SparkSuite {
         floor((col("cum") - col("n_tokens")).cast("double") / 2048.0).cast("long"))
     assert(over.count() == 0, "batch assignment inconsistent with packing rule")
 
+    // chunks: every deduped doc chunked, windows bounded, text is clean
+    val chunks = cat.read("gold", "training_chunks")
+    assert(chunks.select("doc_id").distinct().count() == dedup.count())
+    assert(chunks.filter(col("n_chunk_tokens") > 64).count() == 0)
+    assert(chunks.filter(col("n_chunk_tokens") <= 0).count() == 0)
+
     // re-run: same result, new version of every stage (collect run-1 rows
     // BEFORE the swap retires its files)
     val run1Rows = rowsOf(gold, "doc_id")
@@ -65,9 +71,11 @@ class CorpusPipelineSpec extends SparkSuite {
     val decCat = new Catalog(spark, tmpDir("graft-corpus-dec"))
     val res = new CorpusPipeline(spark, decCat).runDeclarative(raw)
     assert(res.order == Seq("bronze.documents", "silver.documents",
-      "silver.documents_dedup", "gold.training_batches"))
+      "silver.documents_dedup", "gold.training_chunks",
+      "gold.training_batches"))
     for (table <- Seq("bronze/documents", "silver/documents",
-        "silver/documents_dedup", "gold/training_batches")) {
+        "silver/documents_dedup", "gold/training_chunks",
+        "gold/training_batches")) {
       val Array(layer, name) = table.split('/')
       val a = impCat.read(layer, name)
       val cols = a.columns.toSeq.sorted

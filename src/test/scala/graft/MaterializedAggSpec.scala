@@ -70,6 +70,35 @@ class MaterializedAggSpec extends SparkSuite {
     check(ma)
   }
 
+  test("property: random batch splits always equal the full recompute") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 20L)
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (k, v)
+    val caseGen = for {
+      rows <- Gen.listOfN(60, rowGen)
+      nB <- Gen.chooseNum(1, 5)
+    } yield (rows, nB)
+    (1 to 4).foreach { i =>
+      val (rows, nB) = caseGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val cat = new graft.catalog.Catalog(spark, tmpDir(s"graft-ma-prop$i"))
+      val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"),
+        measures, nBuckets = if (i % 2 == 0) Some(4) else None)
+      // deterministic split into nB contiguous batches
+      rows.grouped(math.max(1, rows.size / nB)).zipWithIndex.foreach {
+        case (b, id) => ma.refresh(b.toDF("k", "v"), id.toLong)
+      }
+      val full = rows.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("lo"), max("v").as("hi"))
+      val got = ma.read()
+      assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+        s"case $i (buckets=${i % 2 == 0}, nB=$nB) diverged from recompute")
+    }
+  }
+
   test("bucketed layout: same result, refresh rewrites only touched buckets") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-bkt"))
     val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"),
