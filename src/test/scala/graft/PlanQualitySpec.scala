@@ -52,6 +52,35 @@ class PlanQualitySpec extends SparkSuite {
       s"no partial aggregation:\n$p")
   }
 
+  test("q79/q82: curation passes are map-only (no exchange before the sort)") {
+    import graft.operators.TextQueries
+    // the final orderBy exists for the oracle; everything BEFORE it must
+    // run inside the scan's stage — chunk fan-out and normalization are
+    // per-row work that would be pure shuffle waste to redistribute
+    for ((name, df) <- Seq(
+        "q79" -> TextQueries.chunkOf(
+          Tables.load(spark, sfDir, "documents"), 64, 48),
+        "q82e" -> Tables.load(spark, sfDir, "documents").select(
+          graft.functions.TextNormalize.cleanText(
+            org.apache.spark.sql.functions.col("text")).as("c")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: unexpected shuffle in a map-only pass:\n$p")
+      // executed plans print codegen spans as "*(n)"
+      assert(p.contains("*(1)"),
+        s"$name: fell out of whole-stage codegen:\n$p")
+    }
+    // the native expression itself participates in codegen (not
+    // interpreted fallback): the generated stage covers the project
+    val pn = Tables.load(spark, sfDir, "documents").select(
+      graft.functions.TextNormalize.nfc(
+        org.apache.spark.sql.functions.col("text")).as("n"))
+    val ep = plan(pn)
+    assert(ep.linesIterator.exists(l =>
+      l.contains("*(1)") && l.contains("nfc_normalize")),
+      s"nfc_normalize projection not codegen'd:\n$ep")
+  }
+
   test("q34: pair-join feature columns stay slim until after pair dedup") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     // the distinct over candidate pairs must group ONLY (doc_a, doc_b) —
