@@ -332,6 +332,27 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
   }
 }
 
+/** `COPY INTO <table> FROM '<path>' FILEFORMAT = <fmt>
+  *  [FORMAT_OPTIONS ('k' = 'v', ...)]` — Databricks SQL's idempotent
+  * batch file ingestion, lowered onto [[graft.ingest.CopyInto]]. One
+  * result row mirroring the platform's counters. */
+case class GraftCopyIntoCommand(nameParts: Seq[String], src: String,
+    format: String, options: Map[String, String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files_loaded", LongType, nullable = false)(),
+    AttributeReference("num_rows_loaded", LongType, nullable = false)(),
+    AttributeReference("num_files_skipped", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "COPY INTO")
+    val r = graft.ingest.CopyInto.run(spark, dir, src, format, options)
+    spark.catalog.refreshByPath(dir)
+    Seq(Row(r.filesLoaded, r.rowsLoaded, r.filesSkipped))
+  }
+}
+
 /** `VACUUM <table>` — Delta's syntax. One row per reclaimed path. */
 case class GraftVacuumCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
@@ -383,6 +404,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.OptimizeRe(ident, zcols) =>
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(zcols))
+      case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
+        GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
+          fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
       case GraftSql.VacuumRe(ident) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.RestoreRe(ident, v) =>
@@ -432,6 +456,16 @@ object GraftSql {
   private[sql] def splitZOrderCols(group: String): Seq[String] =
     Option(group).toSeq.flatMap(_.split(","))
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+  private[sql] val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""".r
+
+  /** `FORMAT_OPTIONS ('k' = 'v', ...)` → Map. */
+  private[sql] def parseFormatOptions(group: String): Map[String, String] =
+    Option(group).map { g =>
+      """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(g)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }.getOrElse(Map.empty)
+
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
@@ -519,6 +553,9 @@ object GraftSql {
       case OptimizeRe(ident, zcols) =>
         GraftShims.ofRows(spark,
           GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols)))
+      case CopyIntoRe(ident, src, fmt, opts) =>
+        GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
+          src, fmt.toLowerCase, parseFormatOptions(opts)))
       case VacuumRe(ident) =>
         GraftShims.ofRows(spark, GraftVacuumCommand(splitIdent(ident)))
       case RestoreRe(ident, v) =>

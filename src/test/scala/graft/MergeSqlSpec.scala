@@ -235,6 +235,26 @@ class MergeSqlSpec extends SparkSuite {
     cat.dropRegistration("gold", "opt_sql")
   }
 
+  test("COPY INTO parses and runs through the extension session's parser") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-copy"))
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "bronze", "cp_sql")
+    cat.register("bronze", "cp_sql")
+    val land = tmpDir("graft-sql-copy-land")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$land/f1")
+    val r = s.sql(
+      s"COPY INTO bronze.cp_sql FROM '$land' FILEFORMAT = PARQUET")
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L, s"counters: $r")
+    assert(s.table("bronze.cp_sql").count() == 2)
+    // statement-shaped string LITERALS must not trigger the interception
+    val lit = s.sql(
+      "SELECT 'COPY INTO x FROM ''y'' FILEFORMAT = PARQUET' AS t")
+    assert(lit.count() == 1)
+    cat.dropRegistration("bronze", "cp_sql")
+  }
+
   test("a target row matching multiple source rows raises (cardinality guard)") {
     val s = sqlSpark
     import s.implicits._
