@@ -58,12 +58,36 @@ object Formats {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** COPY INTO driven end to end and hash-compared: two statements land
+    * the documents fixture in a fresh table (the second is the idempotent
+    * no-op), and the oracle reads the original parquet — loader row loss,
+    * duplication, or type drift all break the compare. */
+  def copyIntoRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val dst = java.nio.file.Files.createTempDirectory("graft-q83")
+      .resolve("t").toString
+    val src = s"$dir/documents.parquet"
+    graft.ingest.CopyInto.run(spark, dst, src, "parquet")
+    val replay = graft.ingest.CopyInto.run(spark, dst, src, "parquet")
+    require(replay.filesLoaded == 0L,
+      s"COPY INTO replay was not a no-op: $replay")
+    spark.read.parquet(dst)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_orc_roundtrip" -> (orcRoundTrip _))
+    "q80_orc_roundtrip" -> (orcRoundTrip _),
+    "q83_copy_into"     -> (copyIntoRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     // the oracle never touches ORC: identity over the source parquet
     "q80_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+    // identity again: a duplicated or dropped row under COPY INTO's
+    // two-statement run breaks the hash
+    "q83_copy_into" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""")
 }
