@@ -170,6 +170,13 @@ class Catalog(spark: SparkSession, warehouse: String,
       spark.catalog.refreshTable(s"$layer.$table")
   }
 
+  /** Delta `table_changes` for this layout ([[ChangeFeed.tableChanges]]):
+    * net changes between two logged versions; with `keys`, full CDC rows
+    * including update pre/post images. */
+  def changes(layer: String, table: String, fromV: Int, toV: Int,
+      keys: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    ChangeFeed.tableChanges(spark, path(layer, table), fromV, toV, keys)
+
   /** Delta VACUUM's job for this layout: delete abandoned staging dirs
     * (`.tmp`, `.tmp-merge` from a crashed swap), retired per-bucket
     * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log

@@ -1,0 +1,101 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.merge.PartitionedMerge
+
+/** Change Data Feed over the snapshot/version log — Delta's
+  * `table_changes` for this layout. Delta logs row-level change files at
+  * write time; this engine derives the NET change set between two logged
+  * versions by diffing them, which needs no write-path cost and no extra
+  * storage:
+  *
+  *  - with `keys`: full CDC rows — `insert`, `delete`, and
+  *    `update_preimage`/`update_postimage` pairs (non-key columns
+  *    compared by null-safe hash);
+  *  - without keys: multiset row diff (`insert`/`delete` only) via
+  *    `exceptAll` — well-defined on any table.
+  *
+  * Scale: on BUCKET-PARTITIONED tables the retire log says exactly which
+  * buckets changed in (fromV, toV] — both sides read ONLY those buckets,
+  * so CDF cost is O(changed buckets), the property that makes "what
+  * changed since yesterday" viable on a 100 TB dimension. Snapshot
+  * tables diff whole versions (the honest cost of log-free CDF; enable
+  * bucketing where the feed must be cheap). The diff itself is one
+  * hash-partitioned full-outer join (keyed) or two `exceptAll` plans. */
+object ChangeFeed {
+
+  val ChangeCol = "_change_type"
+
+  /** Bucket dirs retired by transitions fromV→…→toV: the only buckets
+    * whose contents can differ. None = not a bucketed layout. */
+  private[graft] def changedBuckets(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): Option[Set[String]] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!Catalog.isBucketedLayout(fs, dir)) return None
+    val names = (fromV until toV).flatMap { w =>
+      val vdir = Catalog.versionDir(dir, w)
+      if (!fs.exists(vdir)) Seq.empty
+      else fs.listStatus(vdir).map(_.getPath.getName)
+        .filter(_.startsWith(s"${PartitionedMerge.BucketCol}="))
+    }.toSet
+    Some(names)
+  }
+
+  /** The net changes between version `fromV` (exclusive base) and `toV`.
+    * Output: the table's columns plus [[ChangeCol]]. */
+  def tableChanges(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(fromV >= 1 && toV >= fromV,
+      s"need 1 <= fromV <= toV, got $fromV..$toV")
+    val buckets = changedBuckets(spark, dir, fromV, toV)
+    val (before, after) = buckets match {
+      case Some(changed) =>
+        (PartitionedMerge.reconstructVersion(spark, dir, fromV, Some(changed))
+           .drop(PartitionedMerge.BucketCol),
+         PartitionedMerge.reconstructVersion(spark, dir, toV, Some(changed))
+           .drop(PartitionedMerge.BucketCol))
+      case None =>
+        (Catalog.versionRead(spark, dir, fromV),
+         Catalog.versionRead(spark, dir, toV))
+    }
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "schema changed between versions; CDF needs a stable column set " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")})")
+    if (keys.isEmpty) {
+      val cols = before.columns.toSeq
+      after.exceptAll(before).withColumn(ChangeCol, lit("insert"))
+        .unionByName(
+          before.exceptAll(after).withColumn(ChangeCol, lit("delete")))
+        .select((cols.map(col) :+ col(ChangeCol)): _*)
+    } else {
+      val cols = after.columns.toSeq
+      val nonKey = cols.filterNot(keys.contains).sorted
+      def hashed(df: DataFrame, tag: String): DataFrame = df.select(
+        (keys.map(col) :+
+          struct(cols.map(col): _*).as(s"__row_$tag") :+
+          graft.merge.MergeEngine.nullSafeHash(nonKey.map(col))
+            .as(s"__h_$tag")): _*)
+      val j = hashed(before, "b")
+        .join(hashed(after, "a"), keys, "full_outer")
+      def expand(rowCol: String, change: String) =
+        j.filter(changePredicate(change))
+          .select((cols.map(c => col(s"$rowCol.$c").as(c)) :+
+            lit(change).as(ChangeCol)): _*)
+      expand("__row_a", "insert")
+        .unionByName(expand("__row_b", "delete"))
+        .unionByName(expand("__row_b", "update_preimage"))
+        .unionByName(expand("__row_a", "update_postimage"))
+    }
+  }
+
+  private def changePredicate(change: String) = change match {
+    case "insert" => col("__row_b").isNull
+    case "delete" => col("__row_a").isNull
+    case _ => col("__row_b").isNotNull && col("__row_a").isNotNull &&
+      col("__h_b") =!= col("__h_a")
+  }
+}

@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedMerge {
 
+  private def admittedLive(only: Option[Set[String]], name: String) =
+    only.forall(_.contains(name))
+
   val BucketCol = "gbucket"
 
   def bucketExpr(keys: Seq[String], nBuckets: Int): Column =
@@ -148,31 +151,45 @@ object PartitionedMerge {
     * means b did not exist at v. Requires every transition in [v, current)
     * to still be in the retention window. */
   private[graft] def reconstructVersion(spark: SparkSession, path: String,
-      v: Int): DataFrame = {
+      v: Int, only: Option[Set[String]] = None): DataFrame = {
     import graft.catalog.Catalog
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = Catalog.readPointer(fs, path)
     require(v >= 1 && v <= cur,
       s"version $v out of range for $path (current = $cur)")
-    if (v == cur) return spark.read.parquet(path)
+    if (v == cur && only.isEmpty) return spark.read.parquet(path)
+    if (v == cur) {
+      val dirs = fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(p => p.getName.startsWith(s"$BucketCol=") &&
+          admittedLive(only, p.getName))
+        .filter(p => fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+      return {
+        if (dirs.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.option("basePath", path)
+          .parquet(dirs.map(_.toString).toSeq: _*)
+      }
+    }
     val missing = (v until cur).filterNot(w =>
       fs.exists(Catalog.versionDir(path, w)))
     require(missing.isEmpty,
       s"version $v of $path was pruned from the log (missing transitions: " +
         missing.mkString(", ") + ")")
     // bucket -> its earliest retire entry at or after v
+    def admitted(name: String) = only.forall(_.contains(name))
     val chosen = scala.collection.mutable.LinkedHashMap.empty[String, (String, Path)]
     (v until cur).foreach { w =>
       val vdir = Catalog.versionDir(path, w)
       fs.listStatus(vdir).map(_.getPath)
-        .filter(_.getName.startsWith(s"$BucketCol=")).foreach { p =>
+        .filter(p => p.getName.startsWith(s"$BucketCol=") &&
+          admitted(p.getName)).foreach { p =>
           if (!chosen.contains(p.getName))
             chosen(p.getName) = (vdir.toString, p)
         }
     }
     fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(_.getName.startsWith(s"$BucketCol=")).foreach { p =>
+      .filter(p => p.getName.startsWith(s"$BucketCol=") &&
+        admitted(p.getName)).foreach { p =>
         if (!chosen.contains(p.getName)) chosen(p.getName) = (path, p)
       }
     // empty retire entry = bucket absent at v; group the rest by their base

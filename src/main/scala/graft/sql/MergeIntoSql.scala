@@ -404,6 +404,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.OptimizeRe(ident, zcols) =>
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(zcols))
+      case GraftSql.TableChangesRe(ident, v1, v2, ks) =>
+        GraftSql.tableChangesPlan(session, ident, v1, v2, ks)
+          .queryExecution.logical
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
           fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
@@ -465,6 +468,19 @@ object GraftSql {
       """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(g)
         .map(m => m.group(1) -> m.group(2)).toMap
     }.getOrElse(Map.empty)
+
+  private[sql] val TableChangesRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*'([^']*)'\s*)?\)\s*;?\s*$""".r
+
+  private[sql] def tableChangesPlan(session: SparkSession, ident: String,
+      fromV: String, toV: String, keysGroup: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = resolveDir(session, splitIdent(ident), "table_changes")
+    val keys = Option(keysGroup).toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+    graft.catalog.ChangeFeed.tableChanges(session, dir,
+      fromV.toInt, toV.toInt, keys)
+  }
 
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
@@ -553,6 +569,8 @@ object GraftSql {
       case OptimizeRe(ident, zcols) =>
         GraftShims.ofRows(spark,
           GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols)))
+      case TableChangesRe(ident, v1, v2, ks) =>
+        tableChangesPlan(spark, ident, v1, v2, ks)
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, ChangeFeed}
+import graft.merge.PartitionedMerge
+
+/** Change Data Feed over the version log: keyed CDC rows, keyless multiset
+  * diff, bucket pruning from the retire history, and the table_changes
+  * SQL surface. */
+class ChangeFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("keyed changes: insert, delete, and update pre/post images") {
+    val cat = new Catalog(spark, tmpDir("graft-cdf"))
+    cat.overwriteSnapshot(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n"), "gold", "t")                   // v1
+    cat.overwriteSnapshot(Seq((1L, "a", 10), (2L, "B", 21), (4L, "d", 40))
+      .toDF("id", "v", "n"), "gold", "t")                   // v2
+    val ch = cat.changes("gold", "t", 1, 2, keys = Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[Int]("n"), r.getAs[String](ChangeFeed.ChangeCol))).toSet
+    assert(ch == Set(
+      (4L, "d", 40, "insert"),
+      (3L, "c", 30, "delete"),
+      (2L, "b", 20, "update_preimage"),
+      (2L, "B", 21, "update_postimage")), s"got: $ch")
+    // unchanged rows never appear; same-version feed is empty
+    assert(!ch.exists(_._1 == 1L))
+    assert(cat.changes("gold", "t", 2, 2, Seq("id")).count() == 0)
+  }
+
+  test("keyless changes: multiset row diff") {
+    val cat = new Catalog(spark, tmpDir("graft-cdf-nokey"))
+    cat.overwriteSnapshot(Seq(1L, 1L, 2L).toDF("x"), "gold", "m") // v1
+    cat.overwriteSnapshot(Seq(1L, 2L, 2L).toDF("x"), "gold", "m") // v2
+    val ch = cat.changes("gold", "m", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // one copy of 1 left, one copy of 2 arrived — multiset semantics
+    assert(ch == Seq((1L, "delete"), (2L, "insert")), s"got: $ch")
+  }
+
+  test("bucketed tables: feed reads only buckets the retire log names") {
+    val dir = tmpDir("graft-cdf-bkt") + "/t"
+    val n = 8
+    val keys = Seq("id")
+    val v1 = (1L to 64L).map(i => (i, i * 10)).toDF("id", "v")
+    PartitionedMerge.write(v1, dir, keys, n)
+    // change exactly two keys (an update + an insert)
+    val batch = Seq((5L, 999L), (100L, 1L)).toDF("id", "v")
+    PartitionedMerge.prunedMerge(spark, dir, batch, keys, n) { (t, s) =>
+      t.join(s, keys, "left_anti").unionByName(s)
+    }
+    val expectBuckets = batch
+      .select(PartitionedMerge.bucketExpr(keys, n).as("b"))
+      .distinct().collect().map(r => s"gbucket=${r.getInt(0)}").toSet
+    assert(ChangeFeed.changedBuckets(spark, dir, 1, 2)
+      .contains(expectBuckets), "retire log names the wrong buckets")
+    val ch = ChangeFeed.tableChanges(spark, dir, 1, 2, keys)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+        r.getAs[String](ChangeFeed.ChangeCol))).toSet
+    assert(ch == Set(
+      (100L, 1L, "insert"),
+      (5L, 50L, "update_preimage"),
+      (5L, 999L, "update_postimage")), s"got: $ch")
+  }
+
+  test("SQL: SELECT * FROM table_changes('layer.t', v1, v2, 'keys')") {
+    val cat = new Catalog(spark, tmpDir("graft-cdf-sql"))
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "gold", "cdf_sql")
+    cat.overwriteSnapshot(Seq((1L, "z"), (2L, "b")).toDF("id", "v"),
+      "gold", "cdf_sql")
+    cat.register("gold", "cdf_sql")
+    val keyed = graft.sql.GraftSql.sql(spark,
+      "SELECT * FROM table_changes('gold.cdf_sql', 1, 2, 'id')")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String](ChangeFeed.ChangeCol))).toSet
+    assert(keyed == Set((2L, "insert"),
+      (1L, "update_preimage"), (1L, "update_postimage")), s"got: $keyed")
+    val keyless = graft.sql.GraftSql.sql(spark,
+      "SELECT * FROM table_changes('gold.cdf_sql', 1, 2)")
+    assert(keyless.filter(col(ChangeFeed.ChangeCol) === "insert").count() == 2)
+    cat.dropRegistration("gold", "cdf_sql")
+  }
+}
