@@ -170,6 +170,20 @@ class Catalog(spark: SparkSession, warehouse: String,
       spark.catalog.refreshTable(s"$layer.$table")
   }
 
+  /** Delta `DEEP CLONE`: an independent physical copy of the LIVE
+    * snapshot — the clone starts its own history at version 1 and later
+    * writes to either table never touch the other. The copy preserves the
+    * source's physical layout byte for byte (bucket dirs, file packing,
+    * z-ordering), which a read-and-rewrite clone would destroy. Local/HDFS
+    * cost is a file copy; on an object store the same loop issues
+    * server-side copies — either way O(live data), never O(history). */
+  def clone(srcLayer: String, srcTable: String,
+      dstLayer: String, dstTable: String): Unit = {
+    Catalog.clonePath(spark, path(srcLayer, srcTable),
+      path(dstLayer, dstTable))
+    if (tableExists(srcLayer, srcTable)) register(dstLayer, dstTable)
+  }
+
   /** Delta `table_changes` for this layout ([[ChangeFeed.tableChanges]]):
     * net changes between two logged versions; with `keys`, full CDC rows
     * including update pre/post images. */
@@ -415,6 +429,21 @@ object Catalog {
     * nests the new snapshot inside the old one, silently corrupting the
     * table — and never overwrites an existing log entry. Log entries older
     * than `keepVersions` behind the new head are pruned. */
+  /** [[Catalog!.clone]] on raw directories — the seam the SQL statement
+    * shares. Refuses to overwrite an existing destination. */
+  def clonePath(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new Path(srcDir); val dp = new Path(dstDir)
+    val fs = sp.getFileSystem(conf)
+    require(fs.exists(sp), s"DEEP CLONE source missing: $srcDir")
+    require(!fs.exists(dp), s"DEEP CLONE destination exists: $dstDir")
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
+      false, false, conf), s"clone copy failed: $srcDir -> $dstDir")
+    // the clone's history starts fresh: no pointer, no log entries
+    val hist = historyDir(dstDir)
+    if (fs.exists(hist)) fs.delete(hist, true)
+  }
+
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10): Unit = {
     val dst = new Path(dir)

@@ -353,6 +353,31 @@ case class GraftCopyIntoCommand(nameParts: Seq[String], src: String,
   }
 }
 
+/** `CREATE TABLE <dst> DEEP CLONE <src>` — Delta's clone statement: an
+  * independent physical copy of the live snapshot with fresh history.
+  * The destination's directory derives from the warehouse the source
+  * lives in (`<warehouse>/<layer>/<table>`); it is registered in the
+  * session catalog when the source is. */
+case class GraftDeepCloneCommand(dstParts: Seq[String],
+    srcParts: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(dstParts.length == 2,
+      s"DEEP CLONE destination must be layer.table, got " +
+        dstParts.mkString("."))
+    val srcDir = GraftSql.resolveDir(spark, srcParts, "DEEP CLONE")
+    val warehouse = new org.apache.hadoop.fs.Path(srcDir)
+      .getParent.getParent
+    val dstDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse, dstParts.head),
+      dstParts(1)).toString
+    graft.catalog.Catalog.clonePath(spark, srcDir, dstDir)
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS ${dstParts.head}")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${dstParts.mkString(".")}
+                  USING parquet LOCATION '$dstDir'""")
+    Seq.empty
+  }
+}
+
 /** `VACUUM <table>` — Delta's syntax. One row per reclaimed path. */
 case class GraftVacuumCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
@@ -410,6 +435,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
           fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
+      case GraftSql.DeepCloneRe(dst, src) =>
+        GraftDeepCloneCommand(delegate.parseMultipartIdentifier(dst),
+          delegate.parseMultipartIdentifier(src))
       case GraftSql.VacuumRe(ident) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.RestoreRe(ident, v) =>
@@ -481,6 +509,9 @@ object GraftSql {
     graft.catalog.ChangeFeed.tableChanges(session, dir,
       fromV.toInt, toV.toInt, keys)
   }
+
+  private[sql] val DeepCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+DEEP\s+CLONE\s+([\w.`]+)\s*;?\s*$""".r
 
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
@@ -574,6 +605,9 @@ object GraftSql {
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))
+      case DeepCloneRe(dst, src) =>
+        GraftShims.ofRows(spark,
+          GraftDeepCloneCommand(splitIdent(dst), splitIdent(src)))
       case VacuumRe(ident) =>
         GraftShims.ofRows(spark, GraftVacuumCommand(splitIdent(ident)))
       case RestoreRe(ident, v) =>

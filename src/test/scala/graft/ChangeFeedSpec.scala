@@ -65,6 +65,34 @@ class ChangeFeedSpec extends SparkSuite {
       (5L, 999L, "update_postimage")), s"got: $ch")
   }
 
+  test("property: applying the feed to the base version reproduces the target") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tableGen = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(1L, 15L)
+      v <- Gen.chooseNum(0L, 5L)
+    } yield (k, v)).map(_.toMap) // key-unique by construction
+    (1 to 4).foreach { i =>
+      val before = tableGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val after = tableGen(Gen.Parameters.default, Seed(i + 500L)).get
+      val cat = new Catalog(spark, tmpDir(s"graft-cdf-prop$i"))
+      cat.overwriteSnapshot(before.toSeq.toDF("id", "v"), "gold", "p")
+      cat.overwriteSnapshot(after.toSeq.toDF("id", "v"), "gold", "p")
+      val ch = cat.changes("gold", "p", 1, 2, Seq("id"))
+      // base minus (deletes + preimages) plus (inserts + postimages) == v2
+      val removed = ch.filter(col(ChangeFeed.ChangeCol)
+        .isin("delete", "update_preimage")).select("id", "v")
+      val added = ch.filter(col(ChangeFeed.ChangeCol)
+        .isin("insert", "update_postimage")).select("id", "v")
+      val rebuilt = cat.readVersion("gold", "p", 1)
+        .exceptAll(removed).unionByName(added)
+      val target = cat.readVersion("gold", "p", 2)
+      assert(rebuilt.exceptAll(target).isEmpty &&
+        target.exceptAll(rebuilt).isEmpty,
+        s"case $i: feed does not transport v1 to v2")
+    }
+  }
+
   test("SQL: SELECT * FROM table_changes('layer.t', v1, v2, 'keys')") {
     val cat = new Catalog(spark, tmpDir("graft-cdf-sql"))
     cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "gold", "cdf_sql")
