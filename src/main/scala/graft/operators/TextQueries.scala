@@ -312,6 +312,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Adjacent character-pair frequencies over the corpus vocabulary — the
+    * counting step a BPE tokenizer trainer iterates (highest-count pair
+    * merges, recount, repeat). One distributed pass: explode words, guard
+    * length >= 2 (Spark's `sequence` REVERSES when start > stop — an
+    * unguarded 1-char word would emit phantom pairs), explode the in-word
+    * bigrams, hash-aggregate. Map-side combine does the heavy lifting: at
+    * 100 TB the shuffle carries ~|alphabet|^2 partial counts per task,
+    * not the corpus. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -321,6 +339,7 @@ object TextQueries {
     "q78_script_mix"        -> (scriptMix _),
     "q79_chunking"          -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q82_normalize"         -> (normalizeText _),
+    "q84_bpe_pairs"         -> (bpePairCounts _),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -427,6 +446,17 @@ object TextQueries {
          SELECT doc_id, lang,
            CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_no
          FROM w WHERE n_copies > 0 ORDER BY doc_id, copy_no""",
+    // same tokenization, same in-word bigram windows (DuckDB range(1,n)
+    // is [1,n) = Spark sequence(1, n-1) inclusive), HUGEINT-safe count
+    "q84_bpe_pairs" ->
+      s"""WITH w AS (
+            SELECT unnest($wordsSql) AS w FROM documents),
+          p AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+              i -> substring(w, CAST(i AS INT), 2))) AS pair
+            FROM w WHERE length(w) >= 2)
+          SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY pair ORDER BY n_pairs DESC, pair""",
     // the same decomposed-accent synthesis (chr() builds the combining
     // marks), DuckDB's own nfc_normalize, and the same RE2-compatible
     // cleanup regexes — an independent Unicode implementation must agree
