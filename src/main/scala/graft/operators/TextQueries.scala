@@ -330,6 +330,32 @@ object TextQueries {
       .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("pair"))
 
+  /** Corpus-composition drift monitor: the language mix of an earlier
+    * corpus state (the deterministic 3/4 subset `doc_id % 4 != 0`, the
+    * oracle-replayable stand-in for `VERSION AS OF` yesterday) against the
+    * full corpus today. Per-language document shares as exact
+    * parts-per-million (scaled-BIGINT — no double accumulation), their
+    * delta, and a drift flag at 1% — the gate a production pipeline alarms
+    * on before a skewed crawl batch poisons the training mix. Two
+    * two-phase aggregations plus a tiny per-language join. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def mix(df: DataFrame, share: String): DataFrame = {
+      val n = df.count() // two driver-side scalars, not a data path
+      df.groupBy("lang").agg(count(lit(1)).as("__c"))
+        .select(col("lang"), // DIV: integer division, = DuckDB's //
+          expr(s"__c * 1000000 DIV ${n}L").as(share))
+    }
+    mix(docs.filter(col("doc_id") % 4 =!= 0), "ppm_before")
+      .join(mix(docs, "ppm_after"), Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("ppm_before"), lit(0L)).as("ppm_before"),
+        coalesce(col("ppm_after"), lit(0L)).as("ppm_after"))
+      .withColumn("delta_ppm", col("ppm_after") - col("ppm_before"))
+      .withColumn("drifted", (abs(col("delta_ppm")) > 10000L).cast("int"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -340,6 +366,7 @@ object TextQueries {
     "q79_chunking"          -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q82_normalize"         -> (normalizeText _),
     "q84_bpe_pairs"         -> (bpePairCounts _),
+    "q85_corpus_drift"      -> (corpusDrift _),
     "q27_text_stats"  -> (textStats _),
     "q28_lang_id"     -> (langIdQuery _),
     "q29_quality"     -> (qualityQuery _),
@@ -446,6 +473,29 @@ object TextQueries {
          SELECT doc_id, lang,
            CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_no
          FROM w WHERE n_copies > 0 ORDER BY doc_id, copy_no""",
+    // integer-ppm shares (BIGINT division truncates identically in both
+    // engines), full-outer per-language join, 1% drift gate
+    "q85_corpus_drift" ->
+      """WITH b AS (
+           SELECT lang,
+             count(*) * 1000000 // (SELECT count(*) FROM documents
+                                    WHERE doc_id % 4 <> 0) AS ppm_before
+           FROM documents WHERE doc_id % 4 <> 0 GROUP BY lang),
+         a AS (
+           SELECT lang,
+             count(*) * 1000000 // (SELECT count(*) FROM documents)
+               AS ppm_after
+           FROM documents GROUP BY lang)
+         SELECT coalesce(b.lang, a.lang) AS lang,
+           CAST(coalesce(b.ppm_before, 0) AS BIGINT) AS ppm_before,
+           CAST(coalesce(a.ppm_after, 0) AS BIGINT) AS ppm_after,
+           CAST(coalesce(a.ppm_after, 0) - coalesce(b.ppm_before, 0)
+             AS BIGINT) AS delta_ppm,
+           CASE WHEN abs(coalesce(a.ppm_after, 0)
+                         - coalesce(b.ppm_before, 0)) > 10000
+                THEN 1 ELSE 0 END AS drifted
+         FROM b FULL OUTER JOIN a ON b.lang = a.lang
+         ORDER BY lang""",
     // same tokenization, same in-word bigram windows (DuckDB range(1,n)
     // is [1,n) = Spark sequence(1, n-1) inclusive), HUGEINT-safe count
     "q84_bpe_pairs" ->

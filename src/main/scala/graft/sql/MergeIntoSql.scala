@@ -327,7 +327,7 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
       .get("spark.graft.optimize.targetFileSize", (128L * 1024 * 1024).toString)
       .toLong
     graft.catalog.Catalog.compactPath(spark, dir, target, zorderBy = zorderBy)
-    spark.catalog.refreshByPath(dir)
+    GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty
   }
 }
@@ -348,7 +348,7 @@ case class GraftCopyIntoCommand(nameParts: Seq[String], src: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "COPY INTO")
     val r = graft.ingest.CopyInto.run(spark, dir, src, format, options)
-    spark.catalog.refreshByPath(dir)
+    GraftSql.refreshTarget(spark, nameParts, dir)
     Seq(Row(r.filesLoaded, r.rowsLoaded, r.filesSkipped))
   }
 }
@@ -399,7 +399,7 @@ case class GraftRestoreCommand(nameParts: Seq[String], version: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "RESTORE")
     graft.catalog.Catalog.restorePath(spark, dir, version)
-    spark.catalog.refreshByPath(dir)
+    GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty
   }
 }
@@ -517,6 +517,20 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  /** Invalidate every cache layer that could serve stale file listings
+    * after a statement rewrote the target's files: the path-keyed
+    * FileIndex caches AND the session catalog's relation cache (the two
+    * are keyed differently; refreshing only the path leaves a registered
+    * table's cached relation pointing at retired part files). */
+  private[sql] def refreshTarget(spark: SparkSession, nameParts: Seq[String],
+      dir: String): Unit = {
+    spark.catalog.refreshByPath(dir)
+    val name = nameParts.mkString(".")
+    try {
+      if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
+    } catch { case _: Exception => () } // path-only targets have no entry
+  }
 
   /** A statement target's storage directory (raises for temp views /
     * tables without a location). */

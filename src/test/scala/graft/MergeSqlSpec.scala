@@ -218,13 +218,18 @@ class MergeSqlSpec extends SparkSuite {
     assert(files == 1)
     assert(s.table("gold.opt_sql").count() == 3000)
     assert(cat.currentVersion("gold", "opt_sql") == 3)
+    // the ZORDER BY form parses through the same extension path and
+    // commits another (clustered) version with identical contents
+    s.sql("OPTIMIZE gold.opt_sql ZORDER BY (id)")
+    assert(s.table("gold.opt_sql").count() == 3000)
+    assert(cat.currentVersion("gold", "opt_sql") == 4)
     // RESTORE version 1 through the universal (extension-less) entry: its
     // contents come back as a NEW version, nothing is erased
     graft.sql.GraftSql.sql(s,
       "RESTORE TABLE gold.opt_sql TO VERSION AS OF 1")
-    assert(cat.currentVersion("gold", "opt_sql") == 4)
+    assert(cat.currentVersion("gold", "opt_sql") == 5)
     assert(cat.read("gold", "opt_sql").count() == 2000)
-    assert(cat.readVersion("gold", "opt_sql", 3).count() == 3000)
+    assert(cat.readVersion("gold", "opt_sql", 4).count() == 3000)
     // VACUUM through SQL: plant a stale staging dir, expect it reported
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
