@@ -133,6 +133,12 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
         case Upsert(keys) =>
           GoldLoad.upsert(spark, cat, dimBuckets, split(name)._2, gated,
             keys, now)
+        case IncrementalAgg(groupBy, measures, nBuckets) =>
+          val (layer, tbl) = split(name)
+          val ma = new MaterializedAgg(spark, cat, layer, tbl,
+            groupBy, measures, nBuckets)
+          ma.refresh(gated, ma.lastRefreshId + 1)
+          ()
       }
     }
     RunResult(order, violations.toMap)
@@ -146,6 +152,8 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
       case Scd1(_, _, _) | Scd2(_, _, _) | Upsert(_)
           if dimBuckets.isDefined =>
         graft.merge.PartitionedMerge.read(spark, cat.path(layer, tbl))
+      case IncrementalAgg(g, m, nB) =>
+        new MaterializedAgg(spark, cat, layer, tbl, g, m, nB).read()
       case _ => cat.read(layer, tbl)
     }
   }
@@ -172,6 +180,14 @@ object PipelineGraph {
       skeyCol: String) extends Materialize
   /** Gold fact upsert keyed on `keys`. */
   case class Upsert(keys: Seq[String]) extends Materialize
+  /** Incrementally maintained aggregate ([[MaterializedAgg]]): the node's
+    * frame is treated as THIS RUN'S append batch and folded into the
+    * stored state — refresh cost O(batch)+O(groups), and a re-run with
+    * the same refresh id (crash replay) is dropped whole. The refresh id
+    * auto-advances from the stored high-water mark. */
+  case class IncrementalAgg(groupBy: Seq[String],
+      measures: Seq[MaterializedAgg.Measure],
+      nBuckets: Option[Int] = None) extends Materialize
 
   sealed trait OnViolation
   /** `expect_all_or_drop`: offending rows are dropped, counts reported. */

@@ -32,6 +32,29 @@ class MaterializedAggSpec extends SparkSuite {
     assert(got == expected, s"state diverged: $got")
   }
 
+  test("declarative IncrementalAgg node accumulates across graph runs") {
+    import graft.pipeline.PipelineGraph
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-graph"))
+    def graph = new PipelineGraph(spark, cat)
+      .table("gold.roll", inputs = Seq("batch"),
+        expectations = Map("positive_key" -> "k > 0"),
+        materialize = PipelineGraph.IncrementalAgg(Seq("k"), measures))(
+        r => r("batch"))
+    // run once per batch — each run's external is that run's append;
+    // a poisoned row (k = -1) is dropped by the expectation gate first
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val withBad = if (i == 1) b.unionByName(
+        Seq((-1L, 999L)).toDF("k", "v")) else b
+      val res = graph.run(Map("batch" -> withBad))
+      if (i == 1) assert(res.violations("gold.roll")("positive_key") == 1L)
+    }
+    val got = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"),
+      measures).read().collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+    assert(got == expected, s"graph-maintained state diverged: $got")
+  }
+
   test("snapshot layout: three refreshes equal the full recompute; replay is a no-op") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-ma-snap"))
     val ma = new MaterializedAgg(spark, cat, "gold", "roll", Seq("k"), measures)
