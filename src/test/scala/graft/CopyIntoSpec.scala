@@ -30,6 +30,20 @@ class CopyIntoSpec extends SparkSuite {
       Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
   }
 
+  test("json sources load through the same manifest path") {
+    val root = tmpDir("graft-copy-json")
+    val src = s"$root/landing"; val dst = s"$root/table"
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$src/a.json"),
+      "{\"id\": 1, \"v\": \"x\"}\n{\"id\": 2, \"v\": \"y\"}\n"
+        .getBytes("UTF-8"))
+    val r = CopyInto.run(spark, dst, src, "json")
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 2L, s"json load: $r")
+    assert(CopyInto.run(spark, dst, src, "json").filesLoaded == 0L)
+    assert(spark.read.parquet(dst).count() == 2)
+  }
+
   test("crash-resume: partial installs never duplicate rows") {
     val root = tmpDir("graft-copy-crash")
     val src = s"$root/landing"; val dst = s"$root/table"

@@ -81,6 +81,12 @@ class PlanQualitySpec extends SparkSuite {
       s"nfc_normalize projection not codegen'd:\n$ep")
   }
 
+  test("q84: pair counting aggregates map-side before the shuffle") {
+    val p = plan(graft.operators.TextQueries.bpePairCounts(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side combine — the shuffle would carry the corpus:\n$p")
+  }
+
   test("q34: pair-join feature columns stay slim until after pair dedup") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     // the distinct over candidate pairs must group ONLY (doc_a, doc_b) —

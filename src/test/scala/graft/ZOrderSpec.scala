@@ -61,6 +61,17 @@ class ZOrderSpec extends SparkSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("string columns cluster via the hash fallback without losing rows") {
+    val df = spark.range(512).select(
+      concat(lit("u"), (col("id") % 37).cast("string")).as("name"),
+      col("id").as("x"))
+    val dir = tmpDir("graft-z-str")
+    ZOrder.cluster(df, Seq("name", "x"), 8).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "hash-fallback clustering changed the data")
+  }
+
   test("OPTIMIZE ... ZORDER BY (x, y): new version, same contents, clustered") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-z-sql"))
     val df = spark.range(4096).select(
