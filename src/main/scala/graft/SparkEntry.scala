@@ -26,7 +26,8 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.SkewQueries.queries ++
     multimodal.Multimodal.queries ++
-    sources.Formats.queries
+    sources.Formats.queries ++
+    layout.DataSkipping.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     operators.Similarity.oracles ++
     operators.SkewQueries.oracles ++
     multimodal.Multimodal.oracles ++
-    sources.Formats.oracles
+    sources.Formats.oracles ++
+    layout.DataSkipping.oracles
 }

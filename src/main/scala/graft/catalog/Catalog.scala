@@ -191,6 +191,20 @@ class Catalog(spark: SparkSession, warehouse: String,
       keys: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     ChangeFeed.tableChanges(spark, path(layer, table), fromV, toV, keys)
 
+  /** Delta's stats collection (ANALYZE … FOR COLUMNS) for this layout:
+    * per-file min/max/null stats (+ optional Bloom filters) into the
+    * snapshot's `_skipping` manifest — [[graft.layout.DataSkipping]]. */
+  def analyzeSkipping(layer: String, table: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil): Int =
+    graft.layout.DataSkipping.analyze(spark, path(layer, table), cols,
+      bloomCols)
+
+  /** Stats-pruned read — only files whose stats admit a match are scanned;
+    * results are exactly the unpruned filter's. */
+  def readSkipping(layer: String, table: String,
+      preds: Seq[graft.layout.DataSkipping.SkipPred]): DataFrame =
+    graft.layout.DataSkipping.read(spark, path(layer, table), preds)
+
   /** Delta VACUUM's job for this layout: delete abandoned staging dirs
     * (`.tmp`, `.tmp-merge` from a crashed swap), retired per-bucket
     * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log

@@ -395,7 +395,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Line-level dedup (CCNet / RefinedWeb-style boilerplate removal): a
+    * line occurring in more than `maxDocs` distinct documents is
+    * boilerplate (cookie banners, copyright footers, nav chrome) and is
+    * struck from EVERY document; the per-document remainder is reassembled
+    * in original line order. This is the span-granularity complement to
+    * q32's whole-document dedup — the fixture corpus is single-line, so —
+    * the q76 pattern — multi-line structure is synthesized in-query (a
+    * universal header, a cookie notice on even ids, a 1-in-7 footer), and
+    * the DuckDB oracle replays the same synthesis and threshold.
+    *
+    * Scale shape: explode to (doc, pos, line) is data-proportional; the
+    * boilerplate set is a two-phase distinct-doc count per line (map-side
+    * combine carries partial counts, not text), and is orders of magnitude
+    * smaller than the corpus — below the gate it broadcasts into a
+    * LEFT ANTI probe (no shuffle of the corpus), above it the anti-join
+    * degrades to SHUFFLE_HASH ([[maybeBroadcast]]). Reassembly is one
+    * per-doc sort-free aggregation (array_sort over the collected
+    * (pos, line) structs — per-row, not a shuffle sort). */
+  def lineDedup(spark: SparkSession, dir: String, maxDocs: Int = 10)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count()
+    val raw = docs.select(col("doc_id"), concat(
+      lit("ALL RIGHTS RESERVED\n"),
+      when(col("doc_id") % 2 === 0, lit("ACCEPT COOKIES TO CONTINUE\n"))
+        .otherwise(lit("")),
+      col("text"),
+      lit("\nsection "), (col("doc_id") % 7).cast("string")).as("raw"))
+    val lines = raw.select(col("doc_id"),
+      posexplode(split(col("raw"), "\n")).as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs).select("line")
+    val kept = lines
+      .join(maybeBroadcast(boilerplate, nDocs), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("cleaned"))
+    raw.select(col("doc_id"),
+        size(split(col("raw"), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        substring(coalesce(col("cleaned"), lit("")), 1, 48).as("clean_head"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q71_decontaminate"  -> (decontaminate _),
     "q32_dedup_exact"    -> (exact _),
     "q33_minhash_sig"    -> (minhashSignatures _),
@@ -431,6 +481,37 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // same synthesis, same >10-docs boilerplate threshold, same in-order
+    // reassembly (string_agg ORDER BY pos = Spark's array_sort on pos)
+    "q87_line_dedup" ->
+      """WITH r AS (
+           SELECT doc_id,
+             'ALL RIGHTS RESERVED' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+               THEN 'ACCEPT COOKIES TO CONTINUE' || chr(10) ELSE '' END ||
+             text || chr(10) || 'section ' || CAST(doc_id % 7 AS VARCHAR)
+             AS raw
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             unnest(string_split(raw, chr(10))) AS line,
+             unnest(range(1, len(string_split(raw, chr(10))) + 1)) AS pos
+           FROM r),
+         b AS (
+           SELECT line FROM l GROUP BY line
+           HAVING count(DISTINCT doc_id) > 10),
+         k AS (
+           SELECT doc_id, pos, line FROM l
+           WHERE line NOT IN (SELECT line FROM b)),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+           FROM k GROUP BY doc_id)
+         SELECT r.doc_id,
+           CAST(len(string_split(r.raw, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           substring(coalesce(agg.cleaned, ''), 1, 48) AS clean_head
+         FROM r LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q71_decontaminate" ->
       s"""WITH g AS (
             SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram

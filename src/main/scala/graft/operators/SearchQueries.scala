@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.words
+
+/** Keyword retrieval over the corpus — the inverted-index/BM25 counterpart
+  * to the embedding-space search in [[Similarity]] (a training-data
+  * pipeline needs BOTH: lexical lookup for decontamination/QA audits,
+  * vector search for semantic dedup). Term statistics (tf, df, dl, avgdl)
+  * are classic inverted-index postings computed as plain aggregations;
+  * ranking is BM25 with the RATIONAL idf form
+  * `(N - df + 0.5)/(df + 0.5)` — the log of the classic formula is
+  * monotone in this ratio, so single-term rankings are identical and
+  * multi-term rankings agree except where log-damping would reorder
+  * near-ties; the rational form is chosen because every arithmetic step is
+  * a single IEEE operation both engines evaluate identically, making the
+  * score hash-comparable (`ln` rounding is libm-dependent — the one
+  * expression that could NOT be oracle-checked exactly).
+  *
+  * Scale shape: tf is explode → two-phase count (map-side combine); the
+  * postings frame is filtered to the QUERY terms before any join, so the
+  * joined state is O(matching docs × query terms), not O(corpus vocab);
+  * df and the global (N, avgdl) row are broadcast. Top-k is a global
+  * `ORDER BY LIMIT k` — Spark's TakeOrderedAndProject, no full sort. */
+object SearchQueries {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 top-k for a fixed conjunction-free keyword query. Per-term
+    * contributions are pivoted to columns and added in fixed order so the
+    * floating-point sum is deterministic across engines. */
+  def bm25TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge", "vector"),
+      topK: Int = 25): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val withLen = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("double").as("dl"))
+    val global = withLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(global))
+      .withColumn("sc",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(K1 + 1.0)) /
+            (col("tf") + lit(K1) *
+              (lit(1.0 - B) + (lit(B) * (col("dl") / col("avgdl")))))))
+    val pivoted = scored.groupBy("doc_id").agg(
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("w") === t, col("sc"))).as(s"s$i")
+      }.head,
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("w") === t, col("sc"))).as(s"s$i")
+      }.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft[Column](_ + _)
+    val nHits = terms.indices
+      .map(i => col(s"s$i").isNotNull.cast("long"))
+      .reduceLeft[Column](_ + _)
+    pivoted
+      .select(col("doc_id"), nHits.as("n_hits"),
+        (floor(total * 1e6) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)))
+
+  private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
+
+  val oracles: Map[String, String] = Map(
+    // identical expression tree: rational idf, fixed-order pivoted sum,
+    // same floor scaling — the doubles must agree bit for bit
+    "q88_bm25_topk" ->
+      s"""WITH d AS (
+            SELECT doc_id, $wordsSql AS ws,
+              CAST(len($wordsSql) AS DOUBLE) AS dl
+            FROM documents),
+          g AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+            FROM d),
+          t AS (
+            SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+            WHERE w IN ('spark', 'merge', 'vector')
+            GROUP BY doc_id, dl, w),
+          f AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM t GROUP BY w),
+          s AS (
+            SELECT t.doc_id, t.w,
+              ((g.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                ((t.tf * (1.2 + 1.0)) /
+                  (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * (t.dl / g.avgdl)))))
+                AS sc
+            FROM t JOIN f USING (w) CROSS JOIN g),
+          p AS (
+            SELECT doc_id,
+              max(CASE WHEN w = 'spark' THEN sc END) AS s0,
+              max(CASE WHEN w = 'merge' THEN sc END) AS s1,
+              max(CASE WHEN w = 'vector' THEN sc END) AS s2
+            FROM s GROUP BY doc_id)
+          SELECT doc_id,
+            CAST(CASE WHEN s0 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s1 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_hits,
+            floor(((coalesce(s0, 0.0) + coalesce(s1, 0.0)) + coalesce(s2, 0.0))
+              * 1000000.0) / 1000000.0 AS bm25
+          FROM p ORDER BY bm25 DESC, doc_id LIMIT 25""")
+}

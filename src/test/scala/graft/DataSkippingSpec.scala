@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomAgg
+import graft.layout.DataSkipping
+import graft.layout.DataSkipping.{EqVal, InVals, Range}
+
+class DataSkippingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeRangeLayout(dir: String, n: Int = 4000, files: Int = 8)
+      : Unit =
+    spark.range(n.toLong).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("string"))
+      .withColumn("key", concat(lit("k"), col("id")))
+      .repartitionByRange(files, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(dir)
+
+  test("range predicate prunes files; results equal the unpruned filter") {
+    val dir = tmpDir("skip-range") + "/t"
+    writeRangeLayout(dir)
+    val nFiles = DataSkipping.analyze(spark, dir, Seq("id"))
+    assert(nFiles == 8)
+
+    val preds = Seq(Range("id", Some(100L), Some(220L)))
+    val (kept, total) = DataSkipping.prunedFiles(spark, dir, preds)
+    assert(total == 8)
+    assert(kept.size <= 2, s"range spanning ~1/8 of keyspace kept $kept")
+
+    val pruned = DataSkipping.read(spark, dir, preds)
+    // the scan really only opens the surviving files
+    assert(pruned.inputFiles.length == kept.size)
+    val full = spark.read.parquet(dir)
+      .where(col("id") >= 100L && col("id") <= 220L)
+    assert(rowsOf(pruned, "id") == rowsOf(full, "id"))
+  }
+
+  test("bloom filter prunes equality lookups min/max cannot") {
+    val dir = tmpDir("skip-bloom") + "/t"
+    // hash layout: every file's [min,max] spans the whole keyspace, so
+    // only the per-file bloom can rule files out for an exact key
+    spark.range(4000L).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .repartition(8, col("key"))
+      .write.parquet(dir)
+    DataSkipping.analyze(spark, dir, Seq("id"), bloomCols = Seq("key"))
+
+    val (keptRange, _) =
+      DataSkipping.prunedFiles(spark, dir, Seq(Range("id", Some(77L), Some(77L))))
+    assert(keptRange.size == 8, "hash layout must defeat min/max pruning")
+
+    val (kept, total) = DataSkipping.prunedFiles(spark, dir,
+      Seq(EqVal("key", "k77")))
+    assert(total == 8)
+    assert(kept.size < 8, "bloom should rule out most files for one key")
+    val pruned = DataSkipping.read(spark, dir, Seq(EqVal("key", "k77")))
+    assert(rowsOf(pruned).map(_.head) == Seq(77L))
+
+    // IN over several keys: union of the per-key survivors, still pruned
+    val vals = Seq("k5", "k1234", "k3999")
+    val (keptIn, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(InVals("key", vals)))
+    assert(keptIn.size < 8)
+    assert(rowsOf(DataSkipping.read(spark, dir, Seq(InVals("key", vals))))
+      .map(_.head).toSet == Set(5L, 1234L, 3999L))
+  }
+
+  test("absent key: bloom prunes everything, read returns empty with schema") {
+    val dir = tmpDir("skip-absent") + "/t"
+    spark.range(1000L).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .repartition(4, col("key")).write.parquet(dir)
+    DataSkipping.analyze(spark, dir, Seq("id"), bloomCols = Seq("key"))
+    val out = DataSkipping.read(spark, dir, Seq(EqVal("key", "nope")))
+    assert(out.columns.toSeq == Seq("id", "key"))
+    assert(out.count() == 0)
+    // out-of-range scan prunes every file driver-side too
+    val (kept, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(Range("id", Some(5000L), None)))
+    assert(kept.isEmpty)
+  }
+
+  test("files appended after ANALYZE are always read (stale stats safe)") {
+    val dir = tmpDir("skip-stale") + "/t"
+    writeRangeLayout(dir, n = 800, files = 4)
+    DataSkipping.analyze(spark, dir, Seq("id"))
+    // a late append lands rows OUTSIDE every profiled file's range
+    spark.range(10000L, 10010L).toDF("id")
+      .withColumn("grp", lit("9")).withColumn("key", lit("late"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val out = DataSkipping.read(spark, dir,
+      Seq(Range("id", Some(10000L), None)))
+    assert(out.count() == 10, "unprofiled files must never be pruned")
+  }
+
+  test("all-null stats prune; null rows never match range predicates") {
+    val dir = tmpDir("skip-null") + "/t"
+    val withNulls = spark.range(100L).toDF("id")
+      .withColumn("v", when(col("id") < 50, col("id")))
+    withNulls.where(col("v").isNull).coalesce(1).write.parquet(dir)
+    withNulls.where(col("v").isNotNull).coalesce(1)
+      .write.mode("append").parquet(dir)
+    DataSkipping.analyze(spark, dir, Seq("v"))
+    val preds = Seq(Range("v", Some(10L), Some(20L)))
+    val (kept, total) = DataSkipping.prunedFiles(spark, dir, preds)
+    assert(total == 2 && kept.size == 1, "the all-null file must prune")
+    assert(DataSkipping.read(spark, dir, preds).count() == 11)
+  }
+
+  test("timestamp + string stats: q86 shape matches the plain filter") {
+    val dir = tmpDir("skip-ts") + "/t"
+    Tables.load(spark, sf0001, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(dir)
+    DataSkipping.analyze(spark, dir, Seq("o_orderdate", "o_orderstatus"))
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-03-31 23:59:59.999")
+    val preds = Seq(Range("o_orderdate", Some(lo), Some(hi)))
+    val (kept, total) = DataSkipping.prunedFiles(spark, dir, preds)
+    assert(total == 8 && kept.size < 8,
+      s"a quarter of a 7-year range must prune most of 8 files, kept $kept")
+    val pruned = DataSkipping.read(spark, dir, preds)
+    val full = spark.read.parquet(dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+  }
+
+  test("hive-partitioned layout keeps partition columns through pruning") {
+    val dir = tmpDir("skip-part") + "/t"
+    spark.range(1000L).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.partitionBy("grp").parquet(dir)
+    DataSkipping.analyze(spark, dir, Seq("id"))
+    val out = DataSkipping.read(spark, dir, Seq(Range("id", Some(0L), Some(99L))))
+    assert(out.columns.contains("grp"))
+    assert(out.count() == 100)
+    assert(out.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
+  test("catalog wrappers analyze and read through layer.table names") {
+    val wh = tmpDir("skip-cat")
+    val cat = new graft.catalog.Catalog(spark, wh)
+    cat.create(spark.range(500L).toDF("id")
+      .repartitionByRange(5, col("id")).sortWithinPartitions("id"),
+      "silver", "ids")
+    assert(cat.analyzeSkipping("silver", "ids", Seq("id")) == 5)
+    val out = cat.readSkipping("silver", "ids",
+      Seq(Range("id", Some(0L), Some(99L))))
+    assert(out.count() == 100)
+    assert(out.inputFiles.length < 5)
+  }
+
+  test("BloomAgg: no false negatives, low false-positive rate") {
+    val df = spark.range(2000L).toDF("id")
+      .withColumn("key", concat(lit("v"), col("id")))
+    val bits = df.agg(BloomAgg.bloomAgg(col("key")).as("b"))
+      .collect()(0).getAs[Array[Byte]]("b")
+    val m = BloomAgg.DefaultBits; val k = BloomAgg.DefaultHashes
+    (0L until 2000L).foreach { i =>
+      assert(BloomAgg.mightContain(bits, s"v$i", m, k),
+        s"false negative for v$i")
+    }
+    val fp = (0 until 2000).count(i =>
+      BloomAgg.mightContain(bits, s"absent$i", m, k))
+    assert(fp < 60, s"false-positive rate too high: $fp/2000")
+  }
+}
