@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.SkewQueries.queries ++
+    operators.SearchQueries.queries ++
     multimodal.Multimodal.queries ++
     sources.Formats.queries ++
     layout.DataSkipping.queries
@@ -40,6 +41,7 @@ object SparkEntry {
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.SkewQueries.oracles ++
+    operators.SearchQueries.oracles ++
     multimodal.Multimodal.oracles ++
     sources.Formats.oracles ++
     layout.DataSkipping.oracles

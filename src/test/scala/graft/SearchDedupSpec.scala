@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SearchQueries}
+
+/** Invariants for line-level dedup (q87) and BM25 retrieval (q88) beyond
+  * the driver's hash-compare. */
+class SearchDedupSpec extends SparkSuite {
+
+  test("lineDedup strikes boilerplate everywhere, keeps unique lines") {
+    val out = Dedup.lineDedup(spark, sf0001).cache()
+    val rows = out.collect()
+    // every doc lost at least the universal header
+    assert(rows.forall(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_lines")))
+    // no surviving text starts with the synthesized header
+    assert(rows.forall(r =>
+      !r.getAs[String]("clean_head").startsWith("ALL RIGHTS RESERVED")))
+    // header (500 docs), cookie notice (250) and footers (~71 each) all
+    // exceed the 10-doc threshold; every body text is unique → exactly the
+    // one real line survives per doc
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Long]("n_kept") == 1))
+    out.unpersist()
+  }
+
+  test("lineDedup can empty a document without dropping its row") {
+    // 84 docs: ids 0..69 share one body line (70 > 10 → boilerplate), and
+    // with 84 docs every synthesized footer group has 12 docs (> 10), so
+    // those docs empty out completely — but stay listed with n_kept = 0
+    import spark.implicits._
+    val docs = (0 until 84).map { i =>
+      (i.toLong, if (i < 70) "same line" else s"unique $i", "en")
+    }.toDF("doc_id", "text", "lang")
+    val dir = tmpDir("linededup") + "/d"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.lineDedup(spark, dir).collect()
+    assert(out.length == 84)
+    val emptied = out.filter(_.getAs[Long]("doc_id") < 70)
+    assert(emptied.forall(r => r.getAs[Long]("n_kept") == 0 &&
+      r.getAs[String]("clean_head") == ""))
+    val kept = out.filter(_.getAs[Long]("doc_id") >= 70)
+    assert(kept.forall(r => r.getAs[Long]("n_kept") == 1))
+  }
+
+  test("bm25: more matched terms and higher tf rank higher; k respected") {
+    val out = SearchQueries.bm25TopK(spark, sf0001, topK = 10).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores == scores.sorted.reverse, "must be ranked by score desc")
+    assert(out.forall(_.getAs[Long]("n_hits") >= 1))
+    // the top hit matches at least as many query terms as the last hit
+    assert(out.head.getAs[Long]("n_hits") >= out.last.getAs[Long]("n_hits") ||
+      out.head.getAs[Double]("bm25") > out.last.getAs[Double]("bm25"))
+  }
+
+  test("bm25 single-term ranking is monotone in tf for equal-length docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog bird fish mouse", "en"),   // tf(cat)=1
+      (2L, "cat cat bird fish mouse", "en"),   // tf(cat)=2
+      (3L, "cat cat cat fish mouse", "en"),    // tf(cat)=3
+      (4L, "dog dog bird fish mouse", "en"))   // no match
+      .toDF("doc_id", "text", "lang")
+    val dir = tmpDir("bm25") + "/d"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SearchQueries.bm25TopK(spark, dir, terms = Seq("cat"), topK = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
+  }
+}
