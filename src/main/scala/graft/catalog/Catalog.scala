@@ -110,6 +110,10 @@ class Catalog(spark: SparkSession, warehouse: String,
     * Gold_Customers.py:65-68). */
   def create(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
+    // a constraint recorded before first load (or surviving a DROP +
+    // recreate) gates the initial data too
+    val cons = Catalog.readConstraintsPath(spark, path(layer, table))
+    if (cons.nonEmpty) Catalog.enforce(df, cons, path(layer, table))
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(layer, table))
@@ -190,6 +194,21 @@ class Catalog(spark: SparkSession, warehouse: String,
   def changes(layer: String, table: String, fromV: Int, toV: Int,
       keys: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     ChangeFeed.tableChanges(spark, path(layer, table), fromV, toV, keys)
+
+  /** Delta `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: existing rows
+    * are validated first (one scan — Delta's semantics), then the
+    * constraint is recorded and every later snapshot write through this
+    * catalog enforces it ([[Catalog.overwritePath]]). */
+  def addConstraint(layer: String, table: String, name: String,
+      check: String): Unit =
+    Catalog.addConstraintPath(spark, path(layer, table), name, check)
+
+  def dropConstraint(layer: String, table: String, name: String): Unit =
+    Catalog.dropConstraintPath(spark, path(layer, table), name)
+
+  /** The table's recorded CHECK constraints, as (name, expression SQL). */
+  def constraints(layer: String, table: String): Seq[(String, String)] =
+    Catalog.readConstraintsPath(spark, path(layer, table))
 
   /** Delta's stats collection (ANALYZE … FOR COLUMNS) for this layout:
     * per-file min/max/null stats (+ optional Bloom filters) into the
@@ -373,6 +392,11 @@ object Catalog {
       // ZORDER always rewrites (re-clustering has value at any file count,
       // Delta's semantics); plain compaction skips when already packed
       if (zorderBy.isEmpty && nFiles <= n) return
+      // remember the skipping-stats recipe: the rewrite invalidates every
+      // per-file entry (stale stats are SAFE — unmatched names just stop
+      // pruning — but an OPTIMIZE that silently turns skipping off would
+      // betray the reason Z-ordering exists)
+      val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
       val df = spark.read.parquet(dir)
       val packed =
         if (zorderBy.nonEmpty)
@@ -381,6 +405,10 @@ object Catalog {
           df.repartition(partitionBy.map(col): _*)
         else df.repartition(n)
       overwritePath(spark, packed, dir, partitionBy, keepVersions)
+      statsRecipe.foreach { case (cols, bloomCols, bits, hashes) =>
+        graft.layout.DataSkipping.analyze(spark, dir, cols, bloomCols,
+          bits, hashes)
+      }
     }
   }
 
@@ -411,6 +439,7 @@ object Catalog {
       if (f.exists(p)) { f.delete(p, true); deleted += p.toString }
     rm(new Path(dir + ".tmp"))
     rm(new Path(dir + ".tmp-merge"))
+    rm(new Path(dir + ".constraints.tmp"))
     val tableDir = new Path(dir)
     if (f.exists(tableDir))
       f.listStatus(tableDir).map(_.getPath)
@@ -458,6 +487,91 @@ object Catalog {
     if (fs.exists(hist)) fs.delete(hist, true)
   }
 
+  // ------------------------------------------------- CHECK constraints
+
+  /** Table-level CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT`,
+    * the DQ layer the reference gets from Delta next to DLT expectations —
+    * [[graft.quality.Expectations]] gates ROWS, constraints gate WRITES).
+    * Stored as a sibling `<dir>.constraints` manifest (name TAB expr per
+    * line, tmp+rename commit) so they are a property of the TABLE and
+    * survive snapshot swaps. SQL-standard violation semantics: a row
+    * violates only when the expression evaluates to FALSE — NULL passes
+    * (use `x IS NOT NULL` for nullability). */
+  private def constraintsFile(dir: String) = new Path(dir + ".constraints")
+
+  def readConstraintsPath(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = constraintsFile(dir)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }.toList
+    finally in.close()
+  }
+
+  private def writeConstraints(spark: SparkSession, dir: String,
+      entries: Seq[(String, String)]): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = constraintsFile(dir)
+    if (entries.isEmpty) { if (f.exists(dst)) f.delete(dst, false); return }
+    val tmp = new Path(dir + ".constraints.tmp")
+    val out = f.create(tmp, true)
+    try out.write(entries.map { case (n, e) => s"$n\t$e" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"constraints commit failed: $dst")
+  }
+
+  /** Per-constraint violation counts over `df` in ONE aggregation pass
+    * (`sum(expr IS FALSE)` per constraint — no per-constraint scans). */
+  private def violations(df: DataFrame,
+      cons: Seq[(String, String)]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val aggs = cons.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L))
+        .as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cons.indices.map(i => (cons(i)._1,
+      if (row.isNullAt(i)) 0L else row.getLong(i))) // empty df → null sums
+  }
+
+  private[catalog] def enforce(df: DataFrame, cons: Seq[(String, String)],
+      dir: String): Unit = {
+    val bad = violations(df, cons).filter(_._2 > 0)
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation writing $dir: " + bad.map {
+        case (n, c) => s"$n ($c rows)"
+      }.mkString(", "))
+  }
+
+  def addConstraintPath(spark: SparkSession, dir: String, name: String,
+      check: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    val existing = readConstraintsPath(spark, dir)
+    require(!existing.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $dir")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Delta's rule: existing data must already satisfy the new constraint
+    if (f.exists(new Path(dir)))
+      enforce(spark.read.parquet(dir), Seq(name -> check), dir)
+    writeConstraints(spark, dir, existing :+ (name -> check))
+  }
+
+  def dropConstraintPath(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val existing = readConstraintsPath(spark, dir)
+    require(existing.exists(_._1.equalsIgnoreCase(name)),
+      s"no constraint $name on $dir")
+    writeConstraints(spark, dir,
+      existing.filterNot(_._1.equalsIgnoreCase(name)))
+  }
+
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10): Unit = {
     val dst = new Path(dir)
@@ -467,6 +581,15 @@ object Catalog {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
+    // CHECK enforcement: validate the STAGED files (no upstream recompute)
+    // and abort before the swap — the live snapshot is never replaced by
+    // violating data, and a failed write leaves no trace but the tmp dir
+    // vacuum reclaims.
+    val cons = readConstraintsPath(spark, dir)
+    if (cons.nonEmpty) {
+      try enforce(spark.read.parquet(tmp.toString), cons, dir)
+      catch { case e: Throwable => f.delete(tmp, true); throw e }
+    }
     val cur = readPointer(f, dir)
     if (f.exists(dst)) {
       f.mkdirs(historyDir(dir))

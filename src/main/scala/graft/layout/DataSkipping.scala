@@ -229,6 +229,19 @@ object DataSkipping {
     Some(Manifest(numBits, numHashes, byFile))
   }
 
+  /** What a previous [[analyze]] profiled: (stat columns, bloom columns,
+    * numBits, numHashes) — the recipe OPTIMIZE replays to refresh stats
+    * after it rewrites the files. None when never analyzed. */
+  def analyzedColumns(spark: SparkSession, dir: String)
+      : Option[(Seq[String], Seq[String], Int, Int)] =
+    readManifest(spark, dir).map { m =>
+      val cols = m.files.values.flatMap(_.cols.keys).toSeq.distinct.sorted
+      val bloomCols = m.files.values
+        .flatMap(_.cols.collect { case (c, s) if s.bloom.nonEmpty => c })
+        .toSeq.distinct.sorted
+      (cols, bloomCols, m.numBits, m.numHashes)
+    }
+
   // ------------------------------------------------------------------ prune
 
   private def qualifiedDir(spark: SparkSession, dir: String): String = {

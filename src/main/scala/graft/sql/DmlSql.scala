@@ -1,0 +1,123 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, GraftShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Row-level `DELETE FROM` / `UPDATE` SQL over graft snapshot tables —
+  * the remaining two DML verbs next to [[MergeIntoRunner]]'s MERGE (the
+  * reference platform gets all three from Delta; Spark PARSES both since
+  * 3.4 — `DeleteFromTable` / `UpdateTable` — but executes them only
+  * against v2 merge-capable catalogs, so a plain parquet external table
+  * raises). Same lowering strategy as MERGE: a declarative rewrite of the
+  * table (filter for DELETE, conditional projection for UPDATE) committed
+  * through the catalog's atomic snapshot swap — versioned, time-travelable
+  * and CHECK-constraint-gated like every other write.
+  *
+  * Semantics (Delta's):
+  *   - `DELETE FROM t WHERE c`: rows where the condition is TRUE are
+  *     removed; NULL/false rows stay. Returns num_affected_rows.
+  *   - `UPDATE t SET x = e, ... [WHERE c]`: assignments apply to matching
+  *     rows (every row when no WHERE), cast to the column's existing type;
+  *     all other columns and rows pass through. Returns num_affected_rows.
+  *
+  * Scale: both lower to ONE distributed scan-and-rewrite of the table —
+  * map-only (no shuffle, no driver data) plus the swap's renames. Delta
+  * narrows the rewrite to files whose stats admit a match; composing the
+  * same narrowing with [[graft.layout.DataSkipping]]'s manifest is the
+  * file-granular upgrade path (prune files driver-side, union untouched
+  * files' contents by reference) — the full-snapshot rewrite keeps exactly
+  * Delta's semantics at partition-copy cost, which the bench holds at
+  * sf0.1. The affected-row count is a column-pruned pre-count of the
+  * condition (same metadata-style scan Delta's metrics do). */
+object DmlRunner {
+
+  private def resolveTarget(spark: SparkSession, table
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      stmt: String) = {
+    val (nameParts, alias) = MergeIntoRunner.targetNameAndAlias(table)
+    val tableName = nameParts.map(p => s"`$p`").mkString(".")
+    val (uri, partCols) = GraftShims.tableStorage(spark, nameParts)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$stmt target $tableName must be a catalog table with a storage " +
+          "location (temp views cannot be rewritten)"))
+    (nameParts, alias.getOrElse(nameParts.last), tableName,
+      new org.apache.hadoop.fs.Path(uri).toString, partCols)
+  }
+
+  /** `DELETE FROM t [AS a] WHERE cond` → rows where cond is not TRUE. */
+  def delete(spark: SparkSession, d: DeleteFromTable): Long = {
+    val (nameParts, aliasName, tableName, dir, partCols) =
+      resolveTarget(spark, d.table, "DELETE FROM")
+    val t = spark.table(tableName).alias(aliasName)
+    val cond = coalesce(GraftShims.column(d.condition), lit(false))
+    val affected = t.filter(cond).count()
+    if (affected > 0) {
+      graft.catalog.Catalog.overwritePath(spark, t.filter(!cond), dir,
+        partCols)
+      GraftSql.refreshTarget(spark, nameParts, dir)
+    }
+    affected
+  }
+
+  /** `UPDATE t [AS a] SET x = e, ... [WHERE cond]`. */
+  def update(spark: SparkSession, u: UpdateTable): Long = {
+    val (nameParts, aliasName, tableName, dir, partCols) =
+      resolveTarget(spark, u.table, "UPDATE")
+    val t = spark.table(tableName).alias(aliasName)
+    val cond = u.condition
+      .map(e => coalesce(GraftShims.column(e), lit(false)))
+      .getOrElse(lit(true))
+    def keyName(e: Expression): String = e match {
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case a: Attribute => a.name
+      case other => other.sql
+    }
+    val schema = t.schema
+    u.assignments.foreach { a =>
+      val n = keyName(a.key)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE assigns unknown column $n on $tableName")
+    }
+    def assignedValue(c: String): Option[Column] =
+      u.assignments.collectFirst {
+        case a if keyName(a.key).equalsIgnoreCase(c) =>
+          GraftShims.column(a.value)
+      }
+    val projected = t.select(schema.fields.toSeq.map { f =>
+      assignedValue(f.name) match {
+        case Some(v) =>
+          when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val affected = t.filter(cond).count()
+    if (affected > 0) {
+      graft.catalog.Catalog.overwritePath(spark, projected, dir, partCols)
+      GraftSql.refreshTarget(spark, nameParts, dir)
+    }
+    affected
+  }
+}
+
+/** The executables the parser substitutes for raw `DeleteFromTable` /
+  * `UpdateTable` plans (leaf commands — resolution is late-bound inside
+  * [[DmlRunner]], the [[GraftMergeIntoCommand]] pattern). One row:
+  * num_affected_rows, Delta's result shape. */
+case class GraftDeleteCommand(d: DeleteFromTable) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DmlRunner.delete(spark, d)))
+}
+
+case class GraftUpdateCommand(u: UpdateTable) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DmlRunner.update(spark, u)))
+}

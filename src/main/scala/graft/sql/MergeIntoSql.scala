@@ -264,7 +264,7 @@ object MergeIntoRunner {
     throw new IllegalArgumentException(
       s"unsupported MERGE action: ${a.getClass.getSimpleName}")
 
-  private def targetNameAndAlias(p: LogicalPlan): (Seq[String], Option[String]) =
+  private[sql] def targetNameAndAlias(p: LogicalPlan): (Seq[String], Option[String]) =
     p match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
         (u.multipartIdentifier, Some(ident.name))
@@ -378,6 +378,47 @@ case class GraftDeepCloneCommand(dstParts: Seq[String],
   }
 }
 
+/** `ANALYZE TABLE <t> COMPUTE SKIPPING STATISTICS FOR COLUMNS (a, b)
+  *  [BLOOM (c, d)]` — stats collection for file-level data skipping
+  * ([[graft.layout.DataSkipping]]). Distinct from Spark's own
+  * `ANALYZE TABLE … COMPUTE STATISTICS` (CBO stats), which still parses
+  * natively. One row: the number of data files profiled. */
+case class GraftAnalyzeSkippingCommand(nameParts: Seq[String],
+    cols: Seq[String], bloomCols: Seq[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "ANALYZE")
+    Seq(Row(graft.layout.DataSkipping.analyze(spark, dir, cols, bloomCols)))
+  }
+}
+
+/** `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)` — Delta's
+  * constraint DDL (OSS Spark's v1 grammar has no CHECK constraints).
+  * Existing rows are validated first; afterwards every snapshot write
+  * through the catalog enforces the predicate (NULL passes — SQL
+  * standard). */
+case class GraftAddConstraintCommand(nameParts: Seq[String],
+    constraint: String, check: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "ADD CONSTRAINT")
+    graft.catalog.Catalog.addConstraintPath(spark, dir, constraint, check)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <t> DROP CONSTRAINT <name>`. */
+case class GraftDropConstraintCommand(nameParts: Seq[String],
+    constraint: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "DROP CONSTRAINT")
+    graft.catalog.Catalog.dropConstraintPath(spark, dir, constraint)
+    Seq.empty
+  }
+}
+
 /** `VACUUM <table>` — Delta's syntax. One row per reclaimed path. */
 case class GraftVacuumCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
@@ -419,6 +460,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def wrap(plan: LogicalPlan): LogicalPlan =
     GraftSql.rewriteTimeTravel(session, plan) match {
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
+      case d: DeleteFromTable => GraftDeleteCommand(d)
+      case u: UpdateTable => GraftUpdateCommand(u)
       case other => other
     }
   private def parseOrIntercept(sqlText: String,
@@ -442,6 +485,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.RestoreRe(ident, v) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), v.toInt)
+      case GraftSql.AddConstraintRe(ident, cname, check) =>
+        GraftAddConstraintCommand(delegate.parseMultipartIdentifier(ident),
+          cname, check.trim)
+      case GraftSql.DropConstraintRe(ident, cname) =>
+        GraftDropConstraintCommand(delegate.parseMultipartIdentifier(ident),
+          cname)
+      case GraftSql.AnalyzeSkippingRe(ident, cols, blooms) =>
+        GraftAnalyzeSkippingCommand(delegate.parseMultipartIdentifier(ident),
+          GraftSql.splitZOrderCols(cols), GraftSql.splitZOrderCols(blooms))
       case _ => wrap(parse(sqlText))
     }
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -517,6 +569,12 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private[sql] val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private[sql] val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private[sql] val AnalyzeSkippingRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+SKIPPING\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)(?:\s+BLOOM\s*\(([^)]*)\))?\s*;?\s*$""".r
 
   /** Invalidate every cache layer that could serve stale file listings
     * after a statement rewrote the target's files: the path-keyed
@@ -627,6 +685,15 @@ object GraftSql {
       case RestoreRe(ident, v) =>
         GraftShims.ofRows(spark,
           GraftRestoreCommand(splitIdent(ident), v.toInt))
+      case AddConstraintRe(ident, cname, check) =>
+        GraftShims.ofRows(spark,
+          GraftAddConstraintCommand(splitIdent(ident), cname, check.trim))
+      case DropConstraintRe(ident, cname) =>
+        GraftShims.ofRows(spark,
+          GraftDropConstraintCommand(splitIdent(ident), cname))
+      case AnalyzeSkippingRe(ident, cols, blooms) =>
+        GraftShims.ofRows(spark, GraftAnalyzeSkippingCommand(
+          splitIdent(ident), splitZOrderCols(cols), splitZOrderCols(blooms)))
       case _ => GraftShims.parsePlan(spark, sqlText) match {
         case m: MergeIntoTable =>
           MergeIntoRunner.run(spark,
@@ -635,6 +702,10 @@ object GraftSql {
         case c: GraftMergeIntoCommand =>
           MergeIntoRunner.run(spark, c.merge)
           spark.emptyDataFrame
+        case d: DeleteFromTable => GraftShims.ofRows(spark,
+          GraftDeleteCommand(d))
+        case u: UpdateTable => GraftShims.ofRows(spark,
+          GraftUpdateCommand(u))
         case other =>
           GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))
       }

@@ -154,6 +154,51 @@ class DataSkippingSpec extends SparkSuite {
     assert(out.inputFiles.length < 5)
   }
 
+  test("OPTIMIZE refreshes skipping stats with the recorded recipe") {
+    val wh = tmpDir("skip-opt")
+    val cat = new graft.catalog.Catalog(spark, wh)
+    cat.create(spark.range(2000L).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      "silver", "t")
+    cat.analyzeSkipping("silver", "t", Seq("id"), bloomCols = Seq("key"))
+    val dir = cat.path("silver", "t")
+    assert(DataSkipping.analyzedColumns(spark, dir)
+      .map { case (c, b, _, _) => (c, b) } == Some((Seq("id", "key"), Seq("key"))))
+    // compaction rewrites every file; the recipe must be replayed so the
+    // NEW files prune (stale entries would merely stop pruning)
+    cat.compact("silver", "t", targetFileSize = 1L << 30)
+    val (kept, total) = DataSkipping.prunedFiles(spark, dir,
+      Seq(Range("id", Some(0L), Some(10L))))
+    assert(total == 1 && kept.size == 1) // packed into one file
+    // manifest names must match the REWRITTEN listing, not the retired one
+    val (keptAbsent, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(Range("id", Some(99999L), None)))
+    assert(keptAbsent.isEmpty,
+      "stats must describe the new files (stale names would never prune)")
+  }
+
+  test("ANALYZE TABLE ... COMPUTE SKIPPING STATISTICS SQL statement") {
+    val wh = tmpDir("skip-sql")
+    val cat = new graft.catalog.Catalog(spark, wh)
+    cat.create(spark.range(1000L).toDF("id")
+      .withColumn("key", concat(lit("b"), col("id")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      "silver", "ts")
+    cat.register("silver", "ts")
+    val out = graft.sql.GraftSql.sql(spark,
+      "ANALYZE TABLE silver.ts COMPUTE SKIPPING STATISTICS " +
+        "FOR COLUMNS (id) BLOOM (key)").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(4))
+    val dir = cat.path("silver", "ts")
+    assert(DataSkipping.analyzedColumns(spark, dir)
+      .map(_._2) == Some(Seq("key")))
+    val (kept, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(EqVal("key", "b42")))
+    assert(kept.size < 4)
+    spark.sql("DROP TABLE IF EXISTS silver.ts")
+  }
+
   test("BloomAgg: no false negatives, low false-positive rate") {
     val df = spark.range(2000L).toDF("id")
       .withColumn("key", concat(lit("v"), col("id")))

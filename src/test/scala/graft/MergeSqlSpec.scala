@@ -37,6 +37,10 @@ class MergeSqlSpec extends SparkSuite {
       .withExtensions(new graft.functions.GraftExtensions())
       .getOrCreate()
     SparkSession.setDefaultSession(base)
+    // getOrCreate set the new session as this thread's ACTIVE session; a
+    // later suite's getOrCreate on the same thread would silently inherit
+    // the extension parser — restore both pointers
+    SparkSession.setActiveSession(base)
     s
   }
 
