@@ -151,6 +151,10 @@ object CopyInto {
     fs.delete(staging, true)
     writeManifest(fs, tableDir,
       manifest ++ fresh.map(f => (prefix, f)))
+    // keep data skipping live across appends: if the table carries a stats
+    // manifest, profile ONLY the files this run installed (O(new files))
+    if (graft.layout.DataSkipping.analyzedColumns(spark, tableDir).nonEmpty)
+      graft.layout.DataSkipping.analyzeIncremental(spark, tableDir)
     Result(fresh.size.toLong, rows, (files.size - fresh.size).toLong)
   }
 }

@@ -143,15 +143,11 @@ object DataSkipping {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
-  /** One column-pruned distributed pass; stats land in
-    * `<dir>/_skipping/stats.tsv` (tmp + rename). Returns the number of data
-    * files profiled. Re-running replaces the manifest (ANALYZE semantics). */
-  def analyze(spark: SparkSession, dir: String, cols: Seq[String],
-      bloomCols: Seq[String] = Nil,
-      numBits: Int = BloomAgg.DefaultBits,
-      numHashes: Int = BloomAgg.DefaultHashes): Int = {
-    require(cols.nonEmpty || bloomCols.nonEmpty, "no columns to analyze")
-    val df = spark.read.parquet(dir)
+  /** One stats pass over `df` (which must read files under `dir`):
+    * manifest lines, one per (file, column). */
+  private def collectLines(spark: SparkSession, df: DataFrame, dir: String,
+      cols: Seq[String], bloomCols: Seq[String], numBits: Int,
+      numHashes: Int): Array[String] = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val all = (cols ++ bloomCols).distinct
     all.foreach(c => require(byName.contains(c), s"no such column: $c"))
@@ -170,7 +166,7 @@ object DataSkipping {
       .collect() // one row per data file — driver-side metadata by design
 
     val qualified = qualifiedDir(spark, dir)
-    val lines = stats.flatMap { r =>
+    stats.flatMap { r =>
       val rel = relativize(r.getAs[String]("__file"), qualified)
       val nRows = r.getAs[Long]("__rows")
       all.map { c =>
@@ -187,7 +183,10 @@ object DataSkipping {
         Seq(b64(rel), nRows, c, tag, mn, mx, nNulls, bloom).mkString("\t")
       }
     }
+  }
 
+  private def writeManifest(spark: SparkSession, dir: String,
+      numBits: Int, numHashes: Int, lines: Seq[String]): Unit = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = manifestPath(dir)
     val tmp = new Path(dst.getParent, "stats.tsv.tmp")
@@ -198,8 +197,60 @@ object DataSkipping {
     finally out.close()
     if (f.exists(dst)) f.delete(dst, false)
     require(f.rename(tmp, dst), s"stats manifest commit failed: $dst")
-    stats.length
   }
+
+  /** One column-pruned distributed pass; stats land in
+    * `<dir>/_skipping/stats.tsv` (tmp + rename). Returns the number of data
+    * files profiled. Re-running replaces the manifest (ANALYZE semantics). */
+  def analyze(spark: SparkSession, dir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      numBits: Int = BloomAgg.DefaultBits,
+      numHashes: Int = BloomAgg.DefaultHashes): Int = {
+    require(cols.nonEmpty || bloomCols.nonEmpty, "no columns to analyze")
+    val lines = collectLines(spark, spark.read.parquet(dir), dir, cols,
+      bloomCols, numBits, numHashes)
+    writeManifest(spark, dir, numBits, numHashes, lines)
+    lines.length / (cols ++ bloomCols).distinct.size
+  }
+
+  /** Incremental refresh: profile ONLY files the manifest does not cover,
+    * with the recipe the last full ANALYZE recorded, and drop entries for
+    * vanished files. The append/COPY INTO companion — per-run cost is
+    * O(new files), never O(table), which is what keeps stats fresh on a
+    * 100 TB bronze that lands files hourly. Returns files profiled.
+    * Raises if the table was never analyzed (there is no recipe to replay). */
+  def analyzeIncremental(spark: SparkSession, dir: String): Int = {
+    val m = readManifest(spark, dir).getOrElse(throw
+      new IllegalStateException(s"$dir has no skipping manifest; run " +
+        "analyze(...) once before incremental refreshes"))
+    val (cols, bloomCols, bits, hashes) = analyzedColumns(spark, dir).get
+    val statCols = cols.filterNot(bloomCols.contains)
+    val files = listDataFiles(spark, dir)
+    val fresh = files.filterNot(m.files.contains)
+    val survivors = m.files.keySet.intersect(files.toSet)
+    if (fresh.isEmpty && survivors.size == m.files.size) return 0
+    val q = qualifiedDir(spark, dir)
+    val freshLines =
+      if (fresh.isEmpty) Array.empty[String]
+      else collectLines(spark,
+        spark.read.option("basePath", q).parquet(fresh.map(q + "/" + _): _*),
+        dir, statCols, bloomCols, bits, hashes)
+    val keptLines = renderLines(m, survivors)
+    writeManifest(spark, dir, bits, hashes, keptLines ++ freshLines)
+    fresh.size
+  }
+
+  /** Re-serialize retained manifest entries (already-canonical values). */
+  private def renderLines(m: Manifest, keep: Set[String]): Seq[String] =
+    m.files.toSeq.collect { case (rel, fs) if keep(rel) =>
+      fs.cols.toSeq.map { case (c, s) =>
+        Seq(b64(rel), fs.nRows, c, s.tag,
+          s.min.map(b64).getOrElse("-"), s.max.map(b64).getOrElse("-"),
+          s.nNulls,
+          s.bloom.map(Base64.getEncoder.encodeToString).getOrElse("-"))
+          .mkString("\t")
+      }
+    }.flatten
 
   private def readManifest(spark: SparkSession, dir: String)
       : Option[Manifest] = {

@@ -30,6 +30,40 @@ class ChangeFeedSpec extends SparkSuite {
     assert(cat.changes("gold", "t", 2, 2, Seq("id")).count() == 0)
   }
 
+  test("cursor consumer: follow-from-live, at-least-once, exactly-once after commit") {
+    val wh = tmpDir("graft-cdf-cur")
+    val cat = new Catalog(spark, wh)
+    val cursor = s"$wh/consumer.cursor"
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "gold", "c") // v1
+    val dir = cat.path("gold", "c")
+    // first poll initializes the cursor at the live version: no backfill
+    assert(ChangeFeed.consumeChanges(spark, dir, cursor, Seq("id")).isEmpty)
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "gold", "c") // v2
+    val Some((ch1, from1, to1)) =
+      ChangeFeed.consumeChanges(spark, dir, cursor, Seq("id"))
+    assert((from1, to1) == (1, 2))
+    assert(ch1.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String](ChangeFeed.ChangeCol))).toSet == Set((2L, "insert")))
+    // NOT committed yet → a crashed consumer re-reads the same batch
+    val Some((ch1b, _, _)) =
+      ChangeFeed.consumeChanges(spark, dir, cursor, Seq("id"))
+    assert(ch1b.count() == ch1.count())
+    ChangeFeed.commitCursor(spark, cursor, to1)
+    assert(ChangeFeed.consumeChanges(spark, dir, cursor, Seq("id")).isEmpty)
+    // two more versions accumulate into ONE consumed delta (net changes)
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "B")).toDF("id", "v"),
+      "gold", "c") // v3
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "C")).toDF("id", "v"),
+      "gold", "c") // v4
+    val Some((ch2, from2, to2)) =
+      ChangeFeed.consumeChanges(spark, dir, cursor, Seq("id"))
+    assert((from2, to2) == (2, 4))
+    assert(ch2.collect().map(r => (r.getAs[String]("v"),
+      r.getAs[String](ChangeFeed.ChangeCol))).toSet ==
+      Set(("b", "update_preimage"), ("C", "update_postimage")))
+  }
+
   test("keyless changes: multiset row diff") {
     val cat = new Catalog(spark, tmpDir("graft-cdf-nokey"))
     cat.overwriteSnapshot(Seq(1L, 1L, 2L).toDF("x"), "gold", "m") // v1

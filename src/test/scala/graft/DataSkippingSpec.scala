@@ -199,6 +199,47 @@ class DataSkippingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS silver.ts")
   }
 
+  test("incremental analyze profiles only new files; old entries survive") {
+    val dir = tmpDir("skip-incr") + "/t"
+    writeRangeLayout(dir, n = 800, files = 4)
+    assert(DataSkipping.analyze(spark, dir, Seq("id"),
+      bloomCols = Seq("key")) == 4)
+    // two appended files, disjoint id ranges
+    spark.range(10000L, 10400L).toDF("id")
+      .withColumn("grp", lit("9")).withColumn("key", concat(lit("k"), col("id")))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.mode("append").parquet(dir)
+    assert(DataSkipping.analyzeIncremental(spark, dir) == 2)
+    assert(DataSkipping.analyzeIncremental(spark, dir) == 0, "idempotent")
+    // new files now PRUNE (before the refresh they were always-read)
+    val (keptNew, total) = DataSkipping.prunedFiles(spark, dir,
+      Seq(Range("id", Some(10000L), None)))
+    assert(total == 6 && keptNew.size == 2)
+    val (keptOld, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(Range("id", Some(0L), Some(100L))))
+    assert(keptOld.size == 1, "pre-existing entries must survive the merge")
+    // bloom recipe was replayed for the fresh files too
+    val (keptKey, _) = DataSkipping.prunedFiles(spark, dir,
+      Seq(EqVal("key", "k10123")))
+    assert(keptKey.size <= 2)
+  }
+
+  test("COPY INTO keeps the skipping manifest live across appends") {
+    val wh = tmpDir("skip-copy")
+    val src = s"$wh/landing"; val t = s"$wh/table"
+    spark.range(100L).toDF("id").coalesce(1).write.parquet(src)
+    graft.ingest.CopyInto.run(spark, t, src, "parquet")
+    DataSkipping.analyze(spark, t, Seq("id"))
+    spark.range(5000L, 5100L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(src)
+    graft.ingest.CopyInto.run(spark, t, src, "parquet")
+    // the newly copied file is profiled without a full re-analyze
+    val (kept, total) = DataSkipping.prunedFiles(spark, t,
+      Seq(Range("id", Some(5000L), None)))
+    assert(total >= 2 && kept.size == 1,
+      s"copied file must carry stats (kept $kept of $total)")
+  }
+
   test("BloomAgg: no false negatives, low false-positive rate") {
     val df = spark.range(2000L).toDF("id")
       .withColumn("key", concat(lit("v"), col("id")))
