@@ -74,6 +74,57 @@ object ChangeFeed {
     else Some((tableChanges(spark, dir, from, cur, keys), from, cur))
   }
 
+  /** Incremental table replication over the feed — the downstream-mirror
+    * pattern (Delta: `readChangeFeed` + `foreachBatch` MERGE): first call
+    * bootstraps the mirror as a physical copy of the live snapshot and
+    * pins the cursor; later calls apply ONLY the net changes since the
+    * cursor (upsert the insert/update_postimage rows, anti-join out the
+    * deletes) and commit the mirror through its own snapshot swap — so the
+    * mirror is itself versioned and time-travelable. Returns the applied
+    * (fromV, toV), or None when already in sync.
+    *
+    * Scale: per-sync cost is O(changes) for the feed (bucket-pruned on
+    * bucketed sources) + one mirror rewrite; the keys-join applies changes
+    * hash-partitioned on the key — no driver data path. Single-writer per
+    * cursor file (the consumer owns its mirror), like any CDC consumer. */
+  def syncTable(spark: SparkSession, srcDir: String, dstDir: String,
+      keys: Seq[String], cursorFile: String): Option[(Int, Int)] = {
+    require(keys.nonEmpty, "syncTable needs the source's key columns")
+    val f = new Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readCursor(spark, cursorFile).isEmpty) {
+      // bootstrap: copy the live snapshot, THEN pin the cursor at the
+      // version the copy came from (single-writer: no commit can land
+      // between the pointer read and the copy)
+      val cur = Catalog.readPointer(f, srcDir)
+      require(cur >= 1, s"$srcDir does not exist")
+      require(!f.exists(new Path(dstDir)),
+        s"mirror bootstrap: destination exists: $dstDir")
+      Catalog.clonePath(spark, srcDir, dstDir)
+      commitCursor(spark, cursorFile, cur)
+      return Some((cur, cur))
+    }
+    consumeChanges(spark, srcDir, cursorFile, keys).map {
+      case (ch, from, to) =>
+        val cached = ch.cache()
+        try {
+          val upserts = cached
+            .filter(col(ChangeCol).isin("insert", "update_postimage"))
+            .drop(ChangeCol)
+          val deletes = cached.filter(col(ChangeCol) === "delete")
+            .select(keys.map(col): _*).distinct()
+          val dst = spark.read.parquet(dstDir)
+          val merged = dst
+            .join(deletes, keys, "left_anti")
+            .join(upserts.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(upserts.select(dst.columns.map(col): _*))
+          Catalog.overwritePath(spark, merged, dstDir)
+          commitCursor(spark, cursorFile, to)
+          (from, to)
+        } finally { cached.unpersist(); () }
+    }
+  }
+
   def readCursor(spark: SparkSession, cursorFile: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(cursorFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

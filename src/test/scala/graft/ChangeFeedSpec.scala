@@ -64,6 +64,44 @@ class ChangeFeedSpec extends SparkSuite {
       Set(("b", "update_preimage"), ("C", "update_postimage")))
   }
 
+  test("syncTable mirrors a table incrementally through the feed") {
+    val wh = tmpDir("graft-cdf-sync")
+    val cat = new Catalog(spark, wh)
+    val cursor = s"$wh/mirror.cursor"
+    val src = cat.path("gold", "src")
+    val dst = s"$wh/mirror/t"
+    def srcEquals(): Unit =
+      assert(rowsOf(spark.read.parquet(dst), "id") ==
+        rowsOf(cat.read("gold", "src"), "id"))
+
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "gold", "src") // v1
+    // bootstrap = physical copy + pinned cursor
+    assert(ChangeFeed.syncTable(spark, src, dst, Seq("id"), cursor)
+      .contains((1, 1)))
+    srcEquals()
+    // in sync → no-op
+    assert(ChangeFeed.syncTable(spark, src, dst, Seq("id"), cursor).isEmpty)
+    // update + insert + delete in one version
+    cat.overwriteSnapshot(Seq((1L, "A"), (3L, "c")).toDF("id", "v"),
+      "gold", "src") // v2
+    assert(ChangeFeed.syncTable(spark, src, dst, Seq("id"), cursor)
+      .contains((1, 2)))
+    srcEquals()
+    // two source versions fold into one applied delta
+    cat.overwriteSnapshot(Seq((1L, "A"), (3L, "C")).toDF("id", "v"),
+      "gold", "src") // v3
+    cat.overwriteSnapshot(Seq((3L, "C"), (4L, "d")).toDF("id", "v"),
+      "gold", "src") // v4
+    assert(ChangeFeed.syncTable(spark, src, dst, Seq("id"), cursor)
+      .contains((2, 4)))
+    srcEquals()
+    // the mirror versions independently: bootstrap v1 + two applied syncs
+    assert(graft.catalog.Catalog.readPointer(
+      new org.apache.hadoop.fs.Path(dst).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dst) == 3)
+  }
+
   test("keyless changes: multiset row diff") {
     val cat = new Catalog(spark, tmpDir("graft-cdf-nokey"))
     cat.overwriteSnapshot(Seq(1L, 1L, 2L).toDF("x"), "gold", "m") // v1
