@@ -77,8 +77,46 @@ object SearchQueries {
       .limit(topK)
   }
 
+  /** Out-of-vocabulary / corpus-frequency scoring (the n-gram-LM-free
+    * stand-in for perplexity filtering: docs dominated by rare or unseen
+    * tokens are low-quality or wrong-language — RefinedWeb/Gopher both
+    * gate on exactly this family of signals). Per doc: token count, the
+    * count OUTSIDE the corpus's top-100 vocabulary, that as integer ppm,
+    * and the mean corpus frequency of the doc's tokens in ppm — ALL
+    * integer arithmetic (BIGINT `DIV`), so the oracle hashes exactly.
+    *
+    * Scale shape: vocabulary counts are one two-phase aggregation; the
+    * top-100 list is `ORDER BY LIMIT` (TakeOrderedAndProject, no global
+    * sort) and broadcasts as a bounded 100-row set; the per-token
+    * frequency lookup joins on the word — corpus-sized on both sides, so
+    * it stays an AQE-planned shuffle join (no forced broadcast of a
+    * corpus-derived table). Corpus totals are two driver scalars
+    * (the q85 precedent). */
+  def oovScore(spark: SparkSession, dir: String, topK: Int = 100)
+      : DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val nTotal = toks.count() // driver scalar, not a data path
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+    val top = vocab.orderBy(col("n").desc, col("w")).limit(topK)
+      .select(col("w"), lit(1).as("__in_top"))
+    toks
+      .join(vocab, Seq("w"))
+      .join(broadcast(top), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__in_top").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("n")).as("__sum_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        expr("n_oov * 1000000 DIV n_words").as("oov_ppm"),
+        expr(s"__sum_cnt * 1000000 DIV (n_words * ${nTotal}L)")
+          .as("mean_freq_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)))
+    "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
@@ -118,5 +156,26 @@ object SearchQueries {
                + CASE WHEN s2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_hits,
             floor(((coalesce(s0, 0.0) + coalesce(s1, 0.0)) + coalesce(s2, 0.0))
               * 1000000.0) / 1000000.0 AS bm25
-          FROM p ORDER BY bm25 DESC, doc_id LIMIT 25""")
+          FROM p ORDER BY bm25 DESC, doc_id LIMIT 25""",
+    // same top-100 vocabulary (count desc, word asc), same BIGINT integer
+    // divisions — no floating point anywhere
+    "q89_oov_score" ->
+      s"""WITH w AS (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+          c AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+          t AS (SELECT w FROM c ORDER BY n DESC, w LIMIT 100),
+          d AS (
+            SELECT doc_id, count(*) AS n_words,
+              sum(CASE WHEN w.w IN (SELECT w FROM t) THEN 0 ELSE 1 END)
+                AS n_oov,
+              sum(c.n) AS sum_cnt
+            FROM w JOIN c USING (w) GROUP BY doc_id)
+          SELECT doc_id,
+            CAST(n_words AS BIGINT) AS n_words,
+            CAST(n_oov AS BIGINT) AS n_oov,
+            CAST(n_oov * 1000000 // n_words AS BIGINT) AS oov_ppm,
+            CAST(sum_cnt * 1000000 //
+              (n_words * (SELECT count(*) FROM w)) AS BIGINT)
+              AS mean_freq_ppm
+          FROM d ORDER BY doc_id""")
 }

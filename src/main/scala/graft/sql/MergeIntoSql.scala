@@ -312,6 +312,53 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
   }
 }
 
+/** `DESCRIBE DETAIL <table>` — Delta's one-row table profile, extended
+  * with this engine's table-level state: snapshot version, CHECK
+  * constraints, and data-skipping stat columns. Driver-side listings
+  * only (file metadata, the two sibling manifests). */
+case class GraftDescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_versions", IntegerType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("skipping_columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "DESCRIBE DETAIL")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nFiles = 0; var bytes = 0L
+    val q = f.makeQualified(p).toString
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      val rel = f.makeQualified(st.getPath).toString.stripPrefix(q)
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !rel.contains("/_")) { // skip _skipping/ and friends
+        nFiles += 1; bytes += st.getLen
+      }
+    }
+    val hist = graft.catalog.Catalog.historyRows(spark, dir)
+    val cons = graft.catalog.Catalog.readConstraintsPath(spark, dir)
+      .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+    val skip = graft.layout.DataSkipping.analyzedColumns(spark, dir)
+      .map { case (cols, blooms, _, _) =>
+        (cols.map(c => if (blooms.contains(c)) s"$c(bloom)" else c))
+          .mkString(", ")
+      }.getOrElse("")
+    Seq(Row("parquet", dir, nFiles, bytes,
+      hist.filter(_._2).map(_._1).headOption.getOrElse(1),
+      hist.length, cons, skip))
+  }
+}
+
 /** `OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]` — Delta's small-file
   * compaction statement (not in Spark's grammar). Packs the table into
   * ~target-sized files as a new version; with ZORDER BY the rewrite also
@@ -469,6 +516,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     sqlText match {
       case GraftSql.DescribeHistoryRe(ident) =>
         GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.DescribeDetailRe(ident) =>
+        GraftDescribeDetailCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.OptimizeRe(ident, zcols) =>
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(zcols))
@@ -532,6 +581,8 @@ object GraftSql {
     * these statements can never trigger the interception. */
   private[sql] val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
 
@@ -669,6 +720,8 @@ object GraftSql {
     sqlText match {
       case DescribeHistoryRe(ident) =>
         GraftShims.ofRows(spark, GraftDescribeHistoryCommand(splitIdent(ident)))
+      case DescribeDetailRe(ident) =>
+        GraftShims.ofRows(spark, GraftDescribeDetailCommand(splitIdent(ident)))
       case OptimizeRe(ident, zcols) =>
         GraftShims.ofRows(spark,
           GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols)))

@@ -101,6 +101,31 @@ class ConstraintsSpec extends SparkSuite {
     cat.overwriteSnapshot(Seq((1L, -2.0)).toDF("id", "price"), "silver", "t5")
   }
 
+  test("DESCRIBE DETAIL reports files, version, constraints, skipping") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .repartition(2), "silver", "t6")
+    cat.register("silver", "t6")
+    cat.addConstraint("silver", "t6", "price_pos", "price > 0")
+    cat.analyzeSkipping("silver", "t6", Seq("id"), bloomCols = Seq("id"))
+    cat.overwriteSnapshot(Seq((1L, 10.0)).toDF("id", "price"), "silver", "t6")
+    val r = graft.sql.GraftSql.sql(spark, "DESCRIBE DETAIL silver.t6")
+      .collect()(0)
+    assert(r.getAs[String]("format") == "parquet")
+    assert(r.getAs[Int]("num_files") >= 1)
+    assert(r.getAs[Long]("size_bytes") > 0)
+    assert(r.getAs[Int]("version") == 2)
+    assert(r.getAs[Int]("num_versions") == 2)
+    assert(r.getAs[String]("constraints") == "price_pos CHECK (price > 0)")
+    // the overwrite retired the analyzed snapshot WITH its manifest — the
+    // live version reports no skipping state until re-analyzed
+    assert(r.getAs[String]("skipping_columns") == "")
+    cat.analyzeSkipping("silver", "t6", Seq("id"))
+    assert(graft.sql.GraftSql.sql(spark, "DESCRIBE DETAIL silver.t6")
+      .collect()(0).getAs[String]("skipping_columns") == "id")
+    spark.sql("DROP TABLE IF EXISTS silver.t6")
+  }
+
   test("SQL MERGE through the constraint: violating merge aborts the swap") {
     // extension-parser session (same pattern as MergeSqlSpec)
     val base = spark
