@@ -228,9 +228,11 @@ class Catalog(spark: SparkSession, warehouse: String,
     * (`.tmp`, `.tmp-merge` from a crashed swap), retired per-bucket
     * `.prev-*` dirs (PartitionedMerge's rotation leftovers), and version-log
     * entries that fell out of the retention window. Never touches the live
-    * snapshot, the pointer, or retained versions. Returns deleted paths. */
-  def vacuum(layer: String, table: String): Seq[String] =
-    Catalog.vacuumPath(spark, path(layer, table), keepVersions)
+    * snapshot, the pointer, or retained versions. Returns deleted paths.
+    * `dryRun` (Delta's `VACUUM … DRY RUN`) lists them without deleting. */
+  def vacuum(layer: String, table: String, dryRun: Boolean = false)
+      : Seq[String] =
+    Catalog.vacuumPath(spark, path(layer, table), keepVersions, dryRun)
 }
 
 object Catalog {
@@ -431,12 +433,15 @@ object Catalog {
 
   /** [[Catalog!.vacuum]] on a raw table directory — the seam SQL
     * `VACUUM <table>` shares with the layer.table API. */
-  def vacuumPath(spark: SparkSession, dir: String, keepVersions: Int = 10)
-      : Seq[String] = {
+  def vacuumPath(spark: SparkSession, dir: String, keepVersions: Int = 10,
+      dryRun: Boolean = false): Seq[String] = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def rm(p: Path): Unit =
-      if (f.exists(p)) { f.delete(p, true); deleted += p.toString }
+      if (f.exists(p)) {
+        if (!dryRun) f.delete(p, true)
+        deleted += p.toString
+      }
     rm(new Path(dir + ".tmp"))
     rm(new Path(dir + ".tmp-merge"))
     rm(new Path(dir + ".constraints.tmp"))
@@ -474,14 +479,26 @@ object Catalog {
     * than `keepVersions` behind the new head are pruned. */
   /** [[Catalog!.clone]] on raw directories — the seam the SQL statement
     * shares. Refuses to overwrite an existing destination. */
-  def clonePath(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+  def clonePath(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Int] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val sp = new Path(srcDir); val dp = new Path(dstDir)
-    val fs = sp.getFileSystem(conf)
-    require(fs.exists(sp), s"DEEP CLONE source missing: $srcDir")
+    val fs = new Path(srcDir).getFileSystem(conf)
+    // `VERSION AS OF` clone: copy the logged snapshot's files instead of
+    // the live dir (plain snapshot layouts — a bucketed version is a
+    // cross-version reconstruction, not a directory; RESTORE + clone it)
+    val resolvedSrc = version match {
+      case None => srcDir
+      case Some(v) =>
+        require(!isBucketedLayout(fs, srcDir),
+          "DEEP CLONE VERSION AS OF is unsupported on bucket-partitioned " +
+            "tables (reconstruct via RESTORE, then clone)")
+        resolveVersionPath(spark, srcDir, v)
+    }
+    val sp = new Path(resolvedSrc); val dp = new Path(dstDir)
+    require(fs.exists(sp), s"DEEP CLONE source missing: $resolvedSrc")
     require(!fs.exists(dp), s"DEEP CLONE destination exists: $dstDir")
     require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
-      false, false, conf), s"clone copy failed: $srcDir -> $dstDir")
+      false, false, conf), s"clone copy failed: $resolvedSrc -> $dstDir")
     // the clone's history starts fresh: no pointer, no log entries
     val hist = historyDir(dstDir)
     if (fs.exists(hist)) fs.delete(hist, true)

@@ -406,7 +406,8 @@ case class GraftCopyIntoCommand(nameParts: Seq[String], src: String,
   * lives in (`<warehouse>/<layer>/<table>`); it is registered in the
   * session catalog when the source is. */
 case class GraftDeepCloneCommand(dstParts: Seq[String],
-    srcParts: Seq[String]) extends LeafRunnableCommand {
+    srcParts: Seq[String], version: Option[Int] = None)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     require(dstParts.length == 2,
       s"DEEP CLONE destination must be layer.table, got " +
@@ -417,7 +418,7 @@ case class GraftDeepCloneCommand(dstParts: Seq[String],
     val dstDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(warehouse, dstParts.head),
       dstParts(1)).toString
-    graft.catalog.Catalog.clonePath(spark, srcDir, dstDir)
+    graft.catalog.Catalog.clonePath(spark, srcDir, dstDir, version)
     spark.sql(s"CREATE SCHEMA IF NOT EXISTS ${dstParts.head}")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${dstParts.mkString(".")}
                   USING parquet LOCATION '$dstDir'""")
@@ -466,27 +467,34 @@ case class GraftDropConstraintCommand(nameParts: Seq[String],
   }
 }
 
-/** `VACUUM <table>` — Delta's syntax. One row per reclaimed path. */
-case class GraftVacuumCommand(nameParts: Seq[String])
-    extends LeafRunnableCommand {
+/** `VACUUM <table> [DRY RUN]` — Delta's syntax. One row per reclaimed
+  * (or, DRY RUN, reclaimable) path. */
+case class GraftVacuumCommand(nameParts: Seq[String],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "VACUUM")
-    graft.catalog.Catalog.vacuumPath(spark, dir).map(Row(_))
+    graft.catalog.Catalog.vacuumPath(spark, dir, dryRun = dryRun).map(Row(_))
   }
 }
 
-/** `RESTORE TABLE <t> TO VERSION AS OF n` — Delta's syntax: version n's
-  * contents become the live snapshot, committed as a NEW version (the
-  * restored-from state stays in the log). */
-case class GraftRestoreCommand(nameParts: Seq[String], version: Int)
+/** `RESTORE TABLE <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'` —
+  * Delta's syntax: the resolved version's contents become the live
+  * snapshot, committed as a NEW version (the restored-from state stays in
+  * the log). Timestamps resolve to the newest version committed at or
+  * before them, session time zone governing the string. */
+case class GraftRestoreCommand(nameParts: Seq[String],
+    version: Option[Int], timestamp: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "RESTORE")
-    graft.catalog.Catalog.restorePath(spark, dir, version)
+    val v = version.getOrElse(
+      graft.catalog.Catalog.resolveTimestampVersion(spark, dir,
+        GraftSql.tsToMillis(spark, timestamp.get)))
+    graft.catalog.Catalog.restorePath(spark, dir, v)
     GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty
   }
@@ -527,13 +535,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
           fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
-      case GraftSql.DeepCloneRe(dst, src) =>
+      case GraftSql.DeepCloneRe(dst, src, v) =>
         GraftDeepCloneCommand(delegate.parseMultipartIdentifier(dst),
-          delegate.parseMultipartIdentifier(src))
-      case GraftSql.VacuumRe(ident) =>
-        GraftVacuumCommand(delegate.parseMultipartIdentifier(ident))
+          delegate.parseMultipartIdentifier(src),
+          Option(v).map(_.toInt))
+      case GraftSql.VacuumRe(ident, dry) =>
+        GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
+          dryRun = dry != null)
       case GraftSql.RestoreRe(ident, v) =>
-        GraftRestoreCommand(delegate.parseMultipartIdentifier(ident), v.toInt)
+        GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
+          Some(v.toInt))
+      case GraftSql.RestoreTsRe(ident, ts) =>
+        GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
+          None, Some(ts))
       case GraftSql.AddConstraintRe(ident, cname, check) =>
         GraftAddConstraintCommand(delegate.parseMultipartIdentifier(ident),
           cname, check.trim)
@@ -614,12 +628,24 @@ object GraftSql {
   }
 
   private[sql] val DeepCloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+DEEP\s+CLONE\s+([\w.`]+)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+DEEP\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   private[sql] val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.`]+)\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.`]+)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private[sql] val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private[sql] val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+
+  /** A timestamp string → epoch millis under the SESSION time zone (the
+    * same semantics `TIMESTAMP AS OF` reads get). */
+  private[sql] def tsToMillis(spark: SparkSession, s: String): Long = {
+    val row = spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(s).cast("timestamp")
+        .as("__t")).collect()(0)
+    require(!row.isNullAt(0), s"'$s' is not a timestamp")
+    row.getTimestamp(0).getTime
+  }
   private[sql] val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private[sql] val DropConstraintRe =
@@ -730,14 +756,19 @@ object GraftSql {
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))
-      case DeepCloneRe(dst, src) =>
+      case DeepCloneRe(dst, src, v) =>
         GraftShims.ofRows(spark,
-          GraftDeepCloneCommand(splitIdent(dst), splitIdent(src)))
-      case VacuumRe(ident) =>
-        GraftShims.ofRows(spark, GraftVacuumCommand(splitIdent(ident)))
+          GraftDeepCloneCommand(splitIdent(dst), splitIdent(src),
+            Option(v).map(_.toInt)))
+      case VacuumRe(ident, dry) =>
+        GraftShims.ofRows(spark,
+          GraftVacuumCommand(splitIdent(ident), dryRun = dry != null))
       case RestoreRe(ident, v) =>
         GraftShims.ofRows(spark,
-          GraftRestoreCommand(splitIdent(ident), v.toInt))
+          GraftRestoreCommand(splitIdent(ident), Some(v.toInt)))
+      case RestoreTsRe(ident, ts) =>
+        GraftShims.ofRows(spark,
+          GraftRestoreCommand(splitIdent(ident), None, Some(ts)))
       case AddConstraintRe(ident, cname, check) =>
         GraftShims.ofRows(spark,
           GraftAddConstraintCommand(splitIdent(ident), cname, check.trim))

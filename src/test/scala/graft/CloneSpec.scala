@@ -33,6 +33,43 @@ class CloneSpec extends SparkSuite {
     }
   }
 
+  test("VERSION AS OF clone copies a logged version; DRY RUN vacuum lists") {
+    val cat = new Catalog(spark, tmpDir("graft-clone-v"))
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "gold", "vsrc")
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "gold", "vsrc") // v2 live
+    cat.register("gold", "vsrc")
+    graft.sql.GraftSql.sql(spark,
+      "CREATE TABLE gold.vclone DEEP CLONE gold.vsrc VERSION AS OF 1")
+    assert(rowsOf(spark.table("gold.vclone"), "id") == Seq(Seq(1L, "a")))
+    // DRY RUN reports reclaimable paths without deleting them
+    cat.overwriteSnapshot(Seq((9L, "z")).toDF("id", "v"), "gold", "vsrc")
+    val wouldDelete = graft.sql.GraftSql.sql(spark,
+      "VACUUM gold.vsrc DRY RUN").collect().map(_.getString(0))
+    assert(cat.listVersions("gold", "vsrc").size == 3,
+      "dry run must not reclaim anything")
+    assert(graft.sql.GraftSql.sql(spark, "VACUUM gold.vsrc")
+      .collect().map(_.getString(0)).toSeq == wouldDelete.toSeq)
+    spark.sql("DROP TABLE IF EXISTS gold.vclone")
+    spark.sql("DROP TABLE IF EXISTS gold.vsrc")
+  }
+
+  test("RESTORE ... TIMESTAMP AS OF resolves through commit times") {
+    val cat = new Catalog(spark, tmpDir("graft-restore-ts"))
+    cat.overwriteSnapshot(Seq((1L, "one")).toDF("id", "v"), "gold", "rts")
+    Thread.sleep(1100) // directory mtimes are second-granular on some FS
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    cat.overwriteSnapshot(Seq((2L, "two")).toDF("id", "v"), "gold", "rts")
+    cat.register("gold", "rts")
+    graft.sql.GraftSql.sql(spark,
+      s"RESTORE TABLE gold.rts TO TIMESTAMP AS OF '$between'")
+    // v1 was live at `between` → its contents are the new live version 3
+    assert(rowsOf(cat.read("gold", "rts")) == Seq(Seq(1L, "one")))
+    assert(cat.currentVersion("gold", "rts") == 3)
+    spark.sql("DROP TABLE IF EXISTS gold.rts")
+  }
+
   test("bucketed source: the clone preserves the bucket layout") {
     val root = tmpDir("graft-clone-bkt")
     val src = s"$root/gold/bsrc"; val dst = s"$root/gold/bdst"
