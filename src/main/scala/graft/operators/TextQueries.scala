@@ -356,7 +356,26 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Deterministic train/val/test assignment (90/5/5): the q58 md5
+    * membership function on doc_id, thresholds at floor(0.90·65536)=0xe666
+    * and floor(0.95·65536)=0xf333. A pure function of the id — the same
+    * doc lands in the same split on any engine, cluster size, or re-run
+    * (eval-set leakage from a reshuffled re-split is a real corpus bug
+    * this construction makes impossible), and membership is reproducible
+    * from the id alone without storing an assignment table. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      md5(concat(col("doc_id").cast("string"), lit("#split42"))), 1, 4)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(h < lit("e666"), lit("train"))
+          .when(h < lit("f333"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_split"             -> (trainValTestSplit _),
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_token_packing"     -> (tokenPacking _),
@@ -405,6 +424,17 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // the same md5 membership function and thresholds — a doc's split is
+    // a pure function of its id in both engines
+    "q90_split" ->
+      """SELECT doc_id, lang,
+           CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#split42'), 1, 4)
+                  < 'e666' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#split42'), 1, 4)
+                  < 'f333' THEN 'val'
+             ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "q72_repetition" ->
       s"""WITH g AS (
             SELECT doc_id, unnest($grams2Sql) AS g FROM documents),

@@ -199,6 +199,21 @@ class PlanQualitySpec extends SparkSuite {
       s"top-k materialized a full global sort:\n$p")
   }
 
+  test("q88/q89: retrieval top-k avoids a global sort; vocab join is not force-broadcast") {
+    val p88 = plan(operators.SearchQueries.bm25TopK(spark, sfDir))
+    assert(p88.contains("TakeOrderedAndProject"),
+      s"BM25 top-k materialized a full global sort:\n$p88")
+    // q89's word-frequency join must NOT carry a broadcast HINT: the vocab
+    // is corpus-derived (unbounded at 100 TB) — only the bounded top-100
+    // list is explicitly broadcast. AQE may still choose broadcast from
+    // MEASURED stats at this fixture size; the pin is on the logical plan.
+    val logical = operators.SearchQueries.oovScore(spark, sfDir)
+      .queryExecution.logical.toString
+    val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(logical).size
+    assert(hints <= 1, // exactly the top-100 broadcast
+      s"q89 must not force-broadcast the corpus vocabulary:\n$logical")
+  }
+
   test("q57: connected components converge on a depth-15 chain with truncated lineage") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
