@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.nfcDescriptor)
+    ext.injectFunction(GraftExtensions.bpeDescriptor)
     // MERGE INTO support: the native parser already produces MergeIntoTable;
     // the delegating parser swaps it for graft's executable lowering
     // (graft.sql.MergeIntoRunner) so `spark.sql("MERGE INTO ...")` runs
@@ -107,6 +108,26 @@ object GraftExtensions {
     FunctionIdentifier("nfc_normalize"),
     new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
     (children: Seq[Expression]) => NfcNormalizeExpr(children.head))
+
+  /** `bpe_encode(word, 'a b,ab c,...')` — the merge table rides as a
+    * foldable string literal ("a b" pairs, comma-separated, rank order),
+    * the standard way a SQL surface carries a trained artifact. */
+  private[graft] val bpeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 && children(1).foldable,
+        "bpe_encode(word, '<a b,...>' ) needs a literal merge table")
+      val spec = Option(children(1).eval(null))
+        .map(_.toString).getOrElse("")
+      val merges = spec.split(',').toSeq.filter(_.nonEmpty).map { m =>
+        val p = m.split(' ')
+        require(p.length == 2, s"bad merge '$m' (want 'left right')")
+        (p(0), p(1))
+      }
+      BpeEncode(children.head, merges)
+    })
 
   /** Idempotent per-session registration for sessions built without the
     * extensions config (e.g. the driver-owned Verify/Bench sessions). */

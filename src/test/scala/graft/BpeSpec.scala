@@ -37,6 +37,19 @@ class BpeSpec extends SparkSuite {
       .collect()(0).getSeq[String](0) == Seq("a", "b", "c"))
   }
 
+  test("bpe_encode is SQL-addressable with a literal merge table") {
+    org.apache.spark.sql.GraftShims.registerFunction(spark,
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BpeEncode].getName, "bpe_encode"),
+      graft.functions.GraftExtensions.bpeDescriptor._3)
+    Seq("lowest").toDF("w").createOrReplaceTempView("bpe_in")
+    val out = spark.sql(
+      "SELECT bpe_encode(w, 'e s,es t,l o') AS t FROM bpe_in")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("lo", "w", "est"))
+  }
+
   test("corpus-trained merges encode losslessly and compress the corpus") {
     val docs = Tables.load(spark, sf0001, "documents").limit(100)
     val merges = Bpe.trainMerges(Bpe.vocabOf(docs), 10)
