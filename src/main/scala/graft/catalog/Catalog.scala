@@ -210,6 +210,25 @@ class Catalog(spark: SparkSession, warehouse: String,
   def constraints(layer: String, table: String): Seq[(String, String)] =
     Catalog.readConstraintsPath(spark, path(layer, table))
 
+  /** Delta `GENERATED ALWAYS AS` for this layout: record the column,
+    * materialize it over the existing data as a new version, and have
+    * every later snapshot write compute it when absent / validate it when
+    * provided ([[Catalog.overwritePath]]). */
+  def addGeneratedColumn(layer: String, table: String, name: String,
+      expr: String): Unit = {
+    Catalog.addGeneratedColumnPath(spark, path(layer, table), name, expr)
+    if (tableExists(layer, table)) {
+      // v1 external tables pin their metastore schema — same rule as
+      // MERGE WITH SCHEMA EVOLUTION
+      val dt = read(layer, table).schema(name).dataType.sql
+      spark.sql(s"ALTER TABLE $layer.$table ADD COLUMNS (`$name` $dt)")
+      spark.catalog.refreshTable(s"$layer.$table")
+    }
+  }
+
+  def generatedColumns(layer: String, table: String): Seq[(String, String)] =
+    Catalog.readGeneratedPath(spark, path(layer, table))
+
   /** Delta's stats collection (ANALYZE … FOR COLUMNS) for this layout:
     * per-file min/max/null stats (+ optional Bloom filters) into the
     * snapshot's `_skipping` manifest — [[graft.layout.DataSkipping]]. */
@@ -445,6 +464,7 @@ object Catalog {
     rm(new Path(dir + ".tmp"))
     rm(new Path(dir + ".tmp-merge"))
     rm(new Path(dir + ".constraints.tmp"))
+    rm(new Path(dir + ".generated.tmp"))
     val tableDir = new Path(dir)
     if (f.exists(tableDir))
       f.listStatus(tableDir).map(_.getPath)
@@ -566,6 +586,53 @@ object Catalog {
       }.mkString(", "))
   }
 
+  // ------------------------------------------------- generated columns
+
+  /** `GENERATED ALWAYS AS` metadata: sibling `<dir>.generated` manifest,
+    * same commit protocol as constraints. */
+  private def generatedFile(dir: String) = new Path(dir + ".generated")
+
+  def readGeneratedPath(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = generatedFile(dir)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }.toList
+    finally in.close()
+  }
+
+  def addGeneratedColumnPath(spark: SparkSession, dir: String, name: String,
+      expr: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"generated column name must be an identifier, got '$name'")
+    val existing = readGeneratedPath(spark, dir)
+    require(!existing.exists(_._1.equalsIgnoreCase(name)),
+      s"generated column $name already exists on $dir")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = f.exists(new Path(dir))
+    if (hasData) {
+      val cur = spark.read.parquet(dir)
+      require(!cur.columns.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in $dir's data")
+      // materialize over existing rows as a NEW version, so readers and
+      // time travel see a consistent table from this point on
+      overwritePath(spark,
+        cur.withColumn(name, org.apache.spark.sql.functions.expr(expr)), dir)
+    }
+    val tmp = new Path(dir + ".generated.tmp")
+    val out = f.create(tmp, true)
+    try out.write((existing :+ (name -> expr))
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = generatedFile(dir)
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"generated-columns commit failed: $dst")
+  }
+
   def addConstraintPath(spark: SparkSession, dir: String, name: String,
       check: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -595,14 +662,27 @@ object Catalog {
     val tmp = new Path(dir + ".tmp")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(tmp)) f.delete(tmp, true)
-    val w = df.write.mode(SaveMode.Overwrite)
+    // GENERATED ALWAYS AS: compute absent generated columns into the
+    // written frame; columns the writer DID provide are validated against
+    // their expression below (Delta's consistency rule) — a generated
+    // column can never silently diverge from its definition.
+    val gens = readGeneratedPath(spark, dir)
+    val provided = gens.filter { case (n, _) =>
+      df.columns.exists(_.equalsIgnoreCase(n)) }
+    val dfGen = gens.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+    val w = dfGen.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     // CHECK enforcement: validate the STAGED files (no upstream recompute)
     // and abort before the swap — the live snapshot is never replaced by
     // violating data, and a failed write leaves no trace but the tmp dir
-    // vacuum reclaims.
-    val cons = readConstraintsPath(spark, dir)
+    // vacuum reclaims. Provided generated columns join the same one-pass
+    // check as null-safe equality with their definition.
+    val cons = readConstraintsPath(spark, dir) ++
+      provided.map { case (n, e) => (s"__generated_$n", s"`$n` <=> ($e)") }
     if (cons.nonEmpty) {
       try enforce(spark.read.parquet(tmp.toString), cons, dir)
       catch { case e: Throwable => f.delete(tmp, true); throw e }

@@ -328,6 +328,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("num_versions", IntegerType, nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("generated_columns", StringType, nullable = false)(),
     AttributeReference("skipping_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "DESCRIBE DETAIL")
@@ -348,6 +349,8 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     val hist = graft.catalog.Catalog.historyRows(spark, dir)
     val cons = graft.catalog.Catalog.readConstraintsPath(spark, dir)
       .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+    val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
+      .map { case (n, e) => s"$n AS ($e)" }.mkString("; ")
     val skip = graft.layout.DataSkipping.analyzedColumns(spark, dir)
       .map { case (cols, blooms, _, _) =>
         (cols.map(c => if (blooms.contains(c)) s"$c(bloom)" else c))
@@ -355,7 +358,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
       }.getOrElse("")
     Seq(Row("parquet", dir, nFiles, bytes,
       hist.filter(_._2).map(_._1).headOption.getOrElse(1),
-      hist.length, cons, skip))
+      hist.length, cons, gens, skip))
   }
 }
 
