@@ -433,7 +433,29 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
 
+  /** Fixed-bin histogram of order totals — the EXACT data-profiling
+    * primitive complementing q47's sketches (KLL gives approximate
+    * quantiles; a fixed-edge histogram is the audit chart a curation
+    * dashboard draws). Bin index is one clamped floor-divide on constant
+    * edges — fully codegen'd map side, then a two-phase count; per-bin
+    * min/max document the clamping at the edge bins. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 30000.0
+    val bucket = least(greatest(
+      floor(col("o_totalprice") / width), lit(0.0)), lit(19.0)).cast("long")
+    Tables.load(spark, dir, "orders")
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+      .withColumn("bin_lo", col("bucket").cast("double") * width)
+      .select("bucket", "bin_lo", "n_orders", "min_total", "max_total")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_histogram"      -> (histogram _),
     "q56_tpch_q3"        -> (shippingPriority _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
@@ -465,6 +487,19 @@ object Relational {
     "q17_join_agg"       -> (joinAgg _))
 
   val oracles: Map[String, String] = Map(
+    // same constant edges, same clamped floor-divide (IEEE double division
+    // is engine-identical), same per-bin bounds
+    "q91_histogram" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(floor(o_totalprice / 30000.0), 0.0),
+                    19.0) AS BIGINT) AS bucket,
+                  o_totalprice
+           FROM orders)
+         SELECT bucket, CAST(bucket AS DOUBLE) * 30000.0 AS bin_lo,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_total,
+           max(o_totalprice) AS max_total
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q69_window_frames" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
