@@ -194,7 +194,56 @@ object EventQueries {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Conversion funnel view → click → purchase with STRICT event-time
+    * ordering per user (a later-stage event only counts if it happens
+    * after the user's first previous-stage event — the semantics product
+    * analytics engines implement natively). Three per-user min
+    * aggregations chained by (user_id) joins: each stage shuffles on
+    * user_id once and the per-stage frames shrink monotonically; the
+    * final output is a union of three single-row counts. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(
+        lit(name).as("stage"), col("n_users"))
+    stage(views, "1_view")
+      .unionByName(stage(clicks, "2_click_after_view"))
+      .unionByName(stage(purchases, "3_purchase_after_click"))
+      .orderBy("stage")
+  }
+
+  /** Daily retention cohorts: users grouped by first-seen date, activity
+    * counted per (cohort, day offset) for the first week — the warehouse
+    * dashboard query behind every "D1/D7 retention" number. Two shuffles
+    * (first-seen per user, then the cohort-offset distinct count);
+    * day arithmetic is exact integer days in both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val first = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .join(first, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("d"), col("cohort")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_funnel"               -> (funnel _),
+    "q93_retention"            -> (retentionCohorts _),
     "q54_asof_join"            -> (asofJoin _),
     "q55_range_join"           -> (rangeJoin _),
     "q60_json_extract"         -> (jsonExtract _),
@@ -212,6 +261,41 @@ object EventQueries {
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
   val oracles: Map[String, String] = Map(
+    // same strict-ordering chain: stage N's first event must be LATER
+    // than the user's first stage-(N-1) event
+    "q92_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY e.user_id)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL
+           SELECT '2_click_after_view', count(*) FROM c
+           UNION ALL
+           SELECT '3_purchase_after_click', count(*) FROM p)
+         ORDER BY stage""",
+    // first-seen date per user, integer day offsets, distinct actives
+    "q93_retention" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT e.user_id, f.cohort, CAST(e.ts AS DATE) AS d
+           FROM events e JOIN f USING (user_id))
+         SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS n_active
+         FROM a WHERE d - cohort <= 7
+         GROUP BY cohort, d - cohort ORDER BY cohort, day_offset""",
     "q24_events_hourly" -> hourlySql,
     "q26_events_hourly_stream" -> hourlySql,
     // q47 intentionally absent: sketch estimates are engine-specific

@@ -504,14 +504,19 @@ case class GraftRestoreCommand(nameParts: Seq[String],
 }
 
 /** Delegating parser: everything is the session's own parser, except
-  *  - a parsed MERGE statement is wrapped for [[MergeIntoRunner]] execution;
+  *  - parsed MERGE / DELETE FROM / UPDATE statements are wrapped for
+  *    [[MergeIntoRunner]] / [[DmlRunner]] execution (Spark parses all
+  *    three but executes them only against v2 merge-capable catalogs);
   *  - `VERSION AS OF n` / `TIMESTAMP AS OF ts` over a graft-registered
   *    parquet table resolve to the catalog's snapshot-log entry (Spark only
   *    supports time travel for v2 merge-capable catalogs). Tables that
   *    aren't ours pass through to Spark's own resolution;
-  *  - `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` / `RESTORE ... VERSION
-  *    AS OF` (none in Spark's grammar) are intercepted as text and run the
-  *    snapshot log's list / compact / reclaim / restore operations.
+  *  - statements outside Spark's grammar are intercepted as anchored
+  *    text: `DESCRIBE HISTORY` / `DESCRIBE DETAIL`, `OPTIMIZE [ZORDER
+  *    BY]`, `VACUUM [DRY RUN]`, `RESTORE … VERSION|TIMESTAMP AS OF`,
+  *    `COPY INTO`, `CREATE TABLE … DEEP CLONE … [VERSION AS OF]`,
+  *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
+  *    CONSTRAINT`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
