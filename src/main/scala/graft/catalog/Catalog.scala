@@ -577,7 +577,7 @@ object Catalog {
       if (row.isNullAt(i)) 0L else row.getLong(i))) // empty df → null sums
   }
 
-  private[catalog] def enforce(df: DataFrame, cons: Seq[(String, String)],
+  private[graft] def enforce(df: DataFrame, cons: Seq[(String, String)],
       dir: String): Unit = {
     val bad = violations(df, cons).filter(_._2 > 0)
     if (bad.nonEmpty) throw new IllegalStateException(

@@ -82,6 +82,17 @@ object PartitionedMerge {
     merged.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
 
+    // CHECK constraints gate bucketed writes too: validate the staged
+    // buckets (the only rows this merge changes) before any rename —
+    // same one-pass check as Catalog.overwritePath, scoped O(touched)
+    val cons = graft.catalog.Catalog.readConstraintsPath(spark, path)
+    if (cons.nonEmpty) {
+      try graft.catalog.Catalog.enforce(
+        spark.read.parquet(tmp).drop(BucketCol), cons, path)
+      catch { case e: Throwable =>
+        fs.delete(new Path(tmp), true); throw e }
+    }
+
     swapBuckets(spark, fs, path, tmp, touched, keepVersions)
     touched
   }

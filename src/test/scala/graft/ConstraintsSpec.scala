@@ -101,6 +101,26 @@ class ConstraintsSpec extends SparkSuite {
     cat.overwriteSnapshot(Seq((1L, -2.0)).toDF("id", "price"), "silver", "t5")
   }
 
+  test("bucketed tables: prunedMerge enforces CHECK constraints too") {
+    import graft.merge.PartitionedMerge
+    val dir = tmpDir("graft-cons-bkt") + "/t"
+    PartitionedMerge.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+      dir, Seq("id"), 4)
+    graft.catalog.Catalog.addConstraintPath(spark, dir, "v_pos", "v > 0")
+    def upsert(src: org.apache.spark.sql.DataFrame) =
+      PartitionedMerge.prunedMerge(spark, dir, src, Seq("id"), 4) {
+        (t, s) => t.join(s, Seq("id"), "left_anti").unionByName(s)
+      }
+    upsert(Seq((1L, 11.0)).toDF("id", "v")) // clean merge passes
+    val e = intercept[IllegalStateException] {
+      upsert(Seq((2L, -7.0)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // the violating merge installed nothing — live buckets unchanged
+    assert(rowsOf(PartitionedMerge.read(spark, dir), "id") ==
+      Seq(Seq(1L, 11.0), Seq(2L, 20.0)))
+  }
+
   test("DESCRIBE DETAIL reports files, version, constraints, skipping") {
     val (cat, _) = freshCat()
     cat.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
