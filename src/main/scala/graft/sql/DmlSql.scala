@@ -45,8 +45,16 @@ object DmlRunner {
       .getOrElse(throw new IllegalArgumentException(
         s"$stmt target $tableName must be a catalog table with a storage " +
           "location (temp views cannot be rewritten)"))
-    (nameParts, alias.getOrElse(nameParts.last), tableName,
-      new org.apache.hadoop.fs.Path(uri).toString, partCols)
+    val dir = new org.apache.hadoop.fs.Path(uri).toString
+    // a bucket-partitioned dim rewritten as a flat snapshot would silently
+    // lose its layout (and the bucket column would materialize as data) —
+    // route row-level changes through PartitionedMerge instead
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!graft.catalog.Catalog.isBucketedLayout(fs, dir),
+      s"$stmt on bucket-partitioned table $tableName is unsupported: " +
+        "apply row-level changes via PartitionedMerge.prunedMerge")
+    (nameParts, alias.getOrElse(nameParts.last), tableName, dir, partCols)
   }
 
   /** `DELETE FROM t [AS a] WHERE cond` → rows where cond is not TRUE. */

@@ -86,6 +86,23 @@ class DmlSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS silver.u3")
   }
 
+  test("DELETE on a bucket-partitioned table is rejected, layout intact") {
+    import graft.merge.PartitionedMerge
+    val wh = tmpDir("graft-dml-bkt")
+    val dir = s"$wh/gold/bdim"
+    PartitionedMerge.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, Seq("id"), 4)
+    spark.sql("CREATE SCHEMA IF NOT EXISTS gold")
+    spark.sql(s"CREATE TABLE gold.bdim USING parquet LOCATION '$dir'")
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark, "DELETE FROM gold.bdim WHERE id = 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("PartitionedMerge"))
+    assert(rowsOf(PartitionedMerge.read(spark, dir), "id").size == 2)
+    spark.sql("DROP TABLE IF EXISTS gold.bdim")
+  }
+
   test("extension-parser session runs DELETE/UPDATE through spark.sql") {
     val base = spark
     SparkSession.clearActiveSession()
