@@ -120,11 +120,14 @@ class Catalog(spark: SparkSession, warehouse: String,
   }
 
   /** Snapshot overwrite with atomic swap (replaces Delta's transactional
-    * overwrite, Silver_Customers.py:41). */
+    * overwrite, Silver_Customers.py:41). Schema-on-write is STRICT like
+    * Delta's: a frame whose columns/types differ from the live snapshot is
+    * rejected unless `allowSchemaChange` (Delta's `overwriteSchema`). */
   def overwriteSnapshot(df: DataFrame, layer: String, table: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      allowSchemaChange: Boolean = false): Unit = {
     Catalog.overwritePath(spark, df, path(layer, table), partitionBy,
-      keepVersions)
+      keepVersions, allowSchemaChange)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }
@@ -442,12 +445,16 @@ object Catalog {
   def restorePath(spark: SparkSession, dir: String, v: Int,
       keepVersions: Int = 10): Unit = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restoring to a version that predates a schema change is the point
+    // of RESTORE — the old shape wins
     if (isBucketedLayout(f, dir))
       overwritePath(spark,
         graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v),
-        dir, Seq(graft.merge.PartitionedMerge.BucketCol), keepVersions)
+        dir, Seq(graft.merge.PartitionedMerge.BucketCol), keepVersions,
+        allowSchemaChange = true)
     else
-      overwritePath(spark, versionRead(spark, dir, v), dir, Nil, keepVersions)
+      overwritePath(spark, versionRead(spark, dir, v), dir, Nil, keepVersions,
+        allowSchemaChange = true)
   }
 
   /** [[Catalog!.vacuum]] on a raw table directory — the seam SQL
@@ -621,7 +628,8 @@ object Catalog {
       // materialize over existing rows as a NEW version, so readers and
       // time travel see a consistent table from this point on
       overwritePath(spark,
-        cur.withColumn(name, org.apache.spark.sql.functions.expr(expr)), dir)
+        cur.withColumn(name, org.apache.spark.sql.functions.expr(expr)), dir,
+        allowSchemaChange = true)
     }
     val tmp = new Path(dir + ".generated.tmp")
     val out = f.create(tmp, true)
@@ -657,7 +665,8 @@ object Catalog {
   }
 
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
-      partitionBy: Seq[String] = Nil, keepVersions: Int = 10): Unit = {
+      partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
+      allowSchemaChange: Boolean = false): Unit = {
     val dst = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -672,6 +681,31 @@ object Catalog {
     val dfGen = gens.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
       else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+    // Delta's schema-on-write: an overwrite must match the live snapshot's
+    // columns and types (order-insensitive, case-insensitive, nullability
+    // ignored) unless the caller explicitly evolves — a typo'd column or
+    // upstream type drift fails HERE, not in a downstream reader weeks
+    // later. Driver-side schema compare (after generated-column fill); no
+    // data cost.
+    if (!allowSchemaChange && f.exists(dst)) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(x => x.name.toLowerCase -> x.dataType).toMap
+      val (cur, nw) =
+        (shape(spark.read.parquet(dir).schema), shape(dfGen.schema))
+      if (cur != nw) {
+        val added = (nw.keySet -- cur.keySet).toSeq.sorted
+        val removed = (cur.keySet -- nw.keySet).toSeq.sorted
+        val retyped = cur.keySet.intersect(nw.keySet)
+          .filter(k => cur(k) != nw(k)).toSeq.sorted
+          .map(k => s"$k: ${cur(k).simpleString} -> ${nw(k).simpleString}")
+        throw new IllegalStateException(
+          s"schema change writing $dir (pass allowSchemaChange to evolve): " +
+            (Seq("added" -> added, "removed" -> removed,
+              "retyped" -> retyped).collect {
+              case (t, xs) if xs.nonEmpty => s"$t [${xs.mkString(", ")}]"
+            }).mkString("; "))
+      }
     }
     val w = dfGen.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

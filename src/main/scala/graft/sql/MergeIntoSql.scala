@@ -94,7 +94,8 @@ object MergeIntoRunner {
 
   def run(spark: SparkSession, m: MergeIntoTable): Unit = {
     val (merged, dir, partCols, tableName, evolvedCols) = lowered(spark, m)
-    graft.catalog.Catalog.overwritePath(spark, merged, dir, partCols)
+    graft.catalog.Catalog.overwritePath(spark, merged, dir, partCols,
+      allowSchemaChange = evolvedCols.nonEmpty)
     // Schema evolution must reach the REGISTRATION, not just the files: a
     // v1 external table pins its metastore schema at CREATE time, so
     // without ALTER TABLE the next spark.table / MERGE would still see the

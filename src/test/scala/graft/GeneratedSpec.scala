@@ -52,6 +52,31 @@ class GeneratedSpec extends SparkSuite {
     }
   }
 
+  test("schema-on-write: drifted overwrites are rejected, evolution is explicit") {
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-schema"))
+    cat.create(Seq((1L, 10.0)).toDF("id", "price"), "silver", "s1")
+    // same shape, different column ORDER and case → accepted
+    cat.overwriteSnapshot(Seq((2.0, 5L)).toDF("PRICE", "id")
+      .select(col("id"), col("PRICE")), "silver", "s1")
+    // added column → rejected with the diff named
+    val e1 = intercept[IllegalStateException] {
+      cat.overwriteSnapshot(
+        Seq((1L, 1.0, "x")).toDF("id", "price", "extra"), "silver", "s1")
+    }
+    assert(e1.getMessage.contains("added [extra]"))
+    // type drift → rejected
+    val e2 = intercept[IllegalStateException] {
+      cat.overwriteSnapshot(Seq((1L, "oops")).toDF("id", "price"),
+        "silver", "s1")
+    }
+    assert(e2.getMessage.contains("retyped [price"))
+    // explicit evolution works, and RESTORE back across the change works
+    cat.overwriteSnapshot(Seq((1L, 1.0, "x")).toDF("id", "price", "extra"),
+      "silver", "s1", allowSchemaChange = true)
+    cat.restore("silver", "s1", 2)
+    assert(cat.read("silver", "s1").columns.toSeq == Seq("id", "PRICE"))
+  }
+
   test("DESCRIBE DETAIL reports generated columns") {
     val cat = new graft.catalog.Catalog(spark, tmpDir("graft-gen3"))
     cat.create(Seq((1L, 2.0)).toDF("id", "price"), "silver", "g3")
