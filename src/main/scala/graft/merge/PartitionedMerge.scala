@@ -42,9 +42,14 @@ object PartitionedMerge {
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
   /** Initial (or full) write of the bucket-partitioned table. */
-  def write(df: DataFrame, path: String, keys: Seq[String], nBuckets: Int): Unit =
+  def write(df: DataFrame, path: String, keys: Seq[String], nBuckets: Int): Unit = {
+    // a constraint recorded before first load gates the initial data too
+    // (the Catalog.create parity)
+    val cons = graft.catalog.Catalog.readConstraintsPath(df.sparkSession, path)
+    if (cons.nonEmpty) graft.catalog.Catalog.enforce(df, cons, path)
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+  }
 
   /** Read the logical table (bucket column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
