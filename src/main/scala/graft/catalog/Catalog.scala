@@ -232,6 +232,11 @@ class Catalog(spark: SparkSession, warehouse: String,
   def generatedColumns(layer: String, table: String): Seq[(String, String)] =
     Catalog.readGeneratedPath(spark, path(layer, table))
 
+  /** Stop generating/validating the column; the DATA column stays (it is
+    * real data in every snapshot) — it just becomes an ordinary column. */
+  def dropGeneratedColumn(layer: String, table: String, name: String): Unit =
+    Catalog.dropGeneratedColumnPath(spark, path(layer, table), name)
+
   /** Delta's stats collection (ANALYZE … FOR COLUMNS) for this layout:
     * per-file min/max/null stats (+ optional Bloom filters) into the
     * snapshot's `_skipping` manifest — [[graft.layout.DataSkipping]]. */
@@ -637,6 +642,24 @@ object Catalog {
       .map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = generatedFile(dir)
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"generated-columns commit failed: $dst")
+  }
+
+  def dropGeneratedColumnPath(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val existing = readGeneratedPath(spark, dir)
+    require(existing.exists(_._1.equalsIgnoreCase(name)),
+      s"no generated column $name on $dir")
+    val remaining = existing.filterNot(_._1.equalsIgnoreCase(name))
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = generatedFile(dir)
+    if (remaining.isEmpty) { if (f.exists(dst)) f.delete(dst, false); return }
+    val tmp = new Path(dir + ".generated.tmp")
+    val out = f.create(tmp, true)
+    try out.write(remaining.map { case (n, e) => s"$n\t$e" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     if (f.exists(dst)) f.delete(dst, false)
     require(f.rename(tmp, dst), s"generated-columns commit failed: $dst")
   }

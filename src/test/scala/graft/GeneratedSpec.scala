@@ -50,6 +50,12 @@ class GeneratedSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       cat.addGeneratedColumn("silver", "g2", "price", "id * 1.0")
     }
+    // dropping stops generation/validation; the data column remains
+    cat.dropGeneratedColumn("silver", "g2", "doubled")
+    assert(cat.generatedColumns("silver", "g2").isEmpty)
+    cat.overwriteSnapshot(
+      Seq((1L, 5.0, 99.0)).toDF("id", "price", "doubled"), "silver", "g2")
+    assert(rowsOf(cat.read("silver", "g2")) == Seq(Seq(1L, 5.0, 99.0)))
   }
 
   test("schema-on-write: drifted overwrites are rejected, evolution is explicit") {
