@@ -301,6 +301,96 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (local-supplier revenue): the classic join-ORDER
+    * benchmark — six tables, where the only join between the customer and
+    * supplier spines is the non-key `c_nationkey = s_nationkey` residual.
+    * Declared smallest-first so Catalyst keeps the cheap dimension
+    * reductions (region→nation→supplier, explicitly broadcast — ≤ a few
+    * hundred rows at any SF once the region filter lands) ahead of the two
+    * fact shuffles. lineitem⋈orders⋈customer shuffles on the key spine;
+    * the supplier probe then carries BOTH `l_suppkey = s_suppkey` and the
+    * nation residual as one hash-join condition, so no row explosion ever
+    * materializes. Selective date filter pushed to the orders scan. */
+  def localSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): one quarter of orders,
+    * only returned lineitems, revenue attributed per customer — the
+    * "which customers are hurting us" dashboard query. Both selective
+    * filters are pushed to their scans BEFORE the key-spine joins, the
+    * nation name arrives by broadcast, and the top-20 is a
+    * TakeOrderedAndProject (never a global sort materialization). */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders). The textbook SQL re-aggregates
+    * lineitem twice (a HAVING subquery feeding an outer GROUP BY); the
+    * Spark-first plan aggregates ONCE — per-order quantity totals, filter
+    * > 180, then enrich the surviving handful with orders+customer. At
+    * 100 TB that halves the big-fact shuffle; the post-filter side is tiny
+    * so AQE broadcasts it into the orders probe. */
+  def largeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 180)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** CUBE over (status, priority): all four grouping combinations in one
     * pass (Expand + single hash-agg — not four scans). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
@@ -457,6 +547,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_histogram"      -> (histogram _),
     "q56_tpch_q3"        -> (shippingPriority _),
+    "q94_tpch_q5"        -> (localSupplierRevenue _),
+    "q95_tpch_q10"       -> (returnedItemReport _),
+    "q96_tpch_q18"       -> (largeVolumeOrders _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
     "q63_exact_median"   -> (exactMedian _),
@@ -585,6 +678,40 @@ object Relational {
            AND l_shipdate > TIMESTAMP '1995-03-15'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q94_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q95_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate <  TIMESTAMP '1996-10-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q96_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
     "q51_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
