@@ -191,6 +191,53 @@ class Catalog(spark: SparkSession, warehouse: String,
     if (tableExists(srcLayer, srcTable)) register(dstLayer, dstTable)
   }
 
+  /** Delta `SHALLOW CLONE`: a zero-copy clone sharing the source's live
+    * data files. Delta implements it as metadata referencing the source's
+    * paths; a plain-parquet directory has no metadata layer, so the local/
+    * HDFS equivalent is a HARD-LINK tree — O(file count) metadata ops, no
+    * data movement, and (better than Delta's) immune to a later VACUUM of
+    * the source: unlinking a name never frees a still-linked inode. On
+    * stores without links (S3) the same walk degrades to server-side
+    * copies. Like DEEP CLONE the clone starts its own history. */
+  def shallowClone(srcLayer: String, srcTable: String,
+      dstLayer: String, dstTable: String): Unit = {
+    Catalog.clonePath(spark, path(srcLayer, srcTable),
+      path(dstLayer, dstTable), shallow = true)
+    if (tableExists(srcLayer, srcTable)) register(dstLayer, dstTable)
+  }
+
+  /** Delta `ALTER TABLE … RENAME COLUMN` (column mapping's headline use).
+    * Plain parquet has no name-mapping layer, so the rename REWRITES the
+    * live snapshot under the new name as an ordinary versioned commit —
+    * time travel still reads retired versions under the OLD name, exactly
+    * the per-version schema Delta's mapping preserves. Columns referenced
+    * by CHECK constraints or generated-column definitions refuse (Delta's
+    * rule — drop the dependent object first). */
+  def renameColumn(layer: String, table: String, oldName: String,
+      newName: String): Unit = {
+    Catalog.renameColumnPath(spark, path(layer, table), oldName, newName,
+      keepVersions)
+    reRegister(layer, table)
+  }
+
+  /** Delta `ALTER TABLE … DROP COLUMN`: versioned rewrite without the
+    * column (retired versions still carry it — RESTORE brings it back).
+    * Same dependency guards as [[renameColumn]]. */
+  def dropColumn(layer: String, table: String, name: String): Unit = {
+    Catalog.dropColumnPath(spark, path(layer, table), name, keepVersions)
+    reRegister(layer, table)
+  }
+
+  /** A v1 external table pins its metastore schema at CREATE time; after a
+    * column rename/drop the registration must be rebuilt so `spark.table`
+    * sees the new shape (ALTER TABLE RENAME/DROP COLUMN is v2-only). */
+  private def reRegister(layer: String, table: String): Unit =
+    if (tableExists(layer, table)) {
+      dropRegistration(layer, table)
+      register(layer, table)
+      spark.catalog.refreshTable(s"$layer.$table")
+    }
+
   /** Delta `table_changes` for this layout ([[ChangeFeed.tableChanges]]):
     * net changes between two logged versions; with `keys`, full CDC rows
     * including update pre/post images. */
@@ -512,9 +559,10 @@ object Catalog {
   /** [[Catalog!.clone]] on raw directories — the seam the SQL statement
     * shares. Refuses to overwrite an existing destination. */
   def clonePath(spark: SparkSession, srcDir: String, dstDir: String,
-      version: Option[Int] = None): Unit = {
+      version: Option[Int] = None, shallow: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(srcDir).getFileSystem(conf)
+    val kind = if (shallow) "SHALLOW CLONE" else "DEEP CLONE"
     // `VERSION AS OF` clone: copy the logged snapshot's files instead of
     // the live dir (plain snapshot layouts — a bucketed version is a
     // cross-version reconstruction, not a directory; RESTORE + clone it)
@@ -522,18 +570,150 @@ object Catalog {
       case None => srcDir
       case Some(v) =>
         require(!isBucketedLayout(fs, srcDir),
-          "DEEP CLONE VERSION AS OF is unsupported on bucket-partitioned " +
+          s"$kind VERSION AS OF is unsupported on bucket-partitioned " +
             "tables (reconstruct via RESTORE, then clone)")
         resolveVersionPath(spark, srcDir, v)
     }
     val sp = new Path(resolvedSrc); val dp = new Path(dstDir)
-    require(fs.exists(sp), s"DEEP CLONE source missing: $resolvedSrc")
-    require(!fs.exists(dp), s"DEEP CLONE destination exists: $dstDir")
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
+    require(fs.exists(sp), s"$kind source missing: $resolvedSrc")
+    require(!fs.exists(dp), s"$kind destination exists: $dstDir")
+    if (shallow) linkTree(fs, conf, sp, dp)
+    else require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
       false, false, conf), s"clone copy failed: $resolvedSrc -> $dstDir")
     // the clone's history starts fresh: no pointer, no log entries
     val hist = historyDir(dstDir)
     if (fs.exists(hist)) fs.delete(hist, true)
+  }
+
+  /** SHALLOW CLONE's physical step: mirror the directory tree, hard-linking
+    * every file on link-capable filesystems (local: one inode, two names —
+    * O(metadata), and the clone survives any later delete of the source
+    * NAME because the inode lives while any link does). Filesystems
+    * without links fall back to a copy, keeping the statement's semantics
+    * (independent tables) at deep-clone cost. */
+  private def linkTree(f: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      src: Path, dst: Path): Unit = {
+    val canLink = f.getScheme == "file"
+    f.mkdirs(dst)
+    f.listStatus(src).foreach { st =>
+      val d = new Path(dst, st.getPath.getName)
+      if (st.isDirectory) linkTree(f, conf, st.getPath, d)
+      else if (canLink)
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(d).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(st.getPath).toUri.getPath))
+      else require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f, d,
+        false, false, conf), s"clone copy failed: ${st.getPath} -> $d")
+    }
+  }
+
+  // ------------------------------------------------- column DDL
+
+  /** Column names referenced by the table's CHECK constraints and
+    * generated-column definitions (parsed from the expression text, not
+    * regex-matched — a literal mentioning the name doesn't count), plus the
+    * generated column names themselves. Gate for rename/drop. */
+  private def dependentColumnUses(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    def refs(kind: String, entries: Seq[(String, String)]) =
+      entries.flatMap { case (n, e) =>
+        spark.sessionState.sqlParser.parseExpression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            (ua.nameParts.last.toLowerCase, s"$kind $n")
+        }
+      }
+    refs("constraint", readConstraintsPath(spark, dir)) ++
+      refs("generated column", readGeneratedPath(spark, dir)) ++
+      readGeneratedPath(spark, dir).map { case (n, _) =>
+        (n.toLowerCase, s"generated column $n (is generated)") }
+  }
+
+  private def requireUnreferenced(spark: SparkSession, dir: String,
+      col: String, op: String): Unit = {
+    val uses = dependentColumnUses(spark, dir)
+      .filter(_._1 == col.toLowerCase).map(_._2).distinct
+    require(uses.isEmpty,
+      s"$op $col on $dir refused: referenced by ${uses.mkString(", ")} — " +
+        "drop the dependent constraint/generated column first")
+  }
+
+  /** [[Catalog!.renameColumn]] on a raw table directory — the seam the SQL
+    * statement shares. The rewrite is one distributed pass committed
+    * through the ordinary snapshot swap; skipping stats are re-derived
+    * under the new name so OPTIMIZE/ANALYZE investments survive the
+    * rename. */
+  def renameColumnPath(spark: SparkSession, dir: String, oldName: String,
+      newName: String, keepVersions: Int = 10): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(new Path(dir)), s"table $dir does not exist")
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must be an identifier, got '$newName'")
+    val bucketed = isBucketedLayout(f, dir)
+    require(!oldName.equalsIgnoreCase(graft.merge.PartitionedMerge.BucketCol),
+      "the bucket column is the table's physical layout; it cannot be renamed")
+    val cur = spark.read.parquet(dir)
+    val real = cur.columns.find(_.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(s"no column $oldName in $dir " +
+        s"(have: ${cur.columns.mkString(", ")})"))
+    require(!cur.columns.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists in $dir")
+    requireUnreferenced(spark, dir, oldName, "RENAME COLUMN")
+    // the `_skipping` manifest retires with the old snapshot dir — capture
+    // the recipe BEFORE the swap (compactPath's pattern) and re-derive the
+    // stats under the new name, so ANALYZE investments survive the rename
+    val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
+    overwritePath(spark, cur.withColumnRenamed(real, newName), dir,
+      if (bucketed) Seq(graft.merge.PartitionedMerge.BucketCol) else Nil,
+      keepVersions, allowSchemaChange = true)
+    statsRecipe.foreach { case (cols, blooms, bits, hashes) =>
+      def m(c: String) = if (c.equalsIgnoreCase(real)) newName else c
+      graft.layout.DataSkipping.analyze(spark, dir, cols.map(m),
+        blooms.map(m), bits, hashes)
+    }
+  }
+
+  /** [[Catalog!.dropColumn]] on a raw table directory. Accepts several
+    * columns so a multi-column `DROP COLUMNS (a, b)` is ONE distributed
+    * rewrite, not one per column. */
+  def dropColumnPath(spark: SparkSession, dir: String, name: String,
+      keepVersions: Int = 10): Unit =
+    dropColumnsPath(spark, dir, Seq(name), keepVersions)
+
+  def dropColumnsPath(spark: SparkSession, dir: String, names: Seq[String],
+      keepVersions: Int = 10): Unit = {
+    require(names.nonEmpty, "no columns to drop")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(new Path(dir)), s"table $dir does not exist")
+    val bucketed = isBucketedLayout(f, dir)
+    names.foreach(n => require(
+      !n.equalsIgnoreCase(graft.merge.PartitionedMerge.BucketCol),
+      "the bucket column is the table's physical layout; it cannot be dropped"))
+    val cur = spark.read.parquet(dir)
+    val real = names.map(n =>
+      cur.columns.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in $dir " +
+          s"(have: ${cur.columns.mkString(", ")})")))
+    val dataCols = cur.columns.filterNot(_.equalsIgnoreCase(
+      graft.merge.PartitionedMerge.BucketCol))
+    require(dataCols.length > real.distinct.length,
+      s"cannot drop ${real.mkString(", ")}: no data columns would remain " +
+        s"in $dir")
+    names.foreach(n => requireUnreferenced(spark, dir, n, "DROP COLUMN"))
+    val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
+    overwritePath(spark, cur.drop(real: _*), dir,
+      if (bucketed) Seq(graft.merge.PartitionedMerge.BucketCol) else Nil,
+      keepVersions, allowSchemaChange = true)
+    // re-derive skipping stats minus the dropped columns; a recipe that
+    // covered only dropped columns simply lapses (manifest retired with
+    // the old snapshot — pruned reads degrade to full filters)
+    val dropped = real.map(_.toLowerCase).toSet
+    statsRecipe.foreach { case (cols, blooms, bits, hashes) =>
+      val keep = cols.filterNot(c => dropped(c.toLowerCase))
+      if (keep.nonEmpty)
+        graft.layout.DataSkipping.analyze(spark, dir, keep,
+          blooms.filterNot(c => dropped(c.toLowerCase)), bits, hashes)
+    }
   }
 
   // ------------------------------------------------- CHECK constraints

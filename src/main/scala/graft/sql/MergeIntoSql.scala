@@ -404,28 +404,59 @@ case class GraftCopyIntoCommand(nameParts: Seq[String], src: String,
   }
 }
 
-/** `CREATE TABLE <dst> DEEP CLONE <src>` — Delta's clone statement: an
-  * independent physical copy of the live snapshot with fresh history.
+/** `CREATE TABLE <dst> DEEP|SHALLOW CLONE <src>` — Delta's clone
+  * statements: DEEP is an independent physical copy of the live snapshot
+  * with fresh history; SHALLOW shares the source's data files (hard-link
+  * tree on link-capable filesystems — see [[graft.catalog.Catalog!.shallowClone]]).
   * The destination's directory derives from the warehouse the source
   * lives in (`<warehouse>/<layer>/<table>`); it is registered in the
   * session catalog when the source is. */
-case class GraftDeepCloneCommand(dstParts: Seq[String],
-    srcParts: Seq[String], version: Option[Int] = None)
+case class GraftCloneCommand(dstParts: Seq[String],
+    srcParts: Seq[String], version: Option[Int] = None,
+    shallow: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val kind = if (shallow) "SHALLOW CLONE" else "DEEP CLONE"
     require(dstParts.length == 2,
-      s"DEEP CLONE destination must be layer.table, got " +
+      s"$kind destination must be layer.table, got " +
         dstParts.mkString("."))
-    val srcDir = GraftSql.resolveDir(spark, srcParts, "DEEP CLONE")
+    val srcDir = GraftSql.resolveDir(spark, srcParts, kind)
     val warehouse = new org.apache.hadoop.fs.Path(srcDir)
       .getParent.getParent
     val dstDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(warehouse, dstParts.head),
       dstParts(1)).toString
-    graft.catalog.Catalog.clonePath(spark, srcDir, dstDir, version)
+    graft.catalog.Catalog.clonePath(spark, srcDir, dstDir, version, shallow)
     spark.sql(s"CREATE SCHEMA IF NOT EXISTS ${dstParts.head}")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${dstParts.mkString(".")}
                   USING parquet LOCATION '$dstDir'""")
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <t> RENAME COLUMN a TO b` over a graft table. Spark
+  * PARSES this (v2 grammar) but executes it only against v2 catalogs;
+  * here it lowers onto the catalog's versioned rewrite
+  * ([[graft.catalog.Catalog.renameColumnPath]]) and the v1 registration
+  * is rebuilt (its metastore schema is pinned at CREATE time). */
+case class GraftRenameColumnCommand(nameParts: Seq[String],
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "RENAME COLUMN")
+    graft.catalog.Catalog.renameColumnPath(spark, dir, oldName, newName)
+    GraftSql.reRegister(spark, nameParts, dir)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <t> DROP COLUMN c` / `DROP COLUMNS (a, b)` over a graft
+  * table — same lowering as rename. */
+case class GraftDropColumnsCommand(nameParts: Seq[String],
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "DROP COLUMN")
+    graft.catalog.Catalog.dropColumnsPath(spark, dir, cols)
+    GraftSql.reRegister(spark, nameParts, dir)
     Seq.empty
   }
 }
@@ -515,9 +546,12 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *  - statements outside Spark's grammar are intercepted as anchored
   *    text: `DESCRIBE HISTORY` / `DESCRIBE DETAIL`, `OPTIMIZE [ZORDER
   *    BY]`, `VACUUM [DRY RUN]`, `RESTORE … VERSION|TIMESTAMP AS OF`,
-  *    `COPY INTO`, `CREATE TABLE … DEEP CLONE … [VERSION AS OF]`,
+  *    `COPY INTO`, `CREATE TABLE … DEEP|SHALLOW CLONE … [VERSION AS OF]`,
   *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
-  *    CONSTRAINT`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`.
+  *    CONSTRAINT`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`;
+  *  - parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` over a
+  *    graft-resolvable table lower onto the catalog's versioned rewrite
+  *    (Spark executes them only against v2 catalogs).
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -526,7 +560,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case m: MergeIntoTable => GraftMergeIntoCommand(m)
       case d: DeleteFromTable => GraftDeleteCommand(d)
       case u: UpdateTable => GraftUpdateCommand(u)
-      case other => other
+      // ALTER TABLE RENAME/DROP COLUMN parse natively but execute only
+      // against v2 catalogs — graft-resolvable targets lower onto the
+      // catalog's versioned rewrite; anything else passes through.
+      case other => GraftSql.rewriteColumnDdl(session, other)
     }
   private def parseOrIntercept(sqlText: String,
       parse: String => LogicalPlan): LogicalPlan =
@@ -544,10 +581,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
           fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
-      case GraftSql.DeepCloneRe(dst, src, v) =>
-        GraftDeepCloneCommand(delegate.parseMultipartIdentifier(dst),
+      case GraftSql.CloneRe(dst, kind, src, v) =>
+        GraftCloneCommand(delegate.parseMultipartIdentifier(dst),
           delegate.parseMultipartIdentifier(src),
-          Option(v).map(_.toInt))
+          Option(v).map(_.toInt), kind.equalsIgnoreCase("SHALLOW"))
       case GraftSql.VacuumRe(ident, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           dryRun = dry != null)
@@ -636,8 +673,8 @@ object GraftSql {
       fromV.toInt, toV.toInt, keys)
   }
 
-  private[sql] val DeepCloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+DEEP\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private[sql] val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(DEEP|SHALLOW)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)(\s+DRY\s+RUN)?\s*;?\s*$""".r
@@ -661,6 +698,51 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private[sql] val AnalyzeSkippingRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+SKIPPING\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)(?:\s+BLOOM\s*\(([^)]*)\))?\s*;?\s*$""".r
+
+  /** Rebuild a v1 external-table registration after a schema-changing DDL
+    * (rename/drop column): the metastore schema is pinned at CREATE time,
+    * so DROP + re-CREATE (schema re-inferred from the files) is the only
+    * way `spark.table` sees the new shape. No-op for path-only targets. */
+  private[sql] def reRegister(spark: SparkSession, nameParts: Seq[String],
+      dir: String): Unit = {
+    val name = nameParts.map(p => s"`$p`").mkString(".")
+    try {
+      if (spark.catalog.tableExists(nameParts.mkString("."))) {
+        spark.sql(s"DROP TABLE $name")
+        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+        spark.catalog.refreshTable(nameParts.mkString("."))
+      }
+    } catch { case _: Exception => () }
+  }
+
+  /** Lower parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` plans
+    * onto the graft catalog when the target resolves to one of our
+    * storage-backed tables; v2-catalog tables (or anything we can't
+    * resolve) pass through untouched. Nested (struct) fields are not
+    * rewritable on a flat parquet layout and pass through to Spark's own
+    * error. */
+  private[sql] def rewriteColumnDdl(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedTable}
+    def graftTarget(t: LogicalPlan): Option[Seq[String]] = t match {
+      case u: UnresolvedTable
+        if GraftShims.tableStorage(session, u.multipartIdentifier).isDefined =>
+        Some(u.multipartIdentifier)
+      case _ => None
+    }
+    plan match {
+      case RenameColumn(t, UnresolvedFieldName(Seq(old)), nw) =>
+        graftTarget(t).map(GraftRenameColumnCommand(_, old, nw))
+          .getOrElse(plan)
+      case DropColumns(t, cols, _) =>
+        val names = cols.collect { case UnresolvedFieldName(Seq(c)) => c }
+        if (names.length == cols.length)
+          graftTarget(t).map(GraftDropColumnsCommand(_, names))
+            .getOrElse(plan)
+        else plan // nested fields: pass through to Spark's own handling
+      case other => other
+    }
+  }
 
   /** Invalidate every cache layer that could serve stale file listings
     * after a statement rewrote the target's files: the path-keyed
@@ -765,10 +847,10 @@ object GraftSql {
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))
-      case DeepCloneRe(dst, src, v) =>
+      case CloneRe(dst, kind, src, v) =>
         GraftShims.ofRows(spark,
-          GraftDeepCloneCommand(splitIdent(dst), splitIdent(src),
-            Option(v).map(_.toInt)))
+          GraftCloneCommand(splitIdent(dst), splitIdent(src),
+            Option(v).map(_.toInt), kind.equalsIgnoreCase("SHALLOW")))
       case VacuumRe(ident, dry) =>
         GraftShims.ofRows(spark,
           GraftVacuumCommand(splitIdent(ident), dryRun = dry != null))
@@ -800,7 +882,8 @@ object GraftSql {
         case u: UpdateTable => GraftShims.ofRows(spark,
           GraftUpdateCommand(u))
         case other =>
-          GraftShims.ofRows(spark, rewriteTimeTravel(spark, other))
+          GraftShims.ofRows(spark,
+            rewriteColumnDdl(spark, rewriteTimeTravel(spark, other)))
       }
     }
 }
