@@ -114,9 +114,55 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword ranking
+    * and an embedding-cosine ranking — the standard two-tower fusion every
+    * RAG/retrieval pipeline runs (RRF, Cormack et al. SIGIR'09:
+    * score = Σ 1/(k + rank), k=60). Ranks fuse, scores never mix, so the
+    * two legs' incomparable scales don't matter. Contributions are scaled
+    * INTEGER divisions (1e9 DIV (k + rank)) — exact in any engine.
+    *
+    * Scale shape: each leg ends in a TakeOrderedAndProject pool of
+    * `poolK` rows, so the ranking windows and the fusion join run on two
+    * bounded lists (broadcast-sized by construction), never on the
+    * corpus. The corpus-sized work is exactly the two legs' own scans,
+    * each already audited (q88, q39). */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge", "vector"),
+      poolK: Int = 100, topK: Int = 25, rrfK: Int = 60): DataFrame = {
+    import graft.operators.Similarity.{dot, l2norm}
+    import org.apache.spark.sql.expressions.Window
+    // lexical leg: the BM25 pool, ranked (window over poolK rows max)
+    val lex = bm25TopK(spark, dir, terms, poolK)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    // semantic leg: cosine against a fixed probe vector (vec 0), same pool
+    val e = Tables.load(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(dot(col("embedding"), col("qv")) /
+        (l2norm(col("embedding")) * col("qn")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(poolK)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
+        coalesce(expr(s"1000000000 DIV ($rrfK + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
-    "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)))
+    "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)),
+    "q97_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
@@ -177,5 +223,66 @@ object SearchQueries {
             CAST(sum_cnt * 1000000 //
               (n_words * (SELECT count(*) FROM w)) AS BIGINT)
               AS mean_freq_ppm
-          FROM d ORDER BY doc_id""")
+          FROM d ORDER BY doc_id""",
+    // same two pools (q88's BM25 tree verbatim; q39's cosine arithmetic),
+    // same integer RRF contributions — nothing here can diverge
+    "q97_hybrid_rrf" ->
+      s"""WITH d AS (
+            SELECT doc_id, $wordsSql AS ws,
+              CAST(len($wordsSql) AS DOUBLE) AS dl
+            FROM documents),
+          g AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+            FROM d),
+          t AS (
+            SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+            WHERE w IN ('spark', 'merge', 'vector')
+            GROUP BY doc_id, dl, w),
+          f AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM t GROUP BY w),
+          s AS (
+            SELECT t.doc_id, t.w,
+              ((g.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                ((t.tf * (1.2 + 1.0)) /
+                  (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * (t.dl / g.avgdl)))))
+                AS sc
+            FROM t JOIN f USING (w) CROSS JOIN g),
+          p AS (
+            SELECT doc_id,
+              max(CASE WHEN w = 'spark' THEN sc END) AS s0,
+              max(CASE WHEN w = 'merge' THEN sc END) AS s1,
+              max(CASE WHEN w = 'vector' THEN sc END) AS s2
+            FROM s GROUP BY doc_id),
+          lexpool AS (
+            SELECT doc_id,
+              floor(((coalesce(s0, 0.0) + coalesce(s1, 0.0))
+                + coalesce(s2, 0.0)) * 1000000.0) / 1000000.0 AS bm25
+            FROM p ORDER BY bm25 DESC, doc_id LIMIT 100),
+          lex AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER
+              (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM lexpool),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          sempool AS (
+            SELECT vec_id,
+              round(
+                list_sum(list_transform(list_zip(embedding, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 100),
+          sem AS (
+            SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER
+              (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+            FROM sempool)
+          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+            lex_rank, sem_rank,
+            CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+               + coalesce(1000000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+          ORDER BY rrf DESC, doc_id LIMIT 25""")
 }

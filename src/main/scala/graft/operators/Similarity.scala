@@ -192,6 +192,42 @@ object Similarity {
         .as("sum_scaled"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Nearest-centroid assignment — the ASSIGN step of Lloyd's k-means
+    * ([[labelCentroids]] is the UPDATE step; together they make a full
+    * iteration), and the classifier every cluster-based curation pass
+    * runs (topic balancing, cluster-filtered training mixes). Centroids
+    * come from the exact scaled-integer sums (order-independent), then
+    * ONE double division per component; distances are per-row sequential
+    * folds — deterministic in any engine. The centroid table is O(labels)
+    * and broadcast; assignment is a single pass over the corpus with a
+    * per-vector window over `labels` candidate rows. */
+  def assignCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = e
+      .select(col("label").as("c_label"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_label", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("c_label").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", round(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+        (col("label") === col("c_label")).cast("long").as("hit"))
+      .orderBy("vec_id")
+  }
+
   /** int8 scalar quantization (the 4× memory/IO lever for 100 TB embedding
     * stores — ANN probes scan int8 codes, exact re-rank fetches floats):
     * per-vector symmetric scale 127/max|x|, q_i = floor(x_i·scale). Pure
@@ -262,6 +298,7 @@ object Similarity {
     "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
     "q50_label_centroids" -> (labelCentroids _),
+    "q98_assign_centroids" -> (assignCentroids _),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q41_embed_neardup"  -> (embeddingNearDup _),
@@ -353,6 +390,41 @@ object Similarity {
              AS sum_scaled,
            COUNT(*) AS n
          FROM x GROUP BY label, pos ORDER BY label, pos""",
+    "q98_assign_centroids" ->
+      // same scaled-integer centroid sums as q50, ONE double division per
+      // component, per-row sequential distance folds — bit-identical
+      """WITH v AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         x AS (
+           SELECT label AS c_label,
+             unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+           FROM v),
+         cs AS (
+           SELECT c_label, pos,
+             CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+           FROM x GROUP BY c_label, pos),
+         ce AS (
+           SELECT c_label,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+               ORDER BY pos) AS cv
+           FROM cs GROUP BY c_label),
+         sc AS (
+           SELECT vec_id, label, c_label,
+             round(list_sum(list_transform(list_zip(v.v, ce.cv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+           FROM v CROSS JOIN ce),
+         r AS (
+           SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d ASC, c_label ASC) AS rn
+           FROM sc)
+         SELECT vec_id, label, c_label AS assigned,
+           CAST(CASE WHEN label = c_label THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q38_embed_norms" ->
       s"""SELECT vec_id, label, round(${normSql("embedding")}, 6) AS norm,
           round(CAST(embedding[1] AS DOUBLE), 6) AS c0,
