@@ -199,6 +199,52 @@ class PlanQualitySpec extends SparkSuite {
       s"top-k materialized a full global sort:\n$p")
   }
 
+  test("q94: six-table join has no cartesian; fact joins carry no forced broadcast") {
+    val df = Relational.localSupplierRevenue(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"TPC-H Q5 shape degenerated to a cartesian:\n$p")
+    // the selective date filter must reach the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed into the orders scan:\n$p")
+    // forced broadcasts only on the bounded dimension chain (region→
+    // nation→supplier): the customer/orders/lineitem spine must be left
+    // to AQE (it scales with the fact)
+    val lp = df.queryExecution.analyzed.toString
+    val hintedOnFact = "ResolvedHint".r.findAllIn(lp).size
+    assert(hintedOnFact <= 3, // region, nation-join, supplier-join
+      s"fact-scaling relation force-broadcast in Q5:\n$lp")
+  }
+
+  test("q96: large-volume orders aggregates lineitem ONCE (no double scan)") {
+    val p = plan(Relational.largeVolumeOrders(spark, sfDir))
+    // AQE's toString prints the final plan AND the initial plan — count
+    // scans in the final section only
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val lineitemScans = finalSection.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"Q18 shape must aggregate lineitem once, found $lineitemScans scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 materialized a full global sort:\n$p")
+  }
+
+  test("q97/q98: fusion joins bounded pools; centroid table broadcasts") {
+    // q98: the only join is the corpus × O(labels) centroid broadcast, and
+    // the per-vector argmin is rank-pruned before its shuffle
+    val p98 = plan(operators.Similarity.assignCentroids(spark, sfDir))
+    assert(p98.contains("BroadcastNestedLoopJoin") ||
+           p98.contains("BroadcastHashJoin"),
+      s"centroid table not broadcast:\n$p98")
+    assert(p98.contains("WindowGroupLimit"),
+      s"argmin window not rank-pruned map-side:\n$p98")
+    // q97: both retrieval legs end in bounded TakeOrderedAndProject pools
+    // BEFORE the fusion join — the join never sees the corpus
+    val p97 = plan(operators.SearchQueries.hybridRrf(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllIn(p97).size >= 2,
+      s"a retrieval leg lost its bounded pool:\n$p97")
+  }
+
   test("q88/q89: retrieval top-k avoids a global sort; vocab join is not force-broadcast") {
     val p88 = plan(operators.SearchQueries.bm25TopK(spark, sfDir))
     assert(p88.contains("TakeOrderedAndProject"),
