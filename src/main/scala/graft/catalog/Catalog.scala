@@ -110,11 +110,12 @@ class Catalog(spark: SparkSession, warehouse: String,
     * Gold_Customers.py:65-68). */
   def create(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    // a constraint recorded before first load (or surviving a DROP +
-    // recreate) gates the initial data too
+    // constraints/identity recorded before first load (or surviving a
+    // DROP + recreate) apply to the initial data too
+    val dfId = Catalog.fillIdentityColumns(spark, df, path(layer, table), fs)
     val cons = Catalog.readConstraintsPath(spark, path(layer, table))
-    if (cons.nonEmpty) Catalog.enforce(df, cons, path(layer, table))
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+    if (cons.nonEmpty) Catalog.enforce(dfId, cons, path(layer, table))
+    val w = dfId.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(layer, table))
   }
@@ -128,6 +129,16 @@ class Catalog(spark: SparkSession, warehouse: String,
       allowSchemaChange: Boolean = false): Unit = {
     Catalog.overwritePath(spark, df, path(layer, table), partitionBy,
       keepVersions, allowSchemaChange)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+  }
+
+  /** Versioned append — the `INSERT INTO` lowering
+    * ([[Catalog.appendPath]]): existing files hard-linked into the next
+    * snapshot, new rows' files added, committed through the ordinary swap.
+    * O(new data + file-count metadata), never O(table). */
+  def append(df: DataFrame, layer: String, table: String): Unit = {
+    Catalog.appendPath(spark, df, path(layer, table), keepVersions)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }
@@ -283,6 +294,30 @@ class Catalog(spark: SparkSession, warehouse: String,
     * real data in every snapshot) — it just becomes an ordinary column. */
   def dropGeneratedColumn(layer: String, table: String, name: String): Unit =
     Catalog.dropGeneratedColumnPath(spark, path(layer, table), name)
+
+  /** Delta `GENERATED ALWAYS AS IDENTITY` for this layout: record the
+    * column, materialize it over existing rows as a new version, and have
+    * every later write assign `max(existing) + step·i` to rows of frames
+    * that omit the column. ALWAYS semantics: `INSERT` statements may not
+    * provide values; engine rewrites (compact/restore/merge), which carry
+    * the existing column through, preserve it untouched. Uniqueness and
+    * monotonicity are guaranteed; density is not (Delta's contract). */
+  def addIdentityColumn(layer: String, table: String, name: String,
+      start: Long = 1L, step: Long = 1L): Unit = {
+    Catalog.addIdentityColumnPath(spark, path(layer, table), name, start,
+      step)
+    if (tableExists(layer, table)) {
+      spark.sql(s"ALTER TABLE $layer.$table ADD COLUMNS (`$name` BIGINT)")
+      spark.catalog.refreshTable(s"$layer.$table")
+    }
+  }
+
+  def identityColumns(layer: String, table: String): Seq[(String, Long, Long)] =
+    Catalog.readIdentityPath(spark, path(layer, table))
+
+  /** Stop assigning; the column becomes ordinary data. */
+  def dropIdentityColumn(layer: String, table: String, name: String): Unit =
+    Catalog.dropIdentityColumnPath(spark, path(layer, table), name)
 
   /** Delta's stats collection (ANALYZE … FOR COLUMNS) for this layout:
     * per-file min/max/null stats (+ optional Bloom filters) into the
@@ -522,8 +557,10 @@ object Catalog {
       }
     rm(new Path(dir + ".tmp"))
     rm(new Path(dir + ".tmp-merge"))
+    rm(new Path(dir + ".tmp-insert"))
     rm(new Path(dir + ".constraints.tmp"))
     rm(new Path(dir + ".generated.tmp"))
+    rm(new Path(dir + ".identity.tmp"))
     val tableDir = new Path(dir)
     if (f.exists(tableDir))
       f.listStatus(tableDir).map(_.getPath)
@@ -626,7 +663,9 @@ object Catalog {
     refs("constraint", readConstraintsPath(spark, dir)) ++
       refs("generated column", readGeneratedPath(spark, dir)) ++
       readGeneratedPath(spark, dir).map { case (n, _) =>
-        (n.toLowerCase, s"generated column $n (is generated)") }
+        (n.toLowerCase, s"generated column $n (is generated)") } ++
+      readIdentityPath(spark, dir).map { case (n, _, _) =>
+        (n.toLowerCase, s"identity column $n (is identity)") }
   }
 
   private def requireUnreferenced(spark: SparkSession, dir: String,
@@ -844,6 +883,114 @@ object Catalog {
     require(f.rename(tmp, dst), s"generated-columns commit failed: $dst")
   }
 
+  // ------------------------------------------------- identity columns
+
+  /** `GENERATED ALWAYS AS IDENTITY` metadata: sibling `<dir>.identity`
+    * manifest (name TAB start TAB step), same commit protocol. The high
+    * watermark is NOT cached here — it derives from a column-pruned
+    * max() over the live data at assignment time, so a crash can never
+    * strand a stale counter that would hand out duplicate ids (Delta
+    * caches it in the txn log, whose atomicity we don't have for a
+    * sibling file). The scan reads ONE column; the documented upgrade
+    * path at extreme commit rates is a watermark in the version log. */
+  private def identityFile(dir: String) = new Path(dir + ".identity")
+
+  def readIdentityPath(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = identityFile(dir)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val parts = l.split('\t')
+        (parts(0), parts(1).toLong, parts(2).toLong)
+      }.toList
+    finally in.close()
+  }
+
+  private def writeIdentity(spark: SparkSession, dir: String,
+      entries: Seq[(String, Long, Long)]): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = identityFile(dir)
+    if (entries.isEmpty) { if (f.exists(dst)) f.delete(dst, false); return }
+    val tmp = new Path(dir + ".identity.tmp")
+    val out = f.create(tmp, true)
+    try out.write(entries.map { case (n, s, k) => s"$n\t$s\t$k" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"identity commit failed: $dst")
+  }
+
+  def addIdentityColumnPath(spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"identity column name must be an identifier, got '$name'")
+    require(step >= 1, s"IDENTITY INCREMENT BY must be >= 1, got $step")
+    val existing = readIdentityPath(spark, dir)
+    require(!existing.exists(_._1.equalsIgnoreCase(name)),
+      s"identity column $name already exists on $dir")
+    require(!readGeneratedPath(spark, dir)
+        .exists(_._1.equalsIgnoreCase(name)),
+      s"$name is already a generated column on $dir")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(dir))) {
+      val cur = spark.read.parquet(dir)
+      require(!cur.columns.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in $dir's data")
+      // materialize over existing rows as a new version
+      overwritePath(spark,
+        fillIdentity(cur, name, start - step, step), dir,
+        allowSchemaChange = true)
+    }
+    writeIdentity(spark, dir, existing :+ ((name, start, step)))
+  }
+
+  def dropIdentityColumnPath(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val existing = readIdentityPath(spark, dir)
+    require(existing.exists(_._1.equalsIgnoreCase(name)),
+      s"no identity column $name on $dir")
+    writeIdentity(spark, dir,
+      existing.filterNot(_._1.equalsIgnoreCase(name)))
+  }
+
+  /** Append `base + step·(i+1)` ids: per-partition sequences with
+    * partition-size offsets (zipWithIndex — two narrow passes, no
+    * single-partition window), the SurrogateKeys.assign shape without the
+    * sort: identity promises uniqueness + monotonicity vs the watermark,
+    * not any row order. */
+  private def fillIdentity(df: DataFrame, name: String, base: Long,
+      step: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val withIdx = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + step * (i + 1)))
+    }
+    df.sparkSession.createDataFrame(withIdx,
+      StructType(df.schema.fields :+ StructField(name, LongType, false)))
+  }
+
+  /** Fill every recorded-but-absent identity column, continuing above the
+    * live data's watermark (column-pruned max scan; `start - step` when
+    * the table is new/empty so the first id is exactly `start`). */
+  private def fillIdentityColumns(spark: SparkSession, df: DataFrame,
+      dir: String, f: FileSystem): DataFrame =
+    readIdentityPath(spark, dir).foldLeft(df) { case (d, (n, start, step)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else {
+        val base =
+          if (!f.exists(new Path(dir))) start - step
+          else {
+            val row = spark.read.parquet(dir).select(n).agg(
+              org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col(n))).collect()(0)
+            if (row.isNullAt(0)) start - step else row.getLong(0)
+          }
+        fillIdentity(d, n, math.max(base, start - step), step)
+      }
+    }
+
   def addConstraintPath(spark: SparkSession, dir: String, name: String,
       check: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -881,10 +1028,11 @@ object Catalog {
     val gens = readGeneratedPath(spark, dir)
     val provided = gens.filter { case (n, _) =>
       df.columns.exists(_.equalsIgnoreCase(n)) }
-    val dfGen = gens.foldLeft(df) { case (d, (n, e)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(n))) d
-      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
-    }
+    val dfGen = fillIdentityColumns(spark,
+      gens.foldLeft(df) { case (d, (n, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+      }, dir, f)
     // Delta's schema-on-write: an overwrite must match the live snapshot's
     // columns and types (order-insensitive, case-insensitive, nullability
     // ignored) unless the caller explicitly evolves — a typo'd column or
@@ -924,6 +1072,16 @@ object Catalog {
       try enforce(spark.read.parquet(tmp.toString), cons, dir)
       catch { case e: Throwable => f.delete(tmp, true); throw e }
     }
+    commitSwap(spark, f, dir, tmp, keepVersions)
+  }
+
+  /** The swap tail shared by overwrite and append: retire current into the
+    * version log, rename the staged dir live, advance the pointer, prune
+    * the one entry that aged out. Crash at any step leaves the pointer
+    * naming a version whose data is intact (the old one). */
+  private def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
+      tmp: Path, keepVersions: Int): Unit = {
+    val dst = new Path(dir)
     val cur = readPointer(f, dir)
     if (f.exists(dst)) {
       f.mkdirs(historyDir(dir))
@@ -947,5 +1105,102 @@ object Catalog {
     // Cached relations (file lists) outlive the swap; without a refresh,
     // readers keep resolving the retired snapshot's deleted files.
     spark.catalog.refreshByPath(dst.toString)
+  }
+
+  /** Versioned APPEND (the lowering for `INSERT INTO` over a graft table —
+    * Spark's own v1 insert drops files into the directory in place,
+    * bypassing the version log, CHECK constraints, and generated columns;
+    * this path closes that hole). The next snapshot is staged as the
+    * CURRENT files hard-linked (O(file count) metadata, zero data copy;
+    * link-less stores degrade to copies) plus the new rows' files, then
+    * committed through the ordinary swap — so an append is a real version
+    * (time travel, RESTORE, CDF all see it) and costs O(new data), not
+    * O(table). Constraints are enforced on the STAGED NEW files only:
+    * existing data already passed at its own write time. Appends cannot
+    * change the schema, and bucket-partitioned / hive-partitioned layouts
+    * route through PartitionedMerge / overwrite instead (mixing flat
+    * append files into a partitioned tree would corrupt discovery). */
+  def appendPath(spark: SparkSession, df: DataFrame, dir: String,
+      keepVersions: Int = 10): Unit = {
+    val dst = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = dst.getFileSystem(conf)
+    if (!f.exists(dst)) { // first insert = first load, one uniform path
+      overwritePath(spark, df, dir, Nil, keepVersions)
+      return
+    }
+    require(!isBucketedLayout(f, dir),
+      s"INSERT INTO a bucket-partitioned table is unsupported; " +
+        "use PartitionedMerge.prunedMerge (it keeps bucket pruning intact)")
+    require(!f.listStatus(dst).exists(s => s.isDirectory &&
+        s.getPath.getName.contains("=")),
+      s"INSERT INTO a hive-partitioned snapshot is unsupported; " +
+        "overwrite the snapshot or use partition-wise tooling")
+    // generated columns: compute absent ones, validate provided ones (the
+    // overwrite path's rule, applied to the appended rows)
+    val gens = readGeneratedPath(spark, dir)
+    val provided = gens.filter { case (n, _) =>
+      df.columns.exists(_.equalsIgnoreCase(n)) }
+    val dfGen = fillIdentityColumns(spark,
+      gens.foldLeft(df) { case (d, (n, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+      }, dir, f)
+    // strict schema-on-append: INSERT can never evolve the table
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(x => x.name.toLowerCase -> x.dataType).toMap
+    val (curShape, nwShape) =
+      (shape(spark.read.parquet(dir).schema), shape(dfGen.schema))
+    require(curShape == nwShape,
+      s"INSERT INTO $dir schema mismatch: table has " +
+        curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
+        nwShape.keys.toSeq.sorted.mkString(", "))
+    val stage = new Path(dir + ".tmp-insert")
+    if (f.exists(stage)) f.delete(stage, true)
+    dfGen.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val cons = readConstraintsPath(spark, dir) ++
+      provided.map { case (n, e) => (s"__generated_$n", s"`$n` <=> ($e)") }
+    if (cons.nonEmpty) {
+      try enforce(spark.read.parquet(stage.toString), cons, dir)
+      catch { case e: Throwable => f.delete(stage, true); throw e }
+    }
+    // build the next snapshot: links to every current data file + the new
+    // files moved in (staged part-file names carry task UUIDs; a collision
+    // with a linked name aborts rather than overwrites)
+    val tmp = new Path(dir + ".tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    f.mkdirs(tmp)
+    val canLink = f.getScheme == "file"
+    f.listStatus(dst).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val d = new Path(tmp, n)
+        if (canLink)
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(d).toUri.getPath),
+            java.nio.file.Paths.get(
+              f.makeQualified(st.getPath).toUri.getPath))
+        else require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
+          f, d, false, false, conf), s"append link/copy failed: $n")
+      }
+    }
+    f.listStatus(stage).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val d = new Path(tmp, n)
+        require(!f.exists(d), s"append staging name collision: $n")
+        require(f.rename(st.getPath, d), s"append stage move failed: $n")
+      }
+    }
+    f.delete(stage, true)
+    // carry the skipping manifest forward: the linked files keep their
+    // names so their stats stay valid; the appended files are simply
+    // unprofiled (always read — stats can only cost IO, never rows) until
+    // the next analyzeIncremental
+    val skipDir = new Path(dst, "_skipping")
+    if (f.exists(skipDir))
+      org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
+        f, new Path(tmp, "_skipping"), false, false, conf)
+    commitSwap(spark, f, dir, tmp, keepVersions)
   }
 }

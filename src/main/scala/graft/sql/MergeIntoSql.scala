@@ -434,6 +434,81 @@ case class GraftCloneCommand(dstParts: Seq[String],
   }
 }
 
+/** `INSERT INTO / INSERT OVERWRITE <t> [(cols)] [BY NAME] <query>` over a
+  * graft table. Spark's own v1 insert writes files into the directory IN
+  * PLACE — bypassing the version log, CHECK constraints, and generated
+  * columns; lowering onto [[graft.catalog.Catalog.appendPath]] /
+  * `overwritePath` makes every insert a real constraint-gated version.
+  * Column resolution is Delta's: an explicit column list (or BY NAME)
+  * matches by name with absent target columns going NULL; positional
+  * inserts must carry either every target column or every non-generated
+  * one. Generated columns may be omitted (computed at write) or provided
+  * (validated at write). */
+case class GraftInsertCommand(nameParts: Seq[String],
+    userCols: Seq[String], query: LogicalPlan, overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "INSERT")
+    val target = spark.read.parquet(dir).schema
+    val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
+      .map(_._1.toLowerCase).toSet
+    val idents = graft.catalog.Catalog.readIdentityPath(spark, dir)
+      .map(_._1.toLowerCase).toSet
+    // project onto the target schema: provided columns cast to the target
+    // type, absent plain columns go NULL, absent GENERATED/IDENTITY
+    // columns stay absent so the write path computes them. ALWAYS
+    // semantics: an identity column can never be provided by an INSERT.
+    def project(d: DataFrame): DataFrame = {
+      d.columns.foreach { c =>
+        require(!idents(c.toLowerCase),
+          s"$c is GENERATED ALWAYS AS IDENTITY on " +
+            s"${nameParts.mkString(".")} — INSERT cannot provide values " +
+            "for it")
+        require(target.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"INSERT column $c is not a column of ${nameParts.mkString(".")} " +
+            s"(have: ${target.fieldNames.mkString(", ")})")
+      }
+      val cols = target.fields.flatMap { f =>
+        d.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => Some(d(c).cast(f.dataType).as(f.name))
+          case None if gens(f.name.toLowerCase) ||
+                       idents(f.name.toLowerCase) => None
+          case None => Some(lit(null).cast(f.dataType).as(f.name))
+        }
+      }
+      d.select(cols.toSeq: _*)
+    }
+    val src = GraftShims.ofRows(spark, query)
+    val aligned =
+      if (userCols.nonEmpty) {
+        require(src.columns.length == userCols.length,
+          s"INSERT column list has ${userCols.length} columns but the " +
+            s"query produces ${src.columns.length}")
+        project(src.toDF(userCols: _*))
+      } else if (byName) project(src)
+      else {
+        val writable = target.fields.filterNot(f =>
+          gens(f.name.toLowerCase) || idents(f.name.toLowerCase))
+        if (src.columns.length == target.fields.length &&
+            idents.isEmpty)
+          project(src.toDF(target.fields.map(_.name).toSeq: _*))
+        else {
+          require(src.columns.length == writable.length,
+            s"positional INSERT needs ${writable.length} columns " +
+              s"(generated/identity columns are assigned at write), got " +
+              s"${src.columns.length}")
+          project(src.toDF(writable.map(_.name).toSeq: _*))
+        }
+      }
+    if (overwrite)
+      graft.catalog.Catalog.overwritePath(spark, aligned, dir)
+    else
+      graft.catalog.Catalog.appendPath(spark, aligned, dir)
+    GraftSql.refreshTarget(spark, nameParts, dir)
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE <t> RENAME COLUMN a TO b` over a graft table. Spark
   * PARSES this (v2 grammar) but executes it only against v2 catalogs;
   * here it lowers onto the catalog's versioned rewrite
@@ -488,6 +563,24 @@ case class GraftAddConstraintCommand(nameParts: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "ADD CONSTRAINT")
     graft.catalog.Catalog.addConstraintPath(spark, dir, constraint, check)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <t> ADD COLUMN <c> BIGINT GENERATED ALWAYS AS IDENTITY
+  *  [(START WITH n INCREMENT BY k)]` — Delta's identity column DDL
+  * (Spark's grammar reserves identity for v2 catalogs). Existing rows are
+  * materialized as a new version; later writes assign above the
+  * column-pruned max watermark. */
+case class GraftAddIdentityCommand(nameParts: Seq[String], colName: String,
+    start: Long, step: Long) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "ADD IDENTITY COLUMN")
+    graft.catalog.Catalog.addIdentityColumnPath(spark, dir, colName, start,
+      step)
+    val name = nameParts.map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (`$colName` BIGINT)")
+    spark.catalog.refreshTable(nameParts.mkString("."))
     Seq.empty
   }
 }
@@ -551,7 +644,11 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *    CONSTRAINT`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`;
   *  - parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` over a
   *    graft-resolvable table lower onto the catalog's versioned rewrite
-  *    (Spark executes them only against v2 catalogs).
+  *    (Spark executes them only against v2 catalogs);
+  *  - parsed `INSERT INTO / INSERT OVERWRITE` over a graft-resolvable
+  *    table lower onto the versioned link-append / snapshot overwrite
+  *    (Spark's own v1 insert writes files in place, skipping the version
+  *    log, CHECK constraints, and generated columns).
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -594,6 +691,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.RestoreTsRe(ident, ts) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
           None, Some(ts))
+      case GraftSql.AddIdentityRe(ident, cname, start, step) =>
+        GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
+          cname, Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L))
       case GraftSql.AddConstraintRe(ident, cname, check) =>
         GraftAddConstraintCommand(delegate.parseMultipartIdentifier(ident),
           cname, check.trim)
@@ -692,6 +793,11 @@ object GraftSql {
     require(!row.isNullAt(0), s"'$s' is not a timestamp")
     row.getTimestamp(0).getTime
   }
+  private[sql] val AddIdentityRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+(\w+)\s+""" +
+     """BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
+     """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(\d+)\s*\))?""" +
+     """\s*;?\s*$""").r
   private[sql] val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private[sql] val DropConstraintRe =
@@ -715,12 +821,12 @@ object GraftSql {
     } catch { case _: Exception => () }
   }
 
-  /** Lower parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` plans
-    * onto the graft catalog when the target resolves to one of our
-    * storage-backed tables; v2-catalog tables (or anything we can't
-    * resolve) pass through untouched. Nested (struct) fields are not
-    * rewritable on a flat parquet layout and pass through to Spark's own
-    * error. */
+  /** Lower parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` and
+    * `INSERT INTO/OVERWRITE` plans onto the graft catalog when the target
+    * resolves to one of our storage-backed tables; v2-catalog tables (or
+    * anything we can't resolve) pass through untouched. Nested (struct)
+    * fields are not rewritable on a flat parquet layout and pass through
+    * to Spark's own error. */
   private[sql] def rewriteColumnDdl(session: SparkSession,
       plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedTable}
@@ -740,6 +846,11 @@ object GraftSql {
           graftTarget(t).map(GraftDropColumnsCommand(_, names))
             .getOrElse(plan)
         else plan // nested fields: pass through to Spark's own handling
+      case i @ InsertIntoStatement(u: UnresolvedRelation, partSpec, cols,
+          q, overwrite, ifNotExists, byName)
+        if partSpec.isEmpty && !ifNotExists &&
+           GraftShims.tableStorage(session, u.multipartIdentifier).isDefined =>
+        GraftInsertCommand(u.multipartIdentifier, cols, q, overwrite, byName)
       case other => other
     }
   }
@@ -860,6 +971,11 @@ object GraftSql {
       case RestoreTsRe(ident, ts) =>
         GraftShims.ofRows(spark,
           GraftRestoreCommand(splitIdent(ident), None, Some(ts)))
+      case AddIdentityRe(ident, cname, start, step) =>
+        GraftShims.ofRows(spark,
+          GraftAddIdentityCommand(splitIdent(ident), cname,
+            Option(start).map(_.toLong).getOrElse(1L),
+            Option(step).map(_.toLong).getOrElse(1L)))
       case AddConstraintRe(ident, cname, check) =>
         GraftShims.ofRows(spark,
           GraftAddConstraintCommand(splitIdent(ident), cname, check.trim))

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+
+/** Versioned INSERT: `Catalog.append` (link-based append commit) and the
+  * `INSERT INTO / OVERWRITE` SQL lowering — version semantics, column
+  * resolution, constraint/generated gating, and zero-copy linking. */
+class InsertSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val sqlSpark: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-insert-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("append commits a new version; existing files are hard-linked, not copied") {
+    val wh = tmpDir("graft-append")
+    val cat = new Catalog(spark, wh)
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "silver", "a1")
+    val before = java.nio.file.Files.list(
+      java.nio.file.Paths.get(wh, "silver", "a1")).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    cat.append(Seq((3L, "c")).toDF("id", "v"), "silver", "a1")
+    assert(rowsOf(cat.read("silver", "a1"), "id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    assert(cat.currentVersion("silver", "a1") == 2)
+    // the append is a REAL version: v1 still reads the pre-append rows
+    assert(cat.readVersion("silver", "a1", 1).count() == 2)
+    // pre-existing files carried by link: same names, nlink >= 2
+    val liveDir = java.nio.file.Paths.get(wh, "silver", "a1")
+    val after = java.nio.file.Files.list(liveDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(before.toSet.subsetOf(
+      after.map(_.getFileName.toString).toSet),
+      "append must keep existing file names (linked, not rewritten)")
+    after.filter(p => before.contains(p.getFileName.toString)).foreach { p =>
+      val n = java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(n >= 2, s"pre-existing file $p was copied, not linked")
+    }
+    // appends accumulate
+    cat.append(Seq((4L, "d")).toDF("id", "v"), "silver", "a1")
+    assert(cat.read("silver", "a1").count() == 4)
+    assert(cat.currentVersion("silver", "a1") == 3)
+  }
+
+  test("INSERT INTO SQL: positional, column list with NULL fill, OVERWRITE") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-sql"))
+    cat.overwriteSnapshot(Seq((1L, "a", 10.0)).toDF("id", "v", "score"),
+      "silver", "i1")
+    cat.register("silver", "i1")
+    // positional, full width, through the universal entry
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.i1 VALUES (2, 'b', 20.0)")
+    // column list: absent target column becomes NULL
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.i1 (id, v) SELECT 3, 'c'")
+    val t = spark.table("silver.i1")
+    assert(rowsOf(t, "id") == Seq(
+      Seq(1L, "a", 10.0), Seq(2L, "b", 20.0), Seq(3L, "c", null)))
+    assert(cat.currentVersion("silver", "i1") == 3)
+    // INSERT OVERWRITE replaces the snapshot as yet another version
+    graft.sql.GraftSql.sql(spark,
+      "INSERT OVERWRITE silver.i1 VALUES (9, 'z', 0.0)")
+    assert(rowsOf(spark.table("silver.i1")) == Seq(Seq(9L, "z", 0.0)))
+    assert(cat.currentVersion("silver", "i1") == 4)
+    assert(cat.readVersion("silver", "i1", 3).count() == 3)
+    spark.sql("DROP TABLE silver.i1")
+
+    // extension session: plain spark.sql INSERT goes through the same
+    // lowering (a parsed InsertIntoStatement, wrapped by the parser)
+    val s = sqlSpark
+    val cat2 = new Catalog(s, tmpDir("graft-ins-sql2"))
+    import s.implicits._
+    cat2.overwriteSnapshot(Seq((1L, "x")).toDF("id", "v"), "silver", "i2")
+    cat2.register("silver", "i2")
+    s.sql("INSERT INTO silver.i2 VALUES (2, 'y')")
+    assert(rowsOf(s.table("silver.i2"), "id") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y")))
+    assert(cat2.currentVersion("silver", "i2") == 2)
+    s.sql("DROP TABLE silver.i2")
+  }
+
+  test("INSERT enforces CHECK constraints on the appended rows only") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-cons"))
+    cat.overwriteSnapshot(Seq((1L, 5.0)).toDF("id", "score"),
+      "silver", "c1")
+    cat.addConstraint("silver", "c1", "pos_score", "score >= 0")
+    cat.register("silver", "c1")
+    val e = intercept[IllegalStateException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.c1 VALUES (2, -1.0)")
+    }
+    assert(e.getMessage.contains("pos_score"))
+    // the failed insert left no trace: same rows, same version
+    assert(cat.read("silver", "c1").count() == 1)
+    assert(cat.currentVersion("silver", "c1") == 1)
+    graft.sql.GraftSql.sql(spark, "INSERT INTO silver.c1 VALUES (2, 1.0)")
+    assert(cat.read("silver", "c1").count() == 2)
+    spark.sql("DROP TABLE silver.c1")
+  }
+
+  test("INSERT computes omitted generated columns and validates provided ones") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-gen"))
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "silver", "g1")
+    cat.addGeneratedColumn("silver", "g1", "id2", "id * 2")
+    cat.register("silver", "g1")
+    // positional insert may skip the generated column (computed at write)
+    graft.sql.GraftSql.sql(spark, "INSERT INTO silver.g1 VALUES (2, 'b')")
+    assert(rowsOf(spark.table("silver.g1"), "id") ==
+      Seq(Seq(1L, "a", 2L), Seq(2L, "b", 4L)))
+    // a provided generated value is validated against the definition
+    intercept[IllegalStateException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.g1 (id, v, id2) VALUES (3, 'c', 999)")
+    }
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.g1 (id, v, id2) VALUES (3, 'c', 6)")
+    assert(spark.table("silver.g1").count() == 3)
+    spark.sql("DROP TABLE silver.g1")
+  }
+
+  test("INSERT rejects schema drift, wrong arity, and bucketed targets") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-guard"))
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "silver", "r1")
+    cat.register("silver", "r1")
+    intercept[IllegalArgumentException] { // unknown column in the list
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.r1 (id, nope) VALUES (2, 'b')")
+    }
+    intercept[IllegalArgumentException] { // wrong positional arity
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.r1 VALUES (2, 'b', 'extra')")
+    }
+    spark.sql("DROP TABLE silver.r1")
+    // bucket-partitioned targets refuse (bucket pruning must stay intact)
+    val dim = Seq((1L, "x")).toDF("id", "v")
+    val bdir = cat.path("silver", "b1")
+    graft.merge.PartitionedMerge.write(dim, bdir, Seq("id"), 4)
+    intercept[IllegalArgumentException] {
+      Catalog.appendPath(spark, Seq((2L, "y")).toDF("id", "v"), bdir)
+    }
+  }
+
+  test("appends preserve the skipping manifest; new files read unpruned") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-skip"))
+    cat.overwriteSnapshot((1L to 50L).map(i => (i, i * 1.0))
+      .toDF("id", "score"), "silver", "s1")
+    cat.analyzeSkipping("silver", "s1", Seq("score"))
+    cat.append(Seq((51L, 510.0)).toDF("id", "score"), "silver", "s1")
+    // the recipe survived the append commit
+    assert(graft.layout.DataSkipping.analyzedColumns(spark,
+      cat.path("silver", "s1")).map(_._1) == Some(Seq("score")))
+    // pruned read == plain filter, INCLUDING the unprofiled appended file
+    val pruned = cat.readSkipping("silver", "s1",
+      Seq(graft.layout.DataSkipping.Range("score", Some(500.0), None)))
+    assert(rowsOf(pruned, "id") == Seq(Seq(51L, 510.0)))
+  }
+}
