@@ -59,6 +59,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document exact-substring duplication gauge — the corpus-level
+    * signal behind exact substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * document whose word 8-grams mostly recur elsewhere in the corpus is
+    * boilerplate or a near-copy. Per doc: total 8-grams, how many have a
+    * second occurrence ANYWHERE in the corpus (including within-doc — the
+    * paper's corpus-level criterion), and that as integer ppm. Distinct
+    * from q34 (MinHash estimates SET similarity; this detects exact
+    * ORDERED spans) and q87 (whole-line matches).
+    *
+    * Scale shape: explode → two-phase gram count (map-side combine), then
+    * a gram-keyed shuffle join back — corpus-sized on both sides, so no
+    * broadcast hint (the q89 posture). All arithmetic is exact BIGINT
+    * polynomial hashing → the oracle hashes identically. */
+  def substringDup(spark: SparkSession, dir: String, k: Int = 8)
+      : DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wordHashes(words(col("text"))).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) >= k,
+          transform(sequence(lit(1), size(col("hs")) - k + 1),
+            i => aggregate(slice(col("hs"), i, lit(k)), lit(0L),
+              (acc, h) => (acc * 131L + h) % 1000000007L)))
+          .otherwise(array().cast("array<bigint>")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
+    grams.join(counts, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        expr("n_dup_grams * 1000000 DIV n_grams").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash (winnowing-style) document fingerprint: min over rolling
     * word-trigram polynomial hashes + distinct-gram count — order-SENSITIVE
     * (catches near-identical edits), complementing q31's order-insensitive
@@ -391,7 +426,8 @@ object TextQueries {
     "q29_quality"     -> (qualityQuery _),
     "q30_token_count" -> (tokenCounts _),
     "q31_fingerprint" -> (fingerprintQuery _),
-    "q49_rolling_fp"  -> (rollingFingerprint _))
+    "q49_rolling_fp"  -> (rollingFingerprint _),
+    "q99_substring_dup" -> ((s: SparkSession, d: String) => substringDup(s, d)))
 
   // DuckDB formulations of the same expressions. `words` =
   // string_split_regex(trim(lower(text)),'\s+'); stopword/marker logic uses
@@ -640,6 +676,36 @@ object TextQueries {
           SELECT doc_id, fp, n_same_fp FROM fp
           JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
           ORDER BY doc_id""",
+    "q99_substring_dup" -> {
+      val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(w, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+      // same 8-gram polynomial fold over the same word hashes; DuckDB
+      // list slices are 1-based inclusive, range() is end-exclusive
+      s"""WITH h AS (
+            SELECT doc_id,
+              list_transform($wordsSql, w -> $whash) AS hs
+            FROM documents),
+          g AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(hs) >= 8 THEN
+                list_transform(range(1, len(hs) - 8 + 2),
+                  i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+                    (acc, x) -> (acc * 131 + x) % 1000000007))
+              ELSE [] END) AS gr
+            FROM h),
+          c AS (SELECT gr, count(*) AS n FROM g GROUP BY gr)
+          SELECT doc_id,
+            count(*) AS n_grams,
+            CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_grams,
+            CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS dup_ppm
+          FROM g JOIN c USING (gr)
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q49_rolling_fp" -> {
       val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split_regex(w, ''), " +

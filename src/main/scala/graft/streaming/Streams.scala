@@ -282,6 +282,33 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming sink into a VERSIONED catalog table: each micro-batch
+    * commits through [[graft.catalog.Catalog.appendPath]]'s link-append,
+    * so every drained batch is a real version — time-travelable,
+    * constraint-gated, identity-assigned, visible to the change feed —
+    * unlike the raw file sink, whose appends are invisible to the version
+    * log. Exactly-once: the post-swap batch marker (the CDC pattern
+    * above) drops whole replays when foreachBatch re-delivers after a
+    * crash between the swap and the checkpoint commit. Per-batch cost is
+    * O(batch data + table file-count metadata) — the fact history is
+    * never rewritten. */
+  def appendStream(appends: DataFrame, tableDir: String,
+      checkpoint: String): Unit = {
+    val q = appends.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batchId > lastAppliedBatch(spark, checkpoint)) {
+          graft.catalog.Catalog.appendPath(spark, batch, tableDir)
+          recordAppliedBatch(spark, checkpoint, batchId)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Dedup-on-ingest against the EXISTING corpus (the arrival-time half of
     * corpus curation: never append a document whose content is already
     * stored). Each micro-batch is reduced to one row per content hash

