@@ -1014,9 +1014,19 @@ object Catalog {
       existing.filterNot(_._1.equalsIgnoreCase(name)))
   }
 
+  /** Raised when an optimistic commit loses the race: the table moved past
+    * the version the writer staged against (Delta's
+    * ConcurrentModificationException family). The staged work is
+    * discarded; re-read and retry. */
+  final class ConcurrentCommitException(dir: String, expected: Int,
+      actual: Int) extends IllegalStateException(
+    s"concurrent commit on $dir: staged against version $expected but the " +
+      s"table is now at $actual — re-read and retry")
+
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
-      allowSchemaChange: Boolean = false): Unit = {
+      allowSchemaChange: Boolean = false,
+      expectedVersion: Option[Int] = None): Unit = {
     val dst = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1072,17 +1082,31 @@ object Catalog {
       try enforce(spark.read.parquet(tmp.toString), cons, dir)
       catch { case e: Throwable => f.delete(tmp, true); throw e }
     }
-    commitSwap(spark, f, dir, tmp, keepVersions)
+    commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion)
   }
 
   /** The swap tail shared by overwrite and append: retire current into the
     * version log, rename the staged dir live, advance the pointer, prune
     * the one entry that aged out. Crash at any step leaves the pointer
-    * naming a version whose data is intact (the old one). */
+    * naming a version whose data is intact (the old one).
+    *
+    * Optimistic concurrency (`expectedVersion`): a read-modify-write
+    * caller records the version it staged against; if the pointer moved,
+    * the staged dir is discarded and [[ConcurrentCommitException]] raised —
+    * committing would silently drop the interleaved writer's rows. Two
+    * racers that BOTH pass the check still cannot double-commit: they
+    * share the same retire target `v{cur}`, and the second rename into an
+    * existing log entry aborts (rename is the put-if-absent primitive
+    * here, the same role Delta's transaction-log put plays). */
   private def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
-      tmp: Path, keepVersions: Int): Unit = {
+      tmp: Path, keepVersions: Int,
+      expectedVersion: Option[Int] = None): Unit = {
     val dst = new Path(dir)
     val cur = readPointer(f, dir)
+    expectedVersion.filter(_ != cur).foreach { exp =>
+      f.delete(tmp, true)
+      throw new ConcurrentCommitException(dir, exp, cur)
+    }
     if (f.exists(dst)) {
       f.mkdirs(historyDir(dir))
       val retired = versionDir(dir, cur)
@@ -1129,6 +1153,10 @@ object Catalog {
       overwritePath(spark, df, dir, Nil, keepVersions)
       return
     }
+    // appends are read-modify-write (the staged snapshot LINKS the live
+    // files read here) — record the version staged against, so a commit
+    // after an interleaved writer raises instead of dropping their rows
+    val stagedAgainst = readPointer(f, dir)
     require(!isBucketedLayout(f, dir),
       s"INSERT INTO a bucket-partitioned table is unsupported; " +
         "use PartitionedMerge.prunedMerge (it keeps bucket pruning intact)")
@@ -1201,6 +1229,6 @@ object Catalog {
     if (f.exists(skipDir))
       org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
         f, new Path(tmp, "_skipping"), false, false, conf)
-    commitSwap(spark, f, dir, tmp, keepVersions)
+    commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst))
   }
 }

@@ -228,6 +228,143 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Full Lloyd's k-means over the embedding store — the iterated
+    * composition of [[assignCentroids]] (ASSIGN) and [[labelCentroids]]
+    * (UPDATE), the loop that trains IVF coarse quantizers (q44) and the
+    * cluster structure cluster-based curation samples from.
+    *
+    * Per round ONE distributed pass: broadcast the k×d centroid table,
+    * per-vector argmin, posexplode → (cluster, pos) hash-agg of
+    * scaled-integer sums. The k×d aggregate (640 values for k=10, d=64 —
+    * bounded metadata, the IVF-centroid scale) returns to the driver,
+    * where new centroids and the convergence shift are computed — so
+    * lineage NEVER grows across rounds (no checkpoint dance needed: each
+    * round's plan starts fresh from the parquet scan and a literal
+    * centroid table). Deterministic end to end: seed-free `vec_id % k`
+    * init, exact integer sums (order-independent), argmin ties to the
+    * lower cluster id.
+    *
+    * Returns (centroids, rounds): centroids as (cluster, pos, c) rows.
+    * Assign with [[assignToCentroids]]. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 10,
+      maxIters: Int = 10, tol: Double = 1e-9): (DataFrame, Int) = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // exact mean of each vec_id % k group: same scaled-integer arithmetic
+    // as labelCentroids, so the init is engine- and partitioning-proof
+    def centroidsOf(assigned: DataFrame): Array[Array[Double]] = {
+      val rows = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val dims = rows.map(_.getInt(1)).max + 1
+      // a cluster that lost every member keeps the zero centroid (standard
+      // empty-cluster handling; the fixture never triggers it)
+      val out = Array.fill(k)(Array.fill(dims)(0.0))
+      rows.foreach { r =>
+        out(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / r.getLong(3).toDouble / 1e9
+      }
+      out
+    }
+    var cents = centroidsOf(
+      e.withColumn("cluster", (col("vec_id") % k).cast("int")))
+    var rounds = 0
+    var shift = Double.MaxValue
+    while (rounds < maxIters && shift > tol) {
+      val next = centroidsOf(assignTo(spark, e, cents))
+      shift = cents.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
+      cents = next
+      rounds += 1
+    }
+    (centsToDf(spark, cents), rounds)
+  }
+
+  /** ONE Lloyd round from the seed partition, as exact integers — the
+    * oracle anchor for the [[kmeans]] loop (the q57-CC pattern: the
+    * iterative operator's single step hash-compared against an
+    * independent engine). Init centroids from `vec_id % k` via the exact
+    * scaled-integer mean; assignment distances rounded to 6 (the q98
+    * rule, absorbing last-ulp divergence in argmin ordering); output the
+    * post-round per-(cluster, pos) scaled sums and counts. */
+  def kmeansRound(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = e
+      .withColumn("cluster", (col("vec_id") % k).cast("int"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", round(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("sum_scaled"),
+        count(lit(1)).as("n"))
+      .orderBy("cluster", "pos")
+  }
+
+  /** Assign every vector to its nearest centroid from a (cluster, pos, c)
+    * frame (the [[kmeans]] output shape): broadcast cross join + rank-1
+    * window, the q98 plan. */
+  def assignToCentroids(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = centroids.collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2))) }
+    val byId = cents.map(_._2).toArray
+    assignTo(spark, e, byId).select("vec_id", "cluster")
+      .orderBy("vec_id")
+  }
+
+  private def centsToDf(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (cv, cid) =>
+      cv.zipWithIndex.map { case (c, pos) => (cid, pos, c) }
+    }.toSeq.toDF("cluster", "pos", "c")
+  }
+
+  /** One assignment pass against driver-held centroids (a literal k×d
+    * table — broadcast by construction). */
+  private def assignTo(spark: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    e.crossJoin(broadcast(centsDf))
+      .withColumn("d", aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
   /** int8 scalar quantization (the 4× memory/IO lever for 100 TB embedding
     * stores — ANN probes scan int8 codes, exact re-rank fetches floats):
     * per-vector symmetric scale 127/max|x|, q_i = floor(x_i·scale). Pure
@@ -299,6 +436,7 @@ object Similarity {
     "q38_embed_norms"    -> (norms _),
     "q50_label_centroids" -> (labelCentroids _),
     "q98_assign_centroids" -> (assignCentroids _),
+    "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q41_embed_neardup"  -> (embeddingNearDup _),
@@ -390,6 +528,47 @@ object Similarity {
              AS sum_scaled,
            COUNT(*) AS n
          FROM x GROUP BY label, pos ORDER BY label, pos""",
+    "q100_kmeans_round" ->
+      // q98's building blocks with the vec_id % 10 seed partition: exact
+      // integer init sums, one double division per component, rounded
+      // distances, integer output — nothing can diverge
+      """WITH v AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         x AS (
+           SELECT CAST(vec_id % 10 AS INTEGER) AS cluster,
+             unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+           FROM v),
+         cs AS (
+           SELECT cluster, pos,
+             CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+           FROM x GROUP BY cluster, pos),
+         ce AS (
+           SELECT cluster,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+               ORDER BY pos) AS cv
+           FROM cs GROUP BY cluster),
+         sc AS (
+           SELECT vec_id, v.v, ce.cluster,
+             round(list_sum(list_transform(list_zip(v.v, ce.cv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+           FROM v CROSS JOIN ce),
+         a AS (
+           SELECT vec_id, v, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d ASC, cluster ASC) AS rn
+           FROM sc),
+         y AS (
+           SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+           FROM a WHERE rn = 1)
+         SELECT cluster, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT)
+             AS sum_scaled,
+           COUNT(*) AS n
+         FROM y GROUP BY cluster, pos ORDER BY cluster, pos""",
     "q98_assign_centroids" ->
       // same scaled-integer centroid sums as q50, ONE double division per
       // component, per-row sequential distance folds — bit-identical

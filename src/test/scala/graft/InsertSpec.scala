@@ -159,6 +159,34 @@ class InsertSpec extends SparkSuite {
     }
   }
 
+  test("optimistic commit: staging against a stale version aborts, staged work discarded") {
+    val wh = tmpDir("graft-occ")
+    val cat = new Catalog(spark, wh)
+    val dir = cat.path("silver", "occ")
+    cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "silver", "occ")
+    // an interleaved writer moves the table to version 2
+    cat.overwriteSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "silver", "occ")
+    // a read-modify-write staged against version 1 must NOT commit — it
+    // would silently drop row 2
+    val e = intercept[IllegalStateException] {
+      Catalog.overwritePath(spark, Seq((1L, "a"), (9L, "z")).toDF("id", "v"),
+        dir, expectedVersion = Some(1))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(rowsOf(cat.read("silver", "occ"), "id") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")), "losing writer must change nothing")
+    assert(cat.currentVersion("silver", "occ") == 2)
+    // the staged tmp dir was discarded, not left for vacuum
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")))
+    // with the CURRENT expectation the same commit goes through
+    Catalog.overwritePath(spark, Seq((1L, "a"), (2L, "b"), (9L, "z"))
+      .toDF("id", "v"), dir, expectedVersion = Some(2))
+    assert(cat.currentVersion("silver", "occ") == 3)
+  }
+
   test("appends preserve the skipping manifest; new files read unpruned") {
     val cat = new Catalog(spark, tmpDir("graft-ins-skip"))
     cat.overwriteSnapshot((1L to 50L).map(i => (i, i * 1.0))
