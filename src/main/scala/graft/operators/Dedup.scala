@@ -301,6 +301,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-representative selection — the dedup ACTION on [[dedupClusters]]'
+    * output: within each near-dup cluster keep the HIGHEST-QUALITY member
+    * (q29's composite score, doc_id tiebreak), not the arbitrary
+    * min-doc_id the raw components give. This is the decision rule a
+    * curation pipeline actually ships: near-dups collapse to their best
+    * exemplar. One quality pass (map-only), one cluster-keyed window —
+    * the window partitions by cluster_id, whose cardinality ~ docs, so no
+    * skew funnel; all other work is [[dedupClustersOf]]'s audited shape. */
+  def dedupSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val clusters = dedupClustersOf(docs).select("doc_id", "cluster_id")
+    val scored = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label propagation to fixpoint over an undirected edge set:
     * each node's label becomes the min over its closed neighborhood,
     * O(diameter) data-parallel rounds of one join + one aggregate. The
@@ -453,7 +476,8 @@ object Dedup {
     "q35_simhash"        -> (simhash _),
     "q36_simhash_pairs"  -> (simhashPairs _),
     "q37_ngram_jaccard"  -> (ngramJaccard _),
-    "q57_dedup_clusters" -> (dedupClusters _))
+    "q57_dedup_clusters" -> (dedupClusters _),
+    "q102_dedup_select" -> (dedupSelect _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
   private val wsetSql = s"list_distinct($wordsSql)"
@@ -579,6 +603,40 @@ object Dedup {
           SELECT d_id AS doc_id, MIN(r) AS cluster_id,
             CAST(d_id = MIN(r) AS INTEGER) AS is_kept
           FROM reach GROUP BY d_id ORDER BY doc_id""",
+    // q57's recursive components + q29's quality expression + an argmax
+    // window — the same decision rule, independently decorrelated
+    "q102_dedup_select" ->
+      s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s),
+          cl AS (
+            SELECT d_id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY d_id),
+          q AS (
+            SELECT doc_id, ${graft.operators.TextQueries.qualitySql} AS quality
+            FROM documents),
+          rk AS (
+            SELECT cl.doc_id, cl.cluster_id, q.quality,
+              ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                ORDER BY q.quality DESC, cl.doc_id ASC) AS rk
+            FROM cl JOIN q USING (doc_id))
+          SELECT doc_id, cluster_id, quality,
+            CAST(rk = 1 AS INTEGER) AS is_canonical
+          FROM rk ORDER BY doc_id""",
     "q35_simhash" -> s"""$simhashSql ORDER BY doc_id""",
     "q36_simhash_pairs" -> {
       val bandCols = (0 until SimhashBands).map(j =>

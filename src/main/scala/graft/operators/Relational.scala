@@ -391,6 +391,43 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the doubly-
+    * correlated EXISTS / NOT EXISTS pair — the classic subquery-decorrelation
+    * stress test. The textbook SQL probes lineitem three times (l1 + an
+    * EXISTS semi self-join + a NOT EXISTS anti self-join); here both
+    * correlations collapse into ONE per-order aggregate —
+    * `distinct suppliers` and `distinct LATE suppliers` — joined back on
+    * the order key (a row is a "lonely late supplier" iff it is late,
+    * the order has ≥2 suppliers, and exactly 1 late one). At 100 TB that
+    * replaces two fact-fact semi/anti shuffles with one groupBy + one
+    * co-keyed join. "Late" = shipped >100 days after order date (this
+    * schema carries no commit/receipt dates). Supplier lookup is left to
+    * AQE — supplier scales with SF, so no forced broadcast. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select("l_orderkey")
+    val s = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    li.filter(col("late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(20)
+  }
+
   /** CUBE over (status, priority): all four grouping combinations in one
     * pass (Expand + single hash-agg — not four scans). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
@@ -550,6 +587,7 @@ object Relational {
     "q94_tpch_q5"        -> (localSupplierRevenue _),
     "q95_tpch_q10"       -> (returnedItemReport _),
     "q96_tpch_q18"       -> (largeVolumeOrders _),
+    "q101_tpch_q21"      -> (waitingSuppliers _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
     "q63_exact_median"   -> (exactMedian _),
@@ -712,6 +750,22 @@ object Relational {
            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+    "q101_tpch_q21" ->
+      // the textbook doubly-correlated form — DuckDB decorrelates it its
+      // own way; agreement proves the one-aggregate reformulation
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "q51_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

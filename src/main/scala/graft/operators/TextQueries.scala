@@ -437,7 +437,7 @@ object TextQueries {
     "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)"
   private val stopSql =
     s"CAST(len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / greatest(CAST(len($wordsSql) AS DOUBLE), 1.0)"
-  private val qualitySql =
+  private[operators] val qualitySql =
     s"(floor((0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.3 * least($stopSql * 5.0, 1.0) + 0.3 * (1.0 - least($punctSql * 10.0, 1.0))) * 1000000.0) / 1000000.0)"
   private def hitsSql(ms: Seq[String]) = ms.map(m =>
     s"CASE WHEN contains(' ' || lower(text) || ' ', ' $m ') THEN 1 ELSE 0 END")
