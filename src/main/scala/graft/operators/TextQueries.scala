@@ -75,17 +75,42 @@ object TextQueries {
     * polynomial hashing → the oracle hashes identically. */
   def substringDup(spark: SparkSession, dir: String, k: Int = 8)
       : DataFrame = {
-    val grams = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), wordHashes(words(col("text"))).as("hs"))
+    // k-gram hashes via k-1 chained zips of shifted slices (the q49
+    // trigram shape generalized): O(n·k) arithmetic with NO per-position
+    // slice materialization — the indexed-lambda form (aggregate over
+    // slice(hs, i, k) per position) allocates an array per gram and
+    // measured 60× slower at sf0.1. Null tails from the slice padding
+    // propagate through the arithmetic and are filtered, which also
+    // handles docs shorter than k words (everything nulls out).
+    // The word-hash array reaches the chain as a lambda ARGUMENT
+    // (transform over a 1-element array): CollapseProject inlines a
+    // multiply-referenced alias into every reference — 8 references would
+    // re-run the per-word char fold 8× per row — but a lambda variable
+    // binds once (the repo-wide HOF idiom).
+    def kgramsOf(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      filter(
+        (1 until k).foldLeft(hs) { (acc, j) =>
+          zip_with(acc, slice(hs, lit(j + 1), size(hs)),
+            (a, b) => (a * 131L + b) % 1000000007L)
+        },
+        x => x.isNotNull)
+    // cheap-input/expensive-compute: a small landing file arrives as ONE
+    // partition, which would serialize the hash chain on one core — spread
+    // it first (at corpus scale the input already has ≥ cores partitions
+    // and this is a no-op branch)
+    val docs0 = Tables.load(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par)
+      docs0.repartition(par) else docs0
+    val grams = docs
       .select(col("doc_id"),
-        when(size(col("hs")) >= k,
-          transform(sequence(lit(1), size(col("hs")) - k + 1),
-            i => aggregate(slice(col("hs"), i, lit(k)), lit(0L),
-              (acc, h) => (acc * 131L + h) % 1000000007L)))
-          .otherwise(array().cast("array<bigint>")).as("gs"))
+        get(transform(array(wordHashes(words(col("text")))),
+          hs => kgramsOf(hs)), lit(0)).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("g"))
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
-    grams.join(counts, Seq("g"))
+    // ONE gram-keyed shuffle: the window count replaces groupBy + join-back,
+    // so the hash chain above is evaluated once, not once per join branch
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    grams.withColumn("n", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))

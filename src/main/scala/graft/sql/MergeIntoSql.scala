@@ -330,6 +330,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("num_versions", IntegerType, nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("generated_columns", StringType, nullable = false)(),
+    AttributeReference("identity_columns", StringType, nullable = false)(),
     AttributeReference("skipping_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "DESCRIBE DETAIL")
@@ -352,6 +353,9 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
       .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
     val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
       .map { case (n, e) => s"$n AS ($e)" }.mkString("; ")
+    val idents = graft.catalog.Catalog.readIdentityPath(spark, dir)
+      .map { case (n, s, k) => s"$n IDENTITY (START WITH $s INCREMENT BY $k)" }
+      .mkString("; ")
     val skip = graft.layout.DataSkipping.analyzedColumns(spark, dir)
       .map { case (cols, blooms, _, _) =>
         (cols.map(c => if (blooms.contains(c)) s"$c(bloom)" else c))
@@ -359,7 +363,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
       }.getOrElse("")
     Seq(Row("parquet", dir, nFiles, bytes,
       hist.filter(_._2).map(_._1).headOption.getOrElse(1),
-      hist.length, cons, gens, skip))
+      hist.length, cons, gens, idents, skip))
   }
 }
 
@@ -641,7 +645,8 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *    BY]`, `VACUUM [DRY RUN]`, `RESTORE … VERSION|TIMESTAMP AS OF`,
   *    `COPY INTO`, `CREATE TABLE … DEEP|SHALLOW CLONE … [VERSION AS OF]`,
   *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
-  *    CONSTRAINT`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`;
+  *    CONSTRAINT`, `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS
+  *    IDENTITY`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`;
   *  - parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` over a
   *    graft-resolvable table lower onto the catalog's versioned rewrite
   *    (Spark executes them only against v2 catalogs);

@@ -53,6 +53,10 @@ class IdentitySpec extends SparkSuite {
     graft.sql.GraftSql.sql(spark, "OPTIMIZE silver.i2")
     assert(rowsOf(spark.table("silver.i2"), "id") ==
       Seq(Seq(1L, "a", 5L), Seq(2L, "b", 6L)))
+    // DESCRIBE DETAIL surfaces the identity definition
+    assert(graft.sql.GraftSql.sql(spark, "DESCRIBE DETAIL silver.i2")
+      .collect()(0).getAs[String]("identity_columns") ==
+      "rid IDENTITY (START WITH 5 INCREMENT BY 1)")
     // identity columns resist rename/drop while recorded
     intercept[IllegalArgumentException] {
       cat.renameColumn("silver", "i2", "rid", "rid2")

@@ -76,12 +76,18 @@ class InsertSpec extends SparkSuite {
     assert(rowsOf(t, "id") == Seq(
       Seq(1L, "a", 10.0), Seq(2L, "b", 20.0), Seq(3L, "c", null)))
     assert(cat.currentVersion("silver", "i1") == 3)
+    // BY NAME: source column order is irrelevant
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.i1 BY NAME " +
+        "SELECT 40.0 AS score, 'd' AS v, 4 AS id")
+    assert(rowsOf(spark.table("silver.i1"), "id").last ==
+      Seq(4L, "d", 40.0))
     // INSERT OVERWRITE replaces the snapshot as yet another version
     graft.sql.GraftSql.sql(spark,
       "INSERT OVERWRITE silver.i1 VALUES (9, 'z', 0.0)")
     assert(rowsOf(spark.table("silver.i1")) == Seq(Seq(9L, "z", 0.0)))
-    assert(cat.currentVersion("silver", "i1") == 4)
-    assert(cat.readVersion("silver", "i1", 3).count() == 3)
+    assert(cat.currentVersion("silver", "i1") == 5)
+    assert(cat.readVersion("silver", "i1", 4).count() == 4)
     spark.sql("DROP TABLE silver.i1")
 
     // extension session: plain spark.sql INSERT goes through the same

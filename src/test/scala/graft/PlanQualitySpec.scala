@@ -245,6 +245,27 @@ class PlanQualitySpec extends SparkSuite {
       s"a retrieval leg lost its bounded pool:\n$p97")
   }
 
+  test("q99/q101: corpus-sized joins carry no broadcast hint; Q21 stays decorrelated") {
+    // q99's gram-count join is corpus-sized on both sides — any forced
+    // broadcast would OOM at 100 TB
+    val l99 = operators.TextQueries.substringDup(spark, sfDir)
+      .queryExecution.logical.toString
+    assert(!l99.contains("ResolvedHint") && !l99.contains("UnresolvedHint"),
+      s"q99 must not force-broadcast corpus-derived sides:\n$l99")
+    // q101: the EXISTS pair must stay collapsed — at most 2 lineitem scans
+    // (candidates + the per-order aggregate), never 3 like the textbook
+    // form, and no cartesian
+    val p = plan(Relational.waitingSuppliers(spark, sfDir))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val liScans = finalSection.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2,
+      s"Q21 decorrelation regressed to $liScans lineitem scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q21 went cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Q21 top-20 materialized a full sort:\n$p")
+  }
+
   test("q88/q89: retrieval top-k avoids a global sort; vocab join is not force-broadcast") {
     val p88 = plan(operators.SearchQueries.bm25TopK(spark, sfDir))
     assert(p88.contains("TakeOrderedAndProject"),
