@@ -428,6 +428,29 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): the outer-join
+    * aggregate — the filter lives in the JOIN CONDITION, not a WHERE
+    * (a WHERE would turn the outer join inner and silently drop
+    * zero-order customers, the classic Q13 trap), followed by a second
+    * aggregation over the first's output. count(o_orderkey) counts
+    * non-null matches only, so customers with no qualifying orders land
+    * in the c_count=0 bucket. Two shuffles total: the join/groupBy on
+    * c_custkey (co-keyed — one exchange feeds both) and the tiny
+    * distribution re-group. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val perCust = c.join(o,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** CUBE over (status, priority): all four grouping combinations in one
     * pass (Expand + single hash-agg — not four scans). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
@@ -588,6 +611,7 @@ object Relational {
     "q95_tpch_q10"       -> (returnedItemReport _),
     "q96_tpch_q18"       -> (largeVolumeOrders _),
     "q101_tpch_q21"      -> (waitingSuppliers _),
+    "q103_tpch_q13"      -> (custOrderDistribution _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
     "q63_exact_median"   -> (exactMedian _),
@@ -766,6 +790,14 @@ object Relational {
                          AND l3.l_suppkey <> l1.l_suppkey
                          AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q103_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q51_pivot" ->
       """SELECT year(o_orderdate) AS yr,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
