@@ -51,13 +51,16 @@ object TextQueries {
 
   /** Bag-of-words fingerprint + within-corpus fingerprint collision count
     * (shuffled-copy detection). */
-  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.load(spark, dir, "documents")
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    // ONE fp-keyed shuffle: the window count replaces groupBy + join-back,
+    // which would recompute the md5 fingerprint on both join branches
+    // (the q99 lesson applied back)
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
-    fp.join(counts, Seq("fp")).select("doc_id", "fp", "n_same_fp")
+      .withColumn("n_same_fp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select("doc_id", "fp", "n_same_fp")
       .orderBy("doc_id")
-  }
 
   /** Per-document exact-substring duplication gauge — the corpus-level
     * signal behind exact substring deduplication (Lee et al. 2022,
