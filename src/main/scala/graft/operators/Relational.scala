@@ -451,6 +451,35 @@ object Relational {
       .orderBy(desc("custdist"), desc("c_count"))
   }
 
+  /** TPC-H Q22 shape (global-benchmark anti join): an UNCORRELATED scalar
+    * subquery (the positive-balance average — one number, planned as a
+    * subquery broadcast, complementing q64's correlated form) gates the
+    * probe side, then a LEFT ANTI join removes customers with any urgent
+    * order. The anti join shuffles on the customer key with the filter
+    * pushed to the orders scan; no EXISTS decorrelation machinery needed —
+    * anti join IS the decorrelated form. (The fixture's every customer
+    * has orders, so the textbook "no orders at all" predicate is
+    * sharpened to "no URGENT orders".) */
+  def globalBenchmarkAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    // exact-sum-then-one-division, not avg(): a double avg's partial
+    // aggregation is accumulation-order dependent — a balance within ulps
+    // of the threshold could flip across partitionings/engines
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") /
+        count(lit(1))).as("a"))
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CUBE over (status, priority): all four grouping combinations in one
     * pass (Expand + single hash-agg — not four scans). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
@@ -612,6 +641,7 @@ object Relational {
     "q96_tpch_q18"       -> (largeVolumeOrders _),
     "q101_tpch_q21"      -> (waitingSuppliers _),
     "q103_tpch_q13"      -> (custOrderDistribution _),
+    "q104_tpch_q22"      -> (globalBenchmarkAnti _),
     "q61_cube"           -> (cubeAgg _),
     "q62_array_agg"      -> (arrayAgg _),
     "q63_exact_median"   -> (exactMedian _),
@@ -790,6 +820,18 @@ object Relational {
                          AND l3.l_suppkey <> l1.l_suppkey
                          AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q104_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / count(*)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q103_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -513,6 +513,64 @@ case class GraftInsertCommand(nameParts: Seq[String],
   }
 }
 
+/** `INSERT INTO <t> REPLACE WHERE <cond> <query>` — Databricks/Delta's
+  * predicate-scoped atomic replacement: rows matching the predicate are
+  * deleted and the query's rows inserted, as ONE versioned commit
+  * (partition-overwrite generalized to any predicate). Delta's
+  * validation rule applies: every inserted row must satisfy the
+  * predicate — otherwise the statement aborts and the table is
+  * untouched. The commit carries the staged-against version, so an
+  * interleaved writer raises [[graft.catalog.Catalog.ConcurrentCommitException]]
+  * rather than being silently overwritten. */
+case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "REPLACE WHERE")
+    val cur = spark.read.parquet(dir)
+    val target = cur.schema
+    val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
+    val idents = graft.catalog.Catalog.readIdentityPath(spark, dir)
+    val stagedAgainst = graft.catalog.Catalog
+      .historyRows(spark, dir).filter(_._2).map(_._1).headOption.getOrElse(1)
+    // positional alignment (INSERT's rule), generated columns computed so
+    // the union below is schema-complete; identity columns cannot be
+    // synthesized for a PARTIAL rewrite deterministically mid-plan, so
+    // they must come from the query (or not exist)
+    val src = GraftShims.ofRows(spark, query)
+    val writable = target.fields.filterNot(f =>
+      gens.exists(_._1.equalsIgnoreCase(f.name)))
+    val named =
+      if (src.columns.length == target.fields.length)
+        src.toDF(target.fields.map(_.name).toSeq: _*)
+      else if (src.columns.length == writable.length)
+        src.toDF(writable.map(_.name).toSeq: _*)
+      else throw new IllegalArgumentException(
+        s"REPLACE WHERE insert needs ${target.fields.length} columns " +
+          s"(or ${writable.length} skipping generated), got " +
+          s"${src.columns.length}")
+    require(idents.forall(i => named.columns.exists(_.equalsIgnoreCase(i._1))),
+      "REPLACE WHERE on a table with identity columns requires the query " +
+        "to carry them (identity assignment needs the table-wide watermark)")
+    val filled = gens.foldLeft(named) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, expr(e))
+    }
+    val aligned = filled.select(target.fields.map(f =>
+      filled(filled.columns.find(_.equalsIgnoreCase(f.name)).get)
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+    // Delta's rule: inserted rows must all satisfy the predicate
+    val outside = aligned.filter(!expr(cond)).count()
+    require(outside == 0,
+      s"REPLACE WHERE: $outside inserted row(s) violate the predicate " +
+        s"($cond) — the statement replaces ONLY that region")
+    val merged = cur.filter(!expr(cond)).unionByName(aligned)
+    graft.catalog.Catalog.overwritePath(spark, merged, dir,
+      expectedVersion = Some(stagedAgainst))
+    GraftSql.refreshTarget(spark, nameParts, dir)
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE <t> RENAME COLUMN a TO b` over a graft table. Spark
   * PARSES this (v2 grammar) but executes it only against v2 catalogs;
   * here it lowers onto the catalog's versioned rewrite
@@ -646,7 +704,8 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *    `COPY INTO`, `CREATE TABLE … DEEP|SHALLOW CLONE … [VERSION AS OF]`,
   *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
   *    CONSTRAINT`, `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS
-  *    IDENTITY`, and `ANALYZE TABLE … COMPUTE SKIPPING STATISTICS`;
+  *    IDENTITY`, `INSERT INTO … REPLACE WHERE`, and `ANALYZE TABLE …
+  *    COMPUTE SKIPPING STATISTICS`;
   *  - parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` over a
   *    graft-resolvable table lower onto the catalog's versioned rewrite
   *    (Spark executes them only against v2 catalogs);
@@ -696,6 +755,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.RestoreTsRe(ident, ts) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
           None, Some(ts))
+      case GraftSql.ReplaceWhereRe(ident, cond, query) =>
+        GraftReplaceWhereCommand(delegate.parseMultipartIdentifier(ident),
+          cond.trim, delegate.parseQuery(query))
       case GraftSql.AddIdentityRe(ident, cname, start, step) =>
         GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
           cname, Option(start).map(_.toLong).getOrElse(1L),
@@ -798,6 +860,8 @@ object GraftSql {
     require(!row.isNullAt(0), s"'$s' is not a timestamp")
     row.getTimestamp(0).getTime
   }
+  private[sql] val ReplaceWhereRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES)\s+.*)$""".r
   private[sql] val AddIdentityRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+(\w+)\s+""" +
      """BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
@@ -976,6 +1040,10 @@ object GraftSql {
       case RestoreTsRe(ident, ts) =>
         GraftShims.ofRows(spark,
           GraftRestoreCommand(splitIdent(ident), None, Some(ts)))
+      case ReplaceWhereRe(ident, cond, query) =>
+        GraftShims.ofRows(spark,
+          GraftReplaceWhereCommand(splitIdent(ident), cond.trim,
+            GraftShims.parsePlan(spark, query)))
       case AddIdentityRe(ident, cname, start, step) =>
         GraftShims.ofRows(spark,
           GraftAddIdentityCommand(splitIdent(ident), cname,

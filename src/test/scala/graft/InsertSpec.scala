@@ -193,6 +193,43 @@ class InsertSpec extends SparkSuite {
     assert(cat.currentVersion("silver", "occ") == 3)
   }
 
+  test("REPLACE WHERE swaps exactly the predicate region in one version") {
+    val cat = new Catalog(spark, tmpDir("graft-rw"))
+    cat.overwriteSnapshot(Seq((1L, "2024", 1.0), (2L, "2024", 2.0),
+      (3L, "2025", 3.0)).toDF("id", "yr", "x"), "silver", "rw1")
+    cat.register("silver", "rw1")
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.rw1 REPLACE WHERE yr = '2024' " +
+        "VALUES (10, '2024', 10.0), (11, '2024', 11.0)")
+    assert(rowsOf(spark.table("silver.rw1"), "id") == Seq(
+      Seq(3L, "2025", 3.0), Seq(10L, "2024", 10.0), Seq(11L, "2024", 11.0)))
+    assert(cat.currentVersion("silver", "rw1") == 2)
+    assert(cat.readVersion("silver", "rw1", 1).count() == 3)
+    // Delta's validation: an inserted row OUTSIDE the predicate aborts
+    // the whole statement, table untouched
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.rw1 REPLACE WHERE yr = '2024' " +
+          "VALUES (12, '2026', 12.0)")
+    }
+    assert(spark.table("silver.rw1").count() == 3)
+    assert(cat.currentVersion("silver", "rw1") == 2)
+    spark.sql("DROP TABLE silver.rw1")
+
+    // extension session path
+    val s = sqlSpark
+    val cat2 = new Catalog(s, tmpDir("graft-rw2"))
+    import s.implicits._
+    cat2.overwriteSnapshot(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "grp", "x"), "silver", "rw2")
+    cat2.register("silver", "rw2")
+    s.sql("INSERT INTO silver.rw2 REPLACE WHERE grp = 'a' " +
+      "SELECT 9 AS id, 'a' AS grp, 9.0 AS x")
+    assert(rowsOf(s.table("silver.rw2"), "id") ==
+      Seq(Seq(2L, "b", 2.0), Seq(9L, "a", 9.0)))
+    s.sql("DROP TABLE silver.rw2")
+  }
+
   test("appends preserve the skipping manifest; new files read unpruned") {
     val cat = new Catalog(spark, tmpDir("graft-ins-skip"))
     cat.overwriteSnapshot((1L to 50L).map(i => (i, i * 1.0))
