@@ -93,6 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // against plain parquet catalog tables.
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(session, delegate))
+    // transparent file skipping: filtered scans over manifest-carrying
+    // tables are rebuilt over the surviving file list (once per query,
+    // after filter pushdown; the residual filter is never touched)
+    ext.injectPreCBORule(session =>
+      graft.layout.SkippingPruneRule(session))
   }
 }
 

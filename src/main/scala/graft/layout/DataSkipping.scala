@@ -355,6 +355,26 @@ object DataSkipping {
     out.toSeq.sorted
   }
 
+  /** Cheap manifest-existence probe — the automatic rule's fast path (one
+    * FS stat, no manifest read, for every filtered parquet scan that is
+    * NOT a skipping-enabled table). */
+  def hasManifest(spark: SparkSession, dir: String): Boolean = {
+    val p = manifestPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Qualified root + surviving file paths for a pruned scan — the
+    * automatic rule's seam (it rebuilds the relation over these). */
+  def prunedPaths(spark: SparkSession, dir: String, preds: Seq[SkipPred])
+      : Option[Seq[Path]] = {
+    val (kept, total) = prunedFiles(spark, dir, preds)
+    if (kept.size >= total) None // nothing pruned: leave the plan alone
+    else {
+      val q = qualifiedDir(spark, dir)
+      Some(kept.map(n => new Path(s"$q/$n")))
+    }
+  }
+
   /** The pruning decision alone: (surviving files, total data files) —
     * relative to `dir`. Files without a manifest entry always survive. */
   def prunedFiles(spark: SparkSession, dir: String, preds: Seq[SkipPred])

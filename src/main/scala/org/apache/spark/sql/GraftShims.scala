@@ -37,6 +37,19 @@ object GraftShims {
   def parsePlan(spark: SparkSession, sqlText: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sqlText)
 
+  /** Rebuild a [[org.apache.spark.sql.execution.datasources.HadoopFsRelation]]
+    * over an explicit surviving-file list (the data-skipping rule's seam):
+    * a [[GraftPrunedFileIndex]] — a plain InMemoryFileIndex whose class
+    * doubles as the already-pruned marker — replaces the original
+    * location; schema is pinned so no re-inference happens. */
+  def prunedFsRelation(spark: SparkSession,
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      paths: Seq[org.apache.hadoop.fs.Path])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val idx = new GraftPrunedFileIndex(spark, paths, Some(rel.dataSchema))
+    rel.copy(location = idx)(spark)
+  }
+
   /** The storage location + partition columns of a session-catalog table;
     * None when the name is a temp view or not a catalog table. */
   def tableStorage(spark: SparkSession, nameParts: Seq[String])
@@ -54,3 +67,12 @@ object GraftShims {
     }
   }
 }
+
+/** An InMemoryFileIndex over an explicit surviving-file list. The class
+  * itself is the marker that a scan has already been stats-pruned, so the
+  * skipping rule never re-prunes (and never stacks indexes). */
+class GraftPrunedFileIndex(spark: SparkSession,
+    paths: Seq[org.apache.hadoop.fs.Path],
+    schema: Option[org.apache.spark.sql.types.StructType])
+  extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+    spark, paths, Map.empty[String, String], schema)

@@ -240,6 +240,62 @@ class DataSkippingSpec extends SparkSuite {
       s"copied file must carry stats (kept $kept of $total)")
   }
 
+  test("SkippingPruneRule: plain SQL filters prune transparently on extension sessions") {
+    // extension session (MergeSqlSpec's pattern) — the rule is injected
+    // pre-CBO, so ORDINARY spark.sql reads get the manifest's pruning
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-skiprule-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    org.apache.spark.sql.SparkSession.setActiveSession(base)
+
+    val dir = tmpDir("skip-rule") + "/t"
+    import s.implicits._
+    s.range(4000L).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("string"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(dir)
+    DataSkipping.analyze(s, dir, Seq("id"))
+    s.sql(s"CREATE TABLE skipt USING parquet LOCATION '$dir'")
+
+    val q = s.sql("SELECT id, grp FROM skipt WHERE id >= 100 AND id <= 220")
+    // the scan was rebuilt over the surviving files (marker index in plan)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftPrunedFileIndex"),
+      s"rule did not prune:\n${q.queryExecution.executedPlan}")
+    assert(q.inputFiles.length <= 2,
+      s"expected <=2 surviving files, got ${q.inputFiles.length}")
+    // and the rows are EXACTLY the unpruned filter's
+    val full = s.read.parquet(dir)
+      .where(col("id") >= 100L && col("id") <= 220L).select("id", "grp")
+    assert(rowsOf(q, "id") == rowsOf(full, "id"))
+
+    // non-prunable predicates leave the plan alone
+    val np = s.sql("SELECT id FROM skipt WHERE id % 7 = 0")
+    assert(!np.queryExecution.executedPlan.toString
+      .contains("GraftPrunedFileIndex"))
+    assert(np.count() == s.read.parquet(dir)
+      .where(col("id") % 7 === 0).count())
+
+    // tables without a manifest are untouched (fast path)
+    val dir2 = tmpDir("skip-rule2") + "/t"
+    s.range(100L).toDF("id").write.parquet(dir2)
+    s.sql(s"CREATE TABLE skipt2 USING parquet LOCATION '$dir2'")
+    val un = s.sql("SELECT id FROM skipt2 WHERE id >= 10")
+    assert(!un.queryExecution.executedPlan.toString
+      .contains("GraftPrunedFileIndex"))
+    assert(un.count() == 90)
+    s.sql("DROP TABLE skipt"); s.sql("DROP TABLE skipt2")
+  }
+
   test("BloomAgg: no false negatives, low false-positive rate") {
     val df = spark.range(2000L).toDF("id")
       .withColumn("key", concat(lit("v"), col("id")))
