@@ -355,19 +355,52 @@ object Catalog {
   /** The live snapshot's version: the `_current` pointer when present;
     * a pointer-less existing dir is version 1 (created outside the swap,
     * e.g. first-load `create`); 0 when the table doesn't exist. */
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](64)
+      var n = in.read(b)
+      while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+      new String(buf.toByteArray, "UTF-8").trim
+    } finally in.close()
+  }
+
   private[graft] def readPointer(f: FileSystem, dir: String): Int = {
     val p = pointerFile(dir)
-    if (f.exists(p)) {
-      val in = f.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val b = new Array[Byte](64)
-        var n = in.read(b)
-        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
-        new String(buf.toByteArray, "UTF-8").trim.toInt
-      } finally in.close()
-    } else if (f.exists(new Path(dir))) 1
+    if (f.exists(p)) readSmallFile(f, p).toInt
+    else if (f.exists(new Path(dir))) 1
     else 0
+  }
+
+  /** The latest commit-tag value for `key` across the live snapshot and
+    * the logged versions (newest first). A commit tag is a tiny
+    * `_graft_commit_tag_<key>` file written INTO the staged snapshot
+    * before the swap rename — so it becomes visible atomically WITH the
+    * commit it describes. A streaming sink stamps its (checkpoint, batchId)
+    * here; on replay after a crash between the swap and its own
+    * checkpoint-side marker, the table itself answers "was this batch
+    * already committed?" — closing the swap-to-marker duplicate window.
+    * Tags are per-version (appends do not link `_`-prefixed files
+    * forward), hence the newest-first history probe. */
+  def lastCommitTag(spark: SparkSession, dir: String,
+      key: String): Option[String] = {
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return None
+    def tagOf(d: Path): Option[String] = {
+      val p = new Path(d, s"_graft_commit_tag_$key")
+      if (f.exists(p)) Some(readSmallFile(f, p)) else None
+    }
+    tagOf(root).orElse {
+      val hist = historyDir(dir)
+      if (!f.exists(hist)) None
+      else f.listStatus(hist).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toInt).sorted(Ordering.Int.reverse).toSeq
+        .iterator.flatMap(v => tagOf(versionDir(dir, v))).nextOption()
+    }
   }
 
   private[graft] def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
@@ -1026,7 +1059,8 @@ object Catalog {
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
       allowSchemaChange: Boolean = false,
-      expectedVersion: Option[Int] = None): Unit = {
+      expectedVersion: Option[Int] = None,
+      commitTag: Option[(String, String)] = None): Unit = {
     val dst = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1082,7 +1116,7 @@ object Catalog {
       try enforce(spark.read.parquet(tmp.toString), cons, dir)
       catch { case e: Throwable => f.delete(tmp, true); throw e }
     }
-    commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion)
+    commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion, commitTag)
   }
 
   /** The swap tail shared by overwrite and append: retire current into the
@@ -1100,8 +1134,15 @@ object Catalog {
     * here, the same role Delta's transaction-log put plays). */
   private def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
       tmp: Path, keepVersions: Int,
-      expectedVersion: Option[Int] = None): Unit = {
+      expectedVersion: Option[Int] = None,
+      commitTag: Option[(String, String)] = None): Unit = {
     val dst = new Path(dir)
+    // stamp the tag into the STAGED dir — it becomes visible atomically
+    // with the swap rename below, never before, never after
+    commitTag.foreach { case (k, v) =>
+      val out = f.create(new Path(tmp, s"_graft_commit_tag_$k"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
     val cur = readPointer(f, dir)
     expectedVersion.filter(_ != cur).foreach { exp =>
       f.delete(tmp, true)
@@ -1145,12 +1186,14 @@ object Catalog {
     * route through PartitionedMerge / overwrite instead (mixing flat
     * append files into a partitioned tree would corrupt discovery). */
   def appendPath(spark: SparkSession, df: DataFrame, dir: String,
-      keepVersions: Int = 10): Unit = {
+      keepVersions: Int = 10,
+      commitTag: Option[(String, String)] = None): Unit = {
     val dst = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val f = dst.getFileSystem(conf)
     if (!f.exists(dst)) { // first insert = first load, one uniform path
-      overwritePath(spark, df, dir, Nil, keepVersions)
+      overwritePath(spark, df, dir, Nil, keepVersions,
+        commitTag = commitTag)
       return
     }
     // appends are read-modify-write (the staged snapshot LINKS the live
@@ -1229,6 +1272,7 @@ object Catalog {
     if (f.exists(skipDir))
       org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
         f, new Path(tmp, "_skipping"), false, false, conf)
-    commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst))
+    commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
+      commitTag)
   }
 }

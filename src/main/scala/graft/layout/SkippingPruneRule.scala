@@ -36,7 +36,9 @@ case class SkippingPruneRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond,
         l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _))
-        if r.partitionSchema.isEmpty &&
+        if r.fileFormat.isInstanceOf[
+             org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+           r.partitionSchema.isEmpty &&
            r.location.rootPaths.length == 1 &&
            !r.location.isInstanceOf[GraftPrunedFileIndex] =>
       try {

@@ -558,14 +558,33 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
     val aligned = filled.select(target.fields.map(f =>
       filled(filled.columns.find(_.equalsIgnoreCase(f.name)).get)
         .cast(f.dataType).as(f.name)).toSeq: _*)
-    // Delta's rule: inserted rows must all satisfy the predicate
-    val outside = aligned.filter(!expr(cond)).count()
-    require(outside == 0,
-      s"REPLACE WHERE: $outside inserted row(s) violate the predicate " +
-        s"($cond) — the statement replaces ONLY that region")
-    val merged = cur.filter(!expr(cond)).unionByName(aligned)
-    graft.catalog.Catalog.overwritePath(spark, merged, dir,
-      expectedVersion = Some(stagedAgainst))
+    // Stage the insert query's rows ONCE, then validate and commit from
+    // the staged files — a non-deterministic query (rand(), a source
+    // mutating between actions) would otherwise pass the validation count
+    // and then materialize different, predicate-violating rows at write
+    // time; deterministic queries would pay double compute.
+    val stagePath = new org.apache.hadoop.fs.Path(dir + ".tmp-replace")
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stagePath.toString)
+    try {
+      val staged = spark.read.parquet(stagePath.toString)
+      // Delta's rule: every inserted row must MATCH the predicate. Under
+      // SQL three-valued logic a NULL predicate result does NOT match, so
+      // it counts as a violation — `!cond` alone would let it slip (NULL
+      // filters out of both `cond` and `!cond`).
+      val outside = staged.filter(!coalesce(expr(cond), lit(false))).count()
+      require(outside == 0,
+        s"REPLACE WHERE: $outside inserted row(s) violate the predicate " +
+          s"($cond) — the statement replaces ONLY that region")
+      // Keep the rows the predicate does NOT match (cond not true). Rows
+      // where cond is NULL don't match, so they MUST be kept — plain
+      // `!cond` silently deletes them.
+      val kept = cur.filter(!coalesce(expr(cond), lit(false)))
+      graft.catalog.Catalog.overwritePath(spark, kept.unionByName(staged),
+        dir, expectedVersion = Some(stagedAgainst))
+    } finally fs.delete(stagePath, true)
     GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty
   }
@@ -881,13 +900,18 @@ object GraftSql {
   private[sql] def reRegister(spark: SparkSession, nameParts: Seq[String],
       dir: String): Unit = {
     val name = nameParts.map(p => s"`$p`").mkString(".")
-    try {
-      if (spark.catalog.tableExists(nameParts.mkString("."))) {
-        spark.sql(s"DROP TABLE $name")
-        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
-        spark.catalog.refreshTable(nameParts.mkString("."))
-      }
-    } catch { case _: Exception => () }
+    // Only the existence probe may fail soft (a bare path target has no
+    // catalog entry to rebuild). Once we DROP, the re-CREATE must succeed
+    // or the caller sees the error — swallowing it would leave the table
+    // silently deregistered after a rename/drop-column DDL.
+    val exists =
+      try spark.catalog.tableExists(nameParts.mkString("."))
+      catch { case _: Exception => false }
+    if (exists) {
+      spark.sql(s"DROP TABLE $name")
+      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+      spark.catalog.refreshTable(nameParts.mkString("."))
+    }
   }
 
   /** Lower parsed `ALTER TABLE … RENAME COLUMN / DROP COLUMN(S)` and

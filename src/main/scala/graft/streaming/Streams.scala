@@ -287,13 +287,18 @@ object Streams {
     * so every drained batch is a real version — time-travelable,
     * constraint-gated, identity-assigned, visible to the change feed —
     * unlike the raw file sink, whose appends are invisible to the version
-    * log. Exactly-once: the post-swap batch marker (the CDC pattern
-    * above) drops whole replays when foreachBatch re-delivers after a
-    * crash between the swap and the checkpoint commit. Per-batch cost is
+    * log. Exactly-once, via TWO markers that jointly cover every crash
+    * window: the batchId is stamped INTO the committed version itself (a
+    * commit tag, visible atomically with the swap rename), and a
+    * checkpoint-side marker is written after. A replay after a crash
+    * between the swap and the checkpoint commit misses the cheap
+    * checkpoint marker but finds its batchId already ON the table — so
+    * the batch is dropped whole, not appended twice. Per-batch cost is
     * O(batch data + table file-count metadata) — the fact history is
     * never rewritten. */
   def appendStream(appends: DataFrame, tableDir: String,
       checkpoint: String): Unit = {
+    val tagKey = commitTagKey(checkpoint)
     val q = appends.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -301,12 +306,26 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (batchId > lastAppliedBatch(spark, checkpoint)) {
-          graft.catalog.Catalog.appendPath(spark, batch, tableDir)
+          val onTable = graft.catalog.Catalog
+            .lastCommitTag(spark, tableDir, tagKey)
+            .exists(_.toLong >= batchId)
+          if (!onTable)
+            graft.catalog.Catalog.appendPath(spark, batch, tableDir,
+              commitTag = Some((tagKey, batchId.toString)))
           recordAppliedBatch(spark, checkpoint, batchId)
         }
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Stable per-checkpoint key for the table-side commit tag — two
+    * streams appending to the same table must not read each other's
+    * batch ids. */
+  private[graft] def commitTagKey(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** Dedup-on-ingest against the EXISTING corpus (the arrival-time half of

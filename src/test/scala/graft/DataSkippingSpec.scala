@@ -293,6 +293,33 @@ class DataSkippingSpec extends SparkSuite {
     assert(!un.queryExecution.executedPlan.toString
       .contains("GraftPrunedFileIndex"))
     assert(un.count() == 90)
+
+    // a NON-parquet relation over a directory carrying a `_skipping`
+    // manifest (e.g. a dir formerly analyzed as parquet, then rewritten
+    // as CSV with the manifest left behind) must NOT be pruned — the
+    // stats describe different data and would silently drop rows. Plant a
+    // manifest claiming id ∈ [0, 10] for every CSV file: if the rule
+    // consults it, the id >= 100 filter prunes ALL files.
+    val dir3 = tmpDir("skip-rule3") + "/t"
+    s.range(200L).toDF("id").repartition(4)
+      .write.option("header", "true").csv(dir3)
+    val b64 = (x: String) =>
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+    val csvFiles = new java.io.File(dir3).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    val skipDir = new java.io.File(dir3, "_skipping"); skipDir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(skipDir, "stats.tsv"))
+    try {
+      w.println("#graft-skipping\t1\t1024\t4")
+      csvFiles.foreach(n => w.println(Seq(b64(n), "50", "id", "long",
+        b64("0"), b64("10"), "0", "-").mkString("\t")))
+    } finally w.close()
+    val csv = s.read.option("header", "true").schema("id BIGINT")
+      .csv(dir3).where(col("id") >= 100L)
+    assert(!csv.queryExecution.executedPlan.toString
+      .contains("GraftPrunedFileIndex"),
+      "skipping rule must not touch non-parquet relations")
+    assert(csv.count() == 100)
     s.sql("DROP TABLE skipt"); s.sql("DROP TABLE skipt2")
   }
 

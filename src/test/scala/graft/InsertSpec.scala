@@ -230,6 +230,36 @@ class InsertSpec extends SparkSuite {
     s.sql("DROP TABLE silver.rw2")
   }
 
+  test("REPLACE WHERE under 3VL: NULL-predicate rows are kept, and count as insert violations") {
+    val cat = new Catalog(spark, tmpDir("graft-rw3vl"))
+    // row 3 has a NULL predicate column: `yr = '2024'` evaluates to NULL
+    // there — it does NOT match, so replaceWhere must KEEP it (a naive
+    // `!cond` filter silently deletes it)
+    cat.overwriteSnapshot(Seq((1L, Some("2024"), 1.0), (2L, Some("2025"), 2.0),
+      (3L, Option.empty[String], 3.0)).toDF("id", "yr", "x"), "silver", "rwn")
+    cat.register("silver", "rwn")
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO silver.rwn REPLACE WHERE yr = '2024' " +
+        "VALUES (10, '2024', 10.0)")
+    assert(rowsOf(spark.table("silver.rwn"), "id") == Seq(
+      Seq(2L, "2025", 2.0), Seq(3L, null, 3.0), Seq(10L, "2024", 10.0)),
+      "the NULL-yr row must survive the replacement")
+    // an INSERTED row whose predicate evaluates to NULL does not match
+    // either — Delta counts it as a violation, statement aborts
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO silver.rwn REPLACE WHERE yr = '2024' " +
+          "VALUES (11, NULL, 11.0)")
+    }
+    assert(spark.table("silver.rwn").count() == 3)
+    // the validation staging dir never outlives the statement
+    val f = new org.apache.hadoop.fs.Path(cat.path("silver", "rwn"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      cat.path("silver", "rwn") + ".tmp-replace")))
+    spark.sql("DROP TABLE silver.rwn")
+  }
+
   test("appends preserve the skipping manifest; new files read unpruned") {
     val cat = new Catalog(spark, tmpDir("graft-ins-skip"))
     cat.overwriteSnapshot((1L to 50L).map(i => (i, i * 1.0))

@@ -293,6 +293,28 @@ class StreamsSpec extends SparkSuite {
     drain()
     assert(spark.read.parquet(dir).count() == 4)
     assert(cat.currentVersion("bronze", "ev") == 3)
+
+    // crash BETWEEN the version swap and ALL post-commit markers: erase
+    // both Spark's commit-log entry for the last batch and the graft
+    // checkpoint marker — on restart Spark re-delivers batch 2 (same
+    // offsets) and the checkpoint side claims it was never applied. The
+    // commit tag stamped INTO version 3 itself is the only remaining
+    // defense, and it must drop the replay whole.
+    val fs = new java.io.File(s"$root/_cp")
+    new java.io.File(fs, "commits/2").delete()
+    new java.io.File(fs, "commits/.2.crc").delete() // local-FS checksum sidecar
+    new java.io.File(fs, "__graft_last_applied").delete()
+    new java.io.File(fs, ".__graft_last_applied.crc").delete()
+    drain()
+    assert(spark.read.parquet(dir).count() == 4,
+      "replayed batch was appended twice (swap-to-marker window open)")
+    assert(cat.currentVersion("bronze", "ev") == 3,
+      "replay must not commit a new version")
+    // and the replay re-armed the checkpoint marker for future drains
+    Seq((5L, "e")).toDF("id", "v")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(spark.read.parquet(dir).count() == 5)
   }
 
   test("streaming dedup: re-delivered events within the watermark are dropped across runs") {
