@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+    operators.TpchSuite.queries ++
     functions.Udfs.queries ++
     operators.MergeQueries.queries ++
     operators.EventQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+    operators.TpchSuite.oracles ++
     functions.Udfs.oracles ++
     operators.MergeQueries.oracles ++
     operators.EventQueries.oracles ++

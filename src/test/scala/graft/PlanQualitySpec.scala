@@ -266,6 +266,44 @@ class PlanQualitySpec extends SparkSuite {
       s"Q21 top-20 materialized a full sort:\n$p")
   }
 
+  test("TpchSuite: pushdown, semi-join EXISTS, decorrelated-by-construction scans") {
+    import graft.operators.TpchSuite
+    // Q6: pure scan efficiency — every predicate reaches the parquet scan
+    val p6 = plan(TpchSuite.forecastRevenue(spark, sfDir))
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6 predicates not pushed:\n$p6")
+    assert(!p6.contains("Join"), s"Q6 must be join-free:\n$p6")
+    // Q4: EXISTS is a semi join, never an inner-join + distinct
+    val p4 = plan(TpchSuite.orderPriorityCheck(spark, sfDir))
+    assert(p4.contains("LeftSemi"), s"Q4 EXISTS lost its semi join:\n$p4")
+    assert(!p4.contains("CartesianProduct"), s"Q4 went cartesian:\n$p4")
+    // Q17: the correlated-avg decorrelation reads lineitem at most twice
+    // (the textbook's slice + its per-part aggregate), never three times
+    val p17 = plan(TpchSuite.smallQtyRevenue(spark, sfDir))
+    val li17 = p17.split("== Initial Plan ==")(0).linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(li17 <= 2, s"Q17 reads lineitem $li17 times:\n$p17")
+    // Q19: the disjunction keeps its common equi-key — a hash join with
+    // residual, never a cartesian of lineitem × part
+    val p19 = plan(TpchSuite.disjunctiveRevenue(spark, sfDir))
+    assert(p19.contains("BroadcastHashJoin"),
+      s"Q19 lost the equi-key under the OR:\n$p19")
+    assert(!p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"),
+      s"Q19 went non-equi:\n$p19")
+    // Q20: nested-IN + correlated threshold stays at two lineitem scans
+    val p20 = plan(TpchSuite.excessStockSuppliers(spark, sfDir))
+    val li20 = p20.split("== Initial Plan ==")(0).linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(li20 <= 2, s"Q20 reads lineitem $li20 times:\n$p20")
+    assert(p20.contains("LeftSemi"), s"Q20 IN lost its semi join:\n$p20")
+    // Q2: correlated-MIN join + top-100 must not materialize a full sort
+    val p2 = plan(TpchSuite.minCostSupplier(spark, sfDir))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"Q2 top-100 materialized a full sort:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"Q2 went cartesian:\n$p2")
+  }
+
   test("q88/q89: retrieval top-k avoids a global sort; vocab join is not force-broadcast") {
     val p88 = plan(operators.SearchQueries.bm25TopK(spark, sfDir))
     assert(p88.contains("TakeOrderedAndProject"),
