@@ -46,19 +46,22 @@ object TpchSuite {
       .join(broadcast(eun), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
         col("n_name"))
-    val offers = Tables.load(spark, dir, "lineitem")
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val p = Tables.load(spark, dir, "part")
       .filter(col("p_size") === 15)
       .select(col("p_partkey"), col("p_brand"))
-    val eo = offers
-      .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+    // part + supplier filters land BEFORE the offer aggregation (a ~2%
+    // slice of the fact instead of all of it), and the correlated MIN is
+    // a window over the aggregate — ONE lineitem scan, one agg shuffle,
+    // one window shuffle on the part key; never a second fact pass
+    val eo = Tables.load(spark, dir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-    val minc = eo.groupBy(col("p_partkey").as("mc_partkey"))
-      .agg(min("cost").as("min_cost"))
-    eo.join(minc, col("p_partkey") === col("mc_partkey") &&
-        col("cost") === col("min_cost"))
+      .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    eo.withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("cost"))
       .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
@@ -320,13 +323,16 @@ object TpchSuite {
     val p = Tables.load(spark, dir, "part")
       .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
       .select(col("p_partkey"))
-    val li = Tables.load(spark, dir, "lineitem")
+    // the correlated AVG is a window over the filtered slice — ONE
+    // lineitem scan (the aggregate-join formulation reads the slice
+    // twice); exact-sum/count windows keep cross-engine determinism
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    Tables.load(spark, dir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
-        .as("avg_qty"))
-    li.join(broadcast(avgq), col("l_partkey") === col("ap_partkey"))
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
         .as("avg_yearly"))
@@ -364,12 +370,14 @@ object TpchSuite {
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
               col("l_shipdate") < ts("1997-01-01"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-    val pair = sh.groupBy("l_partkey", "l_suppkey")
+    // the correlated per-part total is a window over the pair aggregate —
+    // no re-aggregation join, so lineitem is scanned ONCE; the window
+    // shuffle key (l_partkey) is a prefix of the aggregate's, and the
+    // pair aggregate has already collapsed the fact to O(parts×suppliers)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val dom = sh.groupBy("l_partkey", "l_suppkey")
       .agg(sum(dec(col("l_quantity"))).as("pair_qty"))
-    val tot = pair.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("pair_qty")).as("part_qty"))
-    val dom = pair
-      .join(tot, col("l_partkey") === col("t_partkey"))
+      .withColumn("part_qty", sum(col("pair_qty")).over(w))
       .filter(col("pair_qty").cast("double") >
         col("part_qty").cast("double") * 0.5)
       .select(col("l_suppkey")).distinct()

@@ -277,12 +277,19 @@ class PlanQualitySpec extends SparkSuite {
     val p4 = plan(TpchSuite.orderPriorityCheck(spark, sfDir))
     assert(p4.contains("LeftSemi"), s"Q4 EXISTS lost its semi join:\n$p4")
     assert(!p4.contains("CartesianProduct"), s"Q4 went cartesian:\n$p4")
-    // Q17: the correlated-avg decorrelation reads lineitem at most twice
-    // (the textbook's slice + its per-part aggregate), never three times
+    // Q17: the correlated AVG is a window over the slice — ONE fact scan
     val p17 = plan(TpchSuite.smallQtyRevenue(spark, sfDir))
     val li17 = p17.split("== Initial Plan ==")(0).linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(li17 <= 2, s"Q17 reads lineitem $li17 times:\n$p17")
+    assert(li17 <= 1, s"Q17 reads lineitem $li17 times:\n$p17")
+    // Q11: the HAVING threshold re-aggregates pp — the identical exchange
+    // must be REUSED at runtime, not recomputed from a second fact scan
+    val p11 = plan(TpchSuite.importantStock(spark, sfDir))
+    val fin11 = p11.split("== Initial Plan ==")(0)
+    val li11 = fin11.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(li11 <= 1 || fin11.contains("ReusedExchange"),
+      s"Q11 recomputes the per-part aggregate ($li11 fact scans, no reuse):\n$p11")
     // Q19: the disjunction keeps its common equi-key — a hash join with
     // residual, never a cartesian of lineitem × part
     val p19 = plan(TpchSuite.disjunctiveRevenue(spark, sfDir))
@@ -291,11 +298,12 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p19.contains("CartesianProduct") &&
       !p19.contains("BroadcastNestedLoopJoin"),
       s"Q19 went non-equi:\n$p19")
-    // Q20: nested-IN + correlated threshold stays at two lineitem scans
+    // Q20: the correlated threshold is a window over the pair aggregate —
+    // ONE fact scan
     val p20 = plan(TpchSuite.excessStockSuppliers(spark, sfDir))
     val li20 = p20.split("== Initial Plan ==")(0).linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(li20 <= 2, s"Q20 reads lineitem $li20 times:\n$p20")
+    assert(li20 <= 1, s"Q20 reads lineitem $li20 times:\n$p20")
     assert(p20.contains("LeftSemi"), s"Q20 IN lost its semi join:\n$p20")
     // Q2: correlated-MIN join + top-100 must not materialize a full sort
     val p2 = plan(TpchSuite.minCostSupplier(spark, sfDir))
