@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, ChangeFeed}
+import graft.merge.PartitionedMerge
+
+/** Incrementally maintained materialized JOIN view — the denormalization
+  * half of the materialized-view story ([[MaterializedAgg]] is the rollup
+  * half). The reference's gold tables ARE this shape: Gold_Orders.py
+  * joins the orders fact to customer/product dims and rewrites the whole
+  * result every run; at 100 TB a full re-join per refresh re-shuffles the
+  * entire fact history for a batch of changes.
+  *
+  * The view is `fact LEFT OUTER JOIN dim` (selected dim columns appended
+  * to every fact row), maintained from BOTH sources' change feeds:
+  *
+  *   - fact changes: inserts / updated rows are joined against the
+  *     CURRENT dim and upserted by the fact key; deletes (and update
+  *     preimages — an update may MOVE a row to a different join key)
+  *     anti-join out. Cost O(batch ⋈ dim), never O(fact).
+  *   - dim changes: the affected join-key values are collected from the
+  *     dim's keyed CDF and ONLY the buckets holding those keys are
+  *     re-joined against the current dim (insert → late-arriving dim
+  *     fills previously-NULL columns; update → new values; delete →
+  *     columns return to NULL). Cost O(touched buckets), never O(view).
+  *
+  * The view is bucket-partitioned on the JOIN KEY ([[PartitionedMerge]]),
+  * which is what makes the dim-driven rewrite prunable — a dim row's
+  * dependents all live in one known bucket. Every refresh commits through
+  * the bucket-wise versioned swap, so the view is itself time-travelable.
+  *
+  * Effectively-once: each source's cursor commits AFTER its apply, and
+  * both apply operations are idempotent (upsert-by-key / recompute-from-
+  * current), so a crash between apply and cursor commit replays
+  * harmlessly — the at-least-once + idempotence posture (the exactness
+  * MaterializedAgg gets from in-state refresh ids, achieved here without
+  * widening the view's schema).
+  *
+  * Single-writer per view (the consumer owns its cursors), like any CDC
+  * consumer. */
+class MaterializedJoin(spark: SparkSession,
+    factDir: String, factKeys: Seq[String], fkCol: String,
+    dimDir: String, dimPk: String, dimCols: Seq[String],
+    viewPath: String, nBuckets: Int) {
+  import ChangeFeed.ChangeCol
+
+  require(factKeys.nonEmpty, "need the fact's key columns")
+  require(dimCols.nonEmpty, "need at least one dim column to carry")
+
+  private def factCursor = s"$viewPath.cursors/fact"
+  private def dimCursor = s"$viewPath.cursors/dim"
+  private val OpCol = "_graft_mj_op"
+
+  private def fs = new org.apache.hadoop.fs.Path(viewPath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dimView(): DataFrame = {
+    val d = spark.read.parquet(dimDir)
+    d.select((dimPk +: dimCols).distinct.map(col): _*)
+  }
+
+  /** fact rows → view rows: append the dim columns via the left join. */
+  private def joined(fact: DataFrame): DataFrame = {
+    val d = dimView()
+    val j =
+      if (fkCol.equalsIgnoreCase(dimPk))
+        fact.join(d, Seq(fkCol), "left_outer")
+      else fact.join(d, fact(fkCol) === d(dimPk), "left_outer").drop(dimPk)
+    j.select(viewCols(fact.columns.toSeq).map(col): _*)
+  }
+
+  private def viewCols(factCols: Seq[String]): Seq[String] =
+    factCols ++ dimCols.filterNot(c => fkCol.equalsIgnoreCase(c))
+
+  def exists: Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(viewPath))
+
+  /** First build: one full join, bucketed on the join key, cursors pinned
+    * at the source versions the build read (single-writer: no commit can
+    * land between the pointer reads and the snapshot reads). */
+  def build(): Unit = {
+    require(!exists, s"view already exists: $viewPath (use refresh)")
+    val fv = Catalog.readPointer(fs, factDir)
+    val dv = Catalog.readPointer(fs, dimDir)
+    require(fv >= 1 && dv >= 1, "both sources must exist before build")
+    PartitionedMerge.write(joined(spark.read.parquet(factDir)),
+      viewPath, Seq(fkCol), nBuckets)
+    ChangeFeed.commitCursor(spark, factCursor, fv)
+    ChangeFeed.commitCursor(spark, dimCursor, dv)
+  }
+
+  def read(): DataFrame = PartitionedMerge.read(spark, viewPath)
+
+  /** Pull both feeds and apply what moved. Dim first (late-arriving dim
+    * rows fill before new facts join the fresh dim — fewer NULL windows),
+    * then fact. Returns (dim buckets rewritten, fact buckets rewritten);
+    * (Nil, Nil) when already in sync. */
+  def refresh(): (Seq[Int], Seq[Int]) = {
+    require(exists, s"view not built: $viewPath")
+    val fkType = read().schema(fkCol).dataType
+
+    val dimTouched = ChangeFeed
+      .consumeChanges(spark, dimDir, dimCursor, Seq(dimPk)) match {
+      case None => Nil
+      case Some((ch, _, to)) =>
+        // every change kind names the pk whose dependents must re-join —
+        // preimage/postimage share it, so one distinct over all rows. The
+        // keys are cast to the VIEW's fk type: the bucket hash is
+        // type-sensitive, and the dim pk may be narrower than the fk.
+        val keys = ch.select(col(dimPk).cast(fkType).as(fkCol)).distinct()
+        val touched =
+          if (keys.isEmpty) Nil
+          else PartitionedMerge.prunedMerge(spark, viewPath, keys,
+            Seq(fkCol), nBuckets) { (cur, _) =>
+            // recompute the dim columns for the whole touched slice from
+            // the CURRENT dim — covers insert/update/delete in one form,
+            // and is idempotent under replay
+            joined(cur.drop(dimCols.filterNot(
+              _.equalsIgnoreCase(fkCol)): _*))
+          }
+        ChangeFeed.commitCursor(spark, dimCursor, to)
+        touched
+    }
+
+    val factTouched = ChangeFeed
+      .consumeChanges(spark, factDir, factCursor, factKeys) match {
+      case None => Nil
+      case Some((ch, _, to)) =>
+        // upserts join the current dim; preimages ride along as deletes —
+        // an UPDATE that moves a row's join key must touch the OLD bucket
+        // too, and only the preimage knows it
+        val ups = ch.filter(col(ChangeCol)
+            .isin("insert", "update_postimage")).drop(ChangeCol)
+        val dels = ch.filter(col(ChangeCol)
+            .isin("delete", "update_preimage")).drop(ChangeCol)
+        val src = joined(ups).withColumn(OpCol, lit("u"))
+          .unionByName(joined(dels).withColumn(OpCol, lit("d")))
+        val touched =
+          if (src.isEmpty) Nil
+          else PartitionedMerge.prunedMerge(spark, viewPath, src,
+            Seq(fkCol), nBuckets) { (cur, s) =>
+            val up = s.filter(col(OpCol) === "u").drop(OpCol)
+            val gone = s.select(factKeys.map(col): _*).distinct()
+            cur.join(gone, factKeys, "left_anti").unionByName(up)
+          }
+        ChangeFeed.commitCursor(spark, factCursor, to)
+        touched
+    }
+    (dimTouched, factTouched)
+  }
+}

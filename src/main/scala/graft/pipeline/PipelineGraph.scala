@@ -139,6 +139,13 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
             groupBy, measures, nBuckets)
           ma.refresh(gated, ma.lastRefreshId + 1)
           ()
+        case IncrementalJoin(ft, fk, fkc, dt, dpk, dcols, nb) =>
+          val (fl, ftb) = split(ft)
+          val (dl, dtb) = split(dt)
+          val (layer, tbl) = split(name)
+          val mj = new MaterializedJoin(spark, cat.path(fl, ftb), fk, fkc,
+            cat.path(dl, dtb), dpk, dcols, cat.path(layer, tbl), nb)
+          if (!mj.exists) mj.build() else { mj.refresh(); () }
       }
     }
     RunResult(order, violations.toMap)
@@ -154,6 +161,8 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
         graft.merge.PartitionedMerge.read(spark, cat.path(layer, tbl))
       case IncrementalAgg(g, m, nB) =>
         new MaterializedAgg(spark, cat, layer, tbl, g, m, nB).read()
+      case IncrementalJoin(_, _, _, _, _, _, _) =>
+        graft.merge.PartitionedMerge.read(spark, cat.path(layer, tbl))
       case _ => cat.read(layer, tbl)
     }
   }
@@ -188,6 +197,15 @@ object PipelineGraph {
   case class IncrementalAgg(groupBy: Seq[String],
       measures: Seq[MaterializedAgg.Measure],
       nBuckets: Option[Int] = None) extends Materialize
+  /** Incrementally maintained JOIN view ([[MaterializedJoin]]): the node
+    * names its fact and dim tables (both must be graph nodes or existing
+    * catalog tables — declare them as `inputs` so they refresh first);
+    * the first run builds the full join, later runs pull both change
+    * feeds and rewrite only the dependent join-key buckets. The node's
+    * own build frame is ignored (maintenance is CDC-driven). */
+  case class IncrementalJoin(factTable: String, factKeys: Seq[String],
+      fkCol: String, dimTable: String, dimPk: String,
+      dimCols: Seq[String], nBuckets: Int = 64) extends Materialize
 
   sealed trait OnViolation
   /** `expect_all_or_drop`: offending rows are dropped, counts reported. */
