@@ -42,7 +42,7 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
   require(measures.map(_.out).distinct.size == measures.size,
     "measure output names must be unique")
 
-  private val IdCol = "_graft_refresh_id"
+  private val IdCol = MaterializedAgg.RefreshIdCol
   private def path = cat.path(layer, table)
 
   /** Per-batch partial state: one shuffle of the BATCH only (map-side
@@ -102,6 +102,10 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
 }
 
 object MaterializedAgg {
+  /** The in-state refresh high-water mark column (the Delta `txnVersion`
+    * idiom) — shared with the SQL materialized-view surface. */
+  val RefreshIdCol = "_graft_refresh_id"
+
   /** An algebraic measure: `partialExpr` folds raw batch rows,
     * `combineExpr` folds partial states of the SAME output column. */
   sealed abstract class Measure(val out: String,

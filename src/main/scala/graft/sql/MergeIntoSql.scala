@@ -777,6 +777,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.ReplaceWhereRe(ident, cond, query) =>
         GraftReplaceWhereCommand(delegate.parseMultipartIdentifier(ident),
           cond.trim, delegate.parseQuery(query))
+      case GraftSql.CreateMviewRe(ident, select) =>
+        GraftCreateMviewCommand(
+          delegate.parseMultipartIdentifier(ident), select)
+      case GraftSql.RefreshMviewRe(ident, full) =>
+        GraftRefreshMviewCommand(
+          delegate.parseMultipartIdentifier(ident), full != null)
       case GraftSql.AddIdentityRe(ident, cname, start, step) =>
         GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
           cname, Option(start).map(_.toLong).getOrElse(1L),
@@ -892,6 +898,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private[sql] val AnalyzeSkippingRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+SKIPPING\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)(?:\s+BLOOM\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private[sql] val CreateMviewRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(SELECT\s+.+)$""".r
+  private[sql] val RefreshMviewRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?\s*;?\s*$""".r
 
   /** Rebuild a v1 external-table registration after a schema-changing DDL
     * (rename/drop column): the metastore schema is pinned at CREATE time,
@@ -1068,6 +1078,12 @@ object GraftSql {
         GraftShims.ofRows(spark,
           GraftReplaceWhereCommand(splitIdent(ident), cond.trim,
             GraftShims.parsePlan(spark, query)))
+      case CreateMviewRe(ident, select) =>
+        GraftShims.ofRows(spark,
+          GraftCreateMviewCommand(splitIdent(ident), select))
+      case RefreshMviewRe(ident, full) =>
+        GraftShims.ofRows(spark,
+          GraftRefreshMviewCommand(splitIdent(ident), full != null))
       case AddIdentityRe(ident, cname, start, step) =>
         GraftShims.ofRows(spark,
           GraftAddIdentityCommand(splitIdent(ident), cname,

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+
+/** `CREATE / REFRESH MATERIALIZED VIEW` — the SQL surface over
+  * [[graft.pipeline.MaterializedAgg]]: incremental O(changes) refresh
+  * from the change feed, FULL recompute for non-append history, both
+  * parser paths. */
+class MviewSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val sqlSpark: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-mview-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private def stateOf(s: SparkSession, name: String): Map[String, (Long, Long)] =
+    s.table(name).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+
+  test("CREATE computes the initial state; REFRESH folds only appended rows") {
+    val cat = new Catalog(spark, tmpDir("graft-mv1"))
+    cat.overwriteSnapshot(Seq(("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("k", "v"), "silver", "src")
+    cat.register("silver", "src")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv1 AS
+         SELECT k, sum(v) AS s, count(*) AS n
+         FROM silver.src GROUP BY k""")
+    assert(stateOf(spark, "gold.mv1") ==
+      Map("a" -> ((30L, 2L)), "b" -> ((5L, 1L))))
+    // append-only source change folds incrementally
+    Catalog.appendPath(spark, Seq(("a", 1L), ("c", 7L)).toDF("k", "v"),
+      cat.path("silver", "src"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv1")
+    assert(stateOf(spark, "gold.mv1") ==
+      Map("a" -> ((31L, 3L)), "b" -> ((5L, 1L)), "c" -> ((7L, 1L))))
+    // in-sync refresh is a no-op (and the high-water mark holds)
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv1")
+    assert(stateOf(spark, "gold.mv1")("a") == ((31L, 3L)))
+    spark.sql("DROP TABLE gold.mv1"); spark.sql("DROP TABLE silver.src")
+  }
+
+  test("WHERE and expression aggregates survive the definition round trip") {
+    val cat = new Catalog(spark, tmpDir("graft-mv2"))
+    cat.overwriteSnapshot(Seq(("a", 2L, 3L), ("a", 4L, 5L), ("b", 1L, 1L),
+      ("skip", 100L, 100L)).toDF("k", "x", "y"), "silver", "src2")
+    cat.register("silver", "src2")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv2 AS
+         SELECT k, sum(x * y) AS s, count(*) AS n
+         FROM silver.src2 WHERE k <> 'skip' GROUP BY k""")
+    assert(stateOf(spark, "gold.mv2") ==
+      Map("a" -> ((26L, 2L)), "b" -> ((1L, 1L))))
+    // the WHERE must gate refresh batches too (definition read from the
+    // sidecar, not session state)
+    Catalog.appendPath(spark,
+      Seq(("b", 2L, 3L), ("skip", 9L, 9L)).toDF("k", "x", "y"),
+      cat.path("silver", "src2"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv2")
+    assert(stateOf(spark, "gold.mv2") ==
+      Map("a" -> ((26L, 2L)), "b" -> ((7L, 2L))))
+    spark.sql("DROP TABLE gold.mv2"); spark.sql("DROP TABLE silver.src2")
+  }
+
+  test("non-append source history demands FULL; FULL recomputes and re-pins") {
+    val cat = new Catalog(spark, tmpDir("graft-mv3"))
+    cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
+      "silver", "src3")
+    cat.register("silver", "src3")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv3 AS
+         SELECT k, sum(v) AS s, count(*) AS n
+         FROM silver.src3 GROUP BY k""")
+    // a rewrite (row removed) is not algebraically foldable
+    cat.overwriteSnapshot(Seq(("a", 10L)).toDF("k", "v"), "silver", "src3")
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3")
+    }
+    assert(e.getMessage.contains("FULL"))
+    // state untouched by the failed refresh
+    assert(stateOf(spark, "gold.mv3") ==
+      Map("a" -> ((10L, 1L)), "b" -> ((5L, 1L))))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3 FULL")
+    assert(stateOf(spark, "gold.mv3") == Map("a" -> ((10L, 1L))))
+    // and the cursor re-pinned: a later append folds incrementally again
+    Catalog.appendPath(spark, Seq(("b", 2L)).toDF("k", "v"),
+      cat.path("silver", "src3"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3")
+    assert(stateOf(spark, "gold.mv3") ==
+      Map("a" -> ((10L, 1L)), "b" -> ((2L, 1L))))
+    spark.sql("DROP TABLE gold.mv3"); spark.sql("DROP TABLE silver.src3")
+  }
+
+  test("non-algebraic or malformed definitions are rejected") {
+    val cat = new Catalog(spark, tmpDir("graft-mv4"))
+    cat.overwriteSnapshot(Seq(("a", 1L)).toDF("k", "v"), "silver", "src4")
+    cat.register("silver", "src4")
+    intercept[IllegalArgumentException] { // avg is not algebraic
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW gold.bad AS
+           SELECT k, avg(v) AS a FROM silver.src4 GROUP BY k""")
+    }
+    intercept[IllegalArgumentException] { // unaliased aggregate
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW gold.bad AS
+           SELECT k, sum(v) FROM silver.src4 GROUP BY k""")
+    }
+    intercept[IllegalArgumentException] { // no GROUP BY
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW gold.bad AS
+           SELECT sum(v) AS s FROM silver.src4""")
+    }
+    spark.sql("DROP TABLE silver.src4")
+  }
+
+  test("extension-session parser handles both statements") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new Catalog(s, tmpDir("graft-mv5"))
+    cat.overwriteSnapshot(Seq(("a", 3L), ("b", 4L)).toDF("k", "v"),
+      "silver", "src5")
+    cat.register("silver", "src5")
+    s.sql("""CREATE MATERIALIZED VIEW gold.mv5 AS
+             SELECT k, sum(v) AS s, count(*) AS n
+             FROM silver.src5 GROUP BY k""")
+    assert(stateOf(s, "gold.mv5") ==
+      Map("a" -> ((3L, 1L)), "b" -> ((4L, 1L))))
+    Catalog.appendPath(s, Seq(("a", 5L)).toDF("k", "v"),
+      cat.path("silver", "src5"))
+    s.sql("REFRESH MATERIALIZED VIEW gold.mv5")
+    assert(stateOf(s, "gold.mv5") ==
+      Map("a" -> ((8L, 2L)), "b" -> ((4L, 1L))))
+    s.sql("DROP TABLE gold.mv5"); s.sql("DROP TABLE silver.src5")
+  }
+}
