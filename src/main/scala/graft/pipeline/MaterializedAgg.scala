@@ -45,13 +45,6 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
   private val IdCol = MaterializedAgg.RefreshIdCol
   private def path = cat.path(layer, table)
 
-  /** Per-batch partial state: one shuffle of the BATCH only (map-side
-    * combine), nothing of the stored history. */
-  private def partial(batch: DataFrame, refreshId: Long): DataFrame =
-    batch.groupBy(groupBy.map(col): _*)
-      .agg(measures.head.partialExpr, measures.tail.map(_.partialExpr): _*)
-      .withColumn(IdCol, lit(refreshId))
-
   /** Merge two states: re-aggregate with each measure's COMBINE function
     * (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs). */
   private def combine(states: DataFrame): DataFrame =
@@ -77,22 +70,40 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
 
   /** Apply one append batch. Returns true when applied, false when the
     * refreshId was already covered (replay — dropped whole). */
-  def refresh(batch: DataFrame, refreshId: Long): Boolean = {
+  def refresh(batch: DataFrame, refreshId: Long): Boolean =
+    applyDelta(batch.groupBy(groupBy.map(col): _*)
+      .agg(measures.head.partialExpr, measures.tail.map(_.partialExpr): _*),
+      refreshId)
+
+  /** Apply a STATE-SHAPED delta (group keys + measure output columns —
+    * i.e. a partial state, possibly carrying NEGATED sum/count partials
+    * for retraction). This is the incremental-view-maintenance seam: the
+    * SQL REFRESH surface folds source deletes as negated partials through
+    * here, which is sound exactly for the measures whose combine is group
+    * addition (sum/count) — min/max deltas must never be negative-folded
+    * (their combine is idempotent-extremal, not invertible; callers
+    * enforce). `prune` drops groups matching it AFTER the combine — the
+    * "count reached zero → group vanished" rule that makes retraction
+    * agree with a full recompute. Same replay guard as refresh. */
+  def applyDelta(delta: DataFrame, refreshId: Long,
+      prune: Option[Column] = None): Boolean = {
     if (refreshId <= lastRefreshId) return false
-    val p = partial(batch, refreshId)
+    val p = delta.withColumn(IdCol, lit(refreshId))
+    def pruned(df: DataFrame): DataFrame =
+      prune.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
     (nBuckets, exists) match {
       case (Some(n), false) =>
-        PartitionedMerge.write(p, path, groupBy, n)
+        PartitionedMerge.write(pruned(p), path, groupBy, n)
       case (Some(n), true) =>
         PartitionedMerge.prunedMerge(spark, path, p, groupBy, n)(
-          (target, src) => combine(target.unionByName(src)))
+          (target, src) => pruned(combine(target.unionByName(src))))
         ()
-      case (None, false) => cat.overwriteSnapshot(p, layer, table)
+      case (None, false) => cat.overwriteSnapshot(pruned(p), layer, table)
       case (None, true) =>
         // snapshot swap stages before renaming, so the lazy read of the
         // live state during the staging write sees the original files
         cat.overwriteSnapshot(
-          combine(stateRead().unionByName(p)), layer, table)
+          pruned(combine(stateRead().unionByName(p))), layer, table)
     }
     true
   }

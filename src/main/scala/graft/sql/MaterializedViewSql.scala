@@ -89,18 +89,66 @@ case class GraftRefreshMviewCommand(nameParts: Seq[String],
         cursorFile(viewDir)) match {
       case None => ()
       case Some((ch, from, to)) =>
-        val nonAppend = ch.filter(col(ChangeFeed.ChangeCol) =!= "insert")
-        require(nonAppend.isEmpty, {
-          s"source ${d.srcDir} changed by more than appends between " +
-            s"versions $from and $to (deletes/updates in the change " +
-            "feed); min/max cannot retract — run REFRESH MATERIALIZED " +
-            s"VIEW ${nameParts.mkString(".")} FULL"
-        })
-        ma.refresh(
-          d.filtered(ch.drop(ChangeFeed.ChangeCol)), ma.lastRefreshId + 1)
+        val inserts = d.filtered(
+          ch.filter(col(ChangeFeed.ChangeCol) === "insert")
+            .drop(ChangeFeed.ChangeCol))
+        val deletes = d.filtered(
+          ch.filter(col(ChangeFeed.ChangeCol) === "delete")
+            .drop(ChangeFeed.ChangeCol))
+        if (deletes.isEmpty)
+          ma.refresh(inserts, ma.lastRefreshId + 1)
+        else {
+          // classic incremental view maintenance: deleted source rows
+          // fold as NEGATED partials — sound exactly when every measure's
+          // combine is group addition (sum/count; min/max are extremal,
+          // not invertible) and a count(*) measure is present to detect
+          // groups whose last row left (count 0 → the group vanishes,
+          // matching a full recompute)
+          val retractable = d.measureDefs
+            .forall(m => m.kind == "sum" || m.kind == "count")
+          val countOut = d.measureDefs.find(_.kind == "count").map(_.out)
+          require(retractable && countOut.isDefined,
+            s"source ${d.srcDir} changed by more than appends between " +
+              s"versions $from and $to, and the view is not retractable " +
+              "(retraction needs sum/count-only measures incl. a " +
+              "count(*)) — run REFRESH MATERIALIZED VIEW " +
+              s"${nameParts.mkString(".")} FULL")
+          def signedPartial(df: DataFrame, neg: Boolean) =
+            df.groupBy(d.groupBy.map(col): _*)
+              .agg(signedExpr(d.measureDefs.head, neg),
+                d.measureDefs.tail.map(signedExpr(_, neg)): _*)
+          val delta = signedPartial(inserts, neg = false)
+            .unionByName(signedPartial(deletes, neg = true))
+          ma.applyDelta(delta, ma.lastRefreshId + 1,
+            prune = Some(col(countOut.get) === 0L))
+        }
         ChangeFeed.commitCursor(spark, cursorFile(viewDir), to)
     }
     spark.catalog.refreshByPath(viewDir)
+    Seq.empty
+  }
+}
+
+/** `DROP MATERIALIZED VIEW layer.view` — removes the registration, the
+  * state (with its version history), the definition sidecar, and the
+  * change-feed cursor; refuses for tables that are not materialized
+  * views (a plain DROP TABLE must not silently destroy data files). */
+case class GraftDropMviewCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import MaterializedViewSql._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val viewDir = GraftSql.resolveDir(spark, nameParts,
+      "DROP MATERIALIZED VIEW")
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(defFile(viewDir))),
+      s"${nameParts.mkString(".")} is not a materialized view")
+    spark.sql(s"DROP TABLE ${nameParts.map(p => s"`$p`").mkString(".")}")
+    Seq(viewDir, viewDir + ".history", defFile(viewDir),
+        cursorFile(viewDir))
+      .map(new org.apache.hadoop.fs.Path(_))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
     Seq.empty
   }
 }
@@ -127,7 +175,22 @@ object MaterializedViewSql {
   }
 
   private[sql] def cursorFile(viewDir: String) = s"$viewDir.mviewcursor"
-  private def defFile(viewDir: String) = s"$viewDir.mviewdef"
+  private[sql] def defFile(viewDir: String) = s"$viewDir.mviewdef"
+
+  /** A measure's partial over a batch, negated for retraction batches.
+    * `negate` preserves the aggregate's type (a `* -1` would widen
+    * decimals); count negates too — the count partial is a group SIZE
+    * here, summed by the combine, not an idempotent count. */
+  private[sql] def signedExpr(m: MeasureDef,
+      neg: Boolean): org.apache.spark.sql.Column = {
+    val pos = m.kind match {
+      case "count" => count(lit(1))
+      case "sum" => sum(expr(m.exprSql.get))
+      case "min" => min(expr(m.exprSql.get))
+      case "max" => max(expr(m.exprSql.get))
+    }
+    (if (neg) negate(pos) else pos).as(m.out)
+  }
 
   /** The warehouse root is the source dir's grandparent (`wh/layer/tbl`)
     * — views live in the same warehouse as their source. */

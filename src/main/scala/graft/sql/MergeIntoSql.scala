@@ -783,6 +783,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.RefreshMviewRe(ident, full) =>
         GraftRefreshMviewCommand(
           delegate.parseMultipartIdentifier(ident), full != null)
+      case GraftSql.DropMviewRe(ident) =>
+        GraftDropMviewCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.AddIdentityRe(ident, cname, start, step) =>
         GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
           cname, Option(start).map(_.toLong).getOrElse(1L),
@@ -902,6 +904,8 @@ object GraftSql {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(SELECT\s+.+)$""".r
   private[sql] val RefreshMviewRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?\s*;?\s*$""".r
+  private[sql] val DropMviewRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
 
   /** Rebuild a v1 external-table registration after a schema-changing DDL
     * (rename/drop column): the metastore schema is pinned at CREATE time,
@@ -1084,6 +1088,9 @@ object GraftSql {
       case RefreshMviewRe(ident, full) =>
         GraftShims.ofRows(spark,
           GraftRefreshMviewCommand(splitIdent(ident), full != null))
+      case DropMviewRe(ident) =>
+        GraftShims.ofRows(spark,
+          GraftDropMviewCommand(splitIdent(ident)))
       case AddIdentityRe(ident, cname, start, step) =>
         GraftShims.ofRows(spark,
           GraftAddIdentityCommand(splitIdent(ident), cname,

@@ -78,33 +78,85 @@ class MviewSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE gold.mv2"); spark.sql("DROP TABLE silver.src2")
   }
 
-  test("non-append source history demands FULL; FULL recomputes and re-pins") {
+  test("sum/count views RETRACT deleted source rows; emptied groups vanish") {
     val cat = new Catalog(spark, tmpDir("graft-mv3"))
-    cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
-      "silver", "src3")
+    cat.overwriteSnapshot(Seq(("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("k", "v"), "silver", "src3")
     cat.register("silver", "src3")
     graft.sql.GraftSql.sql(spark,
       """CREATE MATERIALIZED VIEW gold.mv3 AS
          SELECT k, sum(v) AS s, count(*) AS n
          FROM silver.src3 GROUP BY k""")
-    // a rewrite (row removed) is not algebraically foldable
-    cat.overwriteSnapshot(Seq(("a", 10L)).toDF("k", "v"), "silver", "src3")
-    val e = intercept[IllegalArgumentException] {
-      graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3")
-    }
-    assert(e.getMessage.contains("FULL"))
-    // state untouched by the failed refresh
-    assert(stateOf(spark, "gold.mv3") ==
-      Map("a" -> ((10L, 1L)), "b" -> ((5L, 1L))))
-    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3 FULL")
-    assert(stateOf(spark, "gold.mv3") == Map("a" -> ((10L, 1L))))
-    // and the cursor re-pinned: a later append folds incrementally again
+    // an UPDATE (delete old + insert new in the feed) and a full group
+    // removal, in one source rewrite — sum/count fold the deletes as
+    // negated partials, no recompute
+    cat.overwriteSnapshot(Seq(("a", 10L), ("a", 25L)).toDF("k", "v"),
+      "silver", "src3")
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3")
+    assert(stateOf(spark, "gold.mv3") == Map("a" -> ((35L, 2L))),
+      "retraction diverged from a full recompute (b must vanish)")
+    // later append still folds incrementally
     Catalog.appendPath(spark, Seq(("b", 2L)).toDF("k", "v"),
       cat.path("silver", "src3"))
     graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3")
     assert(stateOf(spark, "gold.mv3") ==
-      Map("a" -> ((10L, 1L)), "b" -> ((2L, 1L))))
+      Map("a" -> ((35L, 2L)), "b" -> ((2L, 1L))))
     spark.sql("DROP TABLE gold.mv3"); spark.sql("DROP TABLE silver.src3")
+  }
+
+  test("min/max views demand FULL on non-append history; FULL recomputes and re-pins") {
+    val cat = new Catalog(spark, tmpDir("graft-mv3b"))
+    cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
+      "silver", "src3b")
+    cat.register("silver", "src3b")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv3b AS
+         SELECT k, max(v) AS mx, count(*) AS n
+         FROM silver.src3b GROUP BY k""")
+    // removing the max row cannot be folded — extremal aggregates do not
+    // retract
+    cat.overwriteSnapshot(Seq(("a", 10L)).toDF("k", "v"),
+      "silver", "src3b")
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3b")
+    }
+    assert(e.getMessage.contains("FULL"))
+    // state untouched by the failed refresh
+    assert(spark.table("gold.mv3b").count() == 2)
+    graft.sql.GraftSql.sql(spark,
+      "REFRESH MATERIALIZED VIEW gold.mv3b FULL")
+    assert(spark.table("gold.mv3b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 10L, 1L)))
+    // and the cursor re-pinned: a later append folds incrementally again
+    Catalog.appendPath(spark, Seq(("b", 2L)).toDF("k", "v"),
+      cat.path("silver", "src3b"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv3b")
+    assert(spark.table("gold.mv3b").count() == 2)
+    spark.sql("DROP TABLE gold.mv3b"); spark.sql("DROP TABLE silver.src3b")
+  }
+
+  test("DROP MATERIALIZED VIEW removes state, sidecar, cursor, registration") {
+    val root = tmpDir("graft-mv6")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot(Seq(("a", 1L)).toDF("k", "v"), "silver", "src6")
+    cat.register("silver", "src6")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv6 AS
+         SELECT k, sum(v) AS s, count(*) AS n
+         FROM silver.src6 GROUP BY k""")
+    // a plain table is refused (DROP MATERIALIZED VIEW must not destroy
+    // ordinary data files)
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW silver.src6")
+    }
+    graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW gold.mv6")
+    assert(!spark.catalog.tableExists("gold.mv6"))
+    val dir = new java.io.File(cat.path("gold", "mv6"))
+    assert(!dir.exists && !new java.io.File(dir.getPath + ".mviewdef").exists
+      && !new java.io.File(dir.getPath + ".mviewcursor").exists,
+      "view artifacts left behind")
+    spark.sql("DROP TABLE silver.src6")
   }
 
   test("non-algebraic or malformed definitions are rejected") {
