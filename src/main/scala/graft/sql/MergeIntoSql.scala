@@ -777,9 +777,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.ReplaceWhereRe(ident, cond, query) =>
         GraftReplaceWhereCommand(delegate.parseMultipartIdentifier(ident),
           cond.trim, delegate.parseQuery(query))
-      case GraftSql.CreateMviewRe(ident, select) =>
+      case GraftSql.CreateMviewRe(ident, keys, select) =>
         GraftCreateMviewCommand(
-          delegate.parseMultipartIdentifier(ident), select)
+          delegate.parseMultipartIdentifier(ident),
+          GraftSql.splitZOrderCols(keys), select)
       case GraftSql.RefreshMviewRe(ident, full) =>
         GraftRefreshMviewCommand(
           delegate.parseMultipartIdentifier(ident), full != null)
@@ -901,7 +902,7 @@ object GraftSql {
   private[sql] val AnalyzeSkippingRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+SKIPPING\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)(?:\s+BLOOM\s*\(([^)]*)\))?\s*;?\s*$""".r
   private[sql] val CreateMviewRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(SELECT\s+.+)$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(?:\s+KEY\s*\(([^)]*)\))?\s+AS\s+(SELECT\s+.+)$""".r
   private[sql] val RefreshMviewRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?\s*;?\s*$""".r
   private[sql] val DropMviewRe =
@@ -1082,9 +1083,10 @@ object GraftSql {
         GraftShims.ofRows(spark,
           GraftReplaceWhereCommand(splitIdent(ident), cond.trim,
             GraftShims.parsePlan(spark, query)))
-      case CreateMviewRe(ident, select) =>
+      case CreateMviewRe(ident, keys, select) =>
         GraftShims.ofRows(spark,
-          GraftCreateMviewCommand(splitIdent(ident), select))
+          GraftCreateMviewCommand(splitIdent(ident),
+            splitZOrderCols(keys), select))
       case RefreshMviewRe(ident, full) =>
         GraftShims.ofRows(spark,
           GraftRefreshMviewCommand(splitIdent(ident), full != null))

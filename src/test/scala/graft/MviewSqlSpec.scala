@@ -181,6 +181,48 @@ class MviewSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE silver.src4")
   }
 
+  test("join-shaped views lower onto MaterializedJoin; REFRESH pulls both feeds") {
+    val cat = new Catalog(spark, tmpDir("graft-mvj"))
+    cat.overwriteSnapshot(Seq((1L, 10L, 5.0), (2L, 11L, 6.0), (3L, 12L, 7.0))
+      .toDF("oid", "cust", "amt"), "silver", "jfact")
+    cat.overwriteSnapshot(Seq((10L, "alice"), (11L, "bob"))
+      .toDF("c_id", "c_name"), "silver", "jdim")
+    cat.register("silver", "jfact"); cat.register("silver", "jdim")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.wide KEY (oid) AS
+         SELECT f.*, d.c_name FROM silver.jfact f
+         LEFT JOIN silver.jdim d ON f.cust = d.c_id""")
+    // public registration is clean: no bucket column, queryable via SQL
+    assert(spark.table("gold.wide").columns.toSeq ==
+      Seq("oid", "cust", "amt", "c_name"))
+    def state = spark.table("gold.wide").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(state == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+    // fact append + dim SCD1 update, one REFRESH applies both feeds
+    Catalog.appendPath(spark, Seq((4L, 11L, 9.0)).toDF("oid", "cust", "amt"),
+      cat.path("silver", "jfact"))
+    cat.overwriteSnapshot(Seq((10L, "alicia"), (11L, "bob"), (12L, "carol"))
+      .toDF("c_id", "c_name"), "silver", "jdim")
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.wide")
+    assert(state == Map(1L -> Some("alicia"), 2L -> Some("bob"),
+      3L -> Some("carol"), 4L -> Some("bob")))
+    // KEY is mandatory for the join shape; missing → clear error
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW gold.wide2 AS
+           SELECT f.*, d.c_name FROM silver.jfact f
+           LEFT JOIN silver.jdim d ON f.cust = d.c_id""")
+    }
+    assert(e.getMessage.contains("KEY"))
+    // DROP cleans the view registration, data table, state, cursors
+    graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW gold.wide")
+    assert(!spark.catalog.tableExists("gold.wide"))
+    assert(!spark.catalog.tableExists("gold.wide__data"))
+    assert(!new java.io.File(cat.path("gold", "wide")).exists)
+    assert(!new java.io.File(cat.path("gold", "wide") + ".cursors").exists)
+    spark.sql("DROP TABLE silver.jfact"); spark.sql("DROP TABLE silver.jdim")
+  }
+
   test("extension-session parser handles both statements") {
     val s = sqlSpark
     import s.implicits._
