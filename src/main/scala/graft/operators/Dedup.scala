@@ -324,10 +324,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Min-label propagation to fixpoint over an undirected edge set:
-    * each node's label becomes the min over its closed neighborhood,
-    * O(diameter) data-parallel rounds of one join + one aggregate. The
-    * driver loop touches only the convergence count.
+  /** Min-label propagation WITH pointer doubling to fixpoint over an
+    * undirected edge set: each round a node's label becomes the min over
+    * its closed neighborhood (edge hop), then the min of its label's OWN
+    * label (shortcut hop — labels are always member doc_ids, so the
+    * label table self-joins). The edge hop alone needs O(diameter)
+    * rounds — a corpus near-dup chain makes diameter large — while the
+    * shortcut halves the remaining path each round, so convergence is
+    * O(log diameter) (the Hash-to-Min / large-star literature bound).
+    * The fixpoint (min doc_id per component) is unchanged; only the
+    * round count shrinks. The driver loop touches only the convergence
+    * count.
     *
     * Each round's labels are `localCheckpoint`ed (eager): without
     * truncation the logical plan nests one join+union+agg PER ROUND, so a
@@ -374,9 +381,18 @@ object Dedup {
       val viaEdges = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("cluster_id"))
-      val next = labels.select(col("doc_id"), col("cluster_id"))
+      val hopped = labels.select(col("doc_id"), col("cluster_id"))
         .unionByName(viaEdges)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+      // pointer doubling: follow the label one more step in the SAME
+      // round — label values are doc_ids, so the hop is a self-join on
+      // the freshly-hopped table (inner: every label IS a doc's id)
+      val next = hopped
+        .join(hopped.select(col("doc_id").as("__lbl"),
+          col("cluster_id").as("__lbl_of_lbl")),
+          col("cluster_id") === col("__lbl"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("__lbl_of_lbl")).as("cluster_id"))
       val snapped = snap(next) // eager: materializes AND truncates lineage
       changed = snapped.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
