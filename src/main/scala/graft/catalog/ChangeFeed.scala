@@ -145,6 +145,33 @@ object ChangeFeed {
     require(f.rename(tmp, p), s"cursor commit failed: $p")
   }
 
+  /** Append-only fast path: when `fromV`'s data files are a SUBSET of
+    * `toV`'s (the link-append invariant — appendPath/COPY INTO/
+    * appendStream hard-link every existing file forward under its own
+    * name), the net change is exactly the new files, read directly:
+    * O(new data), never a two-version diff. Any rewrite, delete, or
+    * compaction breaks the subset (new part-file names) and falls back
+    * to the general diff — so the fast path can never misreport. This is
+    * the add-file-based CDF Delta serves from its log; here the file
+    * listing IS the log. */
+  private def appendOnlyNewFiles(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): Option[Seq[String]] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(v: Int): Option[Map[String, Path]] =
+      try {
+        val d = new Path(Catalog.resolveVersionPath(spark, dir, v))
+        Some(f.listStatus(d).iterator
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => s.getPath.getName -> s.getPath).toMap)
+      } catch { case _: Exception => None }
+    for {
+      from <- dataFiles(fromV)
+      to <- dataFiles(toV)
+      if from.keySet.subsetOf(to.keySet)
+    } yield (to.keySet -- from.keySet).toSeq.sorted.map(to(_).toString)
+  }
+
   /** The net changes between version `fromV` (exclusive base) and `toV`.
     * Output: the table's columns plus [[ChangeCol]]. */
   def tableChanges(spark: SparkSession, dir: String, fromV: Int, toV: Int,
@@ -152,6 +179,21 @@ object ChangeFeed {
     require(fromV >= 1 && toV >= fromV,
       s"need 1 <= fromV <= toV, got $fromV..$toV")
     val buckets = changedBuckets(spark, dir, fromV, toV)
+    if (buckets.isEmpty) appendOnlyNewFiles(spark, dir, fromV, toV) match {
+      case Some(newFiles) =>
+        // keyed and unkeyed shapes agree on a pure append: every change
+        // row is an insert
+        val schema = spark.read.parquet(
+          Catalog.resolveVersionPath(spark, dir, toV)).schema
+        val ins =
+          if (newFiles.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(newFiles: _*)
+        return ins.select(schema.fieldNames.map(col).toSeq :+
+          lit("insert").as(ChangeCol): _*)
+      case None => ()
+    }
     val (before, after) = buckets match {
       case Some(changed) =>
         (PartitionedMerge.reconstructVersion(spark, dir, fromV, Some(changed))

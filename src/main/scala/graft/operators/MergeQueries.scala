@@ -228,8 +228,83 @@ object MergeQueries {
     ma.read().orderBy("o_custkey")
   }
 
+  /** Incrementally maintained JOIN view ([[graft.pipeline
+    * .MaterializedJoin]]) under the driver's hash gate: the fact arrives
+    * in two batches, the dim is rewritten once with inserts + SCD1
+    * updates + deletes (late-arriving fills, a VIP re-segmentation, and
+    * removals in one feed pull) — the oracle computes the SAME final
+    * left join from scratch, so any divergence between incremental
+    * maintenance and the full join breaks the hash. */
+  def incrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mjoin").toString
+    val cat = new graft.catalog.Catalog(spark, wh)
+    // a quarter of the fact: the machinery under test is the maintenance
+    // protocol (two feeds, bucket pruning, preimage cleanup), not write
+    // volume — q81 already benches pure state-write throughput
+    val o = Tables.load(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val cust = Tables.load(spark, dir, "customer")
+    cat.overwriteSnapshot(o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+      "silver", "mj_fact")
+    cat.overwriteSnapshot(
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+      "silver", "mj_dim")
+    val mj = new graft.pipeline.MaterializedJoin(spark,
+      cat.path("silver", "mj_fact"), Seq("o_orderkey"), "o_custkey",
+      cat.path("silver", "mj_dim"), "c_custkey", Seq("segment"),
+      s"$wh/gold/mj_view", nBuckets = 8)
+    mj.build()
+    // fact batch 2 + one dim rewrite carrying inserts/updates/deletes
+    graft.catalog.Catalog.appendPath(spark,
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+      cat.path("silver", "mj_fact"))
+    cat.overwriteSnapshot(
+      cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit("VIP"))
+            .otherwise(col("c_mktsegment")).as("segment")),
+      "silver", "mj_dim")
+    mj.refresh()
+    mj.read().orderBy("o_orderkey")
+  }
+
+  /** The MV SQL lifecycle (CREATE / append / REFRESH) under the driver's
+    * hash gate — q70's pattern applied to `CREATE MATERIALIZED VIEW`:
+    * the oracle is the one-shot GROUP BY over the final source. */
+  def mviewSqlRollup(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q120").toString
+    val cat = new graft.catalog.Catalog(spark, wh)
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    cat.overwriteSnapshot(o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+      "silver", "mv_src")
+    cat.dropRegistration("silver", "mv_src")
+    cat.register("silver", "mv_src")
+    // a previous rep in this session left its view behind — drop through
+    // the statement so the sidecar/cursor cleanup runs too
+    if (spark.catalog.tableExists("gold.mv_rollup"))
+      graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW gold.mv_rollup")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mv_rollup AS
+         SELECT o_custkey, sum(cents) AS sum_cents, count(*) AS n_orders
+         FROM silver.mv_src GROUP BY o_custkey""")
+    graft.catalog.Catalog.appendPath(spark,
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+      cat.path("silver", "mv_src"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mv_rollup")
+    spark.table("gold.mv_rollup")
+      .drop(graft.pipeline.MaterializedAgg.RefreshIdCol)
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_incr_agg"     -> (incrementalAgg _),
+    "q119_incr_join"   -> (incrementalJoin _),
+    "q120_mview_sql"   -> (mviewSqlRollup _),
     "q19_merge_upsert" -> (upsertFact _),
     "q20_merge_scd1"   -> (scd1Dim _),
     "q21_merge_scd2"   -> (scd2Dim _),
@@ -238,6 +313,28 @@ object MergeQueries {
     "q70_merge_sql"    -> (mergeSqlScd1 _))
 
   private val oraclesCore: Map[String, String] = Map(
+    // the final left join computed from scratch — what q119 maintained
+    // incrementally across a fact append and a dim rewrite
+    "q119_incr_join" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           segment
+         FROM orders LEFT JOIN (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'VIP'
+                  ELSE c_mktsegment END AS segment
+           FROM customer WHERE c_custkey % 7 <> 0) d
+         ON o_custkey = d.c_custkey
+         WHERE o_orderkey % 4 = 0
+         ORDER BY o_orderkey""",
+    // the one-shot GROUP BY over the final source — what q120's CREATE +
+    // REFRESH MATERIALIZED VIEW statements maintained incrementally
+    "q120_mview_sql" ->
+      """SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     // full single-pass recompute of what q81 maintains incrementally
     "q81_incr_agg" ->
       """WITH o AS (

@@ -112,6 +112,29 @@ class ChangeFeedSpec extends SparkSuite {
     assert(ch == Seq((1L, "delete"), (2L, "insert")), s"got: $ch")
   }
 
+  test("append-only fast path: the feed reads ONLY the appended files") {
+    val cat = new Catalog(spark, tmpDir("graft-cdf-fast"))
+    cat.overwriteSnapshot((1L to 50L).toDF("x"), "bronze", "f") // v1
+    Catalog.appendPath(spark, Seq(51L, 52L).toDF("x"),
+      cat.path("bronze", "f")) // v2: link-append
+    val keyed = cat.changes("bronze", "f", 1, 2, Seq("x"))
+    assert(keyed.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((51L, "insert"), (52L, "insert")))
+    // the scale property: the diff never touched v1's 50 rows — the scan
+    // reads only the files the append added
+    val v1Files = spark.read.parquet(
+      Catalog.resolveVersionPath(spark, cat.path("bronze", "f"), 1))
+      .inputFiles.map(_.split('/').last).toSet
+    val readFiles = keyed.inputFiles.map(_.split('/').last).toSet
+    assert(readFiles.nonEmpty && readFiles.intersect(v1Files).isEmpty,
+      s"fast path read pre-existing files: ${readFiles.intersect(v1Files)}")
+    // a rewrite breaks the file-subset invariant → general diff again
+    cat.overwriteSnapshot((2L to 52L).toDF("x"), "bronze", "f") // v3
+    val ch = cat.changes("bronze", "f", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(ch == Seq((1L, "delete")), s"got: $ch")
+  }
+
   test("bucketed tables: feed reads only buckets the retire log names") {
     val dir = tmpDir("graft-cdf-bkt") + "/t"
     val n = 8
