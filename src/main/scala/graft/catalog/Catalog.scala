@@ -87,7 +87,7 @@ class Catalog(spark: SparkSession, warehouse: String,
     import spark.implicits._
     Catalog.historyRows(spark, path(layer, table))
       .toDF("version", "is_current", "snapshot_time", "num_entries",
-        "size_bytes").orderBy(col("version").desc)
+        "size_bytes", "operation").orderBy(col("version").desc)
   }
 
   /** The snapshot replaced by the most recent overwrite. Falls back to the
@@ -383,6 +383,10 @@ object Catalog {
     * already committed?" — closing the swap-to-marker duplicate window.
     * Tags are per-version (appends do not link `_`-prefixed files
     * forward), hence the newest-first history probe. */
+  /** Tag key every commit stamps with the operation that produced the
+    * version (Delta's `operation` column in `DESCRIBE HISTORY`). */
+  private[catalog] val OperationTagKey = "operation"
+
   def lastCommitTag(spark: SparkSession, dir: String,
       key: String): Option[String] = {
     val root = new Path(dir)
@@ -413,11 +417,15 @@ object Catalog {
       throw new IllegalStateException(s"could not commit version pointer $p")
   }
 
-  /** Per-version (version, is_current, commit time, entry count, bytes)
-    * rows for a table directory — the computation behind both
-    * [[Catalog!.history]] and the SQL `DESCRIBE HISTORY` command. */
+  /** Per-version (version, is_current, commit time, entry count, bytes,
+    * operation) rows for a table directory — the computation behind both
+    * [[Catalog!.history]] and the SQL `DESCRIBE HISTORY` command. The
+    * operation is the committing writer's self-report (WRITE / APPEND /
+    * MERGE / DELETE / UPDATE / OPTIMIZE / RESTORE / …); versions written
+    * before operation stamping, and bucketed-table log entries (created
+    * at retire time, outside the swap), report WRITE. */
   def historyRows(spark: SparkSession, dir: String)
-      : Seq[(Int, Boolean, java.sql.Timestamp, Int, Long)] = {
+      : Seq[(Int, Boolean, java.sql.Timestamp, Int, Long, String)] = {
     val root = new Path(dir)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = readPointer(f, dir)
@@ -433,9 +441,12 @@ object Catalog {
       val p = if (v == cur) root else versionDir(dir, v)
       val entries = f.listStatus(p)
         .filterNot(s => s.getPath.getName.startsWith("_"))
+      val opFile = new Path(p, s"_graft_commit_tag_$OperationTagKey")
+      val op =
+        if (f.exists(opFile)) readSmallFile(f, opFile) else "WRITE"
       (v, v == cur,
         new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
-        entries.length, entries.map(_.getLen).sum)
+        entries.length, entries.map(_.getLen).sum, op)
     }
   }
 
@@ -548,7 +559,9 @@ object Catalog {
         else if (partitionBy.nonEmpty)
           df.repartition(partitionBy.map(col): _*)
         else df.repartition(n)
-      overwritePath(spark, packed, dir, partitionBy, keepVersions)
+      overwritePath(spark, packed, dir, partitionBy, keepVersions,
+        operation =
+          if (zorderBy.nonEmpty) "OPTIMIZE ZORDER BY" else "OPTIMIZE")
       statsRecipe.foreach { case (cols, bloomCols, bits, hashes) =>
         graft.layout.DataSkipping.analyze(spark, dir, cols, bloomCols,
           bits, hashes)
@@ -571,10 +584,10 @@ object Catalog {
       overwritePath(spark,
         graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v),
         dir, Seq(graft.merge.PartitionedMerge.BucketCol), keepVersions,
-        allowSchemaChange = true)
+        allowSchemaChange = true, operation = "RESTORE")
     else
       overwritePath(spark, versionRead(spark, dir, v), dir, Nil, keepVersions,
-        allowSchemaChange = true)
+        allowSchemaChange = true, operation = "RESTORE")
   }
 
   /** [[Catalog!.vacuum]] on a raw table directory — the seam SQL
@@ -737,7 +750,7 @@ object Catalog {
     val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
     overwritePath(spark, cur.withColumnRenamed(real, newName), dir,
       if (bucketed) Seq(graft.merge.PartitionedMerge.BucketCol) else Nil,
-      keepVersions, allowSchemaChange = true)
+      keepVersions, allowSchemaChange = true, operation = "RENAME COLUMN")
     statsRecipe.foreach { case (cols, blooms, bits, hashes) =>
       def m(c: String) = if (c.equalsIgnoreCase(real)) newName else c
       graft.layout.DataSkipping.analyze(spark, dir, cols.map(m),
@@ -775,7 +788,7 @@ object Catalog {
     val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
     overwritePath(spark, cur.drop(real: _*), dir,
       if (bucketed) Seq(graft.merge.PartitionedMerge.BucketCol) else Nil,
-      keepVersions, allowSchemaChange = true)
+      keepVersions, allowSchemaChange = true, operation = "DROP COLUMNS")
     // re-derive skipping stats minus the dropped columns; a recipe that
     // covered only dropped columns simply lapses (manifest retired with
     // the old snapshot — pruned reads degrade to full filters)
@@ -886,7 +899,7 @@ object Catalog {
       // time travel see a consistent table from this point on
       overwritePath(spark,
         cur.withColumn(name, org.apache.spark.sql.functions.expr(expr)), dir,
-        allowSchemaChange = true)
+        allowSchemaChange = true, operation = "ADD COLUMN")
     }
     val tmp = new Path(dir + ".generated.tmp")
     val out = f.create(tmp, true)
@@ -975,7 +988,7 @@ object Catalog {
       // materialize over existing rows as a new version
       overwritePath(spark,
         fillIdentity(cur, name, start - step, step), dir,
-        allowSchemaChange = true)
+        allowSchemaChange = true, operation = "ADD COLUMN")
     }
     writeIdentity(spark, dir, existing :+ ((name, start, step)))
   }
@@ -1060,7 +1073,8 @@ object Catalog {
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
       allowSchemaChange: Boolean = false,
       expectedVersion: Option[Int] = None,
-      commitTag: Option[(String, String)] = None): Unit = {
+      commitTag: Option[(String, String)] = None,
+      operation: String = "WRITE"): Unit = {
     val dst = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1116,7 +1130,8 @@ object Catalog {
       try enforce(spark.read.parquet(tmp.toString), cons, dir)
       catch { case e: Throwable => f.delete(tmp, true); throw e }
     }
-    commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion, commitTag)
+    commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion, commitTag,
+      operation)
   }
 
   /** The swap tail shared by overwrite and append: retire current into the
@@ -1135,11 +1150,15 @@ object Catalog {
   private def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
       tmp: Path, keepVersions: Int,
       expectedVersion: Option[Int] = None,
-      commitTag: Option[(String, String)] = None): Unit = {
+      commitTag: Option[(String, String)] = None,
+      operation: String = "WRITE"): Unit = {
     val dst = new Path(dir)
-    // stamp the tag into the STAGED dir — it becomes visible atomically
-    // with the swap rename below, never before, never after
-    commitTag.foreach { case (k, v) =>
+    // stamp the tags into the STAGED dir — they become visible atomically
+    // with the swap rename below, never before, never after. Every commit
+    // records the operation that produced it (Delta's operation column in
+    // DESCRIBE HISTORY); callers add their own tags (e.g. a streaming
+    // sink's batch marker) on top.
+    (commitTag.toSeq :+ (OperationTagKey, operation)).foreach { case (k, v) =>
       val out = f.create(new Path(tmp, s"_graft_commit_tag_$k"), true)
       try out.write(v.getBytes("UTF-8")) finally out.close()
     }
@@ -1187,13 +1206,14 @@ object Catalog {
     * append files into a partitioned tree would corrupt discovery). */
   def appendPath(spark: SparkSession, df: DataFrame, dir: String,
       keepVersions: Int = 10,
-      commitTag: Option[(String, String)] = None): Unit = {
+      commitTag: Option[(String, String)] = None,
+      operation: String = "APPEND"): Unit = {
     val dst = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val f = dst.getFileSystem(conf)
     if (!f.exists(dst)) { // first insert = first load, one uniform path
       overwritePath(spark, df, dir, Nil, keepVersions,
-        commitTag = commitTag)
+        commitTag = commitTag, operation = operation)
       return
     }
     // appends are read-modify-write (the staged snapshot LINKS the live
@@ -1273,6 +1293,6 @@ object Catalog {
       org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
         f, new Path(tmp, "_skipping"), false, false, conf)
     commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
-      commitTag)
+      commitTag, operation)
   }
 }

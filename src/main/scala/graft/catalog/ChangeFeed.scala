@@ -118,7 +118,7 @@ object ChangeFeed {
             .join(deletes, keys, "left_anti")
             .join(upserts.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(upserts.select(dst.columns.map(col): _*))
-          Catalog.overwritePath(spark, merged, dstDir)
+          Catalog.overwritePath(spark, merged, dstDir, operation = "SYNC")
           commitCursor(spark, cursorFile, to)
           (from, to)
         } finally { cached.unpersist(); () }

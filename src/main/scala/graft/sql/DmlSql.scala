@@ -66,7 +66,7 @@ object DmlRunner {
     val affected = t.filter(cond).count()
     if (affected > 0) {
       graft.catalog.Catalog.overwritePath(spark, t.filter(!cond), dir,
-        partCols)
+        partCols, operation = "DELETE")
       GraftSql.refreshTarget(spark, nameParts, dir)
     }
     affected
@@ -105,7 +105,8 @@ object DmlRunner {
     }: _*)
     val affected = t.filter(cond).count()
     if (affected > 0) {
-      graft.catalog.Catalog.overwritePath(spark, projected, dir, partCols)
+      graft.catalog.Catalog.overwritePath(spark, projected, dir, partCols,
+        operation = "UPDATE")
       GraftSql.refreshTarget(spark, nameParts, dir)
     }
     affected

@@ -95,7 +95,7 @@ object MergeIntoRunner {
   def run(spark: SparkSession, m: MergeIntoTable): Unit = {
     val (merged, dir, partCols, tableName, evolvedCols) = lowered(spark, m)
     graft.catalog.Catalog.overwritePath(spark, merged, dir, partCols,
-      allowSchemaChange = evolvedCols.nonEmpty)
+      allowSchemaChange = evolvedCols.nonEmpty, operation = "MERGE")
     // Schema evolution must reach the REGISTRATION, not just the files: a
     // v1 external table pins its metastore schema at CREATE time, so
     // without ALTER TABLE the next spark.table / MERGE would still see the
@@ -300,7 +300,8 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
       AttributeReference("is_current", BooleanType, nullable = false)(),
       AttributeReference("snapshot_time", TimestampType)(),
       AttributeReference("num_entries", IntegerType, nullable = false)(),
-      AttributeReference("size_bytes", LongType, nullable = false)())
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (uri, _) = GraftShims.tableStorage(spark, nameParts).getOrElse(
       throw new IllegalArgumentException(
@@ -309,7 +310,7 @@ case class GraftDescribeHistoryCommand(nameParts: Seq[String])
     graft.catalog.Catalog.historyRows(spark,
       new org.apache.hadoop.fs.Path(uri).toString)
       .sortBy(-_._1)
-      .map { case (v, cur, ts, n, sz) => Row(v, cur, ts, n, sz) }
+      .map { case (v, cur, ts, n, sz, op) => Row(v, cur, ts, n, sz, op) }
   }
 }
 
@@ -505,7 +506,8 @@ case class GraftInsertCommand(nameParts: Seq[String],
         }
       }
     if (overwrite)
-      graft.catalog.Catalog.overwritePath(spark, aligned, dir)
+      graft.catalog.Catalog.overwritePath(spark, aligned, dir,
+        operation = "INSERT OVERWRITE")
     else
       graft.catalog.Catalog.appendPath(spark, aligned, dir)
     GraftSql.refreshTarget(spark, nameParts, dir)
@@ -583,7 +585,8 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
       // `!cond` silently deletes them.
       val kept = cur.filter(!coalesce(expr(cond), lit(false)))
       graft.catalog.Catalog.overwritePath(spark, kept.unionByName(staged),
-        dir, expectedVersion = Some(stagedAgainst))
+        dir, expectedVersion = Some(stagedAgainst),
+        operation = "REPLACE WHERE")
     } finally fs.delete(stagePath, true)
     GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty

@@ -311,7 +311,8 @@ object Streams {
             .exists(_.toLong >= batchId)
           if (!onTable)
             graft.catalog.Catalog.appendPath(spark, batch, tableDir,
-              commitTag = Some((tagKey, batchId.toString)))
+              commitTag = Some((tagKey, batchId.toString)),
+              operation = "STREAMING APPEND")
           recordAppliedBatch(spark, checkpoint, batchId)
         }
       }

@@ -422,6 +422,9 @@ class MergeSqlSpec extends SparkSuite {
     assert(h(0).getAs[Int]("version") > h.last.getAs[Int]("version"))
     assert(h(0).getAs[Boolean]("is_current"))
     assert(h.forall(_.getAs[Long]("size_bytes") > 0))
+    // the current version was committed by the MERGE above and says so
+    assert(h(0).getAs[String]("operation") == "MERGE",
+      s"got ${h(0).getAs[String]("operation")}")
     cat.dropRegistration("gold", "tt_plain")
   }
 

@@ -113,6 +113,18 @@ class CatalogSpec extends SparkSuite {
     assert(h.forall(r => r.getAs[java.sql.Timestamp]("snapshot_time") != null))
   }
 
+  test("history records the operation that committed each version") {
+    val cat = new Catalog(spark, tmpDir("graft-wh-ops"))
+    cat.overwriteSnapshot(Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      "gold", "ops") // v1 WRITE
+    cat.append(Seq((3, "c")).toDF("id", "v"), "gold", "ops") // v2 APPEND
+    cat.compact("gold", "ops", targetFileSize = 1L << 20) // v3 OPTIMIZE
+    cat.restore("gold", "ops", 1) // v4 RESTORE
+    val ops = cat.history("gold", "ops").orderBy("version").collect()
+      .map(_.getAs[String]("operation")).toSeq
+    assert(ops == Seq("WRITE", "APPEND", "OPTIMIZE", "RESTORE"), s"got $ops")
+  }
+
   test("time travel by timestamp: newest version at or before ts; pre-history raises") {
     val cat = new Catalog(spark, tmpDir("graft-wh-tstt"))
     // sleeps straddle each commit so the captured instants land strictly
