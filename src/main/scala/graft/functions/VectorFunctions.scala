@@ -28,14 +28,25 @@ case class DotProductF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // element accessor per side — an ArrayData holds 4-byte slots for
+  // float arrays and 8-byte slots for double arrays, so reading a
+  // double array with getFloat returns garbage, not a rounded value
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
       i += 1
     }
     s
@@ -46,11 +57,14 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression) =
+        if (isDouble(e)) s"$arr.getDouble($i)"
+        else s"(double)$arr.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$x.getFloat($i) * (double)$y.getFloat($i);
+         |  $s += ${get(x, left)} * ${get(y, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

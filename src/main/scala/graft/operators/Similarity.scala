@@ -321,6 +321,70 @@ object Similarity {
       .orderBy("cluster", "pos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding store and dropping, within
+    * each cluster, every vector that sits at cosine ≥ `tau` to an
+    * earlier-id cluster member — the paper's per-cluster pairwise pass
+    * with id order as the deterministic keep rule. The clustering is ONE
+    * exact Lloyd round from the `vec_id % k` seed partition (the
+    * [[kmeansRound]] arithmetic: scaled-integer centroid sums, one double
+    * division per component, distances rounded to 6) so the cluster
+    * assignment — and therefore the verdict — is bit-identical in any
+    * engine.
+    *
+    * Scale posture: this is the whole point of the technique — the O(N²)
+    * pairwise cosine becomes O(Σ n_c²) via the cluster equi-join (k
+    * controls the block size; the paper runs k≈100k on web scale). The
+    * k×d centroid table is broadcast; the duplicate-id set is a slim
+    * DISTINCT on vec_id equi-joined back. Returns one row per vector:
+    * (vec_id, cluster, kept 1/0). */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 10,
+      tau: Double = 0.35): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = e
+      .withColumn("cluster", (col("vec_id") % k).cast("int"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    // the assignment feeds three consumers (both pair-join sides + the
+    // final keep join) and Spark does not reuse exchanges across the
+    // differently-aliased self-join sides — cache it so the centroid
+    // aggregation + assignment window run ONCE (the Dedup-family
+    // pattern; at full scale this is the stage a production run would
+    // stage to a table)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d", round(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .cache()
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    val dupIds = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    assigned.select("vec_id", "cluster")
+      .join(dupIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Assign every vector to its nearest centroid from a (cluster, pos, c)
     * frame (the [[kmeans]] output shape): broadcast cross join + rank-1
     * window, the q98 plan. */
@@ -437,6 +501,7 @@ object Similarity {
     "q50_label_centroids" -> (labelCentroids _),
     "q98_assign_centroids" -> (assignCentroids _),
     "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
+    "q121_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q41_embed_neardup"  -> (embeddingNearDup _),
@@ -569,6 +634,50 @@ object Similarity {
              AS sum_scaled,
            COUNT(*) AS n
          FROM y GROUP BY cluster, pos ORDER BY cluster, pos""",
+    "q121_semantic_dedup" ->
+      // q100's exact one-round clustering, then the SemDeDup per-cluster
+      // pairwise pass: duplicate = any earlier-id cluster member at
+      // rounded cosine >= 0.35
+      s"""WITH v AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         x AS (
+           SELECT CAST(vec_id % 10 AS INTEGER) AS cluster,
+             unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+           FROM v),
+         cs AS (
+           SELECT cluster, pos,
+             CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+           FROM x GROUP BY cluster, pos),
+         ce AS (
+           SELECT cluster,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+               ORDER BY pos) AS cv
+           FROM cs GROUP BY cluster),
+         sc AS (
+           SELECT vec_id, v.v, ce.cluster,
+             round(list_sum(list_transform(list_zip(v.v, ce.cv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+           FROM v CROSS JOIN ce),
+         r AS (
+           SELECT vec_id, v, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d ASC, cluster ASC) AS rn
+           FROM sc),
+         m AS (SELECT vec_id, v, cluster FROM r WHERE rn = 1),
+         dup AS (
+           SELECT DISTINCT b.vec_id
+           FROM m a JOIN m b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= 0.35)
+         SELECT m.vec_id, m.cluster,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+         FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         ORDER BY m.vec_id""",
     "q98_assign_centroids" ->
       // same scaled-integer centroid sums as q50, ONE double division per
       // component, per-row sequential distance folds — bit-identical

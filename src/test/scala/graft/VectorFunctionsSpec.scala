@@ -60,6 +60,24 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(out.head.getDouble(1) == 32.0)
   }
 
+  test("dotF reads double arrays as doubles (mixed widths too)") {
+    // regression: ArrayData slots are 8 bytes for double arrays — a
+    // getFloat read there returns garbage, not a rounded value
+    val d = vecDf.select(col("id"), col("a"),
+      transform(col("a"), _.cast("double")).as("ad"),
+      transform(col("b"), _.cast("double")).as("bd"), col("b"))
+    val out = d.select(col("id"),
+      VectorFunctions.dotF(col("ad"), col("bd")).as("dd"),
+      VectorFunctions.dotF(col("a"), col("bd")).as("fd"),
+      VectorFunctions.dotF(col("a"), col("b")).as("ff")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3),
+        s"id=${r.getInt(0)}: double-double=${r.getDouble(1)} float-float=${r.getDouble(3)}")
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"id=${r.getInt(0)}: float-double=${r.getDouble(2)} float-float=${r.getDouble(3)}")
+    }
+  }
+
   test("l2normF equals sqrt of self-dot") {
     val out = vecDf.select(
       VectorFunctions.l2normF(col("a")).as("n"),
