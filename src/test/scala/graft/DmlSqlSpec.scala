@@ -44,6 +44,26 @@ class DmlSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS silver.d2")
   }
 
+  test("DELETE/UPDATE with IN-subquery conditions resolve and commit") {
+    val cat = freshTable("dsub")
+    Seq((2L, "x"), (3L, "y")).toDF("ref_id", "tag")
+      .createOrReplaceTempView("dml_refs")
+    val del = graft.sql.GraftSql.sql(spark,
+      "DELETE FROM silver.dsub WHERE id IN (SELECT ref_id FROM dml_refs WHERE tag = 'x')")
+      .collect()
+    assert(del.map(_.getLong(0)).toSeq == Seq(1L)) // id 2 only
+    assert(rowsOf(cat.read("silver", "dsub"), "id").map(_.head) ==
+      Seq(1L, 3L, 4L))
+    val upd = graft.sql.GraftSql.sql(spark,
+      "UPDATE silver.dsub SET status = 'flagged' WHERE id IN (SELECT ref_id FROM dml_refs)")
+      .collect()
+    assert(upd.map(_.getLong(0)).toSeq == Seq(1L)) // id 3 (2 is gone)
+    assert(cat.read("silver", "dsub").filter(col("status") === "flagged")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    spark.catalog.dropTempView("dml_refs")
+    spark.sql("DROP TABLE IF EXISTS silver.dsub")
+  }
+
   test("UPDATE SET with WHERE: matching rows only, cast to column type") {
     val cat = freshTable("u1")
     val out = graft.sql.GraftSql.sql(spark,
