@@ -245,6 +245,21 @@ class PlanQualitySpec extends SparkSuite {
       s"a retrieval leg lost its bounded pool:\n$p97")
   }
 
+  test("q121: assignment computed once (cached); pair join blocked on cluster") {
+    val df = operators.Similarity.semanticDedup(spark, sfDir)
+    val p = plan(df)
+    // the assignment stage feeds three consumers — it must come from the
+    // cache, not three recomputations of the centroid agg + argmin window
+    assert(p.contains("InMemoryTableScan"),
+      s"assignment not reused across self-join sides:\n$p")
+    // the pairwise pass is the technique's scale story: an equi-join on
+    // the cluster key, never a corpus-level cartesian (the only
+    // nested-loop join is the O(k) centroid broadcast inside the cached
+    // relation's definition)
+    assert(p.contains("Exchange hashpartitioning(cluster"),
+      s"pair join not blocked on the cluster key:\n$p")
+  }
+
   test("q99/q101: corpus-sized joins carry no broadcast hint; Q21 stays decorrelated") {
     // q99's gram-count join is corpus-sized on both sides — any forced
     // broadcast would OOM at 100 TB
