@@ -160,9 +160,16 @@ object ChangeFeed {
     def dataFiles(v: Int): Option[Map[String, Path]] =
       try {
         val d = new Path(Catalog.resolveVersionPath(spark, dir, v))
-        Some(f.listStatus(d).iterator
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
+        val entries = f.listStatus(d)
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+        // a partition-dir tree (e.g. partitionBy=date) keeps its data
+        // files in subdirectories — the top-level name set would be empty
+        // on BOTH sides and the subset check would vacuously "prove" an
+        // empty feed. Appends never target partitioned trees, so there is
+        // no fast path to serve: bail to the general diff.
+        if (entries.exists(_.isDirectory)) None
+        else Some(entries.iterator.filter(_.isFile)
           .map(s => s.getPath.getName -> s.getPath).toMap)
       } catch { case _: Exception => None }
     for {

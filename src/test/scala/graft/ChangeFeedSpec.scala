@@ -135,6 +135,25 @@ class ChangeFeedSpec extends SparkSuite {
     assert(ch == Seq((1L, "delete")), s"got: $ch")
   }
 
+  test("partition-dir tables never take the fast path (empty-feed hole)") {
+    // regression: a partitionBy table keeps data files in subdirectories,
+    // so the top-level file-name sets of BOTH versions are empty and the
+    // subset check would vacuously report an empty feed for a real change
+    val dir = tmpDir("graft-cdf-part") + "/t"
+    Catalog.overwritePath(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "n"),
+      dir, partitionBy = Seq("part"))                            // v1
+    Catalog.overwritePath(spark,
+      Seq((1L, "a", 11), (2L, "b", 20), (3L, "a", 30)).toDF("id", "part", "n"),
+      dir, partitionBy = Seq("part"))                            // v2
+    val ch = ChangeFeed.tableChanges(spark, dir, 1, 2, keys = Seq("id"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String](ChangeFeed.ChangeCol)))
+      .toSet
+    assert(ch == Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (3L, "insert")), s"got: $ch")
+  }
+
   test("bucketed tables: feed reads only buckets the retire log names") {
     val dir = tmpDir("graft-cdf-bkt") + "/t"
     val n = 8
