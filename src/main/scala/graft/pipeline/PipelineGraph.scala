@@ -95,7 +95,14 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
     order.toSeq
   }
 
-  def run(externals: Map[String, DataFrame] = Map.empty): RunResult = {
+  /** Execute the graph in dependency order. `batchId`, when supplied,
+    * stamps every [[IncrementalAgg]] refresh this run performs — the
+    * exactly-once hook: a caller that re-runs a crashed graph with the
+    * SAME externals and SAME batchId has its agg deltas dropped by the
+    * in-state replay guard instead of double-counted. Without it the id
+    * auto-advances (at-least-once: re-presenting a batch re-applies it). */
+  def run(externals: Map[String, DataFrame] = Map.empty,
+      batchId: Option[Long] = None): RunResult = {
     val order = topoOrder(externals.keySet)
     val viewOut = mutable.Map.empty[String, DataFrame]
     val violations = mutable.Map.empty[String, Map[String, Long]]
@@ -137,7 +144,7 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
           val (layer, tbl) = split(name)
           val ma = new MaterializedAgg(spark, cat, layer, tbl,
             groupBy, measures, nBuckets)
-          ma.refresh(gated, ma.lastRefreshId + 1)
+          ma.refresh(gated, batchId.getOrElse(ma.lastRefreshId + 1))
           ()
         case IncrementalJoin(ft, fk, fkc, dt, dpk, dcols, nb) =>
           val (fl, ftb) = split(ft)
@@ -191,9 +198,9 @@ object PipelineGraph {
   case class Upsert(keys: Seq[String]) extends Materialize
   /** Incrementally maintained aggregate ([[MaterializedAgg]]): the node's
     * frame is treated as THIS RUN'S append batch and folded into the
-    * stored state — refresh cost O(batch)+O(groups), and a re-run with
-    * the same refresh id (crash replay) is dropped whole. The refresh id
-    * auto-advances from the stored high-water mark. */
+    * stored state — refresh cost O(batch)+O(groups). Pass `run(batchId =
+    * …)` to get crash-replay drops (re-run with the same id is a no-op);
+    * the auto-advancing default re-applies whatever batch is presented. */
   case class IncrementalAgg(groupBy: Seq[String],
       measures: Seq[MaterializedAgg.Measure],
       nBuckets: Option[Int] = None) extends Materialize

@@ -240,7 +240,11 @@ object MaterializedViewSql {
     require(srcVersion >= 1, s"source does not exist: ${d.srcDir}")
     val ma = new MaterializedAgg(spark, cat, nameParts.head, nameParts(1),
       d.groupBy, d.measures)
-    ma.refresh(d.filtered(spark.read.parquet(d.srcDir)), 1L)
+    // the refreshId IS the source version the state covers (the Delta
+    // txnVersion idiom): ids stay monotone because source versions do,
+    // and a crash-replay of any later refresh re-presents the SAME
+    // version, tripping the in-state guard instead of double-applying
+    ma.refresh(d.filtered(spark.read.parquet(d.srcDir)), srcVersion)
     ChangeFeed.commitCursor(spark, cursorFile(viewDir), srcVersion)
     writeDefinition(spark, viewDir, d)
     spark.sql(s"CREATE SCHEMA IF NOT EXISTS ${nameParts.head}")
@@ -263,7 +267,10 @@ object MaterializedViewSql {
         .groupBy(d.groupBy.map(col): _*)
         .agg(d.measures.head.partialExpr,
           d.measures.tail.map(_.partialExpr): _*)
-        .withColumn(RefreshIdCol, lit(ma.lastRefreshId + 1))
+        // stamp the SOURCE VERSION the recompute read: if we crash
+        // before the cursor commit, the replayed incremental delta
+        // arrives as refreshId == cur == lastRefreshId and drops
+        .withColumn(RefreshIdCol, lit(cur.toLong))
       cat.overwriteSnapshot(state, nameParts.head, nameParts(1))
       ChangeFeed.commitCursor(spark, cursorFile(viewDir), cur)
     } else ChangeFeed.consumeChanges(spark, d.srcDir,
@@ -276,8 +283,12 @@ object MaterializedViewSql {
         val deletes = d.filtered(
           ch.filter(col(ChangeFeed.ChangeCol) === "delete")
             .drop(ChangeFeed.ChangeCol))
+        // refreshId = the source version this delta advances the state
+        // to — NOT lastRefreshId + 1, which would mint a FRESH id for a
+        // crash-replayed delta (cursor uncommitted → same (from, to]
+        // consumed again) and double-count it past the replay guard
         if (deletes.isEmpty)
-          ma.refresh(inserts, ma.lastRefreshId + 1)
+          ma.refresh(inserts, to.toLong)
         else {
           // classic incremental view maintenance: deleted source rows
           // fold as NEGATED partials — sound exactly when every measure's
@@ -300,7 +311,7 @@ object MaterializedViewSql {
                 d.measureDefs.tail.map(signedExpr(_, neg)): _*)
           val delta = signedPartial(inserts, neg = false)
             .unionByName(signedPartial(deletes, neg = true))
-          ma.applyDelta(delta, ma.lastRefreshId + 1,
+          ma.applyDelta(delta, to.toLong,
             prune = Some(col(countOut.get) === 0L))
         }
         ChangeFeed.commitCursor(spark, cursorFile(viewDir), to)

@@ -104,6 +104,54 @@ class MviewSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE gold.mv3"); spark.sql("DROP TABLE silver.src3")
   }
 
+  test("a crash between delta apply and cursor commit replays as a no-op") {
+    // the exactly-once window: REFRESH applies its delta (committed with
+    // the state), then commits the feed cursor. A crash in between makes
+    // the NEXT refresh re-consume the same (from, to] — the refreshId is
+    // the source version, so the replay trips the in-state guard instead
+    // of double-counting. Simulated by rolling the cursor back by hand.
+    val cat = new Catalog(spark, tmpDir("graft-mvreplay"))
+    val cursor = cat.path("gold", "mvr") + ".mviewcursor"
+    cat.overwriteSnapshot(Seq(("a", 10L)).toDF("k", "v"), "silver", "srcr")
+    cat.register("silver", "srcr")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mvr AS
+         SELECT k, sum(v) AS s, count(*) AS n
+         FROM silver.srcr GROUP BY k""")
+    // append path: v2 folded, then "crash" loses the cursor commit
+    Catalog.appendPath(spark, Seq(("a", 5L), ("b", 2L)).toDF("k", "v"),
+      cat.path("silver", "srcr"))                                    // v2
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr")
+    val afterAppend = Map("a" -> ((15L, 2L)), "b" -> ((2L, 1L)))
+    assert(stateOf(spark, "gold.mvr") == afterAppend)
+    graft.catalog.ChangeFeed.commitCursor(spark, cursor, 1)
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr")
+    assert(stateOf(spark, "gold.mvr") == afterAppend,
+      "replayed append delta double-counted")
+    // retraction path: a rewrite consumed, cursor commit lost
+    cat.overwriteSnapshot(Seq(("a", 15L)).toDF("k", "v"),
+      "silver", "srcr")                                              // v3
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr")
+    val afterRetract = Map("a" -> ((15L, 1L)))
+    assert(stateOf(spark, "gold.mvr") == afterRetract)
+    graft.catalog.ChangeFeed.commitCursor(spark, cursor, 2)
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr")
+    assert(stateOf(spark, "gold.mvr") == afterRetract,
+      "replayed retraction delta double-applied")
+    // FULL path: recompute committed at v4, cursor commit lost — the
+    // replayed incremental delta must drop against the recomputed state
+    Catalog.appendPath(spark, Seq(("c", 9L)).toDF("k", "v"),
+      cat.path("silver", "srcr"))                                    // v4
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr FULL")
+    val afterFull = Map("a" -> ((15L, 1L)), "c" -> ((9L, 1L)))
+    assert(stateOf(spark, "gold.mvr") == afterFull)
+    graft.catalog.ChangeFeed.commitCursor(spark, cursor, 3)
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mvr")
+    assert(stateOf(spark, "gold.mvr") == afterFull,
+      "delta replayed on top of a FULL recompute double-counted")
+    spark.sql("DROP TABLE gold.mvr"); spark.sql("DROP TABLE silver.srcr")
+  }
+
   test("min/max views demand FULL on non-append history; FULL recomputes and re-pins") {
     val cat = new Catalog(spark, tmpDir("graft-mv3b"))
     cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
