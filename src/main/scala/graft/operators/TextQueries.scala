@@ -437,7 +437,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic seeded global shuffle into training shards — the
+    * write-side step after curation (reference stops at gold tables; a
+    * training pipeline must still lay the corpus out in a reproducible
+    * random order). Every doc gets a shard (value of the first hex digit
+    * of a seeded md5 — uniform over 16) and a position within its shard
+    * (rank over the REMAINING hex digits — independent bits of the same
+    * hash, distinct because the ids are), so the full training order is a
+    * pure function of (seed, doc_id): any engine, cluster size, or re-run
+    * reproduces it exactly, and resharding is a seed bump, not a state
+    * migration. Scale: one hash exchange on shard + per-shard sort — the
+    * physical write ([[writeShards]]) never global-sorts the corpus. */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#shard42"))).as("h"))
+      .select(col("doc_id"),
+        expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1" +
+          " AS BIGINT)").as("shard"),
+        expr("substring(h, 2)").as("ord"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("ord")).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Materialize the q122 layout: one exchange hash-partitioned on shard,
+    * rows sorted (shard, pos) WITHIN partitions, written partitioned by
+    * shard — each shard directory holds its slice already in training
+    * order, with no global sort anywhere in the plan. */
+  def writeShards(spark: SparkSession, dir: String, out: String): Unit =
+    shardShuffle(spark, dir)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_shard_shuffle"    -> (shardShuffle _),
     "q90_split"             -> (trainValTestSplit _),
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -488,6 +525,23 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // the same seeded-md5 digit/rank construction: shard and training
+    // order are pure functions of the id, bit-identical across engines
+    "q122_shard_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || '#shard42') AS h
+           FROM documents),
+         a AS (
+           SELECT doc_id,
+                  CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1
+                    AS BIGINT) AS shard,
+                  substring(h, 2) AS ord
+           FROM h)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY ord)
+                  AS BIGINT) AS pos
+         FROM a ORDER BY shard, pos""",
     // the same md5 membership function and thresholds — a doc's split is
     // a pure function of its id in both engines
     "q90_split" ->

@@ -123,4 +123,37 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id").distinct().count()
     assert(enKept > 0 && enKept < enAll)
   }
+
+  test("writeShards lays each shard out in training order without a global sort") {
+    val out = tmpDir("graft-shards") + "/corpus"
+    TextQueries.writeShards(spark, sf0001, out)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val assign = TextQueries.shardShuffle(spark, sf0001)
+    // every doc lands in exactly one shard; shards cover 0..15
+    assert(assign.count() == docs.count())
+    val shards = assign.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(shards.head >= 0 && shards.last <= 15 && shards.length > 1)
+    // the written layout agrees with the assignment...
+    val written = spark.read.parquet(out)
+    assert(rowsOf(written.select(col("doc_id"), col("shard").cast("long"),
+      col("pos")), "doc_id", "shard", "pos")
+      == rowsOf(assign, "doc_id", "shard", "pos"))
+    // ...and each shard directory is PHYSICALLY in training order: the
+    // parquet row order (no ORDER BY on read) is pos-ascending
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val pos = spark.read.parquet(d.getPath.toString)
+        .select("pos").collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted),
+        s"${d.getPath.getName} not in training order")
+    }
+    // a re-run reproduces the identical assignment (pure function of id)
+    assert(rowsOf(TextQueries.shardShuffle(spark, sf0001),
+      "doc_id", "shard", "pos") == rowsOf(assign, "doc_id", "shard", "pos"))
+  }
 }
