@@ -77,18 +77,24 @@ class MaterializedJoin(spark: SparkSession,
   def exists: Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(viewPath))
 
-  /** First build: one full join, bucketed on the join key, cursors pinned
-    * at the source versions the build read (single-writer: no commit can
-    * land between the pointer reads and the snapshot reads). */
+  /** First build: one full join, bucketed on the join key. The cursors
+    * pin BEFORE the state write, at the versions the build is about to
+    * read: a crash after the write but before a pin would otherwise
+    * initialize the cursor at whatever version is live at recovery,
+    * silently skipping every source commit that landed in between. The
+    * early pin's own crash window is harmless — no view state exists yet,
+    * so the re-build just re-pins — and a source commit racing the build
+    * merely replays (pin, scan] on the first refresh, which both apply
+    * paths absorb idempotently. */
   def build(): Unit = {
     require(!exists, s"view already exists: $viewPath (use refresh)")
     val fv = Catalog.readPointer(fs, factDir)
     val dv = Catalog.readPointer(fs, dimDir)
     require(fv >= 1 && dv >= 1, "both sources must exist before build")
-    PartitionedMerge.write(joined(spark.read.parquet(factDir)),
-      viewPath, Seq(fkCol), nBuckets)
     ChangeFeed.commitCursor(spark, factCursor, fv)
     ChangeFeed.commitCursor(spark, dimCursor, dv)
+    PartitionedMerge.write(joined(spark.read.parquet(factDir)),
+      viewPath, Seq(fkCol), nBuckets)
   }
 
   def read(): DataFrame = PartitionedMerge.read(spark, viewPath)
