@@ -447,16 +447,24 @@ object TextQueries {
     * pure function of (seed, doc_id): any engine, cluster size, or re-run
     * reproduces it exactly, and resharding is a seed bump, not a state
     * migration. Scale: one hash exchange on shard + per-shard sort — the
-    * physical write ([[writeShards]]) never global-sorts the corpus. */
-  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    * physical write ([[writeShards]]) never global-sorts the corpus, and
+    * per-shard sort size is bounded by TAKING MORE DIGITS: `hexDigits`
+    * = d gives 16^d shards (d=3 → 4096 shards ≈ 25 GB/shard at 100 TB),
+    * so the in-shard rank stays a spillable single-task sort at any
+    * corpus size. q122 pins d=1 (16 shards) for the oracle. */
+  def shardShuffle(spark: SparkSession, dir: String,
+      hexDigits: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(hexDigits >= 1 && hexDigits <= 8, "1..8 hex digits (16^d shards)")
+    val shardExpr = (1 to hexDigits).map(i =>
+      s"(CAST(instr('0123456789abcdef', substring(h, $i, 1)) - 1" +
+        " AS BIGINT))").reduce((a, b) => s"($a * 16 + $b)")
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         md5(concat(col("doc_id").cast("string"), lit("#shard42"))).as("h"))
       .select(col("doc_id"),
-        expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1" +
-          " AS BIGINT)").as("shard"),
-        expr("substring(h, 2)").as("ord"))
+        expr(shardExpr).as("shard"),
+        expr(s"substring(h, ${hexDigits + 1})").as("ord"))
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("ord")).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
@@ -467,14 +475,15 @@ object TextQueries {
     * rows sorted (shard, pos) WITHIN partitions, written partitioned by
     * shard — each shard directory holds its slice already in training
     * order, with no global sort anywhere in the plan. */
-  def writeShards(spark: SparkSession, dir: String, out: String): Unit =
-    shardShuffle(spark, dir)
+  def writeShards(spark: SparkSession, dir: String, out: String,
+      hexDigits: Int = 1): Unit =
+    shardShuffle(spark, dir, hexDigits)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q122_shard_shuffle"    -> (shardShuffle _),
+    "q122_shard_shuffle"    -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "q90_split"             -> (trainValTestSplit _),
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),

@@ -155,5 +155,17 @@ class TextOpsSpec extends SparkSuite {
     // a re-run reproduces the identical assignment (pure function of id)
     assert(rowsOf(TextQueries.shardShuffle(spark, sf0001),
       "doc_id", "shard", "pos") == rowsOf(assign, "doc_id", "shard", "pos"))
+    // the scale path: more hex digits refine the SAME partition — the
+    // high nibble of a 2-digit shard is the 1-digit shard, so growing
+    // the shard count never reassigns a doc across coarse shards
+    val fine = TextQueries.shardShuffle(spark, sf0001, hexDigits = 2)
+    assert(fine.count() == docs.count())
+    assert(fine.agg(min("shard"), max("shard")).collect()
+      .headOption.forall(r => r.getLong(0) >= 0 && r.getLong(1) <= 255))
+    val mismatch = fine.select(col("doc_id"), (col("shard") / 16)
+        .cast("long").as("coarse"))
+      .join(assign.select(col("doc_id"), col("shard").as("s1")), "doc_id")
+      .filter(col("coarse") =!= col("s1")).count()
+    assert(mismatch == 0, s"$mismatch docs moved across coarse shards")
   }
 }
