@@ -126,9 +126,10 @@ class Catalog(spark: SparkSession, warehouse: String,
     * rejected unless `allowSchemaChange` (Delta's `overwriteSchema`). */
   def overwriteSnapshot(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil,
-      allowSchemaChange: Boolean = false): Unit = {
+      allowSchemaChange: Boolean = false,
+      commitTag: Option[(String, String)] = None): Unit = {
     Catalog.overwritePath(spark, df, path(layer, table), partitionBy,
-      keepVersions, allowSchemaChange)
+      keepVersions, allowSchemaChange, commitTag = commitTag)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
   }

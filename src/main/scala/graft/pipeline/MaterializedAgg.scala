@@ -54,10 +54,21 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
 
   /** The last applied refresh id (high-water mark), -1 before first load.
     * Read from the committed state itself — it cannot disagree with the
-    * data it guards. */
+    * data it guards. A retraction can legitimately EMPTY the state (every
+    * group's count reached zero), which would take the in-state watermark
+    * with it — and an empty state with a lost watermark re-applies a
+    * crash-replayed delta as NEGATIVE ghost groups. Unbucketed writes
+    * therefore also stamp the id as a commit tag (atomic with the same
+    * swap — still no second commit point), read here exactly when the
+    * state carries no rows to ask. */
   def lastRefreshId: Long =
     if (!exists) -1L
-    else stateRead().agg(max(col(IdCol))).head().getLong(0)
+    else {
+      val m = stateRead().agg(max(col(IdCol))).head()
+      if (!m.isNullAt(0)) m.getLong(0)
+      else Catalog.lastCommitTag(spark, path, WatermarkTagKey)
+        .map(_.toLong).getOrElse(-1L)
+    }
 
   private def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -91,6 +102,7 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
     val p = delta.withColumn(IdCol, lit(refreshId))
     def pruned(df: DataFrame): DataFrame =
       prune.map(c => df.filter(!coalesce(c, lit(false)))).getOrElse(df)
+    val wm = Some(WatermarkTagKey -> refreshId.toString)
     (nBuckets, exists) match {
       case (Some(n), false) =>
         PartitionedMerge.write(pruned(p), path, groupBy, n)
@@ -98,12 +110,14 @@ class MaterializedAgg(spark: SparkSession, cat: Catalog,
         PartitionedMerge.prunedMerge(spark, path, p, groupBy, n)(
           (target, src) => pruned(combine(target.unionByName(src))))
         ()
-      case (None, false) => cat.overwriteSnapshot(pruned(p), layer, table)
+      case (None, false) =>
+        cat.overwriteSnapshot(pruned(p), layer, table, commitTag = wm)
       case (None, true) =>
         // snapshot swap stages before renaming, so the lazy read of the
         // live state during the staging write sees the original files
         cat.overwriteSnapshot(
-          pruned(combine(stateRead().unionByName(p))), layer, table)
+          pruned(combine(stateRead().unionByName(p))), layer, table,
+          commitTag = wm)
     }
     true
   }
@@ -116,6 +130,10 @@ object MaterializedAgg {
   /** The in-state refresh high-water mark column (the Delta `txnVersion`
     * idiom) — shared with the SQL materialized-view surface. */
   val RefreshIdCol = "_graft_refresh_id"
+
+  /** Commit-tag key carrying the same watermark on unbucketed snapshot
+    * swaps — survives a state that retraction legitimately emptied. */
+  val WatermarkTagKey = "mv_refresh_id"
 
   /** An algebraic measure: `partialExpr` folds raw batch rows,
     * `combineExpr` folds partial states of the SAME output column. */

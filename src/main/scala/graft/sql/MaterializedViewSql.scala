@@ -271,7 +271,8 @@ object MaterializedViewSql {
         // before the cursor commit, the replayed incremental delta
         // arrives as refreshId == cur == lastRefreshId and drops
         .withColumn(RefreshIdCol, lit(cur.toLong))
-      cat.overwriteSnapshot(state, nameParts.head, nameParts(1))
+      cat.overwriteSnapshot(state, nameParts.head, nameParts(1),
+        commitTag = Some(MaterializedAgg.WatermarkTagKey -> cur.toString))
       ChangeFeed.commitCursor(spark, cursorFile(viewDir), cur)
     } else ChangeFeed.consumeChanges(spark, d.srcDir,
         cursorFile(viewDir)) match {

@@ -152,6 +152,40 @@ class MviewSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE gold.mvr"); spark.sql("DROP TABLE silver.srcr")
   }
 
+  test("a retraction that empties the state keeps the watermark (no ghost groups)") {
+    // every group's count reaches zero → prune leaves ZERO state rows,
+    // which used to take the in-state high-water mark with it: the next
+    // lastRefreshId read NPE'd, and a crash-replayed delete delta would
+    // re-fold into NEGATIVE ghost groups. The watermark now also rides a
+    // commit tag on the same swap.
+    val cat = new Catalog(spark, tmpDir("graft-mvempty"))
+    val cursor = cat.path("gold", "mve") + ".mviewcursor"
+    cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
+      "silver", "srce")
+    cat.register("silver", "srce")
+    graft.sql.GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.mve AS
+         SELECT k, sum(v) AS s, count(*) AS n
+         FROM silver.srce GROUP BY k""")
+    // v2: remove EVERYTHING — both groups vanish on the count-zero rule
+    cat.overwriteSnapshot(
+      spark.emptyDataset[(String, Long)].toDF("k", "v"), "silver", "srce")
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mve")
+    assert(spark.table("gold.mve").count() == 0)
+    // crash-replay of the emptying delta onto the empty state: must drop
+    // whole, not fold negated partials into count=-1 ghosts
+    graft.catalog.ChangeFeed.commitCursor(spark, cursor, 1)
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mve")
+    assert(spark.table("gold.mve").count() == 0,
+      "replayed retraction created ghost groups on the empty state")
+    // and the view still works: later appends fold incrementally
+    Catalog.appendPath(spark, Seq(("c", 7L)).toDF("k", "v"),
+      cat.path("silver", "srce"))
+    graft.sql.GraftSql.sql(spark, "REFRESH MATERIALIZED VIEW gold.mve")
+    assert(stateOf(spark, "gold.mve") == Map("c" -> ((7L, 1L))))
+    spark.sql("DROP TABLE gold.mve"); spark.sql("DROP TABLE silver.srce")
+  }
+
   test("min/max views demand FULL on non-append history; FULL recomputes and re-pins") {
     val cat = new Catalog(spark, tmpDir("graft-mv3b"))
     cat.overwriteSnapshot(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"),
