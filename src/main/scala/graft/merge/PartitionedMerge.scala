@@ -47,13 +47,53 @@ object PartitionedMerge {
     // (the Catalog.create parity)
     val cons = graft.catalog.Catalog.readConstraintsPath(df.sparkSession, path)
     if (cons.nonEmpty) graft.catalog.Catalog.enforce(df, cons, path)
-    df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    val bucketed = df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    writeSchemaSidecar(df.sparkSession, path, bucketed.schema)
   }
 
   /** Read the logical table (bucket column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+    readRaw(spark, path).drop(BucketCol)
+
+  /** Schema sidecar: a `partitionBy` write of ZERO rows produces no
+    * bucket directories and no part files — nothing for a later read to
+    * infer a schema from — yet an empty state is legitimate (a merge can
+    * delete every row; an incremental view can empty). Every write
+    * records the bucketed schema in an underscore-prefixed sidecar
+    * (invisible to parquet scans), and [[readRaw]] falls back to it
+    * exactly when inference has no files. Delta holds the schema in its
+    * log for the same reason; here the sidecar IS that log entry. */
+  private def schemaSidecar(path: String) = new Path(path, "_graft_pm_schema.json")
+
+  private[graft] def writeSchemaSidecar(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = schemaSidecar(path)
+    val tmp = new Path(path, "_graft_pm_schema.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"schema sidecar commit failed: $p")
+  }
+
+  /** The raw bucketed frame (bucket column included), schema-safe for
+    * file-less (emptied) states. */
+  private[graft] def readRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sc = schemaSidecar(path)
+      if (!fs.exists(sc)) throw e
+      val in = fs.open(sc)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
+    }
 
   /** Partition-pruned merge. `mergeFn` receives (prunedTarget, source) and
     * returns the merged slice — e.g.
@@ -75,7 +115,7 @@ object PartitionedMerge {
     val touched = source
       .select(bucketExpr(keys, nBuckets).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val pruned = spark.read.parquet(path)
+    val pruned = readRaw(spark, path)
       .filter(col(BucketCol).isin(touched.map(Int.box): _*))
       .drop(BucketCol)
     val merged = mergeFn(pruned, source)
@@ -84,21 +124,25 @@ object PartitionedMerge {
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     // staging write runs BEFORE any rename, so the (lazy) pruned scan and
     // skeyBase scan still read the original files
-    merged.withColumn(BucketCol, bucketExpr(keys, nBuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+    val staged = merged.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    staged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
 
     // CHECK constraints gate bucketed writes too: validate the staged
     // buckets (the only rows this merge changes) before any rename —
-    // same one-pass check as Catalog.overwritePath, scoped O(touched)
+    // same one-pass check as Catalog.overwritePath, scoped O(touched).
+    // Explicit schema: a merge that deleted every touched row stages a
+    // file-less tree.
     val cons = graft.catalog.Catalog.readConstraintsPath(spark, path)
     if (cons.nonEmpty) {
       try graft.catalog.Catalog.enforce(
-        spark.read.parquet(tmp).drop(BucketCol), cons, path)
+        spark.read.schema(staged.schema).parquet(tmp).drop(BucketCol),
+        cons, path)
       catch { case e: Throwable =>
         fs.delete(new Path(tmp), true); throw e }
     }
 
     swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    writeSchemaSidecar(spark, path, staged.schema)
     touched
   }
 
