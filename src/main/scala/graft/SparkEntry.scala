@@ -22,6 +22,7 @@ object SparkEntry {
     functions.Udfs.queries ++
     operators.MergeQueries.queries ++
     operators.EventQueries.queries ++
+    operators.OlapQueries.queries ++
     operators.TextQueries.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     functions.Udfs.oracles ++
     operators.MergeQueries.oracles ++
     operators.EventQueries.oracles ++
+    operators.OlapQueries.oracles ++
     operators.TextQueries.oracles ++
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
