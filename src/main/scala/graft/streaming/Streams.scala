@@ -383,6 +383,72 @@ object Streams {
     q.awaitTermination()
   }
 
+  final case class PendingSessions(sessions: List[(Long, Long, Long)])
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Event-time sessionization as custom keyed state
+    * (flatMapGroupsWithState + EventTimeTimeout): per-user sessions with
+    * an inactivity gap, emitted ONLY once the watermark has passed
+    * `session_end + gap` — i.e. every output row is FINAL (append-mode
+    * correct; no event admitted by the watermark can still extend it).
+    *
+    * State per key is the list of still-open sessions as (start, end, n)
+    * intervals. Each batch folds its events in as singleton intervals and
+    * re-merges the sorted list (neighbors closer than the gap collapse),
+    * so out-of-order arrivals WITHIN the allowed lateness — including an
+    * event that bridges two previously separate sessions — resolve to the
+    * same sessions a batch run over the full history would produce.
+    * Sessions whose close is behind the watermark emit and leave the
+    * state; the rest schedule an event-time timeout at the earliest
+    * possible close so idle keys still flush and state stays bounded by
+    * the watermark horizon, not by history.
+    *
+    * Scale shape: state is O(open sessions per user) — bounded by
+    * gap/watermark, independent of stream length; the shuffle is the
+    * groupByKey on user_id, the same single exchange the windowed-agg
+    * path pays. */
+  def sessionizeStream(events: Dataset[UserEvent], gapSec: Long = 1800,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingSessions, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[UserEvent],
+            state: GroupState[PendingSessions]) =>
+          def mergeIntervals(xs: List[(Long, Long, Long)])
+              : List[(Long, Long, Long)] =
+            xs.sortBy(s => (s._1, s._2)).foldLeft(List.empty[(Long, Long, Long)]) {
+              case (acc @ (s0, e0, n0) :: rest, (s1, e1, n1)) =>
+                if (s1 - e0 <= gapMs)
+                  (s0, math.max(e0, e1), n0 + n1) :: rest
+                else (s1, e1, n1) :: acc
+              case (Nil, iv) => iv :: Nil
+            }.reverse
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = batch.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toList
+          val merged = mergeIntervals(prior ++ incoming)
+          val wm = state.getCurrentWatermarkMs()
+          // final iff no admissible event (ts >= wm) can extend: end+gap < wm
+          val (closed, pending) = merged.partition { case (_, e, _) =>
+            e + gapMs < wm }
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(PendingSessions(pending))
+            // earliest possible close; must sit strictly above the watermark
+            val t = pending.map { case (_, e, _) => e + gapMs }.min
+            state.setTimeoutTimestamp(math.max(t, wm + 1))
+          }
+          closed.iterator.map { case (s, e, n) =>
+            ClosedSession(user, new java.sql.Timestamp(s),
+              new java.sql.Timestamp(e), n)
+          }
+      }
+  }
+
   final case class Threshold(user_id: Long, n_events: Long, crossed_at: Long)
 
   /** flatMapGroupsWithState — the 0-or-many-output stateful shape: emit a
