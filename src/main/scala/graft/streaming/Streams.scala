@@ -432,9 +432,13 @@ object Streams {
           val incoming = batch.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toList
           val merged = mergeIntervals(prior ++ incoming)
           val wm = state.getCurrentWatermarkMs()
-          // final iff no admissible event (ts >= wm) can extend: end+gap < wm
+          // Spark's stateful late filter drops rows with eventTime <= the
+          // current watermark (inclusive — observed empirically: at the
+          // initial wm=0 an epoch-0 event never reaches this function), so
+          // an admissible event has ts > wm and a session is final exactly
+          // when end+gap <= wm: no deliverable event can still extend it.
           val (closed, pending) = merged.partition { case (_, e, _) =>
-            e + gapMs < wm }
+            e + gapMs <= wm }
           if (pending.isEmpty) state.remove()
           else {
             state.update(PendingSessions(pending))
