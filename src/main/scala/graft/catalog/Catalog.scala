@@ -369,9 +369,26 @@ object Catalog {
 
   private[graft] def readPointer(f: FileSystem, dir: String): Int = {
     val p = pointerFile(dir)
-    if (f.exists(p)) readSmallFile(f, p).toInt
-    else if (f.exists(new Path(dir))) 1
-    else 0
+    // The pointer commit is delete-then-rename (local-FS rename cannot
+    // overwrite), so a concurrent reader can catch the file ABSENT or
+    // vanishing between exists() and open() — a transient window, never a
+    // state. Retry through it; only when the pointer stays gone (a writer
+    // crashed inside its own window) derive the value from the version
+    // log: retired entries run v1..v{cur-1}, so live = max logged + 1.
+    var i = 0
+    while (i < 100) {
+      try {
+        if (f.exists(p)) return readSmallFile(f, p).toInt
+        else if (!f.exists(historyDir(dir)))
+          return if (f.exists(new Path(dir))) 1 else 0
+      } catch { case _: java.io.FileNotFoundException => () }
+      i += 1
+      Thread.sleep(2)
+    }
+    val logged = f.listStatus(historyDir(dir)).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit)).map(_.drop(1).toInt)
+    (if (logged.isEmpty) 0 else logged.max) + 1
   }
 
   /** The latest commit-tag value for `key` across the live snapshot and
@@ -410,7 +427,11 @@ object Catalog {
 
   private[graft] def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
     val p = pointerFile(dir)
-    val tmp = new Path(historyDir(dir), "_current.tmp")
+    // unique tmp name: pointer writes for different versions are already
+    // serialized by the retire rename, but a shared tmp would let a
+    // crashed attempt's leftover be renamed as a LATER writer's value
+    val tmp = new Path(historyDir(dir),
+      "_current.tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     if (f.exists(p)) f.delete(p, false)
@@ -602,9 +623,15 @@ object Catalog {
         if (!dryRun) f.delete(p, true)
         deleted += p.toString
       }
-    rm(new Path(dir + ".tmp"))
-    rm(new Path(dir + ".tmp-merge"))
-    rm(new Path(dir + ".tmp-insert"))
+    // staging leftovers: every data-staging sibling carries a `.tmp`
+    // name prefix — fixed legacy names (.tmp, .tmp-merge, .tmp-insert,
+    // .tmp-replace) and the unique per-attempt `.tmp-<uuid>` dirs a
+    // crashed or race-losing writer abandons
+    val parent = new Path(dir).getParent
+    val base = new Path(dir).getName
+    if (parent != null && f.exists(parent))
+      f.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(base + ".tmp")).foreach(rm)
     rm(new Path(dir + ".constraints.tmp"))
     rm(new Path(dir + ".generated.tmp"))
     rm(new Path(dir + ".identity.tmp"))
@@ -622,6 +649,9 @@ object Catalog {
             n.drop(1).forall(_.isDigit) &&
             n.drop(1).toInt <= cur - 1 - keepVersions
         }.foreach(rm)
+      // pointer-write tmp files abandoned by a crashed commit
+      f.listStatus(hist).map(_.getPath)
+        .filter(_.getName.startsWith("_current.tmp")).foreach(rm)
       // a version log supersedes the legacy single-depth `.prev` dir —
       // reclaim it (kept while no log exists: it is still the only
       // previous-snapshot copy for old-layout warehouses)
@@ -1070,6 +1100,15 @@ object Catalog {
     s"concurrent commit on $dir: staged against version $expected but the " +
       s"table is now at $actual — re-read and retry")
 
+  /** Unique per-attempt staging dir. Concurrent writers must never share
+    * a staging path — with a fixed name the loser of a commit race deletes
+    * or renames the winner's half-written files before the optimistic
+    * check even runs. `.tmp`-prefixed siblings of the table dir are
+    * vacuum's to reclaim (prefix sweep in [[vacuumPath]]). */
+  private def stagingPath(dir: String, kind: String): Path =
+    new Path(dir + ".tmp" + kind + "-" +
+      java.util.UUID.randomUUID().toString.take(8))
+
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
       allowSchemaChange: Boolean = false,
@@ -1077,9 +1116,8 @@ object Catalog {
       commitTag: Option[(String, String)] = None,
       operation: String = "WRITE"): Unit = {
     val dst = new Path(dir)
-    val tmp = new Path(dir + ".tmp")
+    val tmp = stagingPath(dir, "")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(tmp)) f.delete(tmp, true)
     // GENERATED ALWAYS AS: compute absent generated columns into the
     // written frame; columns the writer DID provide are validated against
     // their expression below (Delta's consistency rule) — a generated
@@ -1171,12 +1209,21 @@ object Catalog {
     if (f.exists(dst)) {
       f.mkdirs(historyDir(dir))
       val retired = versionDir(dir, cur)
-      if (f.exists(retired) || !f.rename(dst, retired))
-        throw new IllegalStateException(
-          s"snapshot swap failed for $dst: could not retire current to $retired")
+      if (f.exists(retired) || !f.rename(dst, retired)) {
+        // the retire rename is the put-if-absent that serializes racers:
+        // losing it means another commit owns v{cur} — clean up our
+        // staging and surface it as the concurrency conflict it is
+        f.delete(tmp, true)
+        throw new ConcurrentCommitException(dir, cur, readPointer(f, dir))
+      }
     }
-    if (!f.rename(tmp, dst))
-      throw new IllegalStateException(s"snapshot swap failed for $dst")
+    if (!f.rename(tmp, dst)) {
+      // dst reappeared: another writer won the dst-absent window (the
+      // first-load race, or a racer slipping between our retire and
+      // rename) — their commit is intact, ours loses cleanly
+      f.delete(tmp, true)
+      throw new ConcurrentCommitException(dir, cur, readPointer(f, dir))
+    }
     writePointer(f, dir, cur + 1)
     // Prune the ONE entry that just fell out of the retention window —
     // every earlier commit pruned its own, so probing all version numbers
@@ -1247,8 +1294,7 @@ object Catalog {
       s"INSERT INTO $dir schema mismatch: table has " +
         curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
         nwShape.keys.toSeq.sorted.mkString(", "))
-    val stage = new Path(dir + ".tmp-insert")
-    if (f.exists(stage)) f.delete(stage, true)
+    val stage = stagingPath(dir, "-insert")
     dfGen.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val cons = readConstraintsPath(spark, dir) ++
       provided.map { case (n, e) => (s"__generated_$n", s"`$n` <=> ($e)") }
@@ -1259,8 +1305,7 @@ object Catalog {
     // build the next snapshot: links to every current data file + the new
     // files moved in (staged part-file names carry task UUIDs; a collision
     // with a linked name aborts rather than overwrites)
-    val tmp = new Path(dir + ".tmp")
-    if (f.exists(tmp)) f.delete(tmp, true)
+    val tmp = stagingPath(dir, "")
     f.mkdirs(tmp)
     val canLink = f.getScheme == "file"
     f.listStatus(dst).foreach { st =>

@@ -118,12 +118,38 @@ object OlapQueries {
       .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
   }
 
+  /** Fuzzy entity-matching self-join: near-identical names at edit
+    * distance ≤ 1, found via BLOCKING — candidates share a 16-char name
+    * prefix, so the quadratic comparison runs inside blocks only (the
+    * standard entity-resolution trade: the blocking key bounds candidate
+    * pairs at O(Σ block²) instead of O(N²), accepting that cross-block
+    * matches are out of scope by design). The block join is a plain
+    * equi-join — shuffle-hash/broadcast by size — and levenshtein runs
+    * codegen'd on candidates only. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("blk", substring(col("c_name"), 1, 16))
+    val a = c.select(col("blk"), col("c_custkey").as("id_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(col("blk"), col("c_custkey").as("id_b"),
+      col("c_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_rollup_gid" -> (rollupRevenue _),
     "q124_grouping_sets_api" -> (groupingSetsCustomers _),
     "q125_domain_cap" -> (domainCap _),
     "q126_rolling_range" -> (rollingRange _),
-    "q127_window_dist" -> (windowDistribution _))
+    "q127_window_dist" -> (windowDistribution _),
+    "q128_fuzzy_match" -> (fuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
     "q123_rollup_gid" ->
@@ -172,5 +198,14 @@ object OlapQueries {
            CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cdist
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-         ORDER BY c_mktsegment, c_acctbal, c_custkey""")
+         ORDER BY c_mktsegment, c_acctbal, c_custkey""",
+    "q128_fuzzy_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a
+         JOIN customer b
+           ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""")
 }

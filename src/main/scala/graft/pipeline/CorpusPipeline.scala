@@ -36,7 +36,8 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
     minQuality: Double = 0.2,
     sampleRates: Map[String, Double] = Map(
       "en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
-    tokensPerBatch: Long = 2048L) {
+    tokensPerBatch: Long = 2048L,
+    maxPerSource: Option[Long] = None) {
 
   /** Silver annotation starts from CANONICAL text: NFC + control/space
     * cleanup, then PII redaction (q82/q76 passes) — normalization must
@@ -64,7 +65,22 @@ class CorpusPipeline(spark: SparkSession, cat: Catalog,
       .filter(col("__rn") === 1).drop("__rn")
     val keepers = Dedup.dedupClustersOf(exactSurvivors)
       .filter(col("is_kept") === 1).select("doc_id")
-    exactSurvivors.join(keepers, Seq("doc_id"), "left_semi")
+    capStage(exactSurvivors.join(keepers, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Optional per-source quota (q125's operator inside the pipeline): no
+    * single domain may dominate the curated corpus. Runs AFTER dedup —
+    * the cap should spend its budget on unique documents — and before the
+    * mix, so sampling rates see the capped composition. Deterministic
+    * keep-order (hash of the id), so re-runs and engine changes keep the
+    * same documents. WindowGroupLimit pushes the quota below the shuffle. */
+  private def capStage(deduped: DataFrame): DataFrame = maxPerSource match {
+    case None => deduped
+    case Some(k) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      deduped.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
   }
 
   /** Context-window chunks of the curated corpus (q79's operator over the

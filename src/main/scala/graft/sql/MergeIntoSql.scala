@@ -565,9 +565,11 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
     // mutating between actions) would otherwise pass the validation count
     // and then materialize different, predicate-violating rows at write
     // time; deterministic queries would pay double compute.
-    val stagePath = new org.apache.hadoop.fs.Path(dir + ".tmp-replace")
+    // unique per-attempt staging (racers must never share a staging
+    // path); vacuum's `.tmp` prefix sweep reclaims abandoned attempts
+    val stagePath = new org.apache.hadoop.fs.Path(dir + ".tmp-replace-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stagePath)) fs.delete(stagePath, true)
     aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stagePath.toString)
     try {

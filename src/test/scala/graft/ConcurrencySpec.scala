@@ -1,0 +1,137 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.Catalog
+
+/** Concurrent-writer races on the version log. The protocol's claims:
+  * optimistic `expectedVersion` turns a lost race into
+  * [[Catalog.ConcurrentCommitException]], the retire rename is the
+  * put-if-absent that serializes racers who both pass the check, staging
+  * dirs are unique per attempt (a loser can never clobber a winner's
+  * half-written files), and whatever happens the table is always EXACTLY
+  * one writer's dataset at every version — never a mix, never a loss
+  * that went unreported.
+  */
+class ConcurrencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val pool = Executors.newFixedThreadPool(4)
+
+  private def race[A](thunks: Seq[() => A]): Seq[Either[Throwable, A]] = {
+    val start = new CountDownLatch(1)
+    val futures = thunks.map { t =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, A]] {
+        def call(): Either[Throwable, A] = {
+          start.await(10, TimeUnit.SECONDS)
+          try Right(t()) catch { case e: Throwable => Left(e) }
+        }
+      })
+    }
+    start.countDown()
+    futures.map(_.get(120, TimeUnit.SECONDS))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("racing optimistic overwrites: one winner per version, no mixed state") {
+    val root = tmpDir("graft-race-ow")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot(Seq((0L, "base")).toDF("id", "v"), "silver", "race")
+    val dir = cat.path("silver", "race")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 6).foreach { round =>
+      val before = cat.currentVersion("silver", "race")
+      // each writer stamps every row with its identity: a mixed commit
+      // (rows from two writers) is detectable, not just unlikely
+      def attempt(writer: Long): () => Long = () => {
+        Catalog.overwritePath(spark,
+          Seq((writer, s"r$round"), (writer + 100, s"r$round"))
+            .toDF("id", "v"),
+          dir, expectedVersion = Some(before))
+        writer
+      }
+      val results = race(Seq(attempt(1L), attempt(2L)))
+      val winners = results.collect { case Right(w) => w }
+      val losers = results.collect { case Left(e) => e }
+      assert(winners.size == 1,
+        s"round $round: exactly one optimistic writer may win, " +
+          s"got $winners / ${losers.map(_.getClass.getSimpleName)}")
+      assert(losers.forall(_.isInstanceOf[Catalog.ConcurrentCommitException]),
+        s"round $round: loser must fail with ConcurrentCommitException, " +
+          s"got ${losers.map(e => e.getClass.getName + ": " + e.getMessage)}")
+      val live = ids(cat.read("silver", "race"))
+      val w = winners.head
+      assert(live == Set(w, w + 100),
+        s"round $round: live state must be the winner's dataset, got $live")
+      assert(cat.currentVersion("silver", "race") == before + 1,
+        s"round $round: exactly one commit advanced the log")
+    }
+    // abandoned staging dirs from losing attempts are vacuum's to reclaim;
+    // after vacuum the table tree is clean
+    cat.vacuum("silver", "race")
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    assert(!f.listStatus(parent).map(_.getPath.getName)
+      .exists(_.startsWith("race.tmp")), "staging leftovers after vacuum")
+    // every retained version still reconstructs (no race corrupted history)
+    (math.max(1, cat.currentVersion("silver", "race") - 3) to
+      cat.currentVersion("silver", "race")).foreach { v =>
+      assert(cat.readVersion("silver", "race", v).count() > 0,
+        s"version $v must reconstruct")
+    }
+  }
+
+  test("racing appends: serialized or cleanly refused, rows never mixed or lost silently") {
+    val root = tmpDir("graft-race-ap")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot(Seq((0L, "base")).toDF("id", "v"), "silver", "apr")
+    val dir = cat.path("silver", "apr")
+    (1 to 4).foreach { round =>
+      def attempt(writer: Long): () => Long = () => {
+        Catalog.appendPath(spark,
+          Seq((round * 10L + writer, s"w$writer")).toDF("id", "v"), dir)
+        writer
+      }
+      val results = race(Seq(attempt(1L), attempt(2L)))
+      val winners = results.collect { case Right(w) => w }.toSet
+      val losers = results.collect { case Left(e) => e }
+      assert(winners.nonEmpty, s"round $round: at least one append commits")
+      assert(losers.forall(_.isInstanceOf[Catalog.ConcurrentCommitException]),
+        s"round $round: a refused append must raise ConcurrentCommitException" +
+          s", got ${losers.map(e => e.getClass.getName + ": " + e.getMessage)}")
+      val live = ids(cat.read("silver", "apr"))
+      // every winner's row is present; no loser's row leaked in
+      winners.foreach(w => assert(live.contains(round * 10L + w),
+        s"round $round: winner $w's row lost"))
+      results.zip(Seq(1L, 2L)).collect { case (Left(_), w) => w }
+        .foreach(l => assert(!live.contains(round * 10L + l),
+          s"round $round: refused append $l leaked rows"))
+    }
+  }
+
+  test("blind overwrite racers: losers refused, retries then succeed") {
+    val root = tmpDir("graft-race-blind")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot(Seq((0L, "x")).toDF("id", "v"), "silver", "bl")
+    val dir = cat.path("silver", "bl")
+    def attempt(writer: Long): () => Long = () => {
+      Catalog.overwritePath(spark,
+        Seq((writer, "w")).toDF("id", "v"), dir)
+      writer
+    }
+    val results = race(Seq(attempt(1L), attempt(2L), attempt(3L)))
+    val winners = results.collect { case Right(w) => w }
+    val losers = results.collect { case Left(e) => e }
+    assert(winners.nonEmpty, "at least one blind overwrite lands")
+    // a blind loser may retry and land as its own later version
+    assert(losers.forall(_.isInstanceOf[Catalog.ConcurrentCommitException]),
+      s"losers: ${losers.map(e => e.getClass.getName + ": " + e.getMessage)}")
+    val live = ids(cat.read("silver", "bl"))
+    assert(winners.map(w => Set(w)).contains(live),
+      s"live state $live must be exactly one winner's dataset")
+  }
+}

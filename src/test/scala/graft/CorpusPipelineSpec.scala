@@ -64,6 +64,35 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(cat.readVersion("gold", "training_batches", 1).count() == run1Count)
   }
 
+  test("per-source cap bounds every domain, keeps a deterministic subset, mix still contained") {
+    val cat = new Catalog(spark, tmpDir("graft-corpus-cap"))
+    val raw = Tables.load(spark, sf0001, "documents")
+    val uncapped = {
+      val c = new Catalog(spark, tmpDir("graft-corpus-nocap"))
+      new CorpusPipeline(spark, c).run(raw)
+      c.read("silver", "documents_dedup")
+    }
+    val pipe = new CorpusPipeline(spark, cat, maxPerSource = Some(2L))
+    val gold = pipe.run(raw)
+    val capped = cat.read("silver", "documents_dedup")
+    // the quota binds everywhere
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 2),
+      s"cap violated: ${perSource.mkString(",")}")
+    // capped is a SUBSET of the uncapped survivors (the cap only removes)
+    assert(capped.select("doc_id").join(uncapped.select("doc_id"),
+      Seq("doc_id"), "left_anti").count() == 0)
+    // downstream containment holds (checked BEFORE the re-run swaps the
+    // snapshot these frames' file lists point at)
+    assert(gold.select("doc_id").join(capped.select("doc_id"),
+      Seq("doc_id"), "left_anti").count() == 0)
+    // deterministic: a re-run keeps exactly the same documents
+    val ids1 = rowsOf(capped.select("doc_id"), "doc_id")
+    pipe.run(raw)
+    assert(rowsOf(cat.read("silver", "documents_dedup").select("doc_id"),
+      "doc_id") == ids1, "cap keep-set must be reproducible")
+  }
+
   test("declarative graph run matches the imperative pipeline table for table") {
     val raw = Tables.load(spark, sf0001, "documents")
     val impCat = new Catalog(spark, tmpDir("graft-corpus-imp"))

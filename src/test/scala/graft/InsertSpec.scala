@@ -183,10 +183,14 @@ class InsertSpec extends SparkSuite {
     assert(rowsOf(cat.read("silver", "occ"), "id") ==
       Seq(Seq(1L, "a"), Seq(2L, "b")), "losing writer must change nothing")
     assert(cat.currentVersion("silver", "occ") == 2)
-    // the staged tmp dir was discarded, not left for vacuum
+    // the staged tmp dir was discarded, not left for vacuum (staging
+    // names are unique per attempt — sweep the prefix, not one name)
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!f.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")))
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val base = new org.apache.hadoop.fs.Path(dir).getName
+    assert(!f.listStatus(parent).map(_.getPath.getName)
+      .exists(_.startsWith(base + ".tmp")), "staging leftover after race")
     // with the CURRENT expectation the same commit goes through
     Catalog.overwritePath(spark, Seq((1L, "a"), (2L, "b"), (9L, "z"))
       .toDF("id", "v"), dir, expectedVersion = Some(2))
@@ -252,11 +256,12 @@ class InsertSpec extends SparkSuite {
           "VALUES (11, NULL, 11.0)")
     }
     assert(spark.table("silver.rwn").count() == 3)
-    // the validation staging dir never outlives the statement
-    val f = new org.apache.hadoop.fs.Path(cat.path("silver", "rwn"))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!f.exists(new org.apache.hadoop.fs.Path(
-      cat.path("silver", "rwn") + ".tmp-replace")))
+    // the validation staging dir never outlives the statement (unique
+    // per-attempt names — sweep the prefix)
+    val p = new org.apache.hadoop.fs.Path(cat.path("silver", "rwn"))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(p.getParent).map(_.getPath.getName)
+      .exists(_.startsWith(p.getName + ".tmp")), "staging leftover")
     spark.sql("DROP TABLE silver.rwn")
   }
 
