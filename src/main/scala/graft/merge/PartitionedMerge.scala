@@ -120,8 +120,13 @@ object PartitionedMerge {
       .drop(BucketCol)
     val merged = mergeFn(pruned, source)
 
-    val tmp = s"$path.tmp-merge"
-    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    // unique per-attempt staging (vacuum's `.tmp` prefix sweep reclaims
+    // abandoned attempts). NOTE: bucketed merges are single-writer per
+    // table — swapBuckets treats a v{cur} entry as its own aborted
+    // attempt, so two CONCURRENT merges corrupt history; in practice the
+    // one streaming checkpoint per table serializes them (SCALE.md).
+    val tmp = s"$path.tmp-merge-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // staging write runs BEFORE any rename, so the (lazy) pruned scan and
     // skeyBase scan still read the original files
     val staged = merged.withColumn(BucketCol, bucketExpr(keys, nBuckets))
@@ -304,8 +309,8 @@ object PartitionedMerge {
       .filter(col(BucketCol).isin(touched.map(Int.box): _*))
     val salted = df.withColumn("__graft_salt",
       pmod(hash(struct(df.columns.map(col): _*)), wantFor))
-    val tmp = s"$path.tmp-merge"
-    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    val tmp = s"$path.tmp-merge-" +
+      java.util.UUID.randomUUID().toString.take(8)
     salted.repartition(col(BucketCol), col("__graft_salt"))
       .drop("__graft_salt")
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
