@@ -195,13 +195,18 @@ object MergeQueries {
           "price_positive" -> "p_retailprice > 0"))
       .kept.orderBy("p_partkey")
 
-  /** T7 — one-pass violation-count metrics as a relation. */
-  def dqMetrics(spark: SparkSession, dir: String): DataFrame =
+  /** T7 — one-pass violation-count metrics as a relation. A violation is
+    * a rule that is NOT TRUE (3VL: NULL counts — the same rows the drop
+    * gate removes), matching `Expectations.violationCounts`. */
+  def dqMetrics(spark: SparkSession, dir: String): DataFrame = {
+    def v(sql: String) =
+      sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L))
     Tables.load(spark, dir, "part").agg(
-      sum(when(!expr("p_size IS NOT NULL"), 1L).otherwise(0L)).as("v_size_not_null"),
-      sum(when(!expr("p_size <= 25"), 1L).otherwise(0L)).as("v_size_max"),
-      sum(when(!expr("p_retailprice > 0"), 1L).otherwise(0L)).as("v_price_positive"),
+      v("p_size IS NOT NULL").as("v_size_not_null"),
+      v("p_size <= 25").as("v_size_max"),
+      v("p_retailprice > 0").as("v_price_positive"),
       count(lit(1)).as("total_rows"))
+  }
 
   /** Incrementally maintained customer rollup ([[graft.pipeline
     * .MaterializedAgg]]): orders arrive as three deterministic batches
@@ -493,9 +498,9 @@ object MergeQueries {
          ORDER BY p_partkey""",
     "q23_dq_metrics" ->
       """SELECT
-         CAST(SUM(CASE WHEN NOT (p_size IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v_size_not_null,
-         CAST(SUM(CASE WHEN NOT (p_size <= 25) THEN 1 ELSE 0 END) AS BIGINT) AS v_size_max,
-         CAST(SUM(CASE WHEN NOT (p_retailprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+         CAST(SUM(CASE WHEN NOT coalesce(p_size IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_size_not_null,
+         CAST(SUM(CASE WHEN NOT coalesce(p_size <= 25, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_size_max,
+         CAST(SUM(CASE WHEN NOT coalesce(p_retailprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
          COUNT(*) AS total_rows
          FROM part""")
 

@@ -143,13 +143,69 @@ object OlapQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Statistical profile per segment — corr / normalized dispersion, the
+    * stat-functions surface (corr, stddev_pop, covar_pop) a profiling pass
+    * runs. All reported values are O(1) RATIOS (correlation, coefficient
+    * of variation, normalized covariance): raw variances of big values
+    * amplify cross-engine double-accumulation noise past any fixed
+    * decimal quantum, while ratios keep it at ~1e-15 — DECIMAL(18,6)
+    * rounding is then bit-stable on both engines. */
+  def statSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    def r6(x: Column) = x.cast(DecimalType(18, 6)).cast("double")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(corr(col("c_acctbal"), col("o_totalprice"))).as("corr_bal_price"),
+        r6(stddev_pop(col("o_totalprice")) / avg(col("o_totalprice")))
+          .as("cv_price"),
+        r6(covar_pop(col("c_acctbal"), col("o_totalprice")) /
+          (avg(col("c_acctbal")) * avg(col("o_totalprice"))))
+          .as("ncov_bal_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Map-typed column surface: construction (map_from_arrays), lookup
+    * (element_at), higher-order rewrites (transform_values, map_filter),
+    * and key introspection — exercised end-to-end with the extracted
+    * scalars oracle-checked (ANSI SQL has no MAP type; the VALUES are the
+    * testable contract). */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val base = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_buyers"))
+    base
+      .withColumn("m", map_from_arrays(
+        array(lit("orders"), lit("buyers")),
+        array(col("n_orders"), col("n_buyers"))))
+      .withColumn("m2", transform_values(col("m"),
+        (_, v) => v * lit(2L)))
+      .withColumn("big", map_filter(col("m"),
+        (_, v) => v >= lit(10L)))
+      .select(col("n_name"),
+        element_at(col("m"), "orders").as("orders_via_map"),
+        element_at(col("m2"), "buyers").as("buyers_doubled"),
+        size(col("big")).cast("long").as("n_big_entries"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_rollup_gid" -> (rollupRevenue _),
     "q124_grouping_sets_api" -> (groupingSetsCustomers _),
     "q125_domain_cap" -> (domainCap _),
     "q126_rolling_range" -> (rollingRange _),
     "q127_window_dist" -> (windowDistribution _),
-    "q128_fuzzy_match" -> (fuzzyMatch _))
+    "q128_fuzzy_match" -> (fuzzyMatch _),
+    "q129_stat_suite" -> (statSuite _),
+    "q130_map_ops" -> (mapOps _))
 
   val oracles: Map[String, String] = Map(
     "q123_rollup_gid" ->
@@ -207,5 +263,34 @@ object OlapQueries {
            ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
           AND a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    "q129_stat_suite" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(CAST(corr(c_acctbal, o_totalprice) AS DECIMAL(18,6)) AS DOUBLE)
+             AS corr_bal_price,
+           CAST(CAST(stddev_pop(o_totalprice) / avg(o_totalprice)
+             AS DECIMAL(18,6)) AS DOUBLE) AS cv_price,
+           CAST(CAST(covar_pop(c_acctbal, o_totalprice) /
+             (avg(c_acctbal) * avg(o_totalprice)) AS DECIMAL(18,6)) AS DOUBLE)
+             AS ncov_bal_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "q130_map_ops" ->
+      """WITH base AS (
+           SELECT n_name, COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_buyers
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name,
+           n_orders AS orders_via_map,
+           n_buyers * 2 AS buyers_doubled,
+           CAST((CASE WHEN n_orders >= 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_buyers >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big_entries,
+           'buyers,orders' AS keys_sorted
+         FROM base
+         ORDER BY n_name""")
 }

@@ -34,16 +34,39 @@ object Expectations {
     df
   }
 
+  /** A row violates a rule when the predicate is NOT TRUE — the same
+    * three-valued-logic rule the drop filter applies (filter keeps only
+    * TRUE), so a NULL-evaluating row is both dropped AND counted. Bare
+    * `!rule` would let it be dropped silently: NULL falls out of `rule`
+    * and `!rule` alike. */
+  private def violates(sql: String): Column =
+    !coalesce(expr(sql), lit(false))
+
   /** One-pass per-rule violation counts (conditional aggregates — the
     * SURVEY §2.4 DQ-counting shape). */
   def violationCounts(df: DataFrame, rules: Map[String, String]): Map[String, Long] = {
     if (rules.isEmpty) return Map.empty
     val aggs = rules.map { case (n, sql) =>
-      sum(when(!expr(sql), 1L).otherwise(0L)).as(n)
+      sum(when(violates(sql), 1L).otherwise(0L)).as(n)
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     rules.keys.zipWithIndex.map { case (n, i) =>
       n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
     }.toMap
+  }
+
+  /** Monitor mode (DLT `expect`): keep EVERY row, surface per-rule
+    * violation counts as OBSERVED metrics computed inside the query's own
+    * execution — on a stream they arrive per micro-batch in
+    * `StreamingQueryProgress.observedMetrics(name)` with no second pass
+    * over the data (a stream cannot be re-read for a counting job; a
+    * 100 TB batch should not be). Row-count rides along so rates are
+    * computable downstream. */
+  def observeMetrics(df: DataFrame, name: String,
+      rules: Map[String, String]): DataFrame = {
+    val aggs = rules.toSeq.sortBy(_._1).map { case (n, sql) =>
+      sum(when(violates(sql), 1L).otherwise(0L)).as(n)
+    } :+ count(lit(1)).as("rows_seen")
+    df.observe(name, aggs.head, aggs.tail: _*)
   }
 }
