@@ -439,6 +439,65 @@ case class GraftCloneCommand(dstParts: Seq[String],
   }
 }
 
+/** `CREATE [OR REPLACE] TABLE <layer.table> AS <select>` — versioned CTAS.
+  * Spark's native CTAS writes a bare parquet directory outside the version
+  * log; this lowering materializes the query through the catalog's swap
+  * protocol, so the created table is born versioned (time travel, RESTORE,
+  * CDF, DESCRIBE HISTORY from version 1) and registered in the session
+  * catalog. `OR REPLACE` commits the query's rows as the existing table's
+  * next version — schema change allowed, Delta's REPLACE TABLE semantics —
+  * and rebuilds the registration when the schema moved.
+  *
+  * The physical location derives from the warehouse of the FIRST
+  * graft-managed table the query reads (same rule materialized views use):
+  * SQL has no warehouse handle, and the sources say where the data lives.
+  * A query over only raw paths or temp views has no anchor → error. */
+case class GraftCtasCommand(nameParts: Seq[String], replace: Boolean,
+    selectSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(nameParts.length == 2,
+      s"CTAS target must be layer.table, got ${nameParts.mkString(".")}")
+    val df = spark.sql(selectSql)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcDirs = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.headOption.map(_.toString)
+          case _ => None
+        }
+    }.flatten
+    val anchor = srcDirs.find { d =>
+      val p = new org.apache.hadoop.fs.Path(d + ".history")
+      p.getFileSystem(hconf).exists(p)
+    }.getOrElse(throw new IllegalArgumentException(
+      "CTAS needs at least one graft-managed source table to locate the " +
+        s"warehouse; the query reads only ${srcDirs.mkString(", ")}"))
+    val warehouse = new org.apache.hadoop.fs.Path(anchor)
+      .getParent.getParent.toString
+    val cat = new graft.catalog.Catalog(spark, warehouse)
+    val (layer, table) = (nameParts.head, nameParts(1))
+    val dir = cat.path(layer, table)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(dir))
+    if (exists && !replace)
+      throw new IllegalArgumentException(
+        s"CTAS target exists: $dir (use CREATE OR REPLACE TABLE)")
+    if (exists)
+      graft.catalog.Catalog.overwritePath(spark, df, dir,
+        allowSchemaChange = true, operation = "REPLACE TABLE AS SELECT")
+    else
+      graft.catalog.Catalog.overwritePath(spark, df, dir,
+        operation = "CREATE TABLE AS SELECT")
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS $layer")
+    if (exists) GraftSql.reRegister(spark, nameParts, dir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${nameParts.mkString(".")}
+                  USING parquet LOCATION '$dir'""")
+    spark.catalog.refreshByPath(dir)
+    Seq.empty
+  }
+}
+
 /** `INSERT INTO / INSERT OVERWRITE <t> [(cols)] [BY NAME] <query>` over a
   * graft table. Spark's own v1 insert writes files into the directory IN
   * PLACE — bypassing the version log, CHECK constraints, and generated
@@ -786,6 +845,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateMviewCommand(
           delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(keys), select)
+      case GraftSql.CtasRe(replace, ident, select) =>
+        GraftCtasCommand(delegate.parseMultipartIdentifier(ident),
+          replace != null, select)
       case GraftSql.RefreshMviewRe(ident, full) =>
         GraftRefreshMviewCommand(
           delegate.parseMultipartIdentifier(ident), full != null)
@@ -908,6 +970,8 @@ object GraftSql {
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+SKIPPING\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)(?:\s+BLOOM\s*\(([^)]*)\))?\s*;?\s*$""".r
   private[sql] val CreateMviewRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(?:\s+KEY\s*\(([^)]*)\))?\s+AS\s+(SELECT\s+.+)$""".r
+  private[sql] val CtasRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+AS\s+(\(?\s*SELECT\s+.+|\(?\s*WITH\s+.+)$""".r
   private[sql] val RefreshMviewRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?\s*;?\s*$""".r
   private[sql] val DropMviewRe =
@@ -1092,6 +1156,9 @@ object GraftSql {
         GraftShims.ofRows(spark,
           GraftCreateMviewCommand(splitIdent(ident),
             splitZOrderCols(keys), select))
+      case CtasRe(replace, ident, select) =>
+        GraftShims.ofRows(spark,
+          GraftCtasCommand(splitIdent(ident), replace != null, select))
       case RefreshMviewRe(ident, full) =>
         GraftShims.ofRows(spark,
           GraftRefreshMviewCommand(splitIdent(ident), full != null))
