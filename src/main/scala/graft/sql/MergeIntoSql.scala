@@ -453,7 +453,8 @@ case class GraftCloneCommand(dstParts: Seq[String],
   * SQL has no warehouse handle, and the sources say where the data lives.
   * A query over only raw paths or temp views has no anchor → error. */
 case class GraftCtasCommand(nameParts: Seq[String], replace: Boolean,
-    selectSql: String) extends LeafRunnableCommand {
+    selectSql: String, partitionBy: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     require(nameParts.length == 2,
       s"CTAS target must be layer.table, got ${nameParts.mkString(".")}")
@@ -485,10 +486,11 @@ case class GraftCtasCommand(nameParts: Seq[String], replace: Boolean,
         s"CTAS target exists: $dir (use CREATE OR REPLACE TABLE)")
     if (exists)
       graft.catalog.Catalog.overwritePath(spark, df, dir,
-        allowSchemaChange = true, operation = "REPLACE TABLE AS SELECT")
+        partitionBy = partitionBy, allowSchemaChange = true,
+        operation = "REPLACE TABLE AS SELECT")
     else
       graft.catalog.Catalog.overwritePath(spark, df, dir,
-        operation = "CREATE TABLE AS SELECT")
+        partitionBy = partitionBy, operation = "CREATE TABLE AS SELECT")
     spark.sql(s"CREATE SCHEMA IF NOT EXISTS $layer")
     if (exists) GraftSql.reRegister(spark, nameParts, dir)
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${nameParts.mkString(".")}
@@ -845,9 +847,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateMviewCommand(
           delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(keys), select)
-      case GraftSql.CtasRe(replace, ident, select) =>
+      case GraftSql.CtasRe(replace, ident, parts, select) =>
         GraftCtasCommand(delegate.parseMultipartIdentifier(ident),
-          replace != null, select)
+          replace != null, select, GraftSql.splitZOrderCols(parts))
       case GraftSql.RefreshMviewRe(ident, full) =>
         GraftRefreshMviewCommand(
           delegate.parseMultipartIdentifier(ident), full != null)
@@ -971,7 +973,7 @@ object GraftSql {
   private[sql] val CreateMviewRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(?:\s+KEY\s*\(([^)]*)\))?\s+AS\s+(SELECT\s+.+)$""".r
   private[sql] val CtasRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+AS\s+(\(?\s*SELECT\s+.+|\(?\s*WITH\s+.+)$""".r
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+(\(?\s*SELECT\s+.+|\(?\s*WITH\s+.+)$""".r
   private[sql] val RefreshMviewRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?\s*;?\s*$""".r
   private[sql] val DropMviewRe =
@@ -1156,9 +1158,10 @@ object GraftSql {
         GraftShims.ofRows(spark,
           GraftCreateMviewCommand(splitIdent(ident),
             splitZOrderCols(keys), select))
-      case CtasRe(replace, ident, select) =>
+      case CtasRe(replace, ident, parts, select) =>
         GraftShims.ofRows(spark,
-          GraftCtasCommand(splitIdent(ident), replace != null, select))
+          GraftCtasCommand(splitIdent(ident), replace != null, select,
+            splitZOrderCols(parts)))
       case RefreshMviewRe(ident, full) =>
         GraftShims.ofRows(spark,
           GraftRefreshMviewCommand(splitIdent(ident), full != null))

@@ -75,6 +75,26 @@ class CtasSpec extends SparkSuite {
     spark.sql("DROP TABLE silver.ctas_src")
   }
 
+  test("CTAS PARTITIONED BY lays out hive partitions and stays versioned") {
+    val cat = new Catalog(spark, tmpDir("graft-ctas-part"))
+    cat.overwriteSnapshot(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "grp", "amt"), "silver", "ctas_psrc")
+    cat.register("silver", "ctas_psrc")
+    GraftSql.sql(spark,
+      """CREATE TABLE gold.ctas_part PARTITIONED BY (grp) AS
+         SELECT id, amt, grp FROM silver.ctas_psrc""")
+    val dir = cat.path("gold", "ctas_part")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("grp="))
+    assert(parts.toSet == Set("grp=a", "grp=b"), s"got ${parts.toSeq}")
+    assert(cat.currentVersion("gold", "ctas_part") == 1)
+    assert(spark.read.parquet(dir).count() == 3)
+    spark.sql("DROP TABLE gold.ctas_part")
+    spark.sql("DROP TABLE silver.ctas_psrc")
+  }
+
   test("CTAS without a graft-managed source refuses (no warehouse anchor)") {
     val e = intercept[Exception] {
       GraftSql.sql(spark, "CREATE TABLE gold.ctas_nowhere AS SELECT 1 AS x")
