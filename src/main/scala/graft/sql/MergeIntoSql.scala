@@ -484,6 +484,13 @@ case class GraftCtasCommand(nameParts: Seq[String], replace: Boolean,
     if (exists && !replace)
       throw new IllegalArgumentException(
         s"CTAS target exists: $dir (use CREATE OR REPLACE TABLE)")
+    // REPLACE on a materialized view would clobber maintained state while
+    // its definition sidecar and cursors stay live — Delta refuses REPLACE
+    // across table kinds for the same reason
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      MaterializedViewSql.defFile(dir))),
+      s"${nameParts.mkString(".")} is a materialized view; " +
+        "DROP MATERIALIZED VIEW it first")
     if (exists)
       graft.catalog.Catalog.overwritePath(spark, df, dir,
         partitionBy = partitionBy, allowSchemaChange = true,

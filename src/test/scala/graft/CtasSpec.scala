@@ -102,6 +102,24 @@ class CtasSpec extends SparkSuite {
     assert(e.getMessage.contains("graft-managed source"), e.getMessage)
   }
 
+  test("OR REPLACE refuses to clobber a materialized view's state") {
+    val cat = new Catalog(spark, tmpDir("graft-ctas-mv"))
+    cat.overwriteSnapshot(Seq((1L, "a", 5.0)).toDF("id", "grp", "amt"),
+      "silver", "ctas_mvsrc")
+    cat.register("silver", "ctas_mvsrc")
+    GraftSql.sql(spark,
+      """CREATE MATERIALIZED VIEW gold.ctas_mv AS
+         SELECT grp, sum(amt) AS s FROM silver.ctas_mvsrc GROUP BY grp""")
+    val e = intercept[Exception] {
+      GraftSql.sql(spark,
+        """CREATE OR REPLACE TABLE gold.ctas_mv AS
+           SELECT * FROM silver.ctas_mvsrc""")
+    }
+    assert(e.getMessage.contains("materialized view"), e.getMessage)
+    GraftSql.sql(spark, "DROP MATERIALIZED VIEW gold.ctas_mv")
+    spark.sql("DROP TABLE silver.ctas_mvsrc")
+  }
+
   test("extension session: native-looking CTAS text lowers onto the version log") {
     val s = sqlSpark
     import s.implicits._
