@@ -482,7 +482,33 @@ object TextQueries {
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
 
+  /** Power-of-two length bucketing with padding-waste accounting — the
+    * pre-batching step that groups sequences of similar length so each
+    * pads only to the next power of two instead of the global max
+    * (padding efficiency is a first-order training-throughput lever).
+    * One codegen'd map pass + one tiny aggregate (≤ log2(maxlen)
+    * groups); the waste ratio is exact-integer arithmetic divided once,
+    * so it is bit-stable across engines. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCountWs(col("text")))
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log2(col("n_tokens")))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("bucket") - col("n_tokens")).as("pad_waste"))
+      .withColumn("waste_ratio",
+        (col("pad_waste").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"))
+          .cast(DecimalType(18, 6)).cast("double"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_length_buckets" -> (lengthBuckets _),
     "q122_shard_shuffle"    -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "q90_split"             -> (trainValTestSplit _),
     "q72_repetition"        -> (repetitionSignals _),
@@ -534,6 +560,18 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    "q131_length_buckets" ->
+      s"""WITH t AS (
+            SELECT CAST(power(2, ceil(log2(len($wordsSql)))) AS BIGINT) AS bucket,
+              len($wordsSql) AS n_tokens
+            FROM documents)
+          SELECT bucket, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+            CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_waste,
+            CAST(CAST(CAST(SUM(bucket - n_tokens) AS DOUBLE) /
+              CAST(COUNT(*) * bucket AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+              AS waste_ratio
+          FROM t GROUP BY bucket ORDER BY bucket""",
     // the same seeded-md5 digit/rank construction: shard and training
     // order are pure functions of the id, bit-identical across engines
     "q122_shard_shuffle" ->
