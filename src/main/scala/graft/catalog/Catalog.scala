@@ -1224,6 +1224,16 @@ object Catalog {
       f.delete(tmp, true)
       throw new ConcurrentCommitException(dir, cur, readPointer(f, dir))
     }
+    // Hadoop rename(src, dst) with dst an EXISTING directory moves src
+    // INSIDE it and still returns true — a racer that lost the dst-absent
+    // window would silently nest its snapshot into the winner's live dir
+    // and double-commit. Unique staging names make the nesting detectable:
+    // our own tmp basename under dst means the other writer owns dst.
+    val nested = new Path(dst, tmp.getName)
+    if (f.exists(nested)) {
+      f.delete(nested, true)
+      throw new ConcurrentCommitException(dir, cur, readPointer(f, dir))
+    }
     writePointer(f, dir, cur + 1)
     // Prune the ONE entry that just fell out of the retention window —
     // every earlier commit pruned its own, so probing all version numbers

@@ -25,7 +25,8 @@ import graft.quality.Expectations
   *   - [[PipelineGraph.View]] — computed, never persisted (`@dlt.view`).
   *
   * Expectations run BEFORE materialization ([[PipelineGraph.DropRows]] =
-  * `expect_all_or_drop`, [[PipelineGraph.FailRun]] = `expect_all_or_fail`);
+  * `expect_all_or_drop`, [[PipelineGraph.FailRun]] = `expect_all_or_fail`,
+  * [[PipelineGraph.WarnOnly]] = `expect` — keep rows, count violations);
   * per-rule violation counts come back in the [[PipelineGraph.RunResult]].
   *
   * A node's build function sees only its DECLARED inputs through the
@@ -125,6 +126,10 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
             violations(name) = r.violations
             r.kept
           case FailRun => Expectations.applyOrFail(built, n.expectations)
+          case WarnOnly =>
+            violations(name) =
+              Expectations.violationCounts(built, n.expectations)
+            built
         }
       n.materialize match {
         case View => viewOut(name) = gated
@@ -219,6 +224,9 @@ object PipelineGraph {
   case object DropRows extends OnViolation
   /** `expect_all_or_fail`: any offending row aborts the run. */
   case object FailRun extends OnViolation
+  /** DLT `expect` (monitor mode): every row is KEPT, per-rule violation
+    * counts are still reported — quality telemetry without gating. */
+  case object WarnOnly extends OnViolation
 
   /** Execution order and per-node, per-rule dropped-row counts. */
   case class RunResult(order: Seq[String],

@@ -44,7 +44,7 @@ class ConcurrencySpec extends SparkSuite {
     val dir = cat.path("silver", "race")
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (1 to 6).foreach { round =>
+    (1 to 8).foreach { round =>
       val before = cat.currentVersion("silver", "race")
       // each writer stamps every row with its identity: a mixed commit
       // (rows from two writers) is detectable, not just unlikely

@@ -242,5 +242,14 @@ class MedallionSpec extends SparkSuite {
         onViolation = PipelineGraph.FailRun)(
         _ => Seq(1, -1).toDF("v"))
     intercept[IllegalStateException] { failing.run() }
+    // WarnOnly (DLT expect): rows kept, violations still counted
+    val warn = new PipelineGraph(spark, cat)
+      .table("silver.warned", expectations = Map("pos" -> "v > 0"),
+        onViolation = PipelineGraph.WarnOnly)(
+        _ => Seq(1, -1, 2).toDF("v"))
+    val wr = warn.run()
+    assert(cat.read("silver", "warned").count() == 3,
+      "monitor mode must keep every row")
+    assert(wr.violations("silver.warned") == Map("pos" -> 1L))
   }
 }
