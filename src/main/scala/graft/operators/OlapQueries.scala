@@ -134,8 +134,10 @@ object OlapQueries {
       col("c_name").as("name_a"))
     val b = c.select(col("blk"), col("c_custkey").as("id_b"),
       col("c_name").as("name_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+    // id_a < id_b sits IN the join condition: the hash join emits half
+    // the candidate pairs instead of filtering them afterwards, and
+    // levenshtein (the expensive predicate) runs only on survivors
+    a.join(b, a("blk") === b("blk") && col("id_a") < col("id_b"))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
