@@ -543,7 +543,7 @@ object Catalog {
     * `OPTIMIZE <table>` shares with the layer.table API. */
   def compactPath(spark: SparkSession, dir: String, targetFileSize: Long,
       keepVersions: Int = 10, partitionBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Unit = {
+      zorderBy: Seq[String] = Nil): Unit = raceToConflict(dir) {
     require(targetFileSize > 0, "targetFileSize must be positive")
     require(partitionBy.isEmpty || zorderBy.isEmpty,
       "ZORDER clusters across files; combine it with bucketed layouts, " +
@@ -1095,10 +1095,36 @@ object Catalog {
     * the version the writer staged against (Delta's
     * ConcurrentModificationException family). The staged work is
     * discarded; re-read and retry. */
-  final class ConcurrentCommitException(dir: String, expected: Int,
-      actual: Int) extends IllegalStateException(
-    s"concurrent commit on $dir: staged against version $expected but the " +
-      s"table is now at $actual — re-read and retry")
+  final class ConcurrentCommitException private (msg: String, unused: Null)
+      extends IllegalStateException(msg) {
+    def this(dir: String, expected: Int, actual: Int) = this(
+      s"concurrent commit on $dir: staged against version $expected but " +
+        s"the table is now at $actual — re-read and retry", null)
+    def this(dir: String) = this(
+      s"concurrent commit on $dir: the live snapshot's files were retired " +
+        "by another commit during staging — re-read and retry", null)
+  }
+
+  /** Wrap a commit attempt whose STAGING reads the live snapshot
+    * (overwrite's schema check, append's file linking, restore's and
+    * compact's reconstruction): a concurrent commit renames those files
+    * into the version log mid-job, which Spark surfaces as
+    * FAILED_READ_FILE / FileNotFound. That is a lost race, not
+    * corruption — the other writer's commit is intact — so it re-raises
+    * as the typed conflict callers already retry on. */
+  private def raceToConflict[A](dir: String)(body: => A): A =
+    try body catch {
+      case e: ConcurrentCommitException => throw e
+      case e: Throwable if vanishedFile(e, 0) =>
+        throw new ConcurrentCommitException(dir)
+    }
+
+  private def vanishedFile(e: Throwable, depth: Int): Boolean =
+    e != null && depth < 12 && (
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+      e.isInstanceOf[java.nio.file.NoSuchFileException] ||
+      String.valueOf(e.getMessage).contains("FAILED_READ_FILE") ||
+      vanishedFile(e.getCause, depth + 1))
 
   /** Unique per-attempt staging dir. Concurrent writers must never share
     * a staging path — with a fixed name the loser of a commit race deletes
@@ -1114,7 +1140,7 @@ object Catalog {
       allowSchemaChange: Boolean = false,
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
-      operation: String = "WRITE"): Unit = {
+      operation: String = "WRITE"): Unit = raceToConflict(dir) {
     val dst = new Path(dir)
     val tmp = stagingPath(dir, "")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1265,7 +1291,7 @@ object Catalog {
   def appendPath(spark: SparkSession, df: DataFrame, dir: String,
       keepVersions: Int = 10,
       commitTag: Option[(String, String)] = None,
-      operation: String = "APPEND"): Unit = {
+      operation: String = "APPEND"): Unit = raceToConflict(dir) {
     val dst = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val f = dst.getFileSystem(conf)
