@@ -40,7 +40,7 @@ class Catalog(spark: SparkSession, warehouse: String,
     fs.exists(new Path(path(layer, table)))
 
   def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
+    graft.layout.DeletionVectors.readPath(spark, path(layer, table))
 
   /** The live snapshot's version number (1-based; 0 = table absent). */
   def currentVersion(layer: String, table: String): Int =
@@ -49,14 +49,14 @@ class Catalog(spark: SparkSession, warehouse: String,
   /** Version-addressed read (Delta `VERSION AS OF`): the live version reads
     * the current dir, older versions read the retained log entry. */
   def readVersion(layer: String, table: String, v: Int): DataFrame =
-    spark.read.parquet(
+    graft.layout.DeletionVectors.readPath(spark,
       Catalog.resolveVersionPath(spark, path(layer, table), v))
 
   /** Timestamp-addressed read (Delta `TIMESTAMP AS OF`): the newest version
     * committed at or before `ts`. */
   def readTimestamp(layer: String, table: String, ts: java.sql.Timestamp)
       : DataFrame =
-    spark.read.parquet(
+    graft.layout.DeletionVectors.readPath(spark,
       Catalog.resolveTimestampPath(spark, path(layer, table), ts.getTime))
 
   /** Versions currently readable: the retained log entries + the live one.
@@ -97,7 +97,8 @@ class Catalog(spark: SparkSession, warehouse: String,
     val cur = currentVersion(layer, table)
     if (cur > 1 && fs.exists(Catalog.versionDir(path(layer, table), cur - 1)))
       readVersion(layer, table, cur - 1)
-    else spark.read.parquet(path(layer, table) + ".prev")
+    else graft.layout.DeletionVectors.readPath(spark,
+      path(layer, table) + ".prev")
   }
 
   def hasPrevious(layer: String, table: String): Boolean = {
@@ -343,6 +344,84 @@ class Catalog(spark: SparkSession, warehouse: String,
   def vacuum(layer: String, table: String, dryRun: Boolean = false)
       : Seq[String] =
     Catalog.vacuumPath(spark, path(layer, table), keepVersions, dryRun)
+
+  /** Merge-on-read DML ([[graft.layout.DeletionVectors]]): with the mode
+    * on, `deleteWhere`/`updateWhere` commit position sidecars instead of
+    * rewriting the table — O(matched), never O(table). Reads through this
+    * catalog always apply whatever sidecar exists. */
+  def enableDeletionVectors(layer: String, table: String): Unit =
+    graft.layout.DeletionVectors.enable(spark, path(layer, table))
+
+  def disableDeletionVectors(layer: String, table: String): Unit =
+    graft.layout.DeletionVectors.disable(spark, path(layer, table))
+
+  /** Row-level DELETE; merge-on-read when the table's DV mode is on,
+    * copy-on-write otherwise. Returns num_affected_rows. */
+  def deleteWhere(layer: String, table: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val dir = path(layer, table)
+    val n =
+      if (graft.layout.DeletionVectors.isEnabled(spark, dir))
+        graft.layout.DeletionVectors.deleteWhere(spark, dir, cond,
+          keepVersions)
+      else {
+        val t = graft.layout.DeletionVectors.readPath(spark, dir)
+        val c = org.apache.spark.sql.functions.coalesce(cond,
+          org.apache.spark.sql.functions.lit(false))
+        val matched = t.filter(c).count()
+        if (matched > 0)
+          Catalog.overwritePath(spark, t.filter(!c), dir, Nil, keepVersions,
+            operation = "DELETE")
+        matched
+      }
+    if (n > 0 && tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+    n
+  }
+
+  /** Row-level UPDATE; merge-on-read when the table's DV mode is on. */
+  def updateWhere(layer: String, table: String,
+      cond: org.apache.spark.sql.Column,
+      assign: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    val dir = path(layer, table)
+    val n =
+      if (graft.layout.DeletionVectors.isEnabled(spark, dir))
+        graft.layout.DeletionVectors.updateWhere(spark, dir, cond, assign,
+          keepVersions)
+      else {
+        val t = graft.layout.DeletionVectors.readPath(spark, dir)
+        val c = org.apache.spark.sql.functions.coalesce(cond,
+          org.apache.spark.sql.functions.lit(false))
+        def assigned(x: String) = assign.collectFirst {
+          case (an, v) if an.equalsIgnoreCase(x) => v }
+        val projected = t.select(t.schema.fields.toSeq.map { fld =>
+          assigned(fld.name) match {
+            case Some(v) => org.apache.spark.sql.functions.when(c,
+                v.cast(fld.dataType))
+              .otherwise(org.apache.spark.sql.functions.col(fld.name))
+              .as(fld.name)
+            case None => org.apache.spark.sql.functions.col(fld.name)
+          }
+        }: _*)
+        val matched = t.filter(c).count()
+        if (matched > 0)
+          Catalog.overwritePath(spark, projected, dir, Nil, keepVersions,
+            operation = "UPDATE")
+        matched
+      }
+    if (n > 0 && tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+    n
+  }
+
+  /** Fold the table's deletion-vector sidecar into rewritten files
+    * (Delta `REORG … APPLY (PURGE)`). */
+  def materializeDeletes(layer: String, table: String): Unit = {
+    graft.layout.DeletionVectors.materialize(spark, path(layer, table),
+      keepVersions)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+  }
 }
 
 object Catalog {
@@ -536,7 +615,8 @@ object Catalog {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (isBucketedLayout(f, dir))
       graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v)
-    else spark.read.parquet(resolveVersionPath(spark, dir, v))
+    else graft.layout.DeletionVectors.readPath(spark,
+      resolveVersionPath(spark, dir, v))
   }
 
   /** [[Catalog!.compact]] on a raw table directory — the seam SQL
@@ -561,20 +641,27 @@ object Catalog {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) {
+        val parent = st.getPath.getParent.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            !parent.startsWith("_") && !parent.startsWith(".")) {
           bytes += st.getLen; nFiles += 1
         }
       }
       val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
       // ZORDER always rewrites (re-clustering has value at any file count,
-      // Delta's semantics); plain compaction skips when already packed
-      if (zorderBy.isEmpty && nFiles <= n) return
+      // Delta's semantics); plain compaction skips when already packed —
+      // unless a deletion-vector sidecar is pending, which OPTIMIZE always
+      // materializes away
+      if (zorderBy.isEmpty && nFiles <= n &&
+          !graft.layout.DeletionVectors.hasDv(spark, dir)) return
       // remember the skipping-stats recipe: the rewrite invalidates every
       // per-file entry (stale stats are SAFE — unmatched names just stop
       // pruning — but an OPTIMIZE that silently turns skipping off would
       // betray the reason Z-ordering exists)
       val statsRecipe = graft.layout.DataSkipping.analyzedColumns(spark, dir)
-      val df = spark.read.parquet(dir)
+      // DV-applied: OPTIMIZE folds any deletion-vector sidecar into the
+      // rewritten files (Delta's PURGE) — the staged snapshot drops `_dv`
+      val df = graft.layout.DeletionVectors.readPath(spark, dir)
       val packed =
         if (zorderBy.nonEmpty)
           graft.layout.ZOrder.cluster(df, zorderBy, n)
@@ -768,7 +855,7 @@ object Catalog {
     val bucketed = isBucketedLayout(f, dir)
     require(!oldName.equalsIgnoreCase(graft.merge.PartitionedMerge.BucketCol),
       "the bucket column is the table's physical layout; it cannot be renamed")
-    val cur = spark.read.parquet(dir)
+    val cur = graft.layout.DeletionVectors.readPath(spark, dir)
     val real = cur.columns.find(_.equalsIgnoreCase(oldName)).getOrElse(
       throw new IllegalArgumentException(s"no column $oldName in $dir " +
         s"(have: ${cur.columns.mkString(", ")})"))
@@ -805,7 +892,7 @@ object Catalog {
     names.foreach(n => require(
       !n.equalsIgnoreCase(graft.merge.PartitionedMerge.BucketCol),
       "the bucket column is the table's physical layout; it cannot be dropped"))
-    val cur = spark.read.parquet(dir)
+    val cur = graft.layout.DeletionVectors.readPath(spark, dir)
     val real = names.map(n =>
       cur.columns.find(_.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(s"no column $n in $dir " +
@@ -923,7 +1010,7 @@ object Catalog {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = f.exists(new Path(dir))
     if (hasData) {
-      val cur = spark.read.parquet(dir)
+      val cur = graft.layout.DeletionVectors.readPath(spark, dir)
       require(!cur.columns.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists in $dir's data")
       // materialize over existing rows as a NEW version, so readers and
@@ -1013,7 +1100,7 @@ object Catalog {
       s"$name is already a generated column on $dir")
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(new Path(dir))) {
-      val cur = spark.read.parquet(dir)
+      val cur = graft.layout.DeletionVectors.readPath(spark, dir)
       require(!cur.columns.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists in $dir's data")
       // materialize over existing rows as a new version
@@ -1077,8 +1164,10 @@ object Catalog {
       s"constraint $name already exists on $dir")
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Delta's rule: existing data must already satisfy the new constraint
+    // (LIVE rows — a DV-deleted violation is already gone)
     if (f.exists(new Path(dir)))
-      enforce(spark.read.parquet(dir), Seq(name -> check), dir)
+      enforce(graft.layout.DeletionVectors.readPath(spark, dir),
+        Seq(name -> check), dir)
     writeConstraints(spark, dir, existing :+ (name -> check))
   }
 
@@ -1112,6 +1201,10 @@ object Catalog {
     * FAILED_READ_FILE / FileNotFound. That is a lost race, not
     * corruption — the other writer's commit is intact — so it re-raises
     * as the typed conflict callers already retry on. */
+  /** [[DeletionVectors]]' entry to the same staged-read race handling. */
+  private[graft] def raceToConflictShim[A](dir: String)(body: => A): A =
+    raceToConflict(dir)(body)
+
   private def raceToConflict[A](dir: String)(body: => A): A =
     try body catch {
       case e: ConcurrentCommitException => throw e
@@ -1134,6 +1227,31 @@ object Catalog {
   private def stagingPath(dir: String, kind: String): Path =
     new Path(dir + ".tmp" + kind + "-" +
       java.util.UUID.randomUUID().toString.take(8))
+
+  private[graft] def stagingPathShim(dir: String, kind: String): Path =
+    stagingPath(dir, kind)
+
+  /** Hard-link (copy on link-less stores) every data file of `src` into
+    * `tmp` under its own name — the link-append staging step shared by
+    * [[appendPath]] and [[graft.layout.DeletionVectors]]. */
+  private[graft] def linkDataFiles(f: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      src: Path, tmp: Path): Unit = {
+    val canLink = f.getScheme == "file"
+    f.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val d = new Path(tmp, n)
+        if (canLink)
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(d).toUri.getPath),
+            java.nio.file.Paths.get(
+              f.makeQualified(st.getPath).toUri.getPath))
+        else require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
+          f, d, false, false, conf), s"append link/copy failed: $n")
+      }
+    }
+  }
 
   def overwritePath(spark: SparkSession, df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, keepVersions: Int = 10,
@@ -1212,7 +1330,7 @@ object Catalog {
     * share the same retire target `v{cur}`, and the second rename into an
     * existing log entry aborts (rename is the put-if-absent primitive
     * here, the same role Delta's transaction-log put plays). */
-  private def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
+  private[graft] def commitSwap(spark: SparkSession, f: FileSystem, dir: String,
       tmp: Path, keepVersions: Int,
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
@@ -1343,20 +1461,14 @@ object Catalog {
     // with a linked name aborts rather than overwrites)
     val tmp = stagingPath(dir, "")
     f.mkdirs(tmp)
-    val canLink = f.getScheme == "file"
-    f.listStatus(dst).foreach { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        val d = new Path(tmp, n)
-        if (canLink)
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(f.makeQualified(d).toUri.getPath),
-            java.nio.file.Paths.get(
-              f.makeQualified(st.getPath).toUri.getPath))
-        else require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
-          f, d, false, false, conf), s"append link/copy failed: $n")
-      }
-    }
+    linkDataFiles(f, conf, dst, tmp)
+    // a DV sidecar rides along unchanged: linked files keep their names,
+    // so recorded positions stay valid and appended rows are untouched
+    val dvDir = new Path(dst, graft.layout.DeletionVectors.DvDirName)
+    if (f.exists(dvDir))
+      org.apache.hadoop.fs.FileUtil.copy(f, dvDir,
+        f, new Path(tmp, graft.layout.DeletionVectors.DvDirName),
+        false, false, conf)
     f.listStatus(stage).foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) {

@@ -160,6 +160,12 @@ object ChangeFeed {
     def dataFiles(v: Int): Option[Map[String, Path]] =
       try {
         val d = new Path(Catalog.resolveVersionPath(spark, dir, v))
+        // a deletion-vector sidecar removes rows WITHOUT changing the data
+        // file set — the name-set subset check would vacuously report an
+        // empty feed for a version pair that differs only in positions.
+        // No fast path to serve: the general diff reads DV-applied.
+        if (f.exists(new Path(d,
+            graft.layout.DeletionVectors.DvDirName))) return None
         val entries = f.listStatus(d)
           .filterNot(s => s.getPath.getName.startsWith("_") ||
             s.getPath.getName.startsWith("."))

@@ -112,6 +112,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after filter pushdown; the residual filter is never touched)
     ext.injectPreCBORule(session =>
       graft.layout.SkippingPruneRule(session))
+    // transparent deletion vectors: scans over tables carrying a `_dv`
+    // position sidecar subtract those rows (runs AFTER the skipping rule
+    // in the same batch, so a pruned scan stays pruned under the anti-join)
+    ext.injectPreCBORule(session =>
+      graft.layout.DvApplyRule(session))
   }
 }
 

@@ -1,0 +1,315 @@
+package graft.layout
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+
+/** Merge-on-read row-level deletes — the deletion-vector half of Delta's
+  * DML story (the reference platform's `DELETE`/`UPDATE` got this in
+  * Databricks' "deletion vectors" feature; before it, every row-level
+  * change was a copy-on-write rewrite of whole files).
+  *
+  * The copy-on-write lowering in [[graft.sql.DmlRunner]] rewrites the FULL
+  * snapshot — correct, but O(table) per statement. At 100 TB a DELETE that
+  * touches 0.1% of rows must not rewrite 100 TB. Merge-on-read flips the
+  * cost: the statement records only the POSITIONS of deleted rows and the
+  * read applies them, so
+  *
+  *   - DELETE writes a position sidecar (`_dv/` parquet: `file_name`,
+  *     `row_index`) + hard-links of every data file → a real version
+  *     through the ordinary swap at O(matched rows + file-count metadata);
+  *     data files are untouched (same inodes — [[DvSpec]] proves it).
+  *   - UPDATE = DV-delete of the old row images + append of the updated
+  *     rows' files, ONE commit: O(matched data), never O(table).
+  *   - Reads subtract positions with a LEFT ANTI join on
+  *     (`_metadata.file_name`, `_metadata.row_index`) — Spark's stable
+  *     per-file row numbering for parquet. The DV side is tiny relative to
+  *     the table (it holds positions, not rows), so AQE broadcasts it and
+  *     the subtraction is a map-side hash probe on the scan — no shuffle
+  *     of the corpus.
+  *   - OPTIMIZE / `materialize` folds the DVs into rewritten files and the
+  *     staged snapshot drops the sidecar — the read debt is repaid in one
+  *     compaction pass, Delta's PURGE.
+  *
+  * Versioning composes: each DV commit is a version (time travel reads the
+  * version's own sidecar state; RESTORE of a pre-delete version resurrects
+  * rows by construction). Constraints compose: a DELETE can only remove
+  * rows, so CHECK re-validation is skipped; an UPDATE validates its NEW
+  * row files only, like the append path.
+  *
+  * The sidecar accumulates across deletes (union of positions). Its scale
+  * ceiling is positions-not-yet-compacted — the same debt Delta tracks as
+  * "DVs awaiting PURGE"; `history` exposes the live DV row count via
+  * DESCRIBE DETAIL's profile and compaction clears it.
+  *
+  * Mode selection is per table (`enable`/`disable`, persisted as a sidecar
+  * next to the constraints file; SQL surface `ALTER TABLE t SET
+  * TBLPROPERTIES ('graft.enableDeletionVectors'='true')`). With the mode
+  * on, SQL `DELETE FROM` / `UPDATE` route here; with it off they stay
+  * copy-on-write — and every reader (catalog API, DML bases, OPTIMIZE,
+  * RESTORE, CDF diffs, plus ordinary `spark.sql` on extension sessions via
+  * [[DvApplyRule]]) applies whatever sidecar exists, so flipping the mode
+  * never changes query results. */
+object DeletionVectors {
+
+  val DvDirName = "_dv"
+  private val FileCol = "__graft_dv_file"
+  private val PosCol = "__graft_dv_pos"
+
+  private def modeFile(dir: String) = new Path(dir + ".dvmode")
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Turn merge-on-read DML on for the table at `dir`. */
+  def enable(spark: SparkSession, dir: String): Unit = {
+    val f = fsOf(spark, dir)
+    val out = f.create(modeFile(dir), true)
+    try out.write("merge-on-read".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Back to copy-on-write for future statements. Existing sidecars stay
+    * live (reads still apply them) until OPTIMIZE/materialize clears them. */
+  def disable(spark: SparkSession, dir: String): Unit = {
+    fsOf(spark, dir).delete(modeFile(dir), false); ()
+  }
+
+  def isEnabled(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(modeFile(dir))
+
+  def hasDv(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new Path(dir, DvDirName))
+
+  /** The table's rows with its deletion vectors applied. The one FS stat
+    * is the fast path — tables without a sidecar read exactly as before. */
+  def readPath(spark: SparkSession, dir: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+    if (!hasDv(spark, dir)) data
+    else applyDv(data, spark.read.parquet(new Path(dir, DvDirName).toString))
+  }
+
+  private def applyDv(data: DataFrame, dv: DataFrame): DataFrame = {
+    val tagged = data
+      .withColumn(FileCol, col("_metadata.file_name"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    tagged
+      .join(dv, tagged(FileCol) === dv("file_name") &&
+        tagged(PosCol) === dv("row_index"), "left_anti")
+      .drop(FileCol, PosCol)
+  }
+
+  /** Live rows tagged with their physical positions (the delete/update
+    * planning frame). `alias` lets a SQL statement's qualified column
+    * references (`DELETE FROM t AS x WHERE x.a …`) resolve. */
+  private def taggedLive(spark: SparkSession, dir: String,
+      alias: Option[String]): DataFrame = {
+    val base = spark.read.parquet(dir)
+    val data = alias.fold(base)(base.alias)
+      .withColumn(FileCol, col("_metadata.file_name"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    if (!hasDv(spark, dir)) data
+    else {
+      val dv = spark.read.parquet(new Path(dir, DvDirName).toString)
+      data.join(dv, data(FileCol) === dv("file_name") &&
+        data(PosCol) === dv("row_index"), "left_anti")
+    }
+  }
+
+  /** `DELETE FROM … WHERE cond`, merge-on-read: stage hard-links of every
+    * data file + the grown position sidecar, commit as the next version.
+    * Returns num_affected_rows (rows where cond is TRUE — 3VL: NULL rows
+    * stay, Delta's semantics, inherited from `filter`). */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column, keepVersions: Int = 10,
+      alias: Option[String] = None): Long =
+    commitPositions(spark, dir, keepVersions, "DELETE",
+      matched => matched.select(
+        col(FileCol).as("file_name"), col(PosCol).as("row_index")),
+      newRows = None, alias)(cond)
+
+  /** `UPDATE … SET … WHERE cond`, merge-on-read: the matched rows' old
+    * images go into the sidecar and their updated images append as new
+    * files — one commit, O(matched data + file-count metadata). */
+  def updateWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      assign: Seq[(String, org.apache.spark.sql.Column)],
+      keepVersions: Int = 10, alias: Option[String] = None): Long = {
+    val schema = spark.read.parquet(dir).schema
+    assign.foreach { case (n, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE assigns unknown column $n on $dir")
+    }
+    def assigned(c: String) = assign.collectFirst {
+      case (n, v) if n.equalsIgnoreCase(c) => v }
+    commitPositions(spark, dir, keepVersions, "UPDATE",
+      matched => matched.select(
+        col(FileCol).as("file_name"), col(PosCol).as("row_index")),
+      newRows = Some(matched => matched.select(schema.fields.toSeq.map { f =>
+        assigned(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)), alias)(cond)
+  }
+
+  /** Shared merge-on-read commit: links + sidecar (+ UPDATE's new files),
+    * one optimistic swap. */
+  private def commitPositions(spark: SparkSession, dir: String,
+      keepVersions: Int, operation: String,
+      positions: DataFrame => DataFrame,
+      newRows: Option[DataFrame => DataFrame],
+      alias: Option[String] = None)(
+      cond: org.apache.spark.sql.Column): Long =
+    Catalog.raceToConflictShim(dir) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new Path(dir)
+      val f = dst.getFileSystem(conf)
+      require(f.exists(dst), s"no table at $dir")
+      require(!Catalog.isBucketedLayout(f, dir),
+        s"deletion vectors on bucket-partitioned $dir are unsupported: " +
+          "route row-level changes through PartitionedMerge")
+      require(!f.listStatus(dst).exists(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")),
+        s"deletion vectors on a partition-dir tree are unsupported " +
+          s"($dir): rewrite via copy-on-write DELETE/UPDATE")
+      val stagedAgainst = Catalog.readPointer(f, dir)
+      val dvPath = new Path(dst, DvDirName)
+      val hadDv = f.exists(dvPath)
+      val existingCount =
+        if (hadDv) spark.read.parquet(dvPath.toString).count() else 0L
+      val matched =
+        taggedLive(spark, dir, alias).filter(coalesce(cond, lit(false)))
+
+      val tmp = Catalog.stagingPathShim(dir, "")
+      f.mkdirs(tmp)
+      try {
+        // hard-link every current data file (names preserved — the sidecar
+        // and the skipping manifest key on basenames)
+        Catalog.linkDataFiles(f, conf, dst, tmp)
+        val stagedDv = new Path(tmp, DvDirName)
+        val newDv = positions(matched)
+        val allDv =
+          if (hadDv)
+            spark.read.parquet(dvPath.toString).unionByName(newDv)
+          else newDv
+        allDv.write.parquet(stagedDv.toString)
+        // affected count from the staged sidecar's parquet metadata — no
+        // second scan of the table
+        val affected =
+          spark.read.parquet(stagedDv.toString).count() - existingCount
+        if (affected == 0) { f.delete(tmp, true); return 0L }
+
+        newRows.foreach { project =>
+          val stage = Catalog.stagingPathShim(dir, "-dvupd")
+          project(matched).write.parquet(stage.toString)
+          // UPDATE's new rows are append-shaped: constraints + generated
+          // definitions validate on the NEW files only
+          val cons = Catalog.readConstraintsPath(spark, dir) ++
+            Catalog.readGeneratedPath(spark, dir).map { case (n, e) =>
+              (s"__generated_$n", s"`$n` <=> ($e)") }
+          if (cons.nonEmpty) {
+            try Catalog.enforce(
+              spark.read.parquet(stage.toString), cons, dir)
+            catch { case e: Throwable =>
+              f.delete(stage, true); throw e }
+          }
+          f.listStatus(stage).foreach { st =>
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) {
+              val d = new Path(tmp, n)
+              require(!f.exists(d), s"DV update staging collision: $n")
+              require(f.rename(st.getPath, d), s"DV update move failed: $n")
+            }
+          }
+          f.delete(stage, true)
+        }
+
+        // linked files keep their names, so per-file skipping stats stay
+        // valid (deleted rows can only WIDEN a range — IO, never rows)
+        val skipDir = new Path(dst, "_skipping")
+        if (f.exists(skipDir))
+          org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
+            f, new Path(tmp, "_skipping"), false, false, conf)
+        Catalog.commitSwap(spark, f, dir, tmp, keepVersions,
+          Some(stagedAgainst), None, operation)
+        affected
+      } catch {
+        case e: Throwable =>
+          if (f.exists(tmp)) f.delete(tmp, true)
+          throw e
+      }
+    }
+
+  /** Fold the sidecar into rewritten files (Delta's `REORG … PURGE`):
+    * contents identical, positions gone, committed as the next version.
+    * `Catalog.compactPath` (OPTIMIZE) reads DV-applied and stages fresh
+    * files, so it materializes too — this entry point is for repaying the
+    * read debt without re-packing. */
+  def materialize(spark: SparkSession, dir: String,
+      keepVersions: Int = 10): Unit = {
+    if (!hasDv(spark, dir)) return
+    val cur = Catalog.readPointer(fsOf(spark, dir), dir)
+    Catalog.overwritePath(spark, readPath(spark, dir), dir, Nil,
+      keepVersions, expectedVersion = Some(cur),
+      operation = "MATERIALIZE DV")
+  }
+
+  /** Live sidecar position count (DESCRIBE DETAIL's DV profile; 0 = none). */
+  def dvRowCount(spark: SparkSession, dir: String): Long =
+    if (!hasDv(spark, dir)) 0L
+    else spark.read.parquet(new Path(dir, DvDirName).toString).count()
+}
+
+/** Transparent deletion-vector application for ORDINARY `spark.sql` /
+  * `spark.table` reads on extension sessions — the [[SkippingPruneRule]]
+  * pattern: without it, only the explicit API sees merge-on-read deletes,
+  * and a sidecar nobody applies is corruption, not a feature.
+  *
+  * Pre-CBO, once per query: any parquet relation whose single root dir
+  * carries a `_dv` sidecar is rebuilt as
+  * `relation LEFT ANTI JOIN sidecar ON (file_name, row_index)` projected
+  * back to the ORIGINAL output attributes (same exprIds — `l.copy` keeps
+  * them, so the surrounding plan is untouched). The inner scan keeps the
+  * incoming relation's file list — a scan the skipping rule already
+  * pruned stays pruned — but swaps in a [[GraftDvFileIndex]] marker so
+  * re-entry no-ops. Filters already pushed to the scan stay below the
+  * join; parquet-level pushdown happens at physical planning either way.
+  * Any error falls back to the un-rewritten relation — WRONG-rows risk is
+  * confined to the explicit-API contract (`Catalog.read` always applies). */
+case class DvApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _)
+        if r.fileFormat.isInstanceOf[
+             org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+           r.partitionSchema.isEmpty &&
+           r.location.rootPaths.length == 1 &&
+           !r.location.isInstanceOf[org.apache.spark.sql.GraftDvFileIndex] &&
+           DeletionVectors.hasDv(spark, r.location.rootPaths.head.toString) =>
+      try {
+        val dir = r.location.rootPaths.head.toString
+        val rel2 = l.copy(relation =
+          org.apache.spark.sql.GraftShims.dvMarkedRelation(spark, r))
+        val base = GraftShims.ofRows(spark, rel2)
+        val dv = spark.read.parquet(
+          new Path(dir, DeletionVectors.DvDirName).toString)
+        val tagged = base
+          .withColumn("__graft_dv_file", col("_metadata.file_name"))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        val applied = tagged
+          .join(dv, tagged("__graft_dv_file") === dv("file_name") &&
+            tagged("__graft_dv_pos") === dv("row_index"), "left_anti")
+          .drop("__graft_dv_file", "__graft_dv_pos")
+        val out = applied.queryExecution.analyzed
+        // the splice is only sound if the subtree reproduces the original
+        // attributes exactly
+        if (out.output.map(_.exprId) == l.output.map(_.exprId)) out else l
+      } catch { case _: Exception => l } // best-effort, like skipping
+  }
+}

@@ -57,18 +57,30 @@ object DmlRunner {
     (nameParts, alias.getOrElse(nameParts.last), tableName, dir, partCols)
   }
 
-  /** `DELETE FROM t [AS a] WHERE cond` → rows where cond is not TRUE. */
+  /** `DELETE FROM t [AS a] WHERE cond` → rows where cond is not TRUE.
+    * Copy-on-write by default; tables with deletion vectors enabled
+    * (`graft.layout.DeletionVectors.enable` / the TBLPROPERTIES SQL)
+    * record positions instead of rewriting — O(matched rows), not
+    * O(table). Either way the base read applies any existing sidecar, so
+    * flipping the mode never resurrects deleted rows. */
   def delete(spark: SparkSession, d: DeleteFromTable): Long = {
     val (nameParts, aliasName, tableName, dir, partCols) =
       resolveTarget(spark, d.table, "DELETE FROM")
-    val t = spark.table(tableName).alias(aliasName)
-    val cond = coalesce(GraftShims.column(d.condition), lit(false))
-    val affected = t.filter(cond).count()
-    if (affected > 0) {
-      graft.catalog.Catalog.overwritePath(spark, t.filter(!cond), dir,
-        partCols, operation = "DELETE")
-      GraftSql.refreshTarget(spark, nameParts, dir)
-    }
+    val affected =
+      if (graft.layout.DeletionVectors.isEnabled(spark, dir))
+        graft.layout.DeletionVectors.deleteWhere(spark, dir,
+          GraftShims.column(d.condition), alias = Some(aliasName))
+      else {
+        val t = graft.layout.DeletionVectors.readPath(spark, dir)
+          .alias(aliasName)
+        val cond = coalesce(GraftShims.column(d.condition), lit(false))
+        val n = t.filter(cond).count()
+        if (n > 0)
+          graft.catalog.Catalog.overwritePath(spark, t.filter(!cond), dir,
+            partCols, operation = "DELETE")
+        n
+      }
+    if (affected > 0) GraftSql.refreshTarget(spark, nameParts, dir)
     affected
   }
 
@@ -76,7 +88,6 @@ object DmlRunner {
   def update(spark: SparkSession, u: UpdateTable): Long = {
     val (nameParts, aliasName, tableName, dir, partCols) =
       resolveTarget(spark, u.table, "UPDATE")
-    val t = spark.table(tableName).alias(aliasName)
     val cond = u.condition
       .map(e => coalesce(GraftShims.column(e), lit(false)))
       .getOrElse(lit(true))
@@ -85,6 +96,8 @@ object DmlRunner {
       case a: Attribute => a.name
       case other => other.sql
     }
+    val t = graft.layout.DeletionVectors.readPath(spark, dir)
+      .alias(aliasName)
     val schema = t.schema
     u.assignments.foreach { a =>
       val n = keyName(a.key)
@@ -96,19 +109,29 @@ object DmlRunner {
         case a if keyName(a.key).equalsIgnoreCase(c) =>
           GraftShims.column(a.value)
       }
-    val projected = t.select(schema.fields.toSeq.map { f =>
-      assignedValue(f.name) match {
-        case Some(v) =>
-          when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
+    val affected =
+      if (graft.layout.DeletionVectors.isEnabled(spark, dir))
+        // merge-on-read: old images into the sidecar + updated rows
+        // appended, one commit — O(matched data), never O(table)
+        graft.layout.DeletionVectors.updateWhere(spark, dir, cond,
+          u.assignments.map(a =>
+            keyName(a.key) -> GraftShims.column(a.value)),
+          alias = Some(aliasName))
+      else {
+        val projected = t.select(schema.fields.toSeq.map { f =>
+          assignedValue(f.name) match {
+            case Some(v) =>
+              when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        val n = t.filter(cond).count()
+        if (n > 0)
+          graft.catalog.Catalog.overwritePath(spark, projected, dir, partCols,
+            operation = "UPDATE")
+        n
       }
-    }: _*)
-    val affected = t.filter(cond).count()
-    if (affected > 0) {
-      graft.catalog.Catalog.overwritePath(spark, projected, dir, partCols,
-        operation = "UPDATE")
-      GraftSql.refreshTarget(spark, nameParts, dir)
-    }
+    if (affected > 0) GraftSql.refreshTarget(spark, nameParts, dir)
     affected
   }
 }

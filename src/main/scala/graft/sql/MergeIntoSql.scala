@@ -120,7 +120,16 @@ object MergeIntoRunner {
         s"MERGE INTO target $tableName must be a catalog table with a " +
           "storage location (temp views cannot be merged into)"))
 
-    val targetDF = spark.table(tableName)
+    // a deletion-vector sidecar must be applied to the merge base even on
+    // sessions without the transparent DvApplyRule — rewriting from the
+    // raw files would resurrect deleted rows (the merge write-back stages
+    // fresh files, so the sidecar retires with the old version)
+    val targetDF = {
+      val d = new org.apache.hadoop.fs.Path(locationUri).toString
+      if (graft.layout.DeletionVectors.hasDv(spark, d))
+        graft.layout.DeletionVectors.readPath(spark, d)
+      else spark.table(tableName)
+    }
     // WITH SCHEMA EVOLUTION (Delta's merge extension): widen the target with
     // source columns it lacks, appended as nullable — the same add-only rule
     // ingest's evolvedSchema applies (types come from the source; existing
@@ -332,7 +341,8 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("generated_columns", StringType, nullable = false)(),
     AttributeReference("identity_columns", StringType, nullable = false)(),
-    AttributeReference("skipping_columns", StringType, nullable = false)())
+    AttributeReference("skipping_columns", StringType, nullable = false)(),
+    AttributeReference("num_dv_positions", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "DESCRIBE DETAIL")
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -364,7 +374,9 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
       }.getOrElse("")
     Seq(Row("parquet", dir, nFiles, bytes,
       hist.filter(_._2).map(_._1).headOption.getOrElse(1),
-      hist.length, cons, gens, idents, skip))
+      hist.length, cons, gens, idents, skip,
+      // the merge-on-read debt awaiting OPTIMIZE (Delta's DV metrics)
+      graft.layout.DeletionVectors.dvRowCount(spark, dir)))
   }
 }
 
@@ -739,6 +751,23 @@ case class GraftAddIdentityCommand(nameParts: Seq[String], colName: String,
   }
 }
 
+/** `ALTER TABLE <t> SET TBLPROPERTIES
+  *  ('graft.enableDeletionVectors' = 'true'|'false')` — Delta's
+  * deletion-vector switch (`delta.enableDeletionVectors`), scoped to the
+  * one property graft understands. With it on, `DELETE FROM` / `UPDATE`
+  * become merge-on-read position commits ([[graft.layout.DeletionVectors]]);
+  * off returns future statements to copy-on-write (existing sidecars stay
+  * applied until OPTIMIZE materializes them). */
+case class GraftSetDvModeCommand(nameParts: Seq[String],
+    enabled: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "SET TBLPROPERTIES")
+    if (enabled) graft.layout.DeletionVectors.enable(spark, dir)
+    else graft.layout.DeletionVectors.disable(spark, dir)
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE <t> DROP CONSTRAINT <name>`. */
 case class GraftDropConstraintCommand(nameParts: Seq[String],
     constraint: String) extends LeafRunnableCommand {
@@ -866,6 +895,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
           cname, Option(start).map(_.toLong).getOrElse(1L),
           Option(step).map(_.toLong).getOrElse(1L))
+      case GraftSql.SetDvModeRe(ident, flag) =>
+        GraftSetDvModeCommand(delegate.parseMultipartIdentifier(ident),
+          flag.equalsIgnoreCase("true"))
       case GraftSql.AddConstraintRe(ident, cname, check) =>
         GraftAddConstraintCommand(delegate.parseMultipartIdentifier(ident),
           cname, check.trim)
@@ -971,6 +1003,8 @@ object GraftSql {
      """BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(\d+)\s*\))?""" +
      """\s*;?\s*$""").r
+  private[sql] val SetDvModeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\(\s*'graft\.enableDeletionVectors'\s*=\s*'(true|false)'\s*\)\s*;?\s*$""".r
   private[sql] val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private[sql] val DropConstraintRe =
@@ -1180,6 +1214,9 @@ object GraftSql {
           GraftAddIdentityCommand(splitIdent(ident), cname,
             Option(start).map(_.toLong).getOrElse(1L),
             Option(step).map(_.toLong).getOrElse(1L)))
+      case SetDvModeRe(ident, flag) =>
+        GraftShims.ofRows(spark, GraftSetDvModeCommand(
+          splitIdent(ident), flag.equalsIgnoreCase("true")))
       case AddConstraintRe(ident, cname, check) =>
         GraftShims.ofRows(spark,
           GraftAddConstraintCommand(splitIdent(ident), cname, check.trim))

@@ -50,6 +50,20 @@ object GraftShims {
     rel.copy(location = idx)(spark)
   }
 
+  /** Rebuild a relation over its own current file list with a
+    * [[GraftDvFileIndex]] — the marker `graft.layout.DvApplyRule` uses so
+    * its rewritten subtree's inner scan is never rewritten again. Keeps
+    * whatever pruning the incoming location already did (a
+    * skipping-pruned index survives via `allFiles`). */
+  def dvMarkedRelation(spark: SparkSession,
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val idx = new GraftDvFileIndex(spark,
+      rel.location.inputFiles.toSeq
+        .map(new org.apache.hadoop.fs.Path(_)), Some(rel.dataSchema))
+    rel.copy(location = idx)(spark)
+  }
+
   /** The storage location + partition columns of a session-catalog table;
     * None when the name is a temp view or not a catalog table. */
   def tableStorage(spark: SparkSession, nameParts: Seq[String])
@@ -72,6 +86,15 @@ object GraftShims {
   * itself is the marker that a scan has already been stats-pruned, so the
   * skipping rule never re-prunes (and never stacks indexes). */
 class GraftPrunedFileIndex(spark: SparkSession,
+    paths: Seq[org.apache.hadoop.fs.Path],
+    schema: Option[org.apache.spark.sql.types.StructType])
+  extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+    spark, paths, Map.empty[String, String], schema)
+
+/** The already-DV-applied marker (`graft.layout.DvApplyRule`) — a distinct
+  * class from [[GraftPrunedFileIndex]] so deletion-vector application and
+  * skipping pruning compose instead of masking each other. */
+class GraftDvFileIndex(spark: SparkSession,
     paths: Seq[org.apache.hadoop.fs.Path],
     schema: Option[org.apache.spark.sql.types.StructType])
   extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
