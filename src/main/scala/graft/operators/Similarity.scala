@@ -494,7 +494,105 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** q132: product-quantization ANN (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * codebook/ADC stage past int8 (q73/q74): vectors compress 32× into
+    * `m` sub-codeword ids (64 floats = 256 B → 8 code bytes here) and
+    * the scan scores candidates from codes + a per-query m×ksub lookup
+    * table, never touching float rows until the bounded re-rank.
+    *
+    * Deterministic cross-engine recipe (the q100 arithmetic throughout):
+    * codeword `j` of subspace `s` = exact scaled-BIGINT mean of the
+    * `vec_id % ksub == j` seed partition over dims [s·dsub, (s+1)·dsub);
+    * encode = per-subspace argmin of 6-rounded L2 (ties → smallest j);
+    * ADC approx distance = ordered Σ_s dt[s][code_s] with dt the query's
+    * 6-rounded distances to every codeword; top-`pool` by (approx,
+    * cand_id), then q74's exact-cosine re-rank emits the top `k`.
+    *
+    * Scale: the codebook is m·ksub·dsub doubles (1 KiB here; ~1 MB at a
+    * production m=64/ksub=256/d=1024) — a literal broadcast, like the IVF
+    * centroids; encoding is ONE corpus pass against it; the ADC scan
+    * reads the 8-byte code rows plus a broadcast per-query table, which
+    * is the 32× IO/memory cut the technique exists for; only the
+    * `pool`-bounded re-rank fetches float vectors by key. Composing the
+    * codes under the q44 IVF lists (IVFADC) is the documented next stage
+    * at billion-vector scale. */
+  def pqSearch(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      pool: Int = 20, k: Int = 5): DataFrame = {
+    val dsub = 64 / m
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // rounded subspace L2 between a subvector `sv` and a codeword `cv`
+    val subDist = round(aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x), 6)
+    val cw = e
+      .withColumn("j", (col("vec_id") % ksub).cast("int"))
+      .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("sub", (col("pos") / dsub).cast("int"))
+      .groupBy("sub", "j", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+      .groupBy("sub", "j")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val subs = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .withColumn("sv", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
+    // encode: nearest codeword per (vector, subspace); min over the
+    // (distance, id) struct = argmin with the deterministic tie-break
+    val enc = subs.join(broadcast(cw), "sub")
+      .withColumn("d", subDist)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("j"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.j").as("code"))
+    val codes = enc.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("v").as("qv"))
+    // the query's ADC lookup table: 6-rounded distance to EVERY codeword,
+    // nested [sub][j] — Q·m·ksub doubles, a literal broadcast
+    val qdt = q.select(col("query_id"), col("qe"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .withColumn("sv", slice(col("qv"), col("sub") * dsub + 1, lit(dsub)))
+      .join(broadcast(cw), "sub")
+      .withColumn("d", subDist)
+      .groupBy("query_id", "qe", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("d")))),
+        p => p.getField("d")).as("ds"))
+      .groupBy("query_id", "qe")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
+        p => p.getField("ds")).as("dt"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").asc, col("cand_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    codes.withColumnRenamed("vec_id", "cand_id")
+      .join(broadcast(qdt), col("cand_id") =!= col("query_id"))
+      // ordered fold over subspaces — addition order pinned for parity
+      .withColumn("approx", round(aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(element_at(col("dt"), s + 1), c + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= pool)
+      .select(col("query_id"), col("cand_id"), col("qe"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+        "cand_id")
+      .withColumn("cos", round(dot(col("qe"), col("ce")) /
+        (l2norm(col("qe")) * l2norm(col("ce"))), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_ann_pq"        -> ((s: SparkSession, d: String) => pqSearch(s, d)),
     "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
     "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
@@ -520,6 +618,77 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q132_ann_pq" ->
+      // the full PQ recipe replayed in DuckDB: scaled-BIGINT seed-mean
+      // codebook, 6-rounded argmin encode with id tie-break, ordered
+      // list_sum ADC, q74's exact-cosine re-rank — every float fold is
+      // sequential and every ranking tie-broken, so the hash must match
+      s"""WITH e AS (
+            SELECT vec_id, embedding,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          x AS (
+            SELECT CAST(vec_id % 16 AS INTEGER) AS j,
+              unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+            FROM e),
+          cs AS (
+            SELECT CAST(pos // 8 AS INTEGER) AS sub, j, pos,
+              CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+              COUNT(*) AS n
+            FROM x GROUP BY sub, j, pos),
+          cw AS (
+            SELECT sub, j,
+              list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+                ORDER BY pos) AS cv
+            FROM cs GROUP BY sub, j),
+          sgen AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sub),
+          ed AS (
+            SELECT e.vec_id, sgen.sub, cw.j,
+              round(list_sum(list_transform(
+                list_zip(list_slice(e.v, sgen.sub * 8 + 1, sgen.sub * 8 + 8),
+                  cw.cv),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                     (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+            FROM e CROSS JOIN sgen JOIN cw ON cw.sub = sgen.sub),
+          enc AS (
+            SELECT vec_id, sub, j AS code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                ORDER BY d ASC, j ASC) AS rn
+            FROM ed),
+          q AS (
+            SELECT vec_id AS query_id, embedding AS qe, v AS qv
+            FROM e WHERE vec_id % 100 = 0),
+          qd AS (
+            SELECT q.query_id, sgen.sub, cw.j,
+              round(list_sum(list_transform(
+                list_zip(list_slice(q.qv, sgen.sub * 8 + 1, sgen.sub * 8 + 8),
+                  cw.cv),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                     (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+            FROM q CROSS JOIN sgen JOIN cw ON cw.sub = sgen.sub),
+          adc AS (
+            SELECT enc.vec_id AS cand_id, qd.query_id,
+              round(list_sum(list(qd.d ORDER BY qd.sub)), 6) AS approx
+            FROM enc JOIN qd ON qd.sub = enc.sub AND qd.j = enc.code
+            WHERE enc.rn = 1 AND enc.vec_id <> qd.query_id
+            GROUP BY enc.vec_id, qd.query_id),
+          pool AS (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx ASC, cand_id ASC) AS arn
+            FROM adc),
+          rer AS (
+            SELECT p.query_id, p.cand_id, ${cosSql("q.qe", "e.embedding")} AS cos
+            FROM pool p JOIN q ON q.query_id = p.query_id
+              JOIN e ON e.vec_id = p.cand_id
+            WHERE p.arn <= 20),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM rer)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
+          ORDER BY query_id, rn""",
     "q74_ann_quantized" ->
       s"""WITH s AS (
             SELECT vec_id, embedding,

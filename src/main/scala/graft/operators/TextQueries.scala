@@ -122,6 +122,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q133: cross-document exact-substring STRIKE — the dedup action for
+    * q99's signal (Lee et al. 2022, arXiv:2107.06499: removing duplicated
+    * spans from the training corpus, keeping one canonical occurrence,
+    * beats dropping whole near-dup documents). Every occurrence of a
+    * k-word gram except the globally FIRST (ordered by doc_id, then
+    * position — deterministic keep-earliest) is struck; a word is dropped
+    * when ANY struck occurrence covers it; survivors reassemble in
+    * original order (q87's in-order reassembly, at word granularity).
+    * Output per document: word/struck counts + the cleaned text.
+    *
+    * Scale: one gram-keyed shuffle (the window computes occurrence count
+    * AND first-occurrence in the same partitioning), a k-fan explode of
+    * struck positions inside the stage, one doc-keyed aggregation whose
+    * collect_list is bounded by document length. No joins against the
+    * corpus beyond the anti-semantics LEFT JOIN on (doc, position); no
+    * driver data paths. Suffix arrays (the paper's single-node tool)
+    * don't shard; the gram-window form is how the same strike runs on
+    * 1000 executors. */
+  def spanStrike(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // q99's chained-zip gram hashes, positions retained (null tail from
+    // the slice padding marks p > n-k and is filtered after posexplode)
+    def kgramsOf(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 until k).foldLeft(hs) { (acc, j) =>
+        zip_with(acc, slice(hs, lit(j + 1), size(hs)),
+          (a, b) => (a * 131L + b) % 1000000007L)
+      }
+    val docs0 = Tables.load(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par)
+      docs0.repartition(par) else docs0
+    val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val grams = ws
+      .select(col("doc_id"),
+        posexplode(get(transform(array(wordHashes(col("ws"))),
+          hs => kgramsOf(hs)), lit(0))).as(Seq("p", "g")))
+      .filter(col("g").isNotNull)
+    val w = Window.partitionBy(col("g"))
+    val struck = grams
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("first", min(struct(col("doc_id"), col("p"))).over(w))
+      .filter(col("n") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("p") === col("first.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("wpos"))
+      .distinct()
+    val wordsPos = ws.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("wpos", "w")))
+    wordsPos
+      .join(struck.withColumn("s", lit(1)), Seq("doc_id", "wpos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n_struck"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("s").isNull, struct(col("wpos"), col("w"))))),
+          p => p.getField("w"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash (winnowing-style) document fingerprint: min over rolling
     * word-trigram polynomial hashes + distinct-gram count — order-SENSITIVE
     * (catches near-identical edits), complementing q31's order-insensitive
@@ -527,7 +587,8 @@ object TextQueries {
     "q30_token_count" -> (tokenCounts _),
     "q31_fingerprint" -> (fingerprintQuery _),
     "q49_rolling_fp"  -> (rollingFingerprint _),
-    "q99_substring_dup" -> ((s: SparkSession, d: String) => substringDup(s, d)))
+    "q99_substring_dup" -> ((s: SparkSession, d: String) => substringDup(s, d)),
+    "q133_span_strike" -> ((s: SparkSession, d: String) => spanStrike(s, d)))
 
   // DuckDB formulations of the same expressions. `words` =
   // string_split_regex(trim(lower(text)),'\s+'); stopword/marker logic uses
@@ -834,6 +895,54 @@ object TextQueries {
               // count(*) AS BIGINT) AS dup_ppm
           FROM g JOIN c USING (gr)
           GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "q133_span_strike" -> {
+      val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(w, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+      // q99's gram table with positions kept; first-occurrence keep rule
+      // via (doc_id, p) row_number; k-fan of struck spans; in-order
+      // reassembly with string_agg ORDER BY position
+      s"""WITH wsx AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents),
+          h AS (
+            SELECT doc_id, ws, list_transform(ws, w -> $whash) AS hs
+            FROM wsx),
+          g0 AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(hs) >= 8 THEN
+                list_transform(range(1, len(hs) - 8 + 2),
+                  i -> {'p': i - 1, 'gr': list_reduce(
+                    list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+                    (acc, x) -> (acc * 131 + x) % 1000000007)})
+              ELSE [] END) AS u
+            FROM h),
+          g AS (SELECT doc_id, u.p AS p, u.gr AS gr FROM g0),
+          occ AS (
+            SELECT doc_id, p, gr,
+              count(*) OVER (PARTITION BY gr) AS n,
+              ROW_NUMBER() OVER (PARTITION BY gr
+                ORDER BY doc_id, p) AS rn
+            FROM g),
+          off AS (SELECT unnest(range(0, 8)) AS o),
+          struck AS (
+            SELECT DISTINCT doc_id, p + o AS wpos
+            FROM occ CROSS JOIN off WHERE n > 1 AND rn > 1),
+          wp0 AS (
+            SELECT doc_id, unnest(
+              list_transform(range(1, len(ws) + 1),
+                i -> {'wpos': i - 1, 'w': ws[i]})) AS u
+            FROM wsx),
+          wp AS (SELECT doc_id, u.wpos AS wpos, u.w AS w FROM wp0)
+          SELECT wp.doc_id, count(*) AS n_words,
+            CAST(sum(CASE WHEN s.wpos IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_struck,
+            coalesce(string_agg(CASE WHEN s.wpos IS NULL THEN wp.w END,
+              ' ' ORDER BY wp.wpos), '') AS clean_text
+          FROM wp LEFT JOIN struck s
+            ON s.doc_id = wp.doc_id AND s.wpos = wp.wpos
+          GROUP BY wp.doc_id ORDER BY wp.doc_id"""
     },
     "q49_rolling_fp" -> {
       val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
