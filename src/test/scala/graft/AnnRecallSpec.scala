@@ -37,7 +37,14 @@ class AnnRecallSpec extends SparkSuite {
     val rLsh = recallAt(3, Similarity.annLsh(spark, sf0001, k = 3), exact)
     val rIvf = recallAt(3, Similarity.annIvf(spark, sf0001, k = 3), exact)
     val rQ = recallAt(3, Similarity.annQuantized(spark, sf0001, k = 3), exact)
-    info(f"recall@3  lsh=$rLsh%.3f  ivf=$rIvf%.3f  quantized=$rQ%.3f")
+    val rPq = recallAt(3, Similarity.pqSearch(spark, sf0001, k = 3), exact)
+    info(f"recall@3  lsh=$rLsh%.3f  ivf=$rIvf%.3f  quantized=$rQ%.3f" +
+      f"  pq=$rPq%.3f")
+    // PQ pools by 8-subspace code distance — on the RANDOM fixture the
+    // codes carry little locality (measured 0.267, same regime as IVF's
+    // 0.467), but the exact re-rank keeps what the pool finds; a broken
+    // codebook/encode/ADC lands near zero, not near the measured value
+    assert(rPq >= 0.2, f"PQ recall collapsed: $rPq%.3f")
     // quantized-scan re-ranks candidates exactly: near-perfect by design
     assert(rQ >= 0.95, f"quantized-scan recall collapsed: $rQ%.3f")
     // partition-probing methods trade recall for pruning, and the fixture
