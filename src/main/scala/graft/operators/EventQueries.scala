@@ -40,12 +40,28 @@ object EventQueries {
     try java.nio.file.Files.createLink(dst, srcFile)
     catch { case _: Exception => java.nio.file.Files.copy(srcFile, dst) }
     val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
-    val normalized = if (schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    // watermarks demand an LTZ event time. The fixture has shipped ts as
+    // parquet TIMESTAMP(NANOS) (→ LongType under nanosAsLong) AND as
+    // naive TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ under Spark 4's NTZ
+    // inference) — normalize either to an instant under the UTC session,
+    // run the stream, and cast the window bounds back to the source's
+    // type so the output stays comparable with the batch q24 oracle.
+    val tsWasNtz =
+      schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val normalized = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
     val streamed = Streams.runToMemory(Streams.hourlyCounts(normalized), name)
-    streamed
+    val retyped = if (tsWasNtz)
+      streamed.withColumn("hour_start", col("hour_start")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    else streamed
+    retyped
       .withColumn("sum_value",
         col("sum_value").cast(DecimalType(18, 6)).cast("double"))
       .orderBy("hour_start", "event_type")
@@ -241,7 +257,47 @@ object EventQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  /** q134: time-series resample — the dense per-user hourly grid with
+    * gap filling and last-observation-carried-forward (the missing-bucket
+    * repair every monitoring/feature-engineering pipeline runs before a
+    * model sees the series; Pandas' `resample().ffill()`, as one
+    * distributed plan). Each user's observed span densifies via
+    * `sequence()` — the gap generator runs INSIDE the stage, no driver
+    * time loop, fan-out bounded by span hours — then a left join marks
+    * gaps and an ordered running `last(ignoreNulls)` carries the latest
+    * observed hourly sum forward.
+    *
+    * Scale: one groupBy to hourly buckets (the q24 aggregate), one
+    * per-user min/max aggregate, the explode, one (user, hour)-keyed
+    * join, one user-partitioned window — every shuffle is on the
+    * user/hour keys with per-user width bounded by the time span, and
+    * the LOCF value is a pick (no float accumulation), so the output is
+    * decimal-exact cross-engine. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("locf_sum",
+        round(last(col("sum_value"), ignoreNulls = true).over(w), 6))
+      .select(col("user_id"), col("h").as("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("is_gap"), col("locf_sum"))
+      .orderBy("user_id", "hour_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_gapfill"             -> (gapFill _),
     "q92_funnel"               -> (funnel _),
     "q93_retention"            -> (retentionCohorts _),
     "q54_asof_join"            -> (asofJoin _),
@@ -261,6 +317,31 @@ object EventQueries {
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
   val oracles: Map[String, String] = Map(
+    "q134_gapfill" ->
+      // generate_series densifies each user's span (inclusive, like
+      // Spark's sequence); LOCF via IGNORE NULLS running last_value
+      """WITH hourly AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT user_id, min(h) AS h0, max(h) AS h1
+           FROM hourly GROUP BY user_id),
+         grid AS (
+           SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM span)
+         SELECT g.user_id, g.h AS hour_start,
+           coalesce(hh.n_events, 0) AS n_events,
+           hh.n_events IS NULL AS is_gap,
+           round(last_value(hh.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS locf_sum
+         FROM grid g LEFT JOIN hourly hh
+           ON hh.user_id = g.user_id AND hh.h = g.h
+         ORDER BY g.user_id, hour_start""",
     // same strict-ordering chain: stage N's first event must be LATER
     // than the user's first stage-(N-1) event
     "q92_funnel" ->

@@ -517,67 +517,150 @@ object Similarity {
     * `pool`-bounded re-rank fetches float vectors by key. Composing the
     * codes under the q44 IVF lists (IVFADC) is the documented next stage
     * at billion-vector scale. */
+  // rounded subspace L2 between a subvector `sv` and a codeword `cv`
+  private val pqSubDist = round(aggregate(
+    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+    lit(0.0), (acc, x) => acc + x), 6)
+
+  /** PQ codebook: codeword `j` of subspace `sub` = exact scaled-BIGINT
+    * mean of the `vec_id % ksub == j` seed partition over that subspace's
+    * dims. m·ksub rows of dsub doubles — a literal broadcast. */
+  private def pqCodebook(e: DataFrame, ksub: Int, dsub: Int): DataFrame = e
+    .withColumn("j", (col("vec_id") % ksub).cast("int"))
+    .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
+    .withColumn("sub", (col("pos") / dsub).cast("int"))
+    .groupBy("sub", "j", "pos")
+    .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+      count(lit(1)).as("n"))
+    .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+    .groupBy("sub", "j")
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+      p => p.getField("c")).as("cv"))
+
+  /** PQ encode: per vector, the m nearest-codeword ids ordered by
+    * subspace (argmin = min over the (distance, id) struct — the
+    * deterministic tie-break). One corpus pass against the broadcast
+    * codebook → (vec_id, codes[m]). */
+  private def pqEncode(e: DataFrame, cw: DataFrame, m: Int, dsub: Int)
+      : DataFrame = e
+    .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+      col("v"))
+    .withColumn("sv", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
+    .join(broadcast(cw), "sub")
+    .withColumn("d", pqSubDist)
+    .groupBy("vec_id", "sub")
+    .agg(min(struct(col("d"), col("j"))).as("b"))
+    .select(col("vec_id"), col("sub"), col("b.j").as("code"))
+    .groupBy("vec_id")
+    .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+      p => p.getField("code")).as("codes"))
+
+  /** Per-query ADC lookup table: 6-rounded distance to EVERY codeword,
+    * nested [sub][j] — Q·m·ksub doubles, a literal broadcast. */
+  private def pqQueryTable(q: DataFrame, cw: DataFrame, m: Int, dsub: Int)
+      : DataFrame = q
+    .select(col("query_id"), col("qe"),
+      explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+    .withColumn("sv", slice(col("qv"), col("sub") * dsub + 1, lit(dsub)))
+    .join(broadcast(cw), "sub")
+    .withColumn("d", pqSubDist)
+    .groupBy("query_id", "qe", "sub")
+    .agg(transform(array_sort(collect_list(struct(col("j"), col("d")))),
+      p => p.getField("d")).as("ds"))
+    .groupBy("query_id", "qe")
+    .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
+      p => p.getField("ds")).as("dt"))
+
+  /** ADC approx distance of a `codes` row against the broadcast `dt`
+    * table: ordered fold over subspaces — addition order pinned for
+    * cross-engine parity. */
+  private def pqAdc(m: Int) = round(aggregate(
+    zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(element_at(col("dt"), s + 1), c + 1)),
+    lit(0.0), (acc, x) => acc + x), 6)
+
   def pqSearch(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
       pool: Int = 20, k: Int = 5): DataFrame = {
     val dsub = 64 / m
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    // rounded subspace L2 between a subvector `sv` and a codeword `cv`
-    val subDist = round(aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x), 6)
-    val cw = e
-      .withColumn("j", (col("vec_id") % ksub).cast("int"))
-      .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("sub", (col("pos") / dsub).cast("int"))
-      .groupBy("sub", "j", "pos")
-      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
-      .groupBy("sub", "j")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("cv"))
-    val subs = e.select(col("vec_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
-      .withColumn("sv", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
-    // encode: nearest codeword per (vector, subspace); min over the
-    // (distance, id) struct = argmin with the deterministic tie-break
-    val enc = subs.join(broadcast(cw), "sub")
-      .withColumn("d", subDist)
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d"), col("j"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("b.j").as("code"))
-    val codes = enc.groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
+    val cw = pqCodebook(e, ksub, dsub)
+    val codes = pqEncode(e, cw, m, dsub)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("v").as("qv"))
-    // the query's ADC lookup table: 6-rounded distance to EVERY codeword,
-    // nested [sub][j] — Q·m·ksub doubles, a literal broadcast
-    val qdt = q.select(col("query_id"), col("qe"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
-      .withColumn("sv", slice(col("qv"), col("sub") * dsub + 1, lit(dsub)))
-      .join(broadcast(cw), "sub")
-      .withColumn("d", subDist)
-      .groupBy("query_id", "qe", "sub")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("d")))),
-        p => p.getField("d")).as("ds"))
-      .groupBy("query_id", "qe")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
-        p => p.getField("ds")).as("dt"))
+    val qdt = pqQueryTable(q, cw, m, dsub)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").asc, col("cand_id").asc)
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     codes.withColumnRenamed("vec_id", "cand_id")
       .join(broadcast(qdt), col("cand_id") =!= col("query_id"))
-      // ordered fold over subspaces — addition order pinned for parity
-      .withColumn("approx", round(aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, s) => element_at(element_at(col("dt"), s + 1), c + 1)),
-        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("approx", pqAdc(m))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= pool)
+      .select(col("query_id"), col("cand_id"), col("qe"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+        "cand_id")
+      .withColumn("cos", round(dot(col("qe"), col("ce")) /
+        (l2norm(col("qe")) * l2norm(col("ce"))), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "cos")
+      .orderBy("query_id", "rn")
+  }
+
+  /** q135: IVFADC (Jégou et al. 2011 §IV — the composition FAISS ships
+    * as `IndexIVFPQ`, the standard billion-vector serving shape): q44's
+    * IVF coarse quantizer prunes the corpus to `nprobe` inverted lists,
+    * then q132's ADC scores ONLY those lists from 8-byte codes + the
+    * broadcast per-query table, and the bounded pool re-ranks on exact
+    * cosine. Candidate generation is the cell equi-join (never a scan),
+    * candidate scoring never touches float rows — the two cuts compose:
+    * IO ∝ (probed fraction) × (code bytes), which is the product of the
+    * q44 and q132 levers. Both building blocks are the oracle-pinned
+    * recipes, so the composition is hash-checked end to end. */
+  def ivfAdc(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      nprobe: Int = 2, pool: Int = 20, k: Int = 5): DataFrame = {
+    val dsub = 64 / m
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), _.cast("double")).as("v"),
+        l2norm(col("embedding")).as("nrm"))
+    // q44's coarse quantizer: centroids = the vec_id % 101 == 7 sample,
+    // assignment by rounded cosine with cent_id tie-break
+    val cent = e.filter(col("vec_id") % 101 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv0"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(dot(col("embedding"), col("cv0")) /
+        (col("nrm") * col("cn")), 6))
+      .withColumn("rn_c", row_number().over(wAssign))
+    val cw = pqCodebook(e, ksub, dsub)
+    val codes = pqEncode(e, cw, m, dsub)
+    // inverted lists carry CODES, not vectors — the IVFADC memory shape
+    val lists = assigned.filter(col("rn_c") === 1)
+      .select(col("cent_id"), col("vec_id").as("cand_id"))
+      .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    val q = assigned
+      .filter(col("vec_id") % 100 === 0 && col("rn_c") <= nprobe)
+      .select(col("cent_id"), col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("v").as("qv"))
+    val qdt = pqQueryTable(
+      q.select("query_id", "qe", "qv").distinct(), cw, m, dsub)
+    val probed = q.select("cent_id", "query_id")
+      .join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id", "codes").distinct()
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").asc, col("cand_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probed.join(broadcast(qdt), "query_id")
+      .withColumn("approx", pqAdc(m))
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= pool)
       .select(col("query_id"), col("cand_id"), col("qe"))
@@ -592,6 +675,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_ann_ivfadc"    -> ((s: SparkSession, d: String) => ivfAdc(s, d)),
     "q132_ann_pq"        -> ((s: SparkSession, d: String) => pqSearch(s, d)),
     "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
     "q73_quantize_int8"  -> (quantizeInt8 _),
@@ -925,6 +1009,93 @@ object Similarity {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
           ORDER BY vec_a, vec_b""",
+    "q135_ann_ivfadc" ->
+      // q44's coarse-quantizer CTEs feeding q132's codebook/encode/ADC
+      // CTEs: lists carry codes, ADC scores only probed cells, exact
+      // cosine re-ranks the bounded pool
+      s"""WITH e AS (
+            SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, embedding AS cv0, nrm AS cn
+                   FROM e WHERE vec_id % 101 = 7),
+          assigned AS (
+            SELECT e.vec_id, cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "cv0")} / (e.nrm * cn), 6) DESC,
+                         cent_id ASC) AS rn_c
+            FROM e CROSS JOIN cent),
+          x AS (
+            SELECT CAST(vec_id % 16 AS INTEGER) AS j,
+              unnest(range(0, len(v))) AS pos, unnest(v) AS xv
+            FROM e),
+          cs AS (
+            SELECT CAST(pos // 8 AS INTEGER) AS sub, j, pos,
+              CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+              COUNT(*) AS n
+            FROM x GROUP BY sub, j, pos),
+          cw AS (
+            SELECT sub, j,
+              list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+                ORDER BY pos) AS cv
+            FROM cs GROUP BY sub, j),
+          sgen AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sub),
+          ed AS (
+            SELECT e.vec_id, sgen.sub, cw.j,
+              round(list_sum(list_transform(
+                list_zip(list_slice(e.v, sgen.sub * 8 + 1, sgen.sub * 8 + 8),
+                  cw.cv),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                     (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+            FROM e CROSS JOIN sgen JOIN cw ON cw.sub = sgen.sub),
+          enc AS (
+            SELECT vec_id, sub, j AS code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                ORDER BY d ASC, j ASC) AS rn
+            FROM ed),
+          q AS (
+            SELECT vec_id AS query_id, embedding AS qe, v AS qv
+            FROM e WHERE vec_id % 100 = 0),
+          qd AS (
+            SELECT q.query_id, sgen.sub, cw.j,
+              round(list_sum(list_transform(
+                list_zip(list_slice(q.qv, sgen.sub * 8 + 1, sgen.sub * 8 + 8),
+                  cw.cv),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                     (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d
+            FROM q CROSS JOIN sgen JOIN cw ON cw.sub = sgen.sub),
+          probed AS (
+            SELECT DISTINCT qa.vec_id AS query_id, la.vec_id AS cand_id
+            FROM assigned qa
+              JOIN assigned la ON la.cent_id = qa.cent_id AND la.rn_c = 1
+            WHERE qa.vec_id % 100 = 0 AND qa.rn_c <= 2
+              AND la.vec_id <> qa.vec_id),
+          adc AS (
+            SELECT p.query_id, p.cand_id,
+              round(list_sum(list(qd.d ORDER BY qd.sub)), 6) AS approx
+            FROM probed p
+              JOIN enc ON enc.vec_id = p.cand_id AND enc.rn = 1
+              JOIN qd ON qd.query_id = p.query_id AND qd.sub = enc.sub
+                AND qd.j = enc.code
+            GROUP BY p.query_id, p.cand_id),
+          pool AS (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx ASC, cand_id ASC) AS arn
+            FROM adc),
+          rer AS (
+            SELECT p.query_id, p.cand_id,
+              ${cosSql("q.qe", "e.embedding")} AS cos
+            FROM pool p JOIN q ON q.query_id = p.query_id
+              JOIN e ON e.vec_id = p.cand_id
+            WHERE p.arn <= 20),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM rer)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
+          ORDER BY query_id, rn""",
     "q44_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                      FROM embeddings),

@@ -75,6 +75,13 @@ def main(sf_dir: str, out_dir: str) -> int:
                 break
         print(f"  {qname}: VALUE MISMATCH at row {bad[0]}:\n    spark={bad[1]}\n    duck ={bad[2]}")
         failures += 1
+    # a query whose Verify dump FAILED has no output dir — without this
+    # check it would silently vanish from the compare (and read as green)
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{out_dir}/*/")}
+    for qname in sorted(set(oracle) - dumped):
+        print(f"  {qname}: MISSING SPARK DUMP (Verify failed?)")
+        failures += 1
     print("FAILURES:", failures)
     return 1 if failures else 0
 
