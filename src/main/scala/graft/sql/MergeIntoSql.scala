@@ -768,6 +768,19 @@ case class GraftSetDvModeCommand(nameParts: Seq[String],
   }
 }
 
+/** `REORG TABLE <t> APPLY (PURGE)` — Delta's statement for folding
+  * deletion vectors into rewritten files without changing layout policy.
+  * No-op (no new version) when the table carries no sidecar. */
+case class GraftReorgPurgeCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "REORG TABLE")
+    graft.layout.DeletionVectors.materialize(spark, dir)
+    GraftSql.refreshTarget(spark, nameParts, dir)
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE <t> DROP CONSTRAINT <name>`. */
 case class GraftDropConstraintCommand(nameParts: Seq[String],
     constraint: String) extends LeafRunnableCommand {
@@ -895,6 +908,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAddIdentityCommand(delegate.parseMultipartIdentifier(ident),
           cname, Option(start).map(_.toLong).getOrElse(1L),
           Option(step).map(_.toLong).getOrElse(1L))
+      case GraftSql.ReorgPurgeRe(ident) =>
+        GraftReorgPurgeCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.SetDvModeRe(ident, flag) =>
         GraftSetDvModeCommand(delegate.parseMultipartIdentifier(ident),
           flag.equalsIgnoreCase("true"))
@@ -1003,6 +1018,8 @@ object GraftSql {
      """BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(\d+)\s*\))?""" +
      """\s*;?\s*$""").r
+  private[sql] val ReorgPurgeRe =
+    """(?is)^\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private[sql] val SetDvModeRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\(\s*'graft\.enableDeletionVectors'\s*=\s*'(true|false)'\s*\)\s*;?\s*$""".r
   private[sql] val AddConstraintRe =
@@ -1214,6 +1231,8 @@ object GraftSql {
           GraftAddIdentityCommand(splitIdent(ident), cname,
             Option(start).map(_.toLong).getOrElse(1L),
             Option(step).map(_.toLong).getOrElse(1L)))
+      case ReorgPurgeRe(ident) =>
+        GraftShims.ofRows(spark, GraftReorgPurgeCommand(splitIdent(ident)))
       case SetDvModeRe(ident, flag) =>
         GraftShims.ofRows(spark, GraftSetDvModeCommand(
           splitIdent(ident), flag.equalsIgnoreCase("true")))

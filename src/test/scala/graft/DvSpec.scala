@@ -248,6 +248,27 @@ class DvSpec extends SparkSuite {
     }
   }
 
+  test("REORG TABLE ... APPLY (PURGE) folds the sidecar; no-op without one") {
+    val (cat, _) = freshCat()
+    cat.create((1L to 12L).map(i => (i, s"r$i")).toDF("id", "v"),
+      "silver", "t10")
+    cat.register("silver", "t10")
+    try {
+      val dir = cat.path("silver", "t10")
+      cat.enableDeletionVectors("silver", "t10")
+      cat.deleteWhere("silver", "t10", col("id") > 10L)
+      assert(DeletionVectors.hasDv(spark, dir))
+      val expect = rowsOf(cat.read("silver", "t10"), "id")
+      graft.sql.GraftSql.sql(spark, "REORG TABLE silver.t10 APPLY (PURGE)")
+      assert(!DeletionVectors.hasDv(spark, dir))
+      assert(rowsOf(cat.read("silver", "t10"), "id") == expect)
+      val v = cat.currentVersion("silver", "t10")
+      // purging a clean table commits nothing
+      graft.sql.GraftSql.sql(spark, "REORG TABLE silver.t10 APPLY (PURGE)")
+      assert(cat.currentVersion("silver", "t10") == v)
+    } finally cat.dropRegistration("silver", "t10")
+  }
+
   test("plain-session GraftSql: DV DML + reads agree without the rule") {
     val (cat, _) = freshCat()
     cat.create((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
