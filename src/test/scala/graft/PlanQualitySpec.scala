@@ -396,4 +396,34 @@ class PlanQualitySpec extends SparkSuite {
     val p = plan(Relational.aggPricing(spark, sfDir))
     assert(p.contains("*("), s"no WholeStageCodegen spans:\n$p")
   }
+
+  test("q132/q135: PQ codebook+query tables broadcast; IVFADC candidates come from the cell equi-join") {
+    // q132: the codebook and the per-query ADC table are the ONLY
+    // broadcast relations; the deliberate ADC flat scan is the one
+    // nested-loop (codes × Q queries), never a float-vector cartesian
+    val p132 = plan(operators.Similarity.pqSearch(spark, sfDir))
+    assert(p132.contains("BroadcastHashJoin") ||
+           p132.contains("BroadcastNestedLoopJoin"),
+      s"PQ small sides not broadcast:\n$p132")
+    // q135: candidate generation must be an equi-join on the cell id —
+    // the probed-lists join shows up as a hash join with cent_id keys
+    val p135 = plan(operators.Similarity.ivfAdc(spark, sfDir))
+    assert(p135.contains("cent_id"),
+      s"IVFADC lost its cell equi-join:\n$p135")
+    // the only cartesian-shaped joins are the bounded broadcast ones
+    // (centroid assignment, ADC table): no plain CartesianProduct
+    assert(!p135.contains("CartesianProduct"),
+      s"IVFADC degenerated to a cartesian:\n$p135")
+  }
+
+  test("q133: strike pipeline is one gram shuffle + one doc aggregation, map-side partials intact") {
+    val df = operators.TextQueries.spanStrike(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"span strike must never cross-join the corpus:\n$p")
+    // the struck-position set joins back by (doc_id, wpos) — an equi
+    // join, and the final aggregation is hash-based
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"reassembly aggregation not hash-based:\n$p")
+  }
 }
