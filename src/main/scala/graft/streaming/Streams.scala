@@ -57,6 +57,31 @@ object Streams {
       .select(col("user_id"), col("ts").as("click_ts"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — attribution's other half:
+    * views that got NO click inside the window must still emit (with
+    * null click columns) so downstream conversion metrics see the full
+    * denominator. Spark holds an unmatched left row in state until the
+    * RIGHT stream's watermark passes the end of its join window — only
+    * then is "no match" final — so the null-padded row emits exactly
+    * once, late (the price of correctness on unbounded inputs), and both
+    * sides' state stays O(watermark), never O(stream). The join range +
+    * equality key are the same as the inner form; at scale both streams
+    * hash-partition on user_id and state lives in the per-partition
+    * store. */
+  def viewClickOuterJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withColumnRenamed("ts", "view_ts")
+      .withColumnRenamed("user_id", "view_user_id")
+      .withWatermark("view_ts", "30 minutes")
+    val c = clicks.withWatermark("ts", "30 minutes")
+    v.join(c, expr(
+      """view_user_id = user_id AND
+         ts >= view_ts AND ts <= view_ts + INTERVAL 10 MINUTES"""),
+      "left_outer")
+      .select(col("view_user_id").as("user_id"), col("view_ts"),
+        col("ts").as("click_ts"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class UserRunning(user_id: Long, n_events: Long)
 

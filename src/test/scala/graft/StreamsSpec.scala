@@ -378,6 +378,45 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views emit null-padded after the watermark closes their window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val joined = Streams.viewClickOuterJoin(
+      views.toDS().toDF(), clicks.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("vc_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+      views.addData(UserEvent(1, t("10:00:00"), "view"),   // will match
+        UserEvent(2, t("10:00:00"), "view"))               // never matches
+      clicks.addData(UserEvent(1, t("10:05:00"), "click"))
+      q.processAllAvailable()
+      // the match emits promptly; user 2's "no match" is NOT final yet —
+      // a qualifying click could still arrive
+      val early = spark.table("vc_outer")
+        .as[(Long, Timestamp, Option[Timestamp])].collect().toSet
+      assert(early == Set((1L, t("10:00:00"), Some(t("10:05:00")))),
+        s"premature or missing rows: $early")
+      // advance BOTH watermarks far past view+10min+30min lateness: the
+      // unmatched view's window is now closed → null-padded row emits
+      clicks.addData(UserEvent(9, t("12:00:00"), "click"))
+      views.addData(UserEvent(9, t("12:00:00"), "view"))
+      q.processAllAvailable()
+      // one more batch so the state-eviction pass runs after the
+      // watermark advance
+      clicks.addData(UserEvent(9, t("12:30:00"), "click"))
+      q.processAllAvailable()
+      val late = spark.table("vc_outer")
+        .as[(Long, Timestamp, Option[Timestamp])].collect().toSet
+      assert(late.contains((2L, t("10:00:00"), None)),
+        s"unmatched view never emitted null-padded: $late")
+      // and the matched row did not duplicate
+      assert(late.count(_._1 == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: threshold alerts fire once per crossing") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
