@@ -64,6 +64,16 @@ object GraftShims {
     rel.copy(location = idx)(spark)
   }
 
+  /** Re-tag a batch DataFrame as a STREAMING one (`isStreaming = true`)
+    * — the seam a v1 [[org.apache.spark.sql.execution.streaming.Source]]
+    * needs to hand `getBatch` results to the micro-batch engine (every
+    * classic file/socket source used exactly this internal). */
+  def streamingFrame(sqlContext: SQLContext, df: DataFrame): DataFrame = {
+    val classicCtx = sqlContext.asInstanceOf[classic.SQLContext]
+    classicCtx.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The storage location + partition columns of a session-catalog table;
     * None when the name is a temp view or not a catalog table. */
   def tableStorage(spark: SparkSession, nameParts: Seq[String])

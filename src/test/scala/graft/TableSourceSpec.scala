@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming FROM a graft table (`format("graft-table")`): version-log
+  * offsets, initial-snapshot batch, append rows, CDC change rows, and
+  * checkpointed restart continuity. */
+class TableSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCat() = {
+    val wh = tmpDir("graft-tsrc")
+    (new graft.catalog.Catalog(spark, wh), wh)
+  }
+
+  /** Drain with AvailableNow into a parquet sink (checkpoint-recoverable
+    * — the memory sink is not) and return the sink's CURRENT contents. */
+  private def drainOnce(df: org.apache.spark.sql.DataFrame,
+      out: String, checkpoint: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+  }
+
+  test("rows feed: initial snapshot, then appended rows only, exactly once across restarts") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "s1")
+    val dir = cat.path("silver", "s1")
+    val ckpt = tmpDir("tsrc-ckpt")
+    val out = tmpDir("tsrc-out") + "/sink"
+    def stream = spark.readStream.format("graft-table")
+      .option("path", dir).load()
+
+    val first = drainOnce(stream, out, ckpt)
+    assert(rowsOf(first, "id").map(_.head) == Seq(1L, 2L),
+      "initial batch must be the full snapshot")
+
+    // two more commits: an append and another append
+    cat.append(Seq((3L, "c")).toDF("id", "v"), "silver", "s1")
+    cat.append(Seq((4L, "d")).toDF("id", "v"), "silver", "s1")
+    val second = drainOnce(stream, out, ckpt)
+    // the checkpointed restart resumes AFTER the snapshot version: the
+    // sink accumulates exactly 1..4, no re-delivery of 1/2
+    assert(rowsOf(second, "id").map(_.head) == Seq(1L, 2L, 3L, 4L),
+      "restart must deliver exactly the new rows")
+
+    // nothing new → empty drain, sink unchanged
+    val third = drainOnce(stream, out, ckpt)
+    assert(third.count() == 4)
+  }
+
+  test("cdc feed: updates and deletes arrive as typed change rows") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      "silver", "s2")
+    cat.register("silver", "s2")
+    try {
+      val dir = cat.path("silver", "s2")
+      val ckpt = tmpDir("tsrc-ckpt2")
+      val out = tmpDir("tsrc-out2") + "/sink"
+      def stream = spark.readStream.format("graft-table")
+        .option("path", dir).option("feed", "cdc").option("keys", "id")
+        .load()
+
+      val first = drainOnce(stream, out, ckpt)
+      assert(first.count() == 3)
+      assert(rowsOf(first).forall(_.last == "insert"))
+
+      // one UPDATE + one deletion-vector DELETE, each a version
+      cat.updateWhere("silver", "s2", col("id") === 1L,
+        Seq("v" -> lit("A")))
+      cat.enableDeletionVectors("silver", "s2")
+      cat.deleteWhere("silver", "s2", col("id") === 2L)
+      val second = drainOnce(stream, out, ckpt)
+      val ch = rowsOf(second.filter(col("_change_type") =!= "insert"),
+        "id", "_change_type").map(r => (r.head, r(1), r.last)).toSet
+      assert(ch == Set(
+        (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+        (2L, "b", "delete")),
+        s"typed change rows diverged: $ch")
+    } finally cat.dropRegistration("silver", "s2")
+  }
+
+  test("fully-qualified provider name also resolves; missing path raises") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((7L, "x")).toDF("id", "v"), "silver", "s3")
+    val dir = cat.path("silver", "s3")
+    val df = spark.readStream
+      .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+      .option("path", dir).load()
+    val got = drainOnce(df, tmpDir("tsrc-out3") + "/sink",
+      tmpDir("tsrc-ckpt3"))
+    assert(got.count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table").load().schema
+    }
+    assert(e.getMessage.contains("path"))
+  }
+}
