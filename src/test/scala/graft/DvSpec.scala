@@ -269,6 +269,24 @@ class DvSpec extends SparkSuite {
     } finally cat.dropRegistration("silver", "t10")
   }
 
+  test("clones carry the sidecar (deletions survive); mode flag does not transfer") {
+    val (cat, _) = freshCat()
+    cat.create((1L to 10L).map(i => (i, s"c$i")).toDF("id", "v"),
+      "silver", "t11")
+    cat.enableDeletionVectors("silver", "t11")
+    cat.deleteWhere("silver", "t11", col("id") > 8L)
+    cat.clone("silver", "t11", "silver", "t11_deep")
+    cat.shallowClone("silver", "t11", "silver", "t11_shallow")
+    for (t <- Seq("t11_deep", "t11_shallow")) {
+      assert(cat.read("silver", t).count() == 8,
+        s"$t resurrected DV-deleted rows")
+      // the clone reads its own copied sidecar, not the source's
+      assert(DeletionVectors.hasDv(spark, cat.path("silver", t)))
+      // the merge-on-read MODE is per-table config and starts default
+      assert(!DeletionVectors.isEnabled(spark, cat.path("silver", t)))
+    }
+  }
+
   test("plain-session GraftSql: DV DML + reads agree without the rule") {
     val (cat, _) = freshCat()
     cat.create((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
