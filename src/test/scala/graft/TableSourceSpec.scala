@@ -86,6 +86,39 @@ class TableSourceSpec extends SparkSuite {
     } finally cat.dropRegistration("silver", "s2")
   }
 
+  test("table-to-table: stream a silver table into a gold SCD2 dim (the medallion loop)") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "v1", 1L), (2L, "w1", 1L)).toDF("id", "attr", "seq"),
+      "silver", "src")
+    val dir = cat.path("silver", "src")
+    val ckpt = tmpDir("tsrc-ckpt4")
+    def pump(): Unit = {
+      val changes = spark.readStream.format("graft-table")
+        .option("path", dir).load()
+      graft.streaming.Streams.applyChangesScd2(changes, cat, "dim",
+        keys = Seq("id"), tracked = Seq("attr"), skeyCol = "dim_key",
+        checkpoint = ckpt, now = lit(Timestamp.valueOf("2026-01-01 00:00:00")),
+        sequenceBy = Seq("seq"))
+    }
+    pump() // initial snapshot → both keys current
+    val d1 = cat.read("gold", "dim")
+    assert(d1.filter(col("is_current")).count() == 2)
+
+    // a new version of key 1 + a fresh key appended upstream
+    cat.append(Seq((1L, "v2", 2L), (3L, "x1", 1L)).toDF("id", "attr", "seq"),
+      "silver", "src")
+    pump() // only the appended rows flow; SCD2 expires v1
+    val d2 = cat.read("gold", "dim")
+    assert(d2.filter(col("is_current")).count() == 3)
+    assert(rowsOf(d2.filter(col("id") === 1L).select("attr", "is_current"),
+      "attr") == Seq(Seq("v1", false), Seq("v2", true)),
+      "SCD2 must expire the old attribute version")
+    // replaying with nothing new is a no-op
+    pump()
+    assert(cat.read("gold", "dim").count() ==
+      d2.count(), "empty drain must not change the dim")
+  }
+
   test("fully-qualified provider name also resolves; missing path raises") {
     val (cat, _) = freshCat()
     cat.create(Seq((7L, "x")).toDF("id", "v"), "silver", "s3")
