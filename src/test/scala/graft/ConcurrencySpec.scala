@@ -134,4 +134,43 @@ class ConcurrencySpec extends SparkSuite {
     assert(winners.map(w => Set(w)).contains(live),
       s"live state $live must be exactly one winner's dataset")
   }
+
+  test("racing deletion-vector deletes: one wins, loser typed + retries to the union") {
+    val root = tmpDir("graft-race-dv")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot((1L to 20L).map(i => (i, i % 4))
+      .toDF("id", "m"), "silver", "dvr")
+    cat.enableDeletionVectors("silver", "dvr")
+    val dir = cat.path("silver", "dvr")
+    val before = cat.currentVersion("silver", "dvr")
+    def attempt(mod: Long): () => Long = () => {
+      graft.layout.DeletionVectors.deleteWhere(spark, dir,
+        col("m") === mod)
+      mod
+    }
+    val results = race(Seq(attempt(0L), attempt(1L)))
+    val winners = results.collect { case Right(w) => w }
+    val losers = results.collect { case Left(e) => e }
+    // DV deletes are read-modify-write (staged against the read pointer):
+    // a true interleave leaves exactly one winner + a typed loser; the
+    // threads may also serialize cleanly (both win) on a fast commit
+    assert(winners.nonEmpty, s"no DV delete landed: $losers")
+    assert(losers.forall(
+      _.isInstanceOf[Catalog.ConcurrentCommitException]),
+      s"loser must be the typed conflict, got " +
+        losers.map(_.toString).mkString("; "))
+    // retry the losers: merge-on-read deletes compose — the final state
+    // is the union of both predicates
+    losers.foreach(_ => results.zip(Seq(0L, 1L)).collect {
+      case (Left(_), mod) => graft.layout.DeletionVectors
+        .deleteWhere(spark, dir, col("m") === mod)
+    })
+    val live = ids(cat.read("silver", "dvr"))
+    assert(live == (1L to 20L).filterNot(i => i % 4 <= 1).toSet,
+      s"after retries both deletes must apply, got $live")
+    assert(cat.currentVersion("silver", "dvr") >= before + 2)
+    // data files were never rewritten by any contender
+    cat.vacuum("silver", "dvr")
+    assert(cat.readVersion("silver", "dvr", before).count() == 20)
+  }
 }
