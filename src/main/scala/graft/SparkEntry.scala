@@ -29,6 +29,7 @@ object SparkEntry {
     operators.SkewQueries.queries ++
     operators.SearchQueries.queries ++
     multimodal.Multimodal.queries ++
+    multimodal.Audio.queries ++
     sources.Formats.queries ++
     layout.DataSkipping.queries
 
@@ -47,6 +48,7 @@ object SparkEntry {
     operators.SkewQueries.oracles ++
     operators.SearchQueries.oracles ++
     multimodal.Multimodal.oracles ++
+    multimodal.Audio.oracles ++
     sources.Formats.oracles ++
     layout.DataSkipping.oracles
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Audio
+import graft.multimodal.Audio.{AudioAsset, AudioFeatures}
+
+/** The audio codec path on REAL bytes: WAVE round trips (mono + stereo,
+  * silence, single-sample), and the corrupt-asset fallback contract. */
+class AudioSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def wav(samples: Seq[Int], channels: Int = 1,
+      rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      samples.length.toLong / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decode: signal stats from real WAVE bytes") {
+    val f = Audio.decodeOne(AudioAsset(1L, wav(Seq(100, -200, 300, 0, -50))))
+    // crossings are strict sign flips: 100→-200 and -200→300; the zero
+    // sample breaks the 300→-50 alternation (0 has no sign)
+    assert(f == AudioFeatures(1L, decoded = true, 8000, 5,
+      peak_abs = 300, mean_abs = (100 + 200 + 300 + 0 + 50) / 5,
+      zero_crossings = 2))
+  }
+
+  test("decode: stereo strides the frame, silence has no crossings, corrupt bytes fall back") {
+    // stereo: the scan reads channel 0 only (frames of 2 samples)
+    val st = Audio.decodeOne(AudioAsset(2L,
+      wav(Seq(10, 99, -10, 99, 10, 99), channels = 2)))
+    assert(st.decoded && st.n_samples == 3 && st.peak_abs == 10 &&
+      st.zero_crossings == 2, s"stereo decode diverged: $st")
+    val silent = Audio.decodeOne(AudioAsset(3L, wav(Seq(0, 0, 0, 0))))
+    assert(silent.decoded && silent.peak_abs == 0 &&
+      silent.zero_crossings == 0)
+    val corrupt = Audio.decodeOne(AudioAsset(4L,
+      Array.tabulate[Byte](64)(i => (i * 7).toByte)))
+    assert(!corrupt.decoded, "garbage must fall back, not throw")
+    // and a truncated RIFF header (real-world partial upload)
+    val trunc = Audio.decodeOne(AudioAsset(5L, wav(Seq(1, 2, 3)).take(10)))
+    assert(!trunc.decoded)
+  }
+
+  test("q136 roundtrip: decoded stats equal doc_id arithmetic on the fixture") {
+    val got = Audio.roundtripQuery(spark, sf0001)
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("decoded")))
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Long]("n_samples") == 8 + id % 32)
+      assert(r.getAs[Long]("peak_abs") == (id % 1000) * 16)
+      assert(r.getAs[Long]("mean_abs") == (id % 1000) * 16)
+    }
+  }
+}
