@@ -103,6 +103,44 @@ object OlapQueries {
       .orderBy("user_id", "epoch_s", "value")
   }
 
+  /** q137: rolling anomaly detection — each event scored against its
+    * user's TRAILING one-hour window (self-exclusive: the event must not
+    * vouch for itself). With n, s=Σv, s2=Σv² over the window,
+    * `dev_ratio = (n·x − s)² / (n·s2 − s²)` is algebraically the squared
+    * z-score (x−μ)²/σ² under population variance; the 3σ flag fires at
+    * ratio > 9. Every input to the double arithmetic is an EXACT decimal
+    * window sum — order-free, so the RANGE frame's evaluation order
+    * can't drift the value cross-engine — and the ratio is rounded;
+    * events with fewer than 2 predecessors or zero variance score
+    * null/false.
+    *
+    * Scale: one (user)-keyed shuffle; the RANGE frame holds only the
+    * trailing hour per user — the monitoring pass every event pipeline
+    * runs, expressed so it shards and reproduces anywhere. */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600, -1)
+    val dv = col("value").cast(DecimalType(18, 6))
+    val n = col("n_prev").cast("double")
+    val s = col("s_prev").cast("double")
+    val s2 = col("s2_prev").cast("double")
+    val x = col("value")
+    val num = (n * x - s) * (n * x - s)
+    val varTerm = n * s2 - s * s // = n²σ²
+    Tables.loadEvents(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_prev", count(lit(1)).over(w).cast("long"))
+      .withColumn("s_prev", sum(dv).over(w))
+      .withColumn("s2_prev", sum(dv * dv).over(w))
+      .withColumn("dev_ratio",
+        when(col("n_prev") >= 2 && varTerm > 0, round(num / varTerm, 6)))
+      .withColumn("is_anomaly",
+        coalesce(col("dev_ratio") > 9.0, lit(false)))
+      .select(col("user_id"), col("epoch_s"), col("value"),
+        col("n_prev"), col("dev_ratio"), col("is_anomaly"))
+      .orderBy("user_id", "epoch_s", "value")
+  }
+
   /** percent_rank completing q66's distribution trio (ntile/cume_dist),
     * over a tie-free ordering so ranks are engine-independent. */
   def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
@@ -211,6 +249,7 @@ object OlapQueries {
     "q124_grouping_sets_api" -> (groupingSetsCustomers _),
     "q125_domain_cap" -> (domainCap _),
     "q126_rolling_range" -> (rollingRange _),
+    "q137_rolling_anomaly" -> (rollingAnomaly _),
     "q127_window_dist" -> (windowDistribution _),
     "q128_fuzzy_match" -> (fuzzyMatch _),
     "q129_stat_suite" -> (statSuite _),
@@ -256,6 +295,36 @@ object OlapQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, epoch_s, value""",
+    "q137_rolling_anomaly" ->
+      // same exact-decimal window sums; the double combination replays
+      // Spark's expression shape term for term before the shared round
+      """WITH e AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s, value
+           FROM events),
+         sums AS (
+           SELECT user_id, epoch_s, value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s_prev,
+             SUM(CAST(value AS DECIMAL(18,6)) *
+                 CAST(value AS DECIMAL(18,6))) OVER w AS s2_prev
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)),
+         scored AS (
+           SELECT user_id, epoch_s, value, n_prev,
+             CASE WHEN n_prev >= 2 AND
+               (CAST(n_prev AS DOUBLE) * CAST(s2_prev AS DOUBLE) -
+                CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)) > 0
+             THEN round(
+               (CAST(n_prev AS DOUBLE) * value - CAST(s_prev AS DOUBLE)) *
+               (CAST(n_prev AS DOUBLE) * value - CAST(s_prev AS DOUBLE)) /
+               (CAST(n_prev AS DOUBLE) * CAST(s2_prev AS DOUBLE) -
+                CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)), 6)
+             END AS dev_ratio
+           FROM sums)
+         SELECT user_id, epoch_s, value, n_prev, dev_ratio,
+           coalesce(dev_ratio > 9.0, FALSE) AS is_anomaly
+         FROM scored ORDER BY user_id, epoch_s, value""",
     "q127_window_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
