@@ -133,7 +133,35 @@ class Catalog(spark: SparkSession, warehouse: String,
       keepVersions, allowSchemaChange, commitTag = commitTag)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
+    if (partitionBy.isEmpty) maybeAutoCompact(layer, table)
   }
+
+  /** Delta auto-compaction: opt-in via
+    * `spark.conf.set("graft.autoCompact.minFiles", n)` — after a commit
+    * leaves more than n data files in the live snapshot, a follow-up
+    * OPTIMIZE packs them to `graft.autoCompact.targetFileSize` (default
+    * 128 MiB) as its own version. The write stays fast (no pre-write
+    * shuffle); the debt is repaid immediately and atomically, which is
+    * exactly Delta's post-commit auto-compact shape. Small frequent
+    * appends/micro-batches are the trigger case; the compaction cost is
+    * O(fragmented data), bounded by the same file-count check that
+    * triggers it. */
+  private def maybeAutoCompact(layer: String, table: String): Unit =
+    spark.conf.getOption("graft.autoCompact.minFiles")
+      .map(_.trim.toInt).filter(_ > 0).foreach { minFiles =>
+        val dir = new Path(path(layer, table))
+        val f = fs
+        if (f.exists(dir)) {
+          val nFiles = f.listStatus(dir).count { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (nFiles > minFiles)
+            compact(layer, table,
+              spark.conf.getOption("graft.autoCompact.targetFileSize")
+                .map(_.trim.toLong).getOrElse(128L * 1024 * 1024))
+        }
+      }
 
   /** Versioned append — the `INSERT INTO` lowering
     * ([[Catalog.appendPath]]): existing files hard-linked into the next
@@ -143,6 +171,7 @@ class Catalog(spark: SparkSession, warehouse: String,
     Catalog.appendPath(spark, df, path(layer, table), keepVersions)
     if (tableExists(layer, table))
       spark.catalog.refreshTable(s"$layer.$table")
+    maybeAutoCompact(layer, table)
   }
 
   /** Register the table in the session catalog so `spark.table` /

@@ -270,4 +270,35 @@ class CatalogSpec extends SparkSuite {
     cat.dropRegistration("gold", "dim")
     assert(!cat.tableExists("gold", "dim"))
   }
+
+  test("auto-compaction: opt-in post-commit OPTIMIZE when small files pile up") {
+    import spark.implicits._
+    val cat = new graft.catalog.Catalog(spark, tmpDir("graft-autocompact"))
+    def nFiles = new java.io.File(cat.path("silver", "ac")).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    cat.create(Seq((1L, "a")).toDF("id", "v"), "silver", "ac")
+    // off by default: appends accumulate files freely
+    (2 to 5).foreach(i => cat.append(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+      "silver", "ac"))
+    assert(nFiles >= 5, s"expected accumulated small files, got $nFiles")
+    spark.conf.set("graft.autoCompact.minFiles", "3")
+    try {
+      cat.append(Seq((6L, "f")).toDF("id", "v"), "silver", "ac")
+      assert(nFiles <= 3, s"auto-compact did not pack, files=$nFiles")
+      // contents intact, and the compaction is its own OPTIMIZE version
+      assert(rowsOf(cat.read("silver", "ac"), "id").map(_.head) ==
+        (1L to 6L))
+      val ops = cat.history("silver", "ac").select("operation")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.head == "OPTIMIZE" && ops(1) == "APPEND",
+        s"history must show append then auto-OPTIMIZE, got $ops")
+      // a clean table does not re-compact
+      val v = cat.currentVersion("silver", "ac")
+      cat.overwriteSnapshot(cat.read("silver", "ac").repartition(1),
+        "silver", "ac")
+      assert(cat.currentVersion("silver", "ac") == v + 1,
+        "packed write must not trigger a follow-up compaction")
+    } finally spark.conf.unset("graft.autoCompact.minFiles")
+  }
 }
