@@ -119,6 +119,40 @@ class TableSourceSpec extends SparkSuite {
       d2.count(), "empty drain must not change the dim")
   }
 
+  test("end-to-end exactly-once: graft source -> transform -> graft append sink") {
+    // the full table-to-table streaming pipeline on graft's OWN source
+    // AND sink: every micro-batch leaves the downstream table as a
+    // committed version, and replays (same checkpoint, no new upstream
+    // data) are no-ops on both sides
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), "silver", "s4")
+    val src = cat.path("silver", "s4")
+    val dstDir = cat.path("gold", "s4_out")
+    val ckpt = tmpDir("tsrc-ckpt5")
+    def pump(): Unit =
+      graft.streaming.Streams.appendStream(
+        spark.readStream.format("graft-table").option("path", src).load()
+          .withColumn("x2", col("x") * 2),
+        dstDir, ckpt)
+    pump()
+    assert(rowsOf(cat.read("gold", "s4_out"), "id").map(_.last) ==
+      Seq(20L, 40L))
+    cat.append(Seq((3L, 30L)).toDF("id", "x"), "silver", "s4")
+    pump()
+    assert(rowsOf(cat.read("gold", "s4_out"), "id").map(_.last) ==
+      Seq(20L, 40L, 60L))
+    // no new upstream data: replay adds nothing, commits nothing
+    val v = graft.catalog.Catalog.readPointer(
+      new org.apache.hadoop.fs.Path(dstDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dstDir)
+    pump()
+    assert(cat.read("gold", "s4_out").count() == 3)
+    assert(graft.catalog.Catalog.readPointer(
+      new org.apache.hadoop.fs.Path(dstDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dstDir) == v,
+      "empty replay must not mint a version")
+  }
+
   test("fully-qualified provider name also resolves; missing path raises") {
     val (cat, _) = freshCat()
     cat.create(Seq((7L, "x")).toDF("id", "v"), "silver", "s3")
