@@ -635,10 +635,16 @@ object Similarity {
         col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id").asc)
+    // the assignment feeds BOTH the inverted lists and the query probes —
+    // cache it so the centroid cross-join + window run once (the q121
+    // pattern; a production run stages this to a table)
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cos_c", round(dot(col("embedding"), col("cv0")) /
         (col("nrm") * col("cn")), 6))
       .withColumn("rn_c", row_number().over(wAssign))
+      .select(col("vec_id"), col("embedding"), col("v"), col("cent_id"),
+        col("rn_c"))
+      .cache()
     val cw = pqCodebook(e, ksub, dsub)
     val codes = pqEncode(e, cw, m, dsub)
     // inverted lists carry CODES, not vectors — the IVFADC memory shape
