@@ -214,6 +214,34 @@ object OlapQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q138: winsorization + min-max normalization per segment — the
+    * outlier-clipping + scaling pass feature pipelines run before a
+    * model sees a numeric column. Exact interpolated p05/p95 per segment
+    * (the q63 `percentile` semantics, identical in DuckDB's
+    * `quantile_cont`) computed ONCE per group and joined back (a
+    * broadcast-scale aggregate — never a per-row subquery); values clip
+    * to the fences and rescale to [0,1] against the clipped range. All
+    * derived arithmetic runs in the same expression shape both engines,
+    * rounded at the edge. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val fences = o.groupBy(col("o_custkey") % 5)
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .withColumnRenamed("(o_custkey % 5)", "seg")
+    val clipped = least(greatest(col("o_totalprice"), col("p05")), col("p95"))
+    o.withColumn("seg", col("o_custkey") % 5)
+      .join(broadcast(fences), "seg")
+      .select(col("o_orderkey"), col("seg"),
+        col("o_totalprice"),
+        round(clipped, 6).as("clipped"),
+        round((clipped - col("p05")) /
+          (col("p95") - col("p05")), 6).as("norm01"),
+        (col("o_totalprice") < col("p05") ||
+         col("o_totalprice") > col("p95")).as("was_clipped"))
+      .orderBy("seg", "o_orderkey")
+  }
+
   /** Map-typed column surface: construction (map_from_arrays), lookup
     * (element_at), higher-order rewrites (transform_values, map_filter),
     * and key introspection — exercised end-to-end with the extracted
@@ -250,6 +278,7 @@ object OlapQueries {
     "q125_domain_cap" -> (domainCap _),
     "q126_rolling_range" -> (rollingRange _),
     "q137_rolling_anomaly" -> (rollingAnomaly _),
+    "q138_winsorize" -> (winsorize _),
     "q127_window_dist" -> (windowDistribution _),
     "q128_fuzzy_match" -> (fuzzyMatch _),
     "q129_stat_suite" -> (statSuite _),
@@ -325,6 +354,21 @@ object OlapQueries {
          SELECT user_id, epoch_s, value, n_prev, dev_ratio,
            coalesce(dev_ratio > 9.0, FALSE) AS is_anomaly
          FROM scored ORDER BY user_id, epoch_s, value""",
+    "q138_winsorize" ->
+      // DuckDB quantile_cont == Spark percentile (exact interpolation);
+      // identical clip/rescale expression shape, rounded at the edge
+      """WITH fences AS (
+           SELECT o_custkey % 5 AS seg,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+           FROM orders GROUP BY 1)
+         SELECT o_orderkey, seg, o_totalprice,
+           round(least(greatest(o_totalprice, p05), p95), 6) AS clipped,
+           round((least(greatest(o_totalprice, p05), p95) - p05) /
+             (p95 - p05), 6) AS norm01,
+           (o_totalprice < p05 OR o_totalprice > p95) AS was_clipped
+         FROM orders JOIN fences ON o_custkey % 5 = seg
+         ORDER BY seg, o_orderkey""",
     "q127_window_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
