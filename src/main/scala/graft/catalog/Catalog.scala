@@ -699,7 +699,8 @@ object Catalog {
         else df.repartition(n)
       overwritePath(spark, packed, dir, partitionBy, keepVersions,
         operation =
-          if (zorderBy.nonEmpty) "OPTIMIZE ZORDER BY" else "OPTIMIZE")
+          if (zorderBy.nonEmpty) "OPTIMIZE ZORDER BY" else "OPTIMIZE",
+        carryTags = true) // content-identical: stream markers survive
       statsRecipe.foreach { case (cols, bloomCols, bits, hashes) =>
         graft.layout.DataSkipping.analyze(spark, dir, cols, bloomCols,
           bits, hashes)
@@ -1287,7 +1288,8 @@ object Catalog {
       allowSchemaChange: Boolean = false,
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
-      operation: String = "WRITE"): Unit = raceToConflict(dir) {
+      operation: String = "WRITE",
+      carryTags: Boolean = false): Unit = raceToConflict(dir) {
     val dst = new Path(dir)
     val tmp = stagingPath(dir, "")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1343,7 +1345,7 @@ object Catalog {
       catch { case e: Throwable => f.delete(tmp, true); throw e }
     }
     commitSwap(spark, f, dir, tmp, keepVersions, expectedVersion, commitTag,
-      operation)
+      operation, carryTags)
   }
 
   /** The swap tail shared by overwrite and append: retire current into the
@@ -1363,8 +1365,25 @@ object Catalog {
       tmp: Path, keepVersions: Int,
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
-      operation: String = "WRITE"): Unit = {
+      operation: String = "WRITE",
+      carryTags: Boolean = false): Unit = {
     val dst = new Path(dir)
+    // CONTENT-IDENTICAL commits (OPTIMIZE, ZORDER, DV materialize) carry
+    // the live version's caller tags forward: a streaming sink's
+    // exactly-once batch marker must survive a layout rewrite, or a
+    // compaction landing inside the append→marker-record crash window
+    // reopens it and a replay double-appends (Delta likewise persists
+    // txn app versions across commits). The operation tag itself is
+    // always re-stamped below.
+    if (carryTags && f.exists(dst)) f.listStatus(dst).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_graft_commit_tag_") &&
+          n != s"_graft_commit_tag_$OperationTagKey" &&
+          commitTag.forall(t => n != s"_graft_commit_tag_${t._1}"))
+        org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
+          f, new Path(tmp, n), false, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
     // stamp the tags into the STAGED dir — they become visible atomically
     // with the swap rename below, never before, never after. Every commit
     // records the operation that produced it (Delta's operation column in

@@ -236,8 +236,11 @@ object DeletionVectors {
         if (f.exists(skipDir))
           org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
             f, new Path(tmp, "_skipping"), false, false, conf)
+        // carryTags: a streaming sink's exactly-once batch marker on the
+        // live version must survive a row-level delete/update commit —
+        // the marker dedupes batches, which later DML doesn't un-land
         Catalog.commitSwap(spark, f, dir, tmp, keepVersions,
-          Some(stagedAgainst), None, operation)
+          Some(stagedAgainst), None, operation, carryTags = true)
         affected
       } catch {
         case e: Throwable =>
@@ -257,7 +260,8 @@ object DeletionVectors {
     val cur = Catalog.readPointer(fsOf(spark, dir), dir)
     Catalog.overwritePath(spark, readPath(spark, dir), dir, Nil,
       keepVersions, expectedVersion = Some(cur),
-      operation = "MATERIALIZE DV")
+      operation = "MATERIALIZE DV",
+      carryTags = true) // content-identical: stream markers survive
   }
 
   /** Live sidecar position count (DESCRIBE DETAIL's DV profile; 0 = none). */

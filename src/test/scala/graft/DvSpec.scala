@@ -287,6 +287,33 @@ class DvSpec extends SparkSuite {
     }
   }
 
+  test("streaming batch markers survive OPTIMIZE, materialize, and DV DML") {
+    // the exactly-once marker means "batch <= N landed here"; a layout
+    // rewrite or later row-level change must not erase it, or a crash
+    // replay inside the append->marker-record window double-appends
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "a")).toDF("id", "v"), "silver", "t12")
+    val dir = cat.path("silver", "t12")
+    graft.catalog.Catalog.appendPath(spark,
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir,
+      commitTag = Some(("stream_batch", "7")))
+    def marker = graft.catalog.Catalog
+      .lastCommitTag(spark, dir, "stream_batch")
+    assert(marker.contains("7"))
+    cat.compact("silver", "t12", 1L) // force a pack (tiny target)
+    assert(marker.contains("7"), "OPTIMIZE erased the batch marker")
+    cat.enableDeletionVectors("silver", "t12")
+    cat.deleteWhere("silver", "t12", col("id") === 1L)
+    assert(marker.contains("7"), "DV delete erased the batch marker")
+    cat.materializeDeletes("silver", "t12")
+    assert(marker.contains("7"), "materialize erased the batch marker")
+    // a LATER tagged commit still wins (tags are last-writer)
+    graft.catalog.Catalog.appendPath(spark,
+      Seq((4L, "d")).toDF("id", "v"), dir,
+      commitTag = Some(("stream_batch", "8")))
+    assert(marker.contains("8"))
+  }
+
   test("plain-session GraftSql: DV DML + reads agree without the rule") {
     val (cat, _) = freshCat()
     cat.create((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
