@@ -1289,7 +1289,7 @@ object Catalog {
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
       operation: String = "WRITE",
-      carryTags: Boolean = false): Unit = raceToConflict(dir) {
+      carryTags: Boolean = true): Unit = raceToConflict(dir) {
     val dst = new Path(dir)
     val tmp = stagingPath(dir, "")
     val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1366,15 +1366,16 @@ object Catalog {
       expectedVersion: Option[Int] = None,
       commitTag: Option[(String, String)] = None,
       operation: String = "WRITE",
-      carryTags: Boolean = false): Unit = {
+      carryTags: Boolean = true): Unit = {
     val dst = new Path(dir)
-    // CONTENT-IDENTICAL commits (OPTIMIZE, ZORDER, DV materialize) carry
-    // the live version's caller tags forward: a streaming sink's
-    // exactly-once batch marker must survive a layout rewrite, or a
-    // compaction landing inside the append→marker-record crash window
-    // reopens it and a replay double-appends (Delta likewise persists
-    // txn app versions across commits). The operation tag itself is
-    // always re-stamped below.
+    // Caller tags carry forward BY DEFAULT (Delta likewise persists txn
+    // app versions across every commit): a streaming sink's exactly-once
+    // batch marker must survive whatever lands after it — an OPTIMIZE, a
+    // row-level delete, a plain append — or a commit inside the
+    // append→marker-record crash window reopens it and a replay
+    // double-appends. Tag keys are per-checkpoint, so carried keys can
+    // never collide with a different stream's; a commit's OWN tag key
+    // still wins, and the operation tag is always re-stamped below.
     if (carryTags && f.exists(dst)) f.listStatus(dst).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_graft_commit_tag_") &&

@@ -307,6 +307,14 @@ class DvSpec extends SparkSuite {
     assert(marker.contains("7"), "DV delete erased the batch marker")
     cat.materializeDeletes("silver", "t12")
     assert(marker.contains("7"), "materialize erased the batch marker")
+    // untagged commits of every kind carry the marker too
+    cat.append(Seq((9L, "z")).toDF("id", "v"), "silver", "t12")
+    assert(marker.contains("7"), "plain append erased the batch marker")
+    cat.overwriteSnapshot(cat.read("silver", "t12"), "silver", "t12")
+    assert(marker.contains("7"), "overwrite erased the batch marker")
+    cat.restore("silver", "t12",
+      cat.currentVersion("silver", "t12") - 1)
+    assert(marker.contains("7"), "RESTORE erased the batch marker")
     // a LATER tagged commit still wins (tags are last-writer)
     graft.catalog.Catalog.appendPath(spark,
       Seq((4L, "d")).toDF("id", "v"), dir,
