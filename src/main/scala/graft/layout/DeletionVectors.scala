@@ -288,16 +288,31 @@ object DeletionVectors {
   * confined to the explicit-API contract (`Catalog.read` always applies). */
 case class DvApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** The table directory a relation reads. Ordinary scans root at the
+    * dir itself; a [[SkippingPruneRule]]-rebuilt scan roots at its
+    * surviving FILES, so the dir is their (single) parent — without this
+    * a skipping-pruned scan would silently skip DV application. */
+  private def tableDirOf(
+      r: HadoopFsRelation): Option[org.apache.hadoop.fs.Path] =
+    r.location match {
+      case _: org.apache.spark.sql.GraftPrunedFileIndex =>
+        val parents = r.location.rootPaths.map(_.getParent).distinct
+        if (parents.length == 1) Some(parents.head) else None
+      case _ if r.location.rootPaths.length == 1 =>
+        Some(r.location.rootPaths.head)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _)
         if r.fileFormat.isInstanceOf[
              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
            r.partitionSchema.isEmpty &&
-           r.location.rootPaths.length == 1 &&
            !r.location.isInstanceOf[org.apache.spark.sql.GraftDvFileIndex] &&
-           DeletionVectors.hasDv(spark, r.location.rootPaths.head.toString) =>
+           tableDirOf(r).exists(d =>
+             DeletionVectors.hasDv(spark, d.toString)) =>
       try {
-        val dir = r.location.rootPaths.head.toString
+        val dir = tableDirOf(r).get.toString
         val rel2 = l.copy(relation =
           org.apache.spark.sql.GraftShims.dvMarkedRelation(spark, r))
         val base = GraftShims.ofRows(spark, rel2)

@@ -322,6 +322,53 @@ class DvSpec extends SparkSuite {
     assert(marker.contains("8"))
   }
 
+  test("skipping pruning and DV application compose on one scan") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-dv-skip-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      val dir = tmpDir("dv-skip") + "/t"
+      import s.implicits._
+      s.range(4000L).toDF("id")
+        .withColumn("v", col("id") % 100)
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id")
+        .write.parquet(dir)
+      graft.layout.DataSkipping.analyze(s, dir, Seq("id"))
+      s.sql(s"CREATE TABLE dvskip USING parquet LOCATION '$dir'")
+      s.sql("ALTER TABLE dvskip SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      s.sql("DELETE FROM dvskip WHERE v = 7")
+      // the DELETE staged links — the skipping manifest survives and the
+      // per-file ranges are still valid, so a range filter must BOTH
+      // prune files (skipping rule) AND subtract positions (DV rule)
+      val q = s.sql("SELECT id, v FROM dvskip WHERE id >= 100 AND id <= 400")
+      val p = q.queryExecution.executedPlan.toString
+      // the DV rewrite carries the skipping-pruned FILE LIST into its
+      // marker index (the class name in the plan is the DV marker; the
+      // pruning survives as the eliminated files)
+      assert(p.contains("GraftDvFileIndex"),
+        s"DV rule did not rewrite the pruned scan:\n$p")
+      assert(q.inputFiles.length < 8,
+        s"skipping pruning lost under DV: ${q.inputFiles.length} files")
+      val expect = graft.layout.DeletionVectors.readPath(s, dir)
+        .filter(col("id") >= 100 && col("id") <= 400).select("id", "v")
+      assert(rowsOf(q, "id") == rowsOf(expect, "id"),
+        "composed read diverged from the explicit DV-applied filter")
+      assert(q.filter(col("v") === 7).count() == 0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("plain-session GraftSql: DV DML + reads agree without the rule") {
     val (cat, _) = freshCat()
     cat.create((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
