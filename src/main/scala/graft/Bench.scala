@@ -73,7 +73,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log capture truncates long stdout lines (round 6 lost
+    // 60 of 138 queries from BENCH_r06.json) — persist the full line to a
+    // file as the durable copy. Best-effort: a read-only CWD must not fail
+    // the bench itself.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
   }
 }

@@ -398,8 +398,12 @@ class Catalog(spark: SparkSession, warehouse: String,
         val c = org.apache.spark.sql.functions.coalesce(cond,
           org.apache.spark.sql.functions.lit(false))
         val matched = t.filter(c).count()
+        // thread the table's own partition layout (read off the dir — the
+        // DmlSql parity): partitionBy = Nil here would silently rewrite a
+        // partition-dir table flat, losing partition pruning
         if (matched > 0)
-          Catalog.overwritePath(spark, t.filter(!c), dir, Nil, keepVersions,
+          Catalog.overwritePath(spark, t.filter(!c), dir,
+            Catalog.partitionColsOf(fs, dir), keepVersions,
             operation = "DELETE")
         matched
       }
@@ -433,8 +437,10 @@ class Catalog(spark: SparkSession, warehouse: String,
           }
         }: _*)
         val matched = t.filter(c).count()
+        // same partition-layout threading as deleteWhere
         if (matched > 0)
-          Catalog.overwritePath(spark, projected, dir, Nil, keepVersions,
+          Catalog.overwritePath(spark, projected, dir,
+            Catalog.partitionColsOf(fs, dir), keepVersions,
             operation = "UPDATE")
         matched
       }
@@ -627,6 +633,29 @@ object Catalog {
   def resolveTimestampPath(spark: SparkSession, dir: String, millis: Long)
       : String =
     resolveVersionPath(spark, dir, resolveTimestampVersion(spark, dir, millis))
+
+  /** Partition column names of a partition-dir snapshot, read off the
+    * layout itself (the first-child chain of `name=value` levels) — the
+    * seam callers without catalog metadata (layer.table API, raw-path
+    * tools) share with DmlSql's metastore-resolved `partCols`. Nil for
+    * flat snapshots; `Seq(gbucket)` for the bucketed layout. */
+  private[graft] def partitionColsOf(f: FileSystem, dir: String)
+      : Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = new Path(dir)
+    var descend = f.exists(p)
+    while (descend) {
+      val sub = f.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (sub.isEmpty) descend = false
+      else { cols += sub.head.getPath.getName.takeWhile(_ != '=')
+             p = sub.head.getPath }
+    }
+    cols.toSeq
+  }
 
   /** Does `dir` hold PartitionedMerge's bucket layout? One listing. */
   private[graft] def isBucketedLayout(

@@ -113,7 +113,11 @@ object ChangeFeed {
             .drop(ChangeCol)
           val deletes = cached.filter(col(ChangeCol) === "delete")
             .select(keys.map(col): _*).distinct()
-          val dst = spark.read.parquet(dstDir)
+          // DV-applied: a mirror bootstrapped by clonePath from a
+          // DV-bearing source carries the `_dv` sidecar; reading it raw
+          // would resurrect deleted rows into the first incremental sync
+          // (and the overwrite below drops the sidecar)
+          val dst = graft.layout.DeletionVectors.readPath(spark, dstDir)
           val merged = dst
             .join(deletes, keys, "left_anti")
             .join(upserts.select(keys.map(col): _*), keys, "left_anti")

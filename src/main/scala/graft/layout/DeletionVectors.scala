@@ -203,45 +203,51 @@ object DeletionVectors {
         // second scan of the table
         val affected =
           spark.read.parquet(stagedDv.toString).count() - existingCount
-        if (affected == 0) { f.delete(tmp, true); return 0L }
-
-        newRows.foreach { project =>
-          val stage = Catalog.stagingPathShim(dir, "-dvupd")
-          project(matched).write.parquet(stage.toString)
-          // UPDATE's new rows are append-shaped: constraints + generated
-          // definitions validate on the NEW files only
-          val cons = Catalog.readConstraintsPath(spark, dir) ++
-            Catalog.readGeneratedPath(spark, dir).map { case (n, e) =>
-              (s"__generated_$n", s"`$n` <=> ($e)") }
-          if (cons.nonEmpty) {
-            try Catalog.enforce(
-              spark.read.parquet(stage.toString), cons, dir)
-            catch { case e: Throwable =>
-              f.delete(stage, true); throw e }
-          }
-          f.listStatus(stage).foreach { st =>
-            val n = st.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".")) {
-              val d = new Path(tmp, n)
-              require(!f.exists(d), s"DV update staging collision: $n")
-              require(f.rename(st.getPath, d), s"DV update move failed: $n")
+        // plain if/else, not an early `return`: a non-local return from
+        // inside this closure would thread NonLocalReturnControl through
+        // the local catch-all cleanup and raceToConflict's guarded catch —
+        // any future broadening of those handlers would silently turn
+        // "0 rows affected" into an error or a retry loop
+        if (affected == 0) { f.delete(tmp, true); 0L }
+        else {
+          newRows.foreach { project =>
+            val stage = Catalog.stagingPathShim(dir, "-dvupd")
+            project(matched).write.parquet(stage.toString)
+            // UPDATE's new rows are append-shaped: constraints + generated
+            // definitions validate on the NEW files only
+            val cons = Catalog.readConstraintsPath(spark, dir) ++
+              Catalog.readGeneratedPath(spark, dir).map { case (n, e) =>
+                (s"__generated_$n", s"`$n` <=> ($e)") }
+            if (cons.nonEmpty) {
+              try Catalog.enforce(
+                spark.read.parquet(stage.toString), cons, dir)
+              catch { case e: Throwable =>
+                f.delete(stage, true); throw e }
             }
+            f.listStatus(stage).foreach { st =>
+              val n = st.getPath.getName
+              if (!n.startsWith("_") && !n.startsWith(".")) {
+                val d = new Path(tmp, n)
+                require(!f.exists(d), s"DV update staging collision: $n")
+                require(f.rename(st.getPath, d), s"DV update move failed: $n")
+              }
+            }
+            f.delete(stage, true)
           }
-          f.delete(stage, true)
-        }
 
-        // linked files keep their names, so per-file skipping stats stay
-        // valid (deleted rows can only WIDEN a range — IO, never rows)
-        val skipDir = new Path(dst, "_skipping")
-        if (f.exists(skipDir))
-          org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
-            f, new Path(tmp, "_skipping"), false, false, conf)
-        // carryTags: a streaming sink's exactly-once batch marker on the
-        // live version must survive a row-level delete/update commit —
-        // the marker dedupes batches, which later DML doesn't un-land
-        Catalog.commitSwap(spark, f, dir, tmp, keepVersions,
-          Some(stagedAgainst), None, operation, carryTags = true)
-        affected
+          // linked files keep their names, so per-file skipping stats stay
+          // valid (deleted rows can only WIDEN a range — IO, never rows)
+          val skipDir = new Path(dst, "_skipping")
+          if (f.exists(skipDir))
+            org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
+              f, new Path(tmp, "_skipping"), false, false, conf)
+          // carryTags: a streaming sink's exactly-once batch marker on the
+          // live version must survive a row-level delete/update commit —
+          // the marker dedupes batches, which later DML doesn't un-land
+          Catalog.commitSwap(spark, f, dir, tmp, keepVersions,
+            Some(stagedAgainst), None, operation, carryTags = true)
+          affected
+        }
       } catch {
         case e: Throwable =>
           if (f.exists(tmp)) f.delete(tmp, true)
@@ -328,7 +334,21 @@ case class DvApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val out = applied.queryExecution.analyzed
         // the splice is only sound if the subtree reproduces the original
         // attributes exactly
-        if (out.output.map(_.exprId) == l.output.map(_.exprId)) out else l
-      } catch { case _: Exception => l } // best-effort, like skipping
+        if (out.output.map(_.exprId) == l.output.map(_.exprId)) out
+        else {
+          // unlike the skipping rule's fallback (which only widens IO),
+          // skipping DV application returns DELETED rows — always loud
+          logWarning(s"DvApplyRule: exprId mismatch rebuilding $dir — " +
+            "falling back to the raw relation; this reader will see " +
+            "DV-deleted rows (use Catalog.read / DeletionVectors.readPath)")
+          l
+        }
+      } catch { case e: Exception => // best-effort, like skipping — but
+        // a silent fallback here IS wrong query results, so log the dir
+        logWarning("DvApplyRule: failed to apply deletion vectors for " +
+          tableDirOf(r).fold("<unknown dir>")(_.toString) +
+          " — this reader will see DV-deleted rows", e)
+        l
+      }
   }
 }

@@ -608,7 +608,11 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
     query: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "REPLACE WHERE")
-    val cur = spark.read.parquet(dir)
+    // DV-applied base (the mergeInto targetDF rule): on a deletion-vector
+    // table, a raw parquet read of `dir` would resurrect DV-deleted rows
+    // into the rewritten snapshot whenever the transparent DvApplyRule is
+    // not in play — and REPLACE WHERE's overwrite drops the sidecar.
+    val cur = graft.layout.DeletionVectors.readPath(spark, dir)
     val target = cur.schema
     val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
     val idents = graft.catalog.Catalog.readIdentityPath(spark, dir)
