@@ -31,7 +31,8 @@ object SparkEntry {
     multimodal.Multimodal.queries ++
     multimodal.Audio.queries ++
     sources.Formats.queries ++
-    layout.DataSkipping.queries
+    layout.DataSkipping.queries ++
+    layout.BucketedDml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
     multimodal.Multimodal.oracles ++
     multimodal.Audio.oracles ++
     sources.Formats.oracles ++
-    layout.DataSkipping.oracles
+    layout.DataSkipping.oracles ++
+    layout.BucketedDml.oracles
 }

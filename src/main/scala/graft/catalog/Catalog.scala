@@ -393,6 +393,10 @@ class Catalog(spark: SparkSession, warehouse: String,
       if (graft.layout.DeletionVectors.isEnabled(spark, dir))
         graft.layout.DeletionVectors.deleteWhere(spark, dir, cond,
           keepVersions)
+      else if (Catalog.isBucketedLayout(fs, dir))
+        // copy-on-write scoped to the touched buckets — never O(table)
+        graft.layout.BucketedDml.deleteWhereCow(spark, dir, cond,
+          keepVersions)
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)
         val c = org.apache.spark.sql.functions.coalesce(cond,
@@ -420,6 +424,9 @@ class Catalog(spark: SparkSession, warehouse: String,
     val n =
       if (graft.layout.DeletionVectors.isEnabled(spark, dir))
         graft.layout.DeletionVectors.updateWhere(spark, dir, cond, assign,
+          keepVersions)
+      else if (Catalog.isBucketedLayout(fs, dir))
+        graft.layout.BucketedDml.updateWhereCow(spark, dir, cond, assign,
           keepVersions)
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)
@@ -611,15 +618,32 @@ object Catalog {
     * directory's files are written once and the directory is only ever
     * renamed afterwards, so its modification time is the write time of
     * that version — the swap never rewrites retired data. Bucketed tables
-    * raise: their log entries are created at RETIRE time (the next
-    * version's commit), so directory times do not date the version they
-    * hold — use `VERSION AS OF` there. */
+    * can't use directory times (their log entries are created at RETIRE
+    * time — the NEXT version's commit) so every bucket-swap commit stamps
+    * an explicit `_commit_time_v{N}` marker instead, and resolution reads
+    * those ([[graft.merge.PartitionedMerge.commitTimes]]). */
   def resolveTimestampVersion(spark: SparkSession, dir: String, millis: Long)
       : Int = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!isBucketedLayout(f, dir),
-      "TIMESTAMP AS OF is not supported on bucket-partitioned tables; " +
-        "use VERSION AS OF <n>")
+    if (isBucketedLayout(f, dir)) {
+      val cur = readPointer(f, dir)
+      val stamped = graft.merge.PartitionedMerge.commitTimes(spark, dir)
+        .filter(_._1 <= cur)
+      require(stamped.nonEmpty,
+        s"no commit-time records for bucketed table $dir (written before " +
+          "timestamp support); use VERSION AS OF <n>")
+      // only versions whose every transition [v, cur) is still retained
+      // are reconstructible — same contract as a pruned VERSION AS OF
+      val minReconstructible = (1 to cur).find(v =>
+        (v until cur).forall(w => f.exists(versionDir(dir, w)))).getOrElse(cur)
+      val eligible = stamped
+        .filter { case (v, t) => v >= minReconstructible && t <= millis }
+      require(eligible.nonEmpty,
+        s"timestamp ${new java.sql.Timestamp(millis)} is before the " +
+          s"earliest retained version of $dir (earliest stamped commit: " +
+          new java.sql.Timestamp(stamped.map(_._2).min) + ")")
+      return eligible.map(_._1).max
+    }
     val rows = historyRows(spark, dir)
     require(rows.nonEmpty, s"table $dir does not exist")
     val eligible = rows.filter(_._3.getTime <= millis)
@@ -688,10 +712,15 @@ object Catalog {
         "not hive partitioning")
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (isBucketedLayout(f, dir)) {
-      require(zorderBy.isEmpty, "ZORDER on bucketed tables is unsupported " +
-        "(bucket pruning already governs their file skipping)")
-      graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
-        keepVersions)
+      // ZORDER composes with bucketing by clustering WITHIN each bucket:
+      // bucket pruning keeps governing key lookups, the z-curve tightens
+      // per-file ranges for filters on the clustered columns
+      if (zorderBy.nonEmpty)
+        graft.merge.PartitionedMerge.zorderCompact(spark, dir, zorderBy,
+          targetFileSize, keepVersions)
+      else
+        graft.merge.PartitionedMerge.compact(spark, dir, targetFileSize,
+          keepVersions)
       ()
     } else {
       val it = f.listFiles(new Path(dir), true)
@@ -823,16 +852,35 @@ object Catalog {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(srcDir).getFileSystem(conf)
     val kind = if (shallow) "SHALLOW CLONE" else "DEEP CLONE"
+    // `VERSION AS OF` clone of a BUCKETED table: a historical version is
+    // not one directory but a per-bucket selection across the live dir
+    // and retire entries — link/copy exactly those bucket dirs (each with
+    // its own `_dv` sidecar, so the clone carries that version's deletion
+    // state). O(table file count) metadata for a shallow clone, like the
+    // live-dir case.
+    if (version.nonEmpty && isBucketedLayout(fs, srcDir)) {
+      val dp = new Path(dstDir)
+      require(!fs.exists(dp), s"$kind destination exists: $dstDir")
+      val entries = graft.merge.PartitionedMerge.versionBucketDirs(
+        spark, srcDir, version.get)
+      fs.mkdirs(dp)
+      entries.foreach { case (name, _, p) =>
+        val d = new Path(dp, name)
+        if (shallow) linkTree(fs, conf, p, d)
+        else require(org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, d,
+          false, false, conf), s"clone copy failed: $p -> $d")
+      }
+      // the clone is a first-class bucketed table: record its schema
+      // sidecar (the reconstruction's shape) so file-less states read
+      graft.merge.PartitionedMerge.writeSchemaSidecar(spark, dstDir,
+        graft.merge.PartitionedMerge.readRaw(spark, dstDir).schema)
+      return
+    }
     // `VERSION AS OF` clone: copy the logged snapshot's files instead of
-    // the live dir (plain snapshot layouts — a bucketed version is a
-    // cross-version reconstruction, not a directory; RESTORE + clone it)
+    // the live dir (plain snapshot layouts)
     val resolvedSrc = version match {
       case None => srcDir
-      case Some(v) =>
-        require(!isBucketedLayout(fs, srcDir),
-          s"$kind VERSION AS OF is unsupported on bucket-partitioned " +
-            "tables (reconstruct via RESTORE, then clone)")
-        resolveVersionPath(spark, srcDir, v)
+      case Some(v) => resolveVersionPath(spark, srcDir, v)
     }
     val sp = new Path(resolvedSrc); val dp = new Path(dstDir)
     require(fs.exists(sp), s"$kind source missing: $resolvedSrc")
@@ -1197,7 +1245,7 @@ object Catalog {
   /** Fill every recorded-but-absent identity column, continuing above the
     * live data's watermark (column-pruned max scan; `start - step` when
     * the table is new/empty so the first id is exactly `start`). */
-  private def fillIdentityColumns(spark: SparkSession, df: DataFrame,
+  private[graft] def fillIdentityColumns(spark: SparkSession, df: DataFrame,
       dir: String, f: FileSystem): DataFrame =
     readIdentityPath(spark, dir).foldLeft(df) { case (d, (n, start, step)) =>
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
@@ -1457,6 +1505,13 @@ object Catalog {
       throw new ConcurrentCommitException(dir, cur, readPointer(f, dir))
     }
     writePointer(f, dir, cur + 1)
+    // bucketed layouts date every version with an explicit marker
+    // (TIMESTAMP AS OF cannot use their retire-dir mtimes); a bucketed
+    // table committed through THIS protocol (RESTORE, column DDL,
+    // overwriteSnapshot) must stamp too, or those versions become
+    // invisible to timestamp resolution
+    if (isBucketedLayout(f, dir))
+      graft.merge.PartitionedMerge.stampCommitTime(spark, dir, cur + 1)
     // Prune the ONE entry that just fell out of the retention window —
     // every earlier commit pruned its own, so probing all version numbers
     // from 1 would add FS round-trips that grow with table age (a
@@ -1465,6 +1520,8 @@ object Catalog {
     if (cur - keepVersions >= 1) {
       val old = versionDir(dir, cur - keepVersions)
       if (f.exists(old)) f.delete(old, true)
+      f.delete(graft.merge.PartitionedMerge.commitTimeMarker(
+        dir, cur - keepVersions), false)
     }
     // Cached relations (file lists) outlive the swap; without a refresh,
     // readers keep resolving the retired snapshot's deleted files.
@@ -1500,9 +1557,19 @@ object Catalog {
     // files read here) — record the version staged against, so a commit
     // after an interleaved writer raises instead of dropping their rows
     val stagedAgainst = readPointer(f, dir)
-    require(!isBucketedLayout(f, dir),
-      s"INSERT INTO a bucket-partitioned table is unsupported; " +
-        "use PartitionedMerge.prunedMerge (it keeps bucket pruning intact)")
+    if (isBucketedLayout(f, dir)) {
+      // route new rows to their pmod(hash(keys), n) buckets through the
+      // bucket-swap commit — only destination buckets change. The
+      // exactly-once batch marker has no home in per-bucket history, so
+      // streaming sinks must keep targeting snapshot tables. (if/else,
+      // not an early return, for the non-local-return reasons
+      // DeletionVectors documents.)
+      require(commitTag.isEmpty,
+        s"INSERT INTO bucketed table $dir cannot carry a commit tag " +
+          "(per-bucket history has no tag store); stream into a snapshot " +
+          "table instead")
+      graft.layout.BucketedDml.insertInto(spark, df, dir, keepVersions)
+    } else {
     require(!f.listStatus(dst).exists(s => s.isDirectory &&
         s.getPath.getName.contains("=")),
       s"INSERT INTO a hive-partitioned snapshot is unsupported; " +
@@ -1566,5 +1633,6 @@ object Catalog {
         f, new Path(tmp, "_skipping"), false, false, conf)
     commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
       commitTag, operation)
+    }
   }
 }

@@ -1,0 +1,546 @@
+package graft.layout
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.merge.PartitionedMerge
+
+/** Row-level DML on BUCKET-PARTITIONED tables — the Delta-parity piece
+  * the flat-snapshot paths ([[DeletionVectors]], `graft.sql.DmlRunner`)
+  * declared out of scope through round 6 (Delta supports DVs on
+  * partitioned tables; the gold dims here are exactly the bucketed
+  * tables, and GDPR-style `DELETE FROM` lands on dims).
+  *
+  * Every statement follows the bucketed layout's own commit protocol
+  * ([[PartitionedMerge.swapBuckets]]): stage replacement `gbucket=N`
+  * dirs, retire the touched live dirs into `<path>.history/v{N}`,
+  * advance the pointer — so each statement is a real table version with
+  * O(touched-bucket) history cost, and UNTOUCHED buckets are never
+  * opened, listed, or rewritten.
+  *
+  * Two modes, matching the flat paths:
+  *   - merge-on-read (`deleteWhereMor`/`updateWhereMor`, used when the
+  *     table's DV mode is on): each touched bucket's replacement dir is
+  *     HARD-LINKS of its data files plus a grown per-bucket `_dv`
+  *     position sidecar (`gbucket=N/_dv/`, invisible to parquet scans,
+  *     retired/cloned/time-traveled WITH its bucket) — O(matched rows +
+  *     touched-bucket file metadata), data bytes never move.
+  *   - copy-on-write (`deleteWhereCow`/`updateWhereCow`): the touched
+  *     buckets are rewritten DV-applied (folding any pending sidecar,
+  *     like the flat eager path) — O(touched buckets' data), still never
+  *     O(table).
+  *
+  * UPDATE routing: an assignment may change a bucketing key, moving the
+  * row to a different bucket. The destination is `pmod(hash(keys), n)`
+  * from the table's `<path>.buckets` manifest
+  * ([[PartitionedMerge.readBucketMeta]]); tables predating the manifest
+  * keep rows in their original bucket (sound while key columns are not
+  * assigned — the manifest is backfilled by the next prunedMerge).
+  *
+  * Scale: the one driver-side collect per statement is the touched
+  * bucket list (≤ nBuckets ints, bounded by construction). Positions
+  * frames are tiny relative to data, so the read-side anti-join
+  * broadcasts. Single-writer per table, the layout's documented
+  * contract. */
+object BucketedDml {
+
+  private val BucketCol = PartitionedMerge.BucketCol
+  private val FileCol = DeletionVectors.FileCol
+  private val PosCol = DeletionVectors.PosCol
+
+  /** Live rows tagged with physical positions (bucket column retained),
+    * existing per-bucket DVs subtracted — the planning frame for both
+    * modes. */
+  private def taggedLive(spark: SparkSession, dir: String,
+      alias: Option[String]): DataFrame = {
+    val base = PartitionedMerge.readRaw(spark, dir)
+    val data = alias.fold(base)(base.alias)
+      .withColumn(FileCol, col("_metadata.file_name"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val dvDirs = DeletionVectors.dvDirsOf(spark, dir)
+    if (dvDirs.isEmpty) data
+    else {
+      // (bucket, file, row) key — partitionBy writes reuse part-file
+      // names across bucket dirs, see DeletionVectors.bucketDvFrame
+      val dv = DeletionVectors.bucketDvFrame(spark, dvDirs)
+      data.join(dv, data(BucketCol) === dv(BucketCol) &&
+        data(FileCol) === dv("file_name") &&
+        data(PosCol) === dv("row_index"), "left_anti")
+    }
+  }
+
+  private def dataColumns(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(c => c.equalsIgnoreCase(BucketCol) ||
+      c == FileCol || c == PosCol)
+
+  private def requireAssignable(df: DataFrame,
+      assign: Seq[(String, Column)], dir: String): Unit = {
+    val cols = dataColumns(df)
+    assign.foreach { case (n, _) =>
+      require(!n.equalsIgnoreCase(BucketCol),
+        "the bucket column is the table's physical layout; it cannot be " +
+          "assigned")
+      require(cols.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE assigns unknown column $n on $dir")
+    }
+  }
+
+  /** Routed destination bucket for written rows: recomputed from the
+    * bucket manifest when present, the row's original bucket otherwise. */
+  private def routeBuckets(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame =
+    PartitionedMerge.readBucketMeta(spark, dir) match {
+      case Some((keys, n)) => rows.withColumn(BucketCol,
+        PartitionedMerge.bucketExpr(keys, n))
+      case None => rows // legacy layout: original bucket (column present)
+    }
+
+  /** Append-shaped constraint set: CHECK constraints plus null-safe
+    * validation of any writer-provided generated column. */
+  private def writeConstraints(spark: SparkSession, dir: String,
+      providedGenerated: Seq[(String, String)]): Seq[(String, String)] =
+    Catalog.readConstraintsPath(spark, dir) ++
+      providedGenerated.map { case (n, e) => (s"__generated_$n", s"`$n` <=> ($e)") }
+
+  // ------------------------------------------------ merge-on-read
+
+  /** `DELETE FROM` on a bucketed table, merge-on-read: hard-links + a
+    * grown per-bucket `_dv` sidecar per touched bucket, one version.
+    * Returns num_affected_rows (cond TRUE only — 3VL). */
+  def deleteWhereMor(spark: SparkSession, dir: String, cond: Column,
+      keepVersions: Int = 10, alias: Option[String] = None): Long =
+    commitBucketed(spark, dir, keepVersions, newRows = None, alias)(cond)
+
+  /** `UPDATE` on a bucketed table, merge-on-read: old images into the
+    * touched buckets' sidecars, updated images appended to their
+    * (possibly different) destination buckets — one commit. */
+  def updateWhereMor(spark: SparkSession, dir: String, cond: Column,
+      assign: Seq[(String, Column)], keepVersions: Int = 10,
+      alias: Option[String] = None): Long = {
+    def assigned(c: String) = assign.collectFirst {
+      case (n, v) if n.equalsIgnoreCase(c) => v }
+    commitBucketed(spark, dir, keepVersions,
+      newRows = Some { matched =>
+        requireAssignable(matched, assign, dir)
+        val schema = matched.schema
+        val projected = dataColumns(matched).map { c =>
+          assigned(c) match {
+            case Some(v) => v.cast(schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        } :+ col(BucketCol) // original bucket; routeBuckets may overwrite
+        routeBuckets(spark, dir, matched.select(projected: _*))
+      }, alias)(cond)
+  }
+
+  /** Shared merge-on-read commit for the bucketed layout. */
+  private def commitBucketed(spark: SparkSession, dir: String,
+      keepVersions: Int, newRows: Option[DataFrame => DataFrame],
+      alias: Option[String])(cond: Column): Long =
+    Catalog.raceToConflictShim(dir) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      require(fs.exists(root), s"no table at $dir")
+      PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+      val matched = taggedLive(spark, dir, alias)
+        .filter(coalesce(cond, lit(false))).cache()
+      try {
+        val oldBuckets = matched.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (oldBuckets.isEmpty) 0L
+        else {
+          val affected = matched.count()
+          val routed = newRows.map(_(matched))
+          val newBuckets = routed.toSeq.flatMap(_
+            .select(BucketCol).distinct().collect().map(_.getInt(0)))
+          val touched = (oldBuckets ++ newBuckets).distinct.sorted
+          val tmp = dir + ".tmp-merge-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          try {
+            // staged replacement per touched bucket: links of its current
+            // data files (names preserved — sidecar positions key on them)
+            touched.foreach { b =>
+              val liveB = new Path(dir, s"$BucketCol=$b")
+              val stagedB = new Path(tmp, s"$BucketCol=$b")
+              fs.mkdirs(stagedB)
+              if (fs.exists(liveB)) Catalog.linkDataFiles(fs, conf, liveB, stagedB)
+            }
+            // merged sidecars: every touched bucket's existing positions
+            // (they must ride into the replacement dir) + the new ones
+            val existingDv = touched.flatMap { b =>
+              val dvB = new Path(dir, s"$BucketCol=$b/${DeletionVectors.DvDirName}")
+              if (fs.exists(dvB))
+                Some(spark.read.parquet(dvB.toString)
+                  .withColumn(BucketCol, lit(b)))
+              else None
+            }
+            val newDv = matched.select(col(BucketCol),
+              col(FileCol).as("file_name"), col(PosCol).as("row_index"))
+            val allDv = (existingDv :+ newDv).reduce(_.unionByName(_))
+            val dvStage = Catalog.stagingPathShim(dir, "-dvstage")
+            allDv.write.mode(SaveMode.Overwrite)
+              .partitionBy(BucketCol).parquet(dvStage.toString)
+            fs.listStatus(dvStage).map(_.getPath)
+              .filter(_.getName.startsWith(s"$BucketCol=")).foreach { e =>
+                val d = new Path(new Path(tmp, e.getName),
+                  DeletionVectors.DvDirName)
+                require(fs.rename(e, d), s"DV sidecar stage failed: $e")
+              }
+            fs.delete(dvStage, true)
+
+            // UPDATE's new row images: append-shaped, so constraints and
+            // generated-column definitions validate on the NEW files only
+            routed.foreach { r =>
+              val rowStage = Catalog.stagingPathShim(dir, "-dvupd")
+              r.write.mode(SaveMode.Overwrite)
+                .partitionBy(BucketCol).parquet(rowStage.toString)
+              val cons = writeConstraints(spark, dir,
+                Catalog.readGeneratedPath(spark, dir))
+              if (cons.nonEmpty) {
+                try Catalog.enforce(
+                  spark.read.parquet(rowStage.toString), cons, dir)
+                catch { case e: Throwable =>
+                  fs.delete(rowStage, true); throw e }
+              }
+              fs.listStatus(rowStage).map(_.getPath)
+                .filter(_.getName.startsWith(s"$BucketCol=")).foreach { e =>
+                  val stagedB = new Path(tmp, e.getName)
+                  fs.mkdirs(stagedB) // destination bucket may be brand new
+                  fs.listStatus(e).foreach { st =>
+                    val n = st.getPath.getName
+                    if (!n.startsWith("_") && !n.startsWith(".")) {
+                      val d = new Path(stagedB, n)
+                      require(!fs.exists(d),
+                        s"bucketed DV staging collision: $n")
+                      require(fs.rename(st.getPath, d),
+                        s"bucketed DV stage move failed: $n")
+                    }
+                  }
+                }
+              fs.delete(rowStage, true)
+            }
+            PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
+              keepVersions)
+            affected
+          } catch { case e: Throwable =>
+            if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+            throw e
+          }
+        }
+      } finally { matched.unpersist(); () }
+    }
+
+  // ------------------------------------------------ copy-on-write
+
+  /** `DELETE FROM` on a bucketed table, copy-on-write: rewrite ONLY the
+    * buckets holding matched rows (DV-applied — pending sidecars of the
+    * touched buckets fold away, the flat eager path's rule). */
+  def deleteWhereCow(spark: SparkSession, dir: String, cond: Column,
+      keepVersions: Int = 10, alias: Option[String] = None): Long =
+    rewriteBuckets(spark, dir, keepVersions, alias, cond,
+      project = None)
+
+  /** `UPDATE` on a bucketed table, copy-on-write: rewrite the buckets
+    * holding matched rows plus any destination buckets rows move into. */
+  def updateWhereCow(spark: SparkSession, dir: String, cond: Column,
+      assign: Seq[(String, Column)], keepVersions: Int = 10,
+      alias: Option[String] = None): Long =
+    rewriteBuckets(spark, dir, keepVersions, alias, cond,
+      project = Some(assign))
+
+  private def rewriteBuckets(spark: SparkSession, dir: String,
+      keepVersions: Int, alias: Option[String], cond: Column,
+      project: Option[Seq[(String, Column)]]): Long =
+    Catalog.raceToConflictShim(dir) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dir).getFileSystem(conf)
+      require(fs.exists(new Path(dir)), s"no table at $dir")
+      PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+      val live = taggedLive(spark, dir, alias)
+      val c = coalesce(cond, lit(false))
+      val matched = live.filter(c).cache()
+      try {
+        val oldBuckets = matched.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (oldBuckets.isEmpty) 0L
+        else {
+          val affected = matched.count()
+          def assignedOf(assign: Seq[(String, Column)])(col0: String) =
+            assign.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(col0) => v }
+          // UPDATE: destination buckets of the projected matched rows
+          val newBuckets = project.toSeq.flatMap { assign =>
+            requireAssignable(live, assign, dir)
+            val schema = matched.schema
+            val projected = dataColumns(matched).map { cn =>
+              assignedOf(assign)(cn) match {
+                case Some(v) => v.cast(schema(cn).dataType).as(cn)
+                case None => col(cn)
+              }
+            } :+ col(BucketCol)
+            routeBuckets(spark, dir, matched.select(projected: _*))
+              .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+          }
+          val touched = (oldBuckets ++ newBuckets).distinct.sorted
+          // staged contents: every row of the touched buckets, with the
+          // statement applied — non-matching rows pass through, matching
+          // rows are dropped (DELETE) or reassigned + re-routed (UPDATE)
+          val slice = live.filter(
+            col(BucketCol).isin(touched.map(Int.box): _*))
+          val staged = project match {
+            case None => slice.filter(!c)
+              .select(dataColumns(slice).map(col) :+ col(BucketCol): _*)
+            case Some(assign) =>
+              val schema = slice.schema
+              val projected = dataColumns(slice).map { cn =>
+                assignedOf(assign)(cn) match {
+                  case Some(v) =>
+                    when(c, v.cast(schema(cn).dataType))
+                      .otherwise(col(cn)).as(cn)
+                  case None => col(cn)
+                }
+              } :+ col(BucketCol)
+              routeBuckets(spark, dir, slice.select(projected: _*))
+          }
+          val tmp = dir + ".tmp-merge-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          try {
+            staged.write.mode(SaveMode.Overwrite)
+              .partitionBy(BucketCol).parquet(tmp)
+            // UPDATE re-validates the rewritten buckets (prunedMerge's
+            // scope); DELETE only removes rows, so CHECKs cannot break
+            if (project.nonEmpty) {
+              val cons = writeConstraints(spark, dir,
+                Catalog.readGeneratedPath(spark, dir))
+              if (cons.nonEmpty) Catalog.enforce(
+                spark.read.schema(staged.schema).parquet(tmp), cons, dir)
+            }
+            PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
+              keepVersions)
+            affected
+          } catch { case e: Throwable =>
+            if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+            throw e
+          }
+        }
+      } finally { matched.unpersist(); () }
+    }
+
+  // ------------------------------------------------ INSERT INTO
+
+  /** Versioned APPEND into a bucketed table (`INSERT INTO` lowering):
+    * new rows are routed to their `pmod(hash(keys), n)` buckets, each
+    * destination bucket's replacement dir is links of its current files
+    * plus the new files, and ONLY those buckets swap — untouched buckets
+    * keep their inodes. Generated/identity columns fill exactly as the
+    * flat append path; constraints validate the NEW rows only. */
+  def insertInto(spark: SparkSession, df: DataFrame, dir: String,
+      keepVersions: Int = 10): Unit = Catalog.raceToConflictShim(dir) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    require(fs.exists(new Path(dir)), s"no table at $dir")
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val (keys, n) = PartitionedMerge.readBucketMeta(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"INSERT INTO bucketed table $dir requires its bucket-layout " +
+          "manifest (<path>.buckets); run one PartitionedMerge.prunedMerge " +
+          "or rewrite via PartitionedMerge.write to record it"))
+    // generated/identity handling: compute absent, validate provided
+    val gens = Catalog.readGeneratedPath(spark, dir)
+    val provided = gens.filter { case (gn, _) =>
+      df.columns.exists(_.equalsIgnoreCase(gn)) }
+    val dfGen = Catalog.fillIdentityColumns(spark,
+      gens.foldLeft(df) { case (d, (gn, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(gn))) d
+        else d.withColumn(gn, expr(e))
+      }, dir, fs)
+    // strict schema-on-append against the LOGICAL table (bucket column is
+    // layout, not data — an insert never carries it)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.filterNot(_.name.equalsIgnoreCase(BucketCol))
+        .map(x => x.name.toLowerCase -> x.dataType).toMap
+    val curShape = shape(PartitionedMerge.readRaw(spark, dir).schema)
+    val nwShape = shape(dfGen.schema)
+    require(!dfGen.columns.exists(_.equalsIgnoreCase(BucketCol)),
+      s"INSERT INTO $dir must not carry the bucket column $BucketCol")
+    require(curShape == nwShape,
+      s"INSERT INTO $dir schema mismatch: table has " +
+        curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
+        nwShape.keys.toSeq.sorted.mkString(", "))
+    val routed = dfGen.withColumn(BucketCol,
+      PartitionedMerge.bucketExpr(keys, n))
+    val rowStage = Catalog.stagingPathShim(dir, "-insert")
+    routed.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(rowStage.toString)
+    try {
+      val cons = writeConstraints(spark, dir, provided)
+      if (cons.nonEmpty)
+        Catalog.enforce(spark.read.parquet(rowStage.toString), cons, dir)
+      val stagedBuckets = fs.listStatus(rowStage).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol=")).toSeq
+      // plain if/else (not an early return): a non-local return through
+      // raceToConflict's guarded catch is the fragility DeletionVectors
+      // already had to shed
+      if (stagedBuckets.nonEmpty) {
+        val touched = stagedBuckets
+          .map(_.getName.stripPrefix(s"$BucketCol=").toInt).sorted
+        val tmp = dir + ".tmp-merge-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        try {
+          stagedBuckets.foreach { sb =>
+            val b = sb.getName
+            val stagedB = new Path(tmp, b)
+            fs.mkdirs(stagedB)
+            val liveB = new Path(dir, b)
+            if (fs.exists(liveB)) {
+              Catalog.linkDataFiles(fs, conf, liveB, stagedB)
+              // an existing per-bucket DV sidecar rides along unchanged:
+              // linked files keep their names, appended rows are new files
+              val dvB = new Path(liveB, DeletionVectors.DvDirName)
+              if (fs.exists(dvB))
+                org.apache.hadoop.fs.FileUtil.copy(fs, dvB,
+                  fs, new Path(stagedB, DeletionVectors.DvDirName),
+                  false, false, conf)
+            }
+            fs.listStatus(sb).foreach { st =>
+              val fn = st.getPath.getName
+              if (!fn.startsWith("_") && !fn.startsWith(".")) {
+                val d = new Path(stagedB, fn)
+                require(!fs.exists(d),
+                  s"bucketed insert staging collision: $fn")
+                require(fs.rename(st.getPath, d),
+                  s"bucketed insert stage move failed: $fn")
+              }
+            }
+          }
+          PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
+            keepVersions)
+        } catch { case e: Throwable =>
+          if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+          throw e
+        }
+      } // else: empty insert commits no version
+    } finally { if (fs.exists(rowStage)) fs.delete(rowStage, true); () }
+  }
+
+  // -------------------------------------------------- oracle surface
+
+  /** q139 — the bucketed GDPR lifecycle the round exists for: a bucketed
+    * customer dim gets a merge-on-read DELETE (segment purge) and a
+    * merge-on-read UPDATE (balance adjustment on a key slice), then reads
+    * back. The oracle replays both statements as plain SQL; equality
+    * proves per-bucket sidecars subtract exactly and update images land
+    * in the right buckets. */
+  def bucketedDmlLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q139").toString
+    val t = s"$wh/dim"
+    val dim = graft.Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .as("acctbal"))
+    PartitionedMerge.write(dim, t, Seq("k"), 8)
+    deleteWhereMor(spark, t, col("segment") === "BUILDING")
+    updateWhereMor(spark, t, col("k") % 100 === 0,
+      Seq("acctbal" -> (col("acctbal") + 50)))
+    PartitionedMerge.read(spark, t)
+      .select(col("k"), col("name"), col("segment"),
+        col("acctbal").cast("string").as("acctbal"))
+      .orderBy("k")
+  }
+
+  /** q140 — INSERT INTO a bucketed dim: rows withheld from the initial
+    * load are appended through the bucket-routing path; reading the whole
+    * table back equals the full source, which fails if any row lands in
+    * the wrong hash bucket or an untouched bucket is disturbed. */
+  def bucketedInsert(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q140").toString
+    val t = s"$wh/dim"
+    val all = graft.Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_name").as("name"),
+      col("c_nationkey").as("nation"))
+    PartitionedMerge.write(all.filter(col("k") % 7 =!= 0), t, Seq("k"), 8)
+    graft.catalog.Catalog.appendPath(spark,
+      all.filter(col("k") % 7 === 0), t)
+    PartitionedMerge.read(spark, t).orderBy("k")
+  }
+
+  /** q141 — per-bucket ZORDER is pure layout: cluster a bucketed slice of
+    * orders by (custkey, totalprice) and read it back — row equality with
+    * the plain projection is the whole contract (span tightening is
+    * BucketedDmlSpec's assertion). */
+  def bucketedZorder(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q141").toString
+    val t = s"$wh/orders"
+    val o = graft.Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("cust"),
+      col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+    PartitionedMerge.write(o, t, Seq("k"), 8)
+    PartitionedMerge.zorderCompact(spark, t, Seq("cust", "price"),
+      4L * 1024 * 1024)
+    PartitionedMerge.read(spark, t)
+      .select(col("k"), col("cust"), col("price").cast("string").as("price"))
+      .orderBy("k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_bucketed_dml" -> (bucketedDmlLifecycle _),
+    "q140_bucketed_insert" -> (bucketedInsert _),
+    "q141_bucketed_zorder" -> (bucketedZorder _))
+
+  val oracles: Map[String, String] = Map(
+    "q139_bucketed_dml" ->
+      """SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment,
+                CAST(CASE WHEN c_custkey % 100 = 0
+                          THEN CAST(c_acctbal AS DECIMAL(18,2)) + 50
+                          ELSE CAST(c_acctbal AS DECIMAL(18,2)) END
+                     AS VARCHAR) AS acctbal
+         FROM customer
+         WHERE c_mktsegment <> 'BUILDING'
+         ORDER BY k""",
+    "q140_bucketed_insert" ->
+      """SELECT c_custkey AS k, c_name AS name, c_nationkey AS nation
+         FROM customer ORDER BY k""",
+    "q141_bucketed_zorder" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+         FROM orders ORDER BY k""")
+
+  // ------------------------------------------------ REORG PURGE
+
+  /** Fold every pending per-bucket sidecar into rewritten buckets
+    * (Delta's `REORG … APPLY (PURGE)` for this layout): only buckets WITH
+    * a sidecar rewrite; contents identical, one new version. */
+  def materialize(spark: SparkSession, dir: String,
+      keepVersions: Int = 10): Unit = Catalog.raceToConflictShim(dir) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val touched = PartitionedMerge.liveBucketDirs(fs, dir)
+      .filter(p => fs.exists(new Path(p, DeletionVectors.DvDirName)))
+      .map(_.getName.stripPrefix(s"$BucketCol=").toInt).sorted
+    if (touched.nonEmpty) { // if/else, not return: see insertInto note
+      val staged = PartitionedMerge.applyBucketDvs(spark, dir,
+        PartitionedMerge.readRaw(spark, dir)
+          .filter(col(BucketCol).isin(touched.map(Int.box): _*)))
+      val tmp = dir + ".tmp-merge-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        staged.write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(tmp)
+        PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
+          keepVersions)
+      } catch { case e: Throwable =>
+        if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+        throw e
+      }
+    }
+  }
+}

@@ -58,8 +58,8 @@ import graft.catalog.Catalog
 object DeletionVectors {
 
   val DvDirName = "_dv"
-  private val FileCol = "__graft_dv_file"
-  private val PosCol = "__graft_dv_pos"
+  private[graft] val FileCol = "__graft_dv_file"
+  private[graft] val PosCol = "__graft_dv_pos"
 
   private def modeFile(dir: String) = new Path(dir + ".dvmode")
 
@@ -82,23 +82,81 @@ object DeletionVectors {
   def isEnabled(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(modeFile(dir))
 
-  def hasDv(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark, dir).exists(new Path(dir, DvDirName))
-
-  /** The table's rows with its deletion vectors applied. The one FS stat
-    * is the fast path — tables without a sidecar read exactly as before. */
-  def readPath(spark: SparkSession, dir: String): DataFrame = {
-    val data = spark.read.parquet(dir)
-    if (!hasDv(spark, dir)) data
-    else applyDv(data, spark.read.parquet(new Path(dir, DvDirName).toString))
+  /** Any live `_dv` sidecar — the flat snapshot's root sidecar, or (for
+    * the bucketed layout) a per-bucket `gbucket=N/_dv` one. */
+  def hasDv(spark: SparkSession, dir: String): Boolean = {
+    val f = fsOf(spark, dir)
+    f.exists(new Path(dir, DvDirName)) || dvDirsOf(spark, dir).nonEmpty
   }
 
-  private def applyDv(data: DataFrame, dv: DataFrame): DataFrame = {
+  /** The live `_dv` sidecar dirs of `dir` (root for flat snapshots,
+    * per-bucket for the bucketed layout; empty = no deletions pending). */
+  private[graft] def dvDirsOf(spark: SparkSession, dir: String): Seq[Path] = {
+    val f = fsOf(spark, dir)
+    val root = new Path(dir, DvDirName)
+    if (f.exists(root)) Seq(root)
+    else graft.merge.PartitionedMerge.liveBucketDirs(f, dir)
+      .map(p => new Path(p, DvDirName)).filter(f.exists)
+  }
+
+  /** The table's rows with its deletion vectors applied. The one FS stat
+    * is the fast path — tables without a sidecar read exactly as before.
+    * Bucketed tables keep their `gbucket` partition column (the raw read's
+    * shape) and subtract per-bucket positions keyed by (bucket, file,
+    * row) — see [[bucketDvFrame]] for why the bucket is part of the key. */
+  def readPath(spark: SparkSession, dir: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+    val dvDirs = dvDirsOf(spark, dir)
+    if (dvDirs.isEmpty) data
+    else if (dvDirs.headOption.exists(_.getParent.getName
+        .startsWith(graft.merge.PartitionedMerge.BucketCol + "=")))
+      subtractBucketPositions(data, bucketDvFrame(spark, dvDirs))
+    else subtractPositions(data,
+      spark.read.parquet(dvDirs.map(_.toString): _*))
+  }
+
+  /** LEFT ANTI join `data` against a position frame (`file_name`,
+    * `row_index`) on the parquet `_metadata` columns — the read-side
+    * primitive for FLAT snapshots, whose staging protocol guarantees
+    * unique basenames within the single table dir. */
+  private[graft] def subtractPositions(data: DataFrame, dv: DataFrame)
+      : DataFrame = {
     val tagged = data
       .withColumn(FileCol, col("_metadata.file_name"))
       .withColumn(PosCol, col("_metadata.row_index"))
     tagged
       .join(dv, tagged(FileCol) === dv("file_name") &&
+        tagged(PosCol) === dv("row_index"), "left_anti")
+      .drop(FileCol, PosCol)
+  }
+
+  /** Per-bucket sidecar union with each dir's bucket recovered from its
+    * parent `gbucket=N` name. Positions on BUCKETED tables are keyed by
+    * (bucket, file, row), never (file, row): one `partitionBy` write
+    * reuses each task's part-file name across every bucket dir that task
+    * feeds, so basenames are only unique WITHIN a bucket — a bucket-less
+    * key would subtract innocent rows from sibling buckets. */
+  private[graft] def bucketDvFrame(spark: SparkSession,
+      dvDirs: Seq[Path]): DataFrame = {
+    val bucketCol = graft.merge.PartitionedMerge.BucketCol
+    dvDirs.map { d =>
+      val b = d.getParent.getName.stripPrefix(bucketCol + "=").toInt
+      spark.read.parquet(d.toString).withColumn(bucketCol, lit(b))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[subtractPositions]] for the bucketed layout: the anti-join key
+    * includes the bucket column (present on `data` as the partition
+    * column, on `dv` via [[bucketDvFrame]]). */
+  private[graft] def subtractBucketPositions(data: DataFrame, dv: DataFrame)
+      : DataFrame = {
+    val bucketCol = graft.merge.PartitionedMerge.BucketCol
+    val tagged = data
+      .withColumn(FileCol, col("_metadata.file_name"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    tagged
+      .join(dv, tagged(bucketCol) === dv(bucketCol) &&
+        tagged(FileCol) === dv("file_name") &&
         tagged(PosCol) === dv("row_index"), "left_anti")
       .drop(FileCol, PosCol)
   }
@@ -127,7 +185,9 @@ object DeletionVectors {
   def deleteWhere(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, keepVersions: Int = 10,
       alias: Option[String] = None): Long =
-    commitPositions(spark, dir, keepVersions, "DELETE",
+    if (Catalog.isBucketedLayout(fsOf(spark, dir), dir))
+      BucketedDml.deleteWhereMor(spark, dir, cond, keepVersions, alias)
+    else commitPositions(spark, dir, keepVersions, "DELETE",
       matched => matched.select(
         col(FileCol).as("file_name"), col(PosCol).as("row_index")),
       newRows = None, alias)(cond)
@@ -139,6 +199,9 @@ object DeletionVectors {
       cond: org.apache.spark.sql.Column,
       assign: Seq[(String, org.apache.spark.sql.Column)],
       keepVersions: Int = 10, alias: Option[String] = None): Long = {
+    if (Catalog.isBucketedLayout(fsOf(spark, dir), dir))
+      return BucketedDml.updateWhereMor(spark, dir, cond, assign,
+        keepVersions, alias)
     val schema = spark.read.parquet(dir).schema
     assign.foreach { case (n, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
@@ -263,6 +326,9 @@ object DeletionVectors {
   def materialize(spark: SparkSession, dir: String,
       keepVersions: Int = 10): Unit = {
     if (!hasDv(spark, dir)) return
+    if (Catalog.isBucketedLayout(fsOf(spark, dir), dir)) {
+      BucketedDml.materialize(spark, dir, keepVersions); return
+    }
     val cur = Catalog.readPointer(fsOf(spark, dir), dir)
     Catalog.overwritePath(spark, readPath(spark, dir), dir, Nil,
       keepVersions, expectedVersion = Some(cur),
@@ -270,10 +336,13 @@ object DeletionVectors {
       carryTags = true) // content-identical: stream markers survive
   }
 
-  /** Live sidecar position count (DESCRIBE DETAIL's DV profile; 0 = none). */
-  def dvRowCount(spark: SparkSession, dir: String): Long =
-    if (!hasDv(spark, dir)) 0L
-    else spark.read.parquet(new Path(dir, DvDirName).toString).count()
+  /** Live sidecar position count (DESCRIBE DETAIL's DV profile; 0 = none).
+    * Bucketed tables sum their per-bucket sidecars. */
+  def dvRowCount(spark: SparkSession, dir: String): Long = {
+    val dvDirs = dvDirsOf(spark, dir)
+    if (dvDirs.isEmpty) 0L
+    else spark.read.parquet(dvDirs.map(_.toString): _*).count()
+  }
 }
 
 /** Transparent deletion-vector application for ORDINARY `spark.sql` /
@@ -309,28 +378,51 @@ case class DvApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Partitioned relations are admitted ONLY for the bucketed layout
+    * (partition column exactly `gbucket`): its per-bucket sidecars are
+    * this engine's own contract. Arbitrary hive-partitioned trees never
+    * carry DVs (the DML paths refuse to create them). */
+  private def admissiblePartitioning(r: HadoopFsRelation): Boolean =
+    r.partitionSchema.isEmpty ||
+      (r.partitionSchema.length == 1 && r.partitionSchema.head.name
+        .equalsIgnoreCase(graft.merge.PartitionedMerge.BucketCol))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case l @ LogicalRelation(r: HadoopFsRelation, _, _, false, _)
         if r.fileFormat.isInstanceOf[
              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
-           r.partitionSchema.isEmpty &&
+           admissiblePartitioning(r) &&
            !r.location.isInstanceOf[org.apache.spark.sql.GraftDvFileIndex] &&
            tableDirOf(r).exists(d =>
              DeletionVectors.hasDv(spark, d.toString)) =>
       try {
         val dir = tableDirOf(r).get.toString
         val rel2 = l.copy(relation =
-          org.apache.spark.sql.GraftShims.dvMarkedRelation(spark, r))
+          if (r.partitionSchema.isEmpty)
+            org.apache.spark.sql.GraftShims.dvMarkedRelation(spark, r)
+          else org.apache.spark.sql.GraftShims.dvMarkedPartitionedRelation(
+            spark, r, tableDirOf(r).get))
         val base = GraftShims.ofRows(spark, rel2)
-        val dv = spark.read.parquet(
-          new Path(dir, DeletionVectors.DvDirName).toString)
         val tagged = base
           .withColumn("__graft_dv_file", col("_metadata.file_name"))
           .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-        val applied = tagged
-          .join(dv, tagged("__graft_dv_file") === dv("file_name") &&
-            tagged("__graft_dv_pos") === dv("row_index"), "left_anti")
-          .drop("__graft_dv_file", "__graft_dv_pos")
+        // bucketed relations key positions by (bucket, file, row) — a
+        // partitionBy write reuses part-file names across bucket dirs
+        val applied = (if (r.partitionSchema.isEmpty) {
+          val dv = spark.read.parquet(
+            DeletionVectors.dvDirsOf(spark, dir).map(_.toString): _*)
+          tagged.join(dv,
+            tagged("__graft_dv_file") === dv("file_name") &&
+              tagged("__graft_dv_pos") === dv("row_index"), "left_anti")
+        } else {
+          val bucketCol = graft.merge.PartitionedMerge.BucketCol
+          val dv = DeletionVectors.bucketDvFrame(spark,
+            DeletionVectors.dvDirsOf(spark, dir))
+          tagged.join(dv,
+            tagged(bucketCol) === dv(bucketCol) &&
+              tagged("__graft_dv_file") === dv("file_name") &&
+              tagged("__graft_dv_pos") === dv("row_index"), "left_anti")
+        }).drop("__graft_dv_file", "__graft_dv_pos")
         val out = applied.queryExecution.analyzed
         // the splice is only sound if the subtree reproduces the original
         // attributes exactly

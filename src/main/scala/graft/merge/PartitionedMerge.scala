@@ -50,11 +50,119 @@ object PartitionedMerge {
     val bucketed = df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
     bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
     writeSchemaSidecar(df.sparkSession, path, bucketed.schema)
+    writeBucketMeta(df.sparkSession, path, keys, nBuckets)
+    stampCommitTime(df.sparkSession, path, 1)
   }
 
-  /** Read the logical table (bucket column dropped). */
+  /** Read the logical table (bucket column dropped, deletion vectors
+    * applied — a bucketed table can carry per-bucket `_dv` sidecars from
+    * merge-on-read DML, see [[graft.layout.BucketedDml]]). */
   def read(spark: SparkSession, path: String): DataFrame =
-    readRaw(spark, path).drop(BucketCol)
+    applyBucketDvs(spark, path, readRaw(spark, path)).drop(BucketCol)
+
+  /** Subtract per-bucket deletion-vector positions from a frame read off
+    * this table's LIVE bucket dirs. One FS listing when no sidecar exists
+    * (the overwhelmingly common case). */
+  private[graft] def applyBucketDvs(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDirs = liveBucketDirs(fs, path)
+      .map(p => new Path(p, graft.layout.DeletionVectors.DvDirName))
+      .filter(fs.exists)
+    if (dvDirs.isEmpty) df
+    else graft.layout.DeletionVectors.subtractBucketPositions(df,
+      graft.layout.DeletionVectors.bucketDvFrame(spark, dvDirs))
+  }
+
+  /** The live `gbucket=` directories under `path`. */
+  private[graft] def liveBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Path] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BucketCol=")).toSeq
+  }
+
+  /** Bucket-layout metadata (hash keys, bucket count), persisted as a
+    * sibling `<path>.buckets` manifest the way constraints are: a property
+    * of the TABLE that survives snapshot swaps. Row-routing writes (INSERT
+    * INTO, UPDATE that reassigns a key column) need it to compute
+    * `pmod(hash(keys), n)` for new/moved rows; tables written before the
+    * manifest existed simply don't support those (clear error, never a
+    * mis-routed row). */
+  private def bucketMetaFile(path: String) = new Path(path + ".buckets")
+
+  private[graft] def writeBucketMeta(spark: SparkSession, path: String,
+      keys: Seq[String], nBuckets: Int): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = bucketMetaFile(path)
+    val tmp = new Path(path + ".buckets.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"${keys.mkString(",")}\t$nBuckets".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"bucket meta commit failed: $dst")
+  }
+
+  private[graft] def readBucketMeta(spark: SparkSession, path: String)
+      : Option[(Seq[String], Int)] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = bucketMetaFile(path)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val i = line.indexOf('\t')
+    Some((line.substring(0, i).split(",").toSeq.map(_.trim),
+      line.substring(i + 1).trim.toInt))
+  }
+
+  /** Per-version commit times for bucketed tables. A flat snapshot's
+    * version dir is written once and only ever renamed, so its mtime IS
+    * the commit time; a bucketed retire entry is created when the NEXT
+    * version commits, so directory times date the wrong version. Instead
+    * every pointer advance stamps `historyDir/_commit_time_v{N}` — the
+    * record `TIMESTAMP AS OF` resolution reads. */
+  private[graft] def commitTimeMarker(path: String, v: Int): Path =
+    new Path(graft.catalog.Catalog.historyDir(path), s"_commit_time_v$v")
+
+  private[graft] def stampCommitTime(spark: SparkSession, path: String,
+      v: Int): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(graft.catalog.Catalog.historyDir(path))
+    val out = fs.create(commitTimeMarker(path, v), true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (version, commit millis) for every stamped version of a bucketed
+    * table, oldest first. Tables written before stamping existed return
+    * only the versions committed since. */
+  private[graft] def commitTimes(spark: SparkSession, path: String)
+      : Seq[(Int, Long)] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist = graft.catalog.Catalog.historyDir(path)
+    if (!fs.exists(hist)) return Nil
+    fs.listStatus(hist).map(_.getPath)
+      .filter(_.getName.startsWith("_commit_time_v"))
+      .flatMap { p =>
+        val v = p.getName.stripPrefix("_commit_time_v")
+        if (v.nonEmpty && v.forall(_.isDigit)) {
+          val in = fs.open(p)
+          val t =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some((v.toInt, t.toLong))
+        } else None
+      }.sortBy(_._1).toSeq
+  }
 
   /** Schema sidecar: a `partitionBy` write of ZERO rows produces no
     * bucket directories and no part files — nothing for a later read to
@@ -115,8 +223,12 @@ object PartitionedMerge {
     val touched = source
       .select(bucketExpr(keys, nBuckets).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val pruned = readRaw(spark, path)
-      .filter(col(BucketCol).isin(touched.map(Int.box): _*))
+    // DV-applied: a bucketed table can carry per-bucket `_dv` sidecars
+    // from merge-on-read DML — merging over a raw read would resurrect
+    // deleted rows into the rewritten buckets. The rewrite FOLDS the
+    // touched buckets' sidecars away (they retire with the old dirs).
+    val pruned = applyBucketDvs(spark, path, readRaw(spark, path)
+      .filter(col(BucketCol).isin(touched.map(Int.box): _*)))
       .drop(BucketCol)
     val merged = mergeFn(pruned, source)
 
@@ -148,6 +260,10 @@ object PartitionedMerge {
 
     swapBuckets(spark, fs, path, tmp, touched, keepVersions)
     writeSchemaSidecar(spark, path, staged.schema)
+    // legacy upgrade: a merge knows the layout, so tables written before
+    // the bucket-meta manifest existed gain it on their next merge
+    if (readBucketMeta(spark, path).isEmpty)
+      writeBucketMeta(spark, path, keys, nBuckets)
     touched
   }
 
@@ -158,7 +274,7 @@ object PartitionedMerge {
     * the pointer. A crash before the pointer write leaves the table
     * addressable at the old version; [[recoverAbortedSwap]] rolls the
     * half-moved buckets back on the next merge. */
-  private def swapBuckets(spark: SparkSession,
+  private[graft] def swapBuckets(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
       touched: Seq[Int], keepVersions: Int): Unit = {
     import graft.catalog.Catalog
@@ -181,12 +297,17 @@ object PartitionedMerge {
     }
     fs.delete(new Path(tmp), true)
     Catalog.writePointer(fs, path, cur + 1)
+    // date the new version for TIMESTAMP AS OF (retire-entry mtimes date
+    // the NEXT commit, not the version they hold — see commitTimeMarker)
+    stampCommitTime(spark, path, cur + 1)
     // prune the one entry that just left the retention window (reads at
     // versions <= it are no longer reconstructible; orphans from a lowered
     // keepVersions are vacuum's job — same contract as Catalog snapshots)
     if (cur - keepVersions >= 1) {
       val old = Catalog.versionDir(path, cur - keepVersions)
       if (fs.exists(old)) fs.delete(old, true)
+      val marker = commitTimeMarker(path, cur - keepVersions)
+      if (fs.exists(marker)) fs.delete(marker, false)
     }
     // cached file lists outlive the bucket swap, same as a snapshot swap
     spark.catalog.refreshByPath(path)
@@ -197,7 +318,7 @@ object PartitionedMerge {
     * replaced — restore them so the pruned scan reads pre-merge data.
     * Entries whose live dir exists are aborted-attempt leftovers handled at
     * the next retire. */
-  private def recoverAbortedSwap(spark: SparkSession,
+  private[graft] def recoverAbortedSwap(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import graft.catalog.Catalog
     val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
@@ -215,26 +336,30 @@ object PartitionedMerge {
     * the live dir when no later merge touched b. An empty retire entry
     * means b did not exist at v. Requires every transition in [v, current)
     * to still be in the retention window. */
-  private[graft] def reconstructVersion(spark: SparkSession, path: String,
-      v: Int, only: Option[Set[String]] = None): DataFrame = {
+  /** The bucket directories that hold table version `v`:
+    * `(bucketName, basePath, bucketDir)` per bucket that EXISTED at `v`,
+    * each the earliest retire entry `>= v` holding it (that copy is the
+    * bucket's state from its previous change through v) or the live dir
+    * when no later merge touched it. Shared by [[reconstructVersion]] and
+    * `Catalog.clonePath VERSION AS OF` (which links/copies exactly these
+    * dirs — per-bucket `_dv` sidecars ride along, so a version clone
+    * carries that version's deletion state). */
+  private[graft] def versionBucketDirs(spark: SparkSession, path: String,
+      v: Int, only: Option[Set[String]] = None): Seq[(String, String, Path)] = {
     import graft.catalog.Catalog
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = Catalog.readPointer(fs, path)
     require(v >= 1 && v <= cur,
       s"version $v out of range for $path (current = $cur)")
-    if (v == cur && only.isEmpty) return spark.read.parquet(path)
-    if (v == cur) {
-      val dirs = fs.listStatus(new Path(path)).map(_.getPath)
+    def hasData(p: Path) =
+      fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
+    if (v == cur)
+      return fs.listStatus(new Path(path)).map(_.getPath)
         .filter(p => p.getName.startsWith(s"$BucketCol=") &&
           admittedLive(only, p.getName))
-        .filter(p => fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
-      return {
-        if (dirs.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.option("basePath", path)
-          .parquet(dirs.map(_.toString).toSeq: _*)
-      }
-    }
+        .filter(hasData)
+        .map(p => (p.getName, path, p)).toSeq
     val missing = (v until cur).filterNot(w =>
       fs.exists(Catalog.versionDir(path, w)))
     require(missing.isEmpty,
@@ -257,16 +382,48 @@ object PartitionedMerge {
         admitted(p.getName)).foreach { p =>
         if (!chosen.contains(p.getName)) chosen(p.getName) = (path, p)
       }
-    // empty retire entry = bucket absent at v; group the rest by their base
-    // dir so the partition column survives the read
-    val live = chosen.toSeq.filter { case (_, (_, p)) =>
-      fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")) }
-    val parts = live.groupBy(_._2._1).toSeq.map { case (base, entries) =>
-      spark.read.option("basePath", base)
-        .parquet(entries.map(_._2._2.toString): _*)
+    // empty retire entry = bucket absent at v
+    chosen.toSeq.collect { case (name, (base, p)) if hasData(p) =>
+      (name, base, p)
     }
-    if (parts.isEmpty) spark.read.parquet(path).limit(0)
-    else parts.reduce(_.unionByName(_))
+  }
+
+  private[graft] def reconstructVersion(spark: SparkSession, path: String,
+      v: Int, only: Option[Set[String]] = None): DataFrame = {
+    import graft.layout.DeletionVectors
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = versionBucketDirs(spark, path, v, only)
+    val dvDirs = entries
+      .map(e => new Path(e._3, DeletionVectors.DvDirName))
+      .filter(fs.exists)
+    // group by base dir so the partition column survives the read; when
+    // any chosen dir carries a `_dv` sidecar, tag physical positions at
+    // the RELATION level (the `_metadata` pseudo-column does not resolve
+    // through a Union) so the anti-join below can subtract them
+    def partOf(base: String, dirs: Seq[Path]): DataFrame = {
+      val d = spark.read.option("basePath", base)
+        .parquet(dirs.map(_.toString): _*)
+      if (dvDirs.isEmpty) d
+      else d.withColumn(DeletionVectors.FileCol, col("_metadata.file_name"))
+        .withColumn(DeletionVectors.PosCol, col("_metadata.row_index"))
+    }
+    val parts = entries.groupBy(_._2).toSeq.map { case (base, es) =>
+      partOf(base, es.map(_._3)) }
+    val df =
+      if (parts.isEmpty) spark.read.parquet(path).limit(0)
+      else parts.reduce(_.unionByName(_))
+    // apply the CHOSEN dirs' own `_dv` sidecars: positions are recorded
+    // against (bucket, basename, row), all preserved by retire renames —
+    // so each version reads exactly its own deletion state
+    if (dvDirs.isEmpty) df
+    else {
+      val dv = DeletionVectors.bucketDvFrame(spark, dvDirs)
+      df.join(dv, df(BucketCol) === dv(BucketCol) &&
+          df(DeletionVectors.FileCol) === dv("file_name") &&
+          df(DeletionVectors.PosCol) === dv("row_index"), "left_anti")
+        .drop(DeletionVectors.FileCol, DeletionVectors.PosCol)
+    }
   }
 
   /** Version-addressed read, [[read]]'s shape (bucket column dropped). */
@@ -305,8 +462,10 @@ object PartitionedMerge {
     val wantFor = plan.foldLeft(lit(1)) { case (acc, (b, want)) =>
       when(col(BucketCol) === b, lit(want)).otherwise(acc)
     }
-    val df = spark.read.parquet(path)
-      .filter(col(BucketCol).isin(touched.map(Int.box): _*))
+    // DV-applied: compaction of a bucket folds its `_dv` sidecar into the
+    // rewritten files (Delta's PURGE-on-OPTIMIZE), never resurrects
+    val df = applyBucketDvs(spark, path, spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.map(Int.box): _*)))
     val salted = df.withColumn("__graft_salt",
       pmod(hash(struct(df.columns.map(col): _*)), wantFor))
     val tmp = s"$path.tmp-merge-" +
@@ -314,6 +473,44 @@ object PartitionedMerge {
     salted.repartition(col(BucketCol), col("__graft_salt"))
       .drop("__graft_salt")
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    touched
+  }
+
+  /** `OPTIMIZE … ZORDER BY` for the bucketed layout: rewrite every bucket
+    * with its rows clustered along the Morton curve of `cols` WITHIN the
+    * bucket — bucket pruning (equi-key lookups on the hash keys) and
+    * z-order file skipping (range/point filters on OTHER columns) compose
+    * instead of excluding each other. One distributed job: a single range
+    * exchange on (bucket, z) makes each output file cover a contiguous
+    * z-range inside one bucket, so per-file min/max footers are tight on
+    * all clustered columns. Commits as a new version through the same
+    * retire protocol as a merge; per-bucket `_dv` sidecars fold into the
+    * rewrite (OPTIMIZE's PURGE rule). Returns the rewritten buckets. */
+  def zorderCompact(spark: SparkSession, path: String, cols: Seq[String],
+      targetFileSize: Long, keepVersions: Int = 10): Seq[Int] = {
+    require(cols.nonEmpty, "ZORDER BY needs at least one column")
+    require(targetFileSize > 0, "targetFileSize must be positive")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAbortedSwap(spark, fs, path)
+    val buckets = liveBucketDirs(fs, path)
+    if (buckets.isEmpty) return Nil
+    val touched = buckets
+      .map(_.getName.stripPrefix(s"$BucketCol=").toInt).sorted
+    val bytes = buckets.flatMap(b => fs.listStatus(b)
+      .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen)).sum
+    val n = math.max(1L, (bytes + targetFileSize - 1) / targetFileSize).toInt
+    val df = applyBucketDvs(spark, path, readRaw(spark, path))
+    val zc = "__graft_z"
+    val staged = df
+      .withColumn(zc, graft.layout.ZOrder.zValue(df, cols))
+      .repartitionByRange(n, col(BucketCol), col(zc))
+      .sortWithinPartitions(col(BucketCol), col(zc))
+      .drop(zc)
+    val tmp = s"$path.tmp-merge-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    staged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
     swapBuckets(spark, fs, path, tmp, touched, keepVersions)
     touched
   }

@@ -46,15 +46,10 @@ object DmlRunner {
         s"$stmt target $tableName must be a catalog table with a storage " +
           "location (temp views cannot be rewritten)"))
     val dir = new org.apache.hadoop.fs.Path(uri).toString
-    // a bucket-partitioned dim rewritten as a flat snapshot would silently
-    // lose its layout (and the bucket column would materialize as data) —
-    // route row-level changes through PartitionedMerge instead
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!graft.catalog.Catalog.isBucketedLayout(fs, dir),
-      s"$stmt on bucket-partitioned table $tableName is unsupported: " +
-        "apply row-level changes via PartitionedMerge.prunedMerge")
-    (nameParts, alias.getOrElse(nameParts.last), tableName, dir, partCols)
+    (nameParts, alias.getOrElse(nameParts.last), tableName, dir, partCols,
+      graft.catalog.Catalog.isBucketedLayout(fs, dir))
   }
 
   /** `DELETE FROM t [AS a] WHERE cond` → rows where cond is not TRUE.
@@ -64,11 +59,16 @@ object DmlRunner {
     * O(table). Either way the base read applies any existing sidecar, so
     * flipping the mode never resurrects deleted rows. */
   def delete(spark: SparkSession, d: DeleteFromTable): Long = {
-    val (nameParts, aliasName, tableName, dir, partCols) =
+    val (nameParts, aliasName, tableName, dir, partCols, bucketed) =
       resolveTarget(spark, d.table, "DELETE FROM")
     val affected =
       if (graft.layout.DeletionVectors.isEnabled(spark, dir))
+        // deleteWhere routes bucketed layouts to the per-bucket sidecar
+        // commit (BucketedDml) itself
         graft.layout.DeletionVectors.deleteWhere(spark, dir,
+          GraftShims.column(d.condition), alias = Some(aliasName))
+      else if (bucketed)
+        graft.layout.BucketedDml.deleteWhereCow(spark, dir,
           GraftShims.column(d.condition), alias = Some(aliasName))
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)
@@ -86,7 +86,7 @@ object DmlRunner {
 
   /** `UPDATE t [AS a] SET x = e, ... [WHERE cond]`. */
   def update(spark: SparkSession, u: UpdateTable): Long = {
-    val (nameParts, aliasName, tableName, dir, partCols) =
+    val (nameParts, aliasName, tableName, dir, partCols, bucketed) =
       resolveTarget(spark, u.table, "UPDATE")
     val cond = u.condition
       .map(e => coalesce(GraftShims.column(e), lit(false)))
@@ -112,8 +112,14 @@ object DmlRunner {
     val affected =
       if (graft.layout.DeletionVectors.isEnabled(spark, dir))
         // merge-on-read: old images into the sidecar + updated rows
-        // appended, one commit — O(matched data), never O(table)
+        // appended, one commit — O(matched data), never O(table);
+        // updateWhere routes bucketed layouts to BucketedDml itself
         graft.layout.DeletionVectors.updateWhere(spark, dir, cond,
+          u.assignments.map(a =>
+            keyName(a.key) -> GraftShims.column(a.value)),
+          alias = Some(aliasName))
+      else if (bucketed)
+        graft.layout.BucketedDml.updateWhereCow(spark, dir, cond,
           u.assignments.map(a =>
             keyName(a.key) -> GraftShims.column(a.value)),
           alias = Some(aliasName))

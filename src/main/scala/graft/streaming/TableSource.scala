@@ -21,8 +21,15 @@ import graft.catalog.{Catalog, ChangeFeed}
   *   .option("path", dir)          // table directory
   *   .option("feed", "rows"|"cdc") // default rows
   *   .option("keys", "id")         // cdc: keyed diff (pre/postimages)
+  *   .option("maxVersionsPerTrigger", "2") // bound catch-up batches
   *   .load()
   * ```
+  *
+  * `maxVersionsPerTrigger` (Delta's `maxFilesPerTrigger` parity): after
+  * downtime on a busy table, the backlog drains over several bounded
+  * micro-batches of at most N versions each instead of one unbounded
+  * batch. The initial snapshot stays a single batch (it reads the LIVE
+  * version; pointing it lower could fall below the retention window).
   *
   * Offsets ARE committed versions (one long — the version log is the
   * write-ahead log a streaming source wants): `getOffset` reads the
@@ -81,16 +88,25 @@ class GraftTableSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.trim.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new GraftTableSource(sqlContext, dir,
       cdc = parameters.getOrElse("feed", "rows") == "cdc",
       keys = parameters.get("keys").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      dataSchema = schema.getOrElse(baseSchema(sqlContext, dir)))
+      dataSchema = schema.getOrElse(baseSchema(sqlContext, dir)),
+      metadataPath = metadataPath,
+      maxVersionsPerTrigger = maxVersions)
   }
 }
 
 class GraftTableSource(sqlContext: SQLContext, dir: String,
-    cdc: Boolean, keys: Seq[String], dataSchema: StructType)
+    cdc: Boolean, keys: Seq[String], dataSchema: StructType,
+    metadataPath: String = "",
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -102,9 +118,53 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
       StructField(ChangeFeed.ChangeCol, StringType, nullable = false))
     else dataSchema
 
+  /** Admission-control cursor (Delta's `maxFilesPerTrigger` parity, at
+    * version granularity — the unit this source's offsets move in): the
+    * highest version this source has handed the engine. Persisted under
+    * the source's private `metadataPath` so a RESTARTED stream caps its
+    * first catch-up batch too (the raw v1-Source API gives getOffset no
+    * start to cap from). The cursor is only ever a cap BASE, never a
+    * batch start — a value ahead of the committed offset (offset logged,
+    * batch failed) just means one trigger admits fewer versions, no skip
+    * and no re-delivery. */
+  private val admissionFile =
+    if (metadataPath.isEmpty) None
+    else maxVersionsPerTrigger.map(_ => new Path(metadataPath, "graft_admission"))
+
+  private var lastEmitted: Option[Long] = admissionFile.flatMap { p =>
+    val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mfs.exists(p)) None
+    else {
+      val in = mfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def advanceCursor(v: Long): Unit = {
+    lastEmitted = Some(v)
+    admissionFile.foreach { p =>
+      val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = mfs.create(p, true)
+      try out.write(String.valueOf(v).getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   override def getOffset: Option[Offset] = {
     val v = Catalog.readPointer(fs, dir)
-    if (v < 1) None else Some(LongOffset(v.toLong))
+    if (v < 1) None
+    else {
+      val capped = (lastEmitted, maxVersionsPerTrigger) match {
+        // the INITIAL batch is the full snapshot at the live version
+        // (Delta's initial-snapshot rule) — capping it to an old version
+        // could point below the retention window; admission control
+        // bounds the incremental batches that follow
+        case (Some(prev), Some(m)) => math.min(v.toLong, prev + m)
+        case _ => v.toLong
+      }
+      if (!lastEmitted.contains(capped)) advanceCursor(capped)
+      Some(LongOffset(capped))
+    }
   }
 
   // every offset this source ever emits is a LongOffset; a checkpoint
@@ -114,6 +174,8 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
+    // prime the admission-control cursor on checkpoint-recovery replays
+    if (lastEmitted.forall(_ < toV)) advanceCursor(toV.toLong)
     val batch = start.map(versionOf) match {
       case None =>
         // initial batch: the full snapshot at `toV`, typed as inserts

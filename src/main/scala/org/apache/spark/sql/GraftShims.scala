@@ -64,6 +64,19 @@ object GraftShims {
     rel.copy(location = idx)(spark)
   }
 
+  /** [[dvMarkedRelation]] for a PARTITIONED relation (the bucketed
+    * layout): the index must root at the table dir so partition discovery
+    * keeps yielding the partition column — an index over leaf FILES would
+    * lose the `gbucket=N` values. Partition pruning still happens at
+    * physical planning against this index's own discovered spec. */
+  def dvMarkedPartitionedRelation(spark: SparkSession,
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      root: org.apache.hadoop.fs.Path)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val idx = new GraftDvFileIndex(spark, Seq(root), None)
+    rel.copy(location = idx)(spark)
+  }
+
   /** Re-tag a batch DataFrame as a STREAMING one (`isStreaming = true`)
     * — the seam a v1 [[org.apache.spark.sql.execution.streaming.Source]]
     * needs to hand `getBatch` results to the micro-batch engine (every

@@ -143,7 +143,7 @@ class InsertSpec extends SparkSuite {
     spark.sql("DROP TABLE silver.g1")
   }
 
-  test("INSERT rejects schema drift, wrong arity, and bucketed targets") {
+  test("INSERT rejects schema drift and wrong arity; bucketed targets route new rows") {
     val cat = new Catalog(spark, tmpDir("graft-ins-guard"))
     cat.overwriteSnapshot(Seq((1L, "a")).toDF("id", "v"), "silver", "r1")
     cat.register("silver", "r1")
@@ -156,12 +156,20 @@ class InsertSpec extends SparkSuite {
         "INSERT INTO silver.r1 VALUES (2, 'b', 'extra')")
     }
     spark.sql("DROP TABLE silver.r1")
-    // bucket-partitioned targets refuse (bucket pruning must stay intact)
+    // bucket-partitioned targets route appended rows to their hash
+    // buckets (bucket pruning stays intact — BucketedDmlSpec proves the
+    // untouched-bucket inode identity)
     val dim = Seq((1L, "x")).toDF("id", "v")
     val bdir = cat.path("silver", "b1")
     graft.merge.PartitionedMerge.write(dim, bdir, Seq("id"), 4)
+    Catalog.appendPath(spark, Seq((2L, "y")).toDF("id", "v"), bdir)
+    assert(rowsOf(graft.merge.PartitionedMerge.read(spark, bdir), "id") ==
+      Seq(Seq(1L, "x"), Seq(2L, "y")))
+    // the insert may not smuggle the bucket column in as data
     intercept[IllegalArgumentException] {
-      Catalog.appendPath(spark, Seq((2L, "y")).toDF("id", "v"), bdir)
+      Catalog.appendPath(spark,
+        Seq((3L, "z", 0)).toDF("id", "v",
+          graft.merge.PartitionedMerge.BucketCol), bdir)
     }
   }
 

@@ -139,13 +139,11 @@ class PartitionedMergeSpec extends SparkSuite {
       assert(graft.sql.GraftSql.sql(spark,
         "SELECT count(*) AS c FROM pm.dim_tt VERSION AS OF 3")
         .collect()(0).getLong(0) == afterS2.count())
-      // TIMESTAMP AS OF on a bucketed table: clear error, not wrong data
-      val ex = intercept[Exception] {
-        graft.sql.GraftSql.sql(spark,
-          "SELECT count(*) AS c FROM pm.dim_tt TIMESTAMP AS OF now()")
-          .collect()
-      }
-      assert(ex.getMessage.contains("bucket-partitioned"))
+      // TIMESTAMP AS OF on a bucketed table resolves through the
+      // per-version commit-time markers every bucket swap stamps
+      assert(graft.sql.GraftSql.sql(spark,
+        "SELECT count(*) AS c FROM pm.dim_tt TIMESTAMP AS OF now()")
+        .collect()(0).getLong(0) == afterS2.count())
     } finally spark.sql("DROP TABLE IF EXISTS pm.dim_tt")
   }
 
