@@ -681,12 +681,18 @@ object Catalog {
     cols.toSeq
   }
 
-  /** Does `dir` hold PartitionedMerge's bucket layout? One listing. */
+  /** Does `dir` hold PartitionedMerge's bucket layout? One listing, plus
+    * the `<dir>.buckets` manifest as the durable marker: a fully-emptied
+    * bucketed table has NO live bucket dirs (every one retired), and
+    * losing the layout identity there would let a flat append corrupt
+    * the tree or an empty-state read fail schema inference. */
   private[graft] def isBucketedLayout(
       f: FileSystem, dir: String): Boolean = {
     val p = new Path(dir)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName
-      .startsWith(graft.merge.PartitionedMerge.BucketCol + "="))
+    f.exists(p) && (
+      f.listStatus(p).exists(_.getPath.getName
+        .startsWith(graft.merge.PartitionedMerge.BucketCol + "=")) ||
+      f.exists(new Path(dir + ".buckets")))
   }
 
   /** Version-addressed relation — the seam SQL time travel reads through.
@@ -810,6 +816,7 @@ object Catalog {
     rm(new Path(dir + ".constraints.tmp"))
     rm(new Path(dir + ".generated.tmp"))
     rm(new Path(dir + ".identity.tmp"))
+    rm(new Path(dir + ".buckets.tmp"))
     val tableDir = new Path(dir)
     if (f.exists(tableDir))
       f.listStatus(tableDir).map(_.getPath)

@@ -104,16 +104,19 @@ object DeletionVectors {
     * Bucketed tables keep their `gbucket` partition column (the raw read's
     * shape) and subtract per-bucket positions keyed by (bucket, file,
     * row) — see [[bucketDvFrame]] for why the bucket is part of the key. */
-  def readPath(spark: SparkSession, dir: String): DataFrame = {
-    val data = spark.read.parquet(dir)
-    val dvDirs = dvDirsOf(spark, dir)
-    if (dvDirs.isEmpty) data
-    else if (dvDirs.headOption.exists(_.getParent.getName
-        .startsWith(graft.merge.PartitionedMerge.BucketCol + "=")))
-      subtractBucketPositions(data, bucketDvFrame(spark, dvDirs))
-    else subtractPositions(data,
-      spark.read.parquet(dvDirs.map(_.toString): _*))
-  }
+  def readPath(spark: SparkSession, dir: String): DataFrame =
+    if (Catalog.isBucketedLayout(fsOf(spark, dir), dir))
+      // schema-safe for fully-emptied bucket trees (readRaw's sidecar
+      // fallback) and keyed by (bucket, file, row)
+      graft.merge.PartitionedMerge.applyBucketDvs(spark, dir,
+        graft.merge.PartitionedMerge.readRaw(spark, dir))
+    else {
+      val data = spark.read.parquet(dir)
+      val dvDirs = dvDirsOf(spark, dir)
+      if (dvDirs.isEmpty) data
+      else subtractPositions(data,
+        spark.read.parquet(dvDirs.map(_.toString): _*))
+    }
 
   /** LEFT ANTI join `data` against a position frame (`file_name`,
     * `row_index`) on the parquet `_metadata` columns — the read-side

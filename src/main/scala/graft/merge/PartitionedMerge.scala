@@ -411,7 +411,7 @@ object PartitionedMerge {
     val parts = entries.groupBy(_._2).toSeq.map { case (base, es) =>
       partOf(base, es.map(_._3)) }
     val df =
-      if (parts.isEmpty) spark.read.parquet(path).limit(0)
+      if (parts.isEmpty) readRaw(spark, path).limit(0) // sidecar schema
       else parts.reduce(_.unionByName(_))
     // apply the CHOSEN dirs' own `_dv` sidecars: positions are recorded
     // against (bucket, basename, row), all preserved by retire renames —
