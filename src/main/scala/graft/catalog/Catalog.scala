@@ -1545,9 +1545,10 @@ object Catalog {
     * (time travel, RESTORE, CDF all see it) and costs O(new data), not
     * O(table). Constraints are enforced on the STAGED NEW files only:
     * existing data already passed at its own write time. Appends cannot
-    * change the schema, and bucket-partitioned / hive-partitioned layouts
-    * route through PartitionedMerge / overwrite instead (mixing flat
-    * append files into a partitioned tree would corrupt discovery). */
+    * change the schema. Bucket-partitioned layouts route through
+    * [[graft.layout.BucketedDml.insertInto]] (hash-routed per-bucket
+    * commit); hive-partitioned snapshots still refuse (mixing flat
+    * append files into a partition tree would corrupt discovery). */
   def appendPath(spark: SparkSession, df: DataFrame, dir: String,
       keepVersions: Int = 10,
       commitTag: Option[(String, String)] = None,

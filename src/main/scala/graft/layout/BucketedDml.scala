@@ -148,18 +148,32 @@ object BucketedDml {
       val matched = taggedLive(spark, dir, alias)
         .filter(coalesce(cond, lit(false))).cache()
       try {
-        val oldBuckets = matched.select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // ONE job learns both the touched buckets and the affected count
+        // (driver-side payload ≤ nBuckets rows)
+        val bucketCounts = matched.groupBy(BucketCol).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        val oldBuckets = bucketCounts.map(_._1)
         if (oldBuckets.isEmpty) 0L
         else {
-          val affected = matched.count()
+          val affected = bucketCounts.map(_._2).sum
           val routed = newRows.map(_(matched))
-          val newBuckets = routed.toSeq.flatMap(_
-            .select(BucketCol).distinct().collect().map(_.getInt(0)))
-          val touched = (oldBuckets ++ newBuckets).distinct.sorted
           val tmp = dir + ".tmp-merge-" +
             java.util.UUID.randomUUID().toString.take(8)
           try {
+            // UPDATE: stage the new row images FIRST — the staged
+            // partition dirs ARE the destination-bucket list, no extra
+            // distinct-collect job
+            val rowStage = routed.map { r =>
+              val stage = Catalog.stagingPathShim(dir, "-dvupd")
+              r.write.mode(SaveMode.Overwrite)
+                .partitionBy(BucketCol).parquet(stage.toString)
+              stage
+            }
+            val newBuckets = rowStage.toSeq.flatMap(s =>
+              fs.listStatus(s).map(_.getPath.getName)
+                .filter(_.startsWith(s"$BucketCol="))
+                .map(_.stripPrefix(s"$BucketCol=").toInt))
+            val touched = (oldBuckets ++ newBuckets).distinct.sorted
             // staged replacement per touched bucket: links of its current
             // data files (names preserved — sidecar positions key on them)
             touched.foreach { b =>
@@ -191,21 +205,20 @@ object BucketedDml {
               }
             fs.delete(dvStage, true)
 
-            // UPDATE's new row images: append-shaped, so constraints and
-            // generated-column definitions validate on the NEW files only
-            routed.foreach { r =>
-              val rowStage = Catalog.stagingPathShim(dir, "-dvupd")
-              r.write.mode(SaveMode.Overwrite)
-                .partitionBy(BucketCol).parquet(rowStage.toString)
+            // UPDATE's new row images (staged above): append-shaped, so
+            // constraints and generated-column definitions validate on
+            // the NEW files only, then the part files move into their
+            // destination buckets' staged dirs
+            rowStage.foreach { stage =>
               val cons = writeConstraints(spark, dir,
                 Catalog.readGeneratedPath(spark, dir))
               if (cons.nonEmpty) {
                 try Catalog.enforce(
-                  spark.read.parquet(rowStage.toString), cons, dir)
+                  spark.read.parquet(stage.toString), cons, dir)
                 catch { case e: Throwable =>
-                  fs.delete(rowStage, true); throw e }
+                  fs.delete(stage, true); throw e }
               }
-              fs.listStatus(rowStage).map(_.getPath)
+              fs.listStatus(stage).map(_.getPath)
                 .filter(_.getName.startsWith(s"$BucketCol=")).foreach { e =>
                   val stagedB = new Path(tmp, e.getName)
                   fs.mkdirs(stagedB) // destination bucket may be brand new
@@ -220,7 +233,7 @@ object BucketedDml {
                     }
                   }
                 }
-              fs.delete(rowStage, true)
+              fs.delete(stage, true)
             }
             PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
               keepVersions)
@@ -263,11 +276,13 @@ object BucketedDml {
       val c = coalesce(cond, lit(false))
       val matched = live.filter(c).cache()
       try {
-        val oldBuckets = matched.select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // one job: touched buckets + affected count together
+        val bucketCounts = matched.groupBy(BucketCol).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        val oldBuckets = bucketCounts.map(_._1)
         if (oldBuckets.isEmpty) 0L
         else {
-          val affected = matched.count()
+          val affected = bucketCounts.map(_._2).sum
           def assignedOf(assign: Seq[(String, Column)])(col0: String) =
             assign.collectFirst {
               case (n, v) if n.equalsIgnoreCase(col0) => v }

@@ -454,4 +454,27 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       s"reassembly aggregation not hash-based:\n$p")
   }
+
+  test("bucketed DV read: the position anti-join broadcasts, the corpus never shuffles") {
+    // the scale contract of merge-on-read on bucketed tables: the
+    // sidecar (positions only, tiny vs data) is the build side of a
+    // BROADCAST left-anti probe on the scan — a data-side exchange here
+    // would turn every read of a 100 TB dim into a corpus shuffle
+    import org.apache.spark.sql.functions._
+    import graft.merge.PartitionedMerge
+    val path = tmpDir("plan-bdv") + "/t"
+    import spark.implicits._
+    PartitionedMerge.write(
+      (1L to 4000L).map(i => (i, i % 97)).toDF("k", "v"),
+      path, Seq("k"), 4)
+    graft.layout.BucketedDml.deleteWhereMor(spark, path, col("v") === 5)
+    val df = PartitionedMerge.read(spark, path)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV subtraction is not a broadcast anti probe:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(k#")),
+      s"corpus side shuffled for DV application:\n$p")
+    assert(df.count() == 4000 - 4000 / 97 - 1)
+  }
 }
