@@ -1354,7 +1354,8 @@ object Catalog {
     val canLink = f.getScheme == "file"
     f.listStatus(src).foreach { st =>
       val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
+      // files only: partition-dir levels are [[linkDataTree]]'s job
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
         val d = new Path(tmp, n)
         if (canLink)
           java.nio.file.Files.createLink(
@@ -1363,6 +1364,45 @@ object Catalog {
               f.makeQualified(st.getPath).toUri.getPath))
         else require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
           f, d, false, false, conf), s"append link/copy failed: $n")
+      }
+    }
+  }
+
+  /** [[linkDataFiles]] extended through partition-dir levels: data files
+    * link under their original relative paths, so a hive-partitioned
+    * tree stages at O(file count) metadata like a flat snapshot.
+    * Underscore/dot entries (version logs, sidecars) are skipped at
+    * every level. Identical to [[linkDataFiles]] on a flat dir. */
+  private[graft] def linkDataTree(f: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      src: Path, tmp: Path): Unit = {
+    linkDataFiles(f, conf, src, tmp) // the files at this level
+    f.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+        val d = new Path(tmp, n)
+        f.mkdirs(d)
+        linkDataTree(f, conf, st.getPath, d)
+      }
+    }
+  }
+
+  /** Move every staged data file of `stage` into `tmp` under its
+    * relative path (partition dirs created as needed), collision-checked
+    * so a staged name can never overwrite a linked one. */
+  private[graft] def mergeStagedTree(f: FileSystem, stage: Path,
+      tmp: Path): Unit = {
+    f.listStatus(stage).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val d = new Path(tmp, n)
+        if (st.isDirectory) {
+          f.mkdirs(d)
+          mergeStagedTree(f, st.getPath, d)
+        } else {
+          require(!f.exists(d), s"append staging name collision: $n")
+          require(f.rename(st.getPath, d), s"append stage move failed: $n")
+        }
       }
     }
   }
@@ -1578,10 +1618,11 @@ object Catalog {
           "table instead")
       graft.layout.BucketedDml.insertInto(spark, df, dir, keepVersions)
     } else {
-    require(!f.listStatus(dst).exists(s => s.isDirectory &&
-        s.getPath.getName.contains("=")),
-      s"INSERT INTO a hive-partitioned snapshot is unsupported; " +
-        "overwrite the snapshot or use partition-wise tooling")
+    // hive-partitioned snapshots append partition-aware: the staged
+    // write is partitioned by the table's own layout and its leaf files
+    // merge into the linked tree below (new partition VALUES create new
+    // dirs); flat snapshots are the partCols = Nil special case
+    val partCols = partitionColsOf(f, dir)
     // generated columns: compute absent ones, validate provided ones (the
     // overwrite path's rule, applied to the appended rows)
     val gens = readGeneratedPath(spark, dir)
@@ -1592,7 +1633,9 @@ object Catalog {
         if (d.columns.exists(_.equalsIgnoreCase(n))) d
         else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
       }, dir, f)
-    // strict schema-on-append: INSERT can never evolve the table
+    // strict schema-on-append: INSERT can never evolve the table (the
+    // partitioned read's schema includes the partition columns, so the
+    // insert must carry them, matching the inferred partition types)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(x => x.name.toLowerCase -> x.dataType).toMap
     val (curShape, nwShape) =
@@ -1602,7 +1645,9 @@ object Catalog {
         curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
         nwShape.keys.toSeq.sorted.mkString(", "))
     val stage = stagingPath(dir, "-insert")
-    dfGen.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val sw = dfGen.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) sw.partitionBy(partCols: _*) else sw)
+      .parquet(stage.toString)
     val cons = readConstraintsPath(spark, dir) ++
       provided.map { case (n, e) => (s"__generated_$n", s"`$n` <=> ($e)") }
     if (cons.nonEmpty) {
@@ -1614,7 +1659,7 @@ object Catalog {
     // with a linked name aborts rather than overwrites)
     val tmp = stagingPath(dir, "")
     f.mkdirs(tmp)
-    linkDataFiles(f, conf, dst, tmp)
+    linkDataTree(f, conf, dst, tmp)
     // a DV sidecar rides along unchanged: linked files keep their names,
     // so recorded positions stay valid and appended rows are untouched
     val dvDir = new Path(dst, graft.layout.DeletionVectors.DvDirName)
@@ -1622,14 +1667,7 @@ object Catalog {
       org.apache.hadoop.fs.FileUtil.copy(f, dvDir,
         f, new Path(tmp, graft.layout.DeletionVectors.DvDirName),
         false, false, conf)
-    f.listStatus(stage).foreach { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        val d = new Path(tmp, n)
-        require(!f.exists(d), s"append staging name collision: $n")
-        require(f.rename(st.getPath, d), s"append stage move failed: $n")
-      }
-    }
+    mergeStagedTree(f, stage, tmp)
     f.delete(stage, true)
     // carry the skipping manifest forward: the linked files keep their
     // names so their stats stay valid; the appended files are simply

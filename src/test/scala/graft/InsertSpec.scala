@@ -173,6 +173,58 @@ class InsertSpec extends SparkSuite {
     }
   }
 
+  test("INSERT INTO a hive-partitioned snapshot links the tree and merges new files") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-hive"))
+    val dir = cat.path("silver", "h1")
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)).toDF("id", "v", "g")
+      .write.partitionBy("g").parquet(dir)
+    def keys() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq
+          .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+          .flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).map { f =>
+        f.getAbsolutePath -> java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+      }.toMap
+    }
+    val before = keys()
+    // appended rows land in their partition dirs — including a brand-new
+    // partition VALUE — while every existing file survives as an inode
+    Catalog.appendPath(spark,
+      Seq((4L, "d", 2), (5L, "e", 9)).toDF("id", "v", "g"), dir)
+    val after = keys()
+    before.foreach { case (p, k) =>
+      assert(after.get(p).contains(k), s"append rewrote: $p")
+    }
+    assert((after.keySet -- before.keySet).forall(p =>
+      p.contains("g=2") || p.contains("g=9")),
+      "new files must land only in their partition dirs")
+    val got = spark.read.parquet(dir)
+    assert(rowsOf(got.select("id", "v", "g"), "id") == Seq(
+      Seq(1L, "a", 1), Seq(2L, "b", 1), Seq(3L, "c", 2),
+      Seq(4L, "d", 2), Seq(5L, "e", 9)))
+    // partition pruning still works on the appended layout: the filter
+    // lands in the scan's PartitionFilters, not a post-scan data filter
+    val pruned = got.filter(col("g") === 9)
+    pruned.count()
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("g"),
+      s"partition predicate not pushed: $scanLine")
+    // it is a real version: the pre-append state reconstructs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Catalog.readPointer(fs, dir) == 2)
+    assert(spark.read.parquet(
+      Catalog.resolveVersionPath(spark, dir, 1)).count() == 3)
+    // a missing partition column is schema drift, rejected loudly
+    intercept[IllegalArgumentException] {
+      Catalog.appendPath(spark, Seq((6L, "f")).toDF("id", "v"), dir)
+    }
+  }
+
   test("optimistic commit: staging against a stale version aborts, staged work discarded") {
     val wh = tmpDir("graft-occ")
     val cat = new Catalog(spark, wh)
