@@ -32,7 +32,8 @@ object SparkEntry {
     multimodal.Audio.queries ++
     sources.Formats.queries ++
     layout.DataSkipping.queries ++
-    layout.BucketedDml.queries
+    layout.BucketedDml.queries ++
+    layout.FileGranularDml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
     multimodal.Audio.oracles ++
     sources.Formats.oracles ++
     layout.DataSkipping.oracles ++
-    layout.BucketedDml.oracles
+    layout.BucketedDml.oracles ++
+    layout.FileGranularDml.oracles
 }

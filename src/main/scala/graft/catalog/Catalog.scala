@@ -397,14 +397,18 @@ class Catalog(spark: SparkSession, warehouse: String,
         // copy-on-write scoped to the touched buckets — never O(table)
         graft.layout.BucketedDml.deleteWhereCow(spark, dir, cond,
           keepVersions)
+      else if (Catalog.partitionColsOf(fs, dir).isEmpty)
+        // flat snapshot: rewrite only the FILES holding matches, link
+        // the rest — never O(table)
+        graft.layout.FileGranularDml.deleteWhere(spark, dir, cond,
+          keepVersions)
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)
         val c = org.apache.spark.sql.functions.coalesce(cond,
           org.apache.spark.sql.functions.lit(false))
         val matched = t.filter(c).count()
-        // thread the table's own partition layout (read off the dir — the
-        // DmlSql parity): partitionBy = Nil here would silently rewrite a
-        // partition-dir table flat, losing partition pruning
+        // partition-dir trees keep the full rewrite, preserving their
+        // layout (partitionBy read off the dir — the DmlSql parity)
         if (matched > 0)
           Catalog.overwritePath(spark, t.filter(!c), dir,
             Catalog.partitionColsOf(fs, dir), keepVersions,
@@ -427,6 +431,9 @@ class Catalog(spark: SparkSession, warehouse: String,
           keepVersions)
       else if (Catalog.isBucketedLayout(fs, dir))
         graft.layout.BucketedDml.updateWhereCow(spark, dir, cond, assign,
+          keepVersions)
+      else if (Catalog.partitionColsOf(fs, dir).isEmpty)
+        graft.layout.FileGranularDml.updateWhere(spark, dir, cond, assign,
           keepVersions)
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)

@@ -199,6 +199,33 @@ object DataSkipping {
     require(f.rename(tmp, dst), s"stats manifest commit failed: $dst")
   }
 
+  /** Carry the manifest into a STAGED snapshot keeping only `surviving`
+    * files' entries — file-granular DML removes files, and a stale entry
+    * would make a pruned read chase a vanished name (unlike stale STATS,
+    * which only widen IO). Pure text filter, no re-profiling; the
+    * rewritten files read unprofiled until the next analyzeIncremental,
+    * exactly like appended files. */
+  private[graft] def carryManifest(spark: SparkSession, srcDir: String,
+      stagedDir: Path, surviving: Set[String]): Unit = {
+    val f = new Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = manifestPath(srcDir)
+    if (!f.exists(p)) return
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val kept = lines.tail.filter(l =>
+      surviving.contains(unb64(l.split("\t", -1)(0))))
+    if (kept.isEmpty) return
+    val dstDir = new Path(stagedDir, "_skipping")
+    f.mkdirs(dstDir)
+    val out = f.create(new Path(dstDir, "stats.tsv"), true)
+    try out.write((lines.head + "\n" + kept.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** One column-pruned distributed pass; stats land in
     * `<dir>/_skipping/stats.tsv` (tmp + rename). Returns the number of data
     * files profiled. Re-running replaces the manifest (ANALYZE semantics). */

@@ -25,15 +25,19 @@ import org.apache.spark.sql.types.LongType
   *     rows (every row when no WHERE), cast to the column's existing type;
   *     all other columns and rows pass through. Returns num_affected_rows.
   *
-  * Scale: both lower to ONE distributed scan-and-rewrite of the table —
-  * map-only (no shuffle, no driver data) plus the swap's renames. Delta
-  * narrows the rewrite to files whose stats admit a match; composing the
-  * same narrowing with [[graft.layout.DataSkipping]]'s manifest is the
-  * file-granular upgrade path (prune files driver-side, union untouched
-  * files' contents by reference) — the full-snapshot rewrite keeps exactly
-  * Delta's semantics at partition-copy cost, which the bench holds at
-  * sf0.1. The affected-row count is a column-pruned pre-count of the
-  * condition (same metadata-style scan Delta's metrics do). */
+  * Scale: the lowering is layout-routed, never O(table) —
+  *   - flat snapshots: FILE-GRANULAR rewrite
+  *     ([[graft.layout.FileGranularDml]]) — one probe finds the files
+  *     holding matches, untouched files hard-link into the new version,
+  *     only matched files rewrite (Delta's narrowed-rewrite shape);
+  *   - bucketed layouts: per-bucket rewrite or per-bucket DV sidecars
+  *     ([[graft.layout.BucketedDml]]);
+  *   - merge-on-read mode: position sidecars, zero data movement
+  *     ([[graft.layout.DeletionVectors]]);
+  *   - partition-dir trees: full rewrite preserving the partition layout
+  *     (the remaining O(table) case; partition-wise narrowing is the
+  *     upgrade path).
+  * The affected-row count rides the probe (one column-pruned job). */
 object DmlRunner {
 
   private def resolveTarget(spark: SparkSession, table
@@ -69,6 +73,10 @@ object DmlRunner {
           GraftShims.column(d.condition), alias = Some(aliasName))
       else if (bucketed)
         graft.layout.BucketedDml.deleteWhereCow(spark, dir,
+          GraftShims.column(d.condition), alias = Some(aliasName))
+      else if (partCols.isEmpty)
+        // flat snapshot: file-granular rewrite (touched files only)
+        graft.layout.FileGranularDml.deleteWhere(spark, dir,
           GraftShims.column(d.condition), alias = Some(aliasName))
       else {
         val t = graft.layout.DeletionVectors.readPath(spark, dir)
@@ -120,6 +128,11 @@ object DmlRunner {
           alias = Some(aliasName))
       else if (bucketed)
         graft.layout.BucketedDml.updateWhereCow(spark, dir, cond,
+          u.assignments.map(a =>
+            keyName(a.key) -> GraftShims.column(a.value)),
+          alias = Some(aliasName))
+      else if (partCols.isEmpty)
+        graft.layout.FileGranularDml.updateWhere(spark, dir, cond,
           u.assignments.map(a =>
             keyName(a.key) -> GraftShims.column(a.value)),
           alias = Some(aliasName))
