@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.SkewQueries.queries ++
     operators.SearchQueries.queries ++
+    operators.GraphQueries.queries ++
     multimodal.Multimodal.queries ++
     multimodal.Audio.queries ++
     sources.Formats.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     operators.Similarity.oracles ++
     operators.SkewQueries.oracles ++
     operators.SearchQueries.oracles ++
+    operators.GraphQueries.oracles ++
     multimodal.Multimodal.oracles ++
     multimodal.Audio.oracles ++
     sources.Formats.oracles ++

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph centrality over relationship graphs mined from the warehouse —
+  * the power-iteration counterpart to the pointer-doubling connected
+  * components in [[Dedup]]. A training-data pipeline uses exactly this
+  * pair: CC to FORM duplicate/citation clusters, centrality to RANK
+  * inside them (e.g. picking the canonical page of a link cluster, or
+  * weighting sources by authority before mixture sampling).
+  *
+  * PageRank (Page et al. 1999) here runs on the customer↔supplier
+  * trade graph: each `orders ⋈ lineitem` row is an edge occurrence
+  * between `o_custkey` and `l_suppkey`, edges are symmetrized (both
+  * directions carry the co-occurrence count as weight), and rank flows
+  * for a FIXED number of damped iterations.
+  *
+  * Arithmetic is the q88/q89 integer-exact recipe so the oracle hashes:
+  * ranks live at parts-per-billion scale (start 1e9), a node's
+  * contribution along an edge is `rank * w DIV wout` (exact BIGINT),
+  * and the damped update is `0.15e9 + 85 * Σcontrib DIV 100`. Every
+  * step is order-independent integer math — no doubles anywhere.
+  * Because the graph is symmetrized there are no dangling nodes, and
+  * the node set is exactly the edge endpoints, so total rank stays
+  * bounded and every node survives every round.
+  *
+  * Scale shape: the edge frame (with per-source out-weights attached)
+  * is computed ONCE, cached, and reused by all iterations — the loop
+  * moves only the O(nodes) rank frame. Each round is one shuffle join
+  * (ranks ⋈ edges on the source) + one two-phase sum by destination; on
+  * a cluster you would bucket the edge table by `src` so every round's
+  * join is co-located (the same layout contract as
+  * `PartitionedMerge`). Plan growth across rounds is linear in the
+  * iteration count and the count is a small constant (3) — no
+  * checkpointing needed, unlike the data-dependent CC loop. */
+object GraphQueries {
+
+  /** Symmetric weighted trade edges: (src, dst, w) with w = number of
+    * lineitems between the customer and the supplier; node ids are
+    * prefixed (`C<custkey>` / `S<suppkey>`) into one namespace. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .select(
+        concat(lit("C"), col("o_custkey")).as("c"),
+        concat(lit("S"), col("l_suppkey")).as("s"))
+      .groupBy("c", "s").agg(count(lit(1)).as("w"))
+    pairs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst"),
+        col("w")))
+  }
+
+  /** Damped power iteration on the symmetrized trade graph; returns
+    * (node, rank_ppb) for every edge endpoint, ordered by node. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val out = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val ew = edges.join(out, Seq("src")).cache()
+    var ranks = ew.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      ranks = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank * w DIV wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"),
+          expr("150000000 + 85 * cs DIV 100").as("rank"))
+    }
+    val res = ranks.select(col("node"), col("rank").as("rank_ppb"))
+      .orderBy("node")
+    ew.unpersist()
+    res
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    // identical integer-ppb updates, same symmetrized edge build — the
+    // three unrolled iteration CTEs are the Spark loop verbatim
+    "q143_pagerank" ->
+      """WITH p AS (
+           SELECT 'C' || o_custkey AS c, 'S' || l_suppkey AS s,
+             count(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         e AS (
+           SELECT c AS src, s AS dst, w FROM p
+           UNION ALL
+           SELECT s AS src, c AS dst, w FROM p),
+         o AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+         ew AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN o USING (src)),
+         r0 AS (
+           SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS rank
+           FROM ew),
+         r1 AS (
+           SELECT dst AS node,
+             150000000 + 85 * sum(rank * w // wout) // 100 AS rank
+           FROM ew JOIN r0 ON ew.src = r0.node GROUP BY dst),
+         r2 AS (
+           SELECT dst AS node,
+             150000000 + 85 * sum(rank * w // wout) // 100 AS rank
+           FROM ew JOIN r1 ON ew.src = r1.node GROUP BY dst),
+         r3 AS (
+           SELECT dst AS node,
+             150000000 + 85 * sum(rank * w // wout) // 100 AS rank
+           FROM ew JOIN r2 ON ew.src = r2.node GROUP BY dst)
+         SELECT node, CAST(rank AS BIGINT) AS rank_ppb
+         FROM r3 ORDER BY node"""
+  )
+}

@@ -159,10 +159,65 @@ object SearchQueries {
       .select("doc_id", "lex_rank", "sem_rank", "rrf")
   }
 
+  /** DSIR importance weighting (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution (here: the `lang = targetLang` slice — "select raw docs
+    * that look like the high-resource target") than under the raw-corpus
+    * distribution, then resample the top-k. The paper uses hashed n-gram
+    * bag-of-words features with add-1 smoothing; this uses the word
+    * unigram features directly (no hashing — the feature space already
+    * fits, and hash functions are engine-specific so hashed buckets could
+    * not be oracle-checked).
+    *
+    * Arithmetic is the q88/q89 recipe: the per-word likelihood ratio
+    * `((ct+1)/(Nt+V)) / ((cr+1)/(Nr+V))` is cross-multiplied into ONE
+    * integer-ppm division `(ct+1)*(Nr+V)*1e6 DIV (cr+1)*(Nt+V)` — exact
+    * BIGINT in both engines (headroom to ~1e6-token corpora at ppm scale;
+    * the log-domain double variant DSIR itself uses is what you'd flip to
+    * past that, trading oracle exactness for range). Per-doc weight is the
+    * mean token ratio — a sum of exact longs, order-independent.
+    *
+    * Scale shape: vocabulary stats are one two-phase aggregation; corpus
+    * totals (Nr, Nt, V) are a broadcast single-row frame (the q88 `global`
+    * precedent); the token→ratio lookup is corpus ⋈ vocab on the word —
+    * AQE-planned shuffle join, nothing corpus-derived is force-broadcast.
+    * The resampling ACTION is `ORDER BY LIMIT k` (TakeOrderedAndProject,
+    * no global sort) joined back as a bounded broadcast list (the q89
+    * top-vocab pattern). */
+  def dsirWeight(spark: SparkSession, dir: String,
+      targetLang: String = "en", topK: Int = 100): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("lang") === targetLang).cast("long").as("is_t"),
+        explode(words(col("text"))).as("w"))
+    val vocab = toks.groupBy("w")
+      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val ratio = vocab.crossJoin(broadcast(totals))
+      .select(col("w"),
+        expr("(ct + 1) * (nr + v) * 1000000 DIV ((cr + 1) * (nt + v))")
+          .as("r_ppm"))
+    val scored = toks.join(ratio, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("r_ppm")).as("wsum"))
+      .select(col("doc_id"), col("n_words"),
+        expr("wsum DIV n_words").as("dsir_ppm"))
+    val top = scored.orderBy(col("dsir_ppm").desc, col("doc_id").asc)
+      .limit(topK).select(col("doc_id"), lit(1L).as("__sel"))
+    scored.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dsir_ppm"),
+        coalesce(col("__sel"), lit(0L)).as("picked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)),
-    "q97_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)))
+    "q97_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "q142_dsir_weight" -> ((s: SparkSession, d: String) => dsirWeight(s, d)))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
@@ -284,5 +339,32 @@ object SearchQueries {
             CAST(coalesce(1000000000 // (60 + lex_rank), 0)
                + coalesce(1000000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf
           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-          ORDER BY rrf DESC, doc_id LIMIT 25""")
+          ORDER BY rrf DESC, doc_id LIMIT 25""",
+    // same cross-multiplied integer-ppm likelihood ratio, same BIGINT
+    // divisions and top-k list — no floating point anywhere (DuckDB's
+    // HUGEINT sums are cast back at the boundary)
+    "q142_dsir_weight" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+              unnest($wordsSql) AS w
+            FROM documents),
+          c AS (SELECT w, count(*) AS cr, sum(is_t) AS ct FROM w GROUP BY w),
+          g AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM c),
+          r AS (
+            SELECT w,
+              (ct + 1) * (nr + v) * 1000000 // ((cr + 1) * (nt + v)) AS r_ppm
+            FROM c CROSS JOIN g),
+          d AS (
+            SELECT doc_id, count(*) AS n_words, sum(r_ppm) AS wsum
+            FROM w JOIN r USING (w) GROUP BY doc_id),
+          s AS (
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              CAST(wsum // n_words AS BIGINT) AS dsir_ppm
+            FROM d),
+          t AS (SELECT doc_id FROM s ORDER BY dsir_ppm DESC, doc_id LIMIT 100)
+          SELECT doc_id, n_words, dsir_ppm,
+            CAST(CASE WHEN doc_id IN (SELECT doc_id FROM t)
+              THEN 1 ELSE 0 END AS BIGINT) AS picked
+          FROM s ORDER BY doc_id""")
 }

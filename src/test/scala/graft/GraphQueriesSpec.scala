@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphQueries, SearchQueries}
+
+/** Invariants for PageRank (q143) and DSIR importance weighting (q142)
+  * beyond the driver's hash-compare: exact hand-computed fixed points /
+  * planted-distribution separations, plus the conservation law the
+  * integer-ppb update must respect. */
+class GraphQueriesSpec extends SparkSuite {
+
+  private def writeTrade(dir: String,
+      orders: Seq[(Long, Long)], lineitem: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    lineitem.toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("pagerank: two-node symmetric graph is an exact fixed point") {
+    val dir = tmpDir("pr2") + "/d"
+    // one order by customer 7, one lineitem from supplier 3 → C7 ↔ S3
+    writeTrade(dir, Seq((1L, 7L)), Seq((1L, 3L)))
+    // contrib = 1e9 DIV 1; update = 0.15e9 + 85*1e9 DIV 100 = 1e9 exactly
+    val out = GraphQueries.pageRank(spark, dir, iters = 4).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("C7", "S3"))
+    assert(out.forall(_.getAs[Long]("rank_ppb") == 1000000000L))
+  }
+
+  test("pagerank: star hub gets the mass, leaves split it — exact") {
+    val dir = tmpDir("prstar") + "/d"
+    // three customers, one supplier: C1, C2, C3 each ↔ S9 (w = 1)
+    writeTrade(dir, Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      Seq((1L, 9L), (2L, 9L), (3L, 9L)))
+    val out = GraphQueries.pageRank(spark, dir, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rank_ppb")).toMap
+    // hub: 0.15e9 + 85 * (3 * 1e9) DIV 100
+    assert(out("S9") == 150000000L + 85L * 3000000000L / 100L)
+    // each leaf: hub's 1e9 splits 3 ways (DIV truncates), then damped
+    val leaf = 150000000L + 85L * (1000000000L / 3L) / 100L
+    assert(Seq("C1", "C2", "C3").forall(out(_) == leaf))
+  }
+
+  test("pagerank on sf0.001: mass conserved, hubs rank above leaves") {
+    val out = GraphQueries.pageRank(spark, sf0001).cache()
+    val n = out.count()
+    val total = out.agg(sum("rank_ppb")).head.getLong(0)
+    // truncation only loses ppb fractions: per node per round ≤ ~1 ppb
+    // per in-edge; bound generously at 0.1% of total mass
+    val ideal = n * 1000000000L
+    assert(total <= ideal && total > ideal - ideal / 1000)
+    // suppliers are ~15× higher degree than customers in the trade
+    // graph — the top of the ranking must be all suppliers
+    val top = out.orderBy(col("rank_ppb").desc).limit(10).collect()
+    assert(top.forall(_.getString(0).startsWith("S")))
+    // determinism: a second run is bit-identical
+    val again = GraphQueries.pageRank(spark, sf0001)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("dsir: planted two-language corpus separates exactly") {
+    import spark.implicits._
+    val dir = tmpDir("dsir") + "/d"
+    val docs = (0L to 4L).map(i => (i, "alpha alpha alpha", "en")) ++
+      (5L to 9L).map(i => (i, "beta beta beta", "de"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SearchQueries.dsirWeight(spark, dir, "en", topK = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dsir_ppm"), r.getAs[Long]("picked"))).toMap
+    // cr(alpha)=15 ct=15, cr(beta)=15 ct=0, Nr=30 Nt=15 V=2:
+    // ratio(alpha) = 16*32e6 DIV (16*17) = 1882352 ppm
+    // ratio(beta)  =  1*32e6 DIV (16*17) =  117647 ppm
+    (0L to 4L).foreach(i => assert(out(i) == (1882352L, 1L)))
+    (5L to 9L).foreach(i => assert(out(i) == (117647L, 0L)))
+  }
+
+  test("dsir on sf0.001: every doc scored once, top-k flag is exact") {
+    val out = SearchQueries.dsirWeight(spark, sf0001, "en", topK = 25)
+      .cache()
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.count(_.getAs[Long]("picked") == 1L) == 25)
+    // the picked set IS the top-25 by (dsir desc, doc_id asc)
+    val byScore = rows.sortBy(r =>
+      (-r.getAs[Long]("dsir_ppm"), r.getAs[Long]("doc_id"))).take(25)
+    assert(byScore.forall(_.getAs[Long]("picked") == 1L))
+    out.unpersist()
+  }
+}
