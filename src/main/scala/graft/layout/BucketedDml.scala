@@ -441,6 +441,108 @@ object BucketedDml {
     } finally { if (fs.exists(rowStage)) fs.delete(rowStage, true); () }
   }
 
+  /** `INSERT INTO t REPLACE WHERE <cond> <query>` on a bucketed table —
+    * in Delta, replaceWhere is PRIMARILY a partitioned-table operation
+    * (swap a region atomically), so the bucketed gold dims should not be
+    * the one layout that lacks it. One atomic version: the predicate
+    * region is deleted copy-on-write from the buckets that hold it, the
+    * validated insert rows are hash-routed to their destination buckets
+    * (`pmod(hash(keys), n)` from the layout manifest), and ONLY the
+    * union of those buckets swaps — untouched buckets keep their inodes
+    * and their pending DV sidecars; touched buckets fold their sidecars
+    * away in the rewrite (the flat eager path's rule).
+    *
+    * Semantics follow the flat [[graft.sql.GraftReplaceWhereCommand]]:
+    * every inserted row must satisfy the predicate (validated against
+    * the STAGED files so a non-deterministic query cannot pass
+    * validation and then materialize different rows); rows where the
+    * predicate is NULL do not match and are KEPT (3VL). Returns the
+    * number of removed rows. */
+  def replaceWhere(spark: SparkSession, dir: String, condSql: String,
+      insert: DataFrame, providedGenerated: Seq[(String, String)] = Nil,
+      keepVersions: Int = 10): Long = Catalog.raceToConflictShim(dir) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    require(fs.exists(new Path(dir)), s"no table at $dir")
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    require(PartitionedMerge.readBucketMeta(spark, dir).nonEmpty,
+      s"REPLACE WHERE on bucketed table $dir requires its bucket-layout " +
+        "manifest (<path>.buckets); rewrite via PartitionedMerge.write " +
+        "to record it")
+    require(!insert.columns.exists(_.equalsIgnoreCase(BucketCol)),
+      s"REPLACE WHERE insert must not carry the bucket column $BucketCol")
+    // strict schema-on-write against the LOGICAL table (insertInto's rule)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.filterNot(_.name.equalsIgnoreCase(BucketCol))
+        .map(x => x.name.toLowerCase -> x.dataType).toMap
+    require(shape(PartitionedMerge.readRaw(spark, dir).schema) ==
+        shape(insert.schema),
+      s"REPLACE WHERE on $dir schema mismatch: insert carries " +
+        insert.columns.sorted.mkString(", "))
+    val cond = coalesce(expr(condSql), lit(false))
+    val routed = routeBuckets(spark, dir, insert)
+    val rowStage = Catalog.stagingPathShim(dir, "-replace")
+    routed.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(rowStage.toString)
+    try {
+      val staged = spark.read.parquet(rowStage.toString)
+      val outside = staged
+        .filter(!coalesce(expr(condSql), lit(false))).count()
+      require(outside == 0,
+        s"REPLACE WHERE: $outside inserted row(s) violate the predicate " +
+          s"($condSql) — the statement replaces ONLY that region")
+      val cons = writeConstraints(spark, dir, providedGenerated)
+      if (cons.nonEmpty) Catalog.enforce(staged, cons, dir)
+      val live = taggedLive(spark, dir, None)
+      // one job: touched buckets + removed count together
+      val bucketCounts = live.filter(cond).groupBy(BucketCol).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val oldBuckets = bucketCounts.map(_._1)
+      val affected = bucketCounts.map(_._2).sum
+      val newBuckets = fs.listStatus(rowStage).map(_.getPath.getName)
+        .filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
+      val touched = (oldBuckets ++ newBuckets).distinct.sorted
+      if (touched.isEmpty) 0L // empty region AND empty insert: no version
+      else {
+        val tmp = dir + ".tmp-merge-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        try {
+          // copy-on-write survivors of the touched buckets (3VL: NULL
+          // predicate rows do NOT match and are kept)
+          val slice = live
+            .filter(col(BucketCol).isin(touched.map(Int.box): _*))
+            .filter(!cond)
+          slice.select(dataColumns(slice).map(col) :+ col(BucketCol): _*)
+            .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+            .parquet(tmp)
+          // staged insert part files move into their buckets' staged dirs
+          fs.listStatus(rowStage).map(_.getPath)
+            .filter(_.getName.startsWith(s"$BucketCol=")).foreach { sb =>
+              val stagedB = new Path(tmp, sb.getName)
+              fs.mkdirs(stagedB) // destination bucket may be brand new
+              fs.listStatus(sb).foreach { st =>
+                val fn = st.getPath.getName
+                if (!fn.startsWith("_") && !fn.startsWith(".")) {
+                  val d = new Path(stagedB, fn)
+                  require(!fs.exists(d),
+                    s"bucketed replace staging collision: $fn")
+                  require(fs.rename(st.getPath, d),
+                    s"bucketed replace stage move failed: $fn")
+                }
+              }
+            }
+          PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
+            keepVersions)
+          affected
+        } catch { case e: Throwable =>
+          if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+          throw e
+        }
+      }
+    } finally { if (fs.exists(rowStage)) fs.delete(rowStage, true); () }
+  }
+
   // -------------------------------------------------- oracle surface
 
   /** q139 — the bucketed GDPR lifecycle the round exists for: a bucketed

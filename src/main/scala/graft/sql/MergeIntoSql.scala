@@ -613,25 +613,31 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
     // into the rewritten snapshot whenever the transparent DvApplyRule is
     // not in play — and REPLACE WHERE's overwrite drops the sidecar.
     val cur = graft.layout.DeletionVectors.readPath(spark, dir)
-    val target = cur.schema
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketed = graft.catalog.Catalog.isBucketedLayout(fs0, dir)
+    // on a bucketed layout the bucket column is physical layout, not
+    // data — the insert query aligns against the LOGICAL fields and the
+    // per-bucket path re-routes rows itself
+    val bucketCol = graft.merge.PartitionedMerge.BucketCol
+    val targetFields = cur.schema.fields.filterNot(f =>
+      bucketed && f.name.equalsIgnoreCase(bucketCol))
     val gens = graft.catalog.Catalog.readGeneratedPath(spark, dir)
     val idents = graft.catalog.Catalog.readIdentityPath(spark, dir)
-    val stagedAgainst = graft.catalog.Catalog
-      .historyRows(spark, dir).filter(_._2).map(_._1).headOption.getOrElse(1)
     // positional alignment (INSERT's rule), generated columns computed so
     // the union below is schema-complete; identity columns cannot be
     // synthesized for a PARTIAL rewrite deterministically mid-plan, so
     // they must come from the query (or not exist)
     val src = GraftShims.ofRows(spark, query)
-    val writable = target.fields.filterNot(f =>
+    val writable = targetFields.filterNot(f =>
       gens.exists(_._1.equalsIgnoreCase(f.name)))
     val named =
-      if (src.columns.length == target.fields.length)
-        src.toDF(target.fields.map(_.name).toSeq: _*)
+      if (src.columns.length == targetFields.length)
+        src.toDF(targetFields.map(_.name).toSeq: _*)
       else if (src.columns.length == writable.length)
         src.toDF(writable.map(_.name).toSeq: _*)
       else throw new IllegalArgumentException(
-        s"REPLACE WHERE insert needs ${target.fields.length} columns " +
+        s"REPLACE WHERE insert needs ${targetFields.length} columns " +
           s"(or ${writable.length} skipping generated), got " +
           s"${src.columns.length}")
     require(idents.forall(i => named.columns.exists(_.equalsIgnoreCase(i._1))),
@@ -641,9 +647,22 @@ case class GraftReplaceWhereCommand(nameParts: Seq[String], cond: String,
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
       else d.withColumn(n, expr(e))
     }
-    val aligned = filled.select(target.fields.map(f =>
+    val aligned = filled.select(targetFields.map(f =>
       filled(filled.columns.find(_.equalsIgnoreCase(f.name)).get)
         .cast(f.dataType).as(f.name)).toSeq: _*)
+    if (bucketed) {
+      // per-bucket region swap: CoW-delete the predicate region from its
+      // buckets + hash-route the (staged, validated) insert rows, one
+      // swapBuckets version — untouched buckets keep their inodes
+      val provided = gens.filter { case (n, _) =>
+        named.columns.exists(_.equalsIgnoreCase(n)) }
+      graft.layout.BucketedDml.replaceWhere(spark, dir, cond, aligned,
+        provided)
+      GraftSql.refreshTarget(spark, nameParts, dir)
+      return Seq.empty
+    }
+    val stagedAgainst = graft.catalog.Catalog
+      .historyRows(spark, dir).filter(_._2).map(_._1).headOption.getOrElse(1)
     // Stage the insert query's rows ONCE, then validate and commit from
     // the staged files — a non-deterministic query (rand(), a source
     // mutating between actions) would otherwise pass the validation count

@@ -362,4 +362,70 @@ class BucketedDmlSpec extends SparkSuite {
     assert(spanAfter < spanBefore * 0.6,
       s"z-order did not tighten spans: $spanBefore -> $spanAfter")
   }
+
+  test("REPLACE WHERE: region swap in one version, untouched buckets keep inodes") {
+    val (path, _) = mkTable(100)
+    val before = dataFileKeys(path)
+    val b5 = bucketOf(5)
+    val n = BucketedDml.replaceWhere(spark, path, "k = 5",
+      Seq((5L, "V5", 99)).toDF("k", "v", "g"))
+    assert(n == 1)
+    val now = PartitionedMerge.read(spark, path)
+    assert(now.count() == 100)
+    assert(rowsOf(now.filter(col("k") === 5)) == Seq(Seq(5L, "V5", 99)))
+    // every data file OUTSIDE the k=5 bucket survived with its inode
+    val after = dataFileKeys(path)
+    before.filterNot(_._1.contains(s"gbucket=$b5")).foreach {
+      case (p, k) => assert(after.get(p).contains(k),
+        s"untouched-bucket file rewritten: $p")
+    }
+    // a real version: the pre-replace image reconstructs
+    assert(rowsOf(PartitionedMerge.readVersion(spark, path, 1)
+      .filter(col("k") === 5)) == Seq(Seq(5L, "v5", 0)))
+    // an inserted row OUTSIDE the predicate aborts the whole statement
+    intercept[IllegalArgumentException] {
+      BucketedDml.replaceWhere(spark, path, "k = 6",
+        Seq((7L, "x", 0)).toDF("k", "v", "g"))
+    }
+    assert(PartitionedMerge.read(spark, path).count() == 100)
+  }
+
+  test("REPLACE WHERE folds the touched bucket's DV sidecar, keeps the others") {
+    val (path, _) = mkTable(40)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // MoR delete first: g==1 rows (k = 1, 6, …, 36) → sidecars in
+    // several buckets
+    assert(BucketedDml.deleteWhereMor(spark, path, col("g") === 1) == 8)
+    val dvBefore = PartitionedMerge.liveBucketDirs(fs, path).filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_dv"))).map(_.getName)
+    assert(dvBefore.nonEmpty)
+    // replace the k=2 region (g = 2, not DV-deleted): its bucket
+    // rewrites DV-applied, every other sidecar rides on untouched
+    val b2 = bucketOf(2)
+    assert(BucketedDml.replaceWhere(spark, path, "k = 2",
+      Seq((2L, "NEW", 0)).toDF("k", "v", "g")) == 1)
+    val dvAfter = PartitionedMerge.liveBucketDirs(fs, path).filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_dv"))).map(_.getName)
+    assert(!dvAfter.contains(s"gbucket=$b2"))
+    assert(dvBefore.filterNot(_ == s"gbucket=$b2").forall(dvAfter.contains))
+    val now = PartitionedMerge.read(spark, path)
+    assert(now.filter(col("g") === 1).count() == 0,
+      "rewrite must not resurrect DV-deleted rows")
+    assert(rowsOf(now.filter(col("k") === 2)) == Seq(Seq(2L, "NEW", 0)))
+    assert(now.count() == 40 - 8)
+  }
+
+  test("REPLACE WHERE under 3VL keeps NULL-predicate rows in the touched bucket") {
+    val path = tmpDir("bdml3vl") + "/t"
+    // two rows that share a bucket: one matches g = 2, one has g NULL
+    val df = Seq((1L, "a", Some(2)), (2L, "b", None))
+      .toDF("k", "v", "g")
+    PartitionedMerge.write(df, path, keys, 1)
+    val n = BucketedDml.replaceWhere(spark, path, "g = 2",
+      Seq((9L, "c", Some(2))).toDF("k", "v", "g"))
+    assert(n == 1)
+    assert(rowsOf(PartitionedMerge.read(spark, path), "k") ==
+      Seq(Seq(2L, "b", null), Seq(9L, "c", 2)))
+  }
 }

@@ -325,6 +325,34 @@ class InsertSpec extends SparkSuite {
     spark.sql("DROP TABLE silver.rwn")
   }
 
+  test("REPLACE WHERE routes bucketed layouts through the per-bucket swap") {
+    import graft.merge.PartitionedMerge
+    val wh = tmpDir("graft-rw-bkt")
+    val dir = s"$wh/gold/brw"
+    PartitionedMerge.write(Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "a", 3.0)).toDF("id", "grp", "x"), dir, Seq("id"), 4)
+    spark.sql("CREATE SCHEMA IF NOT EXISTS gold")
+    spark.sql(s"CREATE TABLE gold.brw USING parquet LOCATION '$dir'")
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO gold.brw REPLACE WHERE grp = 'a' VALUES (9, 'a', 9.0)")
+    assert(rowsOf(PartitionedMerge.read(spark, dir), "id") ==
+      Seq(Seq(2L, "b", 2.0), Seq(9L, "a", 9.0)))
+    // the layout survives (still bucket-partitioned) and is versioned
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.catalog.Catalog.isBucketedLayout(f, dir))
+    assert(rowsOf(PartitionedMerge.readVersion(spark, dir, 1), "id") ==
+      Seq(Seq(1L, "a", 1.0), Seq(2L, "b", 2.0), Seq(3L, "a", 3.0)))
+    // Delta's rule holds on the bucketed path too: an inserted row
+    // outside the predicate aborts the whole statement
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO gold.brw REPLACE WHERE grp = 'a' VALUES (10, 'b', 1.0)")
+    }
+    assert(PartitionedMerge.read(spark, dir).count() == 2)
+    spark.sql("DROP TABLE IF EXISTS gold.brw")
+  }
+
   test("appends preserve the skipping manifest; new files read unpruned") {
     val cat = new Catalog(spark, tmpDir("graft-ins-skip"))
     cat.overwriteSnapshot((1L to 50L).map(i => (i, i * 1.0))
