@@ -22,14 +22,20 @@ import graft.catalog.{Catalog, ChangeFeed}
   *   .option("feed", "rows"|"cdc") // default rows
   *   .option("keys", "id")         // cdc: keyed diff (pre/postimages)
   *   .option("maxVersionsPerTrigger", "2") // bound catch-up batches
+  *   .option("maxBytesPerTrigger", "134217728") // soft byte bound
   *   .load()
   * ```
   *
   * `maxVersionsPerTrigger` (Delta's `maxFilesPerTrigger` parity): after
   * downtime on a busy table, the backlog drains over several bounded
   * micro-batches of at most N versions each instead of one unbounded
-  * batch. The initial snapshot stays a single batch (it reads the LIVE
-  * version; pointing it lower could fall below the retention window).
+  * batch. `maxBytesPerTrigger` (same Delta option) bounds a batch by the
+  * PHYSICAL diff bytes of the versions it admits — whole versions are
+  * admitted until the next one would cross the budget, but always at
+  * least one (Delta's soft-bound rule: one oversized commit drains
+  * rather than stalling). Both caps compose; the initial snapshot stays
+  * a single batch (it reads the LIVE version; pointing it lower could
+  * fall below the retention window).
   *
   * Offsets ARE committed versions (one long — the version log is the
   * write-ahead log a streaming source wants): `getOffset` reads the
@@ -93,20 +99,27 @@ class GraftTableSourceProvider extends StreamSourceProvider
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
+    val maxBytes = parameters.get("maxBytesPerTrigger").map { v =>
+      val n = v.trim.toLong
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
+      n
+    }
     new GraftTableSource(sqlContext, dir,
       cdc = parameters.getOrElse("feed", "rows") == "cdc",
       keys = parameters.get("keys").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       dataSchema = schema.getOrElse(baseSchema(sqlContext, dir)),
       metadataPath = metadataPath,
-      maxVersionsPerTrigger = maxVersions)
+      maxVersionsPerTrigger = maxVersions,
+      maxBytesPerTrigger = maxBytes)
   }
 }
 
 class GraftTableSource(sqlContext: SQLContext, dir: String,
     cdc: Boolean, keys: Seq[String], dataSchema: StructType,
     metadataPath: String = "",
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -127,9 +140,12 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
     * batch start — a value ahead of the committed offset (offset logged,
     * batch failed) just means one trigger admits fewer versions, no skip
     * and no re-delivery. */
+  private def rateLimited: Boolean =
+    maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
+
   private val admissionFile =
-    if (metadataPath.isEmpty) None
-    else maxVersionsPerTrigger.map(_ => new Path(metadataPath, "graft_admission"))
+    if (metadataPath.isEmpty || !rateLimited) None
+    else Some(new Path(metadataPath, "graft_admission"))
 
   private var lastEmitted: Option[Long] = admissionFile.flatMap { p =>
     val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -150,16 +166,64 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
     }
   }
 
+  /** Relative path → size for every DATA file under a version dir (the
+    * `gbucket=` level of bucketed layouts included; `_`/`.` metadata
+    * names skipped). Driver-side listing of ONE version dir — the same
+    * bounded cost `DESCRIBE HISTORY` pays per row. */
+  private def fileSizes(root: Path): Map[String, Long] = {
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path, prefix: String): Seq[(String, Long)] =
+      f.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          val rel = prefix + s.getPath.getName
+          if (s.isDirectory) walk(s.getPath, rel + "/")
+          else Seq(rel -> s.getLen)
+        }
+    if (!f.exists(root)) Map.empty else walk(root, "").toMap
+  }
+
+  /** Bytes NEW in version `v` relative to `v-1` (hard-linked survivors
+    * share names, so a name-diff is the physical diff) — the byte cost a
+    * batch covering `v` adds. */
+  private def versionDiffBytes(v: Long): Long = {
+    val now = fileSizes(new Path(
+      Catalog.resolveVersionPath(spark, dir, v.toInt)))
+    val prev = fileSizes(new Path(
+      Catalog.resolveVersionPath(spark, dir, v.toInt - 1)))
+    now.collect { case (n, len) if !prev.contains(n) => len }.sum
+  }
+
   override def getOffset: Option[Offset] = {
     val v = Catalog.readPointer(fs, dir)
     if (v < 1) None
     else {
-      val capped = (lastEmitted, maxVersionsPerTrigger) match {
+      val capped = lastEmitted match {
         // the INITIAL batch is the full snapshot at the live version
         // (Delta's initial-snapshot rule) — capping it to an old version
         // could point below the retention window; admission control
         // bounds the incremental batches that follow
-        case (Some(prev), Some(m)) => math.min(v.toLong, prev + m)
+        case Some(prev) if rateLimited && v > prev =>
+          val byCount = maxVersionsPerTrigger
+            .map(m => math.min(v.toLong, prev + m)).getOrElse(v.toLong)
+          // SOFT byte bound (Delta's maxBytesPerTrigger rule): admit
+          // whole versions until the NEXT one would cross the budget,
+          // but always at least one — a single oversized commit still
+          // drains instead of stalling the stream
+          maxBytesPerTrigger match {
+            case None => byCount
+            case Some(budget) =>
+              var admit = prev + 1 // progress guarantee
+              var bytes = versionDiffBytes(admit)
+              var room = true
+              while (room && admit < byCount) {
+                val d = versionDiffBytes(admit + 1)
+                if (bytes + d <= budget) { admit += 1; bytes += d }
+                else room = false
+              }
+              admit
+          }
         case _ => v.toLong
       }
       if (!lastEmitted.contains(capped)) advanceCursor(capped)

@@ -202,6 +202,65 @@ class TableSourceSpec extends SparkSuite {
     assert(drainOnce(stream, out, ckpt).count() == 7)
   }
 
+  test("maxBytesPerTrigger: soft byte bound, one version per batch at minimum") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "a")).toDF("id", "v"), "silver", "s7")
+    val dir = cat.path("silver", "s7")
+    val ckpt = tmpDir("tsrc-ckpt7")
+    val out = tmpDir("tsrc-out7") + "/sink"
+    // a 1-byte budget is always exceeded by the NEXT version — the soft
+    // bound must still admit exactly one version per trigger (progress),
+    // never zero and never two
+    def stream = spark.readStream.format("graft-table")
+      .option("path", dir).option("maxBytesPerTrigger", "1").load()
+    drainOnce(stream, out, ckpt)
+    (2L to 5L).foreach { i =>
+      cat.append(Seq((i, s"r$i")).toDF("id", "v"), "silver", "s7")
+    }
+    val before = new java.io.File(s"$ckpt/offsets").list().length
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.read.parquet(out)
+    assert(rowsOf(drained, "id").map(_.head) == (1L to 5L),
+      "byte-limited drain must still deliver everything exactly once")
+    assert(new java.io.File(s"$ckpt/offsets").list().length - before >= 4,
+      "a 1-byte budget must drain one version per batch")
+    val versions = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      .map(f => scala.io.Source.fromFile(f).getLines().toSeq.last.trim.toLong)
+      .toSeq
+    versions.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b - a <= 1, s"offset jump $a -> $b exceeds the byte budget")
+      case _ => ()
+    }
+    // a generous budget with no version cap drains the rest in one batch
+    val (cat2, _) = freshCat()
+    cat2.create(Seq((1L, "a")).toDF("id", "v"), "silver", "s8")
+    val dir2 = cat2.path("silver", "s8")
+    val ckpt2 = tmpDir("tsrc-ckpt8")
+    val out2 = tmpDir("tsrc-out8") + "/sink"
+    def wide = spark.readStream.format("graft-table")
+      .option("path", dir2).option("maxBytesPerTrigger", "104857600").load()
+    drainOnce(wide, out2, ckpt2)
+    (2L to 4L).foreach { i =>
+      cat2.append(Seq((i, s"r$i")).toDF("id", "v"), "silver", "s8")
+    }
+    val b2 = new java.io.File(s"$ckpt2/offsets").list().length
+    val q2 = wide.writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rowsOf(spark.read.parquet(out2), "id").map(_.head) == (1L to 4L))
+    // one data batch (the engine may log one extra empty catch-up
+    // entry): the whole backlog is admitted together, NOT one version
+    // per trigger like the tight-budget run above
+    assert(new java.io.File(s"$ckpt2/offsets").list().length - b2 <= 2,
+      "a 100 MiB budget must admit the whole 3-version backlog at once")
+  }
+
   test("fully-qualified provider name also resolves; missing path raises") {
     val (cat, _) = freshCat()
     cat.create(Seq((7L, "x")).toDF("id", "v"), "silver", "s3")
