@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.catalog.{Catalog, ChangeFeed}
@@ -66,9 +67,24 @@ import graft.catalog.{Catalog, ChangeFeed}
   * files only on the append fast path) — stream cost is O(changes),
   * never O(table). */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** The SINK half of the format (see [[GraftTableSink]]): streaming
+    * INTO a versioned table with per-epoch idempotent commits. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != OutputMode.Update(),
+      "graft-table sink supports append and complete modes; update-mode " +
+        "keyed upserts go through foreachBatch + MERGE " +
+        "(Streams.applyChangesScd2)")
+    new GraftTableSink(sqlContext, dirOf(parameters), outputMode,
+      partitionColumns,
+      keepVersions = parameters.get("keepVersions").map(_.trim.toInt)
+        .getOrElse(10))
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -87,6 +87,20 @@ object GraftShims {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[streamingFrame]] — re-tag a micro-batch's streaming
+    * DataFrame as a BATCH one so a v1
+    * [[org.apache.spark.sql.execution.streaming.Sink]] can hand it to an
+    * ordinary writer. `addBatch` receives a frame whose plan is the
+    * engine's IncrementalExecution; re-planning it through a batch write
+    * would re-resolve streaming leaves, so the established sink pattern
+    * (memory/foreachBatch do the same) is to take the computed rows via
+    * `queryExecution.toRdd` and wrap them as a plain local frame. */
+  def batchFrame(sqlContext: SQLContext, df: DataFrame): DataFrame = {
+    val classicCtx = sqlContext.asInstanceOf[classic.SQLContext]
+    classicCtx.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** The storage location + partition columns of a session-catalog table;
     * None when the name is a temp view or not a catalog table. */
   def tableStorage(spark: SparkSession, nameParts: Seq[String])
