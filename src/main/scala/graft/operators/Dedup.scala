@@ -434,6 +434,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination through a BLOOM-FILTER prefilter — q71's
+    * semantics (identical output, identical oracle) on the layout that
+    * survives when the benchmark gram set is too big to broadcast as a
+    * hash table. A q71-style broadcast works while the benchmark's
+    * distinct grams fit an executor hash map; at a few billion grams
+    * (full eval-suite unions against a 100 TB corpus) the hash table is
+    * tens of GB but a Bloom bitset of the same set is ~1 GB at 1% false
+    * positives — constant, plan-embedded, shared by every task. The
+    * false-positive rate costs no correctness because the bloom only
+    * PREFILTERS: survivors go through an exact gram equi-join (shuffle
+    * on the candidate slice, orders of magnitude smaller than the
+    * corpus), so the output is exactly q71's.
+    *
+    * Bitset construction is distributed: each bench gram sets k=3 bits
+    * (xxhash64 with per-probe seeds); bits fold into 64-bit words by a
+    * `bit_or` aggregate and only the ≤ m/64 word rows reach the driver
+    * (bounded metadata, the codebook precedent). The probe side is pure
+    * codegen'd Column arithmetic — array index + mask test against one
+    * plan-literal array, no UDF. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      mBits: Int = 1 << 20, kProbes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0, "bloom size must be a whole number of words")
+    val docs = Tables.load(spark, dir, "documents")
+    val isBench = col("doc_id") % 97 === 0
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(col("text")))).as("gram"))
+    val benchGrams = grams.filter(isBench).select("gram").distinct()
+    def bitOf(seed: Int): Column =
+      pmod(xxhash64(col("gram"), lit(seed)), lit(mBits.toLong))
+    // build: every (gram, probe) pair → (word index, bit mask), folded
+    // into words by bit_or — two-phase, map-side combined
+    val bits = (0 until kProbes).map(s => benchGrams.select(
+        shiftright(bitOf(s), 6).as("wi"),
+        call_function("shiftleft", lit(1L),
+          pmod(bitOf(s), lit(64L)).cast("int")).as("mask")))
+      .reduce(_ unionAll _)
+      .groupBy("wi").agg(expr("bit_or(mask)").as("bits"))
+    val bf = new Array[Long](mBits / 64)
+    bits.collect().foreach(r => bf(r.getLong(0).toInt) = r.getLong(1))
+    val bfLit = typedLit(bf.toSeq)
+    val mightContain = (0 until kProbes).map { s =>
+      val b = bitOf(s)
+      get(bfLit, shiftright(b, 6).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(b, lit(64L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    // prefilter, then EXACT confirm join on the shrunken candidate set —
+    // deliberately un-broadcast (the regime this variant exists for)
+    val overlap = grams.filter(!isBench).filter(mightContain)
+      .join(benchGrams.hint("SHUFFLE_HASH"), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isBench).select("doc_id", "lang")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated", (col("n_overlap") >= 2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Line-level dedup (CCNet / RefinedWeb-style boilerplate removal): a
     * line occurring in more than `maxDocs` distinct documents is
     * boilerplate (cookie banners, copyright footers, nav chrome) and is
@@ -486,6 +545,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q71_decontaminate"  -> (decontaminate _),
+    "q146_decontam_bloom" ->
+      ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q32_dedup_exact"    -> (exact _),
     "q33_minhash_sig"    -> (minhashSignatures _),
     "q34_minhash_lsh"    -> (minhashLsh _),
@@ -520,6 +581,23 @@ object Dedup {
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v"""
   }
 
+  private lazy val decontaminateSql =
+    s"""WITH g AS (
+          SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram
+          FROM documents),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        ov AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+          FROM g JOIN bench USING (gram)
+          WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        SELECT d.doc_id, d.lang,
+          CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+          CASE WHEN coalesce(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END
+            AS is_contaminated
+        FROM documents d LEFT JOIN ov USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     // same synthesis, same >10-docs boilerplate threshold, same in-order
     // reassembly (string_agg ORDER BY pos = Spark's array_sort on pos)
@@ -552,22 +630,10 @@ object Dedup {
            CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
            substring(coalesce(agg.cleaned, ''), 1, 48) AS clean_head
          FROM r LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
-    "q71_decontaminate" ->
-      s"""WITH g AS (
-            SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram
-            FROM documents),
-          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-          ov AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-            FROM g JOIN bench USING (gram)
-            WHERE doc_id % 97 <> 0 GROUP BY doc_id)
-          SELECT d.doc_id, d.lang,
-            CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-            CASE WHEN coalesce(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END
-              AS is_contaminated
-          FROM documents d LEFT JOIN ov USING (doc_id)
-          WHERE d.doc_id % 97 <> 0
-          ORDER BY doc_id""",
+    // the bloom variant prefilters only — confirmed output is q71's, so
+    // the oracle is the SAME exact-overlap SQL
+    "q146_decontam_bloom" -> decontaminateSql,
+    "q71_decontaminate" -> decontaminateSql,
     "q32_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
          COUNT(*) AS n_copies

@@ -213,7 +213,65 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model fluency scoring — the CCNet arrangement
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): a small LM trained on a clean
+    * reference slice scores the entire crawl, and low-likelihood
+    * documents are noise, boilerplate, or wrong-language. Reference
+    * slice here: `doc_id % 10 == 0` (~10%, standing in for the curated
+    * Wikipedia slice CCNet trains its KenLM on). Model: word bigrams
+    * with add-1 smoothing over the reference slice; per-transition
+    * probability `P(w | prev) = (c(prev,w)+1) / (c(prev)+V)` as exact
+    * integer ppm (`(1e6*(c+1)) DIV (cp+V)`), per-doc fluency = the mean
+    * transition ppm. CCNet thresholds log-domain perplexity; the mean
+    * transition probability is the same signal with exact-integer
+    * arithmetic both engines hash identically (the q142 DSIR trade —
+    * flip to log-domain doubles past ~1e6-token corpora).
+    *
+    * Scale shape: bigram and context counts are each one two-phase
+    * aggregation over the REFERENCE slice (a corpus fraction); V is a
+    * driver scalar (the q89 precedent). Scoring joins the corpus's
+    * bigrams against the two count tables on their keys — both
+    * corpus-derived, so they stay AQE-planned shuffle joins (no forced
+    * broadcast); the per-doc fold is one aggregation. Everything is
+    * O(tokens) with map-side combine — the shape that survives 100 TB. */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val isRef = col("doc_id") % 10 === 0
+    val bigrams = docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("pw"), b.as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.pw").as("pw"), col("bg.w").as("w"))
+    val cb = bigrams.filter(isRef)
+      .groupBy("pw", "w").agg(count(lit(1)).as("cb"))
+    val cp = bigrams.filter(isRef)
+      .groupBy("pw").agg(count(lit(1)).as("cp"))
+    val v = docs.filter(isRef)
+      .select(explode(col("ws")).as("w")).distinct().count() // driver scalar
+    val scored = bigrams
+      .join(cb, Seq("pw", "w"), "left")
+      .join(cp, Seq("pw"), "left")
+      .select(col("doc_id"),
+        expr(s"(1000000 * (coalesce(cb, 0) + 1)) DIV " +
+          s"(coalesce(cp, 0) + ${v}L)").as("p_ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+        coalesce(expr("sum_ppm DIV n_bigrams"), lit(0L)).as("fluency_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_ngram_lm" -> ((s: SparkSession, d: String) => ngramLmScore(s, d)),
     "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)),
     "q97_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
@@ -222,6 +280,38 @@ object SearchQueries {
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    // same reference slice, same add-1 arithmetic — every probability is
+    // an exact BIGINT ppm division, so the engines agree bit for bit
+    "q145_ngram_lm" ->
+      s"""WITH t AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents),
+          b AS (
+            SELECT doc_id,
+              unnest(ws[1:len(ws)-1]) AS pw,
+              unnest(ws[2:len(ws)]) AS w
+            FROM t WHERE len(ws) >= 2),
+          cb AS (SELECT pw, w, count(*) AS cb FROM b
+                 WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+          cp AS (SELECT pw, count(*) AS cp FROM b
+                 WHERE doc_id % 10 = 0 GROUP BY 1),
+          vv AS (SELECT count(DISTINCT w) AS v
+                 FROM (SELECT unnest(ws) AS w FROM t WHERE doc_id % 10 = 0)),
+          s AS (
+            SELECT b.doc_id,
+              (1000000 * (coalesce(cb.cb, 0) + 1)) //
+                (coalesce(cp.cp, 0) + vv.v) AS p_ppm
+            FROM b LEFT JOIN cb USING (pw, w) LEFT JOIN cp USING (pw)
+            CROSS JOIN vv),
+          d AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(p_ppm) AS BIGINT) AS sum_ppm
+            FROM s GROUP BY 1)
+          SELECT t.doc_id,
+            coalesce(d.n_bigrams, 0) AS n_bigrams,
+            coalesce(d.sum_ppm, 0) AS sum_ppm,
+            coalesce(d.sum_ppm // d.n_bigrams, 0) AS fluency_ppm
+          FROM t LEFT JOIN d USING (doc_id)
+          ORDER BY doc_id""",
     // identical expression tree: rational idf, fixed-order pivoted sum,
     // same floor scaling — the doubles must agree bit for bit
     "q88_bm25_topk" ->

@@ -567,7 +567,77 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  /** The full Gopher rule set (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A.1.1)
+    * — the canonical heuristic quality gate for web-crawl corpora, which
+    * the composite q29 score approximates with three signals. Per doc:
+    * every rule's measurement plus the conjunctive keep flag:
+    * word count in [50, 100000]; mean word length in [3, 10]; symbol
+    * (`#` / `...`) to word ratio ≤ 0.1; < 90% of lines bullet-led;
+    * < 30% of lines ellipsis-terminated; ≥ 80% of words with an
+    * alphabetic character; ≥ 2 distinct Gopher stopwords (the, be, to,
+    * of, and, that, have, with).
+    *
+    * The fixture corpus is single-line, so — the q87/q76 pattern —
+    * line structure is synthesized in-query (a bullet lead-in on ids
+    * ≡ 0 mod 3, a "read more..." trailer on ids ≡ 0 mod 4) and the
+    * oracle replays the same synthesis. All ratios are exact-integer
+    * ppm (`(1e6 * num) div den` on BIGINTs) so both engines hash
+    * identically — the double-domain thresholds the paper states are
+    * equivalent at ppm precision.
+    *
+    * Scale: one codegen'd map pass over the corpus, no shuffle but the
+    * final presentation sort; at 100 TB this is the cheapest possible
+    * full-scan shape (the gate runs BEFORE dedup/mixing so everything
+    * downstream sees fewer rows). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("- overview\n")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("\nread more...")).otherwise(lit("")))
+    val stoplist = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("ls", split(col("raw"), "\n"))
+      .withColumn("ws", words(col("raw")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .withColumn("word_chars", aggregate(col("ws"), lit(0L),
+        (acc, w) => acc + length(w)))
+      .withColumn("n_sym",
+        (length(col("raw")) - length(regexp_replace(col("raw"), "#", "")) +
+          (length(col("raw")) -
+            length(regexp_replace(col("raw"), "\\.\\.\\.", ""))) / 3)
+          .cast("long"))
+      .withColumn("n_bullet", size(filter(col("ls"),
+        l => substring(trim(l), 1, 1).isin("-", "*"))).cast("long"))
+      .withColumn("n_ellipsis", size(filter(col("ls"),
+        l => substring(l, -3, 3) === "...")).cast("long"))
+      .withColumn("n_alpha", size(filter(col("ws"),
+        w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(col("ws"),
+          typedLit(stoplist))).cast("long"))
+      .withColumn("mean_len_ppm", expr("(1000000 * word_chars) div n_words"))
+      .withColumn("sym_ppm", expr("(1000000 * n_sym) div n_words"))
+      .withColumn("bullet_ppm", expr("(1000000 * n_bullet) div n_lines"))
+      .withColumn("ellipsis_ppm", expr("(1000000 * n_ellipsis) div n_lines"))
+      .withColumn("alpha_ppm", expr("(1000000 * n_alpha) div n_words"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_len_ppm") >= 3000000L && col("mean_len_ppm") <= 10000000L &&
+          col("sym_ppm") <= 100000L &&
+          col("bullet_ppm") < 900000L &&
+          col("ellipsis_ppm") < 300000L &&
+          col("alpha_ppm") >= 800000L &&
+          col("stop_hits") >= 2).cast("int"))
+      .select("doc_id", "n_words", "mean_len_ppm", "sym_ppm", "bullet_ppm",
+        "ellipsis_ppm", "alpha_ppm", "stop_hits", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_gopher_rules" -> (gopherRules _),
     "q131_length_buckets" -> (lengthBuckets _),
     "q122_shard_shuffle"    -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "q90_split"             -> (trainValTestSplit _),
@@ -621,6 +691,61 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // same in-query line synthesis, same ppm integer arithmetic — every
+    // ratio is (1e6 * num) // den on BIGINTs, bit-identical across engines
+    "q144_gopher_rules" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+              concat(
+                CASE WHEN doc_id % 3 = 0 THEN '- overview' || chr(10)
+                     ELSE '' END,
+                text,
+                CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'read more...'
+                     ELSE '' END) AS raw
+            FROM documents),
+          m AS (
+            SELECT doc_id, raw,
+              string_split(raw, chr(10)) AS ls,
+              string_split_regex(trim(lower(raw)), '\\s+') AS ws
+            FROM p),
+          n AS (
+            SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(list_sum(list_transform(ws, w -> length(w)))
+                AS BIGINT) AS word_chars,
+              CAST(length(raw) - length(replace(raw, '#', '')) +
+                (length(raw) - length(replace(raw, '...', ''))) // 3
+                AS BIGINT) AS n_sym,
+              CAST(len(list_filter(ls,
+                l -> substring(trim(l), 1, 1) IN ('-', '*')))
+                AS BIGINT) AS n_bullet,
+              CAST(len(list_filter(ls, l -> right(l, 3) = '...'))
+                AS BIGINT) AS n_ellipsis,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                AS BIGINT) AS n_alpha,
+              CAST(len(list_intersect(ws,
+                ['the','be','to','of','and','that','have','with']))
+                AS BIGINT) AS stop_hits
+            FROM m),
+          r AS (
+            SELECT doc_id, n_words, stop_hits,
+              (1000000 * word_chars) // n_words AS mean_len_ppm,
+              (1000000 * n_sym) // n_words AS sym_ppm,
+              (1000000 * n_bullet) // n_lines AS bullet_ppm,
+              (1000000 * n_ellipsis) // n_lines AS ellipsis_ppm,
+              (1000000 * n_alpha) // n_words AS alpha_ppm
+            FROM n)
+          SELECT doc_id, n_words, mean_len_ppm, sym_ppm, bullet_ppm,
+            ellipsis_ppm, alpha_ppm, stop_hits,
+            CASE WHEN n_words BETWEEN 50 AND 100000
+              AND mean_len_ppm BETWEEN 3000000 AND 10000000
+              AND sym_ppm <= 100000
+              AND bullet_ppm < 900000
+              AND ellipsis_ppm < 300000
+              AND alpha_ppm >= 800000
+              AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+          FROM r ORDER BY doc_id""",
     "q131_length_buckets" ->
       s"""WITH t AS (
             SELECT CAST(power(2, ceil(log2(len($wordsSql)))) AS BIGINT) AS bucket,
