@@ -636,7 +636,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based multilingual mixture reweighting — the mT5/XLM-R
+    * alpha-sampling recipe (Xue et al. 2021 §3.1; Conneau et al. 2020):
+    * sample language l with probability ∝ p_l^α so low-resource languages
+    * are upsampled relative to their corpus share. α = 0.5 here, which
+    * makes the adjusted weight √c_l — computable EXACTLY as an integer
+    * square root (`floor(sqrt(c_l · 1e6))`: both engines' sqrt is IEEE
+    * correctly rounded, and the floor can't straddle an integer until
+    * counts approach 2^50), so the whole pipeline stays in BIGINT and
+    * hash-compares. Per-language replication factor
+    * `(1e6 · w_l · N) DIV (S · c_l)` (S = Σ w_l — an order-free integer
+    * sum, unlike a double Σ√); per-doc copies = whole part + one
+    * fractional copy gated on the doc's 16-bit md5 slot vs the hex-string
+    * threshold (the q58/q77 determinism pattern). This computes the
+    * weights q77's generic upsampler takes as INPUT.
+    *
+    * Scale: one two-phase lang count (≤ languages rows), a single-row
+    * totals frame, both broadcast; then one codegen'd map pass over the
+    * corpus. Nothing shuffles the data. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c_lang"))
+      .withColumn("w",
+        floor(sqrt((col("c_lang") * 1000000L).cast("double"))).cast("long"))
+    val totals = counts.agg(sum("c_lang").as("n_total"), sum("w").as("s_w"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("c_lang"),
+        expr("(1000000 * w * n_total) DIV (s_w * c_lang)").as("factor_ppm"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("slot", substring(
+        md5(concat(col("doc_id").cast("string"), lit("#temp42"))), 1, 4))
+      .withColumn("n_copies",
+        expr("factor_ppm DIV 1000000") +
+          when(col("slot") < format_string("%04x",
+            expr("(factor_ppm % 1000000) * 65536 DIV 1000000")
+              .cast("int")), 1L).otherwise(0L))
+      .select("doc_id", "lang", "c_lang", "factor_ppm", "n_copies")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_temperature_mix" -> (temperatureMix _),
     "q144_gopher_rules" -> (gopherRules _),
     "q131_length_buckets" -> (lengthBuckets _),
     "q122_shard_shuffle"    -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
@@ -691,6 +731,28 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // integer sqrt (floor of the correctly-rounded IEEE sqrt both engines
+    // share), order-free BIGINT sums, hex-string slot compare — exact
+    "q147_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS c_lang,
+             CAST(floor(sqrt(CAST(count(*) * 1000000 AS DOUBLE)))
+               AS BIGINT) AS w
+           FROM documents GROUP BY lang),
+         t AS (SELECT CAST(sum(c_lang) AS BIGINT) AS n_total,
+                 CAST(sum(w) AS BIGINT) AS s_w FROM c),
+         r AS (
+           SELECT lang, c_lang,
+             (1000000 * w * n_total) // (s_w * c_lang) AS factor_ppm
+           FROM c CROSS JOIN t)
+         SELECT d.doc_id, d.lang, r.c_lang, r.factor_ppm,
+           factor_ppm // 1000000 +
+             CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || '#temp42'),
+                 1, 4) <
+               printf('%04x', CAST((factor_ppm % 1000000) * 65536 // 1000000
+                 AS INT)) THEN 1 ELSE 0 END AS n_copies
+         FROM documents d JOIN r USING (lang)
+         ORDER BY doc_id""",
     // same in-query line synthesis, same ppm integer arithmetic — every
     // ratio is (1e6 * num) // den on BIGINTs, bit-identical across engines
     "q144_gopher_rules" ->
