@@ -44,6 +44,50 @@ object Similarity {
         round(col("embedding").getItem(1).cast("double"), 6).as("c1"))
       .orderBy("vec_id")
 
+  /** Johnson–Lindenstrauss random projection (d=64 → 16): the cheap
+    * linear dimensionality reduction every embedding pipeline leans on
+    * before clustering/ANN when the raw dimension is the cost driver
+    * (Achlioptas 2003: a ±1 Rademacher matrix preserves pairwise
+    * distances in expectation as well as Gaussian — and is exactly
+    * reproducible). Signs come from md5 parity of `"i#rp<j>"` — the
+    * matrix is a pure function of the indices, built ONCE driver-side
+    * and embedded as 16 plan-literal rows (1 KB — the codebook
+    * precedent), while the oracle regenerates the identical matrix in
+    * SQL from the same md5. Each output component is a sequential
+    * left-to-right double fold (the q132 determinism contract), rounded
+    * at 1e-6 for presentation; the projected norm folds the UNROUNDED
+    * components in fixed j order.
+    *
+    * Scale: one codegen'd map pass — 16 fused multiply-add folds per
+    * row, no shuffle, no UDF. At 100 TB this is bandwidth-bound, which
+    * is the point: 4× narrower vectors for everything downstream. */
+  def randomProjection(spark: SparkSession, dir: String,
+      dIn: Int = 64, dOut: Int = 16): DataFrame = {
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#rp$j".getBytes("UTF-8"))
+      // parity of the first hex digit = parity of the high nibble
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val rows = (0 until dOut).map(j =>
+      typedLit((0 until dIn).map(sign(_, j))))
+    def proj(j: Int): Column = aggregate(
+      zip_with(col("embedding"), rows(j),
+        (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val projected = Tables.load(spark, dir, "embeddings")
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until dOut).map(j => proj(j).as(s"__p$j")): _*)
+    val pnorm = sqrt((0 until dOut).map(j => col(s"__p$j") * col(s"__p$j"))
+      .reduceLeft(_ + _))
+    projected
+      .select(col("vec_id"), col("label"),
+        round(col("__p0"), 6).as("p0"), round(col("__p1"), 6).as("p1"),
+        round(col("__p2"), 6).as("p2"), round(col("__p3"), 6).as("p3"),
+        round(pnorm, 6).as("pnorm"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k: every query vector (vec_id % 100 == 0)
     * against the full corpus; k=5 by (cosine desc, vec_id asc). */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -686,6 +730,8 @@ object Similarity {
     "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
     "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
+    "q148_random_projection" ->
+      ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q50_label_centroids" -> (labelCentroids _),
     "q98_assign_centroids" -> (assignCentroids _),
     "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
@@ -972,6 +1018,31 @@ object Similarity {
          SELECT vec_id, label, c_label AS assigned,
            CAST(CASE WHEN label = c_label THEN 1 ELSE 0 END AS BIGINT) AS hit
          FROM r WHERE rn = 1 ORDER BY vec_id""",
+    // identical sign matrix regenerated from the same md5 parity; every
+    // component is the same sequential double fold, rounding only at the
+    // presentation edge (the q132 determinism contract)
+    "q148_random_projection" -> {
+      val pivots = (0 until 16).map(j =>
+        s"max(CASE WHEN j = $j THEN pj END) AS q$j").mkString(", ")
+      val norm = (0 until 16).map(j => s"q$j * q$j").mkString(" + ")
+      s"""WITH sg AS (
+            SELECT j, list(CASE WHEN (strpos('0123456789abcdef',
+                substring(md5(CAST(i AS VARCHAR) || '#rp' ||
+                  CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+            FROM range(16) t(j) CROSS JOIN range(64) u(i)
+            GROUP BY j),
+          p AS (
+            SELECT e.vec_id, e.label, sg.j,
+              list_sum(list_transform(list_zip(e.embedding, sg.s),
+                q -> CAST(q[1] AS DOUBLE) * q[2])) AS pj
+            FROM embeddings e CROSS JOIN sg),
+          w AS (SELECT vec_id, label, $pivots FROM p GROUP BY vec_id, label)
+          SELECT vec_id, label, round(q0, 6) AS p0, round(q1, 6) AS p1,
+            round(q2, 6) AS p2, round(q3, 6) AS p3,
+            round(sqrt($norm), 6) AS pnorm
+          FROM w ORDER BY vec_id"""
+    },
     "q38_embed_norms" ->
       s"""SELECT vec_id, label, round(${normSql("embedding")}, 6) AS norm,
           round(CAST(embedding[1] AS DOUBLE), 6) AS c0,
