@@ -270,7 +270,82 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Hashing-trick linear classifier inference — the fastText-style
+    * quality filter (Joulin et al. 2017, "Bag of Tricks for Efficient
+    * Text Classification"; feature hashing per Weinberger et al. 2009):
+    * features are word unigrams AND bigrams hashed into D=1024 buckets, a
+    * model is one weight per bucket, and inference is a single map pass —
+    * the gate GPT-3/CCNet/RefinedWeb-style pipelines run over the whole
+    * crawl first. Weights here are a fixed deterministic function of the
+    * bucket (`(b·37) mod 601`, standing in for a trained parameter
+    * table — plan shape and cost are identical to a 1024-entry broadcast
+    * lookup of real weights). Score = mean feature weight in exact
+    * non-negative-BIGINT ppm (`DIV` truncation only ever sees
+    * non-negatives, where Spark and DuckDB agree); keep gate at the
+    * weight range's midpoint.
+    *
+    * Scale shape: ZERO data shuffles — hashing, weight lookup, and the
+    * per-doc fold are one codegen'd projection (contrast q142/q145,
+    * whose scores need corpus statistics first); the only exchange is
+    * the presentation sort. This is why a TRAINED classifier is the
+    * cheapest quality gate at 100 TB: each document is touched once. */
+  def hashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    def weight(t: Column): Column =
+      pmod(conv(substring(md5(concat(t, lit("#qc42"))), 1, 15), 16, 10)
+        .cast("long"), lit(1024L)) * 37L % 601L
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("bis", when(size(col("ws")) >= 2,
+        zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_feats",
+        (size(col("ws")) + size(col("bis"))).cast("long"))
+      .withColumn("score_sum",
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + weight(w)) +
+          aggregate(col("bis"), lit(0L), (acc, w) => acc + weight(w)))
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        expr("(1000000 * score_sum) DIV n_feats").as("score_ppm"))
+      .withColumn("keep", (col("score_ppm") >= 300000000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Frequency-ranked vocabulary coverage curve — the tokenizer-budget
+    * signal (the Zipf head): for each of the top `topK` corpus words, the
+    * cumulative fraction of ALL token occurrences a vocabulary truncated
+    * at that rank would cover, in exact ppm. q89 CONSUMES a fixed top-k
+    * vocabulary; this query produces the curve that picks k.
+    *
+    * Scale shape: one explode → two-phase word count; the corpus token
+    * total is a broadcast single-row frame; the head is a global
+    * `ORDER BY LIMIT topK` (TakeOrderedAndProject, no full sort), and
+    * the running sum's single-partition window covers topK rows only —
+    * bounded by construction (the q89 top-vocab posture). */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 200)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("n_total"))
+    val head = Window.orderBy(col("c").desc, col("w").asc)
+    vocab.orderBy(col("c").desc, col("w").asc).limit(topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(head).cast("long"))
+      .withColumn("cum_c", sum(col("c")).over(
+        head.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("w"), col("c"), col("cum_c"),
+        expr("(1000000 * cum_c) DIV n_total").as("coverage_ppm"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_hashed_classifier" ->
+      ((s: SparkSession, d: String) => hashedClassifier(s, d)),
+    "q151_vocab_coverage" ->
+      ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q145_ngram_lm" -> ((s: SparkSession, d: String) => ngramLmScore(s, d)),
     "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)),
@@ -280,6 +355,54 @@ object SearchQueries {
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    // same md5-derived bucket→weight function, same non-negative BIGINT
+    // arithmetic — the engines hash identically (15 hex chars fit BIGINT,
+    // the q32 idiom)
+    "q149_hashed_classifier" ->
+      s"""WITH t AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents),
+          f AS (
+            SELECT doc_id, ws,
+              CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i + 1])
+                ELSE [] END AS bis
+            FROM t),
+          s AS (
+            SELECT doc_id,
+              CAST(len(ws) + len(bis) AS BIGINT) AS n_feats,
+              CAST(coalesce(list_sum(list_transform(ws, w ->
+                  ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
+                    AS BIGINT) % 1024) * 37) % 601)), 0)
+                + coalesce(list_sum(list_transform(bis, w ->
+                  ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
+                    AS BIGINT) % 1024) * 37) % 601)), 0) AS BIGINT)
+                AS score_sum
+            FROM f)
+          SELECT doc_id, n_feats, score_sum,
+            (1000000 * score_sum) // n_feats AS score_ppm,
+            CASE WHEN (1000000 * score_sum) // n_feats >= 300000000
+              THEN 1 ELSE 0 END AS keep
+          FROM s ORDER BY doc_id""",
+    // same (count desc, word asc) total order — unique words make the
+    // LIMIT deterministic; cumulative sum and coverage are exact BIGINT
+    "q151_vocab_coverage" ->
+      s"""WITH w AS (
+            SELECT unnest($wordsSql) AS w FROM documents),
+          c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w),
+          t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c),
+          top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 200),
+          r AS (
+            SELECT w, c,
+              CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT)
+                AS rank,
+              CAST(SUM(c) OVER (ORDER BY c DESC, w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_c
+            FROM top)
+          SELECT rank, w, c, cum_c,
+            (1000000 * cum_c) // t.n_total AS coverage_ppm
+          FROM r CROSS JOIN t ORDER BY rank""",
     // same reference slice, same add-1 arithmetic — every probability is
     // an exact BIGINT ppm division, so the engines agree bit for bit
     "q145_ngram_lm" ->

@@ -236,6 +236,41 @@ object Similarity {
         .as("sum_scaled"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Per-label embedding diversity — mean pairwise squared Euclidean
+    * distance WITHOUT generating pairs, via the centroid identity
+    * `E‖x−y‖² = 2(E‖x‖² − ‖Ex‖²)` over ordered pairs (the signal behind
+    * cluster-pruning / diversity-aware data selection, e.g. SemDeDup's
+    * "keep diverse clusters" step and coreset selection): a label whose
+    * members huddle around their centroid is redundant; a spread-out one
+    * carries information. All sums are scaled-integer BIGINT
+    * (floor(x·1e4) — exact, order-independent, engine-portable; at 1e4
+    * the intermediate `n·S2` stays under 2⁶³ out to ~10¹² rows/label,
+    * which is why the quantization is coarser than q50's 1e9), so the
+    * O(n²) pair semantics costs two O(n·dim) aggregation passes.
+    *
+    * Scale shape: one (label) hash-agg for counts/norms and one
+    * (label, pos) hash-agg for component sums — both map-side-combined
+    * single shuffles of bounded (labels × dims) output; the join joins
+    * two O(labels) frames. Nothing pairs, nothing collects. */
+  def embedDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e4).cast("long")).as("qs"))
+    val norms = q.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      sum(aggregate(col("qs"), lit(0L), (acc, v) => acc + v * v)).as("s2"))
+    val comps = q
+      .select(col("label"), posexplode(col("qs")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum(col("v")).as("sv"))
+      .groupBy("label").agg(sum(col("sv") * col("sv")).as("ssq"))
+    norms.join(comps, Seq("label"))
+      .select(col("label"), col("n"), col("s2"), col("ssq"),
+        // n·S2 ≥ ssq by Cauchy–Schwarz, so DIV only sees non-negatives
+        expr("(2 * (n * s2 - ssq)) DIV (n * n)").as("diversity_q"))
+      .orderBy("label")
+  }
+
   /** Nearest-centroid assignment — the ASSIGN step of Lloyd's k-means
     * ([[labelCentroids]] is the UPDATE step; together they make a full
     * iteration), and the classifier every cluster-based curation pass
@@ -733,6 +768,7 @@ object Similarity {
     "q148_random_projection" ->
       ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q50_label_centroids" -> (labelCentroids _),
+    "q150_embed_diversity" -> (embedDiversity _),
     "q98_assign_centroids" -> (assignCentroids _),
     "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
     "q121_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -886,6 +922,33 @@ object Similarity {
              AS q_vec,
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
+    "q150_embed_diversity" ->
+      // same floor(x·1e4) quantization, same two aggregation passes —
+      // every sum is exact BIGINT, Cauchy–Schwarz keeps the DIV
+      // numerator non-negative in both engines
+      """WITH q AS (
+           SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qs
+           FROM embeddings),
+         n AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(list_sum(list_transform(qs, v -> v * v)))
+               AS BIGINT) AS s2
+           FROM q GROUP BY label),
+         x AS (
+           SELECT label, unnest(range(0, len(qs))) AS pos,
+             unnest(qs) AS v
+           FROM q),
+         c AS (
+           SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv
+           FROM x GROUP BY label, pos),
+         s AS (
+           SELECT label, CAST(sum(sv * sv) AS BIGINT) AS ssq
+           FROM c GROUP BY label)
+         SELECT label, n, s2, ssq,
+           (2 * (n * s2 - ssq)) // (n * n) AS diversity_q
+         FROM n JOIN s USING (label) ORDER BY label""",
     "q50_label_centroids" ->
       // parallel unnests zip positionally in DuckDB (no WITH ORDINALITY in 1.0)
       """WITH x AS (
