@@ -296,7 +296,45 @@ object EventQueries {
       .orderBy("user_id", "hour_start")
   }
 
+  /** Trailing exponentially-weighted moving average per user (α = 1/2,
+    * horizon 20) — the trend-smoothing signal behind rate monitors and
+    * drift alarms (q137's rolling z-score is its variance twin). EWMA's
+    * recursive definition doesn't fit SQL windows, but the α=1/2
+    * bounded-horizon form is EXACT as a weighted window fold: collect
+    * the trailing-20 cent-quantized values and fold with bit-shift
+    * weights 2^(19−lag); numerator stays under 2²⁰·max_cents (BIGINT-
+    * safe), both engines truncate integer division toward zero, and the
+    * 2²⁰ − 2^(20−len) denominator renormalizes short heads exactly.
+    * Output is the smoothed value ×10⁸ (cents × ppm).
+    *
+    * Scale shape: ONE (user_id) shuffle into per-user sort; the
+    * collect_list frame is bounded at 20 rows by construction and the
+    * fold is O(20) per row in a single projection — no self-join, no
+    * pair blow-up. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-19, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .withColumn("ws", collect_list(col("v_c")).over(w))
+      .select(col("event_id"), col("user_id"), col("v_c"),
+        size(col("ws")).cast("long").as("n_window"),
+        expr("""aggregate(
+            transform(ws, (v, i) ->
+              v * shiftleft(CAST(1 AS BIGINT),
+                CAST(20 - size(ws) + i AS INT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("num"))
+      .select(col("event_id"), col("user_id"), col("v_c"), col("n_window"),
+        expr("""(1000000 * num) DIV
+            (1048576 - shiftleft(CAST(1 AS BIGINT),
+              CAST(20 - n_window AS INT)))""").as("ewma_e8"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ewma" -> ((s: SparkSession, d: String) => ewmaSmooth(s, d)),
     "q134_gapfill"             -> (gapFill _),
     "q92_funnel"               -> (funnel _),
     "q93_retention"            -> (retentionCohorts _),
@@ -317,6 +355,30 @@ object EventQueries {
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
   val oracles: Map[String, String] = Map(
+    // same cent quantization, same bit-shift weights over the same
+    // 20-row frame; DuckDB's list window + list_zip(range) supplies the
+    // 1-based index Spark's transform lambda gets for free — exponent
+    // 19 − len + i matches Spark's 0-based 20 − len + i exactly
+    "q153_ewma" ->
+      """WITH w AS (
+           SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS v_c,
+             list(CAST(floor(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ws
+           FROM events),
+         n AS (
+           SELECT event_id, user_id, v_c,
+             CAST(len(ws) AS BIGINT) AS n_window,
+             CAST(list_sum(list_transform(
+               list_zip(ws, range(1, len(ws) + 1)),
+               p -> p[1] * (CAST(1 AS BIGINT) <<
+                 CAST(19 - len(ws) + p[2] AS INT)))) AS BIGINT) AS num
+           FROM w)
+         SELECT event_id, user_id, v_c, n_window,
+           (1000000 * num) // (1048576 -
+             (CAST(1 AS BIGINT) << CAST(20 - n_window AS INT))) AS ewma_e8
+         FROM n ORDER BY event_id""",
     "q134_gapfill" ->
       // generate_series densifies each user's span (inclusive, like
       // Spark's sequence); LOCF via IGNORE NULLS running last_value

@@ -341,7 +341,43 @@ object SearchQueries {
       .orderBy("rank")
   }
 
+  /** Per-document TF-IDF keyword extraction — the top-3 terms per
+    * document by tf·idf with the RATIONAL idf `N/df` (monotone with
+    * `log(N/df)`, so single-term per-doc rankings agree with the classic
+    * form except at log-damped near-ties — the q88 trade, taken for the
+    * same reason: every step is exact BIGINT ppm). The per-doc tag set a
+    * corpus browser / domain-audit surface shows next to each document.
+    *
+    * Scale shape: explode → two-phase (doc, word) tf count; dl and df
+    * are two more map-side-combined aggregations; the scoring join is
+    * corpus ⋈ vocab on the word — both corpus-derived, AQE-planned
+    * shuffle joins, nothing force-broadcast (the q142 posture); top-3 is
+    * a per-doc window over that doc's own terms. N is a driver scalar
+    * (the q89 precedent). */
+  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count() // driver scalar, not a data path
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("w").asc)
+    tf.join(dl, "doc_id").join(df, "w")
+      .withColumn("score_ppm",
+        expr(s"(1000000 * tf * ${nDocs}L) DIV (dl * df)"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("w"), col("tf"), col("df"),
+        col("score_ppm"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_tfidf_keywords" ->
+      ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "q149_hashed_classifier" ->
       ((s: SparkSession, d: String) => hashedClassifier(s, d)),
     "q151_vocab_coverage" ->
@@ -355,6 +391,31 @@ object SearchQueries {
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    // same rational idf, same exact BIGINT ppm division, same
+    // (score desc, word asc) per-doc total order
+    "q154_tfidf_keywords" ->
+      s"""WITH t AS (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+          tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM t GROUP BY doc_id, w),
+          dl AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id),
+          df AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          s AS (
+            SELECT tf.doc_id, tf.w, tf.tf, df.df,
+              (1000000 * tf.tf * n.n_docs) // (dl.dl * df.df) AS score_ppm
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n),
+          r AS (
+            SELECT doc_id, w, tf, df, score_ppm,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_ppm DESC, w) AS BIGINT) AS rank
+            FROM s)
+          SELECT doc_id, rank, w, tf, df, score_ppm
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     // same md5-derived bucket→weight function, same non-negative BIGINT
     // arithmetic — the engines hash identically (15 hex chars fit BIGINT,
     // the q32 idiom)

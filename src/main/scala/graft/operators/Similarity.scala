@@ -307,6 +307,60 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Contrastive hard-negative mining — for every vector, the most
+    * similar vector of a DIFFERENT class, found the IVF way (the shape
+    * DPR/SimCSE-style triplet builders run over a labeled or clustered
+    * corpus): route each anchor to its nearest FOREIGN class centroid
+    * (k×d broadcast, argmin over k−1 candidates), then scan only that
+    * class's members for the exact nearest (min distance, id tiebreak).
+    * Deterministic end to end: exact scaled-integer centroid sums (the
+    * q50/q98 idiom), one double division per component, rounded
+    * sequential-fold distances, id-ordered ties.
+    *
+    * Scale shape: centroids are a bounded k×d broadcast; the candidate
+    * scan joins each anchor against ONE class partition (n·n̄_class
+    * pairs — the IVF nprobe=1 probe cost, NOT the n² brute force q39
+    * exists to baseline); top-1 is a per-anchor window over that bounded
+    * candidate list. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = e
+      .select(col("label").as("c_label"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_label", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast("double") / col("n").cast("double") / 1e9)
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    def sqdist(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dc").asc, col("c_label").asc)
+    val routed = e.crossJoin(broadcast(cents))
+      .filter(col("c_label") =!= col("label"))
+      .withColumn("dc", sqdist(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"),
+        col("c_label").as("neg_label"))
+    val members = e.select(col("label").as("neg_label"),
+      col("vec_id").as("neg_id"), col("v").as("nv"))
+    val wn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("neg_id").asc)
+    routed.join(members, Seq("neg_label"))
+      .withColumn("d", sqdist(col("v"), col("nv")))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("neg_label"), col("neg_id"),
+        col("d"))
+      .orderBy("vec_id")
+  }
+
   /** Full Lloyd's k-means over the embedding store — the iterated
     * composition of [[assignCentroids]] (ASSIGN) and [[labelCentroids]]
     * (UPDATE), the loop that trains IVF coarse quantizers (q44) and the
@@ -769,6 +823,7 @@ object Similarity {
       ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q50_label_centroids" -> (labelCentroids _),
     "q150_embed_diversity" -> (embedDiversity _),
+    "q152_hard_negatives" -> (hardNegatives _),
     "q98_assign_centroids" -> (assignCentroids _),
     "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
     "q121_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -922,6 +977,55 @@ object Similarity {
              AS q_vec,
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
+    "q152_hard_negatives" ->
+      // q98's centroid construction and q100's rounded sequential-fold
+      // distances, composed: route to nearest foreign centroid, exact
+      // top-1 within that class — identical expression trees end to end
+      """WITH v AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         x AS (
+           SELECT label AS c_label, unnest(range(0, len(v))) AS pos,
+             unnest(v) AS xv
+           FROM v),
+         cs AS (
+           SELECT c_label, pos,
+             CAST(SUM(CAST(FLOOR(xv * 1e9) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+           FROM x GROUP BY c_label, pos),
+         ce AS (
+           SELECT c_label,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+               ORDER BY pos) AS cv
+           FROM cs GROUP BY c_label),
+         r0 AS (
+           SELECT v.vec_id, v.label, v.v, ce.c_label,
+             round(list_sum(list_transform(list_zip(v.v, ce.cv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+               AS dc
+           FROM v CROSS JOIN ce WHERE ce.c_label <> v.label),
+         r AS (
+           SELECT vec_id, label, v, c_label AS neg_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dc ASC, c_label ASC) AS rn
+           FROM r0),
+         m AS (SELECT vec_id AS neg_id, label AS neg_label, v AS nv FROM v),
+         s0 AS (
+           SELECT r.vec_id, r.label, r.neg_label, m.neg_id,
+             round(list_sum(list_transform(list_zip(r.v, m.nv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+               AS d
+           FROM r JOIN m USING (neg_label) WHERE r.rn = 1),
+         f AS (
+           SELECT vec_id, label, neg_label, neg_id, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d ASC, neg_id ASC) AS rn
+           FROM s0)
+         SELECT vec_id, label, neg_label, neg_id, d
+         FROM f WHERE rn = 1 ORDER BY vec_id""",
     "q150_embed_diversity" ->
       // same floor(x·1e4) quantization, same two aggregation passes —
       // every sum is exact BIGINT, Cauchy–Schwarz keeps the DIV

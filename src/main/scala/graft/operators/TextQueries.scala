@@ -675,7 +675,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** HTML main-content extraction — the crawl→text stage every web-scale
+    * corpus starts with (trafilatura/jusText shape: keep block-level text
+    * nodes, drop chrome and link-dense blocks). The fixture stores plain
+    * text, so the query synthesizes the HTML it would have arrived in
+    * (the q144 in-query synthesis precedent): nav/footer chrome outside
+    * the content blocks, one line per `<p>`, and a link-bait paragraph
+    * injected into every 5th document. Extraction = pull `<p>` blocks
+    * (non-greedy regex — Java and RE2 agree), drop link-dense ones
+    * (contains `<a `), join, and fingerprint. Integer retained-ratio in
+    * ppm; md5 text hash compares content exactly.
+    *
+    * Scale shape: a single codegen'd projection — synthesis, regex
+    * extraction, filter, and hash per row; no shuffle but the
+    * presentation sort. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ad = """<p><a href="/ad">Click here</a> to subscribe</p>"""
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+        "<a href=\"/about\">About</a></nav>"),
+      when(col("doc_id") % 5 === 0, lit(ad)).otherwise(lit("")),
+      lit("<p>"), regexp_replace(col("text"), "\n", "</p><p>"), lit("</p>"),
+      lit("<footer>(c) 2026 Example Corp - " +
+        "<a href=\"/tos\">Terms</a></footer></body></html>"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .withColumn("paras", expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"))
+      .withColumn("kept", filter(col("paras"),
+        p => !p.contains("<a ")))
+      .withColumn("joined", concat_ws(" ", col("kept")))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("(1000000 * length(joined)) DIV length(html)")
+          .as("retained_ppm"),
+        md5(col("joined")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_html_extract" -> (htmlExtract _),
     "q147_temperature_mix" -> (temperatureMix _),
     "q144_gopher_rules" -> (gopherRules _),
     "q131_length_buckets" -> (lengthBuckets _),
@@ -731,6 +771,39 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // same synthesized markup, same non-greedy <p> extraction (Java
+    // regex and RE2 agree on .*?), same link filter and md5 — exact
+    "q155_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title></head><body><nav><a href="/">Home</a> | ' ||
+             '<a href="/about">About</a></nav>' ||
+             CASE WHEN doc_id % 5 = 0
+               THEN '<p><a href="/ad">Click here</a> to subscribe</p>'
+               ELSE '' END ||
+             '<p>' || replace(text, chr(10), '</p><p>') || '</p>' ||
+             '<footer>(c) 2026 Example Corp - ' ||
+             '<a href="/tos">Terms</a></footer></body></html>' AS html
+           FROM documents),
+         p AS (
+           SELECT doc_id, html,
+             regexp_extract_all(html, '<p>(.*?)</p>', 1) AS paras
+           FROM h),
+         k AS (
+           SELECT doc_id, html, paras,
+             list_filter(paras, x -> NOT contains(x, '<a ')) AS kept
+           FROM p),
+         j AS (
+           SELECT doc_id, html, paras, kept,
+             array_to_string(kept, ' ') AS joined
+           FROM k)
+         SELECT doc_id,
+           CAST(len(paras) AS BIGINT) AS n_paras,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (1000000 * length(joined)) // length(html) AS retained_ppm,
+           md5(joined) AS text_md5
+         FROM j ORDER BY doc_id""",
     // integer sqrt (floor of the correctly-rounded IEEE sqrt both engines
     // share), order-free BIGINT sums, hex-string slot compare — exact
     "q147_temperature_mix" ->
