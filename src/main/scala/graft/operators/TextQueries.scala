@@ -714,7 +714,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted priority sampling (Duffield, Lund & Thorup 2007): each item
+    * gets priority `w / u` with u ~ U(0,1); the k largest priorities form
+    * a sample whose Horvitz–Thompson estimates are unbiased for ANY
+    * weighted sum — the principled way to keep a small audit slice of a
+    * 100 TB corpus where long documents matter more. Weight = n_chars;
+    * u is the doc's seeded 16-bit md5 slot (the q58/q77 determinism
+    * pattern), priority the exact integer `(w·65536) DIV (u+1)`.
+    *
+    * Scale shape: one codegen'd map pass; the k winners come from a
+    * global `ORDER BY LIMIT k` (TakeOrderedAndProject — per-partition
+    * heaps, no global sort). */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 50)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#pri42"))), 1, 4), 16, 10).cast("long")).as("u16"))
+      .withColumn("priority", expr("(w * 65536) DIV (u16 + 1)"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id").asc))
+        .cast("long"))
+      .select("rank", "doc_id", "w", "u16", "priority")
+      .orderBy("rank")
+  }
+
+  /** k-anonymity audit over quasi-identifiers — the compliance gate a
+    * dataset release runs after PII redaction (q76 removes direct
+    * identifiers; this measures re-identification risk from the
+    * REMAINING attributes, Sweeney 2002): group by the quasi-identifier
+    * tuple (lang, source, length bucket), and any group smaller than k=5
+    * must be suppressed or generalized before release. Output is the
+    * per-group audit table with exact re-identification risk in ppm.
+    *
+    * Scale shape: one map-side-combined hash aggregation (bounded by the
+    * quasi-identifier cross-product, not the corpus) plus presentation
+    * sort. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars DIV 500").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        (col("n") < k).cast("int").as("suppress"),
+        expr("1000000 DIV n").as("risk_ppm"))
+      .orderBy("lang", "source", "len_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_priority_sample" -> ((s: SparkSession, d: String) => prioritySample(s, d)),
+    "q157_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "q155_html_extract" -> (htmlExtract _),
     "q147_temperature_mix" -> (temperatureMix _),
     "q144_gopher_rules" -> (gopherRules _),
@@ -771,6 +823,33 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // same seeded 16-bit md5 slot, same integer priority — the top-k set
+    // and its order are a pure function of the data
+    "q156_priority_sample" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+               || '#pri42'), 1, 4)) AS BIGINT) AS u16
+           FROM documents),
+         q AS (
+           SELECT doc_id, w, u16, (w * 65536) // (u16 + 1) AS priority
+           FROM p),
+         r AS (
+           SELECT doc_id, w, u16, priority,
+             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+               AS BIGINT) AS rank
+           FROM q)
+         SELECT rank, doc_id, w, u16, priority
+         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // same quasi-identifier tuple, same integer risk — exact
+    "q157_k_anonymity" ->
+      """SELECT lang, source, n_chars // 500 AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS suppress,
+           1000000 // count(*) AS risk_ppm
+         FROM documents
+         GROUP BY lang, source, n_chars // 500
+         ORDER BY lang, source, len_bucket""",
     // same synthesized markup, same non-greedy <p> extraction (Java
     // regex and RE2 agree on .*?), same link filter and md5 — exact
     "q155_html_extract" ->
