@@ -90,6 +90,19 @@ object TextFunctions {
   def minhashSigOfSet(wset: Column, i: Int): Column =
     array_min(transform(wset, w => md5(concat(lit(s"$i|"), w))))
 
+  /** The LSH banding used by the batch near-dup pair join (Dedup
+    * .minhashLsh / q34) as ONE array column: 12 minhash components in 4
+    * bands of 3, each band key an md5 over (band index | its components).
+    * Shared with the streaming ingest gate
+    * ([[graft.streaming.Streams.appendNearDedup]]) so batch and streaming
+    * agree on what "collides" means. Callers should materialize the
+    * distinct word-set into a column first (see [[minhashSigOfSet]]). */
+  def lshBandKeysOfSet(wset: Column): Column = {
+    val sigs = (0 until 12).map(i => minhashSigOfSet(wset, i))
+    array((0 until 4).map(b =>
+      md5(concat_ws("|", (lit(b) +: sigs.slice(b * 3, b * 3 + 3)): _*))): _*)
+  }
+
   /** Word 3-gram shingles (null-safe: short docs fall back to the whole
     * trimmed text as a single shingle).
     *

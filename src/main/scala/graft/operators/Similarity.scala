@@ -323,9 +323,17 @@ object Similarity {
     * exists to baseline); top-1 is a per-anchor window over that bounded
     * candidate list. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    // ‖a−b‖² as ‖a‖²+‖b‖²−2a·b: the norms are one codegen'd fold per ROW
+    // (not per pair), and the per-pair work collapses to the native
+    // vec_dot hot loop — the zip_with/aggregate formulation dispatches an
+    // interpreted lambda per element per PAIR, which at n·n̄_class pairs
+    // was the whole cost of this query (4.2 s → sub-second at sf0.1).
+    // The oracle mirrors the same association exactly.
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n2", dotF(col("v"), col("v")))
     val cents = e
       .select(col("label").as("c_label"),
         posexplode(col("v")).as(Seq("pos", "x")))
@@ -336,24 +344,24 @@ object Similarity {
       .groupBy("c_label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         p => p.getField("c")).as("cv"))
-    def sqdist(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+      .withColumn("cn2", dotF(col("cv"), col("cv")))
     val wc = Window.partitionBy(col("vec_id"))
       .orderBy(col("dc").asc, col("c_label").asc)
     val routed = e.crossJoin(broadcast(cents))
       .filter(col("c_label") =!= col("label"))
-      .withColumn("dc", sqdist(col("v"), col("cv")))
+      .withColumn("dc", round(
+        col("n2") + col("cn2") - lit(2.0) * dotF(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"),
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
         col("c_label").as("neg_label"))
     val members = e.select(col("label").as("neg_label"),
-      col("vec_id").as("neg_id"), col("v").as("nv"))
+      col("vec_id").as("neg_id"), col("v").as("nv"), col("n2").as("nn2"))
     val wn = Window.partitionBy(col("vec_id"))
       .orderBy(col("d").asc, col("neg_id").asc)
     routed.join(members, Seq("neg_label"))
-      .withColumn("d", sqdist(col("v"), col("nv")))
+      .withColumn("d", round(
+        col("n2") + col("nn2") - lit(2.0) * dotF(col("v"), col("nv")), 6))
       .withColumn("rn", row_number().over(wn))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("neg_label"), col("neg_id"),
@@ -978,12 +986,16 @@ object Similarity {
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
     "q152_hard_negatives" ->
-      // q98's centroid construction and q100's rounded sequential-fold
-      // distances, composed: route to nearest foreign centroid, exact
-      // top-1 within that class — identical expression trees end to end
+      // q98's centroid construction with distances in the SAME
+      // ‖a‖²+‖b‖²−2a·b association the Spark side's vec_dot uses: each
+      // norm and dot is one sequential index-order fold, so the doubles
+      // agree bit for bit before the shared round(…, 6)
       """WITH v AS (
            SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_sum(list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x)) AS n2
            FROM embeddings),
          x AS (
            SELECT label AS c_label, unnest(range(0, len(v))) AS pos,
@@ -999,24 +1011,29 @@ object Similarity {
              list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
                ORDER BY pos) AS cv
            FROM cs GROUP BY c_label),
+         ce2 AS (
+           SELECT c_label, cv,
+             list_sum(list_transform(cv, x -> x * x)) AS cn2
+           FROM ce),
          r0 AS (
-           SELECT v.vec_id, v.label, v.v, ce.c_label,
-             round(list_sum(list_transform(list_zip(v.v, ce.cv),
-               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+           SELECT v.vec_id, v.label, v.v, v.n2, ce2.c_label,
+             round(v.n2 + ce2.cn2 - 2.0 *
+               list_sum(list_transform(list_zip(v.v, ce2.cv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
                AS dc
-           FROM v CROSS JOIN ce WHERE ce.c_label <> v.label),
+           FROM v CROSS JOIN ce2 WHERE ce2.c_label <> v.label),
          r AS (
-           SELECT vec_id, label, v, c_label AS neg_label,
+           SELECT vec_id, label, v, n2, c_label AS neg_label,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                ORDER BY dc ASC, c_label ASC) AS rn
            FROM r0),
-         m AS (SELECT vec_id AS neg_id, label AS neg_label, v AS nv FROM v),
+         m AS (SELECT vec_id AS neg_id, label AS neg_label, v AS nv,
+                 n2 AS nn2 FROM v),
          s0 AS (
            SELECT r.vec_id, r.label, r.neg_label, m.neg_id,
-             round(list_sum(list_transform(list_zip(r.v, m.nv),
-               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-                    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+             round(r.n2 + m.nn2 - 2.0 *
+               list_sum(list_transform(list_zip(r.v, m.nv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
                AS d
            FROM r JOIN m USING (neg_label) WHERE r.rn = 1),
          f AS (

@@ -408,6 +408,91 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Near-duplicate-aware streaming ingest — [[appendNewDocs]]'s
+    * exact-hash gate upgraded to MinHash/LSH: an incoming document that
+    * shares ANY of its 4 LSH band keys (12 minhash components, 3 per
+    * band — q34's construction via
+    * [[graft.functions.TextFunctions.lshBandKeysOfSet]], so batch and
+    * streaming agree on what collides) with the EXISTING corpus is a
+    * near-duplicate and is dropped; within a batch the lowest id per
+    * colliding band survives. The drop is conservative (band collision
+    * without Jaccard verification, transitive within a batch) — an
+    * ingest gate prefers a false drop over admitting a near-copy; the
+    * verified batch ACTION over an at-rest corpus is q102.
+    *
+    * Survivors append to the corpus table AND to the `<table>_bands`
+    * (band_key, doc id) BAND INDEX table, so the next batch probes an
+    * incrementally-maintained index — corpus text is never re-signed.
+    *
+    * Scale shape: per batch, O(batch · bands) signature work in one
+    * projection, then one equi-join of the batch's slim (band_key, id)
+    * rows against a column-pruned scan of the index — hash-partitioned
+    * on band_key, AQE free to broadcast the batch side. Corpus and index
+    * are append-only (bronze posture): ingest I/O is O(batch), not
+    * O(corpus). */
+  def appendNearDedup(
+      changes: DataFrame,
+      cat: graft.catalog.Catalog,
+      layer: String,
+      table: String,
+      textCol: String,
+      idCol: String,
+      checkpoint: String): Unit = {
+    val bandsTable = s"${table}_bands"
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.functions.TextFunctions
+        // cached: the band column feeds the in-batch window, the index
+        // probe, AND the survivor writes — without the cache the 12
+        // signatures recompute per consumer
+        val batch = batch0
+          .withColumn("__wset",
+            array_distinct(TextFunctions.words(col(textCol))))
+          .withColumn("__bands",
+            TextFunctions.lshBandKeysOfSet(col("__wset")))
+          .drop("__wset")
+          .cache()
+        try {
+          val batchBands = batch.select(col(idCol),
+            explode(col("__bands")).as("band_key"))
+          // in-batch: on any shared band the lowest id survives
+          val wMin = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_key"))
+          val inBatchLosers = batchBands
+            .withColumn("__keep", min(col(idCol)).over(wMin))
+            .filter(col(idCol) =!= col("__keep"))
+            .select(col(idCol)).distinct()
+          // cross-batch: any band hit against the maintained index
+          val indexHits =
+            if (!cat.exists(layer, bandsTable)) inBatchLosers.limit(0)
+            else batchBands.join(
+              cat.read(layer, bandsTable).select("band_key"),
+              Seq("band_key")).select(col(idCol)).distinct()
+          val novel = batch.join(
+            inBatchLosers.union(indexHits).distinct(),
+            Seq(idCol), "left_anti")
+          if (!novel.isEmpty) {
+            val docs = novel.drop("__bands")
+            val bands = novel.select(col(idCol),
+              explode(col("__bands")).as("band_key"))
+              .select(col("band_key"), col(idCol))
+            if (!cat.exists(layer, table)) cat.create(docs, layer, table)
+            else docs.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(cat.path(layer, table))
+            if (!cat.exists(layer, bandsTable))
+              cat.create(bands, layer, bandsTable)
+            else bands.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(cat.path(layer, bandsTable))
+          }
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   final case class PendingSessions(sessions: List[(Long, Long, Long)])
   final case class ClosedSession(user_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

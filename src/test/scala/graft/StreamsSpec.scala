@@ -255,6 +255,46 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("bronze", "corpus").count() == 3)
   }
 
+  test("appendNearDedup: near-dups drop against the maintained band index") {
+    import spark.implicits._
+    val root = tmpDir("graft-neardedup")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    def drain(): Unit = Streams.appendNearDedup(
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(land.toString),
+      cat, "bronze", "docs", "text", "doc_id", s"$root/_cp")
+
+    // a long doc: one edited word keeps Jaccard ≈ 0.98, so at least one
+    // of the 4 bands collides (deterministic given the fixed md5 hashes —
+    // this test pins that it DOES for this fixture)
+    val a = (1 to 100).map(i => s"alpha$i").mkString(" ")
+    val b = "completely different content about spark streaming state stores"
+    Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("bronze", "docs").count() == 2)
+    assert(cat.exists("bronze", "docs_bands"))
+    assert(cat.read("bronze", "docs_bands").count() == 8) // 2 docs x 4 bands
+
+    // batch 2: doc 3 edits ONE word of doc 1 (cross-batch near-dup),
+    // doc 4 is novel, doc 5 is an exact copy of doc 4 (in-batch dup)
+    val a2 = a.replace("alpha50", "beta50")
+    val c = "unrelated third topic entirely about medallion lakehouse tables"
+    Seq((3L, a2), (4L, c), (5L, c)).toDF("doc_id", "text")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    val ids = cat.read("bronze", "docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"wrong survivors: $ids")
+    // the index only carries survivors' bands
+    assert(cat.read("bronze", "docs_bands").count() == 12)
+
+    // replay with nothing new: checkpoint makes it a no-op
+    drain()
+    assert(cat.read("bronze", "docs").count() == 3)
+  }
+
   test("appendStream: each drained batch is a version; replays drop whole") {
     import spark.implicits._
     val root = tmpDir("graft-appendstream")
