@@ -764,7 +764,63 @@ object TextQueries {
         expr("1000000 DIV n").as("risk_ppm"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** Inverse-cloze positive-pair mining (Lee et al. 2019, "Latent
+    * Retrieval for Weakly Supervised Open Domain Question Answering"
+    * §3.ted as ICT): from each document, one line becomes the pseudo-query
+    * and the REMAINING lines its positive context — the (query, positive)
+    * pairs a dual-encoder pretrains on, and q152's hard negatives are
+    * the matching third leg of the triplet. The held-out line is a
+    * seeded-md5 pick (the q58/q77 determinism pattern); outputs carry
+    * md5 fingerprints of both sides so the pairing is hash-checkable
+    * without shipping the text twice.
+    *
+    * Scale shape: one codegen'd projection per document (split, pick,
+    * filter-by-index, join, hash) — zero shuffles beyond the
+    * presentation sort. */
+  def ictPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .withColumn("q_idx",
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#ict42"))), 1, 15), 16, 10).cast("long"), col("n_lines")))
+      .withColumn("query_md5",
+        md5(element_at(col("ls"), (col("q_idx") + 1).cast("int"))))
+      .withColumn("context_md5", md5(concat_ws(" ",
+        filter(col("ls"), (_, i) => i =!= col("q_idx")))))
+      .select("doc_id", "n_lines", "q_idx", "query_md5", "context_md5")
+      .orderBy("doc_id")
+
+  /** Per-source dataset-card dashboard — the one-pass summary table a
+    * corpus release ships (HuggingFace dataset-card shape): per
+    * (source, lang) the document count, token volume, mean length, mean
+    * quality (q29's exact-ppm score, integer-averaged so the mean is
+    * order-free), and the exact-duplicate share. Every metric is BIGINT.
+    *
+    * Scale shape: one corpus-wide window on the text fingerprint (the
+    * q31 shuffle) feeding one map-side-combined (source, lang) hash-agg
+    * — bounded output, no joins. */
+  def sourceDashboard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_same", count(lit(1)).over(
+        Window.partitionBy(md5(col("text")))))
+      .withColumn("q_ppm",
+        floor(qualityScore(col("text")) * 1e6).cast("long"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col("text"))).as("total_tokens"),
+        expr("sum(length(text)) DIV count(1)").as("mean_chars"),
+        expr("sum(q_ppm) DIV count(1)").as("mean_quality_ppm"),
+        expr("(1000000 * sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)) " +
+          "DIV count(1)").as("dup_ppm"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_ict_pairs" -> (ictPairs _),
+    "q159_source_dashboard" -> (sourceDashboard _),
     "q156_priority_sample" -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "q157_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "q155_html_extract" -> (htmlExtract _),
@@ -823,6 +879,41 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // same seeded-md5 line pick (non-negative, so pmod and % agree),
+    // same 0-based/1-based index bridge, same md5 fingerprints — exact
+    "q158_ict_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM documents),
+         p AS (
+           SELECT doc_id, ls, CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+               || '#ict42'), 1, 15)) AS BIGINT)
+               % CAST(len(ls) AS BIGINT) AS q_idx
+           FROM t)
+         SELECT doc_id, n_lines, q_idx,
+           md5(ls[CAST(q_idx + 1 AS INT)]) AS query_md5,
+           md5(coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(ls) + 1), i -> i <> q_idx + 1),
+             i -> ls[i]), ' '), '')) AS context_md5
+         FROM p ORDER BY doc_id""",
+    // same window dup count, same integer-ppm quality fold — the mean is
+    // an order-free BIGINT division in both engines
+    "q159_source_dashboard" ->
+      s"""WITH d AS (
+            SELECT source, lang, text,
+              count(*) OVER (PARTITION BY md5(text)) AS n_same,
+              CAST(floor(($qualitySql) * 1e6) AS BIGINT) AS q_ppm,
+              CAST(len($wordsSql) AS BIGINT) AS n_toks
+            FROM documents)
+          SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+            CAST(sum(length(text)) AS BIGINT) // count(*) AS mean_chars,
+            CAST(sum(q_ppm) AS BIGINT) // count(*) AS mean_quality_ppm,
+            (1000000 * CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)
+              AS BIGINT)) // count(*) AS dup_ppm
+          FROM d GROUP BY source, lang ORDER BY source, lang""",
     // same seeded 16-bit md5 slot, same integer priority — the top-k set
     // and its order are a pure function of the data
     "q156_priority_sample" ->

@@ -62,4 +62,56 @@ class AnnRecallSpec extends SparkSuite {
     val rQ1 = recallAt(1, Similarity.annQuantized(spark, sf0001, k = 3), exact)
     assert(rQ1 >= 0.9, f"quantized top-1 disagreement: $rQ1%.3f")
   }
+
+  test("hard-negative routing recall vs the exact cross-label nearest") {
+    // exact answer by driver-side brute force over the tiny fixture:
+    // for each anchor, the globally nearest vector with a DIFFERENT label
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue(),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val exactNeg = rows.map { case (id, lab, v) =>
+      val best = rows.filter(_._2 != lab)
+        .map { case (nid, _, nv) => (d2(v, nv), nid) }.min
+      id -> best
+    }.toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    val routed = Similarity.hardNegatives(spark, sf0001)
+      .select("vec_id", "neg_label", "neg_id", "d").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number]("neg_label").longValue(),
+        r.getLong(2), r.getDouble(3))).toMap
+    assert(routed.keySet == exactNeg.keySet, "anchor set mismatch")
+    routed.foreach { case (id, (negLab, negId, d)) =>
+      val (_, anchorLab, v) = byId(id)
+      // the negative must be foreign, and stage 2 is EXACT within the
+      // routed class: the returned member must be that class's true
+      // nearest (lowest id on ties)
+      assert(negLab != anchorLab, s"anchor $id routed to its own class")
+      val inClass = rows.filter(_._2 == negLab)
+        .map { case (nid, _, nv) => (d2(v, nv), nid) }.min
+      assert(inClass._2 == negId,
+        s"anchor $id: in-class nearest is ${inClass._2}, got $negId")
+      // and it can never beat the global cross-label optimum — the
+      // distance arithmetic broke if it does
+      assert(d >= exactNeg(id)._1 - 1e-6,
+        s"anchor $id returned d=$d below the exact minimum ${exactNeg(id)._1}")
+    }
+    // quality of the nprobe=1 routing on the RANDOM fixture (worst case
+    // for locality): identity with the global optimum is rare by design,
+    // but the routed negative's distance must stay CLOSE to optimal —
+    // a broken router picks an arbitrary class and the ratio drifts high
+    val ratios = routed.map { case (id, (_, _, d)) =>
+      math.sqrt(d) / math.sqrt(exactNeg(id)._1) }
+    val meanRatio = ratios.sum / ratios.size
+    val hits = routed.count { case (id, (_, nid, _)) => exactNeg(id)._2 == nid }
+    info(f"hard-negative exact-match rate = ${hits.toDouble / routed.size}%.3f"
+      + f"  mean distance ratio = $meanRatio%.3f")
+    assert(meanRatio <= 1.2,
+      f"routed negatives drifted from optimal: mean ratio $meanRatio%.3f")
+  }
 }
