@@ -477,4 +477,36 @@ class PlanQualitySpec extends SparkSuite {
       s"corpus side shuffled for DV application:\n$p")
     assert(df.count() == 4000 - 4000 / 97 - 1)
   }
+
+  test("round-7 ops: gates are map-only, diversity stays bounded, " +
+      "hard-negative centroids broadcast, sampling avoids a global sort") {
+    import graft.operators.{SearchQueries, Similarity, TextQueries}
+    // q149 classifier + q155 extraction: per-row gates — no exchange
+    // before the presentation sort (which plans as range, not hash)
+    for ((name, df) <- Seq(
+        "q149" -> SearchQueries.hashedClassifier(spark, sfDir),
+        "q155" -> TextQueries.htmlExtract(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: unexpected shuffle in a map-only gate:\n$p")
+    }
+    // q150 diversity: both aggregation passes keep map-side partials —
+    // the exchanges carry (label[, pos]) sums, never the corpus rows
+    val p150 = plan(Similarity.embedDiversity(spark, sfDir))
+    assert(p150.contains("partial"),
+      s"q150: lost map-side combine:\n$p150")
+    // q152 hard negatives: the k x d centroid table is a broadcast (the
+    // routing cross join must not be a shuffle), and nothing plans as an
+    // unconstrained cartesian
+    val p152 = plan(Similarity.hardNegatives(spark, sfDir))
+    assert(p152.contains("BroadcastExchange"),
+      s"q152: centroid table did not broadcast:\n$p152")
+    assert(!p152.contains("CartesianProduct"),
+      s"q152: unconstrained cartesian:\n$p152")
+    // q156 priority sampling: the k winners come from per-partition
+    // heaps, not a global sort
+    val p156 = plan(TextQueries.prioritySample(spark, sfDir))
+    assert(p156.contains("TakeOrderedAndProject"),
+      s"q156: top-k planned as a full sort:\n$p156")
+  }
 }
