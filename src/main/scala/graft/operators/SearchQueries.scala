@@ -375,7 +375,45 @@ object SearchQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** PMI collocation extraction — the corpus's top word PAIRS by
+    * pointwise mutual information (Church & Hanks 1990), the signal
+    * behind multi-word-expression vocab entries and tokenizer merge
+    * seeding. The RATIONAL form `(c_xy · N) / (c_x · c_y)` is monotone
+    * with `log` PMI (the q88/q154 trade) and stays exact BIGINT ppm;
+    * pairs below min-support 5 are noise and dropped before ranking
+    * (the standard collocation filter).
+    *
+    * Scale shape: bigram and unigram counts are each one explode →
+    * two-phase hash-agg; the scoring joins are vocab-sized equi-joins
+    * (AQE-planned, nothing corpus-derived broadcast); N is a driver
+    * scalar (q89 precedent); top-50 is TakeOrderedAndProject. */
+  def pmiCollocations(spark: SparkSession, dir: String, topK: Int = 50)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val toks = docs.select(explode(col("ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = toks.count() // driver scalar, not a data path
+    val bi = docs.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .withColumn("pmi_ppm",
+        expr(s"(1000000 * c_xy * ${nTotal}L) DIV (c_x * c_y)"))
+      .orderBy(col("pmi_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pmi_collocations" ->
+      ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "q154_tfidf_keywords" ->
       ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "q149_hashed_classifier" ->
@@ -391,6 +429,28 @@ object SearchQueries {
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    // same min-support filter, same rational-PMI BIGINT ppm, same
+    // (score desc, w1, w2) total order at the top-k boundary
+    "q160_pmi_collocations" ->
+      s"""WITH t AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents),
+          u AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+          n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM u),
+          b AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+            FROM (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                    unnest(ws[2:len(ws)]) AS w2
+                  FROM t WHERE len(ws) >= 2)
+            GROUP BY w1, w2 HAVING count(*) >= 5),
+          s AS (
+            SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+              (1000000 * b.c_xy * n.n_total) // (ux.c * uy.c) AS pmi_ppm
+            FROM b JOIN u ux ON b.w1 = ux.w JOIN u uy ON b.w2 = uy.w
+            CROSS JOIN n)
+          SELECT w1, w2, c_xy, c_x, c_y, pmi_ppm
+          FROM s ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50""",
     // same rational idf, same exact BIGINT ppm division, same
     // (score desc, word asc) per-doc total order
     "q154_tfidf_keywords" ->

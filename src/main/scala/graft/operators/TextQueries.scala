@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -818,7 +818,49 @@ object TextQueries {
       .orderBy("source", "lang")
   }
 
+  /** Deterministic span corruption — the T5 denoising objective's data
+    * prep (Raffel et al. 2020 §3.1.4): mask ~15% of tokens in length-3
+    * spans, replace each masked span with a sentinel, and emit the
+    * (corrupted input, span targets) pair. Spans are whole 3-token
+    * blocks gated on a per-(doc, block) seeded 16-bit md5 slot
+    * (threshold floor(0.15·65536)=9830 — the q58/q77 membership
+    * pattern); sentinels are position-indexed `<extra_id_b>` (block
+    * index rather than T5's running counter: same information, no
+    * cross-block scan). Outputs fingerprint both sides so the pair is
+    * hash-checkable without shipping the text twice.
+    *
+    * Scale shape: one codegen'd projection per document — the block
+    * loop is a per-row array transform, no shuffle but the
+    * presentation sort. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    def blockMasked(b: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#sc42#"), b.cast("string"))), 1, 4), 16, 10)
+        .cast("long") < 9830L
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("blocks",
+        expr("sequence(CAST(0 AS BIGINT), (n_tokens + 2) DIV 3 - 1)"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("blocks"), b => blockMasked(b))).cast("long")
+          .as("n_masked"),
+        md5(concat_ws(" ", flatten(transform(col("blocks"), b =>
+          when(blockMasked(b), array(sentinel(b)))
+            .otherwise(slice(col("ws"), (b * 3 + 1).cast("int"),
+              lit(3))))))).as("corrupted_md5"),
+        md5(concat_ws(" ", flatten(transform(col("blocks"), b =>
+          when(blockMasked(b), concat(array(sentinel(b)),
+            slice(col("ws"), (b * 3 + 1).cast("int"), lit(3))))
+            .otherwise(array().cast("array<string>"))))))
+          .as("targets_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_span_corrupt" -> (spanCorrupt _),
     "q158_ict_pairs" -> (ictPairs _),
     "q159_source_dashboard" -> (sourceDashboard _),
     "q156_priority_sample" -> ((s: SparkSession, d: String) => prioritySample(s, d)),
@@ -879,6 +921,39 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // same per-(doc, block) seeded slot, same block slicing (both
+    // engines clamp the final short block), same sentinel text — exact
+    "q161_span_corrupt" ->
+      s"""WITH t AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents),
+          p AS (
+            SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+              (CAST(len(ws) AS BIGINT) + 2) // 3 AS nb
+            FROM t),
+          m AS (
+            SELECT doc_id, ws, n_tokens, nb,
+              list_transform(range(0, nb), b ->
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || '#sc42#' || CAST(b AS VARCHAR)), 1, 4)) AS BIGINT)
+                  < 9830) AS mk
+            FROM p)
+          SELECT doc_id, n_tokens,
+            CAST(len(list_filter(range(0, nb),
+              b -> mk[CAST(b + 1 AS INT)])) AS BIGINT) AS n_masked,
+            md5(coalesce(array_to_string(flatten(
+              list_transform(range(0, nb), b ->
+                CASE WHEN mk[CAST(b + 1 AS INT)]
+                  THEN ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+                  ELSE ws[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)]
+                END)), ' '), '')) AS corrupted_md5,
+            md5(coalesce(array_to_string(flatten(
+              list_transform(range(0, nb), b ->
+                CASE WHEN mk[CAST(b + 1 AS INT)]
+                  THEN list_prepend(
+                    '<extra_id_' || CAST(b AS VARCHAR) || '>',
+                    ws[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)])
+                  ELSE [] END)), ' '), '')) AS targets_md5
+          FROM m ORDER BY doc_id""",
     // same seeded-md5 line pick (non-negative, so pmod and % agree),
     // same 0-based/1-based index bridge, same md5 fingerprints — exact
     "q158_ict_pairs" ->
