@@ -369,6 +369,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Margin-based bitext mining — the CCMatrix/WikiMatrix recipe
+    * (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings"): a translation pair is not just
+    * a high cosine but a cosine HIGH RELATIVE to each side's neighborhood
+    * — the ratio margin `2·cos(x,y) / (avgₖNN(x) + avgₖNN(y))` suppresses
+    * hub vectors that are close to everything. Source docs pair with
+    * their embeddings by id; the English probe slice (`doc_id % 5 = 0`)
+    * mines against the full German side. Cosines quantize to exact ppm
+    * BIGINT (floor(cos·1e6) — identical doubles in both engines, then
+    * integer-only margin arithmetic), so the ranking hash-compares.
+    *
+    * Scale shape: the probe slice is bounded and BROADCAST against the
+    * target corpus (the q39 exact-baseline posture — a production sweep
+    * batches probes; an LSH/IVF-bucketed variant prunes candidates, q40/
+    * q44); per-pair cost is the native vec_dot loop; the two top-k
+    * neighborhoods are windows over the bounded pair frame, cached once
+    * for its three consumers. */
+  def bitextMargin(spark: SparkSession, dir: String, k: Int = 4,
+      topK: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    val joined = docs.join(embs, "doc_id")
+    val a = joined.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("src_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    val b = joined.filter(col("lang") === "de")
+      .select(col("doc_id").as("tgt_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val pairs = b.crossJoin(broadcast(a))
+      .withColumn("cos_q",
+        floor(dotF(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long"))
+      .select("src_id", "tgt_id", "cos_q")
+      .cache()
+    val wx = Window.partitionBy("src_id")
+      .orderBy(col("cos_q").desc, col("tgt_id").asc)
+    val wy = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_q").desc, col("src_id").asc)
+    val sumx = pairs.withColumn("rx", row_number().over(wx))
+      .filter(col("rx") <= k).groupBy("src_id")
+      .agg(sum("cos_q").as("sx"), count(lit(1)).as("kx"))
+    val sumy = pairs.withColumn("ry", row_number().over(wy))
+      .filter(col("ry") <= k).groupBy("tgt_id")
+      .agg(sum("cos_q").as("sy"), count(lit(1)).as("ky"))
+    pairs.join(sumx, "src_id").join(sumy, "tgt_id")
+      .withColumn("den", expr("sx * ky + sy * kx"))
+      .filter(col("cos_q") > 0 && col("den") > 0)
+      .withColumn("margin_ppm",
+        expr("(2000000 * cos_q * kx * ky) DIV den"))
+      .orderBy(col("margin_ppm").desc, col("src_id").asc,
+        col("tgt_id").asc)
+      .limit(topK)
+      .select("src_id", "tgt_id", "cos_q", "margin_ppm")
+  }
+
   /** Full Lloyd's k-means over the embedding store — the iterated
     * composition of [[assignCentroids]] (ASSIGN) and [[labelCentroids]]
     * (UPDATE), the loop that trains IVF coarse quantizers (q44) and the
@@ -832,6 +892,8 @@ object Similarity {
     "q50_label_centroids" -> (labelCentroids _),
     "q150_embed_diversity" -> (embedDiversity _),
     "q152_hard_negatives" -> (hardNegatives _),
+    "q162_bitext_margin" ->
+      ((s: SparkSession, d: String) => bitextMargin(s, d)),
     "q98_assign_centroids" -> (assignCentroids _),
     "q100_kmeans_round" -> ((s: SparkSession, d: String) => kmeansRound(s, d)),
     "q121_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -985,6 +1047,56 @@ object Similarity {
              AS q_vec,
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
+    "q162_bitext_margin" ->
+      // same probe slice, same sequential-fold cosine floored to ppm
+      // BEFORE any aggregation, same integer margin — the engines agree
+      // bit for bit through the whole ranking
+      """WITH e AS (
+           SELECT d.doc_id, d.lang,
+             list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform(em.embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+           FROM documents d
+           JOIN embeddings em ON d.doc_id = em.vec_id),
+         a AS (
+           SELECT doc_id AS src_id, v AS va, nrm AS na FROM e
+           WHERE lang = 'en' AND doc_id % 5 = 0),
+         b AS (
+           SELECT doc_id AS tgt_id, v AS vb, nrm AS nb FROM e
+           WHERE lang = 'de'),
+         p AS (
+           SELECT a.src_id, b.tgt_id,
+             CAST(floor(list_sum(list_transform(list_zip(a.va, b.vb),
+               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+               / (a.na * b.nb) * 1e6) AS BIGINT) AS cos_q
+           FROM b CROSS JOIN a),
+         rx AS (
+           SELECT src_id, tgt_id, cos_q,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+               ORDER BY cos_q DESC, tgt_id ASC) AS rx
+           FROM p),
+         sx AS (
+           SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS kx
+           FROM rx WHERE rx <= 4 GROUP BY src_id),
+         ry AS (
+           SELECT src_id, tgt_id, cos_q,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+               ORDER BY cos_q DESC, src_id ASC) AS ry
+           FROM p),
+         sy AS (
+           SELECT tgt_id, CAST(sum(cos_q) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS ky
+           FROM ry WHERE ry <= 4 GROUP BY tgt_id),
+         m AS (
+           SELECT p.src_id, p.tgt_id, p.cos_q,
+             (2000000 * p.cos_q * sx.kx * sy.ky)
+               // (sx.sx * sy.ky + sy.sy * sx.kx) AS margin_ppm
+           FROM p JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+           WHERE p.cos_q > 0 AND sx.sx * sy.ky + sy.sy * sx.kx > 0)
+         SELECT src_id, tgt_id, cos_q, margin_ppm
+         FROM m ORDER BY margin_ppm DESC, src_id, tgt_id LIMIT 50""",
     "q152_hard_negatives" ->
       // q98's centroid construction with distances in the SAME
       // ‖a‖²+‖b‖²−2a·b association the Spark side's vec_dot uses: each
