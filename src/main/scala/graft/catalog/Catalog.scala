@@ -209,6 +209,17 @@ class Catalog(spark: SparkSession, warehouse: String,
       spark.catalog.refreshTable(s"$layer.$table")
   }
 
+  /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE t WHERE <pred>`):
+    * [[compact]] restricted to the hive partitions a partition-column
+    * predicate matches — untouched partitions hard-link into the new
+    * version. See [[Catalog.compactWherePath]]. */
+  def compactWhere(layer: String, table: String, predicate: String): Unit = {
+    Catalog.compactWherePath(spark, path(layer, table), predicate,
+      keepVersions)
+    if (tableExists(layer, table))
+      spark.catalog.refreshTable(s"$layer.$table")
+  }
+
   /** Delta RESTORE's job: make version `v`'s contents the LIVE snapshot, as
     * a NEW version (the restored-from state stays in the log — Delta's
     * semantics exactly). Bucketed tables materialize the reconstruction as
@@ -716,6 +727,80 @@ object Catalog {
 
   /** [[Catalog!.compact]] on a raw table directory — the seam SQL
     * `OPTIMIZE <table>` shares with the layer.table API. */
+  /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE t WHERE <pred>`): pack
+    * ONLY the hive partitions matching a partition-column predicate into
+    * one file each (the partitioned [[compactPath]] convention); every
+    * other partition's files hard-link into the new version unchanged.
+    * At 100 TB this is the difference between compacting yesterday's
+    * ingest partition and rewriting the table: cost is O(matched data +
+    * file-count metadata). Per Delta's rule the predicate may reference
+    * partition columns only — it resolves by partition pruning on the
+    * scan, so matching never reads data rows; the matched-directory set
+    * comes from the pruned scan's own file list (no hand re-derivation
+    * of partition-value escaping). */
+  def compactWherePath(spark: SparkSession, dir: String, predicate: String,
+      keepVersions: Int = 10): Unit = raceToConflict(dir) {
+    val dst = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = dst.getFileSystem(conf)
+    require(f.exists(dst), s"no table at $dir")
+    require(!isBucketedLayout(f, dir),
+      "bucketed layouts compact per bucket — OPTIMIZE already rewrites " +
+        "only oversized buckets; WHERE has nothing to add")
+    require(!graft.layout.DeletionVectors.hasDv(spark, dir),
+      s"$dir carries a deletion-vector sidecar; run full OPTIMIZE " +
+        "(which folds it) before partition-scoped compaction")
+    val partCols = partitionColsOf(f, dir)
+    require(partCols.nonEmpty,
+      "OPTIMIZE ... WHERE requires a hive-partitioned snapshot")
+    val pred = org.apache.spark.sql.functions.expr(predicate)
+    // parse once more for the reference check (Spark 4's Column no
+    // longer exposes its expression): collect the referenced NAMES
+    val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name.toLowerCase
+      }.toSet
+    require(refs.nonEmpty &&
+      refs.subsetOf(partCols.map(_.toLowerCase).toSet),
+      s"OPTIMIZE WHERE predicate may reference partition columns only " +
+        s"(${partCols.mkString(", ")}), got: $predicate")
+    val stagedAgainst = readPointer(f, dir)
+    val all = spark.read.parquet(dir)
+    // which partition DIRS matched: ask the pruned scan for its files
+    val basePath = f.makeQualified(dst).toUri.getPath
+    val matchedRel = all.filter(pred)
+      .select(org.apache.spark.sql.functions.input_file_name().as("p"))
+      .distinct().collect()
+      .map { r =>
+        val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        val rel = p.stripPrefix(basePath).stripPrefix("/")
+        rel.substring(0, rel.lastIndexOf('/')) // the partition dir
+      }.toSet
+    if (matchedRel.nonEmpty) { // no match → no-op, no empty version
+      val tmp = stagingPath(dir, "")
+      f.mkdirs(tmp)
+      linkDataTree(f, conf, dst, tmp)
+      // unlink the matched partitions — their packed rewrite replaces them
+      matchedRel.foreach(rel => f.delete(new Path(tmp, rel), true))
+      val stage = stagingPath(dir, "-optwhere")
+      all.filter(pred)
+        .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*).parquet(stage.toString)
+      mergeStagedTree(f, stage, tmp)
+      f.delete(stage, true)
+      // linked files keep valid skipping stats; rewritten files are
+      // unprofiled until the next analyze (appendPath's rule)
+      val skipDir = new Path(dst, "_skipping")
+      if (f.exists(skipDir))
+        org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
+          f, new Path(tmp, "_skipping"), false, false, conf)
+      commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
+        None, "OPTIMIZE WHERE")
+    }
+  }
+
   def compactPath(spark: SparkSession, dir: String, targetFileSize: Long,
       keepVersions: Int = 10, partitionBy: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): Unit = raceToConflict(dir) {

@@ -388,13 +388,24 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
   * tables compact per bucket. The target comes from
   * `spark.graft.optimize.targetFileSize` (default 128 MiB). */
 case class GraftOptimizeCommand(nameParts: Seq[String],
-    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
+    zorderBy: Seq[String] = Nil,
+    where: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "OPTIMIZE")
     val target = spark.conf
       .get("spark.graft.optimize.targetFileSize", (128L * 1024 * 1024).toString)
       .toLong
-    graft.catalog.Catalog.compactPath(spark, dir, target, zorderBy = zorderBy)
+    where match {
+      case Some(pred) =>
+        // Delta's partition-scoped OPTIMIZE; ZORDER clusters across the
+        // whole table and contradicts a partition-local rewrite
+        require(zorderBy.isEmpty,
+          "OPTIMIZE ... WHERE cannot combine with ZORDER BY")
+        graft.catalog.Catalog.compactWherePath(spark, dir, pred)
+      case None =>
+        graft.catalog.Catalog.compactPath(spark, dir, target,
+          zorderBy = zorderBy)
+    }
     GraftSql.refreshTarget(spark, nameParts, dir)
     Seq.empty
   }
@@ -890,9 +901,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.DescribeDetailRe(ident) =>
         GraftDescribeDetailCommand(delegate.parseMultipartIdentifier(ident))
-      case GraftSql.OptimizeRe(ident, zcols) =>
+      case GraftSql.OptimizeRe(ident, wpred, zcols) =>
         GraftOptimizeCommand(delegate.parseMultipartIdentifier(ident),
-          GraftSql.splitZOrderCols(zcols))
+          GraftSql.splitZOrderCols(zcols), Option(wpred).map(_.trim))
       case GraftSql.TableChangesRe(ident, v1, v2, ks) =>
         GraftSql.tableChangesPlan(session, ident, v1, v2, ks)
           .queryExecution.logical
@@ -986,7 +997,7 @@ object GraftSql {
   private[sql] val DescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
 
   /** `ZORDER BY (a, b)` column list → trimmed, backtick-stripped names. */
   private[sql] def splitZOrderCols(group: String): Seq[String] =
@@ -1210,9 +1221,10 @@ object GraftSql {
         GraftShims.ofRows(spark, GraftDescribeHistoryCommand(splitIdent(ident)))
       case DescribeDetailRe(ident) =>
         GraftShims.ofRows(spark, GraftDescribeDetailCommand(splitIdent(ident)))
-      case OptimizeRe(ident, zcols) =>
+      case OptimizeRe(ident, wpred, zcols) =>
         GraftShims.ofRows(spark,
-          GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols)))
+          GraftOptimizeCommand(splitIdent(ident), splitZOrderCols(zcols),
+            Option(wpred).map(_.trim)))
       case TableChangesRe(ident, v1, v2, ks) =>
         tableChangesPlan(spark, ident, v1, v2, ks)
       case CopyIntoRe(ident, src, fmt, opts) =>

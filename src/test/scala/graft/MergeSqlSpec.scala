@@ -202,6 +202,48 @@ class MergeSqlSpec extends SparkSuite {
       .getAs[String]("extra") == null)
   }
 
+  test("OPTIMIZE WHERE packs only the matched partitions; others keep their inodes") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-optw"))
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      s"v$i")).toDF("id", "p", "v")
+    cat.overwriteSnapshot(df.repartition(16), "gold", "optw",
+      partitionBy = Seq("p"))
+    cat.register("gold", "optw")
+    val base = cat.path("gold", "optw")
+    def filesIn(part: String): Seq[java.io.File] =
+      new java.io.File(s"$base/p=$part").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    def inode(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    assert(filesIn("a").size > 1 && filesIn("b").size > 1,
+      "fixture must start fragmented in both partitions")
+    val bBefore = filesIn("b").map(f => f.getName -> inode(f)).toMap
+    val rowsBefore = cat.read("gold", "optw").count()
+    s.sql("OPTIMIZE gold.optw WHERE p = 'a'")
+    // matched partition packed; contents unchanged; a real version
+    assert(filesIn("a").size == 1,
+      s"p=a not packed: ${filesIn("a").size} files")
+    assert(cat.read("gold", "optw").count() == rowsBefore)
+    assert(cat.currentVersion("gold", "optw") == 2)
+    assert(cat.readVersion("gold", "optw", 1).count() == rowsBefore)
+    // UNMATCHED partition: same file names, same inodes — hard-linked,
+    // zero data movement
+    val bAfter = filesIn("b").map(f => f.getName -> inode(f)).toMap
+    assert(bAfter == bBefore,
+      s"p=b was rewritten: $bBefore -> $bAfter")
+    // predicate on a non-partition column refuses (Delta's rule)
+    val e = intercept[IllegalArgumentException] {
+      cat.compactWhere("gold", "optw", "v = 'v1'")
+    }
+    assert(e.getMessage.contains("partition columns only"))
+    // no-match predicate: no version churn
+    s.sql("OPTIMIZE gold.optw WHERE p = 'zzz'")
+    assert(cat.currentVersion("gold", "optw") == 2)
+    cat.dropRegistration("gold", "optw")
+  }
+
   test("OPTIMIZE / VACUUM / RESTORE SQL statements drive the snapshot log") {
     val s = sqlSpark
     import s.implicits._
