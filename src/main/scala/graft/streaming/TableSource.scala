@@ -23,6 +23,7 @@ import graft.catalog.{Catalog, ChangeFeed}
   *   .option("feed", "rows"|"cdc") // default rows
   *   .option("keys", "id")         // cdc: keyed diff (pre/postimages)
   *   .option("maxVersionsPerTrigger", "2") // bound catch-up batches
+  *   .option("startingVersion", "latest")  // changes-only, skip snapshot
   *   .option("maxBytesPerTrigger", "134217728") // soft byte bound
   *   .load()
   * ```
@@ -120,6 +121,21 @@ class GraftTableSourceProvider extends StreamSourceProvider
       require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
       n
     }
+    // Delta's startingVersion: skip the initial snapshot and stream
+    // changes AFTER the named version ("latest" resolves at stream
+    // start — the changes-only tail of a table too big to replay)
+    val startingVersion = parameters.get("startingVersion").map { v =>
+      val t = v.trim
+      if (t.equalsIgnoreCase("latest"))
+        Catalog.readPointer(new Path(dir).getFileSystem(
+          sqlContext.sparkSession.sparkContext.hadoopConfiguration),
+          dir).toLong
+      else {
+        val n = t.toLong
+        require(n >= 0, s"startingVersion must be >= 0 or 'latest', got $n")
+        n
+      }
+    }
     new GraftTableSource(sqlContext, dir,
       cdc = parameters.getOrElse("feed", "rows") == "cdc",
       keys = parameters.get("keys").toSeq
@@ -127,7 +143,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
       dataSchema = schema.getOrElse(baseSchema(sqlContext, dir)),
       metadataPath = metadataPath,
       maxVersionsPerTrigger = maxVersions,
-      maxBytesPerTrigger = maxBytes)
+      maxBytesPerTrigger = maxBytes,
+      startingVersion = startingVersion)
   }
 }
 
@@ -135,7 +152,8 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
     cdc: Boolean, keys: Seq[String], dataSchema: StructType,
     metadataPath: String = "",
     maxVersionsPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -171,7 +189,8 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
       finally in.close()
     }
-  }
+  }.orElse(startingVersion) // with startingVersion there is no initial
+  // snapshot to protect, so admission control may cap the FIRST batch too
 
   private def advanceCursor(v: Long): Unit = {
     lastEmitted = Some(v)
@@ -256,7 +275,11 @@ class GraftTableSource(sqlContext: SQLContext, dir: String,
     val toV = versionOf(end)
     // prime the admission-control cursor on checkpoint-recovery replays
     if (lastEmitted.forall(_ < toV)) advanceCursor(toV.toLong)
-    val batch = start.map(versionOf) match {
+    val batch = start.map(versionOf).orElse(
+        startingVersion.map(_.toInt)) match {
+      // startingVersion replaces the initial snapshot with the changes
+      // AFTER it (Delta's rule) — the orElse folds it into the ordinary
+      // from-version path, including the from >= to empty batch
       case None =>
         // initial batch: the full snapshot at `toV`, typed as inserts
         graft.layout.DeletionVectors.readPath(spark,

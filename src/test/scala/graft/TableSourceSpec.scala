@@ -54,6 +54,40 @@ class TableSourceSpec extends SparkSuite {
     assert(third.count() == 4)
   }
 
+  test("startingVersion: changes-only stream skips the initial snapshot") {
+    val (cat, _) = freshCat()
+    cat.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "sv1")
+    cat.append(Seq((3L, "c")).toDF("id", "v"), "silver", "sv1") // v2
+    val dir = cat.path("silver", "sv1")
+
+    // startingVersion=latest: the existing table never replays — only
+    // commits made AFTER the stream starts arrive
+    val ckptL = tmpDir("tsrc-svl-ckpt")
+    val outL = tmpDir("tsrc-svl-out") + "/sink"
+    def latest = spark.readStream.format("graft-table")
+      .option("path", dir).option("startingVersion", "latest").load()
+    val qe = latest.writeStream.format("parquet")
+      .option("path", outL).option("checkpointLocation", ckptL)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qe.awaitTermination()
+    assert(!new java.io.File(outL).exists() ||
+      spark.read.parquet(outL).count() == 0,
+      "latest must deliver nothing before the next commit")
+    cat.append(Seq((4L, "d")).toDF("id", "v"), "silver", "sv1") // v3
+    val after = drainOnce(latest, outL, ckptL)
+    assert(rowsOf(after, "id").map(_.head) == Seq(4L),
+      "only the post-start commit may arrive")
+
+    // startingVersion=1: everything AFTER v1 (the v2 append), no snapshot
+    val ckpt1 = tmpDir("tsrc-sv1-ckpt")
+    val out1 = tmpDir("tsrc-sv1-out") + "/sink"
+    val fromV1 = drainOnce(spark.readStream.format("graft-table")
+      .option("path", dir).option("startingVersion", "1").load(),
+      out1, ckpt1)
+    assert(rowsOf(fromV1, "id").map(_.head) == Seq(3L, 4L),
+      "startingVersion=1 must deliver exactly the v2/v3 changes")
+  }
+
   test("cdc feed: updates and deletes arrive as typed change rows") {
     val (cat, _) = freshCat()
     cat.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
