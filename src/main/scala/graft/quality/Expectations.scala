@@ -55,6 +55,29 @@ object Expectations {
     }.toMap
   }
 
+  /** Quarantine mode (the DLT-recommended pattern for rows too valuable
+    * to silently drop): split one pass into (clean, quarantined) where
+    * the quarantined frame carries a `_violated_rules` array naming each
+    * failed rule — the triage surface a data-quality dashboard reads.
+    * NULL-evaluating rows quarantine (the same three-valued-logic rule
+    * as drop mode). The split is lazy; writing both sides costs one scan
+    * each (or cache the input for one total).
+    *
+    * Scale shape: two codegen'd filters over the same scan — no shuffle,
+    * no second counting job; the per-rule flags are one projection. */
+  def applyOrQuarantine(df: DataFrame, rules: Map[String, String])
+      : (DataFrame, DataFrame) = {
+    val ok = parsed(rules).values.map(c => coalesce(c, lit(false)))
+      .reduce(_ && _)
+    val flags = rules.toSeq.sortBy(_._1).map { case (n, sql) =>
+      when(violates(sql), n)
+    }
+    val quarantined = df.filter(!ok)
+      .withColumn("_violated_rules",
+        array_compact(array(flags: _*)).cast("array<string>"))
+    (df.filter(ok), quarantined)
+  }
+
   /** Monitor mode (DLT `expect`): keep EVERY row, surface per-rule
     * violation counts as OBSERVED metrics computed inside the query's own
     * execution — on a stream they arrive per micro-batch in

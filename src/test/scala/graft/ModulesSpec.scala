@@ -24,6 +24,20 @@ class ExpectationsSpec extends SparkSuite {
     assert(r.violations == Map("pos" -> 2L, "small" -> 1L))
   }
 
+  test("applyOrQuarantine splits clean/violating and names the failed rules") {
+    val (clean, bad) = Expectations.applyOrQuarantine(df,
+      Map("pos" -> "price > 0", "small" -> "price < 6"))
+    assert(clean.select("id").as[Int].collect().sorted.toSeq == Seq(4))
+    val q = bad.select("id", "_violated_rules").collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).sorted.toList).toMap
+    assert(q == Map(
+      1 -> List("small"),      // price 10.0 fails only price < 6
+      2 -> List("pos"),        // -1.0 fails only price > 0
+      3 -> List("pos")))       // 0.0 fails only price > 0
+    // clean + quarantined partition the input exactly
+    assert(clean.count() + bad.count() == df.count())
+  }
+
   test("applyOrFail throws when violated, passes through when clean") {
     intercept[IllegalStateException] {
       Expectations.applyOrFail(df, Map("pos" -> "price > 0"))
