@@ -859,7 +859,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** First-occurrence n-gram novelty — the freshness signal a rolling
+    * crawl uses to rank candidate documents (and a curriculum orderer
+    * uses in reverse): per document, the share of its DISTINCT word
+    * 8-grams whose first corpus occurrence (min doc_id = ingestion
+    * order) is this document. q99 measures how much of a doc recurs
+    * ANYWHERE (symmetric duplication); this measures how much is NEW
+    * relative to everything before it (directional). Same polynomial
+    * gram hashing, exact BIGINT ppm.
+    *
+    * Scale shape: q99's exactly — one gram-keyed shuffle whose window
+    * computes the first occurrence, then one doc-keyed aggregation; the
+    * hash chain is evaluated once. Docs shorter than k words carry no
+    * grams and no row (the q99 convention). */
+  def noveltyScore(spark: SparkSession, dir: String, k: Int = 8)
+      : DataFrame = {
+    def kgramsOf(hs: Column): Column =
+      filter(
+        (1 until k).foldLeft(hs) { (acc, j) =>
+          zip_with(acc, slice(hs, lit(j + 1), size(hs)),
+            (a, b) => (a * 131L + b) % 1000000007L)
+        },
+        x => x.isNotNull)
+    val docs0 = Tables.load(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par)
+      docs0.repartition(par) else docs0
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(get(transform(
+          array(wordHashes(words(col("text")))),
+          hs => kgramsOf(hs)), lit(0)))).as("g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    grams.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_grams").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_novelty" -> ((s: SparkSession, d: String) => noveltyScore(s, d)),
     "q161_span_corrupt" -> (spanCorrupt _),
     "q158_ict_pairs" -> (ictPairs _),
     "q159_source_dashboard" -> (sourceDashboard _),
@@ -1371,6 +1414,36 @@ object TextQueries {
           SELECT doc_id, fp, n_same_fp FROM fp
           JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
           ORDER BY doc_id""",
+    "q163_novelty" -> {
+      val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(w, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+      // q99's gram table made DISTINCT per doc, first occurrence via
+      // min(doc_id) — the same integers in both engines
+      s"""WITH h AS (
+            SELECT doc_id,
+              list_transform($wordsSql, w -> $whash) AS hs
+            FROM documents),
+          g AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(hs) >= 8 THEN
+                list_transform(range(1, len(hs) - 8 + 2),
+                  i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+                    (acc, x) -> (acc * 131 + x) % 1000000007))
+              ELSE [] END)) AS gr
+            FROM h),
+          f AS (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr)
+          SELECT g.doc_id,
+            CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+            CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+          FROM g JOIN f USING (gr)
+          GROUP BY g.doc_id ORDER BY doc_id"""
+    },
     "q99_substring_dup" -> {
       val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split_regex(w, ''), " +
