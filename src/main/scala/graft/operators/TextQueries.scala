@@ -901,7 +901,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val/test split — q90 splits per DOCUMENT, which
+    * lets two copies of the same text land in train AND test (the
+    * benchmark-contamination failure decontamination later has to
+    * catch); this splits per DUPLICATE GROUP: every doc shares its
+    * group's representative (min doc_id over the exact-text group), and
+    * the split decision hashes the REPRESENTATIVE — so identical texts
+    * travel together by construction. Same 90/95 seeded-md5 thresholds
+    * as q90 (floor(0.90·65536)=0xe666, floor(0.95·65536)=0xf333),
+    * applied to the rep id.
+    *
+    * Scale shape: one text-fingerprint window (the q31 shuffle) and a
+    * codegen'd projection — no joins. The same pattern extends to
+    * NEAR-dup groups by substituting q57's cluster representative. */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .withColumn("rep_id", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .withColumn("slot", substring(
+        md5(concat(col("rep_id").cast("string"), lit("#split42"))), 1, 4))
+      .select(col("doc_id"), col("rep_id"),
+        when(col("slot") < "e666", "train")
+          .when(col("slot") < "f333", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_leakfree_split" -> (leakFreeSplit _),
     "q163_novelty" -> ((s: SparkSession, d: String) => noveltyScore(s, d)),
     "q161_span_corrupt" -> (spanCorrupt _),
     "q158_ict_pairs" -> (ictPairs _),
@@ -1414,6 +1442,21 @@ object TextQueries {
           SELECT doc_id, fp, n_same_fp FROM fp
           JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
           ORDER BY doc_id""",
+    // same fingerprint window, same seeded rep-id slot and hex
+    // thresholds — identical groups land in identical splits
+    "q164_leakfree_split" ->
+      """WITH r AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+           FROM documents)
+         SELECT doc_id, rep_id,
+           CASE
+             WHEN substring(md5(CAST(rep_id AS VARCHAR) || '#split42'),
+               1, 4) < 'e666' THEN 'train'
+             WHEN substring(md5(CAST(rep_id AS VARCHAR) || '#split42'),
+               1, 4) < 'f333' THEN 'val'
+             ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
     "q163_novelty" -> {
       val whash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split_regex(w, ''), " +
