@@ -29,6 +29,7 @@ object SparkEntry {
     operators.SkewQueries.queries ++
     operators.SearchQueries.queries ++
     operators.GraphQueries.queries ++
+    operators.SftQueries.queries ++
     multimodal.Multimodal.queries ++
     multimodal.Audio.queries ++
     sources.Formats.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
     operators.SkewQueries.oracles ++
     operators.SearchQueries.oracles ++
     operators.GraphQueries.oracles ++
+    operators.SftQueries.oracles ++
     multimodal.Multimodal.oracles ++
     multimodal.Audio.oracles ++
     sources.Formats.oracles ++

@@ -174,12 +174,206 @@ object Multimodal {
         col("lum_bin"))
       .orderBy("asset_id")
 
+  /** 56-bit difference hash (dHash) of a decoded image: luminance is
+    * block-mean-reduced to an 8×8 grid (integer math — exact), then each
+    * of the 7 adjacent-column comparisons per row contributes one bit
+    * (bit y*7+x set iff cell(x+1,y) > cell(x,y)). 56 bits keep the hash
+    * in non-negative BIGINT range so the SQL oracle can rebuild it with
+    * shift arithmetic. Returns 0 for undecodable bytes (decoded=false
+    * distinguishes that from a legitimately-zero gradient). */
+  def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Long](8, 8)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        // integer block bounds [lo, hi): exact for any w,h; each pixel
+        // lands in exactly one cell, empty blocks impossible for w,h >= 8
+        // (for smaller images the block clamps to at least one pixel)
+        val x0 = cx * w / 8; val x1 = math.max((cx + 1) * w / 8, x0 + 1)
+        val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy)(cx) = if (n > 0) sum / n else 0L
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var b = 0
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 7) {
+        if (cells(cy)(cx + 1) > cells(cy)(cx)) hash |= (1L << b)
+        b += 1; cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  final case class ImageHash(asset_id: Long, decoded: Boolean, dhash: Long)
+
+  /** Batched decode → dHash (the q42/q75 mapPartitions shape). */
+  def dhashAssets(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
+          catch { case _: Exception => null }
+        if (img != null) ImageHash(a.asset_id, decoded = true, dhashOf(img))
+        else ImageHash(a.asset_id, decoded = false, 0L)
+      })
+    }
+  }
+
+  /** Deterministic gradient PNGs for the oracle-able dHash slice: an 8×8
+    * image whose row y is the wrap-around ramp
+    * gray(x,y) = (x·73 + shift(y, id)) mod 256, ENCODED through ImageIO.
+    * The decoded dHash bit (x,y) is set exactly when
+    * (x·73 + shift) mod 256 < 183 (the +73 column step wraps only in the
+    * top 73 values), which DuckDB rebuilds with pure arithmetic.
+    *
+    * Per-row shifts plant a near-dup STRUCTURE, not just a hash: ids in
+    * the same group of four (id div 4) share rows 0–6 verbatim
+    * (shift = (g·(2y+3)·41) mod 256 — pseudorandom across groups), while
+    * row 7 is perturbed by (id mod 4)·8 — so intra-group pairs differ in
+    * a handful of row-7 bits (hamming 0–6, all inside the top band: the
+    * band gate catches every one by construction) and cross-group pairs
+    * are unrelated ramps. That is the shape real image near-dup corpora
+    * have: clusters of rescaled/requantized variants in a sea of
+    * unrelated images. */
+  def syntheticGradientPngAssets(spark: SparkSession, dir: String)
+      : Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            val shift =
+              if (y < 7) (id / 4 * (2 * y + 3) * 41) % 256
+              else (id / 4 * 97 + (id % 4) * 8) % 256
+            var x = 0
+            while (x < 8) {
+              val g = ((x * 73 + shift) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaAsset(id, bos.toByteArray, "image/png")
+        }
+      }
+  }
+
+  /** q168: PNG encode → real decode → dHash, hash-compared against the
+    * arithmetic oracle (the q75 pattern for perceptual hashing). */
+  def dhashQuery(spark: SparkSession, dir: String): DataFrame =
+    dhashAssets(syntheticGradientPngAssets(spark, dir)).toDF()
+      .select(col("asset_id"), col("decoded"), col("dhash"))
+      .orderBy("asset_id")
+
+  /** q169: near-duplicate IMAGE pairs by dHash hamming distance — the
+    * image-side counterpart of SimHash near-dup (q36). Candidate
+    * generation is the same banded equi-join (4×14-bit bands: a pair
+    * within hamming ≤ 3 leaves at least one band untouched by
+    * pigeonhole, so it is GUARANTEED a candidate; 4–6 differing bits
+    * are caught unless they spread across all four bands — SimHash's
+    * standard recall trade), then exact bit_count(xor) confirms —
+    * never all-pairs.
+    *
+    * Scale shape: hashes are 8 bytes/image, the band join keys are
+    * 14-bit ints — the candidate table is radically smaller than the
+    * media it indexes; decode runs once, map-only, upstream. */
+  def imageNearDupQuery(spark: SparkSession, dir: String,
+      maxHamming: Int = 6): DataFrame = {
+    val hashes = dhashQuery(spark, dir)
+      .filter(col("decoded"))
+      .select(col("asset_id"), col("dhash"))
+    val banded = hashes.select(col("asset_id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("band_no"))
+      // dhash is 56-bit non-negative, so arithmetic >> equals logical
+      .withColumn("band_val", expr("(dhash >> (band_no * 14)) & 16383"))
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band_no") === col("r.band_no") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.asset_id") < col("r.asset_id"))
+      .select(col("l.asset_id").as("id1"), col("r.asset_id").as("id2"),
+        col("l.dhash").as("h1"), col("r.dhash").as("h2"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_image_dhash"   -> (dhashQuery _),
+    "q169_image_neardup" ->
+      ((s: SparkSession, d: String) => imageNearDupQuery(s, d)),
     "q42_multimodal_features"  -> (featureQuery _),
     "q43_multimodal_frames"    -> (frameQuery _),
     "q75_multimodal_roundtrip" -> (roundtripQuery _))
 
+  // the q168 gradient fixture's dHash as pure arithmetic: bit (cx,cy) is
+  // set iff (cx*73 + shift(cy, doc_id)) mod 256 < 183 (see
+  // syntheticGradientPngAssets) — shared by the q168 and q169 oracles
+  private val dhashArithSql: String =
+    """SELECT d.doc_id AS asset_id,
+         CAST(sum(CASE WHEN (cx * 73 +
+             CASE WHEN cy < 7
+               THEN (d.doc_id // 4 * (2 * cy + 3) * 41) % 256
+               ELSE (d.doc_id // 4 * 97 + (d.doc_id % 4) * 8) % 256
+             END) % 256 < 183
+           THEN (CAST(1 AS BIGINT) << (cy * 7 + cx)) ELSE 0 END)
+           AS BIGINT) AS dhash
+       FROM documents d,
+         (SELECT unnest(range(0, 7)) AS cx),
+         (SELECT unnest(range(0, 8)) AS cy)
+       GROUP BY d.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    // q168: real PNG decode + dHash vs the arithmetic rebuild
+    "q168_image_dhash" ->
+      s"""WITH h AS ($dhashArithSql)
+          SELECT asset_id, TRUE AS decoded, dhash
+          FROM h ORDER BY asset_id""",
+    // q169: same 4×14-bit band gate + exact hamming confirm
+    "q169_image_neardup" ->
+      s"""WITH h AS ($dhashArithSql),
+          b AS (
+            SELECT asset_id, dhash, band_no,
+              (dhash >> (band_no * 14)) & 16383 AS band_val
+            FROM h, (SELECT unnest(range(0, 4)) AS band_no)),
+          p AS (
+            SELECT DISTINCT l.asset_id AS id1, r.asset_id AS id2,
+              l.dhash AS h1, r.dhash AS h2
+            FROM b l JOIN b r ON l.band_no = r.band_no
+              AND l.band_val = r.band_val AND l.asset_id < r.asset_id)
+          SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+          FROM p WHERE bit_count(xor(h1, h2)) <= 6
+          ORDER BY id1, id2""",
     // q42 is rows-only (JVM closure); q43 is pure arithmetic on byte lengths:
     "q43_multimodal_frames" ->
       """SELECT doc_id AS asset_id, frame_no,

@@ -78,8 +78,68 @@ object GraphQueries {
     res
   }
 
+  /** Triangle counting + local clustering coefficient on the co-purchase
+    * graph: parts are nodes, an undirected edge connects two parts that
+    * appear together in at least `minSupport` distinct orders. Per node:
+    * degree, triangle count, and clustering coefficient in ppm
+    * (2·tri·1e6 DIV deg·(deg−1), exact integers).
+    *
+    * A data pipeline uses this as a cohesion signal: dense neighborhoods
+    * in a co-occurrence graph (pages co-linked, products co-bought,
+    * docs co-cited) mark communities worth sampling together, and the
+    * clustering coefficient separates hub-spoke noise from real cliques.
+    *
+    * Scale shape: pair generation is per-order (baskets are bounded —
+    * ≤7 lineitems — so pairs are linear in lineitem, never quadratic in
+    * parts); the support filter prunes the edge set before any wedge is
+    * built; triangles are enumerated exactly once via the id-ordered
+    * orientation u<v<w (wedge join on the middle node, then a closing
+    * edge probe). Wedge volume is Σ deg²(v) of the PRUNED graph — the
+    * support threshold is the knob that bounds it at scale (raise it on
+    * denser graphs; degree-ordered orientation is the further refinement
+    * when hubs dominate, at the cost of a degree-rank join). The edge
+    * frame appears four times in the plan (both wedge sides, the closing
+    * probe, the degree count) but its shuffle runs once — the subtrees
+    * are identical, so Spark's ReuseExchange collapses them (pinned in
+    * PlanQualitySpec). */
+  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2)
+      : DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("u", "v")
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"),
+        col("e2.v").as("z"))
+      .join(edges.as("e3"),
+        col("x") === col("e3.u") && col("z") === col("e3.v"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("triangles"))
+    val deg = edges.select(col("u").as("part"))
+      .unionAll(edges.select(col("v").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("degree"))
+    val res = deg.join(tri, Seq("part"), "left")
+      .select(col("part"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("2 * triangles * 1000000 DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("part")
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)))
+    "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q167_triangle_count" ->
+      ((s: SparkSession, d: String) => triangleCount(s, d)))
 
   val oracles: Map[String, String] = Map(
     // identical integer-ppb updates, same symmetrized edge build — the
@@ -112,6 +172,36 @@ object GraphQueries {
              150000000 + 85 * sum(rank * w // wout) // 100 AS rank
            FROM ew JOIN r2 ON ew.src = r2.node GROUP BY dst)
          SELECT node, CAST(rank AS BIGINT) AS rank_ppb
-         FROM r3 ORDER BY node"""
+         FROM r3 ORDER BY node""",
+    // same support-pruned id-ordered edges, same u<v<w enumeration
+    "q167_triangle_count" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT a.pk AS u, b.pk AS v
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         t AS (
+           SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM e e1 JOIN e e2 ON e1.v = e2.u
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (
+           SELECT part, CAST(count(*) AS BIGINT) AS triangles
+           FROM (SELECT x AS part FROM t UNION ALL
+                 SELECT y FROM t UNION ALL SELECT z FROM t)
+           GROUP BY part),
+         d AS (
+           SELECT part, CAST(count(*) AS BIGINT) AS degree
+           FROM (SELECT u AS part FROM e UNION ALL SELECT v FROM e)
+           GROUP BY part)
+         SELECT d.part, d.degree,
+           COALESCE(tn.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2 THEN
+             2 * COALESCE(tn.triangles, 0) * 1000000
+               // (d.degree * (d.degree - 1))
+           ELSE 0 END AS clustering_ppm
+         FROM d LEFT JOIN tn ON d.part = tn.part
+         ORDER BY d.part"""
   )
 }

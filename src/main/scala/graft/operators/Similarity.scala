@@ -44,6 +44,25 @@ object Similarity {
         round(col("embedding").getItem(1).cast("double"), 6).as("c1"))
       .orderBy("vec_id")
 
+  /** Matryoshka truncation fidelity (Kusupati et al. 2022): how much of
+    * each embedding's mass survives truncation to the first k dims —
+    * cos(full, truncate-and-zero-pad) = ‖x[..k]‖ / ‖x‖ exactly, so the
+    * audit needs NO pairwise work: one codegen'd map pass over the
+    * vectors, O(n·d), reporting per-vector fidelity and the retention
+    * gate an MRL-style serving stack would apply before switching its
+    * ANN index to the truncated prefix. Same sequential-fold arithmetic
+    * as q38 (native dot expression), rounded at 1e-6. */
+  def matryoshkaFidelity(spark: SparkSession, dir: String, k: Int = 16)
+      : DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(l2norm(col("embedding")), 6).as("norm_full"),
+        round(l2norm(slice(col("embedding"), 1, k)), 6).as("norm_k"),
+        round(l2norm(slice(col("embedding"), 1, k)) /
+          l2norm(col("embedding")), 6).as("fidelity"))
+      .withColumn("keep", (col("fidelity") >= 0.5).cast("int"))
+      .orderBy("vec_id")
+
   /** Johnson–Lindenstrauss random projection (d=64 → 16): the cheap
     * linear dimensionality reduction every embedding pipeline leans on
     * before clustering/ANN when the raw dimension is the cost driver
@@ -887,6 +906,8 @@ object Similarity {
     "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
     "q73_quantize_int8"  -> (quantizeInt8 _),
     "q38_embed_norms"    -> (norms _),
+    "q171_matryoshka" ->
+      ((s: SparkSession, d: String) => matryoshkaFidelity(s, d)),
     "q148_random_projection" ->
       ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q50_label_centroids" -> (labelCentroids _),
@@ -1339,6 +1360,18 @@ object Similarity {
             round(sqrt($norm), 6) AS pnorm
           FROM w ORDER BY vec_id"""
     },
+    // same prefix-slice norms, same 1e-6 rounding; DuckDB list slices
+    // are 1-based inclusive so [1:16] is the first k=16 components
+    "q171_matryoshka" ->
+      s"""SELECT vec_id, label,
+          round(${normSql("embedding")}, 6) AS norm_full,
+          round(${normSql("embedding[1:16]")}, 6) AS norm_k,
+          round(${normSql("embedding[1:16]")} / ${normSql("embedding")}, 6)
+            AS fidelity,
+          CAST(CASE WHEN round(${normSql("embedding[1:16]")} /
+            ${normSql("embedding")}, 6) >= 0.5 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+          FROM embeddings ORDER BY vec_id""",
     "q38_embed_norms" ->
       s"""SELECT vec_id, label, round(${normSql("embedding")}, 6) AS norm,
           round(CAST(embedding[1] AS DOUBLE), 6) AS c0,

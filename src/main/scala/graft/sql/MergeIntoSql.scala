@@ -956,7 +956,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.AnalyzeSkippingRe(ident, cols, blooms) =>
         GraftAnalyzeSkippingCommand(delegate.parseMultipartIdentifier(ident),
           GraftSql.splitZOrderCols(cols), GraftSql.splitZOrderCols(blooms))
-      case _ => wrap(parse(sqlText))
+      case _ =>
+        wrap(parse(GraftSql.lowerQualify(sqlText).getOrElse(sqlText)))
     }
   override def parsePlan(sqlText: String): LogicalPlan =
     parseOrIntercept(sqlText, delegate.parsePlan)
@@ -1003,6 +1004,85 @@ object GraftSql {
   private[sql] def splitZOrderCols(group: String): Seq[String] =
     Option(group).toSeq.flatMap(_.split(","))
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** First occurrence of `word` (whole-word, case-insensitive) at paren
+    * depth 0, outside '…'/"…"/`…` literals and `--` comments, at or after
+    * `from`; -1 if none. The scanner QUALIFY lowering is built on. */
+  private[sql] def topLevelIndexOf(text: String, word: String,
+      from: Int): Int = {
+    val n = text.length
+    var i = math.max(from, 0)
+    var depth = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        i += 1
+        while (i < n && text.charAt(i) != c) i += 1
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      } else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 &&
+          text.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !isIdentChar(text.charAt(i - 1))) &&
+          (i + word.length >= n || !isIdentChar(text.charAt(i + word.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** QUALIFY-clause lowering (Databricks/Snowflake/DuckDB surface; Spark's
+    * grammar has none): `… SELECT <sel> FROM <rest> QUALIFY <pred>
+    * [ORDER BY/LIMIT/OFFSET <tail>]` rewrites to
+    * {{{
+    * … SELECT * EXCEPT (__graft_qualify)
+    *   FROM (SELECT <sel>, (<pred>) AS __graft_qualify FROM <rest>) q
+    *   WHERE __graft_qualify [<tail>]
+    * }}}
+    * — the window predicate is evaluated as a hidden select-list column
+    * (after grouping, exactly QUALIFY's evaluation point) and filtered
+    * one level out, which is the same lowering DuckDB applies
+    * internally. Anything before the main SELECT (a CTE list, an INSERT
+    * INTO prefix) stays outside the wrap. Returns None when the
+    * statement has no top-level QUALIFY. Top-level set operations and
+    * SELECT DISTINCT are rejected with a clear error — wrap those in a
+    * subquery. */
+  def lowerQualify(text: String): Option[String] = {
+    if (topLevelIndexOf(text, "QUALIFY", 0) < 0) return None
+    val qi = topLevelIndexOf(text, "QUALIFY", 0)
+    val head = text.substring(0, qi)
+    val rest = text.substring(qi + 7).replaceAll("[;\\s]+$", "")
+    val cut = Seq(topLevelIndexOf(rest, "ORDER", 0),
+      topLevelIndexOf(rest, "LIMIT", 0),
+      topLevelIndexOf(rest, "OFFSET", 0)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(rest.length)
+    val pred = rest.substring(0, cut).trim
+    val tail = rest.substring(cut).trim
+    require(pred.nonEmpty, "QUALIFY requires a predicate")
+    val si = topLevelIndexOf(head, "SELECT", 0)
+    val fi = if (si < 0) -1 else topLevelIndexOf(head, "FROM", si)
+    require(si >= 0 && fi > si,
+      "QUALIFY requires a SELECT ... FROM block")
+    Seq("UNION", "INTERSECT", "MINUS", "EXCEPT").foreach { op =>
+      require(topLevelIndexOf(head, op, fi) < 0,
+        s"QUALIFY over a top-level $op is unsupported; " +
+          "wrap the set operation in a subquery")
+    }
+    require(!head.substring(si + 6).trim
+        .regionMatches(true, 0, "DISTINCT", 0, 8),
+      "QUALIFY with SELECT DISTINCT is unsupported; " +
+        "apply DISTINCT in a subquery")
+    val inner = head.substring(si, fi) +
+      s", ($pred) AS __graft_qualify " + head.substring(fi)
+    Some(head.substring(0, si) +
+      "SELECT * EXCEPT (__graft_qualify) FROM (" + inner +
+      ") __graft_qualify_sub WHERE __graft_qualify" +
+      (if (tail.nonEmpty) " " + tail else ""))
+  }
   private[sql] val CopyIntoRe =
     """(?is)^\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""".r
 
@@ -1280,7 +1360,8 @@ object GraftSql {
       case AnalyzeSkippingRe(ident, cols, blooms) =>
         GraftShims.ofRows(spark, GraftAnalyzeSkippingCommand(
           splitIdent(ident), splitZOrderCols(cols), splitZOrderCols(blooms)))
-      case _ => GraftShims.parsePlan(spark, sqlText) match {
+      case _ => GraftShims.parsePlan(spark,
+          lowerQualify(sqlText).getOrElse(sqlText)) match {
         case m: MergeIntoTable =>
           MergeIntoRunner.run(spark,
             rewriteTimeTravel(spark, m).asInstanceOf[MergeIntoTable])

@@ -52,6 +52,49 @@ class AudioSpec extends SparkSuite {
     assert(!trunc.decoded)
   }
 
+  test("trim: VAD frame scan — spans, edge cases, corrupt fallback") {
+    import graft.multimodal.Audio.AudioAsset
+    def frames(specs: Seq[Int]): Seq[Int] = // amp per 16-sample frame
+      specs.flatMap(a => (0 until 16).map(i => if (i % 2 == 0) a else -a))
+    // silence, voiced, voiced, silence → keep frames [1,2]
+    val t = Audio.trimOne(AudioAsset(1L, wav(frames(Seq(4, 600, 600, 4)))))
+    assert(t.decoded && t.n_frames == 4 && t.n_voiced == 2 &&
+      t.first_voiced == 1 && t.last_voiced == 2 &&
+      t.trimmed_samples == 32, s"trim span wrong: $t")
+    // interior silence stays inside the keep-span (trim ≠ strike)
+    val gap = Audio.trimOne(AudioAsset(2L, wav(frames(Seq(600, 4, 600)))))
+    assert(gap.n_voiced == 2 && gap.first_voiced == 0 &&
+      gap.last_voiced == 2 && gap.trimmed_samples == 48)
+    // all-silent → empty span, zero samples kept
+    val silent = Audio.trimOne(AudioAsset(3L, wav(frames(Seq(4, 4)))))
+    assert(silent.n_voiced == 0 && silent.first_voiced == -1 &&
+      silent.trimmed_samples == 0)
+    // threshold boundary: mean |x| exactly 256 is voiced, 255 is not
+    val lo = Audio.trimOne(AudioAsset(4L, wav(frames(Seq(255)))))
+    val hi = Audio.trimOne(AudioAsset(5L, wav(frames(Seq(256)))))
+    assert(lo.n_voiced == 0 && hi.n_voiced == 1)
+    // trailing partial frame is dropped by the fixed-frame contract
+    val part = Audio.trimOne(AudioAsset(6L,
+      wav(frames(Seq(600)) ++ Seq(600, -600, 600))))
+    assert(part.n_frames == 1 && part.n_voiced == 1)
+    // corrupt bytes fall back flagged
+    val bad = Audio.trimOne(AudioAsset(7L,
+      Array.tabulate[Byte](48)(i => (i * 11).toByte)))
+    assert(!bad.decoded && bad.trimmed_samples == 0)
+  }
+
+  test("q170: decoded trim equals doc_id arithmetic on the speech fixture") {
+    val rows = Audio.trimQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("decoded")))
+    rows.take(64).foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Long]("n_frames") == id % 5 + 2 + id % 4 + id % 3)
+      assert(r.getAs[Long]("first_voiced") == id % 5)
+      assert(r.getAs[Long]("last_voiced") == id % 5 + 2 + id % 4 - 1)
+      assert(r.getAs[Long]("trimmed_samples") == (2 + id % 4) * 16)
+    }
+  }
+
   test("q136 roundtrip: decoded stats equal doc_id arithmetic on the fixture") {
     val got = Audio.roundtripQuery(spark, sf0001)
     val rows = got.collect()

@@ -78,6 +78,55 @@ class GraphQueriesSpec extends SparkSuite {
     (5L to 9L).foreach(i => assert(out(i) == (117647L, 0L)))
   }
 
+  private def writeBaskets(dir: String, baskets: Seq[(Long, Seq[Long])])
+      : Unit = {
+    import spark.implicits._
+    baskets.flatMap { case (ok, parts) => parts.map(p => (ok, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("triangles: hand-built triangle + pendant — exact counts") {
+    val dir = tmpDir("tri") + "/d"
+    // {1,2,3} co-bought twice → triangle; {1,4} twice → pendant edge;
+    // {2,5} once → below support, never an edge
+    writeBaskets(dir, Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L, 3L)),
+      (3L, Seq(1L, 4L)), (4L, Seq(1L, 4L)), (5L, Seq(2L, 5L))))
+    val out = GraphQueries.triangleCount(spark, dir).collect()
+      .map(r => r.getAs[Long]("part") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Long]("clustering_ppm"))).toMap
+    // node 1: degree 3 (2,3,4), 1 triangle, cc = 2·1e6 DIV 6
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    // pendant: degree 1 → cc defined as 0
+    assert(out(4L) == ((1L, 0L, 0L)))
+    // part 5's only pair was seen once — not in the graph at all
+    assert(!out.contains(5L))
+  }
+
+  test("triangles: duplicate lineitem rows collapse before pairing") {
+    val dir = tmpDir("tridup") + "/d"
+    // part 1 appears twice in order 1 — (ok, pk) distinct must dedupe,
+    // or the pair support double-counts and a once-seen pair survives
+    writeBaskets(dir, Seq((1L, Seq(1L, 1L, 2L)), (2L, Seq(3L, 4L))))
+    assert(GraphQueries.triangleCount(spark, dir).collect().isEmpty)
+  }
+
+  test("triangles on sf0.001: edge frame shuffles once (ReusedExchange)") {
+    val df = GraphQueries.triangleCount(spark, sf0001)
+    df.collect() // run through AQE so the final plan exists
+    val p = df.queryExecution.executedPlan.toString
+    // the support-filtered edge aggregate feeds four consumers; its
+    // exchange must be reused, not recomputed from four lineitem scans
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1 || p.contains("ReusedExchange"),
+      s"edge subplan recomputed ($scans lineitem scans, no reuse):\n$p")
+  }
+
   test("dsir on sf0.001: every doc scored once, top-k flag is exact") {
     val out = SearchQueries.dsirWeight(spark, sf0001, "en", topK = 25)
       .cache()

@@ -79,6 +79,95 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("dhash: gradient image bits, duplicate invariance, fallback") {
+    // left-dark/right-light 8×8: every adjacent-column comparison rises →
+    // all 56 bits set
+    val rising = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = x * 30
+      rising.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dhashOf(rising) == (1L << 56) - 1)
+    // falling gradient → no bit set; solid → no bit set
+    val falling = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = (7 - x) * 30
+      falling.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dhashOf(falling) == 0L)
+    assert(Multimodal.dhashOf(solid(8, 8, 0x808080)) == 0L)
+    // scale invariance: the same gradient at 16×16 block-means to the
+    // same 8×8 cells → identical hash (the resize-robustness dHash is for)
+    val big = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = (x / 2) * 30
+      big.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dhashOf(big) == (1L << 56) - 1)
+    // PNG and JPEG encodings of the same gradient hash identically —
+    // JPEG's lossy DCT must not flip a 30-gray-level column step
+    val viaPng = Multimodal.dhashAssets(
+      Seq(MediaAsset(1L, encode(rising, "png"), "image/png")).toDS())
+      .collect()(0)
+    val viaJpg = Multimodal.dhashAssets(
+      Seq(MediaAsset(2L, encode(rising, "jpg"), "image/jpeg")).toDS())
+      .collect()(0)
+    assert(viaPng.decoded && viaPng.dhash == (1L << 56) - 1)
+    assert(viaJpg.decoded && viaJpg.dhash == viaPng.dhash,
+      s"JPEG hash ${viaJpg.dhash} != PNG hash ${viaPng.dhash}")
+    // undecodable bytes: flagged, zero hash, no exception
+    val bad = Multimodal.dhashAssets(
+      Seq(MediaAsset(3L, Array.tabulate[Byte](32)(_.toByte), "x")).toDS())
+      .collect()(0)
+    assert(!bad.decoded && bad.dhash == 0L)
+  }
+
+  test("q168/q169: fixture dhash equals the oracle arithmetic; near-dup pairs are hamming-sound") {
+    val hashes = Multimodal.dhashQuery(spark, sf0001).collect()
+    assert(hashes.nonEmpty && hashes.forall(_.getAs[Boolean]("decoded")))
+    hashes.take(64).foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      var expect = 0L
+      for (cy <- 0 until 8; cx <- 0 until 7) {
+        val shift =
+          if (cy < 7) (id / 4 * (2 * cy + 3) * 41) % 256
+          else (id / 4 * 97 + (id % 4) * 8) % 256
+        if ((cx * 73 + shift) % 256 < 183)
+          expect |= 1L << (cy * 7 + cx)
+      }
+      assert(r.getAs[Long]("dhash") == expect,
+        s"asset $id: decoded dhash diverged from the gradient arithmetic")
+    }
+    val byId = hashes.map(r =>
+      r.getAs[Long]("asset_id") -> r.getAs[Long]("dhash")).toMap
+    val pairs = Multimodal.imageNearDupQuery(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "the mod-256 fixture must contain exact dups")
+    pairs.foreach { p =>
+      val (a, b) = (p.getAs[Long]("id1"), p.getAs[Long]("id2"))
+      val ham = java.lang.Long.bitCount(byId(a) ^ byId(b)).toLong
+      assert(a < b && ham == p.getAs[Long]("hamming") && ham <= 6)
+    }
+    // planted structure: same id-div-4 group shares rows 0–6, so every
+    // intra-group pair within the hamming budget differs only in row-7
+    // bits (one band) — the band gate must catch ALL of them
+    val got = pairs.map(p =>
+      (p.getAs[Long]("id1"), p.getAs[Long]("id2"))).toSet
+    val byGroup = hashes.map(r =>
+      r.getAs[Long]("asset_id") -> r.getAs[Long]("dhash"))
+      .groupBy(_._1 / 4)
+    var intra = 0
+    byGroup.values.filter(_.length >= 2).foreach { g =>
+      val s = g.sortBy(_._1)
+      for (i <- s.indices; j <- i + 1 until s.length)
+        if (java.lang.Long.bitCount(s(i)._2 ^ s(j)._2) <= 6) {
+          intra += 1
+          assert(got.contains((s(i)._1, s(j)._1)),
+            s"intra-group pair (${s(i)._1}, ${s(j)._1}) missed by the band gate")
+        }
+    }
+    assert(intra > 0, "fixture lost its planted near-dup groups")
+  }
+
   test("mixed batch: images and non-images keep their lanes (batched mapPartitions)") {
     val png = encode(solid(2, 2, 0xffffff), "png")
     val assets = (1L to 50L).map { i =>
