@@ -285,12 +285,14 @@ object Multimodal {
       }
   }
 
+  private def dhashFrame(spark: SparkSession, dir: String): DataFrame =
+    dhashAssets(syntheticGradientPngAssets(spark, dir)).toDF()
+      .select(col("asset_id"), col("decoded"), col("dhash"))
+
   /** q168: PNG encode → real decode → dHash, hash-compared against the
     * arithmetic oracle (the q75 pattern for perceptual hashing). */
   def dhashQuery(spark: SparkSession, dir: String): DataFrame =
-    dhashAssets(syntheticGradientPngAssets(spark, dir)).toDF()
-      .select(col("asset_id"), col("decoded"), col("dhash"))
-      .orderBy("asset_id")
+    dhashFrame(spark, dir).orderBy("asset_id")
 
   /** q169: near-duplicate IMAGE pairs by dHash hamming distance — the
     * image-side counterpart of SimHash near-dup (q36). Candidate
@@ -306,15 +308,22 @@ object Multimodal {
     * media it indexes; decode runs once, map-only, upstream. */
   def imageNearDupQuery(spark: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
-    val hashes = dhashQuery(spark, dir)
+    val hashes = dhashFrame(spark, dir)
       .filter(col("decoded"))
       .select(col("asset_id"), col("dhash"))
     val banded = hashes.select(col("asset_id"), col("dhash"),
       explode(sequence(lit(0), lit(3))).as("band_no"))
       // dhash is 56-bit non-negative, so arithmetic >> equals logical
       .withColumn("band_val", expr("(dhash >> (band_no * 14)) & 16383"))
-    val pairs = banded.as("l")
-      .join(banded.as("r"),
+    // SHUFFLE_HASH on purpose: the band table is broadcast-sized, but
+    // the broadcast build blocks on a full driver-side collect of one
+    // decode branch before the probe side starts — the shuffle join
+    // runs both decode branches concurrently (measured ~3.4 s → ~2.3 s
+    // at sf0.1; the object-typed MapPartitions subtrees do not
+    // canonicalize equal, so ReusedExchange cannot dedupe them either
+    // way)
+    val pairs = banded.hint("SHUFFLE_HASH").as("l")
+      .join(banded.hint("SHUFFLE_HASH").as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_val") === col("r.band_val") &&
         col("l.asset_id") < col("r.asset_id"))
