@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.nfcDescriptor)
     ext.injectFunction(GraftExtensions.bpeDescriptor)
+    ext.injectFunction(GraftExtensions.cdcDescriptor)
     // MERGE INTO support: the native parser already produces MergeIntoTable;
     // the delegating parser swaps it for graft's executable lowering
     // (graft.sql.MergeIntoRunner) so `spark.sql("MERGE INTO ...")` runs
@@ -153,10 +154,17 @@ object GraftExtensions {
       BpeEncode(children.head, merges)
     })
 
+  private[graft] val cdcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
+    (children: Seq[Expression]) => CdcChunksExpr(children.head))
+
   /** Idempotent per-session registration for sessions built without the
     * extensions config (e.g. the driver-owned Verify/Bench sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(vecDotDescriptor, nfcDescriptor).foreach { case (id, info, builder) =>
-      GraftShims.registerFunction(spark, id, info, builder)
-    }
+    Seq(vecDotDescriptor, nfcDescriptor, cdcDescriptor)
+      .foreach { case (id, info, builder) =>
+        GraftShims.registerFunction(spark, id, info, builder)
+      }
 }

@@ -928,7 +928,98 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** UniMax budget-constrained mixture allocation (Chung et al. 2022):
+    * languages are processed smallest-first; each receives
+    * min(epochCap · its tokens, remaining budget ÷ remaining languages)
+    * — small languages get their full capped allocation, the leftover
+    * spreads evenly over the large ones, and no language exceeds
+    * `epochCap` epochs (the repetition bound temperature sampling
+    * (q147) lacks). Budget = 60% of corpus tokens here; all integer
+    * DIV, so the oracle's recursive CTE reproduces the fold exactly.
+    *
+    * Scale shape: the distributed work is ONE bounded hash-agg (per-lang
+    * token sums); the sequential fold runs driver-side over ≤#languages
+    * rows (the k-means-centroid boundedness argument — language counts
+    * are dozens, never data-scale) and the result IS those rows. */
+  def unimaxMix(spark: SparkSession, dir: String, epochCap: Long = 3L)
+      : DataFrame = {
+    import spark.implicits._
+    val sizes = Tables.load(spark, dir, "documents")
+      .groupBy("lang").agg(sum(tokenCountWs(col("text"))).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (lang, n) => (n, lang) }
+    val total = sizes.map(_._2).sum
+    var rem = total * 6 / 10
+    val out = sizes.zipWithIndex.map { case ((lang, n), i) =>
+      val alloc = math.min(epochCap * n, rem / (sizes.length - i))
+      rem -= alloc
+      (lang, n, alloc, alloc * 1000000L / n)
+    }
+    out.toSeq.toDF("lang", "n_tokens", "budget", "epochs_ppm")
+      .orderBy("lang")
+  }
+
+  /** Content-defined chunking (the rsync/FastCDC recipe on text): a chunk
+    * boundary falls after every position whose 8-char rolling hash ≡ 0
+    * (mod 32) — so chunk boundaries move WITH the content, and an insert
+    * near the front re-chunks only its neighborhood instead of shifting
+    * every fixed-window boundary (the failure mode of q79's fixed
+    * chunking for dedup purposes). Per document: chunk count, distinct
+    * chunk fingerprints, and the share of its chunks that also occur in
+    * ANOTHER document — the dedupable-bytes signal object stores and
+    * crawl dedupers act on.
+    *
+    * Scale shape: chunking is one projection (per-char fold, no
+    * shuffle); the only shuffle is fingerprint-keyed on DISTINCT
+    * (doc, fp) pairs, where the q31 window-count trick replaces
+    * groupBy + join-back. Docs with empty text carry no row (the q163
+    * convention). */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the per-codepoint rolling-hash scan is the native CdcChunksExpr
+    // hot loop (the zip_with-chain formulation of the same cuts measured
+    // 32 s at sf0.1 — interpreted lambda per character; the compiled
+    // expression runs it in ~1 s); per-CHUNK work stays in built-ins
+    val base = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.CdcChunksExpr.cdcChunks(col("text")).as("chunks"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        array_distinct(transform(col("chunks"), c => md5(c))).as("fps"))
+      .withColumn("n_distinct_chunks", size(col("fps")).cast("long"))
+    val w = Window.partitionBy("fp")
+    base.select(col("doc_id"), col("n_chunks"), col("n_distinct_chunks"),
+        explode(col("fps")).as("fp"))
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(max("n_chunks").as("n_chunks"),
+        max("n_distinct_chunks").as("n_distinct_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("dup_ppm",
+        expr("n_shared_chunks * 1000000 DIV n_distinct_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility per language: BPE-proxy tokens per whitespace
+    * word (the tokenizer-evaluation metric that exposes how much a vocab
+    * penalizes a script — high fertility = more compute per word). One
+    * bounded hash-agg, exact integer ppm. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col("text"))).as("ws_tokens"),
+        sum(tokenCountBpe(col("text"))).as("bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("bpe_tokens * 1000000 DIV ws_tokens"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_unimax" -> ((s: SparkSession, d: String) => unimaxMix(s, d)),
+    "q173_cdc_chunks" -> (cdcChunks _),
+    "q174_fertility" -> (fertility _),
     "q164_leakfree_split" -> (leakFreeSplit _),
     "q163_novelty" -> ((s: SparkSession, d: String) => noveltyScore(s, d)),
     "q161_span_corrupt" -> (spanCorrupt _),
@@ -1442,6 +1533,87 @@ object TextQueries {
           SELECT doc_id, fp, n_same_fp FROM fp
           JOIN (SELECT fp, COUNT(*) AS n_same_fp FROM fp GROUP BY fp) c USING (fp)
           ORDER BY doc_id""",
+    // same smallest-first fold: min(cap·tokens, rem DIV remaining) per
+    // step, unrolled as a recursive CTE over the (tokens, lang) order
+    "q172_unimax" ->
+      s"""WITH RECURSIVE sizes AS (
+            SELECT lang, CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          tot AS (
+            SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS b,
+              CAST(count(*) AS BIGINT) AS k FROM sizes),
+          ord AS (
+            SELECT lang, n_tokens,
+              row_number() OVER (ORDER BY n_tokens, lang) AS rn
+            FROM sizes),
+          st AS (
+            SELECT CAST(0 AS BIGINT) AS rn, b AS rem,
+              CAST(0 AS BIGINT) AS alloc,
+              CAST(NULL AS VARCHAR) AS lang,
+              CAST(0 AS BIGINT) AS n_tokens, k
+            FROM tot
+            UNION ALL
+            SELECT o.rn, st.rem - least(3 * o.n_tokens,
+                st.rem // (st.k - st.rn)),
+              least(3 * o.n_tokens, st.rem // (st.k - st.rn)),
+              o.lang, o.n_tokens, st.k
+            FROM st JOIN ord o ON o.rn = st.rn + 1)
+          SELECT lang, n_tokens, alloc AS budget,
+            CAST(alloc * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+          FROM st WHERE rn >= 1 ORDER BY lang""",
+    // same 8-char rolling-hash boundaries, same chunk md5s, same
+    // distinct-pair corpus count
+    "q173_cdc_chunks" ->
+      """WITH h AS (
+           SELECT doc_id, text,
+             list_transform(string_split_regex(text, ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS hs
+           FROM documents WHERE length(text) >= 1),
+         w8 AS (
+           SELECT doc_id, text, CAST(len(hs) AS BIGINT) AS n,
+             CASE WHEN len(hs) >= 8 THEN
+               list_filter(list_transform(range(1, len(hs) - 8 + 2),
+                 i -> CASE WHEN list_reduce(
+                     list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+                     (a, c) -> (a * 131 + c) % 1000000007) % 32 = 0
+                   THEN CAST(i + 7 AS BIGINT) END),
+                 x -> x IS NOT NULL)
+             ELSE [] END AS ends
+           FROM h),
+         b AS (
+           SELECT doc_id, text, n,
+             [CAST(0 AS BIGINT)] || ends ||
+               (CASE WHEN len(ends) > 0 AND ends[-1] = n
+                 THEN [] ELSE [n] END) AS bounds
+           FROM w8),
+         c AS (
+           SELECT doc_id, CAST(len(bounds) - 1 AS BIGINT) AS n_chunks,
+             list_distinct(list_transform(range(1, len(bounds)),
+               i -> md5(text[bounds[i]+1:bounds[i+1]]))) AS fps
+           FROM b),
+         e AS (
+           SELECT doc_id, n_chunks, CAST(len(fps) AS BIGINT) AS n_distinct,
+             unnest(fps) AS fp
+           FROM c),
+         g AS (SELECT fp, count(*) AS nd FROM e GROUP BY fp)
+         SELECT e.doc_id, max(e.n_chunks) AS n_chunks,
+           max(e.n_distinct) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+             // max(e.n_distinct) AS BIGINT) AS dup_ppm
+         FROM e JOIN g USING (fp)
+         GROUP BY e.doc_id ORDER BY doc_id""",
+    // same integer fertility over the q30 token definitions
+    "q174_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len($wordsSql)) AS BIGINT) AS ws_tokens,
+          CAST(sum(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+          CAST(sum(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) * 1000000
+            // sum(len($wordsSql)) AS BIGINT) AS fertility_ppm
+          FROM documents GROUP BY lang ORDER BY lang""",
     // same fingerprint window, same seeded rep-id slot and hex
     // thresholds — identical groups land in identical splits
     "q164_leakfree_split" ->

@@ -168,4 +168,82 @@ class TextOpsSpec extends SparkSuite {
       .filter(col("coarse") =!= col("s1")).count()
     assert(mismatch == 0, s"$mismatch docs moved across coarse shards")
   }
+
+  test("unimax: epoch cap binds small languages, leftover spreads over large ones") {
+    import spark.implicits._
+    val dir = tmpDir("unimax") + "/d"
+    // planted sizes via word counts: tiny=2 words/doc × 5 docs = 10
+    // tokens; mid = 100; big = 1000. budget = 0.6·1110 = 666
+    val docs =
+      (1L to 5L).map(i => (i, "w w", "tiny")) ++
+      (6L to 15L).map(i => (i, Seq.fill(10)("w").mkString(" "), "mid")) ++
+      (16L to 25L).map(i => (i, Seq.fill(100)("w").mkString(" "), "big"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextQueries.unimaxMix(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // tiny: cap 3·10 = 30 < 666/3 = 222 → fully capped, 3.0 epochs
+    assert(out("tiny") == ((10L, 30L, 3000000L)))
+    // mid: cap 300 < (666-30)/2 = 318 → capped
+    assert(out("mid") == ((100L, 300L, 3000000L)))
+    // big: gets the rest, under its cap: 636-300 = 336 → 0.336 epochs
+    assert(out("big") == ((1000L, 336L, 336000L)))
+    // conservation: total allocation never exceeds the budget
+    assert(out.values.map(_._2).sum <= 1110L * 6 / 10)
+  }
+
+  test("cdc_chunks: lossless cover, reference hash cuts, shift resilience, SQL name") {
+    import graft.functions.CdcChunksExpr.cdcChunks
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 8,
+      "短文 mixed 多字节 text with 中文 characters interleaved " * 6,
+      "tiny", "", "exactly8")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"), cdcChunks(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // chunks concatenate back to the text, in order, all nonempty
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong).mkString == t, s"text $i not covered")
+      if (t.nonEmpty) assert(got(i.toLong).forall(_.nonEmpty))
+      else assert(got(i.toLong).isEmpty)
+    }
+    // cuts equal an independent reference fold over code points
+    def refCuts(t: String): Seq[Int] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - 8).flatMap { k =>
+        val h = (1 until 8).foldLeft(cps(k).toLong)((a, j) =>
+          (a * 131L + cps(k + j)) % 1000000007L)
+        if (h % 32 == 0) Some(k + 8) else None
+      }
+    }
+    texts.filter(_.length >= 8).foreach { t =>
+      val i = texts.indexOf(t).toLong
+      val boundsGot = got(i).scanLeft(0)((acc, c) =>
+        acc + c.codePoints().toArray.length).tail.dropRight(1)
+      val expect = refCuts(t).filter(_ < t.codePoints().toArray.length)
+      assert(boundsGot == expect,
+        s"cuts diverged for '${t.take(30)}…': $boundsGot vs $expect")
+    }
+    // content-defined property: a prefix insertion leaves the chunk
+    // stream identical once past the insertion's neighborhood
+    val base = "abcdefgh ijklmnop qrstuvwx " * 10
+    val shifted = "INSERTED-PREFIX " + base
+    val c1 = df.sparkSession.range(1).select(
+      cdcChunks(lit(base))).collect()(0).getSeq[String](0)
+    val c2 = df.sparkSession.range(1).select(
+      cdcChunks(lit(shifted))).collect()(0).getSeq[String](0)
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }
+    assert(c1.length > 2 && common.length >= c1.length - 2,
+      s"chunking is not content-defined: only ${common.length} common " +
+        s"tail chunks of ${c1.length}")
+    // SQL surface via GraftExtensions.register
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("cdc_t")
+    val viaSql = spark.sql("SELECT id, cdc_chunks(t) AS c FROM cdc_t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(texts.indices.forall(i => viaSql(i.toLong) == got(i.toLong)))
+  }
 }
