@@ -584,4 +584,71 @@ object Streams {
             .map(k => Threshold(user, k * every, after)).iterator
       }
   }
+
+  final case class HashedDoc(doc_id: Long, content_hash: String)
+  final case class DedupAudit(doc_id: Long, content_hash: String,
+      is_first: Boolean, n_dups: Long)
+
+  /** Streaming dedup audit on the Spark 4 `transformWithState` API (the
+    * successor to mapGroupsWithState: named typed state variables,
+    * per-state TTL, timers — RocksDB-backed). Every incoming document is
+    * annotated: the first arrival of a content hash is `is_first`, later
+    * arrivals carry the running duplicate count. Two state variables per
+    * key demonstrate the API's split-lifetime design: the `seen` marker
+    * expires after `ttl` (bounded store without a watermark column — the
+    * dedup key here has no event time, which is exactly the case
+    * `dropDuplicatesWithinWatermark` cannot cover), while the duplicate
+    * counter is TTL-free audit state.
+    *
+    * After a key's `seen` marker expires, its next arrival re-reports
+    * `is_first` — the standard bounded-memory trade: at 100 TB/day the
+    * TTL horizon IS the dedup guarantee window, and the state store holds
+    * O(distinct keys within TTL), not O(history).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), the only backend
+    * transformWithState supports. */
+  class DedupAuditProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, HashedDoc, DedupAudit] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var seen: ValueState[Boolean] = _
+    @transient private var dups: ValueState[Long] = _
+    override def init(outputMode: ss.OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+      dups = getHandle.getValueState[Long]("dups",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[HashedDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DedupAudit] =
+      rows.map { d =>
+        if (!seen.exists()) {
+          seen.update(true)
+          DedupAudit(d.doc_id, key, is_first = true,
+            Option(dups.get()).getOrElse(0L))
+        } else {
+          val n = Option(dups.get()).getOrElse(0L) + 1L
+          dups.update(n)
+          DedupAudit(d.doc_id, key, is_first = false, n)
+        }
+      }
+  }
+
+  /** groupByKey(content_hash) → transformWithState; processing-time mode
+    * because state TTL (not event time) bounds the store. Note the mode's
+    * operational shape: the query schedules micro-batches continuously
+    * even without new data (the clock must advance for TTL/timers), so
+    * drive it with a real trigger cadence in production and poll the sink
+    * in tests — AvailableNow/processAllAvailable never see it "done". */
+  def dedupAuditTws(docs: Dataset[HashedDoc],
+      ttl: java.time.Duration): Dataset[DedupAudit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .transformWithState(new DedupAuditProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }
