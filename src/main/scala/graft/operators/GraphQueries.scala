@@ -102,24 +102,30 @@ object GraphQueries {
     * probe, the degree count) but its shuffle runs once — the subtrees
     * are identical, so Spark's ReuseExchange collapses them (pinned in
     * PlanQualitySpec). */
-  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2)
-      : DataFrame = {
-    // pair generation as a codegen'd self-join on the order key (pairs
-    // are linear in lineitem for bounded baskets). The tempting
-    // alternative — collect_set per order + in-array pair expansion —
-    // is ONE shuffle instead of two but 4× slower measured at sf0.1:
-    // higher-order array lambdas evaluate interpreted per element (the
-    // q152 lesson), while the join stays inside whole-stage codegen.
+  /** Support-pruned co-purchase edges (u < v): pair generation as a
+    * codegen'd self-join on the order key (pairs are linear in lineitem
+    * for bounded baskets). The tempting alternative — collect_set per
+    * order + in-array pair expansion — is ONE shuffle instead of two but
+    * 4× slower measured at sf0.1: higher-order array lambdas evaluate
+    * interpreted per element (the q152 lesson), while the join stays
+    * inside whole-stage codegen. Shared by q167/q175. */
+  private def supportEdges(spark: SparkSession, dir: String,
+      minSupport: Int): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = li.as("a")
+    li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select("u", "v")
+  }
+
+  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2)
+      : DataFrame = {
+    val edges = supportEdges(spark, dir, minSupport)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"),
@@ -142,10 +148,57 @@ object GraphQueries {
     res
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) on the
+    * co-purchase graph, made DETERMINISTIC: every node starts labeled by
+    * its own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label; a fixed number of
+    * rounds (the pagerank posture — data-independent plan depth). The
+    * async, random-order variant converges faster but is
+    * nondeterministic — useless for an oracle-checked engine and for any
+    * pipeline that must reproduce its communities across reruns.
+    *
+    * A training-data pipeline uses communities one level above q57's
+    * connected components: CC glues exact/near duplicates, label
+    * propagation groups RELATED-but-distinct items (co-linked pages,
+    * co-purchased products) for diversity-aware sampling and
+    * leakage-free splitting at the community granularity.
+    *
+    * Scale shape: each round is one join (labels ⋈ edges on the
+    * neighbor) + one (node, label) count + one per-node window pick —
+    * the same per-round cost as pagerank, with the label frame O(nodes).
+    * Rounds are a small constant; on a cluster the edge table would be
+    * bucketed by neighbor so every round's join is co-located. */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 2,
+      minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = supportEdges(spark, dir, minSupport)
+    val sym = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val counted = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      val pick = Window.partitionBy("a")
+        .orderBy(col("c").desc, col("label").asc)
+      labels = counted.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("label"))
+    }
+    labels
+      .withColumn("community_size", count(lit(1)).over(
+        Window.partitionBy("label")))
+      .select(col("node").as("part"), col("label"),
+        col("community_size"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q167_triangle_count" ->
-      ((s: SparkSession, d: String) => triangleCount(s, d)))
+      ((s: SparkSession, d: String) => triangleCount(s, d)),
+    "q175_label_prop" ->
+      ((s: SparkSession, d: String) => labelPropagation(s, d)))
 
   val oracles: Map[String, String] = Map(
     // identical integer-ppb updates, same symmetrized edge build — the
@@ -208,6 +261,40 @@ object GraphQueries {
                // (d.degree * (d.degree - 1))
            ELSE 0 END AS clustering_ppm
          FROM d LEFT JOIN tn ON d.part = tn.part
-         ORDER BY d.part"""
+         ORDER BY d.part""",
+    // same support-pruned symmetric edges, same (count desc, label asc)
+    // adoption rule — the two rounds unrolled as CTEs
+    "q175_label_prop" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e0 AS (
+           SELECT a.pk AS u, b.pk AS v
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         e AS (
+           SELECT u AS a, v AS b FROM e0
+           UNION ALL SELECT v AS a, u AS b FROM e0),
+         l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+         n1 AS (
+           SELECT e.a, l0.label, count(*) AS c
+           FROM e JOIN l0 ON e.b = l0.node GROUP BY e.a, l0.label),
+         l1 AS (
+           SELECT a AS node, label FROM (
+             SELECT a, label, row_number() OVER (PARTITION BY a
+               ORDER BY c DESC, label) AS rn FROM n1)
+           WHERE rn = 1),
+         n2 AS (
+           SELECT e.a, l1.label, count(*) AS c
+           FROM e JOIN l1 ON e.b = l1.node GROUP BY e.a, l1.label),
+         l2 AS (
+           SELECT a AS node, label FROM (
+             SELECT a, label, row_number() OVER (PARTITION BY a
+               ORDER BY c DESC, label) AS rn FROM n2)
+           WHERE rn = 1)
+         SELECT node AS part, label,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+         FROM l2 ORDER BY part"""
   )
 }

@@ -312,6 +312,30 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Classifier reliability curve (calibration audit): q149's score
+    * binned into ten 60M-ppm buckets against a ground-truth indicator
+    * (lang = 'en' here; a labeled eval slice in production) — the
+    * is-the-gate-score-meaningful check run before trusting a quality
+    * classifier to throw away crawl data. Per bin: count, integer mean
+    * score, and the observed positive rate in exact ppm.
+    *
+    * Scale shape: q149's zero-shuffle scoring pass + one ten-group
+    * hash-agg; the doc join is by key on the same scan. */
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    val actual = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("actual"))
+    hashedClassifier(spark, dir)
+      .select(col("doc_id"), col("score_ppm"))
+      .join(actual, "doc_id")
+      .withColumn("bin", expr("score_ppm * 10 DIV 600000001"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_ppm) DIV count(1)").as("mean_score_ppm"),
+        sum(col("actual")).as("n_actual"))
+      .withColumn("actual_ppm", expr("n_actual * 1000000 DIV n_docs"))
+      .orderBy("bin")
+  }
+
   /** Frequency-ranked vocabulary coverage curve — the tokenizer-budget
     * signal (the Zipf head): for each of the top `topK` corpus words, the
     * cumulative fraction of ALL token occurrences a vocabulary truncated
@@ -418,6 +442,8 @@ object SearchQueries {
       ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "q149_hashed_classifier" ->
       ((s: SparkSession, d: String) => hashedClassifier(s, d)),
+    "q176_calibration" ->
+      ((s: SparkSession, d: String) => calibrationCurve(s, d)),
     "q151_vocab_coverage" ->
       ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q145_ngram_lm" -> ((s: SparkSession, d: String) => ngramLmScore(s, d)),
@@ -427,6 +453,31 @@ object SearchQueries {
     "q142_dsir_weight" -> ((s: SparkSession, d: String) => dsirWeight(s, d)))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
+
+  /** q149's scoring CTEs (t → f → s), shared by the q149 and q176
+    * oracles: md5-derived bucket→weight, non-negative BIGINT arithmetic
+    * (15 hex chars fit BIGINT — the q32 idiom). */
+  private val classifierCteSql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $wordsSql AS ws FROM documents),
+        f AS (
+          SELECT doc_id, ws,
+            CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END AS bis
+          FROM t),
+        s AS (
+          SELECT doc_id,
+            CAST(len(ws) + len(bis) AS BIGINT) AS n_feats,
+            CAST(coalesce(list_sum(list_transform(ws, w ->
+                ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
+                  AS BIGINT) % 1024) * 37) % 601)), 0)
+              + coalesce(list_sum(list_transform(bis, w ->
+                ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
+                  AS BIGINT) % 1024) * 37) % 601)), 0) AS BIGINT)
+              AS score_sum
+          FROM f)"""
 
   val oracles: Map[String, String] = Map(
     // same min-support filter, same rational-PMI BIGINT ppm, same
@@ -480,31 +531,27 @@ object SearchQueries {
     // arithmetic — the engines hash identically (15 hex chars fit BIGINT,
     // the q32 idiom)
     "q149_hashed_classifier" ->
-      s"""WITH t AS (
-            SELECT doc_id, $wordsSql AS ws FROM documents),
-          f AS (
-            SELECT doc_id, ws,
-              CASE WHEN len(ws) >= 2
-                THEN list_transform(range(1, len(ws)),
-                       i -> ws[i] || ' ' || ws[i + 1])
-                ELSE [] END AS bis
-            FROM t),
-          s AS (
-            SELECT doc_id,
-              CAST(len(ws) + len(bis) AS BIGINT) AS n_feats,
-              CAST(coalesce(list_sum(list_transform(ws, w ->
-                  ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
-                    AS BIGINT) % 1024) * 37) % 601)), 0)
-                + coalesce(list_sum(list_transform(bis, w ->
-                  ((CAST(('0x' || substring(md5(w || '#qc42'), 1, 15))
-                    AS BIGINT) % 1024) * 37) % 601)), 0) AS BIGINT)
-                AS score_sum
-            FROM f)
+      s"""$classifierCteSql
           SELECT doc_id, n_feats, score_sum,
             (1000000 * score_sum) // n_feats AS score_ppm,
             CASE WHEN (1000000 * score_sum) // n_feats >= 300000000
               THEN 1 ELSE 0 END AS keep
           FROM s ORDER BY doc_id""",
+    // same scoring CTE as q149, binned at 60M-ppm width against the
+    // lang='en' indicator — all integer DIV
+    "q176_calibration" ->
+      s"""$classifierCteSql,
+          j AS (
+            SELECT s.doc_id,
+              (1000000 * s.score_sum) // s.n_feats AS score_ppm,
+              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS actual
+            FROM s JOIN documents d ON s.doc_id = d.doc_id)
+          SELECT score_ppm * 10 // 600000001 AS bin,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+            CAST(sum(actual) AS BIGINT) AS n_actual,
+            CAST(sum(actual) * 1000000 // count(*) AS BIGINT) AS actual_ppm
+          FROM j GROUP BY 1 ORDER BY bin""",
     // same (count desc, word asc) total order — unique words make the
     // LIMIT deterministic; cumulative sum and coverage are exact BIGINT
     "q151_vocab_coverage" ->

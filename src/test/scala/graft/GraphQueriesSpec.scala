@@ -127,6 +127,34 @@ class GraphQueriesSpec extends SparkSuite {
       s"edge subplan recomputed ($scans lineitem scans, no reuse):\n$p")
   }
 
+  test("label propagation: disjoint triangles converge to one label each") {
+    val dir = tmpDir("lpa") + "/d"
+    writeBaskets(dir, Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L, 3L)),
+      (3L, Seq(4L, 5L, 6L)), (4L, Seq(4L, 5L, 6L))))
+    val out = GraphQueries.labelPropagation(spark, dir).collect()
+      .map(r => r.getAs[Long]("part") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("community_size"))).toMap
+    // round 1 (min tie-break): 1→2, 2→1, 3→1; round 2: all → 1
+    assert(Seq(1L, 2L, 3L).forall(out(_) == ((1L, 3L))),
+      s"triangle one fragmented: $out")
+    assert(Seq(4L, 5L, 6L).forall(out(_) == ((4L, 3L))),
+      s"triangle two fragmented: $out")
+  }
+
+  test("label propagation on sf0.001: deterministic, sizes consistent") {
+    val a = GraphQueries.labelPropagation(spark, sf0001).collect()
+    val b = GraphQueries.labelPropagation(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "label propagation is not deterministic across runs")
+    // community sizes are consistent with the label column
+    val byLabel = a.groupBy(_.getAs[Long]("label"))
+    a.foreach { r =>
+      assert(r.getAs[Long]("community_size") ==
+        byLabel(r.getAs[Long]("label")).length)
+    }
+  }
+
   test("dsir on sf0.001: every doc scored once, top-k flag is exact") {
     val out = SearchQueries.dsirWeight(spark, sf0001, "en", topK = 25)
       .cache()
