@@ -509,4 +509,39 @@ class PlanQualitySpec extends SparkSuite {
     assert(p156.contains("TakeOrderedAndProject"),
       s"q156: top-k planned as a full sort:\n$p156")
   }
+
+  test("round-7 session-3 pins: one-exchange SFT keys, shuffle-free chunking/scoring") {
+    import graft.operators.{SftQueries, TextQueries, SearchQueries}
+    // q165: the row_number window and the (user, day) groupBy share one
+    // hash exchange — Catalyst must not shuffle the conversation twice
+    val p165 = plan(SftQueries.chatTemplate(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val ex165 = p165.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(ex165 <= 1,
+      s"q165: conversation key shuffled $ex165 times:\n$p165")
+    // q166: both opposite-order ranks and the cohort groupBy ride the
+    // same (source, lang) exchange
+    val p166 = plan(SftQueries.preferencePairs(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val ex166 = p166.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(source"))
+    assert(ex166 <= 1,
+      s"q166: cohort key shuffled $ex166 times:\n$p166")
+    // q173: chunking is a projection — the ONLY hash exchanges are the
+    // fingerprint window and the doc_id fold; the native cdc_chunks
+    // expression must not break whole-stage codegen spans around it
+    val p173 = plan(TextQueries.cdcChunks(spark, sfDir))
+    // codegen spans render as "*(n)" in executedPlan.toString — the
+    // native cdc_chunks expression must sit INSIDE one, not fall back
+    assert(!p173.contains("CartesianProduct") &&
+      p173.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("cdc_chunks")),
+      s"q173: chunking left codegen:\n$p173")
+    // q176: the classifier scoring side carries no aggregation exchange
+    // before the doc join (zero-shuffle scoring is q149's contract)
+    val p176 = plan(SearchQueries.calibrationCurve(spark, sfDir))
+    assert(p176.contains("partial"),
+      s"q176: calibration lost map-side combine:\n$p176")
+  }
 }
