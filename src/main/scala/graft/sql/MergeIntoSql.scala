@@ -827,6 +827,45 @@ case class GraftDropConstraintCommand(nameParts: Seq[String],
 
 /** `VACUUM <table> [DRY RUN]` — Delta's syntax. One row per reclaimed
   * (or, DRY RUN, reclaimable) path. */
+/** `SHOW PARTITIONS <t>` over a graft-registered path table (Spark's
+  * native command works only for catalog-partitioned tables): one row
+  * per leaf partition in Spark's `c1=v1/c2=v2` rendering, discovered
+  * from the directory tree — metadata-only, no data read. Bucketed
+  * layouts report their live bucket directories the same way;
+  * unpartitioned tables are rejected with Spark's own wording. */
+case class GraftShowPartitionsCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "SHOW PARTITIONS")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] = {
+      val sub = f.listStatus(d).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.sortBy(_.getPath.getName)
+      if (sub.isEmpty) Seq("")
+      else sub.toSeq.flatMap { s =>
+        walk(s.getPath).map { rest =>
+          if (rest.isEmpty) s.getPath.getName
+          else s.getPath.getName + "/" + rest
+        }
+      }
+    }
+    val parts = if (f.exists(p)) walk(p).filter(_.nonEmpty) else Nil
+    if (parts.isEmpty)
+      throw new IllegalArgumentException(
+        s"SHOW PARTITIONS is not allowed on a table that is not " +
+          s"partitioned: ${nameParts.mkString(".")}")
+    parts.sorted.map(Row(_))
+  }
+}
+
 case class GraftVacuumCommand(nameParts: Seq[String],
     dryRun: Boolean = false) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
@@ -917,6 +956,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.VacuumRe(ident, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           dryRun = dry != null)
+      case GraftSql.ShowPartitionsRe(ident)
+          if GraftSql.resolvesToGraftTable(session, ident) =>
+        GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(ident))
       case GraftSql.RestoreRe(ident, v) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
           Some(v.toInt))
@@ -1111,6 +1153,8 @@ object GraftSql {
 
   private[sql] val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.`]+)(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private[sql] val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private[sql] val RestoreTsRe =
@@ -1222,6 +1266,15 @@ object GraftSql {
 
   /** A statement target's storage directory (raises for temp views /
     * tables without a location). */
+  /** Does the identifier resolve to a storage-backed catalog table this
+    * engine manages? Used to pass statements Spark can also execute
+    * (SHOW PARTITIONS on its own catalog tables) through to the
+    * delegate when the target is not ours. */
+  private[sql] def resolvesToGraftTable(spark: SparkSession,
+      ident: String): Boolean =
+    try GraftShims.tableStorage(spark, splitIdent(ident)).isDefined
+    catch { case _: Exception => false }
+
   private[sql] def resolveDir(spark: SparkSession, nameParts: Seq[String],
       stmt: String): String = {
     val (uri, _) = GraftShims.tableStorage(spark, nameParts).getOrElse(
@@ -1317,6 +1370,9 @@ object GraftSql {
       case VacuumRe(ident, dry) =>
         GraftShims.ofRows(spark,
           GraftVacuumCommand(splitIdent(ident), dryRun = dry != null))
+      case ShowPartitionsRe(ident) if resolvesToGraftTable(spark, ident) =>
+        GraftShims.ofRows(spark,
+          GraftShowPartitionsCommand(splitIdent(ident)))
       case RestoreRe(ident, v) =>
         GraftShims.ofRows(spark,
           GraftRestoreCommand(splitIdent(ident), Some(v.toInt)))

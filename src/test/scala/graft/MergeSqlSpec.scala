@@ -501,4 +501,30 @@ class MergeSqlSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("catalog table"))
   }
+
+  test("SHOW PARTITIONS lists leaf partition dirs; unpartitioned tables rejected") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-showp"))
+    cat.overwriteSnapshot(
+      Seq((1L, "a", 2024, "x"), (2L, "a", 2025, "y"), (3L, "b", 2024, "z"))
+        .toDF("id", "p", "yr", "v"),
+      "gold", "showp", partitionBy = Seq("p", "yr"))
+    cat.register("gold", "showp")
+    // parser-extension path
+    val got = s.sql("SHOW PARTITIONS gold.showp").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("p=a/yr=2024", "p=a/yr=2025", "p=b/yr=2024"),
+      s"got $got")
+    // no-extension entry point agrees
+    val got2 = graft.sql.GraftSql.sql(s, "SHOW PARTITIONS gold.showp")
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == got)
+    // unpartitioned target → Spark's own wording
+    cat.overwriteSnapshot(Seq((1L, "v")).toDF("id", "v"), "gold", "flat_sp")
+    cat.register("gold", "flat_sp")
+    val ex = intercept[Exception](s.sql("SHOW PARTITIONS gold.flat_sp")
+      .collect())
+    assert(ex.getMessage.contains("not partitioned"))
+  }
 }
