@@ -337,10 +337,30 @@ object Multimodal {
       .orderBy("id1", "id2")
   }
 
+  /** q178: the image dedup ACTION end to end — q169's hamming pairs fold
+    * into connected components (the pointer-doubled CC from [[graft
+    * .operators.Dedup]], O(log diameter) rounds) and each cluster keeps
+    * its smallest asset id. This is the cross-modality composition the
+    * text side ships as q57/q102: the SAME cluster machinery consumes
+    * perceptual-hash edges instead of shingle-Jaccard edges — dedup
+    * infrastructure is modality-agnostic once candidates are pairs. */
+  def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = imageNearDupQuery(spark, dir)
+      .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
+    val labels0 = dhashFrame(spark, dir).filter(col("decoded"))
+      .select(col("asset_id").as("doc_id"),
+        col("asset_id").as("cluster_id"))
+    graft.operators.Dedup.connectedComponents(labels0, pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_image_dhash"   -> (dhashQuery _),
     "q169_image_neardup" ->
       ((s: SparkSession, d: String) => imageNearDupQuery(s, d)),
+    "q178_image_dedup_clusters" -> (imageDedupClusters _),
     "q42_multimodal_features"  -> (featureQuery _),
     "q43_multimodal_frames"    -> (frameQuery _),
     "q75_multimodal_roundtrip" -> (roundtripQuery _))
@@ -383,6 +403,28 @@ object Multimodal {
           SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
           FROM p WHERE bit_count(xor(h1, h2)) <= 6
           ORDER BY id1, id2""",
+    // q178: the q169 band-gate pairs closed transitively (the q57
+    // recursive-CTE pattern), min id kept per component
+    "q178_image_dedup_clusters" ->
+      s"""WITH RECURSIVE h AS ($dhashArithSql),
+          b AS (
+            SELECT asset_id, dhash, band_no,
+              (dhash >> (band_no * 14)) & 16383 AS band_val
+            FROM h, (SELECT unnest(range(0, 4)) AS band_no)),
+          p AS (
+            SELECT DISTINCT l.asset_id AS id1, r.asset_id AS id2
+            FROM b l JOIN b r ON l.band_no = r.band_no
+              AND l.band_val = r.band_val AND l.asset_id < r.asset_id
+            WHERE bit_count(xor(l.dhash, r.dhash)) <= 6),
+          e AS (SELECT id1 AS s, id2 AS t FROM p
+                UNION SELECT id2, id1 FROM p),
+          reach(d_id, r) AS (
+            SELECT asset_id, asset_id FROM h
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
+          SELECT d_id AS asset_id, MIN(r) AS cluster_id,
+            CAST(d_id = MIN(r) AS INTEGER) AS is_kept
+          FROM reach GROUP BY d_id ORDER BY asset_id""",
     // q42 is rows-only (JVM closure); q43 is pure arithmetic on byte lengths:
     "q43_multimodal_frames" ->
       """SELECT doc_id AS asset_id, frame_no,

@@ -219,6 +219,33 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** ANN recall audit as a first-class query (the serving-time health
+    * check an index rollout gates on): per probe query, how many of the
+    * exact top-k does IVF-with-nprobe recover — exact BIGINT ppm per
+    * query. AnnRecallSpec pins recall FLOORS offline; this operator is
+    * the measurement itself, runnable on every index build, and the
+    * DuckDB oracle verifies the measurement pipeline end to end.
+    *
+    * Scale shape: the exact leg is the brute-force scan this audit
+    * exists to amortize (run it on a sampled probe set, as here — 1% of
+    * ids); the approx leg is q44's pruned probe; the comparison is a
+    * slim (query_id, cand_id) semi-join on k·|probes| rows. */
+  def annRecallAudit(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    val exact = cosineTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annIvf(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_exact"))
+      .orderBy("query_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via the same sign buckets —
     * near-identical vectors share all sign bits with overwhelming
     * probability. (Threshold 0.35 ≈ the fixture's 99th percentile of
@@ -908,6 +935,8 @@ object Similarity {
     "q38_embed_norms"    -> (norms _),
     "q171_matryoshka" ->
       ((s: SparkSession, d: String) => matryoshkaFidelity(s, d)),
+    "q177_ann_recall" ->
+      ((s: SparkSession, d: String) => annRecallAudit(s, d)),
     "q148_random_projection" ->
       ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q50_label_centroids" -> (labelCentroids _),
@@ -1502,6 +1531,51 @@ object Similarity {
             FROM rer)
           SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
           ORDER BY query_id, rn""",
+    // exact top-3 leg (the q39 CTEs at k=3) vs the q44 IVF CTEs, joined
+    // on (query, candidate) — per-query hit counts in exact ppm
+    "q177_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                     FROM embeddings),
+          xq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+                 FROM e WHERE vec_id % 100 = 0),
+          xs AS (
+            SELECT query_id, c.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY round(${dotSql("qv", "c.embedding")} /
+                  (qn * c.nrm), 6) DESC, c.vec_id ASC) AS rn
+            FROM xq JOIN e c ON query_id <> c.vec_id),
+          ex AS (SELECT query_id, cand_id FROM xs WHERE rn <= 3),
+          cent AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+                   FROM e WHERE vec_id % 101 = 7),
+          assigned AS (
+            SELECT e.vec_id, e.embedding, e.nrm, cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "cv")} / (e.nrm * cn), 6) DESC,
+                         cent_id ASC) AS rn_c
+            FROM e CROSS JOIN cent),
+          lists AS (SELECT cent_id, vec_id AS cand_id, embedding AS lv, nrm AS ln
+                    FROM assigned WHERE rn_c = 1),
+          qprobe AS (SELECT cent_id, vec_id AS query_id, embedding AS qv, nrm AS qn
+                     FROM assigned WHERE vec_id % 100 = 0 AND rn_c <= 2),
+          ascored AS (
+            SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY round(${dotSql("qv", "lv")} / (qn * ln), 6) DESC,
+                         cand_id ASC) AS rn
+            FROM qprobe q JOIN lists l USING (cent_id)
+            WHERE query_id <> cand_id),
+          ap AS (SELECT query_id, cand_id FROM ascored WHERE rn <= 3),
+          h AS (
+            SELECT ex.query_id,
+              CAST(count(*) AS BIGINT) AS n_exact,
+              CAST(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+            FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+              AND ex.cand_id = ap.cand_id
+            GROUP BY ex.query_id)
+          SELECT query_id, n_exact, n_hits,
+            CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+          FROM h ORDER BY query_id""",
     "q44_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                      FROM embeddings),
