@@ -30,6 +30,8 @@ object SparkEntry {
     operators.SearchQueries.queries ++
     operators.GraphQueries.queries ++
     operators.SftQueries.queries ++
+    operators.EvalQueries.queries ++
+    operators.SketchQueries.queries ++
     multimodal.Multimodal.queries ++
     multimodal.Audio.queries ++
     sources.Formats.queries ++
@@ -53,6 +55,8 @@ object SparkEntry {
     operators.SearchQueries.oracles ++
     operators.GraphQueries.oracles ++
     operators.SftQueries.oracles ++
+    operators.EvalQueries.oracles ++
+    operators.SketchQueries.oracles ++
     multimodal.Multimodal.oracles ++
     multimodal.Audio.oracles ++
     sources.Formats.oracles ++

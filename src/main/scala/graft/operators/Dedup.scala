@@ -542,8 +542,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many discriminative 3-word shingles they share, with an exact
+    * Jaccard in ppm. This is the corpus-level dual of the per-document
+    * near-dup queries: a pipeline mixing 20 crawl feeds runs exactly this
+    * audit to find feeds that are re-hosting each other's content before
+    * assigning mixture weights (q77/q147 consume the result).
+    *
+    * Scale shape: the pair space is the per-shingle inverted index joined
+    * with itself, so candidate volume is Σ_shingle (sources-with-it)² —
+    * bounded by the source count (feed lists are small) per shingle, not
+    * by corpus². The document-frequency cap (shingles in >5% of docs are
+    * dropped) removes the stopword-trigram hubs that would otherwise make
+    * every source pair meet on every common phrase — the same
+    * non-discriminative-key pruning the LSH band join applies. Jaccard is
+    * exact integer ppm over per-source distinct-shingle counts. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles3
+    val docs = Tables.load(spark, dir, "documents")
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(shingles3(col("text")))).as("s"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // discriminative shingles only: document frequency <= 5% of corpus
+    val keep = ex.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("n_docs * 5 DIV 100"))
+      .select("s")
+    val ss = ex.join(keep, "s").select("source", "s").distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = ss.select(col("s"), col("source").as("src_a"))
+      .join(ss.select(col("s"), col("source").as("src_b"))
+        .hint("SHUFFLE_HASH"), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        expr("1000000 * inter DIV (n_a + n_b - inter)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
+    "q182_source_overlap" -> (sourceOverlap _),
     "q71_decontaminate"  -> (decontaminate _),
     "q146_decontam_bloom" ->
       ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
@@ -749,5 +794,31 @@ object Dedup {
             AND a.doc_id < b.doc_id
           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2
-          ORDER BY doc_a, doc_b""")
+          ORDER BY doc_a, doc_b""",
+    // same df-capped shingle index, same exact integer-ppm jaccard
+    "q182_source_overlap" ->
+      s"""WITH ex AS (
+            SELECT doc_id, source, unnest(list_distinct($shinglesSql)) AS s
+            FROM documents),
+          keep AS (
+            SELECT s FROM ex GROUP BY s
+            HAVING count(DISTINCT doc_id) <=
+              (SELECT count(*) * 5 // 100 FROM documents)),
+          ss AS (
+            SELECT DISTINCT source, s FROM ex JOIN keep USING (s)),
+          sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+            FROM ss GROUP BY source),
+          it AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+            GROUP BY a.source, b.source)
+          SELECT it.src_a, it.src_b, it.inter,
+            1000000 * it.inter // (sa.n_sh + sb.n_sh - it.inter)
+              AS jaccard_ppm
+          FROM it
+          JOIN sizes sa ON sa.source = it.src_a
+          JOIN sizes sb ON sb.source = it.src_b
+          ORDER BY src_a, src_b""")
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Preference-data aggregation and annotation-quality surface — the
+  * reward-modeling side of an LLM data pipeline, downstream of the pair
+  * construction in [[SftQueries]] (q166): once candidate pairs have been
+  * judged (by humans or an LLM judge), the pipeline must (a) turn the
+  * pairwise game log into per-generator skill estimates and (b) audit the
+  * raters themselves for agreement before trusting their labels.
+  *
+  * q179 is Bradley–Terry skill estimation (Bradley & Terry 1952; the
+  * ranking model behind Chatbot-Arena-style leaderboards) via the
+  * standard minorization–maximization update (Hunter 2004),
+  *   p_i ← W_i / Σ_j n_ij / (p_i + p_j),
+  * run for a FIXED number of rounds. q180 is Cohen's kappa — the
+  * chance-corrected inter-rater agreement statistic every annotation
+  * effort reports — computed per language cohort.
+  *
+  * Arithmetic follows the q143 PageRank recipe: every step is
+  * order-independent integer math (skills at ppb scale, wins counted in
+  * half-units, `DIV` everywhere), so the DuckDB oracle hash-compares
+  * bit-for-bit — no doubles, no libm, no float-summation-order hazard.
+  *
+  * Scale shape (q179): the game log is the input at scale (a real system
+  * reads judged comparisons); here it is synthesized with a BOUNDED
+  * cohort self-join — documents pair only within (lang, doc_id%B)
+  * buckets, so pair volume is Σ cohort² / B, never corpus². The MM loop
+  * itself moves only O(players) skill rows per round against an
+  * O(player-pairs) aggregate — both tiny relative to the corpus, and the
+  * per-round join keys on the player id, so on a cluster the pair table
+  * is broadcast (player counts are leaderboard-sized) while the heavy
+  * work — folding raw games into per-pair counts — happens once,
+  * map-side combinable.
+  */
+object EvalQueries {
+
+  private val SCALE = 1000000000L // skills in parts-per-billion
+  private val NUM = 1000000000000L // DIV numerator scale (SCALE * 1000)
+
+  /** Bradley–Terry skills over the source-vs-source game log: documents
+    * meet within (lang, doc_id%10) cohorts, longer text wins (2 half-win
+    * units; ties split 1/1), and two MM rounds refine uniform-start
+    * skills. A virtual n=1 game against a fixed p=1.0 opponent
+    * regularizes undefeated/winless players (standard BT smoothing), so
+    * no skill ever hits 0 or diverges. Output: one row per source with
+    * its game count, half-win total, and final skill in ppb. */
+  def bradleyTerry(spark: SparkSession, dir: String, iters: Int = 2)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"), (col("doc_id") % 10).as("bucket"),
+        col("n_chars"))
+    // bounded pair generation: cross-source pairs inside each cohort only
+    val games = docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("p"), col("b.source").as("q"),
+        when(col("a.n_chars") > col("b.n_chars"), lit(2L))
+          .when(col("a.n_chars") === col("b.n_chars"), lit(1L))
+          .otherwise(lit(0L)).as("wa"))
+    val pairAgg = games.groupBy("p", "q")
+      .agg(count(lit(1)).as("n"), sum(col("wa")).as("w"))
+    // symmetrize: one row per (player, opponent) direction
+    val sym = pairAgg.select(col("p").as("player"), col("q").as("opp"),
+        col("n"), col("w"))
+      .unionAll(pairAgg.select(col("q").as("player"), col("p").as("opp"),
+        col("n"), (lit(2L) * col("n") - col("w")).as("w")))
+    val totals = sym.groupBy("player")
+      .agg(sum(col("n")).as("n_games"), sum(col("w")).as("wins_half"))
+    var skills = totals.select(col("player"), lit(SCALE).as("skill"))
+    for (_ <- 1 to iters) {
+      val si = skills.select(col("player"), col("skill").as("pi"))
+      val sj = skills.select(col("player").as("opp"), col("skill").as("pj"))
+      val denom = sym
+        .join(si, "player").join(sj, "opp")
+        .select(col("player"),
+          expr(s"n * $NUM DIV (pi + pj)").as("d"))
+        .groupBy("player").agg(sum(col("d")).as("dsum"))
+      skills = denom.join(si, "player").join(totals, "player")
+        .select(col("player"),
+          expr(s"(wins_half + 1) * $NUM DIV " +
+            s"(2 * (dsum + $NUM DIV (pi + $SCALE)))").as("skill"))
+    }
+    // sym appears in several aggregate subtrees (totals + one per round);
+    // the subtrees are identical, so ReuseExchange runs its shuffle once
+    // (the q167 pattern) — no cache needed for a single-action query.
+    totals.join(skills, "player")
+      .select(col("player").as("source"), col("n_games"), col("wins_half"),
+        col("skill").as("skill_ppb"))
+      .orderBy("source")
+  }
+
+  /** Cohen's kappa between two deterministic "raters" per language
+    * cohort: rater A buckets quality by raw length (n_chars <200 / <400 /
+    * else), rater B by whitespace token count (<30 / <70 / else) — two
+    * length-family judges with deliberately unaligned scales, the classic
+    * moderate-agreement setup. kappa = (p_o − p_e)/(1 − p_e) is computed
+    * from the contingency marginals as exact integers:
+    *   kappa_ppm = 1e6·(N·A − S) DIV (N² − S),  S = Σ_k cA_k·cB_k.
+    * One aggregation pass per cohort — the marginals and the agreement
+    * diagonal come out of the same groupBy (map-side combinable; no
+    * second scan, no pivot). */
+  def raterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ra = when(col("n_chars") < 200, 0)
+      .when(col("n_chars") < 400, 1).otherwise(2)
+    val nTok = size(split(trim(lower(col("text"))), "\\s+"))
+    val rb = when(nTok < 30, 0).when(nTok < 70, 1).otherwise(2)
+    val rated = docs.select(col("lang"), ra.as("ra"), rb.as("rb"))
+    val agg = rated.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"),
+      sum(when(col("ra") === 0, 1L).otherwise(0L)).as("ca0"),
+      sum(when(col("ra") === 1, 1L).otherwise(0L)).as("ca1"),
+      sum(when(col("ra") === 2, 1L).otherwise(0L)).as("ca2"),
+      sum(when(col("rb") === 0, 1L).otherwise(0L)).as("cb0"),
+      sum(when(col("rb") === 1, 1L).otherwise(0L)).as("cb1"),
+      sum(when(col("rb") === 2, 1L).otherwise(0L)).as("cb2"))
+    agg
+      .withColumn("s", col("ca0") * col("cb0") + col("ca1") * col("cb1") +
+        col("ca2") * col("cb2"))
+      .select(col("lang"), col("n"), col("agree"),
+        expr("1000000 * agree DIV n").as("po_ppm"),
+        expr("1000000 * s DIV (n * n)").as("pe_ppm"),
+        expr("1000000 * (n * agree - s) DIV (n * n - s)").as("kappa_ppm"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_bradley_terry" ->
+      ((s: SparkSession, d: String) => bradleyTerry(s, d)),
+    "q180_rater_agreement" -> (raterAgreement _))
+
+  val oracles: Map[String, String] = Map(
+    // identical cohorting, half-win units, and two unrolled integer MM
+    // rounds (DuckDB `//` = Spark `DIV` on positive BIGINTs)
+    "q179_bradley_terry" ->
+      """WITH d AS (
+           SELECT source, lang, doc_id % 10 AS bucket, n_chars
+           FROM documents),
+         g AS (
+           SELECT a.source AS p, b.source AS q,
+             CASE WHEN a.n_chars > b.n_chars THEN 2
+                  WHEN a.n_chars = b.n_chars THEN 1 ELSE 0 END AS wa
+           FROM d a JOIN d b
+             ON a.lang = b.lang AND a.bucket = b.bucket
+            AND a.source < b.source),
+         pa AS (
+           SELECT p, q, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wa) AS BIGINT) AS w
+           FROM g GROUP BY p, q),
+         sym AS (
+           SELECT p AS player, q AS opp, n, w FROM pa
+           UNION ALL
+           SELECT q AS player, p AS opp, n, 2 * n - w FROM pa),
+         tot AS (
+           SELECT player, CAST(sum(n) AS BIGINT) AS n_games,
+             CAST(sum(w) AS BIGINT) AS wins_half
+           FROM sym GROUP BY player),
+         s1 AS (
+           SELECT t.player,
+             (t.wins_half + 1) * 1000000000000 //
+               (2 * (d.dsum + 1000000000000 // (1000000000 + 1000000000)))
+               AS skill
+           FROM tot t JOIN (
+             SELECT player,
+               CAST(sum(n * 1000000000000 //
+                 (1000000000 + 1000000000)) AS BIGINT) AS dsum
+             FROM sym GROUP BY player) d USING (player)),
+         s2 AS (
+           SELECT t.player,
+             (t.wins_half + 1) * 1000000000000 //
+               (2 * (d.dsum + 1000000000000 // (si.skill + 1000000000)))
+               AS skill
+           FROM tot t
+           JOIN (
+             SELECT sym.player,
+               CAST(sum(sym.n * 1000000000000 //
+                 (si.skill + sj.skill)) AS BIGINT) AS dsum
+             FROM sym
+             JOIN s1 si ON si.player = sym.player
+             JOIN s1 sj ON sj.player = sym.opp
+             GROUP BY sym.player) d ON d.player = t.player
+           JOIN s1 si ON si.player = t.player)
+         SELECT t.player AS source, t.n_games, t.wins_half,
+           s2.skill AS skill_ppb
+         FROM tot t JOIN s2 ON s2.player = t.player
+         ORDER BY source""",
+    // same rater bucketings, same exact-integer kappa
+    "q180_rater_agreement" ->
+      raw"""WITH r AS (
+           SELECT lang,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 400 THEN 1 ELSE 2 END AS ra,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 30
+                    THEN 0
+                  WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 70
+                    THEN 1 ELSE 2 END AS rb
+           FROM documents),
+         a AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(sum(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca0,
+             CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca1,
+             CAST(sum(CASE WHEN ra = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ca2,
+             CAST(sum(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb0,
+             CAST(sum(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb1,
+             CAST(sum(CASE WHEN rb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2
+           FROM r GROUP BY lang)
+         SELECT lang, n, agree,
+           1000000 * agree // n AS po_ppm,
+           1000000 * (ca0*cb0 + ca1*cb1 + ca2*cb2) // (n * n) AS pe_ppm,
+           1000000 * (n * agree - (ca0*cb0 + ca1*cb1 + ca2*cb2)) //
+             (n * n - (ca0*cb0 + ca1*cb1 + ca2*cb2)) AS kappa_ppm
+         FROM a ORDER BY lang""")
+}

@@ -193,8 +193,54 @@ object GraphQueries {
       .orderBy("part")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
+    * trade graph customers→suppliers — the third classic centrality next
+    * to q143's PageRank (flow on the symmetrized graph) and q175's
+    * communities. The bipartite split is what a data pipeline wants from
+    * HITS: hub scores rank the AGGREGATORS (crawl feeds, buyers, linkers)
+    * and authority scores rank the PRODUCERS (origin sites, suppliers) —
+    * two different mixture-weight signals from one edge table.
+    *
+    * Same integer recipe as pagerank: scores are exact BIGINTs, each
+    * half-round is `Σ score·w` pushed across the edges followed by a
+    * max-normalization to ppm (`score·1e6 DIV max` — max is
+    * order-independent, so no float-summation hazard), and the round
+    * count is a small constant. Scale shape: the edge aggregate is built
+    * once; each half-round is one join keyed on the edge endpoint + one
+    * two-phase sum + one broadcast of a single-row max frame. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("w"))
+    var hubs = edges.select(col("cust")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hubs, "cust")
+        .groupBy("supp").agg(sum(col("h") * col("w")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auths = araw.crossJoin(broadcast(amax))
+        .select(col("supp"), expr("ar * 1000000 DIV am").as("a"))
+      val hraw = edges.join(auths, "supp")
+        .groupBy("cust").agg(sum(col("a") * col("w")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hubs = hraw.crossJoin(broadcast(hmax))
+        .select(col("cust"), expr("hr * 1000000 DIV hm").as("h"))
+    }
+    hubs.select(lit("hub").as("role"), col("cust").as("node"),
+        col("h").as("score_ppm"))
+      .unionAll(auths.select(lit("authority").as("role"),
+        col("supp").as("node"), col("a").as("score_ppm")))
+      .orderBy("role", "node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q183_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q167_triangle_count" ->
       ((s: SparkSession, d: String) => triangleCount(s, d)),
     "q175_label_prop" ->
@@ -232,6 +278,44 @@ object GraphQueries {
            FROM ew JOIN r2 ON ew.src = r2.node GROUP BY dst)
          SELECT node, CAST(rank AS BIGINT) AS rank_ppb
          FROM r3 ORDER BY node""",
+    // same directed edge aggregate, same unrolled half-rounds with
+    // integer max-normalization (sum then `·1e9 // max`)
+    "q183_hits" ->
+      """WITH e AS (
+           SELECT o_custkey AS cust, l_suppkey AS supp,
+             CAST(count(*) AS BIGINT) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         h0 AS (
+           SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM e),
+         a1r AS (
+           SELECT supp, CAST(sum(h * w) AS BIGINT) AS ar
+           FROM e JOIN h0 USING (cust) GROUP BY supp),
+         a1 AS (
+           SELECT supp, ar * 1000000 // (SELECT max(ar) FROM a1r) AS a
+           FROM a1r),
+         h1r AS (
+           SELECT cust, CAST(sum(a * w) AS BIGINT) AS hr
+           FROM e JOIN a1 USING (supp) GROUP BY cust),
+         h1 AS (
+           SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h1r) AS h
+           FROM h1r),
+         a2r AS (
+           SELECT supp, CAST(sum(h * w) AS BIGINT) AS ar
+           FROM e JOIN h1 USING (cust) GROUP BY supp),
+         a2 AS (
+           SELECT supp, ar * 1000000 // (SELECT max(ar) FROM a2r) AS a
+           FROM a2r),
+         h2r AS (
+           SELECT cust, CAST(sum(a * w) AS BIGINT) AS hr
+           FROM e JOIN a2 USING (supp) GROUP BY cust),
+         h2 AS (
+           SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h2r) AS h
+           FROM h2r)
+         SELECT 'hub' AS role, cust AS node, h AS score_ppm FROM h2
+         UNION ALL
+         SELECT 'authority' AS role, supp AS node, a AS score_ppm FROM a2
+         ORDER BY role, node""",
     // same support-pruned id-ordered edges, same u<v<w enumeration
     "q167_triangle_count" ->
       """WITH op AS (

@@ -435,6 +435,59 @@ object SearchQueries {
       .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ppm")
   }
 
+  /** Integer-exact nDCG@10 per language cohort — the ranking-quality
+    * metric a retrieval/reranking pipeline reports next to recall
+    * (q177). The "system" ranking is deterministic (n_chars desc — the
+    * stand-in for a model score, the q166 convention); graded relevance
+    * comes from content ("vector" ⇒ 2, "merge" ⇒ 1, else 0 — a
+    * deterministic qrel set). DCG discounts use a ppm lookup table of
+    * ⌈1e6/log2(r+1)⌉ constants for ranks 1–10, so there is NO libm log
+    * anywhere — both engines evaluate the identical CASE table and the
+    * identical `gain·w` integer sums, and nDCG lands as `dcg·1e6 DIV
+    * idcg`. IDCG ranks the full cohort by relevance (standard nDCG, not
+    * the retrieved-set-only variant).
+    *
+    * Scale shape: two ROW_NUMBER windows over the same cohort
+    * partitioning (one exchange), rank-bounded to 10 rows per cohort
+    * before the per-cohort sums — evaluation cost is O(cohorts), and the
+    * heavy input (per-doc scores) is scanned once. */
+  def ndcgEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val discount = (r: String) => s"""CASE $r
+      WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+      WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+      WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+      WHEN 10 THEN 289065 ELSE 0 END"""
+    val docs = Tables.load(spark, dir, "documents")
+    val graded = docs.select(col("lang"), col("doc_id"), col("n_chars"),
+      when(array_contains(words(col("text")), "vector"), 2L)
+        .when(array_contains(words(col("text")), "merge"), 1L)
+        .otherwise(0L).as("rel"))
+      .withColumn("gain", expr("(1 << CAST(rel AS INT)) - 1").cast("long"))
+    val sys = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ideal = Window.partitionBy("lang")
+      .orderBy(col("rel").desc, col("n_chars").desc, col("doc_id").asc)
+    graded
+      .withColumn("r_sys", row_number().over(sys))
+      .withColumn("r_ideal", row_number().over(ideal))
+      .groupBy("lang").agg(
+        sum(when(col("r_sys") <= k && col("rel") > 0, 1L).otherwise(0L))
+          .as("rel_retrieved"),
+        sum(when(col("r_sys") <= k,
+          col("gain") * expr(discount("r_sys"))).otherwise(0L))
+          .as("dcg_ppm"),
+        sum(when(col("r_ideal") <= k,
+          col("gain") * expr(discount("r_ideal"))).otherwise(0L))
+          .as("idcg_ppm"))
+      .select(col("lang"), col("rel_retrieved"), col("dcg_ppm"),
+        col("idcg_ppm"),
+        when(col("idcg_ppm") > 0,
+          expr("1000000 * dcg_ppm DIV idcg_ppm"))
+          .otherwise(lit(0L)).as("ndcg_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_collocations" ->
       ((s: SparkSession, d: String) => pmiCollocations(s, d)),
@@ -448,6 +501,7 @@ object SearchQueries {
       ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q145_ngram_lm" -> ((s: SparkSession, d: String) => ngramLmScore(s, d)),
     "q88_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "q184_ndcg" -> ((s: SparkSession, d: String) => ndcgEval(s, d)),
     "q89_oov_score" -> ((s: SparkSession, d: String) => oovScore(s, d)),
     "q97_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "q142_dsir_weight" -> ((s: SparkSession, d: String) => dsirWeight(s, d)))
@@ -480,6 +534,43 @@ object SearchQueries {
           FROM f)"""
 
   val oracles: Map[String, String] = Map(
+    // same graded qrels, same ppm discount table (no libm log), same
+    // full-cohort IDCG and integer `dcg·1e6 // idcg`
+    "q184_ndcg" -> {
+      val disc = (r: String) => s"""CASE $r
+        WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+        WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+        WHEN 10 THEN 289065 ELSE 0 END"""
+      s"""WITH g AS (
+            SELECT lang, doc_id, n_chars,
+              CASE WHEN list_contains($wordsSql, 'vector') THEN 3
+                   WHEN list_contains($wordsSql, 'merge') THEN 1
+                   ELSE 0 END AS gain
+            FROM documents),
+          r AS (
+            SELECT lang, gain,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id ASC) AS r_sys,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY gain DESC, n_chars DESC, doc_id ASC) AS r_ideal
+            FROM g),
+          a AS (
+            SELECT lang,
+              CAST(sum(CASE WHEN r_sys <= 10 AND gain > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS rel_retrieved,
+              CAST(sum(CASE WHEN r_sys <= 10
+                THEN gain * (${disc("r_sys")}) ELSE 0 END) AS BIGINT)
+                AS dcg_ppm,
+              CAST(sum(CASE WHEN r_ideal <= 10
+                THEN gain * (${disc("r_ideal")}) ELSE 0 END) AS BIGINT)
+                AS idcg_ppm
+            FROM r GROUP BY lang)
+          SELECT lang, rel_retrieved, dcg_ppm, idcg_ppm,
+            CASE WHEN idcg_ppm > 0
+              THEN 1000000 * dcg_ppm // idcg_ppm ELSE 0 END AS ndcg_ppm
+          FROM a ORDER BY lang"""
+    },
     // same min-support filter, same rational-PMI BIGINT ppm, same
     // (score desc, w1, w2) total order at the top-k boundary
     "q160_pmi_collocations" ->

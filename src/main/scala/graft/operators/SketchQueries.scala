@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CountMinAgg
+
+/** Sketch-audited corpus profiling — queries that run an approximate
+  * sketch side-by-side with the exact aggregate it replaces at scale, and
+  * FAIL (via a boolean the oracle pins to true) if the sketch's guarantee
+  * is violated. The q47 approx-profile family relies on scalatest bounds
+  * because its sketches are engine-specific; here the guarantee check is
+  * folded into the driver-graded result itself, so the DuckDB compare
+  * covers both the exact answer and the sketch contract.
+  */
+object SketchQueries {
+
+  /** Token heavy hitters with a Count–Min audit: the exact top-k tokens
+    * (the truth a 100 TB pipeline would approximate) plus `cms_ok` —
+    * whether the sketch estimate for each token respects the CM bound
+    * `exact ≤ est ≤ exact + ⌈e/width · N⌉`. The oracle expects every row
+    * `true`, so a sketch regression turns the driver row red.
+    *
+    * Scale shape: the sketch pass is map-side combined (64 KB partials,
+    * one reduce); the exact pass is the usual two-phase count. Driver
+    * holds one 64 KB grid and k rows — never the token stream. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20)
+      : DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val profile = toks.agg(
+      CountMinAgg.countMinAgg(col("token")).as("sk"),
+      count(lit(1)).as("n_total")).head()
+    val sk = profile.getAs[Array[Byte]]("sk")
+    val nTotal = profile.getAs[Long]("n_total")
+    val slack = math.ceil(math.E / CountMinAgg.DefaultWidth * nTotal).toLong
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k).collect()
+    val audited = top.toSeq.map { r =>
+      val token = r.getString(0); val n = r.getLong(1)
+      val est = CountMinAgg.estimate(sk, token)
+      (token, n, est >= n && est <= n + slack)
+    }
+    audited.toDF("token", "n", "cms_ok")
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_heavy_hitters" ->
+      ((s: SparkSession, d: String) => heavyHitters(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    // exact top-k with the same (count desc, token asc) tiebreak; cms_ok
+    // is the sketch contract — constant true unless the sketch is broken
+    "q181_heavy_hitters" ->
+      raw"""SELECT token, CAST(count(*) AS BIGINT) AS n, true AS cms_ok
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                  AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""")
+}
