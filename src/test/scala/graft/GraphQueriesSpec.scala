@@ -155,6 +155,39 @@ class GraphQueriesSpec extends SparkSuite {
     }
   }
 
+  test("hits: planted hub supplier takes max authority, scores in ppm") {
+    val dir = tmpDir("hits") + "/d"
+    // cust 1 buys from supp 1 and 2; cust 2 and 3 buy only from supp 2:
+    // supp 2 is touched by every customer → the authority
+    writeTrade(dir,
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)))
+    val out = GraphQueries.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("node")) ->
+        r.getAs[Long]("score_ppm")).toMap
+    assert(out(("authority", 2L)) == 1000000L,
+      "max-normalized authority must peak at exactly 1e6")
+    assert(out(("authority", 2L)) > out(("authority", 1L)))
+    // cust 1 reaches both suppliers → the strongest hub
+    assert(out(("hub", 1L)) == 1000000L)
+    assert(out(("hub", 1L)) > out(("hub", 2L)))
+    assert(out(("hub", 2L)) == out(("hub", 3L)),
+      "symmetric single-edge customers must tie")
+  }
+
+  test("hits on sf0.001: normalization bounds hold, runs deterministic") {
+    val a = GraphQueries.hits(spark, sf0001).collect()
+    val b = GraphQueries.hits(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getAs[Long]("score_ppm") >= 0 &&
+      r.getAs[Long]("score_ppm") <= 1000000L))
+    Seq("hub", "authority").foreach { role =>
+      assert(a.filter(_.getString(0) == role)
+        .map(_.getAs[Long]("score_ppm")).max == 1000000L,
+        s"$role scores must be max-normalized to exactly 1e6")
+    }
+  }
+
   test("dsir on sf0.001: every doc scored once, top-k flag is exact") {
     val out = SearchQueries.dsirWeight(spark, sf0001, "en", topK = 25)
       .cache()
