@@ -209,6 +209,19 @@ object GraphQueries {
     * once; each half-round is one join keyed on the edge endpoint + one
     * two-phase sum + one broadcast of a single-row max frame. */
   def hits(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    // Unlike pagerank (damped, no per-round rescale), HITS renormalizes
+    // after every half-round — naive lineage would double at each of the
+    // 2·iters normalizations (the raw frame feeds both the max and the
+    // rescale). The q57 CC recipe applies: localCheckpoint each score
+    // frame (eager, O(nodes) rows) and release superseded rounds, so
+    // every half-round is evaluated exactly once.
+    def snap(df: DataFrame): DataFrame = df.localCheckpoint()
+    def release(df: DataFrame): Unit =
+      df.queryExecution.logical.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
@@ -216,21 +229,31 @@ object GraphQueries {
     val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .agg(count(lit(1)).as("w"))
+      .cache()
     var hubs = edges.select(col("cust")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
+    val snapped = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to iters) {
-      val araw = edges.join(hubs, "cust")
-        .groupBy("supp").agg(sum(col("h") * col("w")).as("ar"))
+      // checkpoint the RAW per-node sums (one heavy join+agg job each);
+      // the max and the rescale are lazy projections over the cached
+      // frame, so no half-round is ever evaluated twice
+      val araw = snap(edges.join(hubs, "cust")
+        .groupBy("supp").agg(sum(col("h") * col("w")).as("ar")))
       val amax = araw.agg(max(col("ar")).as("am"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("supp"), expr("ar * 1000000 DIV am").as("a"))
-      val hraw = edges.join(auths, "supp")
-        .groupBy("cust").agg(sum(col("a") * col("w")).as("hr"))
+      val hraw = snap(edges.join(auths, "supp")
+        .groupBy("cust").agg(sum(col("a") * col("w")).as("hr")))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hubs = hraw.crossJoin(broadcast(hmax))
         .select(col("cust"), expr("hr * 1000000 DIV hm").as("h"))
+      snapped += araw; snapped += hraw
     }
+    // superseded rounds are released; the final round's two raw frames
+    // back the returned (lazily normalized) result and stay cached
+    snapped.dropRight(2).foreach(release)
+    edges.unpersist(blocking = false) // final frames are materialized
     hubs.select(lit("hub").as("role"), col("cust").as("node"),
         col("h").as("score_ppm"))
       .unionAll(auths.select(lit("authority").as("role"),
