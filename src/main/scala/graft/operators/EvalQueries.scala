@@ -53,6 +53,10 @@ object EvalQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("source"), col("lang"), (col("doc_id") % 10).as("bucket"),
         col("n_chars"))
+      // single-file fixture reads as one task; spread the cohort
+      // self-join across the cores (the q37 recipe)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("lang"), col("bucket"))
     // bounded pair generation: cross-source pairs inside each cohort only
     val games = docs.as("a").join(docs.as("b"),
         col("a.lang") === col("b.lang") &&
@@ -62,8 +66,12 @@ object EvalQueries {
         when(col("a.n_chars") > col("b.n_chars"), lit(2L))
           .when(col("a.n_chars") === col("b.n_chars"), lit(1L))
           .otherwise(lit(0L)).as("wa"))
+    // the heavy corpus-side work (cohort self-join folded to per-pair
+    // counts) is checkpointed ONCE at O(player-pairs) rows; the MM loop
+    // below re-reads only this leaderboard-sized frame
     val pairAgg = games.groupBy("p", "q")
       .agg(count(lit(1)).as("n"), sum(col("wa")).as("w"))
+      .localCheckpoint()
     // symmetrize: one row per (player, opponent) direction
     val sym = pairAgg.select(col("p").as("player"), col("q").as("opp"),
         col("n"), col("w"))
@@ -85,9 +93,9 @@ object EvalQueries {
           expr(s"(wins_half + 1) * $NUM DIV " +
             s"(2 * (dsum + $NUM DIV (pi + $SCALE)))").as("skill"))
     }
-    // sym appears in several aggregate subtrees (totals + one per round);
-    // the subtrees are identical, so ReuseExchange runs its shuffle once
-    // (the q167 pattern) — no cache needed for a single-action query.
+    // sym appears in several aggregate subtrees (totals + one per round),
+    // but each re-evaluation is a projection over the checkpointed
+    // pair-count blocks — the corpus is never rescanned.
     totals.join(skills, "player")
       .select(col("player").as("source"), col("n_games"), col("wins_half"),
         col("skill").as("skill_ppb"))
