@@ -544,4 +544,33 @@ class PlanQualitySpec extends SparkSuite {
     assert(p176.contains("partial"),
       s"q176: calibration lost map-side combine:\n$p176")
   }
+
+  test("q179/q182/q183/q184: eval-surface plan shapes hold") {
+    import graft.operators.{EvalQueries, GraphQueries, SearchQueries}
+    // q179: the MM loop reads ONLY the checkpointed pair counts — the
+    // corpus parquet must not appear in the final plan's lineage, and
+    // nothing degenerates to a cartesian
+    val p179 = plan(EvalQueries.bradleyTerry(spark, sfDir))
+    assert(!p179.contains("Scan parquet"),
+      s"q179: MM round rescans the corpus:\n$p179")
+    assert(!p179.contains("CartesianProduct"), s"q179:\n$p179")
+    // q182: pair candidates come from the equi-join on the shingle key;
+    // the only nested-loop joins are the single-row doc-count broadcasts
+    val p182 = plan(Dedup.sourceOverlap(spark, sfDir))
+    assert(!p182.contains("CartesianProduct"),
+      s"q182: source pairing fell to a cartesian:\n$p182")
+    assert(p182.contains("HashJoin") || p182.contains("SortMergeJoin"),
+      s"q182: shingle index join is not key-based:\n$p182")
+    // q183: both output sides read the final checkpointed score frames
+    val p183 = plan(GraphQueries.hits(spark, sfDir))
+    assert(!p183.contains("Scan parquet"),
+      s"q183: normalization rescans the edge build:\n$p183")
+    // q184: the two ranking windows and the cohort aggregate share ONE
+    // exchange (count only the AQE final plan, not the echoed initial)
+    val p184 = plan(SearchQueries.ndcgEval(spark, sfDir))
+      .split("== Initial Plan ==").head
+    val ex184 = p184.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(lang"))
+    assert(ex184 <= 1, s"q184: cohort shuffled $ex184 times:\n$p184")
+  }
 }
