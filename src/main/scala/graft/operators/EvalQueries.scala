@@ -140,10 +140,78 @@ object EvalQueries {
       .orderBy("lang")
   }
 
+  /** χ² drift audit between two corpus snapshots: are documents
+    * distributed over sources the same way in the "old" half (even
+    * doc_ids — the stand-in for the previous crawl) as in the "new" half?
+    * Every ingestion pipeline runs this gate before re-weighting its
+    * mixture; a drifting feed shows up as a large per-source χ²
+    * contribution. The statistic is the textbook Σ (O−E)²/E over the
+    * source×half contingency table, kept integer-exact: E is truncated
+    * to `R·C DIV N` FIRST, so the squared deviation stays O(cell-count)
+    * and the ppm term `1e6·d² DIV max(E,1)` never overflows BIGINT at
+    * any realistic cohort size.
+    *
+    * Scale shape: one map-side-combinable groupBy(source) builds the
+    * whole table; the (N, C_old, C_new) totals ride in on a broadcast
+    * single-row frame. O(sources) output. */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2 === 0).as("old_half"))
+    val cells = docs.groupBy("source").agg(
+      sum(when(col("old_half"), 1L).otherwise(0L)).as("n_old"),
+      sum(when(!col("old_half"), 1L).otherwise(0L)).as("n_new"))
+    val totals = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("old_half"), 1L).otherwise(0L)).as("c_old"),
+      sum(when(!col("old_half"), 1L).otherwise(0L)).as("c_new"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("e_old", expr("(n_old + n_new) * c_old DIV n"))
+      .withColumn("e_new", expr("(n_old + n_new) * c_new DIV n"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        expr("""1000000 * (n_old - e_old) * (n_old - e_old)
+                  DIV greatest(e_old, 1)
+              + 1000000 * (n_new - e_new) * (n_new - e_new)
+                  DIV greatest(e_new, 1)""").as("chi2_ppm"))
+      .orderBy("source")
+  }
+
+  /** Stride-scheduled training order (the deterministic weighted
+    * interleave a data loader materializes): low-resource languages get
+    * weight 2e6 ppm (2× upsampling), English 1e6, and each document's
+    * schedule key is `i · (1e12 DIV weight)` for its within-language
+    * index i — classic stride scheduling, so a 2×-weighted language
+    * appears twice as often in any prefix of the key-sorted stream.
+    * Shards are `key-order mod nShards`. Emitting the KEY (not a global
+    * row_number) keeps the plan scale-safe: the total order is sortable
+    * without a single-partition window, and any range of the schedule
+    * can be produced independently.
+    *
+    * Scale shape: one window per language cohort (the within-lang
+    * index), then pure projection; the output order is the consumer's
+    * range-sort. */
+  def strideSchedule(spark: SparkSession, dir: String, nShards: Int = 8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("weight_ppm",
+        when(col("lang") === "en", 1000000L).otherwise(2000000L))
+      .withColumn("sched_key", expr("i * (1000000000000 DIV weight_ppm)"))
+      .withColumn("shard",
+        expr(s"(i * (1000000000000 DIV weight_ppm)) % $nShards"))
+      .select("doc_id", "lang", "i", "sched_key", "shard")
+      .orderBy("sched_key", "lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_bradley_terry" ->
       ((s: SparkSession, d: String) => bradleyTerry(s, d)),
-    "q180_rater_agreement" -> (raterAgreement _))
+    "q180_rater_agreement" -> (raterAgreement _),
+    "q185_chi2_drift" -> (chi2Drift _),
+    "q186_stride_schedule" ->
+      ((s: SparkSession, d: String) => strideSchedule(s, d)))
 
   val oracles: Map[String, String] = Map(
     // identical cohorting, half-win units, and two unrolled integer MM
@@ -228,5 +296,47 @@ object EvalQueries {
            CASE WHEN n * n <> (ca0*cb0 + ca1*cb1 + ca2*cb2) THEN
              1000000 * (n * agree - (ca0*cb0 + ca1*cb1 + ca2*cb2)) //
                (n * n - (ca0*cb0 + ca1*cb1 + ca2*cb2)) END AS kappa_ppm
-         FROM a ORDER BY lang""")
+         FROM a ORDER BY lang""",
+    // same truncated-expected integer χ², same even/odd halves
+    "q185_chi2_drift" ->
+      """WITH d AS (
+           SELECT source, doc_id % 2 = 0 AS old_half FROM documents),
+         cells AS (
+           SELECT source,
+             CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(sum(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_new
+           FROM d GROUP BY source),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_old,
+             CAST(sum(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT)
+               AS c_new
+           FROM d),
+         e AS (
+           SELECT source, n_old, n_new,
+             (n_old + n_new) * c_old // n AS e_old,
+             (n_old + n_new) * c_new // n AS e_new
+           FROM cells, t)
+         SELECT source, n_old, n_new,
+           1000000 * (n_old - e_old) * (n_old - e_old)
+             // greatest(e_old, 1)
+           + 1000000 * (n_new - e_new) * (n_new - e_new)
+             // greatest(e_new, 1) AS chi2_ppm
+         FROM e ORDER BY source""",
+    // same per-lang stride keys and shard assignment
+    "q186_stride_schedule" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS BIGINT) AS i,
+             CASE WHEN lang = 'en' THEN 1000000 ELSE 2000000 END
+               AS weight_ppm
+           FROM documents)
+         SELECT doc_id, lang, i,
+           i * (1000000000000 // weight_ppm) AS sched_key,
+           (i * (1000000000000 // weight_ppm)) % 8 AS shard
+         FROM r ORDER BY sched_key, lang, doc_id""")
 }

@@ -91,6 +91,53 @@ class EvalQueriesSpec extends SparkSuite {
       "identical shingle sets must read as full overlap")
   }
 
+  test("chi2 drift: balanced source reads 0, drifting source dominates") {
+    val dir = tmpDir("chi2") + "/d"
+    // "steady": 4 docs split 2/2 over halves (doc_id parity). "drifted":
+    // 4 docs all in the new half (odd ids). Totals: N=8, C_old=2, C_new=6
+    val rows = Seq(
+      (0L, "t", "en", "steady", 10L), (1L, "t", "en", "steady", 10L),
+      (2L, "t", "en", "steady", 10L), (3L, "t", "en", "steady", 10L),
+      (5L, "t", "en", "drifted", 10L), (7L, "t", "en", "drifted", 10L),
+      (9L, "t", "en", "drifted", 10L), (11L, "t", "en", "drifted", 10L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.chi2Drift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("chi2_ppm"))).toMap
+    // steady: O=(2,2), E=(4*2/8, 4*6/8)=(1,3) → 1e6*(1+1/3) = 1333333
+    assert(out("steady") == ((2L, 2L, 1000000L + 1000000L / 3L)))
+    // drifted: O=(0,4), E=(1,3) → 1e6*(1+1/3) same table mirrored
+    assert(out("drifted")._3 == out("steady")._3,
+      "2x2 table contributions are symmetric")
+    // a perfectly proportional fixture reads exactly 0
+    val dir2 = tmpDir("chi20") + "/d"
+    writeDocs(dir2, Seq(
+      (0L, "t", "en", "a", 1L), (1L, "t", "en", "a", 1L),
+      (2L, "t", "en", "b", 1L), (3L, "t", "en", "b", 1L)))
+    val zero = EvalQueries.chi2Drift(spark, dir2).collect()
+    assert(zero.forall(_.getAs[Long]("chi2_ppm") == 0L))
+  }
+
+  test("stride schedule: 2x-weighted lang appears twice as often in any " +
+      "schedule prefix; shards balanced by construction") {
+    val dir = tmpDir("stride") + "/d"
+    val rows = (0L until 40L).map(i => (i, "t", "en", "s", 1L)) ++
+      (40L until 60L).map(i => (i, "t", "de", "s", 1L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.strideSchedule(spark, dir).collect()
+    // keys strictly interleave: stride(en)=1e6, stride(de)=5e5 — in the
+    // first 30 scheduled docs, de (2x weight) contributes ~2x of en
+    val prefix = out.sortBy(r => (r.getAs[Long]("sched_key"),
+      r.getString(1), r.getAs[Long]("doc_id"))).take(30)
+    val de = prefix.count(_.getString(1) == "de")
+    val en = prefix.count(_.getString(1) == "en")
+    assert(de == 2 * en, s"weighted interleave broken: de=$de en=$en")
+    // schedule is deterministic and keys are unique per (lang, i)
+    assert(out.map(r => (r.getString(1), r.getAs[Long]("i"))).distinct
+      .length == out.length)
+  }
+
   test("ndcg: hand-computed dcg/idcg on a three-doc cohort") {
     val dir = tmpDir("ndcg") + "/d"
     val rows = Seq(
