@@ -47,9 +47,38 @@ object SketchQueries {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  /** Good–Turing missing-mass estimate per language (Good 1953): the
+    * probability that the NEXT token drawn is a word never seen in the
+    * corpus, estimated by `N₁/N` (hapax share). A corpus-planning
+    * pipeline reads this as "how much vocabulary is this language cohort
+    * still missing" — high unseen mass means more data (or a bigger
+    * tokenizer vocab) is warranted; q151's head-coverage curve is the
+    * other end of the same distribution. Exact integers: token count,
+    * distinct vocab, hapax/doubleton counts, and `1e6·N₁ DIV N`.
+    *
+    * Scale shape: one explode → (lang, word) two-phase count, then a
+    * map-side-combinable per-lang fold of the frequency-of-frequency
+    * profile. O(langs) output. */
+  def unseenMass(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("lang").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("doubleton"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("doubleton"),
+        expr("1000000 * hapax DIV n_tokens").as("unseen_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_heavy_hitters" ->
-      ((s: SparkSession, d: String) => heavyHitters(s, d)))
+      ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q187_unseen_mass" -> (unseenMass _))
 
   val oracles: Map[String, String] = Map(
     // exact top-k with the same (count desc, token asc) tiebreak; cms_ok
@@ -58,5 +87,23 @@ object SketchQueries {
       raw"""SELECT token, CAST(count(*) AS BIGINT) AS n, true AS cms_ok
           FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
                   AS token FROM documents)
-          GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""")
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    // same (lang, word) fold and integer hapax share
+    "q187_unseen_mass" ->
+      raw"""WITH wc AS (
+            SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT lang,
+                    unnest(string_split_regex(trim(lower(text)), '\s+'))
+                      AS w
+                  FROM documents)
+            GROUP BY lang, w)
+          SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS vocab,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hapax,
+            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS doubleton,
+            1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) // CAST(sum(c) AS BIGINT) AS unseen_ppm
+          FROM wc GROUP BY lang ORDER BY lang""")
 }

@@ -42,6 +42,44 @@ class CmsSpec extends SparkSuite {
       "merge of per-group sketches must be bit-identical to one pass")
   }
 
+  test("streaming: sketch maintained across micro-batches == batch build") {
+    // the TypedImperativeAggregate state must fold correctly through the
+    // streaming agg state store — the shape a live ingest pipeline uses
+    // to keep a running token-frequency profile
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("tok")
+      .agg(CountMinAgg.countMinAgg(col("tok")).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = (1 to 40).map(i => s"x${i % 7}")
+      val b2 = (1 to 25).map(i => s"y${i % 4}")
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cms_stream").head().getAs[Array[Byte]]("sk")
+      val want = (b1 ++ b2).toDF("tok")
+        .agg(CountMinAgg.countMinAgg(col("tok")).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      assert(java.util.Arrays.equals(got, want),
+        "streamed sketch must equal the one-shot batch sketch")
+    } finally q.stop()
+  }
+
+  test("q187 unseen mass: hapax share on a planted frequency profile") {
+    import graft.operators.SketchQueries
+    val dir = tmpDir("gt") + "/d"
+    // en: tokens a(3x), b(1x), c(1x) → N=5, V=3, N1=2, N2=0
+    Seq((1L, "a a a b", "en", "s", 7L), (2L, "c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SketchQueries.unseenMass(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 5L && r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("hapax") == 2L && r.getAs[Long]("doubleton") == 0L)
+    assert(r.getAs[Long]("unseen_ppm") == 1000000L * 2 / 5)
+  }
+
   test("q181 heavy hitters: exact top-k with a green sketch audit") {
     val out = SketchQueries.heavyHitters(spark, sf0001).collect()
     assert(out.length == 20)
