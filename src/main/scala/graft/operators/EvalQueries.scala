@@ -205,13 +205,82 @@ object EvalQueries {
       .orderBy("sched_key", "lang", "doc_id")
   }
 
+  /** Spearman rank correlation between two quality scorers per language
+    * cohort — "do my cheap heuristic and my expensive scorer agree?" is
+    * the question every quality-filter ablation starts with. Scorer A is
+    * raw length, scorer B the token count; ranks are ROW_NUMBER with a
+    * doc_id tiebreak (deterministic total order — documented departure
+    * from midrank ties, same trade as q88's rational idf), and
+    *   ρ_ppm = 1e6 − 6e6·Σd² DIV (n·(n²−1))
+    * is exact BIGINT end to end.
+    *
+    * Scale shape: two windows over the same cohort exchange (the q184
+    * pattern) + one per-cohort sum. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tok"))
+    val ra = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val rb = Window.partitionBy("lang")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    docs
+      .withColumn("r_a", row_number().over(ra).cast("long"))
+      .withColumn("r_b", row_number().over(rb).cast("long"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum((col("r_a") - col("r_b")) * (col("r_a") - col("r_b")))
+          .as("d2"))
+      .select(col("lang"), col("n"), col("d2"),
+        when(col("n") > 1,
+          expr("1000000 - 6000000 * d2 DIV (n * (n * n - 1))"))
+          .as("rho_ppm"))
+      .orderBy("lang")
+  }
+
+  /** ROC AUC via the Mann–Whitney rank-sum, per language cohort: label =
+    * "document mentions vector" (the q184 qrel convention), score = raw
+    * length. AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N) with ranks
+    * ascending by score — the probability a random positive outscores a
+    * random negative, the metric every quality-classifier ablation
+    * reports. ROW_NUMBER ranks with doc_id tiebreaks (deterministic;
+    * midrank tie-correction documented away), exact BIGINT ppm.
+    *
+    * Scale shape: one window per cohort + one aggregation — AUC over a
+    * 100 TB score table is one sort-shuffle, never a pairwise join. */
+  def aucEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        array_contains(split(trim(lower(col("text"))), "\\s+"), "vector")
+          .cast("long").as("label"))
+    val byScore = Window.partitionBy("lang")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    docs
+      .withColumn("r", row_number().over(byScore).cast("long"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(col("label") * col("r")).as("rank_sum"))
+      .select(col("lang"), col("n"), col("n_pos"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          expr("""1000000 * (2 * rank_sum - n_pos * (n_pos + 1))
+                  DIV (2 * n_pos * (n - n_pos))"""))
+          .as("auc_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_bradley_terry" ->
       ((s: SparkSession, d: String) => bradleyTerry(s, d)),
     "q180_rater_agreement" -> (raterAgreement _),
     "q185_chi2_drift" -> (chi2Drift _),
     "q186_stride_schedule" ->
-      ((s: SparkSession, d: String) => strideSchedule(s, d)))
+      ((s: SparkSession, d: String) => strideSchedule(s, d)),
+    "q188_spearman" -> (spearman _),
+    "q189_auc" -> (aucEval _))
 
   val oracles: Map[String, String] = Map(
     // identical cohorting, half-win units, and two unrolled integer MM
@@ -326,6 +395,54 @@ object EvalQueries {
            + 1000000 * (n_new - e_new) * (n_new - e_new)
              // greatest(e_new, 1) AS chi2_ppm
          FROM e ORDER BY source""",
+    // same row_number ranks (doc_id tiebreak), same rational rho
+    "q188_spearman" ->
+      raw"""WITH d AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+               AS BIGINT) AS n_tok
+           FROM documents),
+         r AS (
+           SELECT lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r_a,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS r_b
+           FROM d)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((r_a - r_b) * (r_a - r_b)) AS BIGINT) AS d2,
+           CASE WHEN count(*) > 1 THEN
+             1000000 - 6000000 * CAST(sum((r_a - r_b) * (r_a - r_b))
+               AS BIGINT)
+               // (CAST(count(*) AS BIGINT)
+                   * (CAST(count(*) AS BIGINT)
+                      * CAST(count(*) AS BIGINT) - 1))
+           END AS rho_ppm
+         FROM r GROUP BY lang ORDER BY lang""",
+    // same ascending-score ranks, same Mann-Whitney rank-sum AUC
+    "q189_auc" ->
+      raw"""WITH d AS (
+           SELECT lang, doc_id, n_chars,
+             CASE WHEN list_contains(
+               string_split_regex(trim(lower(text)), '\s+'), 'vector')
+               THEN 1 ELSE 0 END AS label
+           FROM documents),
+         r AS (
+           SELECT lang, label,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r
+           FROM d)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CASE WHEN sum(label) > 0 AND sum(label) < count(*) THEN
+             1000000 * (2 * CAST(sum(label * r) AS BIGINT)
+                 - CAST(sum(label) AS BIGINT)
+                   * (CAST(sum(label) AS BIGINT) + 1))
+               // (2 * CAST(sum(label) AS BIGINT)
+                   * (CAST(count(*) AS BIGINT)
+                      - CAST(sum(label) AS BIGINT)))
+           END AS auc_ppm
+         FROM r GROUP BY lang ORDER BY lang""",
     // same per-lang stride keys and shard assignment
     "q186_stride_schedule" ->
       """WITH r AS (

@@ -138,6 +138,42 @@ class EvalQueriesSpec extends SparkSuite {
       .length == out.length)
   }
 
+  test("spearman: aligned scorers read 1e6, reversed read -1e6") {
+    val dir = tmpDir("rho") + "/d"
+    def toks(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val rows =
+      // en: token count tracks n_chars → identical rankings
+      (0L until 5L).map(i => (i, toks(10 + i.toInt), "en", "s",
+        100L + 10L * i)) ++
+      // de: token count anti-tracks n_chars → exactly reversed rankings
+      (10L until 15L).map(i => (i, toks(30 - i.toInt), "de", "s",
+        100L + 10L * i))
+    writeDocs(dir, rows)
+    val out = EvalQueries.spearman(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rho_ppm")).toMap
+    assert(out("en") == 1000000L, s"aligned: $out")
+    assert(out("de") == -1000000L, s"reversed: $out")
+  }
+
+  test("auc: separable cohort reads 1e6, inverted 0, degenerate NULL") {
+    val dir = tmpDir("auc") + "/d"
+    val rows = Seq(
+      // en: both positives outscore all negatives → AUC = 1
+      (1L, "vector a", "en", "s", 900L), (2L, "vector b", "en", "s", 800L),
+      (3L, "plain", "en", "s", 100L), (4L, "plain", "en", "s", 50L),
+      // de: the positive is the LOWEST-scored doc → AUC = 0
+      (11L, "vector", "de", "s", 10L),
+      (12L, "plain", "de", "s", 500L), (13L, "plain", "de", "s", 400L),
+      // xx: no positive → AUC undefined
+      (21L, "plain", "xx", "s", 100L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.aucEval(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("auc_ppm") == 1000000L)
+    assert(out("de").getAs[Long]("auc_ppm") == 0L)
+    assert(out("xx").isNullAt(out("xx").fieldIndex("auc_ppm")))
+  }
+
   test("ndcg: hand-computed dcg/idcg on a three-doc cohort") {
     val dir = tmpDir("ndcg") + "/d"
     val rows = Seq(
