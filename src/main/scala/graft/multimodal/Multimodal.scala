@@ -259,8 +259,16 @@ object Multimodal {
   def syntheticGradientPngAssets(spark: SparkSession, dir: String)
       : Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    gradientPngAssetsOfIds(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
+  }
+
+  /** The same deterministic gradient-PNG encode for an arbitrary id set —
+    * q190 feeds FRAME ids through it (several per video). */
+  def gradientPngAssetsOfIds(ids: Dataset[Long]): Dataset[MediaAsset] = {
+    import ids.sparkSession.implicits._
+    ids
       .mapPartitions { it =>
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -363,24 +371,85 @@ object Multimodal {
     "q178_image_dedup_clusters" -> (imageDedupClusters _),
     "q42_multimodal_features"  -> (featureQuery _),
     "q43_multimodal_frames"    -> (frameQuery _),
+    "q190_video_neardup" ->
+      ((s: SparkSession, d: String) => videoNearDup(s, d)),
     "q75_multimodal_roundtrip" -> (roundtripQuery _))
 
   // the q168 gradient fixture's dHash as pure arithmetic: bit (cx,cy) is
   // set iff (cx*73 + shift(cy, doc_id)) mod 256 < 183 (see
   // syntheticGradientPngAssets) — shared by the q168 and q169 oracles
-  private val dhashArithSql: String =
-    """SELECT d.doc_id AS asset_id,
+  /** q190: near-duplicate VIDEO detection by shared perceptual frame
+    * hashes — the video modality's dedup loop, closing the image (q169)
+    * and audio (q136/q170) set. A "video" here is a sequence of six
+    * frames per document; videos in the same triple (video DIV 3) share
+    * their five-frame prefix (re-hosted content with a different outro —
+    * the YouTube-dedup shape) and carry one unique tail frame. Every
+    * frame is a REAL PNG encode → ImageIO decode → dHash; a video's
+    * signature is its distinct frame-hash set; candidates come from the
+    * inverted frame-hash index joined with itself (shared-frame count ≥
+    * 3 gates the pair), and the score is the exact integer-ppm Jaccard
+    * over the two signatures. The DuckDB oracle rebuilds the frame
+    * dHashes arithmetically (the q168 pattern) and replays the same
+    * joins — the REAL codec path is hash-compared end to end.
+    *
+    * Scale shape: decode cost is one pass over distinct frames
+    * (mapPartitions, the q42 batch shape); candidate volume is
+    * Σ_framehash (videos-with-it)² — intro/logo hub frames are the df
+    * hazard, capped in production exactly like q182's shingle hubs. */
+  def videoNearDup(spark: SparkSession, dir: String, minShared: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val frames = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("video"))
+      .withColumn("f", explode(sequence(lit(0L), lit(5L))))
+      .withColumn("fid",
+        // id DIV 4 drives the gradient: (triple*6 + f) makes every
+        // (triple, frame) a distinct ramp, while same-triple videos get
+        // IDENTICAL fids for f<5 (the shared five-frame prefix); the
+        // tail frame is unique per video in a disjoint id range
+        when(col("f") < 5, (col("video") / 3).cast("long") * 24 +
+          col("f") * 4)
+          .otherwise(lit(400000L) + col("video") * 4))
+    val hashes = dhashAssets(
+      gradientPngAssetsOfIds(frames.select(col("fid")).distinct().as[Long]))
+      .toDF().select(col("asset_id").as("fid"), col("dhash"))
+    val vf = frames.join(hashes, "fid")
+      .select("video", "dhash").distinct()
+    val sizes = vf.groupBy("video").agg(count(lit(1)).as("n_frames"))
+    val pairs = vf.select(col("dhash"), col("video").as("vid_a"))
+      .join(vf.select(col("dhash"), col("video").as("vid_b")), Seq("dhash"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy("vid_a", "vid_b").agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+    pairs
+      .join(sizes.select(col("video").as("vid_a"), col("n_frames").as("na")),
+        Seq("vid_a"))
+      .join(sizes.select(col("video").as("vid_b"), col("n_frames").as("nb")),
+        Seq("vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("shared_frames"),
+        expr("1000000 * shared_frames DIV (na + nb - shared_frames)")
+          .as("jaccard_ppm"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** Arithmetic rebuild of the gradient-PNG dHash for any id source —
+    * `src` must expose a column `id`; the result has (asset_id, dhash). */
+  private def dhashArithSqlOver(src: String): String =
+    s"""SELECT d.id AS asset_id,
          CAST(sum(CASE WHEN (cx * 73 +
              CASE WHEN cy < 7
-               THEN (d.doc_id // 4 * (2 * cy + 3) * 41) % 256
-               ELSE (d.doc_id // 4 * 97 + (d.doc_id % 4) * 8) % 256
+               THEN (d.id // 4 * (2 * cy + 3) * 41) % 256
+               ELSE (d.id // 4 * 97 + (d.id % 4) * 8) % 256
              END) % 256 < 183
            THEN (CAST(1 AS BIGINT) << (cy * 7 + cx)) ELSE 0 END)
            AS BIGINT) AS dhash
-       FROM documents d,
+       FROM ($src) d,
          (SELECT unnest(range(0, 7)) AS cx),
          (SELECT unnest(range(0, 8)) AS cy)
-       GROUP BY d.doc_id"""
+       GROUP BY d.id"""
+
+  private val dhashArithSql: String =
+    dhashArithSqlOver("SELECT doc_id AS id FROM documents")
 
   val oracles: Map[String, String] = Map(
     // q168: real PNG decode + dHash vs the arithmetic rebuild
@@ -403,6 +472,43 @@ object Multimodal {
           SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
           FROM p WHERE bit_count(xor(h1, h2)) <= 6
           ORDER BY id1, id2""",
+    // q190: the same frame-id arithmetic, the arithmetic dHash rebuild
+    // over DISTINCT frame ids, and the same shared-frame join
+    "q190_video_neardup" -> {
+      val frameIds =
+        """SELECT DISTINCT
+             CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
+                  ELSE 400000 + video * 4 END AS id
+           FROM (SELECT doc_id AS video FROM documents),
+                (SELECT unnest(range(0, 6)) AS f)"""
+      s"""WITH h AS (${dhashArithSqlOver(frameIds)}),
+          fr AS (
+            SELECT video,
+              CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
+                   ELSE 400000 + video * 4 END AS fid
+            FROM (SELECT doc_id AS video FROM documents),
+                 (SELECT unnest(range(0, 6)) AS f)),
+          vf AS (
+            SELECT DISTINCT fr.video, h.dhash
+            FROM fr JOIN h ON h.asset_id = fr.fid),
+          sz AS (
+            SELECT video, CAST(count(*) AS BIGINT) AS n
+            FROM vf GROUP BY video),
+          p AS (
+            SELECT a.video AS vid_a, b.video AS vid_b,
+              CAST(count(*) AS BIGINT) AS shared_frames
+            FROM vf a JOIN vf b
+              ON a.dhash = b.dhash AND a.video < b.video
+            GROUP BY 1, 2
+            HAVING count(*) >= 3)
+          SELECT p.vid_a, p.vid_b, p.shared_frames,
+            1000000 * p.shared_frames
+              // (sa.n + sb.n - p.shared_frames) AS jaccard_ppm
+          FROM p
+          JOIN sz sa ON sa.video = p.vid_a
+          JOIN sz sb ON sb.video = p.vid_b
+          ORDER BY vid_a, vid_b"""
+    },
     // q178: the q169 band-gate pairs closed transitively (the q57
     // recursive-CTE pattern), min id kept per component
     "q178_image_dedup_clusters" ->

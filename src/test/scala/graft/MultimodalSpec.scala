@@ -180,4 +180,25 @@ class MultimodalSpec extends SparkSuite {
     assert((1L to 50L).forall(i => out(i).decoded == (i % 2 == 0)))
     assert(out(2L).width == 2 && out(1L).width == 0)
   }
+
+  test("q190 video near-dup: planted triples recovered exactly at a " +
+      "scale below the mod-256 ramp aliasing") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("video") + "/d"
+    // 30 videos → triples 0..9 → gradient group ids ≤ 64: no two frame
+    // ramps coincide mod 256, so the ONLY shared frames are the planted
+    // five-frame prefixes
+    (0L until 30L).map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Multimodal.videoNearDup(spark, dir).collect()
+    // exactly C(3,2)=3 pairs per triple, all inside triples
+    assert(out.length == 30, s"expected 10 triples x 3 pairs: ${out.length}")
+    assert(out.forall(r =>
+      r.getAs[Long]("vid_a") / 3 == r.getAs[Long]("vid_b") / 3),
+      "a pair crossed triple boundaries")
+    // shared = the 5-frame prefix; signatures are 6 distinct hashes each
+    assert(out.forall(_.getAs[Long]("shared_frames") == 5L))
+    assert(out.forall(_.getAs[Long]("jaccard_ppm") == 1000000L * 5 / 7))
+  }
 }
