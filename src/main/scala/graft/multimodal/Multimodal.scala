@@ -293,6 +293,42 @@ object Multimodal {
       }
   }
 
+  /** Gradient PNGs for VIDEO frames (q190): same ramp family as
+    * [[gradientPngAssetsOfIds]] plus a second, coarser shift term keyed
+    * on `id DIV 1024`, so frame images stay DISTINCT for ids up to
+    * ~256·1024 instead of aliasing every 1024 ids (mod-256 wraparound of
+    * the single-term ramp). Without it, every 128th video triple decoded
+    * to identical prefixes at sf0.1 and the pair graph filled with
+    * coincidental matches. */
+  def videoFramePngAssetsOfIds(ids: Dataset[Long]): Dataset[MediaAsset] = {
+    import ids.sparkSession.implicits._
+    ids
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            val shift =
+              if (y < 7)
+                (id / 4 * (2 * y + 3) * 41 +
+                  id / 1024 * (2 * y * y + 5) * 17) % 256
+              else (id / 4 * 97 + id / 1024 * 29 + (id % 4) * 8) % 256
+            var x = 0
+            while (x < 8) {
+              val g = ((x * 73 + shift) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaAsset(id, bos.toByteArray, "image/png")
+        }
+      }
+  }
+
   private def dhashFrame(spark: SparkSession, dir: String): DataFrame =
     dhashAssets(syntheticGradientPngAssets(spark, dir)).toDF()
       .select(col("asset_id"), col("decoded"), col("dhash"))
@@ -410,9 +446,16 @@ object Multimodal {
         when(col("f") < 5, (col("video") / 3).cast("long") * 24 +
           col("f") * 4)
           .otherwise(lit(400000L) + col("video") * 4))
+    // distinct() coalesces tiny shuffles to one partition under AQE —
+    // spread the codec work back across the cores, and checkpoint the
+    // decoded hashes so the signature self-join's two sides don't each
+    // re-run the PNG round trip
     val hashes = dhashAssets(
-      gradientPngAssetsOfIds(frames.select(col("fid")).distinct().as[Long]))
+      videoFramePngAssetsOfIds(
+        frames.select(col("fid")).distinct().as[Long]
+          .repartition(spark.sparkContext.defaultParallelism)))
       .toDF().select(col("asset_id").as("fid"), col("dhash"))
+      .localCheckpoint()
     val vf = frames.join(hashes, "fid")
       .select("video", "dhash").distinct()
     val sizes = vf.groupBy("video").agg(count(lit(1)).as("n_frames"))
@@ -433,13 +476,22 @@ object Multimodal {
   }
 
   /** Arithmetic rebuild of the gradient-PNG dHash for any id source —
-    * `src` must expose a column `id`; the result has (asset_id, dhash). */
-  private def dhashArithSqlOver(src: String): String =
+    * `src` must expose a column `id`; the result has (asset_id, dhash).
+    * `video = true` adds the q190 frame generator's second shift term. */
+  private def dhashArithSqlOver(src: String, video: Boolean = false)
+      : String = {
+    val shiftTop =
+      if (video)
+        "(d.id // 4 * (2 * cy + 3) * 41 + d.id // 1024 * (2 * cy * cy + 5) * 17) % 256"
+      else "(d.id // 4 * (2 * cy + 3) * 41) % 256"
+    val shiftBot =
+      if (video) "(d.id // 4 * 97 + d.id // 1024 * 29 + (d.id % 4) * 8) % 256"
+      else "(d.id // 4 * 97 + (d.id % 4) * 8) % 256"
     s"""SELECT d.id AS asset_id,
          CAST(sum(CASE WHEN (cx * 73 +
              CASE WHEN cy < 7
-               THEN (d.id // 4 * (2 * cy + 3) * 41) % 256
-               ELSE (d.id // 4 * 97 + (d.id % 4) * 8) % 256
+               THEN $shiftTop
+               ELSE $shiftBot
              END) % 256 < 183
            THEN (CAST(1 AS BIGINT) << (cy * 7 + cx)) ELSE 0 END)
            AS BIGINT) AS dhash
@@ -447,6 +499,7 @@ object Multimodal {
          (SELECT unnest(range(0, 7)) AS cx),
          (SELECT unnest(range(0, 8)) AS cy)
        GROUP BY d.id"""
+  }
 
   private val dhashArithSql: String =
     dhashArithSqlOver("SELECT doc_id AS id FROM documents")
@@ -481,7 +534,7 @@ object Multimodal {
                   ELSE 400000 + video * 4 END AS id
            FROM (SELECT doc_id AS video FROM documents),
                 (SELECT unnest(range(0, 6)) AS f)"""
-      s"""WITH h AS (${dhashArithSqlOver(frameIds)}),
+      s"""WITH h AS (${dhashArithSqlOver(frameIds, video = true)}),
           fr AS (
             SELECT video,
               CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
