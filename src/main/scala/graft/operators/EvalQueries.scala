@@ -280,7 +280,67 @@ object EvalQueries {
     "q186_stride_schedule" ->
       ((s: SparkSession, d: String) => strideSchedule(s, d)),
     "q188_spearman" -> (spearman _),
-    "q189_auc" -> (aucEval _))
+    "q189_auc" -> (aucEval _),
+    "q191_skyline" -> (skyline _),
+    "q192_source_percentile" -> (sourcePercentile _))
+
+  /** 2-D Pareto skyline per language: documents not dominated on
+    * (vocabulary richness ↑, length ↓) — the multi-criteria selection
+    * operator behind "best quality per token budget" curation choices,
+    * and a query shape Spark has no native operator for. The classic
+    * sort-scan lowers to TWO range windows (no self-join, no NOT
+    * EXISTS): a document is dominated iff a strictly-shorter document
+    * reaches at least its vocabulary, or an equal-length one strictly
+    * exceeds it.
+    *
+    * Scale shape: one cohort exchange, two RANGE windows over the same
+    * sort — O(n log n) per cohort vs the O(n²) anti-join a naive NOT
+    * EXISTS would plan. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long").as("n_vocab"))
+    val strictlyShorter = Window.partitionBy("lang")
+      .orderBy(col("n_chars"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameLength = Window.partitionBy("lang", "n_chars")
+    docs
+      .withColumn("best_shorter",
+        max(col("n_vocab")).over(strictlyShorter))
+      .withColumn("best_equal", max(col("n_vocab")).over(sameLength))
+      .filter(
+        (col("best_shorter").isNull || col("best_shorter") < col("n_vocab"))
+          && col("best_equal") === col("n_vocab"))
+      .select("lang", "doc_id", "n_chars", "n_vocab")
+      .orderBy("lang", "n_chars", "doc_id")
+  }
+
+  /** Per-source percentile calibration + relative quality gate: raw
+    * scores are not comparable across sources (a mediocre doc from a
+    * clean feed outscores a good doc from a noisy one), so production
+    * filters keep the top X% WITHIN each source rather than applying a
+    * global cutoff. pct_ppm = (rank−1)·1e6 DIV (n−1) over the source
+    * cohort (deterministic doc_id tiebreak), kept = top 30%. One window
+    * + a broadcast-free projection; O(docs) with the cohort exchange as
+    * the only shuffle. */
+  def sourcePercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("source")))
+      .withColumn("pct_ppm",
+        when(col("n") > 1, expr("(r - 1) * 1000000 DIV (n - 1)"))
+          .otherwise(lit(1000000L)))
+      .withColumn("kept", (col("pct_ppm") >= 700000L).cast("int"))
+      .select("source", "doc_id", "n_chars", "pct_ppm", "kept")
+      .orderBy("source", "doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     // identical cohorting, half-win units, and two unrolled integer MM
@@ -443,6 +503,42 @@ object EvalQueries {
                       - CAST(sum(label) AS BIGINT)))
            END AS auc_ppm
          FROM r GROUP BY lang ORDER BY lang""",
+    // same two-window skyline lowering (strict-shorter range frame +
+    // equal-length max)
+    "q191_skyline" ->
+      raw"""WITH d AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(len(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+               AS n_vocab
+           FROM documents),
+         w AS (
+           SELECT lang, doc_id, n_chars, n_vocab,
+             max(n_vocab) OVER (PARTITION BY lang ORDER BY n_chars
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_shorter,
+             max(n_vocab) OVER (PARTITION BY lang, n_chars)
+               AS best_equal
+           FROM d)
+         SELECT lang, doc_id, n_chars, n_vocab FROM w
+         WHERE (best_shorter IS NULL OR best_shorter < n_vocab)
+           AND best_equal = n_vocab
+         ORDER BY lang, n_chars, doc_id""",
+    // same rank-percentile formula and 30% gate
+    "q192_source_percentile" ->
+      """WITH r AS (
+           SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM documents)
+         SELECT source, doc_id, n_chars,
+           CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1)
+                ELSE 1000000 END AS pct_ppm,
+           CASE WHEN (CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1)
+                           ELSE 1000000 END) >= 700000
+                THEN 1 ELSE 0 END AS kept
+         FROM r ORDER BY source, doc_id""",
     // same per-lang stride keys and shard assignment
     "q186_stride_schedule" ->
       """WITH r AS (

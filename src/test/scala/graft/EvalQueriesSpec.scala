@@ -174,6 +174,40 @@ class EvalQueriesSpec extends SparkSuite {
     assert(out("xx").isNullAt(out("xx").fieldIndex("auc_ppm")))
   }
 
+  test("skyline: hand-built Pareto frontier, dominance and tie rules") {
+    val dir = tmpDir("sky") + "/d"
+    def words(ws: String*) = ws.mkString(" ")
+    val rows = Seq(
+      // (chars, vocab): frontier is (100,3) and (300,5); (200,2) is
+      // dominated by (100,3); (300,4) loses the equal-length tie;
+      // (400,5) is dominated by (300,5) (same vocab, longer)
+      (1L, words("a", "b", "c"), "en", "s", 100L),
+      (2L, words("a", "a"), "en", "s", 200L),
+      (3L, words("a", "b", "c", "d", "e"), "en", "s", 300L),
+      (4L, words("a", "b", "c", "d"), "en", "s", 300L),
+      (5L, words("a", "b", "c", "d", "e"), "en", "s", 400L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.skyline(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_vocab")))
+    assert(out.toSeq == Seq((1L, 3L), (3L, 5L)), s"frontier: ${out.toSeq}")
+  }
+
+  test("source percentile: rank calibration and the 30% gate") {
+    val dir = tmpDir("pct") + "/d"
+    val rows = (0L until 11L).map(i => (i, "t", "en", "A", 100L + i)) ++
+      Seq((100L, "t", "en", "B", 5L)) // singleton source
+    writeDocs(dir, rows)
+    val out = EvalQueries.sourcePercentile(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pct_ppm"), r.getAs[Int]("kept"))).toMap
+    // 11 docs: pct = (r-1)*1e6/10 → doc 0 → 0, doc 10 → 1e6
+    assert(out(0L) == ((0L, 0)) && out(10L) == ((1000000L, 1)))
+    assert(out(7L) == ((700000L, 1)) && out(6L) == ((600000L, 0)),
+      "the 30% gate cuts exactly at 700000 ppm")
+    assert(out(100L) == ((1000000L, 1)), "singleton source is kept")
+    assert(out.values.count(_._2 == 1) == 4 + 1) // docs 7..10 + singleton
+  }
+
   test("ndcg: hand-computed dcg/idcg on a three-doc cohort") {
     val dir = tmpDir("ndcg") + "/d"
     val rows = Seq(
