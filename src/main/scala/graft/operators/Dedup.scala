@@ -559,6 +559,10 @@ object Dedup {
     * exact integer ppm over per-source distinct-shingle counts. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.shingles3
+    // NOTE: no fixture repartition here — measured at sf0.1 it flips the
+    // shingle-key join into a pathological plan (2.1 s → 13-67 s); the
+    // single-task explode is a single-file-fixture artifact that a real
+    // multi-file table does not have
     val docs = Tables.load(spark, dir, "documents")
     val ex = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(shingles3(col("text")))).as("s"))
