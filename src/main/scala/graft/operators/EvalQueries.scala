@@ -282,7 +282,74 @@ object EvalQueries {
     "q188_spearman" -> (spearman _),
     "q189_auc" -> (aucEval _),
     "q191_skyline" -> (skyline _),
-    "q192_source_percentile" -> (sourcePercentile _))
+    "q192_source_percentile" -> (sourcePercentile _),
+    "q193_ks_test" -> (ksTest _),
+    "q194_vocab_gini" -> (vocabGini _))
+
+  /** Two-sample Kolmogorov–Smirnov statistic per language: does the
+    * LENGTH DISTRIBUTION of the new half (odd doc_ids) match the old
+    * half? The continuous-score sibling of q185's categorical χ² — the
+    * drift gate for scores rather than labels. D = max|F₁−F₂| kept
+    * rational: at every distinct score the deviation is
+    * |cum₁·n₂ − cum₂·n₁| (exact BIGINT), and
+    * ks_ppm = 1e6·max DIV (n₁·n₂).
+    *
+    * Scale shape: one (lang, score) two-phase count, one cumulative
+    * window over the per-lang sorted distinct scores (O(distinct
+    * scores), not O(docs)), one max. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("old_half"),
+        col("n_chars"))
+    val byScore = d.groupBy("lang", "n_chars").agg(
+      sum(when(col("old_half"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("old_half"), 1L).otherwise(0L)).as("c2"))
+    val cum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("lang")
+    byScore
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(whole))
+      .withColumn("n2", sum(col("c2")).over(whole))
+      .withColumn("dev",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy("lang").agg(
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("dev")).as("d_scaled"))
+      .select(col("lang"), col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          expr("1000000 * d_scaled DIV (n1 * n2)")).as("ks_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Vocabulary Gini concentration per source: how unequal is the token
+    * frequency distribution — a diversity signal next to q187's unseen
+    * mass (boilerplate-heavy feeds concentrate probability on few
+    * types). Standard rank formula on counts sorted ascending
+    * (deterministic word tiebreak), exact integers:
+    *   gini_ppm = 1e6·(2·Σ i·cᵢ − (n+1)·S) DIV (n·S).
+    * Scale shape: one (source, word) two-phase count, one per-source
+    * rank window over the vocab (O(vocab), not O(tokens)), one fold. */
+  def vocabGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val rank = Window.partitionBy("source")
+      .orderBy(col("c").asc, col("w").asc)
+    wc.withColumn("i", row_number().over(rank).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("i") * col("c")).as("ic"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("""1000000 * (2 * ic - (n_types + 1) * n_tokens)
+                DIV (n_types * n_tokens)""").as("gini_ppm"))
+      .orderBy("source")
+  }
 
   /** 2-D Pareto skyline per language: documents not dominated on
     * (vocabulary richness ↑, length ↓) — the multi-criteria selection
@@ -503,6 +570,56 @@ object EvalQueries {
                       - CAST(sum(label) AS BIGINT)))
            END AS auc_ppm
          FROM r GROUP BY lang ORDER BY lang""",
+    // same (lang, score) fold, cumulative window, rational D
+    "q193_ks_test" ->
+      """WITH d AS (
+           SELECT lang, doc_id % 2 = 0 AS old_half, n_chars
+           FROM documents),
+         s AS (
+           SELECT lang, n_chars,
+             CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT)
+               AS c2
+           FROM d GROUP BY lang, n_chars),
+         c AS (
+           SELECT lang,
+             sum(c1) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             sum(c1) OVER (PARTITION BY lang) AS n1,
+             sum(c2) OVER (PARTITION BY lang) AS n2
+           FROM s)
+         SELECT lang, CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+             1000000 * CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+               // CAST(max(n1) * max(n2) AS BIGINT)
+           END AS ks_ppm
+         FROM c GROUP BY lang ORDER BY lang""",
+    // same ascending (count, word) ranks, same rational Gini
+    "q194_vocab_gini" ->
+      raw"""WITH wc AS (
+           SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS w
+                 FROM documents)
+           GROUP BY source, w),
+         r AS (
+           SELECT source, c,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY c ASC, w ASC) AS BIGINT) AS i
+           FROM wc)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           1000000 * (2 * CAST(sum(i * c) AS BIGINT)
+               - (CAST(count(*) AS BIGINT) + 1)
+                 * CAST(sum(c) AS BIGINT))
+             // (CAST(count(*) AS BIGINT) * CAST(sum(c) AS BIGINT))
+             AS gini_ppm
+         FROM r GROUP BY source ORDER BY source""",
     // same two-window skyline lowering (strict-shorter range frame +
     // equal-length max)
     "q191_skyline" ->

@@ -208,6 +208,37 @@ class EvalQueriesSpec extends SparkSuite {
     assert(out.values.count(_._2 == 1) == 4 + 1) // docs 7..10 + singleton
   }
 
+  test("ks test: identical halves read 0, disjoint halves read 1e6") {
+    val dir = tmpDir("ks") + "/d"
+    val rows =
+      // en: both halves see scores {100, 200} once each → D = 0
+      Seq((0L, "t", "en", "s", 100L), (2L, "t", "en", "s", 200L),
+        (1L, "t", "en", "s", 100L), (3L, "t", "en", "s", 200L)) ++
+      // de: old half all 100, new half all 900 → D = 1
+      Seq((10L, "t", "de", "s", 100L), (12L, "t", "de", "s", 100L),
+        (11L, "t", "de", "s", 900L), (13L, "t", "de", "s", 900L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.ksTest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("ks_ppm")).toMap
+    assert(out("en") == 0L, s"identical distributions: $out")
+    assert(out("de") == 1000000L, s"disjoint distributions: $out")
+  }
+
+  test("vocab gini: uniform counts read 0, concentration raises it") {
+    val dir = tmpDir("gini") + "/d"
+    val rows = Seq(
+      // A: four types once each → perfectly equal → gini = 0
+      (0L, "a b c d", "en", "A", 7L),
+      // B: one dominant type: counts (1,1,1,9) sorted asc →
+      // 2*(1*1+2*1+3*1+4*9)-(5*12) = 84-60 = 24; /(4*12) → 500000
+      (1L, "x x x x x x x x x y z w", "en", "B", 23L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.vocabGini(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("gini_ppm")).toMap
+    assert(out("A") == 0L, s"uniform: $out")
+    assert(out("B") == 500000L, s"concentrated: $out")
+  }
+
   test("ndcg: hand-computed dcg/idcg on a three-doc cohort") {
     val dir = tmpDir("ndcg") + "/d"
     val rows = Seq(
