@@ -48,11 +48,41 @@ object Bench {
     // contention spike landing on the second (see BENCH_NOTES.md).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var failed = List.empty[String]
+    // Between-QUERY scrub, outside the timed window. Queries that return a
+    // frame backed by cache()/localCheckpoint() (the CC / pagerank / HITS
+    // family) cannot unpersist their own final blocks — the caller still
+    // holds the frame — so each execution strands a few blocks in the
+    // BlockManager. Harmless per query, but 195 queries x 3 reps in one
+    // JVM accumulate gigabytes of dead storage that squeezes execution
+    // memory and turns later (and GC-adjacent) queries 5-20x slower at
+    // random (measured: 195-query total 179 s unscrubbed vs 89 s scrubbed
+    // on the same idle host). Scrubbing AFTER a query's reps — not between
+    // them — keeps the min-of-reps semantics every prior round used
+    // (rep 2/3 may reuse a cache rep 1 built; that warm steady state is
+    // what the per-query history prices), while still guaranteeing each
+    // query starts from a clean BlockManager.
+    def scrub(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // Force reclaim NOW, between queries: unpersist only drops
+      // references, and letting ~600 executions' old-gen churn collect
+      // lazily lands multi-second G1 mixed cycles on random queries'
+      // timed windows (observed as 3-5x inflation on whichever 5-10
+      // queries the pause hits, different every run).
+      System.gc()
+    }
     // sorted by query name: stable key order makes round-over-round BENCH
     // diffs line up; 3-decimal rounding keeps the single JSON line short
     // enough that log captures don't truncate it (sub-ms digits are noise
     // next to the host's run-to-run variance anyway)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local iteration
+    // (mirrors Verify's 3rd arg); the driver's env-less call runs all.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -62,6 +92,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      scrub()
       name -> times.min
     }
     // Locale.ROOT: f"" interpolation uses the JVM default locale, which on
@@ -73,7 +104,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // cpus is IN the line on purpose: a run without SPARK_GRAFT_CPUS set
+    // silently prices every parallel query on local[4] while the
+    // 1-partition q107 canary stays near its idle floor — the one
+    // misconfiguration the canary protocol cannot catch. The artifact
+    // now carries the evidence.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's log capture truncates long stdout lines (round 6 lost
     // 60 of 138 queries from BENCH_r06.json) — persist the full line to a

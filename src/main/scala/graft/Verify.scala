@@ -29,6 +29,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release blocks stranded by queries whose result frames ride on
+      // cache()/localCheckpoint() (CC / pagerank / HITS family): across
+      // ~200 queries in one JVM the dead storage otherwise squeezes
+      // execution memory (see the same scrub in Bench.scala, where it
+      // halved the suite's wall clock).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -259,9 +259,15 @@ object Multimodal {
   def syntheticGradientPngAssets(spark: SparkSession, dir: String)
       : Dataset[MediaAsset] = {
     import spark.implicits._
+    // Repartition the 8-byte ids BEFORE synthesis/decode: the id list is
+    // one small parquet file at test SF (one partition), which would run
+    // the whole ImageIO decode stage serially (~1.5 s for 5k assets).
+    // Shuffling ids is near-free next to per-row codec cost — the same
+    // spread a real media corpus gets from having many files.
     gradientPngAssetsOfIds(
       graft.Tables.load(spark, dir, "documents")
-        .select(col("doc_id")).as[Long])
+        .select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism))
   }
 
   /** The same deterministic gradient-PNG encode for an arbitrary id set —
@@ -352,9 +358,24 @@ object Multimodal {
     * media it indexes; decode runs once, map-only, upstream. */
   def imageNearDupQuery(spark: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
+    // cache() the 16-byte-per-asset hash frame: the banded self-join
+    // references it on BOTH sides, and (object-typed MapPartitions
+    // subtrees not canonicalizing equal) each side would otherwise
+    // re-run the full encode→decode→dHash pass. Sharing one cached
+    // frame prices the codec once; Bench/Verify scrub stranded blocks
+    // between queries.
     val hashes = dhashFrame(spark, dir)
       .filter(col("decoded"))
       .select(col("asset_id"), col("dhash"))
+      .cache()
+    imageNearDupFromHashes(hashes, maxHamming)
+  }
+
+  /** Banded-candidate near-dup pairs over a (asset_id, dhash) frame —
+    * shared by q169 (which builds hashes fresh) and q178 (which reuses
+    * one cached hash frame for pairs AND labels). */
+  private def imageNearDupFromHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("asset_id"), col("dhash"),
       explode(sequence(lit(0), lit(3))).as("band_no"))
       // dhash is 56-bit non-negative, so arithmetic >> equals logical
@@ -389,9 +410,16 @@ object Multimodal {
     * perceptual-hash edges instead of shingle-Jaccard edges — dedup
     * infrastructure is modality-agnostic once candidates are pairs. */
   def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = imageNearDupQuery(spark, dir)
+    // ONE cached hash frame feeds candidate pairs (both self-join
+    // sides) and the initial labels: the codec pass — the dominant
+    // cost — runs exactly once per execution instead of three times.
+    val hashes = dhashFrame(spark, dir)
+      .filter(col("decoded"))
+      .select(col("asset_id"), col("dhash"))
+      .cache()
+    val pairs = imageNearDupFromHashes(hashes, maxHamming = 6)
       .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
-    val labels0 = dhashFrame(spark, dir).filter(col("decoded"))
+    val labels0 = hashes
       .select(col("asset_id").as("doc_id"),
         col("asset_id").as("cluster_id"))
     graft.operators.Dedup.connectedComponents(labels0, pairs)
