@@ -209,9 +209,144 @@ object Audio {
       .orderBy("asset_id")
   }
 
+  final case class AudioFp(asset_id: Long, decoded: Boolean,
+      n_frames: Long, sig: Long)
+
+  /** Energy-delta fingerprint over decoded PCM: per-frame integer mean
+    * |sample|, then bit f = 1 iff energy(f+1) > energy(f) — the
+    * landmark-free skeleton of published audio fingerprints (Haitsma &
+    * Kalker's sign-of-energy-difference, collapsed from spectral bands
+    * to the time axis so it stays integer-exact for the oracle). 57
+    * frames → a 56-bit signature, 8 bytes per asset regardless of
+    * audio length. */
+  def fingerprintOne(a: AudioAsset, frameLen: Int = 16): AudioFp = {
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.media))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val bytes = in.readAllBytes()
+      val stride = 2 * fmt.getChannels
+      val n = bytes.length / stride
+      val nFrames = n / frameLen
+      var sig = 0L; var prevE = 0L
+      var f = 0
+      while (f < nFrames) {
+        var sumAbs = 0L; var i = 0
+        while (i < frameLen) {
+          val off = (f * frameLen + i) * stride
+          val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(s.toLong)
+          i += 1
+        }
+        val e = sumAbs / frameLen
+        if (f > 0 && e > prevE) sig |= 1L << (f - 1)
+        prevE = e
+        f += 1
+      }
+      AudioFp(a.asset_id, decoded = true, nFrames.toLong, sig)
+    } catch {
+      case _: Exception => AudioFp(a.asset_id, decoded = false, 0L, 0L)
+    }
+  }
+
+  /** Deterministic near-dup WAVE corpus: 57 square-wave frames of 16
+    * samples; frames 0–54 have group-keyed pseudorandom amplitudes
+    * (g = id/4 — shared VERBATIM inside each group of four), frames
+    * 55–56 are member-perturbed. So intra-group pairs differ in at most
+    * signature bits 54–55 (hamming ≤ 2 — re-encoded copies of one
+    * recording) while cross-group signatures are unrelated bit strings —
+    * the same planted structure the image (q169) and video (q190)
+    * fixtures use. Ids are repartitioned before synthesis: one small
+    * id file would otherwise serialize the codec stage. */
+  def syntheticNearDupWavAssets(spark: SparkSession, dir: String)
+      : Dataset[AudioAsset] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val frameLen = 16; val nF = 57
+          val g = id / 4; val m = id % 4
+          val pcm = new Array[Byte](nF * frameLen * 2)
+          var f = 0
+          while (f < nF) {
+            val amp = (if (f < 55)
+              256 + ((g * (2 * f + 3) * 41 +
+                (g / 256) * (2 * f * f + 5) * 17) % 1024)
+            else
+              256 + ((g * 97 + (f - 54) * (m * 8 + 13) * 29) % 1024)).toInt
+            var i = 0
+            while (i < frameLen) {
+              val k = f * frameLen + i
+              val v = if (i % 2 == 0) amp else -amp
+              pcm(2 * k) = (v & 0xff).toByte
+              pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            f += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, (nF * frameLen).toLong)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          AudioAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** q195: near-duplicate AUDIO pairs — closes the modality triangle
+    * next to image dHash (q169) and video frame-hash (q190) near-dup.
+    * WAVE encode → REAL decode → 56-bit energy-delta fingerprint,
+    * candidates from the same 4×14-bit banded equi-join the image side
+    * uses, exact bit_count(xor) ≤ 3 confirms. With maxHamming = 3 < 4
+    * bands, pigeonhole makes the band gate COMPLETE (any pair within
+    * hamming 3 leaves a band untouched), so the DuckDB oracle is the
+    * plain all-pairs hamming join — the band path must find exactly
+    * that set or the hash mismatches.
+    *
+    * Scale shape: fingerprints are 8 bytes/asset (cached once — the
+    * self-join's two sides and the codec pass share one frame), band
+    * keys are 14-bit ints, candidates are an equi-join — never
+    * all-pairs; the decode is map-only and id-repartitioned. */
+  def nearDupQuery(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val ds = syntheticNearDupWavAssets(spark, dir)
+    import ds.sparkSession.implicits._
+    val fps = ds.mapPartitions(_.map(fingerprintOne(_))).toDF()
+      .filter(col("decoded") && col("n_frames") === 57)
+      .select(col("asset_id"), col("sig"))
+      .cache()
+    val banded = fps.select(col("asset_id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("band_no"))
+      // sig is 56-bit non-negative, so arithmetic >> equals logical
+      .withColumn("band_val", expr("(sig >> (band_no * 14)) & 16383"))
+    // SHUFFLE_HASH for the same reason as the image band join: the band
+    // table is broadcast-sized but a broadcast build would serialize the
+    // two subtree executions; with the shared cached frame either join
+    // runs off in-memory blocks.
+    val pairs = banded.hint("SHUFFLE_HASH").as("l")
+      .join(banded.hint("SHUFFLE_HASH").as("r"),
+        col("l.band_no") === col("r.band_no") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.asset_id") < col("r.asset_id"))
+      .select(col("l.asset_id").as("id1"), col("r.asset_id").as("id2"),
+        col("l.sig").as("s1"), col("r.sig").as("s2"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_audio_roundtrip" -> (roundtripQuery _),
-    "q170_audio_trim"      -> (trimQuery _))
+    "q170_audio_trim"      -> (trimQuery _),
+    "q195_audio_neardup"   ->
+      ((s: SparkSession, d: String) => nearDupQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     // every output is doc_id arithmetic: n samples, square-wave peak =
@@ -236,5 +371,36 @@ object Audio {
          CAST(doc_id % 5 AS BIGINT) AS first_voiced,
          CAST(doc_id % 5 + 2 + doc_id % 4 - 1 AS BIGINT) AS last_voiced,
          CAST((2 + doc_id % 4) * 16 AS BIGINT) AS trimmed_samples
-         FROM documents ORDER BY asset_id""")
+         FROM documents ORDER BY asset_id""",
+    // q195: frame energies are the amplitude arithmetic verbatim (square
+    // wave → integer mean |sample| = amp), the signature is the
+    // consecutive-frame > fold, and — because maxHamming 3 < 4 bands
+    // guarantees band-gate completeness — the oracle is the plain
+    // all-pairs hamming join.
+    "q195_audio_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
+           FROM documents),
+         energy AS (
+           SELECT doc_id, f,
+             CASE WHEN f < 55 THEN
+               256 + ((g * (2*f + 3) * 41
+                       + (g // 256) * (2*f*f + 5) * 17) % 1024)
+             ELSE
+               256 + ((g * 97 + (f - 54) * (m * 8 + 13) * 29) % 1024)
+             END AS e
+           FROM ids, (SELECT unnest(range(0, 57)) AS f)),
+         sig AS (
+           SELECT a.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN b.e > a.e
+               THEN CAST(1 AS BIGINT) << a.f
+               ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS sig
+           FROM energy a JOIN energy b
+             ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           GROUP BY a.doc_id)
+         SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+           CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+         FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+         WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
+         ORDER BY id1, id2""")
 }

@@ -106,4 +106,44 @@ class AudioSpec extends SparkSuite {
       assert(r.getAs[Long]("mean_abs") == (id % 1000) * 16)
     }
   }
+
+  test("fingerprint: energy-delta bits from real WAVE bytes; corrupt fallback") {
+    def frames(amps: Seq[Int]): Seq[Int] =
+      amps.flatMap(a => (0 until 16).map(i => if (i % 2 == 0) a else -a))
+    // energies 100, 300, 200, 200, 500 → deltas (>): 1, 0, 0, 1
+    val fp = Audio.fingerprintOne(
+      AudioAsset(1L, wav(frames(Seq(100, 300, 200, 200, 500)))))
+    assert(fp.decoded && fp.n_frames == 5 &&
+      fp.sig == ((1L << 0) | (1L << 3)), s"fingerprint diverged: $fp")
+    val corrupt = Audio.fingerprintOne(AudioAsset(2L,
+      Array.tabulate[Byte](64)(i => (i * 3).toByte)))
+    assert(!corrupt.decoded && corrupt.sig == 0L)
+  }
+
+  test("q195: every intra-group pair surfaces with hamming <= 2; pairs are ordered and distinct") {
+    val rows = Audio.nearDupQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+      r.getAs[Long]("hamming")))
+    // planted structure: members of one group of four differ only in the
+    // two member-perturbed frames → signature hamming <= 2, and the band
+    // gate is complete at maxHamming 3, so ALL intra-group pairs of the
+    // fixture's ids must be present
+    val ids = Audio.syntheticNearDupWavAssets(spark, sf0001)
+      .collect().map(_.asset_id).toSet
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    val intra = for {
+      a <- ids.toSeq; b <- ids.toSeq
+      if a < b && a / 4 == b / 4
+    } yield (a, b)
+    assert(intra.nonEmpty)
+    intra.foreach { case (a, b) =>
+      val h = byPair.get((a, b))
+      assert(h.isDefined, s"missing planted pair ($a,$b)")
+      assert(h.get <= 2, s"intra-group pair ($a,$b) hamming ${h.get} > 2")
+    }
+    // output contract: strictly ordered keys, no duplicate pairs
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
 }
