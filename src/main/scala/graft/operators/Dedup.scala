@@ -590,9 +590,78 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Containment near-dup (Broder's containment coefficient,
+    * "On the resemblance and containment of documents", 1997): pairs
+    * where the SMALLER document's discriminative shingles are mostly
+    * inside the larger one — |A∩B| / min(|A|,|B|) in exact integer ppm.
+    * This is the asymmetric dual of resemblance (q34/q37): an
+    * aggregator page quoting a whole article has containment ≈ 1 while
+    * Jaccard sits near |small|/|large| and slips under every
+    * resemblance threshold — the quote-the-whole-doc case real corpus
+    * dedup (and 13-gram eval decontamination) keys on. Both metrics are
+    * emitted so the asymmetry is visible in the result.
+    *
+    * The fixture plants that structure the q87 way (deterministic,
+    * SQL-replayable): docs with `doc_id % 7 == 0` become aggregators
+    * whose text appends the next doc's text verbatim, so (id, id+1) is
+    * a high-containment / ~half-Jaccard pair by construction.
+    *
+    * Scale shape: identical to q182 one level down — the pair space is
+    * the per-shingle inverted index joined with itself, Σ_shingle df²
+    * rows (measured 2.8M at sf0.1, max df 25), with the 5%-df cap as
+    * the hub guard; intersections ride slim (shingle, id) rows, sizes
+    * join back per surviving pair. shared ≥ 2 prunes the
+    * single-coincidence tail before the ratio gate. */
+  def containmentDup(spark: SparkSession, dir: String,
+      minContainmentPpm: Long = 800000L): DataFrame = {
+    import graft.functions.TextFunctions.shingles3
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val quoted = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("q_text"))
+    val corpus = docs.join(quoted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0 && col("q_text").isNotNull,
+          concat(col("text"), lit(" "), col("q_text")))
+          .otherwise(col("text")).as("text"))
+    // both slim frames fan out (ex → df build + cap join; g → sizes +
+    // both self-join sides): cached, the augmentation join + shingle
+    // explode run once instead of four times (2.9 → 1.2-1.8 s at sf0.1;
+    // Bench/Verify scrub stranded blocks between queries)
+    val ex = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles3(col("text")))).as("s"))
+      .cache()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val keep = ex.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("greatest(1, n_docs * 5 DIV 100)"))
+      .select("s")
+    val g = ex.join(keep, "s").select("doc_id", "s").cache()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = g.select(col("s"), col("doc_id").as("id1"))
+      .join(g.select(col("s"), col("doc_id").as("id2"))
+        .hint("SHUFFLE_HASH"), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n_a")),
+        Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n_b")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), col("shared"),
+        expr("1000000 * shared DIV least(n_a, n_b)").as("containment_ppm"),
+        expr("1000000 * shared DIV (n_a + n_b - shared)").as("jaccard_ppm"))
+      .filter(col("containment_ppm") >= minContainmentPpm)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q182_source_overlap" -> (sourceOverlap _),
+    "q196_containment_dup" -> ((s: SparkSession, d: String) =>
+      containmentDup(s, d)),
     "q71_decontaminate"  -> (decontaminate _),
     "q146_decontam_bloom" ->
       ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
@@ -683,6 +752,42 @@ object Dedup {
     // the oracle is the SAME exact-overlap SQL
     "q146_decontam_bloom" -> decontaminateSql,
     "q71_decontaminate" -> decontaminateSql,
+    // q196: same planted aggregator corpus (doc % 7 appends the next
+    // doc), same df cap, same slim inverted-index pair expansion; the
+    // ratio arithmetic is integer ppm on both sides
+    "q196_containment_dup" ->
+      s"""WITH corpus AS (
+            SELECT b.doc_id,
+              CASE WHEN b.doc_id % 7 = 0 AND q.text IS NOT NULL
+                THEN b.text || ' ' || q.text ELSE b.text END AS text
+            FROM documents b LEFT JOIN documents q
+              ON q.doc_id = b.doc_id + 1),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+            FROM corpus),
+          keep AS (
+            SELECT s FROM sh GROUP BY s
+            HAVING count(DISTINCT doc_id) <=
+              greatest(1, (SELECT count(*) * 5 // 100 FROM documents))),
+          g AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+          sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM g GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT id1, id2, shared,
+            1000000 * shared // least(sa.n_sh, sb.n_sh)
+              AS containment_ppm,
+            1000000 * shared // (sa.n_sh + sb.n_sh - shared)
+              AS jaccard_ppm
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id1
+          JOIN sizes sb ON sb.doc_id = id2
+          WHERE 1000000 * shared // least(sa.n_sh, sb.n_sh) >= 800000
+          ORDER BY id1, id2""",
     "q32_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
          COUNT(*) AS n_copies

@@ -272,10 +272,66 @@ object EvalQueries {
       .orderBy("lang")
   }
 
+  /** Fleiss' kappa per language — q180's Cohen kappa generalized to a
+    * rater PANEL (here three deterministic judges bucketing each doc
+    * into short/medium/long by chars, tokens, and raw length). This is
+    * the agreement audit for multi-judge preference/SFT labeling: Cohen
+    * handles exactly two raters; panels need Fleiss.
+    *
+    * Exact integer form (n = 3 raters, k = 3 categories): per item
+    * Σ_j n_ij² − n = 2·(pairwise matches among the three ratings), so
+    * P̄ = S/(6N) with S = Σ_i 2·matches_i, P̄e = Σ_j c_j²/(9N²) over
+    * category column totals, and
+    *   κ = (3N·S − 2Σc²) / (18N² − 2Σc²)
+    * after clearing denominators — all BIGINT (cohorts to ~7·10⁸ rows
+    * before 18N² overflows; rescale per-shard beyond). NULL when every
+    * rating lands in one category (denominator 0, κ undefined).
+    *
+    * Scale shape: one map-side-combinable groupBy(lang) over per-row
+    * integer columns; O(langs) output, no joins, no shuffle beyond the
+    * single aggregation exchange. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ra = when(col("n_chars") < 200, 0)
+      .when(col("n_chars") < 400, 1).otherwise(2)
+    val nTok = size(split(trim(lower(col("text"))), "\\s+"))
+    val rb = when(nTok < 30, 0).when(nTok < 70, 1).otherwise(2)
+    val len = length(col("text"))
+    val rc = when(len < 220, 0).when(len < 420, 1).otherwise(2)
+    val rated = docs.select(col("lang"), ra.as("ra"), rb.as("rb"),
+      rc.as("rc"))
+    val matches =
+      when(col("ra") === col("rb"), 1L).otherwise(0L) +
+      when(col("ra") === col("rc"), 1L).otherwise(0L) +
+      when(col("rb") === col("rc"), 1L).otherwise(0L)
+    def catCount(j: Int) =
+      (when(col("ra") === j, 1L).otherwise(0L) +
+       when(col("rb") === j, 1L).otherwise(0L) +
+       when(col("rc") === j, 1L).otherwise(0L))
+    val agg = rated.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(lit(2L) * matches).as("s"),
+      sum(catCount(0)).as("c0"),
+      sum(catCount(1)).as("c1"),
+      sum(catCount(2)).as("c2"))
+    agg
+      .withColumn("sc2",
+        col("c0") * col("c0") + col("c1") * col("c1") +
+          col("c2") * col("c2"))
+      .select(col("lang"), col("n"),
+        expr("1000000 * s DIV (6 * n)").as("p_bar_ppm"),
+        expr("1000000 * sc2 DIV (9 * n * n)").as("p_e_ppm"),
+        when(expr("18 * n * n - 2 * sc2") =!= 0L,
+          expr("1000000 * (3 * n * s - 2 * sc2) DIV " +
+            "(18 * n * n - 2 * sc2)")).as("fleiss_kappa_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_bradley_terry" ->
       ((s: SparkSession, d: String) => bradleyTerry(s, d)),
     "q180_rater_agreement" -> (raterAgreement _),
+    "q197_fleiss_kappa" -> (fleissKappa _),
     "q185_chi2_drift" -> (chi2Drift _),
     "q186_stride_schedule" ->
       ((s: SparkSession, d: String) => strideSchedule(s, d)),
@@ -492,6 +548,43 @@ object EvalQueries {
            CASE WHEN n * n <> (ca0*cb0 + ca1*cb1 + ca2*cb2) THEN
              1000000 * (n * agree - (ca0*cb0 + ca1*cb1 + ca2*cb2)) //
                (n * n - (ca0*cb0 + ca1*cb1 + ca2*cb2)) END AS kappa_ppm
+         FROM a ORDER BY lang""",
+    // q197: same three rater bucketings, same cleared-denominator
+    // integer Fleiss arithmetic
+    "q197_fleiss_kappa" ->
+      raw"""WITH r AS (
+           SELECT lang,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 400 THEN 1 ELSE 2 END AS ra,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 30
+                    THEN 0
+                  WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 70
+                    THEN 1 ELSE 2 END AS rb,
+             CASE WHEN len(text) < 220 THEN 0
+                  WHEN len(text) < 420 THEN 1 ELSE 2 END AS rc
+           FROM documents),
+         a AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(2 * (CASE WHEN ra = rb THEN 1 ELSE 0 END
+               + CASE WHEN ra = rc THEN 1 ELSE 0 END
+               + CASE WHEN rb = rc THEN 1 ELSE 0 END)) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN ra = 0 THEN 1 ELSE 0 END
+               + CASE WHEN rb = 0 THEN 1 ELSE 0 END
+               + CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END
+               + CASE WHEN rb = 1 THEN 1 ELSE 0 END
+               + CASE WHEN rc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN ra = 2 THEN 1 ELSE 0 END
+               + CASE WHEN rb = 2 THEN 1 ELSE 0 END
+               + CASE WHEN rc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM r GROUP BY lang)
+         SELECT lang, n,
+           1000000 * s // (6 * n) AS p_bar_ppm,
+           1000000 * (c0*c0 + c1*c1 + c2*c2) // (9 * n * n) AS p_e_ppm,
+           CASE WHEN 18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2) <> 0 THEN
+             1000000 * (3 * n * s - 2 * (c0*c0 + c1*c1 + c2*c2)) //
+               (18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))
+           END AS fleiss_kappa_ppm
          FROM a ORDER BY lang""",
     // same truncated-expected integer χ², same even/odd halves
     "q185_chi2_drift" ->

@@ -91,6 +91,57 @@ class EvalQueriesSpec extends SparkSuite {
       "identical shingle sets must read as full overlap")
   }
 
+  test("fleiss kappa: perfect panel = 1e6, three-way split = -0.5, degenerate cohort = NULL") {
+    val dir = tmpDir("fleiss") + "/d"
+    val long70 = Seq.fill(70)("abcdef").mkString(" ")   // 70 tok, len 489
+    val mid40 = Seq.fill(40)("abcdefghijk").mkString(" ") // 40 tok, len 479
+    val rows = Seq(
+      // pp: both items unanimous, spread over cats 0 and 2
+      (1L, "a b c", "pp", "s", 100L),      // ra=rb=rc=0
+      (2L, long70, "pp", "s", 500L),       // ra=rb=rc=2
+      // dd: one item rated 0/1/2 by the three judges
+      (3L, mid40, "dd", "s", 100L),        // ra=0, rb=1, rc=2
+      // one: single unanimous item — every rating in one category
+      (4L, "a b c", "one", "s", 100L))
+    writeDocs(dir, rows)
+    val out = EvalQueries.fleissKappa(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("p_bar_ppm"), r.getAs[Long]("p_e_ppm"),
+          Option(r.getAs[java.lang.Long]("fleiss_kappa_ppm")))).toMap
+    // pp: S=12, N=2, c=(3,0,3) → P̄=1, Pe=18/36=0.5, κ=1
+    assert(out("pp") == ((1000000L, 500000L, Some(1000000L))))
+    // dd: S=0, c=(1,1,1) → P̄=0, Pe=1/3, κ=(0-6)/(18-6)=-0.5 exactly
+    assert(out("dd") == ((0L, 333333L, Some(-500000L))))
+    // one: Σc²=9N² → denominator 0 → undefined
+    assert(out("one")._3.isEmpty, "single-category cohort must be NULL")
+  }
+
+  test("containment dup: aggregator quoting a whole doc reads full containment, half-ish jaccard") {
+    val dir = tmpDir("containment") + "/d"
+    // doc 7 (7 % 7 == 0) becomes the aggregator quoting doc 8; fillers
+    // give 42 docs so the 5% df cap is 2 and the quoted shingles
+    // (df = 2) survive it. Filler aggregators (14, 21, ...) share only
+    // ONE shingle with their quoted neighbor — pruned by shared >= 2.
+    val rows = Seq(
+      (7L, "a1 a2 a3 a4", "en", "srcA", 11L),
+      (8L, "b1 b2 b3 b4", "en", "srcB", 11L)) ++
+      (10L until 50L).map { i =>
+        (i, s"u${i}a u${i}b u${i}c", "en", s"src$i", 10L)
+      }
+    writeDocs(dir, rows)
+    val out = Dedup.containmentDup(spark, dir).collect()
+    assert(out.length == 1, s"only the planted pair qualifies: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getAs[Long]("id1") == 7L && r.getAs[Long]("id2") == 8L)
+    // augmented doc 7 = "a1 a2 a3 a4 b1 b2 b3 b4" → 6 distinct shingles
+    // (2 own + 2 junction + 2 quoted); doc 8 has 2, both inside doc 7
+    assert(r.getAs[Long]("shared") == 2L)
+    assert(r.getAs[Long]("containment_ppm") == 1000000L,
+      "the whole quoted doc is contained")
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L * 2 / 6,
+      "resemblance must stay far below the containment signal")
+  }
+
   test("chi2 drift: balanced source reads 0, drifting source dominates") {
     val dir = tmpDir("chi2") + "/d"
     // "steady": 4 docs split 2/2 over halves (doc_id parity). "drifted":
