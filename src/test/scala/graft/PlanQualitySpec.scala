@@ -573,4 +573,30 @@ class PlanQualitySpec extends SparkSuite {
       .count(l => l.contains("Exchange hashpartitioning(lang"))
     assert(ex184 <= 1, s"q184: cohort shuffled $ex184 times:\n$p184")
   }
+
+  test("q195/q196: modality + containment candidates stay equi-join, no cartesian") {
+    // q195: the audio band self-join must be key-based over the shared
+    // cached fingerprint frame — never a cartesian; the only nested-loop
+    // join allowed is none (no single-row broadcasts in this one)
+    val p195 = plan(graft.multimodal.Audio.nearDupQuery(spark, sfDir))
+    assert(!p195.contains("CartesianProduct"),
+      s"q195: band pairing fell to a cartesian:\n$p195")
+    assert(p195.contains("ShuffledHashJoin"),
+      s"q195: band join lost its SHUFFLE_HASH shape:\n$p195")
+    assert(p195.contains("InMemoryTableScan"),
+      s"q195: fingerprint frame is recomputed per side, not cached:\n$p195")
+    // q196: inverted-index pair expansion is an equi-join on the shingle
+    // key; the df-cap totals ride a single-row broadcast (the only
+    // nested-loop join); slim frames come from cache
+    val p196 = plan(Dedup.containmentDup(spark, sfDir))
+    // (the single-row n_docs broadcast shows as BroadcastNestedLoopJoin,
+    // which is fine; an unkeyed CartesianProduct is not)
+    assert(!p196.contains("CartesianProduct"),
+      s"q196: pair expansion fell to a cartesian:\n$p196")
+    assert(p196.contains("ShuffledHashJoin") ||
+      p196.contains("SortMergeJoin") || p196.contains("BroadcastHashJoin"),
+      s"q196: shingle index join is not key-based:\n$p196")
+    assert(p196.contains("InMemoryTableScan"),
+      s"q196: slim gram frames are recomputed, not cached:\n$p196")
+  }
 }
