@@ -110,6 +110,109 @@ class EvalProps extends SparkSuite {
     }
   }
 
+  test("fleiss kappa: distributed panel == sequential integer formula") {
+    // wider n_chars so rater C (raw length, thresholds 220/420 on the
+    // fixture's len = 2·tok − 1) actually spans all three categories
+    val gen = for {
+      n <- Gen.chooseNum(6, 24)
+      rows <- Gen.sequence[Seq[(String, String, Long)], (String, String, Long)](
+        (0 until n).map { _ =>
+          for {
+            lang <- Gen.oneOf("en", "de")
+            src <- Gen.oneOf("A", "B", "C")
+            nc <- Gen.chooseNum(50L, 4500L)
+          } yield (lang, src, nc)
+        })
+    } yield rows.zipWithIndex.map { case ((lang, src, nc), i) =>
+      (i.toLong, lang, src, nc)
+    }
+    (1 to 5).foreach { c =>
+      val rows = gen.apply(Gen.Parameters.default, Seed(4177L + c)).get
+      val dir = writeDocs(rows)
+      val got = EvalQueries.fleissKappa(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("p_bar_ppm"), r.getAs[Long]("p_e_ppm"),
+            if (r.isNullAt(r.fieldIndex("fleiss_kappa_ppm"))) None
+            else Some(r.getAs[Long]("fleiss_kappa_ppm"))))).toMap
+      val want = rows.groupBy(_._2).map { case (lang, rs) =>
+        val cls = rs.map { case (_, _, _, nc) =>
+          val ra = if (nc < 200) 0 else if (nc < 400) 1 else 2
+          val tok = (nc / 10) max 1
+          val rb = if (tok < 30) 0 else if (tok < 70) 1 else 2
+          val len = 2 * tok - 1 // "w" words joined by single spaces
+          val rc = if (len < 220) 0 else if (len < 420) 1 else 2
+          (ra, rb, rc)
+        }
+        val n = cls.size.toLong
+        val s = cls.map { case (a, b, cc) =>
+          2L * (Seq(a == b, a == cc, b == cc).count(identity)) }.sum
+        val sc2 = (0 to 2).map { j =>
+          val cj = cls.map { case (a, b, cc) =>
+            Seq(a, b, cc).count(_ == j).toLong }.sum
+          cj * cj
+        }.sum
+        lang -> ((1000000L * s / (6 * n), 1000000L * sc2 / (9 * n * n),
+          if (18 * n * n - 2 * sc2 == 0) None
+          else Some(1000000L * (3 * n * s - 2 * sc2) /
+            (18 * n * n - 2 * sc2))))
+      }
+      assert(got == want, s"case $c")
+    }
+  }
+
+  test("containment dup: distributed inverted-index == sequential brute force") {
+    import graft.operators.Dedup
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi")
+    val gen = for {
+      n <- Gen.chooseNum(40, 60) // 5% df cap = 2-3, so shared grams survive
+      texts <- Gen.sequence[Seq[String], String]((0 until n).map { _ =>
+        for {
+          k <- Gen.chooseNum(1, 6) // 1-2 words exercise the short-doc branch
+          ws <- Gen.listOfN(k, Gen.oneOf(vocab))
+        } yield ws.mkString(" ")
+      })
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.trim.toLowerCase)
+    }
+    (1 to 5).foreach { c =>
+      val docs = gen.apply(Gen.Parameters.default, Seed(5303L + c)).get
+      val dir = tmpDir("containprops") + "/d"
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.containmentDup(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+          r.getAs[Long]("shared"), r.getAs[Long]("containment_ppm"),
+          r.getAs[Long]("jaccard_ppm"))).toSeq.sorted
+      // independent fold: augmentation, shingling, df cap, pair metrics
+      val byId = docs.toMap
+      val corpus = docs.map { case (id, t) =>
+        id -> (if (id % 7 == 0 && byId.contains(id + 1))
+          t + " " + byId(id + 1) else t)
+      }
+      val grams = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+      val cap = math.max(1L, docs.size.toLong * 5 / 100)
+      val df = grams.values.flatten.groupBy(identity)
+        .map { case (g, os) => g -> os.size.toLong }
+      val keptG = grams.map { case (id, gs) =>
+        id -> gs.filter(g => df(g) <= cap) }
+      val want = (for {
+        (a, ga) <- keptG.toSeq; (b, gb) <- keptG.toSeq
+        if a < b
+        shared = (ga & gb).size.toLong
+        if shared >= 2
+        cont = 1000000L * shared / math.min(ga.size, gb.size)
+        if cont >= 800000L
+      } yield (a, b, shared, cont,
+        1000000L * shared / (ga.size + gb.size - shared))).sorted
+      assert(got == want, s"case $c: got=${got.take(8)} want=${want.take(8)}")
+    }
+  }
+
   test("chi2 drift: distributed table == sequential integer formula") {
     (1 to 5).foreach { c =>
       val rows = caseGen.apply(Gen.Parameters.default, Seed(2025L + c)).get
