@@ -312,13 +312,23 @@ object Audio {
     * keys are 14-bit ints, candidates are an equi-join — never
     * all-pairs; the decode is map-only and id-repartitioned. */
   def nearDupQuery(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    nearDupFromFps(fingerprintFrame(spark, dir), maxHamming)
+
+  /** Decoded, length-gated, CACHED (asset_id, sig) fingerprint frame —
+    * shared by the q195 pair query and the q198 cluster fold (the same
+    * single-codec-pass discipline as the image side's hash frame). */
+  private def fingerprintFrame(spark: SparkSession, dir: String)
+      : DataFrame = {
     val ds = syntheticNearDupWavAssets(spark, dir)
     import ds.sparkSession.implicits._
-    val fps = ds.mapPartitions(_.map(fingerprintOne(_))).toDF()
+    ds.mapPartitions(_.map(fingerprintOne(_))).toDF()
       .filter(col("decoded") && col("n_frames") === 57)
       .select(col("asset_id"), col("sig"))
       .cache()
+  }
+
+  private def nearDupFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
     val banded = fps.select(col("asset_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("band_no"))
       // sig is 56-bit non-negative, so arithmetic >> equals logical
@@ -342,11 +352,31 @@ object Audio {
       .orderBy("id1", "id2")
   }
 
+  /** q198: the audio dedup ACTION — q195's hamming pairs fold into
+    * connected components (the pointer-doubled CC from
+    * [[graft.operators.Dedup]]) and each cluster keeps its smallest
+    * asset id. With this, all three media modalities run the full
+    * candidate→confirm→cluster→select pipeline on the same
+    * modality-agnostic machinery: images q169→q178, video q190, audio
+    * q195→q198, text q34/q36→q57→q102. */
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fps = fingerprintFrame(spark, dir)
+    val pairs = nearDupFromFps(fps, maxHamming = 3)
+      .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
+    val labels0 = fps.select(col("asset_id").as("doc_id"),
+      col("asset_id").as("cluster_id"))
+    graft.operators.Dedup.connectedComponents(labels0, pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_audio_roundtrip" -> (roundtripQuery _),
     "q170_audio_trim"      -> (trimQuery _),
     "q195_audio_neardup"   ->
-      ((s: SparkSession, d: String) => nearDupQuery(s, d)))
+      ((s: SparkSession, d: String) => nearDupQuery(s, d)),
+    "q198_audio_dedup_clusters" -> (dedupClustersQuery _))
 
   val oracles: Map[String, String] = Map(
     // every output is doc_id arithmetic: n samples, square-wave peak =
@@ -378,7 +408,35 @@ object Audio {
     // guarantees band-gate completeness — the oracle is the plain
     // all-pairs hamming join.
     "q195_audio_neardup" ->
-      """WITH ids AS (
+      s"""WITH $audioSigSql
+         SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+           CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+         FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+         WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
+         ORDER BY id1, id2""",
+    // q198: q195's pairs closed transitively (the q178 recursive-CTE
+    // pattern), min id kept per component
+    "q198_audio_dedup_clusters" ->
+      s"""WITH RECURSIVE $audioSigSql,
+         p AS (
+           SELECT s1.doc_id AS id1, s2.doc_id AS id2
+           FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+           WHERE bit_count(xor(s1.sig, s2.sig)) <= 3),
+         e AS (SELECT id1 AS s, id2 AS t FROM p
+               UNION SELECT id2, id1 FROM p),
+         reach(d_id, r) AS (
+           SELECT doc_id, doc_id FROM sig
+           UNION
+           SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
+         SELECT d_id AS asset_id, MIN(r) AS cluster_id,
+           CAST(d_id = MIN(r) AS INTEGER) AS is_kept
+         FROM reach GROUP BY d_id ORDER BY asset_id""")
+
+  /** The q195 fingerprint rebuilt in pure arithmetic (shared CTE body:
+    * defines `sig(doc_id, sig)`), usable inside plain and RECURSIVE
+    * WITH clauses. */
+  private lazy val audioSigSql: String =
+    """ids AS (
            SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
            FROM documents),
          energy AS (
@@ -397,10 +455,5 @@ object Audio {
                ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS sig
            FROM energy a JOIN energy b
              ON b.doc_id = a.doc_id AND b.f = a.f + 1
-           GROUP BY a.doc_id)
-         SELECT s1.doc_id AS id1, s2.doc_id AS id2,
-           CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
-         FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
-         WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
-         ORDER BY id1, id2""")
+           GROUP BY a.doc_id)"""
 }

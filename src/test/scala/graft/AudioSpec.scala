@@ -120,6 +120,27 @@ class AudioSpec extends SparkSuite {
     assert(!corrupt.decoded && corrupt.sig == 0L)
   }
 
+  test("q198: clusters close the q195 pair graph; min id kept per cluster") {
+    val pairs = Audio.nearDupQuery(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val rows = Audio.dedupClustersQuery(spark, sf0001).collect()
+    val label = rows.map(r =>
+      r.getAs[Long]("asset_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every confirmed pair must land in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is the component minimum, and is_kept marks
+    // exactly one row per cluster
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("asset_id"))
+      assert((r.getAs[Int]("is_kept") == 1) ==
+        (r.getAs[Long]("asset_id") == r.getAs[Long]("cluster_id")))
+    }
+    assert(rows.count(_.getAs[Int]("is_kept") == 1) ==
+      label.values.toSet.size)
+  }
+
   test("q195: every intra-group pair surfaces with hamming <= 2; pairs are ordered and distinct") {
     val rows = Audio.nearDupQuery(spark, sf0001).collect()
     assert(rows.nonEmpty)
