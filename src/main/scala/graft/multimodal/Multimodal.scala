@@ -437,7 +437,24 @@ object Multimodal {
     "q43_multimodal_frames"    -> (frameQuery _),
     "q190_video_neardup" ->
       ((s: SparkSession, d: String) => videoNearDup(s, d)),
+    "q199_video_dedup_clusters" -> (videoDedupClusters _),
     "q75_multimodal_roundtrip" -> (roundtripQuery _))
+
+  /** q199: the video dedup ACTION — q190's shared-frame pairs fold into
+    * connected components with a min-id representative, completing the
+    * cluster stage for the last modality (text q57/q102, image q178,
+    * audio q198). Isolated videos are their own singleton clusters, so
+    * the output is the full per-video keep/drop decision. */
+  def videoDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = videoNearDup(spark, dir)
+      .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+    val labels0 = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    graft.operators.Dedup.connectedComponents(labels0, pairs)
+      .select(col("doc_id").as("video"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+      .orderBy("video")
+  }
 
   // the q168 gradient fixture's dHash as pure arithmetic: bit (cx,cy) is
   // set iff (cx*73 + shift(cy, doc_id)) mod 256 < 183 (see
@@ -589,6 +606,40 @@ object Multimodal {
           JOIN sz sa ON sa.video = p.vid_a
           JOIN sz sb ON sb.video = p.vid_b
           ORDER BY vid_a, vid_b"""
+    },
+    // q199: q190's shared-frame pairs closed transitively, min id kept
+    "q199_video_dedup_clusters" -> {
+      val frameIds =
+        """SELECT DISTINCT
+             CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
+                  ELSE 400000 + video * 4 END AS id
+           FROM (SELECT doc_id AS video FROM documents),
+                (SELECT unnest(range(0, 6)) AS f)"""
+      s"""WITH RECURSIVE h AS (${dhashArithSqlOver(frameIds, video = true)}),
+          fr AS (
+            SELECT video,
+              CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
+                   ELSE 400000 + video * 4 END AS fid
+            FROM (SELECT doc_id AS video FROM documents),
+                 (SELECT unnest(range(0, 6)) AS f)),
+          vf AS (
+            SELECT DISTINCT fr.video, h.dhash
+            FROM fr JOIN h ON h.asset_id = fr.fid),
+          p AS (
+            SELECT a.video AS id1, b.video AS id2
+            FROM vf a JOIN vf b
+              ON a.dhash = b.dhash AND a.video < b.video
+            GROUP BY 1, 2
+            HAVING count(*) >= 3),
+          e AS (SELECT id1 AS s, id2 AS t FROM p
+                UNION SELECT id2, id1 FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
+          SELECT d_id AS video, MIN(r) AS cluster_id,
+            CAST(d_id = MIN(r) AS INTEGER) AS is_kept
+          FROM reach GROUP BY d_id ORDER BY video"""
     },
     // q178: the q169 band-gate pairs closed transitively (the q57
     // recursive-CTE pattern), min id kept per component

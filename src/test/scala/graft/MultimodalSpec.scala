@@ -201,4 +201,23 @@ class MultimodalSpec extends SparkSuite {
     assert(out.forall(_.getAs[Long]("shared_frames") == 5L))
     assert(out.forall(_.getAs[Long]("jaccard_ppm") == 1000000L * 5 / 7))
   }
+
+  test("q199: video clusters close the q190 pair graph; min id kept") {
+    val pairs = Multimodal.videoNearDup(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")))
+    assert(pairs.nonEmpty)
+    val rows = Multimodal.videoDedupClusters(spark, sf0001).collect()
+    val label = rows.map(r =>
+      r.getAs[Long]("video") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("video"))
+      assert((r.getAs[Int]("is_kept") == 1) ==
+        (r.getAs[Long]("video") == r.getAs[Long]("cluster_id")))
+    }
+    assert(rows.count(_.getAs[Int]("is_kept") == 1) ==
+      label.values.toSet.size)
+  }
 }
