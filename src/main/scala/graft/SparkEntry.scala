@@ -31,6 +31,7 @@ object SparkEntry {
     operators.GraphQueries.queries ++
     operators.SftQueries.queries ++
     operators.EvalQueries.queries ++
+    operators.LmQueries.queries ++
     operators.SketchQueries.queries ++
     multimodal.Multimodal.queries ++
     multimodal.Audio.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     operators.GraphQueries.oracles ++
     operators.SftQueries.oracles ++
     operators.EvalQueries.oracles ++
+    operators.LmQueries.oracles ++
     operators.SketchQueries.oracles ++
     multimodal.Multimodal.oracles ++
     multimodal.Audio.oracles ++

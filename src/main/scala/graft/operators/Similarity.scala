@@ -927,7 +927,54 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** q202: covariance matrix of the embedding dimensions — the first step
+    * of corpus-level embedding diagnostics (PCA energy spectra, whitening,
+    * anisotropy checks à la Ethayarajh 2019). Returns one row per (i ≤ j)
+    * dimension pair with the raw integer moments and the covariance.
+    *
+    * Determinism: elements are quantized to milli-units
+    * (round(x·1000) as BIGINT) so all moments are integer-exact —
+    * cross-row float summation order never matters. `cov_m2` is the
+    * covariance in milli² via integer DIV (both engines truncate toward
+    * zero).
+    *
+    * Scale shape: the d(d+1)/2 pair products are generated MAP-SIDE from
+    * each row (nested transform + flatten — no self-join, no second scan)
+    * and fold into one map-side-combinable groupBy on the (i, j) key:
+    * a single shuffle of d² partial aggregates per mapper, independent of
+    * row count — the textbook distributed Gram-matrix shape. The driver
+    * never sees more than d² rows. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "embeddings")
+      // spread the d²/2-per-row pair expansion (the single-file fixture
+      // otherwise runs it in one task; shuffling the compact source rows
+      // is free next to the expansion)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+    val pairs = q.select(explode(expr(
+      """flatten(transform(q, (x, i) ->
+           transform(slice(q, i + 1, size(q) - i), (y, j) ->
+             struct(CAST(i + 1 AS BIGINT) AS i,
+                    CAST(i + j + 1 AS BIGINT) AS j,
+                    x AS xi, y AS yj, x * y AS xy))))""")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xi").as("xi"), col("p.yj").as("yj"), col("p.xy").as("xy"))
+    pairs.groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("s_i"),
+        sum(col("yj")).as("s_j"),
+        sum(col("xy")).as("s_ij"))
+      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+        col("s_ij"),
+        expr("(n * s_ij - s_i * s_j) DIV (n * n)").as("cov_m2"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_embed_covariance" ->
+      ((s: SparkSession, d: String) => embedCovariance(s, d)),
     "q135_ann_ivfadc"    -> ((s: SparkSession, d: String) => ivfAdc(s, d)),
     "q132_ann_pq"        -> ((s: SparkSession, d: String) => pqSearch(s, d)),
     "q74_ann_quantized"  -> ((s: SparkSession, d: String) => annQuantized(s, d)),
@@ -965,6 +1012,26 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // same milli-quantization, same integer moments; the pair expansion
+    // is a positional self-join (DuckDB has no nested-transform index)
+    "q202_embed_covariance" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, unnest(range(1, len(q) + 1)) AS i, q FROM q),
+         v AS (SELECT vec_id, i, q[i] AS x FROM e)
+         SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS s_i,
+           CAST(sum(b.x) AS BIGINT) AS s_j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS s_ij,
+           (CAST(count(*) AS BIGINT) * CAST(sum(a.x * b.x) AS BIGINT)
+             - CAST(sum(a.x) AS BIGINT) * CAST(sum(b.x) AS BIGINT))
+             // (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT))
+             AS cov_m2
+         FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
+         GROUP BY a.i, b.i ORDER BY i, j""",
     "q132_ann_pq" ->
       // the full PQ recipe replayed in DuckDB: scaled-BIGINT seed-mean
       // codebook, 6-rounded argmin encode with id tie-break, ordered
