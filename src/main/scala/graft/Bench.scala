@@ -3,7 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Hard starvation guard (VERDICT r7 #4): an unset SPARK_GRAFT_CPUS
+    // silently priced every parallel query on local[4] while the
+    // 1-partition q107 canary stayed at its idle floor — the one
+    // misconfiguration the canary protocol cannot catch. A starved run
+    // now self-identifies: `starved` is stamped into the JSON line and
+    // the exit code is nonzero, so the artifact can't pass for a real
+    // measurement. (BENCH_NOTES.md round-7 trap #1.)
+    val cpusSet = sys.env.contains("SPARK_GRAFT_CPUS")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val starved = !cpusSet || (try cpus.toInt < 8 catch { case _: Exception => true })
+    if (starved) System.err.println(
+      s"[bench] STARVED: SPARK_GRAFT_CPUS=${if (cpusSet) cpus else "<unset>"}" +
+        " (need >= 8 for a priced run); stamping starved:true, exit 2")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,7 +121,7 @@ object Bench {
     // 1-partition q107 canary stays near its idle floor — the one
     // misconfiguration the canary protocol cannot catch. The artifact
     // now carries the evidence.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"starved":$starved,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's log capture truncates long stdout lines (round 6 lost
     // 60 of 138 queries from BENCH_r06.json) — persist the full line to a
@@ -122,5 +134,6 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
+    if (starved) sys.exit(2)
   }
 }

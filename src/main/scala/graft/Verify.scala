@@ -11,6 +11,13 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Starvation notice (soft here, hard in Bench): correctness output is
+    // identical regardless of core count, so a starved Verify still
+    // produces a valid dump — but flag it so a >30-min wall clock isn't
+    // misread as an engine regression.
+    if (!sys.env.contains("SPARK_GRAFT_CPUS"))
+      System.err.println("[verify] SPARK_GRAFT_CPUS unset — running on " +
+        "local[4]; results are valid but wall clock is not comparable")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

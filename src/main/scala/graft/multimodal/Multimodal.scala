@@ -107,14 +107,27 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** Feature-extraction query (rows-only check: mapPartitions closures are
-    * outside DuckDB's vocabulary; determinism is covered by scalatest). */
+  /** q42: the full feature-extraction surface (real ImageIO decode →
+    * dimensions + 8-bin luminance histogram) over encoded gradient PNGs,
+    * hash-compared against a pure-arithmetic DuckDB rebuild — the q75
+    * recipe at full histogram granularity. Each pixel's luminance is
+    * doc_id arithmetic by construction (gray (g,g,g) has luminance
+    * exactly g under the 299/587/114 integer weights), so the 8 bin
+    * counts (features(k)·64 — exact: 64 = w·h and k/64 is an exact
+    * binary float) round-trip as integers DuckDB recomputes without
+    * decoding anything. A decoder regression — wrong dimensions, wrong
+    * luminance weights, fallback path taken — breaks the hash compare.
+    * (Until round 8 this query ran the byte-stat FALLBACK path over
+    * text bytes, which only supported a rows-only check; the fallback
+    * stays covered by MultimodalSpec.) */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    extractFeatures(assetsFromDocuments(spark, dir))
-      .withColumn("f0", round(element_at(col("features"), 1).cast("double"), 6))
-      .drop("features")
-      .orderBy("asset_id")
+    val f = extractFeatures(syntheticGradientPngAssets(spark, dir)).toDF()
+      .select(col("asset_id"), col("decoded"), col("width"), col("height"),
+        col("features"))
+    (0 until 8).foldLeft(f) { (df, k) =>
+      df.withColumn(s"b$k",
+        round(element_at(col("features"), k + 1) * 64).cast("long"))
+    }.drop("features").orderBy("asset_id")
   }
 
   /** Frame-sampling metadata query — oracle-checkable (pure arithmetic). */
@@ -487,10 +500,19 @@ object Multimodal {
         // id DIV 4 drives the gradient: (triple*6 + f) makes every
         // (triple, frame) a distinct ramp, while same-triple videos get
         // IDENTICAL fids for f<5 (the shared five-frame prefix); the
-        // tail frame is unique per video in a disjoint id range
+        // tail frame is unique per video in a PROVABLY disjoint id
+        // range: prefix fids are ≡ {0,4,8,12,16} (mod 24), tail fids ≡
+        // 20 (mod 24) — disjoint at any scale factor (ADVICE r7: the
+        // old 400000+video*4 base collided with prefix fids once
+        // 6·(video DIV 3)+f reached 100000+video). The stronger
+        // property the 24-stride buys over the minimal +2 fix: a tail's
+        // gradient GROUP (fid DIV 4 = 6·video+5, ≡ 5 mod 6) never
+        // equals any prefix's group (≡ 0..4 mod 6), so tail-vs-prefix
+        // ramps differ in ALL EIGHT rows, not just the row-7 perturb —
+        // no near-collision family to get (un)lucky with.
         when(col("f") < 5, (col("video") / 3).cast("long") * 24 +
           col("f") * 4)
-          .otherwise(lit(400000L) + col("video") * 4))
+          .otherwise(col("video") * 24 + 20))
     // distinct() coalesces tiny shuffles to one partition under AQE —
     // spread the codec work back across the cores, and checkpoint the
     // decoded hashes so the signature self-join's two sides don't each
@@ -576,14 +598,14 @@ object Multimodal {
       val frameIds =
         """SELECT DISTINCT
              CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
-                  ELSE 400000 + video * 4 END AS id
+                  ELSE video * 24 + 20 END AS id
            FROM (SELECT doc_id AS video FROM documents),
                 (SELECT unnest(range(0, 6)) AS f)"""
       s"""WITH h AS (${dhashArithSqlOver(frameIds, video = true)}),
           fr AS (
             SELECT video,
               CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
-                   ELSE 400000 + video * 4 END AS fid
+                   ELSE video * 24 + 20 END AS fid
             FROM (SELECT doc_id AS video FROM documents),
                  (SELECT unnest(range(0, 6)) AS f)),
           vf AS (
@@ -612,14 +634,14 @@ object Multimodal {
       val frameIds =
         """SELECT DISTINCT
              CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
-                  ELSE 400000 + video * 4 END AS id
+                  ELSE video * 24 + 20 END AS id
            FROM (SELECT doc_id AS video FROM documents),
                 (SELECT unnest(range(0, 6)) AS f)"""
       s"""WITH RECURSIVE h AS (${dhashArithSqlOver(frameIds, video = true)}),
           fr AS (
             SELECT video,
               CASE WHEN f < 5 THEN (video // 3) * 24 + f * 4
-                   ELSE 400000 + video * 4 END AS fid
+                   ELSE video * 24 + 20 END AS fid
             FROM (SELECT doc_id AS video FROM documents),
                  (SELECT unnest(range(0, 6)) AS f)),
           vf AS (
@@ -663,7 +685,31 @@ object Multimodal {
           SELECT d_id AS asset_id, MIN(r) AS cluster_id,
             CAST(d_id = MIN(r) AS INTEGER) AS is_kept
           FROM reach GROUP BY d_id ORDER BY asset_id""",
-    // q42 is rows-only (JVM closure); q43 is pure arithmetic on byte lengths:
+    // q42: per-pixel arithmetic rebuild of the gradient image's 8-bin
+    // luminance histogram (same shift family as dhashArithSqlOver; the
+    // uniform-gray pixel's luminance is exactly its gray level)
+    "q42_multimodal_features" ->
+      """WITH px AS (
+           SELECT doc_id AS asset_id,
+             (cx * 73 + CASE WHEN cy < 7
+                THEN (doc_id // 4 * (2 * cy + 3) * 41) % 256
+                ELSE (doc_id // 4 * 97 + (doc_id % 4) * 8) % 256
+              END) % 256 AS g
+           FROM documents,
+             (SELECT unnest(range(0, 8)) AS cx),
+             (SELECT unnest(range(0, 8)) AS cy))
+         SELECT asset_id, TRUE AS decoded,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sum(CASE WHEN g // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN g // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN g // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN g // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(sum(CASE WHEN g // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+           CAST(sum(CASE WHEN g // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+           CAST(sum(CASE WHEN g // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+           CAST(sum(CASE WHEN g // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+         FROM px GROUP BY asset_id ORDER BY asset_id""",
+    // q43 is pure arithmetic on byte lengths:
     "q43_multimodal_frames" ->
       """SELECT doc_id AS asset_id, frame_no,
          CAST(frame_no * octet_length(CAST(text AS BLOB)) // 4 AS BIGINT) AS offset_bytes

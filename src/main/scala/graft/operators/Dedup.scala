@@ -567,11 +567,14 @@ object Dedup {
     val ex = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(shingles3(col("text")))).as("s"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // discriminative shingles only: document frequency <= 5% of corpus
+    // discriminative shingles only: document frequency <= 5% of corpus.
+    // greatest(1, ...) floors the cap so sub-20-document fixtures keep
+    // df=1 shingles instead of silently emptying the index (ADVICE r7 —
+    // mirrors the q196 containment cap).
     val keep = ex.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= expr("n_docs * 5 DIV 100"))
+      .filter(col("df") <= expr("greatest(1, n_docs * 5 DIV 100)"))
       .select("s")
     val ss = ex.join(keep, "s").select("source", "s").distinct()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -912,7 +915,7 @@ object Dedup {
           keep AS (
             SELECT s FROM ex GROUP BY s
             HAVING count(DISTINCT doc_id) <=
-              (SELECT count(*) * 5 // 100 FROM documents)),
+              (SELECT greatest(1, count(*) * 5 // 100) FROM documents)),
           ss AS (
             SELECT DISTINCT source, s FROM ex JOIN keep USING (s)),
           sizes AS (

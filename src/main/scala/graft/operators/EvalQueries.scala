@@ -47,7 +47,15 @@ object EvalQueries {
     * skills. A virtual n=1 game against a fixed p=1.0 opponent
     * regularizes undefeated/winless players (standard BT smoothing), so
     * no skill ever hits 0 or diverges. Output: one row per source with
-    * its game count, half-win total, and final skill in ppb. */
+    * its game count, half-win total, and final skill in ppb.
+    *
+    * Overflow bound (ADVICE r7): the MM numerator `n · 1e12` wraps
+    * silently as a Java long once a single (p,q) pair logs n >
+    * Long.MaxValue/1e12 ≈ 9.2e6 games — and DuckDB raises instead of
+    * wrapping, so the engines would diverge in FAILURE MODE there, not
+    * in answers. At that volume rescale NUM down (skills are
+    * scale-invariant under MM) or pre-aggregate games per cohort shard;
+    * same pattern as the Fleiss-kappa 18N² bound (q197). */
   def bradleyTerry(spark: SparkSession, dir: String, iters: Int = 2)
       : DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -148,8 +156,11 @@ object EvalQueries {
     * contribution. The statistic is the textbook Σ (O−E)²/E over the
     * source×half contingency table, kept integer-exact: E is truncated
     * to `R·C DIV N` FIRST, so the squared deviation stays O(cell-count)
-    * and the ppm term `1e6·d² DIV max(E,1)` never overflows BIGINT at
-    * any realistic cohort size.
+    * and the ppm term `1e6·d² DIV max(E,1)` is safe while every cell
+    * count stays below √(Long.MaxValue/1e6) ≈ 3.0e6 documents — past
+    * that, 1e6·d² wraps as a Java long where DuckDB raises (ADVICE r7:
+    * divergent failure modes, not divergent answers). Shard the
+    * contingency per cohort or drop the ppm scale before that bound.
     *
     * Scale shape: one map-side-combinable groupBy(source) builds the
     * whole table; the (N, C_old, C_new) totals ride in on a broadcast

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -103,14 +103,56 @@ object EventQueries {
     * map-side-combinable pass with O(sketch) memory). Engine-specific
     * sketch estimates → rows-only driver check; accuracy bounds are
     * asserted against exact values in ApproxSpec. */
-  def approxProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadEvents(spark, dir)
-      .groupBy("event_type")
+  /** q47: approximate profile with a machine-checked AUDIT. The sketch
+    * estimates themselves (HLL++ distinct, Greenwald–Khanna quantiles)
+    * are engine-specific internals DuckDB cannot rebuild, so the query
+    * emits their published CONTRACTS as booleans computed in Spark
+    * against exact statistics over the same frame, pinned TRUE in the
+    * oracle:
+    *  - p50/p99: GK's guarantee is DETERMINISTIC — the returned value's
+    *    rank is within eps·N of the target (eps = 1/accuracy = 1e-4).
+    *    Audited at 2× eps plus ±1 row of absolute slack, so the pin has
+    *    real margin without ever accepting a broken sketch.
+    *  - distinct users: HLL++ at default rsd 0.05 — deterministic for a
+    *    fixed input set (fixed hash), probabilistic across fixture
+    *    regeneration. Audited at 5σ (25% relative) with an absolute
+    *    floor of 16, wide enough that any plausible fixture keeps the
+    *    pin true while a wrong-by-construction estimate still fails.
+    * A sketch regression (wrong merge, dropped partial, rank drift)
+    * flips a boolean and breaks the hash compare. */
+  def approxProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    val prof = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
+        count(col("value")).as("nv"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // exact rank of each approx percentile: one extra pass over events
+    // against the broadcast profile (|event_type| rows — always tiny)
+    val ranks = e.join(broadcast(prof), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+    // 2× the GK eps (1/accuracy), ±1 row absolute slack
+    def rankOk(lt: Column, le: Column, p: Double): Column = {
+      val slack = col("nv") * lit(2.0e-4) + lit(1.0)
+      (le.cast("double") >= col("nv") * lit(p) - slack) &&
+        (lt.cast("double") <= col("nv") * lit(p) + slack)
+    }
+    prof.join(exact, "event_type").join(ranks, "event_type")
+      .select(col("event_type"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(16L), col("exact_users") / lit(4L))).as("users_ok"),
+        rankOk(col("lt50"), col("le50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("lt99"), col("le99"), 0.99).as("p99_rank_ok"))
       .orderBy("event_type")
+  }
 
   /** Exact distinct users per event type via the custom mergeable-bitmap
     * aggregate (one-pass, map-side partial; no Expand + distinct shuffle)
@@ -441,8 +483,14 @@ object EventQueries {
          GROUP BY cohort, d - cohort ORDER BY cohort, day_offset""",
     "q24_events_hourly" -> hourlySql,
     "q26_events_hourly_stream" -> hourlySql,
-    // q47 intentionally absent: sketch estimates are engine-specific
-    // (rows-only driver check; accuracy asserted in ApproxSpec)
+    // q47: the sketch ESTIMATES are engine-specific, but their published
+    // contracts are not — Spark computes the audit booleans against exact
+    // statistics, the oracle pins them TRUE (plus the exact n per group).
+    // Raw estimate accuracy is additionally asserted in ApproxSpec.
+    "q47_approx_profile" ->
+      """SELECT event_type, COUNT(*) AS n,
+         TRUE AS users_ok, TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q53_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
          COUNT(*) AS n_events

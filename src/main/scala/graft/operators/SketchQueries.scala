@@ -35,7 +35,14 @@ object SketchQueries {
       count(lit(1)).as("n_total")).head()
     val sk = profile.getAs[Array[Byte]]("sk")
     val nTotal = profile.getAs[Long]("n_total")
-    val slack = math.ceil(math.E / CountMinAgg.DefaultWidth * nTotal).toLong
+    // 2× the textbook e/width·N bound (ADVICE r7): the single-epsilon
+    // bound is only a Markov bound per probed token (Pr[violation] ≈
+    // e^-depth each) — deterministic for the CURRENT fixture but a
+    // regenerated fixture could legitimately exceed it with no code
+    // change. Doubling the audited slack gives the pinned-true contract
+    // real margin while a broken sketch (dropped partial, wrong merge)
+    // still overshoots by orders of magnitude.
+    val slack = 2L * math.ceil(math.E / CountMinAgg.DefaultWidth * nTotal).toLong
     val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k).collect()
     val audited = top.toSeq.map { r =>
