@@ -576,6 +576,10 @@ object Catalog {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"could not commit version pointer $p")
+    // every protocol commit lands here — drop the read-probe cache so a
+    // reader thread in this JVM can't see the new version through the
+    // previous version's DV/layout answers
+    graft.layout.ReadProbeCache.invalidate(dir)
   }
 
   /** Per-version (version, is_current, commit time, entry count, bytes,
@@ -1530,8 +1534,16 @@ object Catalog {
     if (!allowSchemaChange && f.exists(dst)) {
       def shape(s: org.apache.spark.sql.types.StructType) =
         s.fields.map(x => x.name.toLowerCase -> x.dataType).toMap
-      val (cur, nw) =
-        (shape(spark.read.parquet(dir).schema), shape(dfGen.schema))
+      // flat snapshots record their schema in an in-dir sidecar at every
+      // overwrite (below) — the check reads THAT (one small file) instead
+      // of re-inferring from footers (a listing + a one-task Spark job
+      // per commit, VERDICT r7 #1). Hive-partitioned trees keep the
+      // inference path: partition-column types there come from directory
+      // names, which the writer-side schema can't be trusted to mirror.
+      val curSchema = (if (partitionBy.isEmpty)
+          graft.merge.PartitionedMerge.schemaOf(spark, dir) else None)
+        .getOrElse(spark.read.parquet(dir).schema)
+      val (cur, nw) = (shape(curSchema), shape(dfGen.schema))
       if (cur != nw) {
         val added = (nw.keySet -- cur.keySet).toSeq.sorted
         val removed = (cur.keySet -- nw.keySet).toSeq.sorted
@@ -1549,6 +1561,13 @@ object Catalog {
     val w = dfGen.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
+    // stage the schema sidecar for flat snapshots — it becomes visible
+    // atomically with the swap and serves the NEXT commit's schema check
+    // driver-side. Underscore-prefixed, so scans ignore it and appends
+    // don't link it forward (appendPath re-stamps its own).
+    if (partitionBy.isEmpty)
+      graft.merge.PartitionedMerge.writeSchemaSidecar(spark, tmp.toString,
+        dfGen.schema)
     // CHECK enforcement: validate the STAGED files (no upstream recompute)
     // and abort before the swap — the live snapshot is never replaced by
     // violating data, and a failed write leaves no trace but the tmp dir
@@ -1730,8 +1749,12 @@ object Catalog {
     // insert must carry them, matching the inferred partition types)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(x => x.name.toLowerCase -> x.dataType).toMap
-    val (curShape, nwShape) =
-      (shape(spark.read.parquet(dir).schema), shape(dfGen.schema))
+    // same sidecar fast path as overwritePath: flat snapshots answer the
+    // schema check from one small file instead of a footer-inference job
+    val curSchema = (if (partCols.isEmpty)
+        graft.merge.PartitionedMerge.schemaOf(spark, dir) else None)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val (curShape, nwShape) = (shape(curSchema), shape(dfGen.schema))
     require(curShape == nwShape,
       s"INSERT INTO $dir schema mismatch: table has " +
         curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
@@ -1769,6 +1792,11 @@ object Catalog {
     if (f.exists(skipDir))
       org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
         f, new Path(tmp, "_skipping"), false, false, conf)
+    // re-stamp the schema sidecar (appends cannot change the schema —
+    // the shape check above proved dfGen ≡ table)
+    if (partCols.isEmpty)
+      graft.merge.PartitionedMerge.writeSchemaSidecar(spark, tmp.toString,
+        dfGen.schema)
     commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
       commitTag, operation)
     }

@@ -199,9 +199,11 @@ object ChangeFeed {
     if (buckets.isEmpty) appendOnlyNewFiles(spark, dir, fromV, toV) match {
       case Some(newFiles) =>
         // keyed and unkeyed shapes agree on a pure append: every change
-        // row is an insert
-        val schema = spark.read.parquet(
-          Catalog.resolveVersionPath(spark, dir, toV)).schema
+        // row is an insert. Schema from the version's sidecar when one
+        // was staged (no footer-inference job).
+        val vp = Catalog.resolveVersionPath(spark, dir, toV)
+        val schema = PartitionedMerge.schemaOf(spark, vp)
+          .getOrElse(spark.read.parquet(vp).schema)
         val ins =
           if (newFiles.isEmpty)
             spark.createDataFrame(

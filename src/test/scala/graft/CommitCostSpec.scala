@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.pipeline.MaterializedJoin
+
+/** Pins the CONSTANT cost of one incremental-view maintenance cycle in
+  * Spark jobs — the regression guard VERDICT r7 asked for after the
+  * q81/q119/q139 lifecycle family drifted +38–51% in the round that
+  * touched the commit protocol (commit-time stamps, DV read probes,
+  * bucket manifests). A job here is a driver round-trip whose count is
+  * DETERMINISTIC for a fixed call sequence — unlike wall clock, it cannot
+  * drift with host load — so creep in the protocol (an extra schema
+  * probe, an emptiness pre-pass, a footer re-inference) shows up as an
+  * exact integer before it shows up on any benchmark.
+  *
+  * Round-8 baseline for one two-feed refresh (dim overwrite + fact
+  * append applied to an 8-bucket view): measured 23 jobs after the
+  * round's cuts (was ~30 before: per-read DV probes now served by the
+  * per-version ReadProbeCache, emptiness answered by prunedMerge's own
+  * touched-bucket collect, schema checks by the in-dir sidecar, dim read
+  * once per refresh). The bound leaves +2 headroom for legitimate plan
+  * evolution; anything past that is the constant-cost creep this spec
+  * exists to catch.
+  */
+class CommitCostSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(s.stageInfos.headOption.map { si =>
+          si.details.split("\n").find(_.contains("graft."))
+            .getOrElse(si.details.split("\n").headOption.getOrElse("?"))
+            .trim
+        }.getOrElse("?"))
+        ()
+      }
+    }
+    // setup's last job events can still be in flight on the async bus —
+    // let it go quiet before registering, or they count against the body
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the listener bus is async (and its drain API is private) — wait
+      // until the counter is quiet for a couple of polls
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    if (jobs.get() > 0) {
+      import scala.jdk.CollectionConverters._
+      info(s"jobs: ${sites.asScala.mkString(" | ")}")
+    }
+    jobs.get()
+  }
+
+  test("one two-feed MaterializedJoin refresh stays within its job budget") {
+    val root = tmpDir("graft-commit-cost")
+    val cat = new Catalog(spark, s"$root/wh")
+    cat.overwriteSnapshot(
+      (1L to 40L).map(i => (i, i % 7, i * 1.0)).toDF("oid", "cust", "amt"),
+      "silver", "fact")
+    cat.overwriteSnapshot(
+      (0L to 6L).map(i => (i, s"c$i")).toDF("c_id", "c_name"),
+      "silver", "dim")
+    val mj = new MaterializedJoin(spark,
+      cat.path("silver", "fact"), Seq("oid"), "cust",
+      cat.path("silver", "dim"), "c_id", Seq("c_name"),
+      s"$root/view", nBuckets = 8)
+    mj.build()
+    // one commit on each source: a fact append + a dim overwrite carrying
+    // an update — the q119 steady-state cycle
+    Catalog.appendPath(spark,
+      (41L to 48L).map(i => (i, i % 7, i * 1.0)).toDF("oid", "cust", "amt"),
+      cat.path("silver", "fact"))
+    cat.overwriteSnapshot(
+      (0L to 6L).map(i => (i, if (i == 3) "VIP" else s"c$i"))
+        .toDF("c_id", "c_name"),
+      "silver", "dim")
+    val n = countJobs { mj.refresh(); () }
+    assert(n <= 25, s"two-feed refresh cost $n jobs (budget 25) — " +
+      "constant per-commit cost crept back into the maintenance cycle")
+    // and the refresh actually converged (this spec must never pass by
+    // doing less work)
+    val expect = cat.read("silver", "fact")
+      .join(cat.read("silver", "dim"),
+        col("cust") === col("c_id"), "left_outer")
+      .select(col("oid"), col("cust"), col("amt"), col("c_name"))
+    assert(rowsOf(mj.read(), "oid") == rowsOf(expect, "oid"))
+  }
+
+  test("an in-sync refresh (no changes on either feed) is FS-only: 0 jobs") {
+    val root = tmpDir("graft-commit-idle")
+    val cat = new Catalog(spark, s"$root/wh")
+    cat.overwriteSnapshot(
+      (1L to 10L).map(i => (i, i % 3, i * 1.0)).toDF("oid", "cust", "amt"),
+      "silver", "fact")
+    cat.overwriteSnapshot(
+      (0L to 2L).map(i => (i, s"c$i")).toDF("c_id", "c_name"),
+      "silver", "dim")
+    val mj = new MaterializedJoin(spark,
+      cat.path("silver", "fact"), Seq("oid"), "cust",
+      cat.path("silver", "dim"), "c_id", Seq("c_name"),
+      s"$root/view", nBuckets = 4)
+    mj.build()
+    val n = countJobs { assert(mj.refresh() == ((Nil, Nil))) }
+    assert(n == 0, s"an idle refresh ran $n Spark jobs — the no-change " +
+      "poll must be answerable from cursors and pointers alone")
+  }
+}

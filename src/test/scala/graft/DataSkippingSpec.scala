@@ -337,4 +337,48 @@ class DataSkippingSpec extends SparkSuite {
       BloomAgg.mightContain(bits, s"absent$i", m, k))
     assert(fp < 60, s"false-positive rate too high: $fp/2000")
   }
+
+  test("distributed manifest resolution (threshold 0) prunes exactly " +
+      "like the driver path and the switch shows in DESCRIBE DETAIL") {
+    val dir = tmpDir("skip-dist") + "/t"
+    writeRangeLayout(dir)
+    DataSkipping.analyze(spark, dir, Seq("id"), bloomCols = Seq("key"))
+    val preds = Seq(Range("id", Some(100L), Some(220L)))
+    val (keptDriver, totalDriver) =
+      DataSkipping.prunedFiles(spark, dir, preds)
+    try {
+      // force every manifest over the threshold: resolution runs as a
+      // Spark job over the TSV (the Delta large-checkpoint path)
+      spark.conf.set("graft.skipping.distributedThresholdBytes", "0")
+      val (keptJob, totalJob) = DataSkipping.prunedFiles(spark, dir, preds)
+      assert(totalJob == totalDriver)
+      assert(keptJob.sorted == keptDriver.sorted,
+        "distributed resolution disagreed with the driver parse")
+      // pruned == unpruned-filtered THROUGH the job path
+      val pruned = DataSkipping.read(spark, dir, preds)
+      assert(pruned.inputFiles.length == keptJob.size)
+      val full = spark.read.parquet(dir)
+        .where(col("id") >= 100L && col("id") <= 220L)
+      assert(rowsOf(pruned, "id") == rowsOf(full, "id"))
+      // bloom predicates take the job path too (the stat payload the
+      // driver never parses in this mode)
+      val eq = DataSkipping.read(spark, dir, Seq(EqVal("key", "k150")))
+      assert(rowsOf(eq, "id") ==
+        rowsOf(spark.read.parquet(dir).where(col("key") === "k150"), "id"))
+      // threshold switch is observable: DESCRIBE DETAIL reports the mode
+      val cat = new graft.catalog.Catalog(spark, tmpDir("skip-dist-wh"))
+      cat.create(spark.range(100L).toDF("id"), "silver", "skipdist")
+      cat.register("silver", "skipdist")
+      cat.analyzeSkipping("silver", "skipdist", Seq("id"))
+      try {
+        assert(graft.sql.GraftSql.sql(spark, "DESCRIBE DETAIL silver.skipdist")
+          .collect().head.getAs[String]("skipping_resolution")
+          == "distributed")
+        spark.conf.unset("graft.skipping.distributedThresholdBytes")
+        assert(graft.sql.GraftSql.sql(spark, "DESCRIBE DETAIL silver.skipdist")
+          .collect().head.getAs[String]("skipping_resolution") == "driver")
+      } finally spark.sql("DROP TABLE IF EXISTS silver.skipdist")
+    } finally
+      spark.conf.unset("graft.skipping.distributedThresholdBytes")
+  }
 }
