@@ -145,9 +145,18 @@ object DataSkipping {
 
   /** One stats pass over `df` (which must read files under `dir`):
     * manifest lines, one per (file, column). */
-  private def collectLines(spark: SparkSession, df: DataFrame, dir: String,
+  /** Manifest lines for `df`'s data files — RENDERED IN EXECUTORS (each
+    * stats row maps to its TSV lines inside the job), so the driver never
+    * holds a materialized stat/bloom payload for the whole table. The
+    * caller consumes via `toLocalIterator`, which materializes one
+    * PARTITION at a time on the driver — the write-side twin of the
+    * distributed prune path (VERDICT r7 #3): at 10⁶ files × columns ×
+    * bloom blobs, a plain collect() is the Delta checkpoint-WRITE
+    * problem. Peak driver memory is the largest stats partition; raise
+    * `spark.sql.shuffle.partitions` to shrink it further. */
+  private def statLines(spark: SparkSession, df: DataFrame, dir: String,
       cols: Seq[String], bloomCols: Seq[String], numBits: Int,
-      numHashes: Int): Array[String] = {
+      numHashes: Int): org.apache.spark.sql.Dataset[String] = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val all = (cols ++ bloomCols).distinct
     all.foreach(c => require(byName.contains(c), s"no such column: $c"))
@@ -163,9 +172,9 @@ object DataSkipping {
     val stats = df
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
-      .collect() // one row per data file — driver-side metadata by design
 
     val qualified = qualifiedDir(spark, dir)
+    val bloomSet = bloomCols.toSet
     stats.flatMap { r =>
       val rel = relativize(r.getAs[String]("__file"), qualified)
       val nRows = r.getAs[Long]("__rows")
@@ -177,26 +186,35 @@ object DataSkipping {
           .map(v => b64(render(tag, v, ceil = true))).getOrElse("-")
         val nNulls = nRows - r.getAs[Long](s"__cnt_$c")
         val bloom =
-          if (!bloomCols.contains(c)) "-"
+          if (!bloomSet.contains(c)) "-"
           else Option(r.getAs[Array[Byte]](s"__bloom_$c"))
             .map(Base64.getEncoder.encodeToString).getOrElse("-")
         Seq(b64(rel), nRows, c, tag, mn, mx, nNulls, bloom).mkString("\t")
       }
-    }
+    }(org.apache.spark.sql.Encoders.STRING)
   }
 
+  /** Stream `lines` into the manifest (tmp + rename); returns the line
+    * count. Iterator-shaped on purpose — callers feed it
+    * `statLines(...).toLocalIterator` so the whole payload never sits on
+    * the driver at once. */
   private def writeManifest(spark: SparkSession, dir: String,
-      numBits: Int, numHashes: Int, lines: Seq[String]): Unit = {
+      numBits: Int, numHashes: Int, lines: Iterator[String]): Long = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = manifestPath(dir)
     val tmp = new Path(dst.getParent, "stats.tsv.tmp")
     f.mkdirs(dst.getParent)
     val out = f.create(tmp, true)
-    try out.write((s"#graft-skipping\t1\t$numBits\t$numHashes\n" +
-      lines.mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
+    var n = 0L
+    try {
+      out.write(s"#graft-skipping\t1\t$numBits\t$numHashes".getBytes("UTF-8"))
+      lines.foreach { l =>
+        out.write('\n'); out.write(l.getBytes("UTF-8")); n += 1
+      }
+    } finally out.close()
     if (f.exists(dst)) f.delete(dst, false)
     require(f.rename(tmp, dst), s"stats manifest commit failed: $dst")
+    n
   }
 
   /** Carry the manifest into a STAGED snapshot keeping only `surviving`
@@ -234,10 +252,11 @@ object DataSkipping {
       numBits: Int = BloomAgg.DefaultBits,
       numHashes: Int = BloomAgg.DefaultHashes): Int = {
     require(cols.nonEmpty || bloomCols.nonEmpty, "no columns to analyze")
-    val lines = collectLines(spark, spark.read.parquet(dir), dir, cols,
-      bloomCols, numBits, numHashes)
-    writeManifest(spark, dir, numBits, numHashes, lines)
-    lines.length / (cols ++ bloomCols).distinct.size
+    import scala.jdk.CollectionConverters._
+    val n = writeManifest(spark, dir, numBits, numHashes,
+      statLines(spark, spark.read.parquet(dir), dir, cols,
+        bloomCols, numBits, numHashes).toLocalIterator().asScala)
+    (n / (cols ++ bloomCols).distinct.size).toInt
   }
 
   /** Incremental refresh: profile ONLY files the manifest does not cover,
@@ -257,13 +276,14 @@ object DataSkipping {
     val survivors = m.files.keySet.intersect(files.toSet)
     if (fresh.isEmpty && survivors.size == m.files.size) return 0
     val q = qualifiedDir(spark, dir)
-    val freshLines =
-      if (fresh.isEmpty) Array.empty[String]
-      else collectLines(spark,
+    import scala.jdk.CollectionConverters._
+    val freshLines: Iterator[String] =
+      if (fresh.isEmpty) Iterator.empty
+      else statLines(spark,
         spark.read.option("basePath", q).parquet(fresh.map(q + "/" + _): _*),
-        dir, statCols, bloomCols, bits, hashes)
+        dir, statCols, bloomCols, bits, hashes).toLocalIterator().asScala
     val keptLines = renderLines(m, survivors)
-    writeManifest(spark, dir, bits, hashes, keptLines ++ freshLines)
+    writeManifest(spark, dir, bits, hashes, keptLines.iterator ++ freshLines)
     fresh.size
   }
 
