@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
@@ -441,7 +442,54 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** q205: shot-boundary (scene-cut) detection — the video-preprocessing
+    * pass a multimodal training pipeline runs before keyframe sampling:
+    * consecutive frames' perceptual-hash distance spikes at a cut and
+    * stays near zero inside a shot. Each document is a video of eight
+    * frames in three shots (3/3/2): frames WITHIN a shot share their
+    * gradient group (fid DIV 4 = video·3 + shot) and differ only in the
+    * row-7 perturbation (id MOD 4 = frame-in-shot), so their dHash
+    * hamming is ≤ 7 BY CONSTRUCTION at any scale (the shot's 3 ids can
+    * never straddle a multiple of 1024, so the coarse shift term is
+    * constant within a shot); across a boundary the group changes and
+    * the ramps are unrelated. Every frame is a REAL PNG encode → ImageIO
+    * decode → dHash; the DuckDB oracle rebuilds the hashes arithmetically
+    * (the q190 pattern) and replays the same LAG window.
+    *
+    * Scale shape: decode is one map-only pass over distinct frames; the
+    * cut scan is a per-video LAG — one hash-partition exchange on video,
+    * no pair blowup at all (this is the cheap half of the video family;
+    * q190's inverted-index join is the expensive half). */
+  def sceneCuts(spark: SparkSession, dir: String, threshold: Int = 10)
+      : DataFrame = {
+    import spark.implicits._
+    val frames = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("video"))
+      .withColumn("f", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("shot",
+        when(col("f") < 3, 0L).when(col("f") < 6, 1L).otherwise(2L))
+      .withColumn("fid",
+        (col("video") * 3 + col("shot")) * 4 + (col("f") - col("shot") * 3))
+    val hashes = dhashAssets(
+      videoFramePngAssetsOfIds(
+        frames.select(col("fid")).distinct().as[Long]
+          .repartition(spark.sparkContext.defaultParallelism)))
+      .toDF().select(col("asset_id").as("fid"), col("dhash"))
+      .localCheckpoint()
+    val w = Window.partitionBy("video").orderBy("f")
+    frames.join(hashes, "fid")
+      .select(col("video"), col("f"), col("dhash"))
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("video"), col("f").as("frame_no"),
+        expr("CAST(bit_count(dhash ^ prev) AS BIGINT)").as("hamming"))
+      .withColumn("is_cut", (col("hamming") > threshold).cast("int"))
+      .orderBy("video", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_scene_cuts"    ->
+      ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "q168_image_dhash"   -> (dhashQuery _),
     "q169_image_neardup" ->
       ((s: SparkSession, d: String) => imageNearDupQuery(s, d)),
@@ -685,6 +733,39 @@ object Multimodal {
           SELECT d_id AS asset_id, MIN(r) AS cluster_id,
             CAST(d_id = MIN(r) AS INTEGER) AS is_kept
           FROM reach GROUP BY d_id ORDER BY asset_id""",
+    // q205: arithmetic dHash rebuild over the shot-structured frame ids,
+    // then the same per-video LAG window
+    "q205_scene_cuts" -> {
+      val frameIds =
+        """SELECT DISTINCT
+             (video * 3 + CASE WHEN f < 3 THEN 0 WHEN f < 6 THEN 1
+                          ELSE 2 END) * 4 +
+             (f - (CASE WHEN f < 3 THEN 0 WHEN f < 6 THEN 1 ELSE 2 END) * 3)
+               AS id
+           FROM (SELECT doc_id AS video FROM documents),
+                (SELECT unnest(range(0, 8)) AS f)"""
+      s"""WITH h AS (${dhashArithSqlOver(frameIds, video = true)}),
+          fr AS (
+            SELECT video, f,
+              (video * 3 + CASE WHEN f < 3 THEN 0 WHEN f < 6 THEN 1
+                           ELSE 2 END) * 4 +
+              (f - (CASE WHEN f < 3 THEN 0 WHEN f < 6 THEN 1 ELSE 2 END) * 3)
+                AS fid
+            FROM (SELECT doc_id AS video FROM documents),
+                 (SELECT unnest(range(0, 8)) AS f)),
+          j AS (
+            SELECT fr.video, fr.f, h.dhash
+            FROM fr JOIN h ON h.asset_id = fr.fid),
+          lagd AS (
+            SELECT video, f, dhash,
+              lag(dhash) OVER (PARTITION BY video ORDER BY f) AS prev
+            FROM j)
+          SELECT video, f AS frame_no,
+            CAST(bit_count(xor(dhash, prev)) AS BIGINT) AS hamming,
+            CAST(bit_count(xor(dhash, prev)) > 10 AS INTEGER) AS is_cut
+          FROM lagd WHERE prev IS NOT NULL
+          ORDER BY video, frame_no"""
+    },
     // q42: per-pixel arithmetic rebuild of the gradient image's 8-bin
     // luminance histogram (same shift family as dhashArithSqlOver; the
     // uniform-gray pixel's luminance is exactly its gray level)

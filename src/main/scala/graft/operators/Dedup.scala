@@ -660,7 +660,59 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q204: entity resolution (record linkage) — the Fellegi–Sunter
+    * pipeline shape every identity-joining corpus pass runs: BLOCK on a
+    * cheap key, score candidate pairs with an edit-distance gate, close
+    * matches transitively into entity clusters, keep one representative.
+    * The record table is built deterministically from `customer`: each
+    * entity contributes its canonical email and one dirty variant (a
+    * character dropped from the head of the local part — the tail, which
+    * feeds the blocking key, is untouched, so blocking recall on true
+    * pairs is 1.0 by construction and the trade is DOCUMENTED, not
+    * silent). The local part embeds the entity key twice (zero-padded in
+    * the name + raw as a suffix), which makes any two DISTINCT entities
+    * differ in ≥ 2 edits — so the Levenshtein ≤ 1 gate links exactly the
+    * planted variant pairs and the clusters are precisely {2k, 2k+1}.
+    * A blocking-key collision (entities sharing their last digits and
+    * domain) reaches the gate and is correctly rejected there.
+    *
+    * Scale shape: pair volume is Σ_block (records-in-block)² — the
+    * blocking key bounds candidates exactly like an LSH band key, and
+    * `levenshtein` is a codegen'd binary expression on the pruned pairs.
+    * Cluster closure is the shared pointer-doubled CC fold; at corpus
+    * scale the blocks (not the corpus) drive the shuffle. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), lower(col("c_name")).as("nm"))
+      .select(col("k"),
+        concat(col("nm"), lit("."), col("k"),
+          lit("@d"), pmod(col("k"), lit(50)), lit(".com")).as("email"))
+      .select(col("k"), col("email"))
+    val records = recs
+      .select((col("k") * 2).as("rid"), col("email"))
+      .unionByName(recs.select((col("k") * 2 + 1).as("rid"),
+        // drop one char from the 9-char "customer#" head: position
+        // 1 + (k % 8) — never touches the digits or the tail
+        concat(
+          expr("substring(email, 1, CAST(k % 8 AS INT))"),
+          expr("substring(email, CAST(k % 8 AS INT) + 2)")).as("email")))
+      .withColumn("block", expr("right(email, 10)"))
+    val edges = records.as("a")
+      .join(records.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.rid") < col("b.rid") &&
+          levenshtein(col("a.email"), col("b.email")) <= 1)
+      .select(col("a.rid").as("doc_a"), col("b.rid").as("doc_b"))
+    val labels0 = records.select(col("rid").as("doc_id"),
+      col("rid").as("cluster_id"))
+    connectedComponents(labels0, edges)
+      .select(col("doc_id").as("rid"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_rep"))
+      .orderBy("rid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_entity_resolution" -> (entityResolution _),
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q182_source_overlap" -> (sourceOverlap _),
     "q196_containment_dup" -> ((s: SparkSession, d: String) =>
@@ -720,6 +772,34 @@ object Dedup {
         ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q204: same deterministic record synthesis, same block + lev<=1 gate,
+    // same transitive closure (the q57 recursive-CTE pattern)
+    "q204_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+           SELECT c_custkey AS k,
+             lower(c_name) || '.' || c_custkey || '@d' ||
+               (c_custkey % 50) || '.com' AS email
+           FROM customer),
+         recs AS (
+           SELECT k * 2 AS rid, email FROM base
+           UNION ALL
+           SELECT k * 2 + 1 AS rid,
+             substring(email, 1, CAST(k % 8 AS INT)) ||
+               substring(email, CAST(k % 8 AS INT) + 2) AS email
+           FROM base),
+         b AS (SELECT rid, email, right(email, 10) AS block FROM recs),
+         e0 AS (
+           SELECT a.rid AS s, c.rid AS t FROM b a JOIN b c
+             ON a.block = c.block AND a.rid < c.rid
+             AND levenshtein(a.email, c.email) <= 1),
+         e AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+         reach(rid, r) AS (
+           SELECT rid, rid FROM b
+           UNION
+           SELECT reach.rid, e.t FROM reach JOIN e ON reach.r = e.s)
+         SELECT rid, MIN(r) AS cluster_id,
+           CAST(rid = MIN(r) AS INTEGER) AS is_rep
+         FROM reach GROUP BY rid ORDER BY rid""",
     // same synthesis, same >10-docs boilerplate threshold, same in-order
     // reassembly (string_agg ORDER BY pos = Spark's array_sort on pos)
     "q87_line_dedup" ->

@@ -220,4 +220,25 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.count(_.getAs[Int]("is_kept") == 1) ==
       label.values.toSet.size)
   }
+
+  test("q205 scene cuts: within-shot transitions never cut (hamming <= 7 " +
+      "by construction); shot boundaries dominate the cut set") {
+    val rows = Multimodal.sceneCuts(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // transitions at f=3 and f=6 cross shot boundaries; the rest are
+    // within-shot: same gradient group, row-7-only difference — the
+    // hamming bound is structural, not statistical
+    val (boundary, within) =
+      rows.partition(r => Set(3L, 6L)(r.getAs[Long]("frame_no")))
+    within.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 7L,
+        s"within-shot transition ${r} exceeded the row-7 bound")
+      assert(r.getAs[Int]("is_cut") == 0)
+    }
+    // boundary ramps are unrelated — a handful may land under the
+    // threshold by ramp coincidence, but the overwhelming majority cut
+    val cutRate = boundary.count(_.getAs[Int]("is_cut") == 1).toDouble /
+      boundary.length
+    assert(cutRate >= 0.9, f"boundary cut rate $cutRate%.2f < 0.9")
+  }
 }

@@ -68,4 +68,28 @@ class SearchDedupSpec extends SparkSuite {
       .collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
   }
+
+  test("q204 entity resolution: clusters are exactly the planted " +
+      "{canonical, variant} pairs — the lev gate rejects block collisions") {
+    val rows = graft.operators.Dedup.entityResolution(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0)
+    val label = rows.map(r =>
+      r.getAs[Long]("rid") -> r.getAs[Long]("cluster_id")).toMap
+    label.keys.foreach { rid =>
+      val partner = if (rid % 2 == 0) rid + 1 else rid - 1
+      // every record clusters with its planted partner...
+      assert(label(rid) == label(partner),
+        s"record $rid split from its planted variant $partner")
+      // ...and with NOTHING else: distinct entities differ in >= 2 edits
+      // (the entity key is embedded twice), so the cluster id is the
+      // even partner — over-merging would show a smaller foreign id here
+      assert(label(rid) == (rid / 2) * 2,
+        s"record $rid over-merged into cluster ${label(rid)}")
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Int]("is_rep") == 1) ==
+        (r.getAs[Long]("rid") == r.getAs[Long]("cluster_id")))
+    }
+  }
 }
