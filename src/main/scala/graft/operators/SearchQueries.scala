@@ -336,6 +336,46 @@ object SearchQueries {
       .orderBy("bin")
   }
 
+  /** q207: precision/recall threshold sweep — the curve read before
+    * picking a quality-gate cutoff (q176 audits calibration per bin;
+    * this audits the OPERATING POINTS). Scores from the q149 hashed
+    * classifier, ground truth the same labeled slice; for each of the
+    * ten score-decile thresholds: docs admitted at-or-above it, exact
+    * TP/FP/FN, and precision/recall in exact integer ppm. The decision
+    * this feeds — "which threshold throws away the least good data for
+    * a target purity" — is the single highest-leverage knob in a
+    * filtered-corpus build.
+    *
+    * Scale shape: one zero-shuffle scoring pass, one ten-group
+    * aggregate, and a ten-row reverse cumulative window — the sweep is
+    * O(bins) after the scan no matter the corpus size. */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val actual = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("actual"))
+    val perBin = hashedClassifier(spark, dir)
+      .select(col("doc_id"), col("score_ppm"))
+      .join(actual, "doc_id")
+      .withColumn("bin", expr("score_ppm * 10 DIV 600000001"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("actual")).as("pos"))
+    val totalPos = perBin.agg(sum(col("pos")).as("total_pos"))
+    // reverse-cumulative: everything in bins >= b is admitted at
+    // threshold b (ten rows — the window is O(bins) by construction)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("admitted", sum(col("n")).over(w))
+      .withColumn("tp", sum(col("pos")).over(w))
+      .crossJoin(broadcast(totalPos))
+      .select(col("bin"), col("admitted"), col("tp"),
+        (col("admitted") - col("tp")).as("fp"),
+        (col("total_pos") - col("tp")).as("fn"),
+        expr("1000000 * tp DIV admitted").as("precision_ppm"),
+        expr("1000000 * tp DIV greatest(1, total_pos)").as("recall_ppm"))
+      .orderBy("bin")
+  }
+
   /** Frequency-ranked vocabulary coverage curve — the tokenizer-budget
     * signal (the Zipf head): for each of the top `topK` corpus words, the
     * cumulative fraction of ALL token occurrences a vocabulary truncated
@@ -497,6 +537,8 @@ object SearchQueries {
       ((s: SparkSession, d: String) => hashedClassifier(s, d)),
     "q176_calibration" ->
       ((s: SparkSession, d: String) => calibrationCurve(s, d)),
+    "q207_pr_curve" ->
+      ((s: SparkSession, d: String) => prCurve(s, d)),
     "q151_vocab_coverage" ->
       ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q145_ngram_lm" -> ((s: SparkSession, d: String) => ngramLmScore(s, d)),
@@ -643,6 +685,36 @@ object SearchQueries {
             CAST(sum(actual) AS BIGINT) AS n_actual,
             CAST(sum(actual) * 1000000 // count(*) AS BIGINT) AS actual_ppm
           FROM j GROUP BY 1 ORDER BY bin""",
+    // q207: same scoring CTE, same decile bins, reverse-cumulative
+    // admitted/TP window — all integer DIV
+    "q207_pr_curve" ->
+      s"""$classifierCteSql,
+          j AS (
+            SELECT s.doc_id,
+              (1000000 * s.score_sum) // s.n_feats AS score_ppm,
+              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS actual
+            FROM s JOIN documents d ON s.doc_id = d.doc_id),
+          pb AS (
+            SELECT score_ppm * 10 // 600000001 AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(actual) AS BIGINT) AS pos
+            FROM j GROUP BY 1),
+          cum AS (
+            SELECT bin,
+              CAST(SUM(n) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS admitted,
+              CAST(SUM(pos) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS tp
+            FROM pb),
+          tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_pos FROM pb)
+          SELECT bin, admitted, tp,
+            admitted - tp AS fp,
+            total_pos - tp AS fn,
+            1000000 * tp // admitted AS precision_ppm,
+            1000000 * tp // greatest(1, total_pos) AS recall_ppm
+          FROM cum, tot ORDER BY bin""",
     // same (count desc, word asc) total order — unique words make the
     // LIMIT deterministic; cumulative sum and coverage are exact BIGINT
     "q151_vocab_coverage" ->

@@ -1016,7 +1016,55 @@ object TextQueries {
         expr("bpe_tokens * 1000000 DIV ws_tokens"))
       .orderBy("lang")
 
+  /** q206: iterative domain reweighting — the DoReMi-flavored loop
+    * (Xie et al. 2023's multiplicative-weights shape) that the static
+    * mixture tools (temperature q147, UniMax q172, caps q125) cannot
+    * express: each round moves every domain's weight a damped,
+    * difficulty-scaled step toward the target share, where the step
+    * interacts with the CURRENT mixture through the normalization — a
+    * genuine fixed-point iteration, not a closed form. Weights start at
+    * the empirical shares; "difficulty" is a bounded per-domain
+    * multiplier derived from mean document length (the stand-in for the
+    * per-domain excess-loss signal a reference model supplies in
+    * production). All integer ppb arithmetic, so the unrolled DuckDB
+    * oracle matches bit for bit; the w·d·(t−share) product peaks at
+    * ~7e18 < Long.MaxValue (no overflow on either engine).
+    *
+    * Scale shape: the corpus is touched ONCE (the groupBy); every round
+    * moves O(domains) rows against a broadcast single-row sum — the BT
+    * MM-loop posture (q179) applied to mixture design. */
+  def mixtureRebalance(spark: SparkSession, dir: String, rounds: Int = 3)
+      : DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("c"),
+        expr("sum(n_chars) DIV count(1)").as("mean_chars"))
+    val tot = base.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("n_dom"))
+    var w = base.crossJoin(broadcast(tot))
+      .select(col("source"), col("c"), col("mean_chars"),
+        expr("1000000000 * c DIV n_total").as("w"),
+        expr("1000000000 DIV n_dom").as("t"),
+        (lit(1L) + pmod(col("mean_chars"), lit(7L))).as("d"))
+    for (_ <- 1 to rounds) {
+      val s = w.agg(sum(col("w")).as("s_w"))
+      w = w.crossJoin(broadcast(s))
+        .withColumn("w",
+          expr("w + (w * d * (t - (1000000000 * w DIV s_w))) " +
+            "DIV 8000000000"))
+        .drop("s_w")
+    }
+    val sF = w.agg(sum(col("w")).as("s_w"))
+    w.crossJoin(broadcast(sF))
+      .select(col("source"), col("c").as("n_docs"), col("mean_chars"),
+        col("d").as("step_mult"), col("w").as("weight_raw"),
+        expr("1000000000 * w DIV s_w").as("share_ppb"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_mixture_rebalance" ->
+      ((s: SparkSession, d: String) => mixtureRebalance(s, d)),
     "q172_unimax" -> ((s: SparkSession, d: String) => unimaxMix(s, d)),
     "q173_cdc_chunks" -> (cdcChunks _),
     "q174_fertility" -> (fertility _),
@@ -1083,6 +1131,41 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q206: the three MW rounds unrolled as CTE stages (the q179 BT-MM
+    // oracle pattern); every step is integer ppb DIV on both engines
+    "q206_mixture_rebalance" ->
+      """WITH base AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_dom FROM base),
+         w0 AS (
+           SELECT source, c, mean_chars,
+             1000000000 * c // n_total AS w,
+             1000000000 // n_dom AS t,
+             1 + mean_chars % 7 AS d
+           FROM base, tot),
+         s0 AS (SELECT CAST(sum(w) AS BIGINT) AS s_w FROM w0),
+         w1 AS (
+           SELECT source, c, mean_chars, t, d,
+             w + (w * d * (t - (1000000000 * w // s_w))) // 8000000000 AS w
+           FROM w0, s0),
+         s1 AS (SELECT CAST(sum(w) AS BIGINT) AS s_w FROM w1),
+         w2 AS (
+           SELECT source, c, mean_chars, t, d,
+             w + (w * d * (t - (1000000000 * w // s_w))) // 8000000000 AS w
+           FROM w1, s1),
+         s2 AS (SELECT CAST(sum(w) AS BIGINT) AS s_w FROM w2),
+         w3 AS (
+           SELECT source, c, mean_chars, t, d,
+             w + (w * d * (t - (1000000000 * w // s_w))) // 8000000000 AS w
+           FROM w2, s2),
+         s3 AS (SELECT CAST(sum(w) AS BIGINT) AS s_w FROM w3)
+         SELECT source, c AS n_docs, mean_chars, d AS step_mult,
+           w AS weight_raw, 1000000000 * w // s_w AS share_ppb
+         FROM w3, s3 ORDER BY source""",
     // same per-(doc, block) seeded slot, same block slicing (both
     // engines clamp the final short block), same sentinel text — exact
     "q161_span_corrupt" ->

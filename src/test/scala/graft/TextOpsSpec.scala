@@ -246,4 +246,75 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(texts.indices.forall(i => viaSql(i.toLong) == got(i.toLong)))
   }
+
+  test("q206 mixture rebalance: distributed MW rounds equal the " +
+      "sequential integer fold, and shares move toward the target") {
+    val rows = TextQueries.mixtureRebalance(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // rebuild the same arithmetic sequentially from the per-domain stats
+    val base = rows.map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mean_chars"))
+    }
+    val nTotal = base.map(_._2).sum
+    val nDom = base.length
+    val t = 1000000000L / nDom
+    var w = base.map { case (_, c, mc) =>
+      (1000000000L * c / nTotal, 1L + mc % 7L)
+    }
+    for (_ <- 1 to 3) {
+      val sW = w.map(_._1).sum
+      w = w.map { case (wi, d) =>
+        (wi + (wi * d * (t - (1000000000L * wi / sW))) / 8000000000L, d)
+      }
+    }
+    val sF = w.map(_._1).sum
+    val expect = base.map(_._1).zip(w).map { case (src, (wi, _)) =>
+      src -> (wi, 1000000000L * wi / sF)
+    }.toMap
+    rows.foreach { r =>
+      val (wi, share) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("weight_raw") == wi,
+        s"weight diverged for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("share_ppb") == share)
+    }
+    // the sf0.001 fixture's sources are near-uniform (startDist ~ 0), so
+    // prove the loop does WORK on a deliberately skewed corpus: shares
+    // must move strictly toward the uniform target
+    val dir = tmpDir("mw-skew") + "/d"
+    (1L to 90L).map(i =>
+      (i, "t " * 20, "en", if (i <= 60) "big" else if (i <= 80) "mid"
+       else "small", 40L + i % 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val skew = TextQueries.mixtureRebalance(spark, dir).collect()
+    val tSkew = 1000000000L / skew.length
+    val startDist = Seq(60L, 20L, 10L).map(c =>
+      math.abs(1000000000L * c / 90L - tSkew)).sum
+    val endDist = skew.map(r =>
+      math.abs(r.getAs[Long]("share_ppb") - tSkew)).sum
+    assert(endDist < startDist,
+      s"rebalance did not move toward target: $startDist -> $endDist")
+  }
+
+  test("q207 PR curve: counting identities and monotone operating points") {
+    val rows = graft.operators.SearchQueries.prCurve(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.nonEmpty)
+    val totalPos = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("admitted") ==
+        r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == totalPos,
+        "tp+fn must be the fixed positive total at every threshold")
+    }
+    // lowering the threshold (smaller bin) admits more and never loses
+    // recall
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("admitted") >= hi.getAs[Long]("admitted"))
+        assert(lo.getAs[Long]("recall_ppm") >= hi.getAs[Long]("recall_ppm"))
+      case _ => ()
+    }
+  }
 }
