@@ -681,7 +681,12 @@ object Dedup {
     * `levenshtein` is a codegen'd binary expression on the pruned pairs.
     * Cluster closure is the shared pointer-doubled CC fold; at corpus
     * scale the blocks (not the corpus) drive the shuffle. */
-  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic record table + blocked/gated candidate edges —
+    * factored out so PlanQualitySpec can pin the EDGE plan (the cluster
+    * output rides a checkpointed frame whose executed plan no longer
+    * shows the join). */
+  private[graft] def entityRecordsAndEdges(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val recs = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("k"), lower(col("c_name")).as("nm"))
       .select(col("k"),
@@ -703,6 +708,11 @@ object Dedup {
           col("a.rid") < col("b.rid") &&
           levenshtein(col("a.email"), col("b.email")) <= 1)
       .select(col("a.rid").as("doc_a"), col("b.rid").as("doc_b"))
+    (records, edges)
+  }
+
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val (records, edges) = entityRecordsAndEdges(spark, dir)
     val labels0 = records.select(col("rid").as("doc_id"),
       col("rid").as("cluster_id"))
     connectedComponents(labels0, edges)

@@ -1062,7 +1062,51 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q208: data-constrained token budgeting — the water-filling
+    * allocation behind repetition-capped training plans (the public
+    * "data-constrained scaling" rule: repeating a domain beyond ~4
+    * epochs stops paying). A global budget of 2× the corpus's token
+    * supply is split across domains: each round every UNSATURATED
+    * domain receives an equal share of the remaining budget, clipped at
+    * its 4-epoch cap; saturated domains drop out and their slack
+    * redistributes to the rest — exactly the fixed point "small domains
+    * repeat to their cap, large domains absorb what's left" that a
+    * closed-form split gets wrong. Token supply is the n_chars DIV 4
+    * proxy; all arithmetic is exact BIGINT so the unrolled DuckDB
+    * oracle matches bit for bit.
+    *
+    * Scale shape: one corpus scan (the groupBy); each round is
+    * O(domains) rows against a broadcast single-row (remaining,
+    * n_active) aggregate — the q206/q179 iterative posture. */
+  def budgetWaterfill(spark: SparkSession, dir: String, rounds: Int = 3)
+      : DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(expr("sum(n_chars DIV 4)").as("supply"))
+    var st = base
+      .select(col("source"), col("supply"), (col("supply") * 4).as("cap"),
+        lit(0L).as("alloc"))
+    for (_ <- 1 to rounds) {
+      val totals = st.agg(
+        (sum(col("supply")) * 2 - sum(col("alloc"))).as("remaining"),
+        sum(when(col("alloc") < col("cap"), 1L).otherwise(0L))
+          .as("n_active"))
+      st = st.crossJoin(broadcast(totals))
+        .withColumn("alloc",
+          col("alloc") + when(col("alloc") < col("cap"),
+            least(col("cap") - col("alloc"),
+              expr("remaining DIV greatest(1, n_active)"))).otherwise(0L))
+        .drop("remaining", "n_active")
+    }
+    st.select(col("source"), col("supply"), col("cap"), col("alloc"),
+      expr("1000000 * alloc DIV greatest(1, supply)").as("epochs_ppm"),
+      (col("alloc") >= col("cap")).cast("int").as("saturated"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_budget_waterfill" ->
+      ((s: SparkSession, d: String) => budgetWaterfill(s, d)),
     "q206_mixture_rebalance" ->
       ((s: SparkSession, d: String) => mixtureRebalance(s, d)),
     "q172_unimax" -> ((s: SparkSession, d: String) => unimaxMix(s, d)),
@@ -1131,6 +1175,54 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q208: the three water-filling rounds unrolled; the budget constant
+    // (2x supply) recomputes inside each stage's scalar subquery
+    "q208_budget_waterfill" ->
+      """WITH base AS (
+           SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS supply
+           FROM documents GROUP BY source),
+         a0 AS (
+           SELECT source, supply, supply * 4 AS cap,
+             CAST(0 AS BIGINT) AS alloc
+           FROM base),
+         t1 AS (
+           SELECT (SELECT sum(supply) * 2 FROM base) - sum(alloc)
+               AS remaining,
+             sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS n_active
+           FROM a0),
+         a1 AS (
+           SELECT source, supply, cap,
+             alloc + CASE WHEN alloc < cap
+               THEN least(cap - alloc, remaining // greatest(1, n_active))
+               ELSE 0 END AS alloc
+           FROM a0, t1),
+         t2 AS (
+           SELECT (SELECT sum(supply) * 2 FROM base) - sum(alloc)
+               AS remaining,
+             sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS n_active
+           FROM a1),
+         a2 AS (
+           SELECT source, supply, cap,
+             alloc + CASE WHEN alloc < cap
+               THEN least(cap - alloc, remaining // greatest(1, n_active))
+               ELSE 0 END AS alloc
+           FROM a1, t2),
+         t3 AS (
+           SELECT (SELECT sum(supply) * 2 FROM base) - sum(alloc)
+               AS remaining,
+             sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS n_active
+           FROM a2),
+         a3 AS (
+           SELECT source, supply, cap,
+             alloc + CASE WHEN alloc < cap
+               THEN least(cap - alloc, remaining // greatest(1, n_active))
+               ELSE 0 END AS alloc
+           FROM a2, t3)
+         SELECT source, supply, cap, CAST(alloc AS BIGINT) AS alloc,
+           CAST(1000000 * alloc // greatest(1, supply) AS BIGINT)
+             AS epochs_ppm,
+           CAST(alloc >= cap AS INTEGER) AS saturated
+         FROM a3 ORDER BY source""",
     // q206: the three MW rounds unrolled as CTE stages (the q179 BT-MM
     // oracle pattern); every step is integer ppb DIV on both engines
     "q206_mixture_rebalance" ->

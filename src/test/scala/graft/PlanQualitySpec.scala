@@ -599,4 +599,18 @@ class PlanQualitySpec extends SparkSuite {
     assert(p196.contains("InMemoryTableScan"),
       s"q196: slim gram frames are recomputed, not cached:\n$p196")
   }
+
+  test("q204: entity-resolution pair space is the blocked equi-join, " +
+      "never all-pairs") {
+    val p = plan(graft.operators.Dedup
+      .entityRecordsAndEdges(spark, sf0001)._2)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q204: blocking fell to an all-pairs join:\n$p")
+    // the lev gate must ride the block equi-join as a post-condition,
+    // not force a nested-loop — any keyed join operator qualifies
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q204: block key is not driving a keyed join:\n$p")
+  }
 }

@@ -297,6 +297,44 @@ class TextOpsSpec extends SparkSuite {
       s"rebalance did not move toward target: $startDist -> $endDist")
   }
 
+  test("q208 water-filling: matches the sequential fold; caps respected; " +
+      "slack redistributes to unsaturated domains") {
+    val rows = TextQueries.budgetWaterfill(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val supply = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("supply")).toMap
+    // sequential replay of the same integer arithmetic
+    var alloc = supply.view.mapValues(_ => 0L).toMap
+    val cap = supply.view.mapValues(_ * 4).toMap
+    val budget = supply.values.sum * 2
+    for (_ <- 1 to 3) {
+      val remaining = budget - alloc.values.sum
+      val active = alloc.keys.filter(k => alloc(k) < cap(k)).toSeq
+      val share = remaining / math.max(1, active.size)
+      alloc = alloc.map { case (k, a) =>
+        k -> (if (a < cap(k)) a + math.min(cap(k) - a, share) else a)
+      }
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("alloc") == alloc(s),
+        s"allocation diverged from the sequential fold for $s")
+      assert(r.getAs[Long]("alloc") <= cap(s), s"cap violated for $s")
+      assert((r.getAs[Int]("saturated") == 1) ==
+        (r.getAs[Long]("alloc") >= cap(s)))
+    }
+    // the budget is binding: everything allocated stays within it, and
+    // unsaturated domains absorbed more than a flat equal split would
+    // have given them iff someone saturated
+    assert(rows.map(_.getAs[Long]("alloc")).sum <= budget)
+    if (rows.exists(_.getAs[Int]("saturated") == 1)) {
+      val flat = budget / rows.length
+      assert(rows.filter(_.getAs[Int]("saturated") == 0)
+        .forall(_.getAs[Long]("alloc") >= flat),
+        "saturated domains' slack must flow to the unsaturated ones")
+    }
+  }
+
   test("q207 PR curve: counting identities and monotone operating points") {
     val rows = graft.operators.SearchQueries.prCurve(spark, sf0001)
       .collect().sortBy(_.getAs[Long]("bin"))
