@@ -1104,7 +1104,37 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q209: sequence-length policy sweep — the pad/truncate waste table
+    * read before fixing a training max_len: for each candidate length,
+    * exactly how many tokens a pad-to-L policy burns as padding, how
+    * many a truncate-at-L policy destroys, and the resulting slot
+    * utilization in ppm. q59 packs greedily once a length is CHOSEN;
+    * this is the sweep that chooses it.
+    *
+    * Scale shape: one scan, a 4-way candidate explode (constant), one
+    * map-side-combinable groupBy — O(candidates) output rows. */
+  def paddingSweep(spark: SparkSession, dir: String,
+      lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(expr("n_chars DIV 4").as("tok"))
+      .withColumn("max_len",
+        explode(array(lengths.map(l => lit(l.toLong)): _*)))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(least(col("tok"), col("max_len"))).as("kept_tokens"),
+        sum(col("max_len") - least(col("tok"), col("max_len")))
+          .as("pad_tokens"),
+        sum(greatest(lit(0L), col("tok") - col("max_len")))
+          .as("trunc_tokens"))
+      .withColumn("util_ppm",
+        expr("1000000 * kept_tokens DIV (n_docs * max_len)"))
+      .orderBy("max_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_padding_sweep" ->
+      ((s: SparkSession, d: String) => paddingSweep(s, d)),
     "q208_budget_waterfill" ->
       ((s: SparkSession, d: String) => budgetWaterfill(s, d)),
     "q206_mixture_rebalance" ->
@@ -1175,6 +1205,24 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q209: same candidate explode, same least/greatest clamps — all
+    // exact BIGINT
+    "q209_padding_sweep" ->
+      """WITH t AS (
+           SELECT n_chars // 4 AS tok, max_len
+           FROM documents,
+             (SELECT unnest([128, 256, 512, 1024]) AS max_len))
+         SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(least(tok, max_len)) AS BIGINT) AS kept_tokens,
+           CAST(sum(max_len - least(tok, max_len)) AS BIGINT)
+             AS pad_tokens,
+           CAST(sum(greatest(0, tok - max_len)) AS BIGINT)
+             AS trunc_tokens,
+           CAST(1000000 * sum(least(tok, max_len)) //
+             (count(*) * max_len) AS BIGINT) AS util_ppm
+         FROM t GROUP BY max_len ORDER BY max_len""",
     // q208: the three water-filling rounds unrolled; the budget constant
     // (2x supply) recomputes inside each stage's scalar subquery
     "q208_budget_waterfill" ->
