@@ -375,6 +375,12 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .cache()
+    // materialize the cache BEFORE the loop: round 1's pointer-doubling
+    // self-join executes two subtrees concurrently, and a cold cache is
+    // raced — both sides compute the (possibly expensive) edge generation
+    // in full before either populates the blocks. One count() here turns
+    // that into a single materialization every later round reuses.
+    edges.count()
     var labels = snap(labels0)
     var changed = 1L
     while (changed > 0) {
@@ -702,6 +708,14 @@ object Dedup {
           expr("substring(email, 1, CAST(k % 8 AS INT))"),
           expr("substring(email, CAST(k % 8 AS INT) + 2)")).as("email")))
       .withColumn("block", expr("right(email, 10)"))
+      // the comparison step's parallelism comes from the PROBE side of
+      // the block join: customer parquet arrives in a handful of file
+      // splits, and a broadcast join would inherit that, funneling every
+      // in-block levenshtein onto those few cores. Spreading records
+      // across the session's partitions first keeps the gate fully
+      // parallel — the shuffle moves O(records), the gate costs
+      // O(Σ block²) string compares, so the trade is always right.
+      .repartition(spark.sparkContext.defaultParallelism, col("block"))
     val edges = records.as("a")
       .join(records.as("b"),
         col("a.block") === col("b.block") &&
