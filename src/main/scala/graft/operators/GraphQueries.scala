@@ -63,6 +63,12 @@ object GraphQueries {
     val edges = tradeEdges(spark, dir)
     val out = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     val ew = edges.join(out, Seq("src")).cache()
+    // materialize the cache up front: the round-1 plan references ew
+    // twice (join side + the initial rank frame's lineage) and a cold
+    // cache is raced by concurrent subtrees — and the final plan holds
+    // one ew reference PER iteration, so the cache must also still be
+    // alive when the result executes (see the checkpoint below).
+    ew.count()
     var ranks = ew.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000L))
     for (_ <- 1 to iters) {
@@ -72,10 +78,14 @@ object GraphQueries {
         .select(col("dst").as("node"),
           expr("150000000 + 85 * cs DIV 100").as("rank"))
     }
-    val res = ranks.select(col("node"), col("rank").as("rank_ppb"))
+    // eager O(nodes) checkpoint: pins the finished ranks so the edge
+    // cache can be dropped NOW — unpersisting before this ran meant the
+    // caller's action found every ew reference cold and recomputed the
+    // trade-edge build once per iteration
+    val fin = ranks.localCheckpoint()
+    ew.unpersist(blocking = false)
+    fin.select(col("node"), col("rank").as("rank_ppb"))
       .orderBy("node")
-    ew.unpersist()
-    res
   }
 
   /** Triangle counting + local clustering coefficient on the co-purchase
@@ -174,6 +184,11 @@ object GraphQueries {
     val e0 = supportEdges(spark, dir, minSupport)
     val sym = e0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+      .cache()
+    // eager: the support-pruned edge build (join + agg + filter) is
+    // referenced once per round plus once for the seed labels — cached
+    // cold it would be recomputed by every reference at action time
+    sym.count()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -185,7 +200,11 @@ object GraphQueries {
         .filter(col("rn") === 1)
         .select(col("a").as("node"), col("label"))
     }
-    labels
+    // pin the O(nodes) result eagerly so the edge cache can be released
+    // before the caller's action runs
+    val fin = labels.localCheckpoint()
+    sym.unpersist(blocking = false)
+    fin
       .withColumn("community_size", count(lit(1)).over(
         Window.partitionBy("label")))
       .select(col("node").as("part"), col("label"),
@@ -230,6 +249,10 @@ object GraphQueries {
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .agg(count(lit(1)).as("w"))
       .cache()
+    // eager: round 1's first snap references edges twice (join side +
+    // the seed hubs' lineage); a cold cache is raced, computing the
+    // edge aggregate twice concurrently
+    edges.count()
     var hubs = edges.select(col("cust")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
