@@ -499,6 +499,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q210: FUZZY benchmark decontamination — the near-duplicate
+    * complement to q71/q146's exact-gram overlap. Exact-gram rules miss
+    * light paraphrases of an eval item (re-tokenized, re-punctuated,
+    * few-word edits); the standard fix (GPT-3 appendix C, FineWeb) is
+    * MinHash similarity between train docs and the benchmark. Candidate
+    * generation reuses the q34 LSH machinery over SHINGLE sets (3-gram
+    * shingles discriminate where word sets saturate on a shared
+    * vocabulary), but joins TRAIN bands against BENCH bands instead of
+    * self-joining — the candidate volume is |train ∩ bucket| × |bench ∩
+    * bucket| per band bucket, bounded by the (small) benchmark side, not
+    * bucket-quadratic in the corpus. Survivors are verified with exact
+    * integer shingle-Jaccard (ppm) before flagging.
+    *
+    * Scale shape: signatures/bands are one map pass per doc; the
+    * band join's build side is the BENCHMARK's bands (eval suites are
+    * ~10⁵ items — always broadcastable in practice, gated through
+    * [[maybeBroadcast]] regardless); verification touches candidate
+    * pairs only. The benchmark membership rule (`doc_id % benchMod`)
+    * stands in for the eval-suite table a real pipeline would join. */
+  def fuzzyDecontam(spark: SparkSession, dir: String, benchMod: Int = 5,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    val nPart = spark.sparkContext.defaultParallelism
+    // one cached slim projection: distinct shingle set per doc (the
+    // 12 sig components, the verify arrays, and the bench split all
+    // read it), spread off the 1-partition fixture scan
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+      .repartition(nPart).cache()
+    val isBench = col("doc_id") % benchMod === 0
+    val bands = d.select(col("doc_id"),
+        explode(lshBandKeysOfSet(col("sh"))).as("band_key"))
+      .cache()
+    val nDocs = d.count() // cached; feeds the broadcast gate
+    val bench = bands.filter(isBench)
+      .select(col("band_key"), col("doc_id").as("bench_id"))
+    val train = bands.filter(!isBench)
+    val cand = train.join(maybeBroadcast(bench, nDocs), Seq("band_key"))
+      .select("doc_id", "bench_id").distinct()
+    // exact verification on candidates only: integer-ppm Jaccard over
+    // the cached shingle arrays, |A∪B| as |A|+|B|−|∩| (sets are distinct)
+    val sideA = d.select(col("doc_id"), col("sh").as("sh_a"))
+    val sideB = d.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    cand
+      .join(maybeBroadcast(sideA, nDocs), Seq("doc_id"))
+      .join(maybeBroadcast(sideB, nDocs), Seq("bench_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "1000000 * inter DIV (size(sh_a) + size(sh_b) - inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select("doc_id", "bench_id", "jaccard_ppm")
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Line-level dedup (CCNet / RefinedWeb-style boilerplate removal): a
     * line occurring in more than `maxDocs` distinct documents is
     * boilerplate (cookie banners, copyright footers, nav chrome) and is
@@ -736,6 +791,8 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_fuzzy_decontam" ->
+      ((s: SparkSession, d: String) => fuzzyDecontam(s, d)),
     "q204_entity_resolution" -> (entityResolution _),
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q182_source_overlap" -> (sourceOverlap _),
@@ -795,7 +852,40 @@ object Dedup {
         WHERE d.doc_id % 97 <> 0
         ORDER BY doc_id"""
 
+  private def sigShSql(i: Int) =
+    s"list_min(list_transform(sh, s -> md5('$i|' || s)))"
+
   val oracles: Map[String, String] = Map(
+    // q210: same shingle minhash (12 sigs, 4 bands of 3), same
+    // train-vs-bench band join, same integer-ppm Jaccard verification
+    "q210_fuzzy_decontam" -> {
+      val sigs = (0 until 12).map(sigShSql)
+      val bandKeys = (0 until 4).map(b =>
+        s"md5(concat_ws('|', '$b', ${sigs.slice(b * 3, b * 3 + 3).mkString(", ")})) AS band$b")
+        .mkString(", ")
+      s"""WITH sh0 AS (
+            SELECT doc_id, list_distinct($shinglesSql) AS sh FROM documents),
+          sigs AS (
+            SELECT doc_id, sh, $bandKeys FROM sh0),
+          ex AS (
+            SELECT doc_id, sh,
+              unnest([band0, band1, band2, band3]) AS band_key
+            FROM sigs),
+          cand AS (
+            SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id,
+                   t.sh AS sh_a, b.sh AS sh_b
+            FROM ex t JOIN ex b ON t.band_key = b.band_key
+            WHERE t.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+          v AS (
+            SELECT doc_id, bench_id,
+              CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS i,
+              CAST(len(sh_a) + len(sh_b) AS BIGINT) AS ab
+            FROM cand)
+          SELECT doc_id, bench_id,
+            CAST(1000000 * i // (ab - i) AS BIGINT) AS jaccard_ppm
+          FROM v WHERE 1000000 * i // (ab - i) >= 500000
+          ORDER BY doc_id, bench_id"""
+    },
     // q204: same deterministic record synthesis, same block + lev<=1 gate,
     // same transitive closure (the q57 recursive-CTE pattern)
     "q204_entity_resolution" ->

@@ -1132,7 +1132,145 @@ object TextQueries {
       .orderBy("max_len")
   }
 
+  /** q211: URL/domain blocklist filtering with PARENT-domain semantics —
+    * the UT1/adult-blocklist gate every web-corpus pipeline runs first
+    * (RefinedWeb §3.1, FineWeb): a host is blocked when the list names
+    * the host itself OR any parent domain. Suffix matching is a
+    * non-equi predicate, so the Spark-first lowering explodes each host
+    * into its (bounded-depth) suffix chain and equi-joins the list —
+    * candidate volume is docs × depth (≤4 here), never docs × rules.
+    * When several rules match, the MOST SPECIFIC (longest) wins — the
+    * standard precedence so an allow-over-ride can be layered later.
+    * Hosts are synthesized deterministically from (doc_id, source); the
+    * rule table is a bounded config literal, broadcast by construction.
+    *
+    * Scale shape: one scan, a constant-width explode, a broadcast
+    * equi-join against the rule table, one per-doc max-length argmax —
+    * no shuffle keyed on anything data-sized but doc_id. */
+  def domainBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = Seq(
+      "src3.example.com",      // blocks a whole source's domain
+      "src1.example.com",      // a parent rule the host rule overlaps…
+      "h7.src1.example.com",   // …so longest-rule precedence is REAL
+      "h11.src0.example.com",  // blocks one specific host
+      "badtld.net"             // matches nothing in the fixture
+    ).toDF("rule")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(lit("h"), col("doc_id") % 13, lit("."), col("source"),
+          lit(".example.com")).as("host"))
+    val suffixes = docs.select(col("doc_id"), col("host"),
+      explode(array(
+        col("host"),
+        concat(col("source"), lit(".example.com")),
+        lit("example.com"),
+        lit("com"))).as("suffix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(length(col("rule")).desc, col("rule").asc)
+    suffixes.join(broadcast(rules), col("suffix") === col("rule"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("host"), col("rule").as("blocked_by"))
+      .orderBy("doc_id")
+  }
+
+  /** q212: the curation funnel audit — the stage-by-stage retention
+    * table every corpus pipeline publishes: how many documents (and
+    * tokens) survive raw → exact-dedup → quality gate → language filter
+    * → decontamination, cumulatively. One scan computes every per-doc
+    * gate; a doc surviving through stage k contributes to stages 1..k
+    * via a constant-width `sequence` explode, so the whole funnel is a
+    * single map-side-combinable aggregation — not five scans.
+    *
+    * Gate definitions reuse the audited single-stage operators verbatim:
+    * exact dedup keeps the min doc_id per md5(text) (q32), quality is
+    * q29's composite ≥ 0.5, language keeps 'en' (the mixture target),
+    * decontamination drops docs sharing ≥ 2 distinct 3-gram shingles
+    * with the benchmark split (q71). Bench docs themselves are out of
+    * scope (they are not training candidates), matching q71's output
+    * domain.
+    *
+    * Scale shape: the dedup gate is a hash-keyed window (two-phase, no
+    * global sort); the contamination flag is q71's broadcast-gated gram
+    * join; everything else is per-row column arithmetic. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val isBench = col("doc_id") % 97 === 0
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(col("text")))).as("gram"))
+    val benchGrams = grams.filter(isBench).select("gram").distinct()
+    val overlap = grams.filter(!isBench)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val flagged = docs.filter(!isBench)
+      .withColumn("tok", tokenCountWs(col("text")))
+      .withColumn("is_first",
+        row_number().over(Window.partitionBy(md5(col("text")))
+          .orderBy("doc_id")) === 1)
+      .withColumn("quality_ok", qualityScore(col("text")) >= 0.5)
+      .withColumn("lang_ok", col("lang") === "en")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("clean", coalesce(col("n_overlap"), lit(0L)) < 2)
+    val surv = when(!col("is_first"), 1L)
+      .when(!col("quality_ok"), 2L)
+      .when(!col("lang_ok"), 3L)
+      .when(!col("clean"), 4L)
+      .otherwise(5L)
+    flagged.withColumn("stage", explode(sequence(lit(1L), surv)))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("stage_name", element_at(typedLit(Seq(
+        "raw", "exact_dedup", "quality", "language", "decontaminated")),
+        col("stage").cast("int")))
+      .select("stage", "stage_name", "n_docs", "n_tokens")
+      .orderBy("stage")
+  }
+
+  /** q213: dump-over-dump novelty — the crawl-freshness trend table a
+    * CommonCrawl-style pipeline reads before deciding whether another
+    * dump is worth processing (dumps are ~50% duplicate of their
+    * predecessors; the marginal-new-content curve decides the crawl
+    * budget). Documents are assigned to successive dumps
+    * deterministically (`doc_id % 4` stands in for the dump id a real
+    * corpus carries); a text hash is NEW in the first dump where it
+    * appears. Per dump: total docs, distinct hashes, new hashes, new
+    * tokens, and the novelty rate in ppm.
+    *
+    * Scale shape: one hash-keyed aggregate finds each hash's first dump
+    * and per-(dump, hash) sizes (two-phase, map-side combined), one
+    * per-dump rollup on top — no joins, no windows, O(dumps) output. */
+  def dumpNovelty(spark: SparkSession, dir: String, nDumps: Int = 4)
+      : DataFrame = {
+    val perHash = Tables.load(spark, dir, "documents")
+      .select((col("doc_id") % nDumps).as("dump"),
+        md5(col("text")).as("h"), tokenCountWs(col("text")).as("tok"))
+      .groupBy("dump", "h")
+      .agg(count(lit(1)).as("n_docs"), max(col("tok")).as("tok1"))
+    val firstDump = perHash.groupBy("h")
+      .agg(min(col("dump")).as("first_dump"))
+    perHash.join(firstDump, Seq("h"))
+      .groupBy("dump")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_hashes"),
+        sum(when(col("dump") === col("first_dump"), 1L).otherwise(0L))
+          .as("n_new_hashes"),
+        sum(when(col("dump") === col("first_dump"), col("tok1"))
+          .otherwise(0L)).as("new_tokens"))
+      .withColumn("novelty_ppm",
+        expr("1000000 * n_new_hashes DIV n_hashes"))
+      .orderBy("dump")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_domain_blocklist" ->
+      ((s: SparkSession, d: String) => domainBlocklist(s, d)),
+    "q212_curation_funnel" ->
+      ((s: SparkSession, d: String) => curationFunnel(s, d)),
+    "q213_dump_novelty" ->
+      ((s: SparkSession, d: String) => dumpNovelty(s, d)),
     "q209_padding_sweep" ->
       ((s: SparkSession, d: String) => paddingSweep(s, d)),
     "q208_budget_waterfill" ->
@@ -1204,7 +1342,92 @@ object TextQueries {
                i -> array_to_string(($wordsSql)[i:i+1], ' '))
         ELSE [trim(lower(text))] END"""
 
+  // 3-gram shingles, the TextFunctions.shingles3 mirror (same fallback)
+  private val grams3Sql =
+    s"""CASE WHEN len($wordsSql) >= 3
+        THEN list_transform(range(1, len($wordsSql) - 1),
+               i -> array_to_string(($wordsSql)[i:i+2], ' '))
+        ELSE [trim(lower(text))] END"""
+
   val oracles: Map[String, String] = Map(
+    // q211: same host synthesis, same bounded suffix explode, same
+    // longest-rule precedence
+    "q211_domain_blocklist" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             'h' || (doc_id % 13) || '.' || source || '.example.com'
+               AS host
+           FROM documents),
+         s AS (
+           SELECT doc_id, host,
+             unnest([host, source || '.example.com', 'example.com',
+               'com']) AS suffix
+           FROM d),
+         r AS (
+           SELECT unnest(['src3.example.com', 'src1.example.com',
+             'h7.src1.example.com', 'h11.src0.example.com',
+             'badtld.net']) AS rule),
+         m AS (
+           SELECT doc_id, host, rule,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY length(rule) DESC, rule ASC) AS rn
+           FROM s JOIN r ON suffix = rule)
+         SELECT doc_id, host, rule AS blocked_by
+         FROM m WHERE rn = 1 ORDER BY doc_id""",
+    // q212: the five gates replayed verbatim (q32 dedup window, q29
+    // quality, lang filter, q71 gram overlap), cumulative via the same
+    // 1..surv explode
+    "q212_curation_funnel" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(list_distinct($grams3Sql)) AS gram
+            FROM documents),
+          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          ov AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM g JOIN bench USING (gram)
+            WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+          f AS (
+            SELECT d.doc_id, len($wordsSql) AS tok,
+              row_number() OVER (PARTITION BY md5(text)
+                ORDER BY doc_id) = 1 AS is_first,
+              $qualitySql >= 0.5 AS quality_ok,
+              lang = 'en' AS lang_ok,
+              coalesce(ov.n_overlap, 0) < 2 AS clean
+            FROM documents d LEFT JOIN ov USING (doc_id)
+            WHERE d.doc_id % 97 <> 0),
+          st AS (
+            SELECT tok,
+              CASE WHEN NOT is_first THEN 1 WHEN NOT quality_ok THEN 2
+                WHEN NOT lang_ok THEN 3 WHEN NOT clean THEN 4
+                ELSE 5 END AS surv
+            FROM f),
+          e AS (SELECT tok, unnest(range(1, surv + 1)) AS stage FROM st)
+          SELECT CAST(stage AS BIGINT) AS stage,
+            ['raw', 'exact_dedup', 'quality', 'language',
+             'decontaminated'][stage] AS stage_name,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(tok) AS BIGINT) AS n_tokens
+          FROM e GROUP BY stage ORDER BY stage""",
+    // q213: same dump assignment, same first-dump rule, all BIGINT
+    "q213_dump_novelty" ->
+      s"""WITH ph AS (
+            SELECT doc_id % 4 AS dump, md5(text) AS h,
+              len($wordsSql) AS tok
+            FROM documents),
+          ag AS (
+            SELECT dump, h, count(*) AS n_docs, max(tok) AS tok1
+            FROM ph GROUP BY dump, h),
+          fd AS (SELECT h, min(dump) AS first_dump FROM ag GROUP BY h)
+          SELECT CAST(dump AS BIGINT) AS dump,
+            CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_hashes,
+            CAST(sum(CASE WHEN dump = first_dump THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new_hashes,
+            CAST(sum(CASE WHEN dump = first_dump THEN tok1 ELSE 0 END)
+              AS BIGINT) AS new_tokens,
+            CAST(1000000 * sum(CASE WHEN dump = first_dump THEN 1 ELSE 0
+              END) // count(*) AS BIGINT) AS novelty_ppm
+          FROM ag JOIN fd USING (h) GROUP BY dump ORDER BY dump""",
     // q209: same candidate explode, same least/greatest clamps — all
     // exact BIGINT
     "q209_padding_sweep" ->

@@ -600,6 +600,18 @@ class PlanQualitySpec extends SparkSuite {
       s"q196: slim gram frames are recomputed, not cached:\n$p196")
   }
 
+  test("q210: fuzzy-decontam candidates come from the band equi-join, " +
+      "never all-pairs") {
+    val p = plan(Dedup.fuzzyDecontam(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q210: candidate generation fell to an all-pairs join:\n$p")
+    assert(p.contains("band_key"),
+      s"q210: the LSH band key is not driving the join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"q210: the shingle/band frames are recomputed, not cached:\n$p")
+  }
+
   test("q204: entity-resolution pair space is the blocked equi-join, " +
       "never all-pairs") {
     val p = plan(graft.operators.Dedup

@@ -92,4 +92,28 @@ class SearchDedupSpec extends SparkSuite {
         (r.getAs[Long]("rid") == r.getAs[Long]("cluster_id")))
     }
   }
+
+  test("q210 fuzzy decontam: exact copies of bench docs are flagged, " +
+      "train-train and bench-bench duplicates are not") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val c = "one two three four five six seven eight"
+    val d = "red green blue cyan magenta yellow black white"
+    val docs = Seq(
+      (0L, a, "en", "s", a.length.toLong),   // bench (0 % 5 == 0)
+      (5L, a, "en", "s", a.length.toLong),   // bench copy of bench
+      (1L, a, "en", "s", a.length.toLong),   // train copy of bench -> flag
+      (2L, c, "en", "s", c.length.toLong),   // train, unrelated
+      (3L, d, "en", "s", d.length.toLong),   // train copy of train…
+      (4L, d, "en", "s", d.length.toLong))   // …no bench side -> no flag
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("fdec") + "/t"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.fuzzyDecontam(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("jaccard_ppm"))).toSet
+    // doc 1 hits BOTH bench copies at jaccard 1.0; nothing else collides
+    assert(got == Set((1L, 0L, 1000000L), (1L, 5L, 1000000L)),
+      s"unexpected flags: $got")
+  }
 }

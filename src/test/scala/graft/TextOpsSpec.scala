@@ -355,4 +355,59 @@ class TextOpsSpec extends SparkSuite {
       case _ => ()
     }
   }
+
+  test("q211 domain blocklist: parent rules match subdomains and the " +
+      "most specific rule wins") {
+    val docs = Seq(
+      (7L, "t", "en", "src1", 1L),   // h7.src1  -> host rule beats parent
+      (1L, "t", "en", "src1", 1L),   // h1.src1  -> parent rule
+      (3L, "t", "en", "src3", 1L),   // h3.src3  -> parent rule
+      (2L, "t", "en", "src2", 1L))   // h2.src2  -> unblocked
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("blk") + "/t"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.domainBlocklist(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("blocked_by"))
+      .toMap
+    assert(got == Map(
+      7L -> "h7.src1.example.com",   // longest match, not src1.example.com
+      1L -> "src1.example.com",
+      3L -> "src3.example.com"), s"got $got")
+  }
+
+  test("q212 curation funnel: stages are cumulative and each gate " +
+      "matches its single-stage operator") {
+    val rows = TextQueries.curationFunnel(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "exact_dedup", "quality", "language", "decontaminated"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"))
+        assert(a.getAs[Long]("n_tokens") >= b.getAs[Long]("n_tokens"))
+      case _ => ()
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") % 97 =!= 0).cache()
+    assert(rows(0).getAs[Long]("n_docs") == docs.count(),
+      "stage 1 must count every non-bench doc")
+    assert(rows(1).getAs[Long]("n_docs") ==
+      docs.select(md5(col("text"))).distinct().count(),
+      "the dedup stage must keep one doc per distinct text")
+    docs.unpersist()
+  }
+
+  test("q213 dump novelty: dump 0 is all-new and new-hash counts " +
+      "partition the distinct corpus") {
+    val rows = TextQueries.dumpNovelty(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("dump"))
+    assert(rows.length == 4)
+    assert(rows(0).getAs[Long]("novelty_ppm") == 1000000L,
+      "every hash in the first dump is new by definition")
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_new_hashes")).sum ==
+      docs.select(md5(col("text"))).distinct().count(),
+      "each distinct hash is new in exactly one dump")
+  }
 }
