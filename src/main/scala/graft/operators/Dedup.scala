@@ -554,6 +554,73 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** q214: dedup threshold sweep — the knob-choosing table read before
+    * fixing a near-dup Jaccard cutoff (the q209 idea applied to q37's
+    * threshold): for each candidate cutoff, exactly how many candidate
+    * pairs clear it and how many documents get linked into SOME dup
+    * relation. The trade is explicit: too low links unrelated docs
+    * (over-removal), too high leaves duplicates in (contamination of the
+    * token count). Pair similarities are computed ONCE over q37's
+    * inverted-index candidates (integer ppm, exact); the sweep is a
+    * constant-width explode over that small pair fact.
+    *
+    * Scale shape: identical to q37 up to the pair fact (set-similarity
+    * join, candidates bounded by shared-shingle buckets); the sweep adds
+    * O(pairs × thresholds) rows and two map-side-combinable aggregates —
+    * O(thresholds) output. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+      thresholdsPpm: Seq[Long] =
+        Seq(200000L, 400000L, 600000L, 800000L)): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ex = d.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast("long").as("len_bucket"),
+      explode(array_distinct(shingles3(col("text")))).as("s"))
+    val inter = ex
+      .select(col("s"), col("lang"), col("len_bucket"),
+        col("doc_id").as("doc_a"))
+      .join(ex.select(col("s"), col("lang"), col("len_bucket"),
+        col("doc_id").as("doc_b")).hint("SHUFFLE_HASH"),
+        Seq("s", "lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id"),
+      size(array_distinct(shingles3(col("text")))).cast("long").as("n_sh"))
+    // the pair fact is tiny next to the candidate expansion — cache it;
+    // both sweep aggregates and all four thresholds read it
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("1000000 * inter DIV (n_a + n_b - inter)").as("j_ppm"))
+      .filter(col("j_ppm") >= thresholdsPpm.min)
+      .cache()
+    val swept = pairs
+      .withColumn("threshold_ppm",
+        explode(array(thresholdsPpm.map(lit): _*)))
+      .filter(col("j_ppm") >= col("threshold_ppm"))
+    val nPairs = swept.groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nLinked = swept
+      .select(col("threshold_ppm"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_ppm")
+      .agg(countDistinct(col("d")).as("n_docs_linked"))
+    // left-join from the full threshold list so empty cutoffs still
+    // report a zero row instead of vanishing
+    spark.range(1).select(
+        explode(array(thresholdsPpm.map(lit): _*)).as("threshold_ppm"))
+      .join(nPairs, Seq("threshold_ppm"), "left")
+      .join(nLinked, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"))
+      .orderBy("threshold_ppm")
+  }
+
   /** Line-level dedup (CCNet / RefinedWeb-style boilerplate removal): a
     * line occurring in more than `maxDocs` distinct documents is
     * boilerplate (cookie banners, copyright footers, nav chrome) and is
@@ -793,6 +860,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_fuzzy_decontam" ->
       ((s: SparkSession, d: String) => fuzzyDecontam(s, d)),
+    "q214_threshold_sweep" ->
+      ((s: SparkSession, d: String) => dedupThresholdSweep(s, d)),
     "q204_entity_resolution" -> (entityResolution _),
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q182_source_overlap" -> (sourceOverlap _),
@@ -886,6 +955,50 @@ object Dedup {
           FROM v WHERE 1000000 * i // (ab - i) >= 500000
           ORDER BY doc_id, bench_id"""
     },
+    // q214: same inverted-index pair fact (shared shingle + lang +
+    // len_bucket), same integer-ppm jaccard, same 4-cutoff sweep with
+    // zero-filled empty cutoffs
+    "q214_threshold_sweep" ->
+      s"""WITH dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS lb,
+              list_distinct($shinglesSql) AS sh
+            FROM documents),
+          ex AS (
+            SELECT doc_id, lang, lb, unnest(sh) AS s FROM dd),
+          i AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM ex a JOIN ex b
+              ON a.s = b.s AND a.lang = b.lang AND a.lb = b.lb
+              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          p AS (
+            SELECT doc_a, doc_b,
+              1000000 * inter //
+                (len(sa.sh) + len(sb.sh) - inter) AS j_ppm
+            FROM i
+            JOIN dd sa ON sa.doc_id = doc_a
+            JOIN dd sb ON sb.doc_id = doc_b
+            WHERE 1000000 * inter //
+              (len(sa.sh) + len(sb.sh) - inter) >= 200000),
+          t AS (SELECT unnest([200000, 400000, 600000, 800000])
+                  AS threshold_ppm),
+          sw AS (
+            SELECT threshold_ppm, doc_a, doc_b FROM p JOIN t
+              ON j_ppm >= threshold_ppm),
+          np AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM sw GROUP BY 1),
+          nl AS (
+            SELECT threshold_ppm,
+              CAST(count(DISTINCT d) AS BIGINT) AS n_docs_linked
+            FROM (SELECT threshold_ppm, unnest([doc_a, doc_b]) AS d
+                  FROM sw) GROUP BY 1)
+          SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+            coalesce(np.n_pairs, 0) AS n_pairs,
+            coalesce(nl.n_docs_linked, 0) AS n_docs_linked
+          FROM t LEFT JOIN np USING (threshold_ppm)
+          LEFT JOIN nl USING (threshold_ppm)
+          ORDER BY threshold_ppm""",
     // q204: same deterministic record synthesis, same block + lev<=1 gate,
     // same transitive closure (the q57 recursive-CTE pattern)
     "q204_entity_resolution" ->

@@ -116,4 +116,25 @@ class SearchDedupSpec extends SparkSuite {
     assert(got == Set((1L, 0L, 1000000L), (1L, 5L, 1000000L)),
       s"unexpected flags: $got")
   }
+
+  test("q214 threshold sweep: raising the cutoff never admits more " +
+      "pairs, and linked docs are bounded by pair endpoints") {
+    val rows = Dedup.dedupThresholdSweep(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("threshold_ppm"))
+    assert(rows.length == 4)
+    assert(rows.head.getAs[Long]("n_pairs") > 0,
+      "the fixture's planted near-dups must clear the lowest cutoff")
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+        assert(lo.getAs[Long]("n_docs_linked") >=
+          hi.getAs[Long]("n_docs_linked"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val (p, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_linked"))
+      assert(d <= 2 * p, "linked docs cannot exceed pair endpoints")
+      assert(p == 0 || d >= 2, "any pair links at least two docs")
+    }
+  }
 }
