@@ -972,7 +972,54 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** q216: dominant principal direction of the embedding covariance by
+    * fixed-round power iteration — the spectral step after q202's
+    * covariance: the top eigenvector is what whitening / all-but-the-top
+    * post-processing (Mu & Viswanath 2018) removes, and its components
+    * localize which dimensions carry the corpus's anisotropy.
+    *
+    * Integer recipe (the q143/q183 posture): the iterate starts at the
+    * all-ones ppm vector; each round is u = C·v (one equi-join on the
+    * dimension key + one aggregate over the O(d²) covariance frame,
+    * never over the corpus) followed by max-normalization. The
+    * normalization DIVIDES by `mx DIV 1e6` instead of multiplying u by
+    * 1e6 — same ppm scale, but no product ever exceeds |u| itself, so
+    * the arithmetic cannot overflow for ANY covariance magnitude (the
+    * q179/q185 lesson, solved structurally instead of documented).
+    * Round count is a fixed constant: plan depth is data-independent,
+    * and the result is the power-iteration ITERATE — an audited,
+    * reproducible diagnostic, not a convergence claim.
+    *
+    * Scale shape: q202 reduces the corpus to d² integer moments; every
+    * round moves O(d²) rows; the driver sees nothing but the loop
+    * counter. The covariance frame is cached eagerly and released after
+    * the O(d) final iterate is checkpointed (the graph-loop lesson). */
+  def dominantDirection(spark: SparkSession, dir: String, rounds: Int = 2)
+      : DataFrame = {
+    val cu = embedCovariance(spark, dir)
+      .select(col("i"), col("j"), col("cov_m2"))
+    val full = cu.unionByName(cu.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_m2")))
+      .cache()
+    full.count() // eager: one materialization, referenced every round
+    var v = full.select(col("i").as("dim")).distinct()
+      .withColumn("vv", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val u = full.join(v, full("j") === v("dim"))
+        .groupBy(full("i")).agg(sum(col("cov_m2") * col("vv")).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i").as("dim"),
+          expr("u DIV greatest(1L, mx DIV 1000000L)").as("vv"))
+    }
+    val fin = v.localCheckpoint() // pin O(d) result, then free the matrix
+    full.unpersist(blocking = false)
+    fin.select(col("dim"), col("vv").as("v_ppm")).orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_dominant_direction" ->
+      ((s: SparkSession, d: String) => dominantDirection(s, d)),
     "q202_embed_covariance" ->
       ((s: SparkSession, d: String) => embedCovariance(s, d)),
     "q135_ann_ivfadc"    -> ((s: SparkSession, d: String) => ivfAdc(s, d)),
@@ -1012,6 +1059,48 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q216: q202's covariance CTE mirrored to the full matrix, two
+    // power-iteration rounds unrolled, same overflow-free normalization
+    "q216_dominant_direction" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, unnest(range(1, len(q) + 1)) AS i, q FROM q),
+         vv AS (SELECT vec_id, i, q[i] AS x FROM e),
+         cu AS (
+           SELECT a.i AS i, b.i AS j,
+             CAST((CAST(count(*) AS BIGINT) *
+                 CAST(sum(a.x * b.x) AS BIGINT)
+               - CAST(sum(a.x) AS BIGINT) * CAST(sum(b.x) AS BIGINT))
+               // (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT))
+               AS BIGINT) AS c
+           FROM vv a JOIN vv b ON a.vec_id = b.vec_id AND b.i >= a.i
+           GROUP BY a.i, b.i),
+         cf AS (
+           SELECT i, j, c FROM cu
+           UNION ALL
+           SELECT j, i, c FROM cu WHERE i <> j),
+         v0 AS (
+           SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
+           FROM cf),
+         u1 AS (
+           SELECT cf.i AS dim, CAST(sum(c * v) AS BIGINT) AS u
+           FROM cf JOIN v0 ON cf.j = v0.dim GROUP BY cf.i),
+         m1 AS (SELECT CAST(max(abs(u)) AS BIGINT) AS mx FROM u1),
+         v1 AS (
+           SELECT dim, u // greatest(1, mx // 1000000) AS v
+           FROM u1, m1),
+         u2 AS (
+           SELECT cf.i AS dim, CAST(sum(c * v) AS BIGINT) AS u
+           FROM cf JOIN v1 ON cf.j = v1.dim GROUP BY cf.i),
+         m2 AS (SELECT CAST(max(abs(u)) AS BIGINT) AS mx FROM u2),
+         v2 AS (
+           SELECT dim, u // greatest(1, mx // 1000000) AS v
+           FROM u2, m2)
+         SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm
+         FROM v2 ORDER BY dim""",
     // same milli-quantization, same integer moments; the pair expansion
     // is a positional self-join (DuckDB has no nested-transform index)
     "q202_embed_covariance" ->

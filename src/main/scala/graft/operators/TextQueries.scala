@@ -1264,7 +1264,42 @@ object TextQueries {
       .orderBy("dump")
   }
 
+  /** q215: exact proportional eval-split allocation by the largest-
+    * remainder (Hare quota) method — the "make the held-out set
+    * representative" step: given an eval budget of exactly ⌊N/denom⌋
+    * documents, each language cell gets ⌊E·n_cell/N⌋ seats plus at most
+    * one of the leftover seats, awarded by largest fractional remainder
+    * (lang ascending on ties). Unlike q58's per-cell FRACTION sampling,
+    * the total here is EXACT — Σ alloc = E always, the invariant an
+    * eval-harness contract actually needs.
+    *
+    * Scale shape: one groupBy(lang) count (map-side combined), then all
+    * arithmetic on O(languages) rows — the single-partition remainder
+    * window is over cells, not data (the q172 UniMax precedent). */
+  def quotaSplit(spark: SparkSession, dir: String, denom: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("n_total"))
+    val based = cells.crossJoin(broadcast(tot))
+      .withColumn("e_total", expr(s"n_total DIV $denom"))
+      .withColumn("base", expr("e_total * n_docs DIV n_total"))
+      .withColumn("rem", expr("(e_total * n_docs) % n_total"))
+    val spare = based.agg(
+      (first(col("e_total")) - sum(col("base"))).as("r_slots"))
+    based.crossJoin(broadcast(spare))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("extra", (col("rk") <= col("r_slots")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_quota_split" ->
+      ((s: SparkSession, d: String) => quotaSplit(s, d)),
     "q211_domain_blocklist" ->
       ((s: SparkSession, d: String) => domainBlocklist(s, d)),
     "q212_curation_funnel" ->
@@ -1350,6 +1385,29 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q215: same Hare-quota arithmetic, same largest-remainder ranking
+    "q215_quota_split" ->
+      """WITH c AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+         b AS (
+           SELECT lang, n_docs,
+             (n_total // 10) * n_docs // n_total AS base,
+             ((n_total // 10) * n_docs) % n_total AS rem,
+             n_total // 10 AS e_total
+           FROM c, t),
+         s AS (SELECT any_value(e_total) - sum(base) AS r_slots FROM b),
+         r AS (
+           SELECT lang, n_docs, base, rem,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+           FROM b)
+         SELECT lang, n_docs, CAST(base AS BIGINT) AS base,
+           CAST(CASE WHEN rk <= r_slots THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rk <= r_slots THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc
+         FROM r, s ORDER BY lang""",
     // q211: same host synthesis, same bounded suffix explode, same
     // longest-rule precedence
     "q211_domain_blocklist" ->

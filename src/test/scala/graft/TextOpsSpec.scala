@@ -397,6 +397,19 @@ class TextOpsSpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("q215 quota split: allocations sum EXACTLY to the eval budget " +
+      "and each cell gets at most one spare seat") {
+    val rows = TextQueries.quotaSplit(spark, sf0001).collect()
+    val total = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == total / 10,
+      "largest-remainder allocation must hit the budget exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("n_docs"),
+        "a cell cannot be allocated more docs than it has")
+    }
+  }
+
   test("q213 dump novelty: dump 0 is all-new and new-hash counts " +
       "partition the distinct corpus") {
     val rows = TextQueries.dumpNovelty(spark, sf0001).collect()
