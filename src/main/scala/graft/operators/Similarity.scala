@@ -996,12 +996,16 @@ object Similarity {
     * the O(d) final iterate is checkpointed (the graph-loop lesson). */
   def dominantDirection(spark: SparkSession, dir: String, rounds: Int = 2)
       : DataFrame = {
+    // cache the UPPER triangle, not the mirrored union: the union
+    // references the covariance subtree twice, and caching only the
+    // union would still run the O(rows·d²) moment expansion once per
+    // union side before the cache populates (the CC-fold race)
     val cu = embedCovariance(spark, dir)
       .select(col("i"), col("j"), col("cov_m2"))
-    val full = cu.unionByName(cu.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov_m2")))
       .cache()
-    full.count() // eager: one materialization, referenced every round
+    cu.count() // eager: one materialization of the moment expansion
+    val full = cu.unionByName(cu.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov_m2")))
     var v = full.select(col("i").as("dim")).distinct()
       .withColumn("vv", lit(1000000L))
     for (_ <- 1 to rounds) {
@@ -1013,7 +1017,7 @@ object Similarity {
           expr("u DIV greatest(1L, mx DIV 1000000L)").as("vv"))
     }
     val fin = v.localCheckpoint() // pin O(d) result, then free the matrix
-    full.unpersist(blocking = false)
+    cu.unpersist(blocking = false)
     fin.select(col("dim"), col("vv").as("v_ppm")).orderBy("dim")
   }
 
