@@ -487,7 +487,56 @@ object Multimodal {
       .orderBy("video", "frame_no")
   }
 
+  final case class ResizedBlock(asset_id: Long, bx: Long, by: Long,
+      lum: Long)
+
+  /** q217: image RESIZE — the multimodal transform the feature/hash
+    * queries skip: a 2× box-filter downscale (exact area average over
+    * aligned 2×2 blocks of the REAL ImageIO-decoded raster), emitting
+    * one luminance per output pixel. Integral-factor box filtering is
+    * exactly what `SCALE_AREA_AVERAGING` computes; doing the average
+    * explicitly over the decoded pixels keeps it integer-exact, so the
+    * DuckDB oracle rebuilds every output value arithmetically from the
+    * gradient synthesis — the decode→resize path is hash-compared end
+    * to end (the q75/q168 recipe).
+    *
+    * Scale shape: one mapPartitions decode pass over the (pre-spread)
+    * asset ids — the q42 batch shape — with 16 output rows per asset
+    * and no shuffle before the final presentation sort. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticGradientPngAssets(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.flatMap { a =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.media))
+            catch { case _: Exception => null }
+          if (img == null) Seq.empty[ResizedBlock]
+          else (0 until 4).flatMap { by =>
+            (0 until 4).map { bx =>
+              var s = 0L
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  s += (img.getRGB(bx * 2 + dx, by * 2 + dy) & 0xFF)
+                  dx += 1
+                }
+                dy += 1
+              }
+              ResizedBlock(a.asset_id, bx.toLong, by.toLong, s / 4)
+            }
+          }
+        })
+      }
+      .toDF()
+      .orderBy("asset_id", "by", "bx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_image_resize"  ->
+      ((s: SparkSession, d: String) => resizeQuery(s, d)),
     "q205_scene_cuts"    ->
       ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "q168_image_dhash"   -> (dhashQuery _),
@@ -620,6 +669,24 @@ object Multimodal {
     dhashArithSqlOver("SELECT doc_id AS id FROM documents")
 
   val oracles: Map[String, String] = Map(
+    // q217: every resized pixel rebuilt arithmetically from the
+    // gradient synthesis (same shift formula as the dHash oracles) —
+    // 2×2 integer area average, truncating DIV on both engines
+    "q217_image_resize" ->
+      """WITH px AS (
+           SELECT doc_id AS asset_id, x, y,
+             (x * 73 + CASE WHEN y < 7
+                THEN (doc_id // 4 * (2 * y + 3) * 41) % 256
+                ELSE (doc_id // 4 * 97 + (doc_id % 4) * 8) % 256
+              END) % 256 AS g
+           FROM documents,
+             (SELECT unnest(range(0, 8)) AS x),
+             (SELECT unnest(range(0, 8)) AS y))
+         SELECT asset_id, CAST(x // 2 AS BIGINT) AS bx,
+           CAST(y // 2 AS BIGINT) AS by,
+           CAST(sum(g) // 4 AS BIGINT) AS lum
+         FROM px GROUP BY asset_id, x // 2, y // 2
+         ORDER BY asset_id, by, bx""",
     // q168: real PNG decode + dHash vs the arithmetic rebuild
     "q168_image_dhash" ->
       s"""WITH h AS ($dhashArithSql)

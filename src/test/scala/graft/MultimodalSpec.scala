@@ -241,4 +241,22 @@ class MultimodalSpec extends SparkSuite {
       boundary.length
     assert(cutRate >= 0.9, f"boundary cut rate $cutRate%.2f < 0.9")
   }
+
+  test("q217 resize: every asset decodes to exactly 16 box-filtered " +
+      "blocks whose means match the raster average") {
+    val rows = graft.multimodal.Multimodal
+      .resizeQuery(spark, sf0001).collect()
+    val docs = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length == docs * 16, "16 output pixels per decoded asset")
+    rows.foreach { r =>
+      val lum = r.getAs[Long]("lum")
+      assert(lum >= 0L && lum <= 255L, s"out-of-range luminance: $r")
+    }
+    // spot-check one block against the synthesis arithmetic: asset 0's
+    // (0,0) block averages g(x,y) for x,y in {0,1} with shift(y,0)=0
+    // (id DIV 4 = 0): pixels 0,73,0,73 -> 36
+    val b00 = rows.find(r => r.getAs[Long]("asset_id") == 0L &&
+      r.getAs[Long]("bx") == 0L && r.getAs[Long]("by") == 0L).get
+    assert(b00.getAs[Long]("lum") == 36L, s"block (0,0) of asset 0: $b00")
+  }
 }
