@@ -764,6 +764,38 @@ object TextQueries {
         expr("1000000 DIV n").as("risk_ppm"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** q218: l-diversity audit (Machanavajjhala et al. 2007) — q157's
+    * k-anonymity counts how many records share a quasi-identifier
+    * cell; this measures whether the SENSITIVE attribute inside each
+    * cell is diverse enough to resist homogeneity attacks: a cell where
+    * everyone shares one language leaks the language even at k=100.
+    * Per (source, len_bucket) cell: size, distinct sensitive values
+    * (lang), the dominant value's share in ppm, and the distinct-l
+    * gate. One two-level aggregate (cell×lang counts, then an argmax
+    * window keyed by cell — cardinality ~ cells, no skew funnel).
+    * Exactly the audit a privacy-gated corpus release runs after q76's
+    * redaction and q157's suppression. */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 2)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), expr("n_chars DIV 500").as("len_bucket"),
+        col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val w = Window.partitionBy("source", "len_bucket")
+    cells
+      .withColumn("n", sum(col("n_lang")).over(w))
+      .withColumn("n_distinct", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("n_lang").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("len_bucket"), col("n"),
+        col("n_distinct"),
+        expr("1000000 * n_lang DIV n").as("dominant_ppm"),
+        (col("n_distinct") < l).cast("int").as("homogeneous"))
+      .orderBy("source", "len_bucket")
+  }
+
   /** Inverse-cloze positive-pair mining (Lee et al. 2019, "Latent
     * Retrieval for Weakly Supervised Open Domain Question Answering"
     * §3.ted as ICT): from each document, one line becomes the pseudo-query
@@ -1300,6 +1332,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_quota_split" ->
       ((s: SparkSession, d: String) => quotaSplit(s, d)),
+    "q218_l_diversity" ->
+      ((s: SparkSession, d: String) => lDiversity(s, d)),
     "q211_domain_blocklist" ->
       ((s: SparkSession, d: String) => domainBlocklist(s, d)),
     "q212_curation_funnel" ->
@@ -1385,6 +1419,27 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q218: same two-level aggregate, same argmax tiebreak
+    "q218_l_diversity" ->
+      """WITH c AS (
+           SELECT source, n_chars // 500 AS len_bucket, lang,
+             CAST(count(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY 1, 2, 3),
+         t AS (
+           SELECT source, len_bucket, lang, n_lang,
+             CAST(sum(n_lang) OVER (PARTITION BY source, len_bucket)
+               AS BIGINT) AS n,
+             CAST(count(*) OVER (PARTITION BY source, len_bucket)
+               AS BIGINT) AS n_distinct,
+             row_number() OVER (PARTITION BY source, len_bucket
+               ORDER BY n_lang DESC, lang ASC) AS rk
+           FROM c)
+         SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket, n,
+           n_distinct,
+           CAST(1000000 * n_lang // n AS BIGINT) AS dominant_ppm,
+           CAST(CASE WHEN n_distinct < 2 THEN 1 ELSE 0 END AS INTEGER)
+             AS homogeneous
+         FROM t WHERE rk = 1 ORDER BY source, len_bucket""",
     // q215: same Hare-quota arithmetic, same largest-remainder ranking
     "q215_quota_split" ->
       """WITH c AS (

@@ -410,6 +410,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q218 l-diversity: homogeneous cells are flagged and the " +
+      "dominant share is exact") {
+    // cell A (src "a", bucket 0): 3 en + 1 de -> diverse, dominant 750000
+    // cell B (src "b", bucket 0): 2 en only  -> homogeneous
+    val docs = Seq(
+      (1L, "t", "en", "a", 10L), (2L, "t", "en", "a", 10L),
+      (3L, "t", "en", "a", 10L), (4L, "t", "de", "a", 10L),
+      (5L, "t", "en", "b", 10L), (6L, "t", "en", "b", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("ldiv") + "/t"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.lDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("dominant_ppm"), r.getAs[Int]("homogeneous"))))
+      .toMap
+    assert(got("a") == ((4L, 2L, 750000L, 0)), s"cell a: ${got("a")}")
+    assert(got("b") == ((2L, 1L, 1000000L, 1)), s"cell b: ${got("b")}")
+  }
+
   test("q213 dump novelty: dump 0 is all-new and new-hash counts " +
       "partition the distinct corpus") {
     val rows = TextQueries.dumpNovelty(spark, sf0001).collect()
