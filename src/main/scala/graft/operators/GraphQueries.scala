@@ -284,7 +284,57 @@ object GraphQueries {
       .orderBy("role", "node")
   }
 
+  /** q219: bounded-hop BFS distance from a seed set — the fourth classic
+    * graph pass next to flow (q143), endorsement (q183), and communities
+    * (q175): "how many links from a trusted seed" is the quality-
+    * propagation signal crawl frontiers and TrustRank-style source
+    * scoring run on. Seeds are every supplier node with suppkey % 10 = 0;
+    * distance is min-plus label propagation capped at `maxHops` rounds —
+    * the CC fold's recipe (each round one equi-join + min-aggregate over
+    * O(nodes) labels against the cached edge frame, localCheckpoint per
+    * round), with the cap making plan depth data-independent. Unreached
+    * nodes report dist = -1.
+    *
+    * Scale shape: identical to pagerank's per-round cost; the edge
+    * frame is cached once (eager), the O(nodes) result checkpointed
+    * before release. On a cluster the edge table buckets by src so every
+    * round's join is co-located — the PartitionedMerge layout contract. */
+  def seedDistance(spark: SparkSession, dir: String, maxHops: Int = 3)
+      : DataFrame = {
+    val edges = tradeEdges(spark, dir).select("src", "dst").cache()
+    edges.count() // eager: referenced once per round + the node seed
+    val Unreached = 999L
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("dist",
+        when(col("node").startsWith("S") &&
+          substring(col("node"), 2, 10).cast("long") % 10 === 0, 0L)
+          .otherwise(Unreached))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val hopped = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"),
+          when(col("dist") < Unreached, col("dist") + 1)
+            .otherwise(Unreached).as("dist"))
+      val next = labels.unionByName(hopped)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      labels.queryExecution.logical.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      labels = next
+    }
+    edges.unpersist(blocking = false) // labels already materialized
+    labels.select(col("node"),
+        when(col("dist") === Unreached, lit(-1L))
+          .otherwise(col("dist")).as("dist"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_seed_distance" ->
+      ((s: SparkSession, d: String) => seedDistance(s, d)),
     "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q183_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q167_triangle_count" ->
@@ -293,6 +343,28 @@ object GraphQueries {
       ((s: SparkSession, d: String) => labelPropagation(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // q219: same symmetrized edges, same seed rule; the capped min-plus
+    // rounds are a depth-bounded recursive BFS with a MIN rollup
+    "q219_seed_distance" ->
+      """WITH RECURSIVE p AS (
+           SELECT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         e AS (SELECT c AS src, s AS dst FROM p
+               UNION ALL SELECT s, c FROM p),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, d) AS (
+           SELECT node, 0 FROM n
+           WHERE node LIKE 'S%'
+             AND CAST(substring(node, 2) AS BIGINT) % 10 = 0
+           UNION
+           SELECT e.src, reach.d + 1
+           FROM reach JOIN e ON e.dst = reach.node
+           WHERE reach.d < 3)
+         SELECT n.node AS node,
+           CAST(coalesce(MIN(reach.d), -1) AS BIGINT) AS dist
+         FROM n LEFT JOIN reach ON n.node = reach.node
+         GROUP BY n.node ORDER BY n.node""",
     // identical integer-ppb updates, same symmetrized edge build — the
     // three unrolled iteration CTEs are the Spark loop verbatim
     "q143_pagerank" ->

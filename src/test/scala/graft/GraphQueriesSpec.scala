@@ -200,4 +200,23 @@ class GraphQueriesSpec extends SparkSuite {
     assert(byScore.forall(_.getAs[Long]("picked") == 1L))
     out.unpersist()
   }
+
+  test("q219 seed distance: BFS propagates hop by hop, respects the " +
+      "cap, and reports unreachable components") {
+    import spark.implicits._
+    // path S10(seed)—C1—S11—C2—S13 plus a disconnected C3—S25:
+    // dist(S10)=0, C1=1, S11=2, C2=3; S13 needs 4 hops -> capped to -1;
+    // the C3/S25 component is unreachable entirely
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 2L), (103L, 2L),
+      (104L, 3L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 10L), (101L, 11L), (102L, 11L),
+      (103L, 13L), (104L, 25L)).toDF("l_orderkey", "l_suppkey")
+    val dir = tmpDir("bfs") + "/t"
+    orders.write.parquet(s"$dir/orders.parquet")
+    lineitem.write.parquet(s"$dir/lineitem.parquet")
+    val got = GraphQueries.seedDistance(spark, dir).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map("S10" -> 0L, "C1" -> 1L, "S11" -> 2L, "C2" -> 3L,
+      "S13" -> -1L, "C3" -> -1L, "S25" -> -1L), s"got $got")
+  }
 }
