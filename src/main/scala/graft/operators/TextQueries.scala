@@ -1329,7 +1329,37 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q220: rendezvous (highest-random-weight) shard assignment and the
+    * reshard-movement audit — q122's mod-hash sharding moves ~half the
+    * corpus when the shard count changes; rendezvous hashing (Thaler &
+    * Ravishankar 1998, the scheme behind consistent cache/shard routers)
+    * moves EXACTLY the docs whose new-shard weight wins: expected 1/(N+1)
+    * of the corpus, and every moved doc lands on the NEW shard — a
+    * structural invariant the spec pins. Weights are md5 strings over
+    * (doc_id, shard) so both engines order them identically; the argmax
+    * is an array_max over a constant-width struct array (per-row column
+    * arithmetic, no explode, no shuffle before the presentation sort).
+    *
+    * Scale shape: one scan, O(N) work per row with N = shard count —
+    * the routing-table computation a 100 TB reshard plans with before
+    * moving a single byte. */
+  def rendezvousReshard(spark: SparkSession, dir: String, nOld: Int = 8)
+      : DataFrame = {
+    def shardOf(n: Int): Column =
+      array_max(array((0 until n).map(s => struct(
+        md5(concat(col("doc_id").cast("string"), lit(s"#rv#$s"))).as("w"),
+        lit(s.toLong).as("s"))): _*)).getField("s")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shardOf(nOld).as("shard_old"),
+        shardOf(nOld + 1).as("shard_new"))
+      .withColumn("moved",
+        (col("shard_old") =!= col("shard_new")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_rendezvous_reshard" ->
+      ((s: SparkSession, d: String) => rendezvousReshard(s, d)),
     "q215_quota_split" ->
       ((s: SparkSession, d: String) => quotaSplit(s, d)),
     "q218_l_diversity" ->
@@ -1419,6 +1449,29 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q220: same md5 weights, same lexicographic argmax (rank by weight
+    // desc with the shard id tiebreak — md5 ties cannot occur but the
+    // order is total either way)
+    "q220_rendezvous_reshard" ->
+      """WITH w AS (
+           SELECT doc_id, s, md5(doc_id || '#rv#' || s) AS w
+           FROM documents, (SELECT unnest(range(0, 9)) AS s)),
+         a8 AS (
+           SELECT doc_id, s AS shard_old,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY w DESC, s DESC) AS rn
+           FROM w WHERE s < 8),
+         a9 AS (
+           SELECT doc_id, s AS shard_new,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY w DESC, s DESC) AS rn
+           FROM w)
+         SELECT doc_id, CAST(shard_old AS BIGINT) AS shard_old,
+           CAST(shard_new AS BIGINT) AS shard_new,
+           CAST(shard_old <> shard_new AS INTEGER) AS moved
+         FROM a8 JOIN a9 USING (doc_id)
+         WHERE a8.rn = 1 AND a9.rn = 1
+         ORDER BY doc_id""",
     // q218: same two-level aggregate, same argmax tiebreak
     "q218_l_diversity" ->
       """WITH c AS (

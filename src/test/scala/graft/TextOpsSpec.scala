@@ -410,6 +410,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q220 rendezvous reshard: every moved doc lands on the NEW " +
+      "shard and movement is near the 1/(N+1) minimum") {
+    val rows = TextQueries.rendezvousReshard(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (o, n, m) = (r.getAs[Long]("shard_old"),
+        r.getAs[Long]("shard_new"), r.getAs[Int]("moved"))
+      assert((m == 1) == (o != n))
+      // the minimal-movement property: a doc only moves when the ADDED
+      // shard (id 8) wins its rendezvous — never shard-to-shard churn
+      if (m == 1) assert(n == 8L, s"doc churned between old shards: $r")
+      assert(o >= 0 && o < 8 && n >= 0 && n <= 8)
+    }
+    // expected moved ≈ docs/9 (11.1%); generous ±4σ binomial band
+    val moved = rows.count(_.getAs[Int]("moved") == 1)
+    val exp = rows.length / 9.0
+    val sd = math.sqrt(rows.length * (1.0 / 9) * (8.0 / 9))
+    assert(math.abs(moved - exp) <= 4 * sd,
+      s"movement rate far from the 1/(N+1) minimum: $moved of ${rows.length}")
+  }
+
   test("q218 l-diversity: homogeneous cells are flagged and the " +
       "dominant share is exact") {
     // cell A (src "a", bucket 0): 3 en + 1 de -> diverse, dominant 750000
