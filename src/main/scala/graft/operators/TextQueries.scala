@@ -1357,7 +1357,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q221: equi-depth length histogram — the order-statistic sibling of
+    * q91's fixed-width bins and the stats table skew-aware planning
+    * reads (equi-depth boundaries are what a CBO keeps, what q59's
+    * packing uses to size length-stratified batches, and what a range
+    * partitioner samples for): B buckets holding ~N/B documents each,
+    * heavy length values allowed to overfill their bucket (real
+    * equi-depth semantics under ties). A value's bucket is
+    * B·cum_before DIV N over the cumulative count STRICTLY before it —
+    * exact integers, no percentile estimation.
+    *
+    * Scale shape: one groupBy(value) aggregate reduces the corpus to
+    * its distinct lengths; the cumulative window is single-partition
+    * but runs over DISTINCT VALUES — bounded by the max document
+    * length, O(distinct) « O(corpus) even at 100 TB (the q34 vocab
+    * window precedent; a near-unique-valued column would instead go
+    * through repartitionByRange sampling). */
+  def equidepthLengths(spark: SparkSession, dir: String, buckets: Int = 8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.load(spark, dir, "documents")
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum(col("c")).as("n_total"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vc.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", least(lit(buckets - 1L),
+        expr(s"$buckets * cum_before DIV n_total")))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_docs"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_equidepth_hist" ->
+      ((s: SparkSession, d: String) => equidepthLengths(s, d)),
     "q220_rendezvous_reshard" ->
       ((s: SparkSession, d: String) => rendezvousReshard(s, d)),
     "q215_quota_split" ->
@@ -1449,6 +1486,23 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q221: same distinct-value cumulative window, same strict-before
+    // bucket rule
+    "q221_equidepth_hist" ->
+      """WITH vc AS (
+           SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY n_chars),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vc),
+         cb AS (
+           SELECT v, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM vc)
+         SELECT least(7, 8 * cum_before // n_total) AS bucket,
+           CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+           CAST(sum(c) AS BIGINT) AS n_docs
+         FROM cb, t GROUP BY 1 ORDER BY bucket""",
     // q220: same md5 weights, same lexicographic argmax (rank by weight
     // desc with the shard id tiebreak — md5 ties cannot occur but the
     // order is total either way)

@@ -410,6 +410,30 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q221 equi-depth histogram: buckets tile the value range in " +
+      "order and hold balanced counts up to tie overflow") {
+    val rows = TextQueries.equidepthLengths(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.nonEmpty && rows.length <= 8)
+    // contiguous, ordered, non-overlapping ranges
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+          "bucket ranges must not overlap")
+      case _ => ()
+    }
+    // counts are conserved and every bucket id is in range; balance
+    // itself is NOT pinned — a tie straddling a boundary legitimately
+    // over/under-fills neighbors (the fixture-dependence trap)
+    assert(n == graft.Tables.load(spark, sf0001, "documents").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 7)
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+    }
+  }
+
   test("q220 rendezvous reshard: every moved doc lands on the NEW " +
       "shard and movement is near the 1/(N+1) minimum") {
     val rows = TextQueries.rendezvousReshard(spark, sf0001).collect()
