@@ -554,6 +554,21 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** q222: dup-cluster size distribution — the dedup REPORT table every
+    * dedup paper and pipeline dashboard publishes (how much of the
+    * corpus sits in clusters of 2, of 3, …): per cluster size, how many
+    * clusters and how many documents, from q57's connected components.
+    * Size 1 = unique docs; Σ n_docs = corpus. Two stacked hash-keyed
+    * aggregates over the O(docs) label frame — the CC fold dominates,
+    * the report is free. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** q214: dedup threshold sweep — the knob-choosing table read before
     * fixing a near-dup Jaccard cutoff (the q209 idea applied to q37's
     * threshold): for each candidate cutoff, exactly how many candidate
@@ -862,6 +877,8 @@ object Dedup {
       ((s: SparkSession, d: String) => fuzzyDecontam(s, d)),
     "q214_threshold_sweep" ->
       ((s: SparkSession, d: String) => dedupThresholdSweep(s, d)),
+    "q222_cluster_sizes" ->
+      ((s: SparkSession, d: String) => clusterSizeHistogram(s, d)),
     "q204_entity_resolution" -> (entityResolution _),
     "q87_line_dedup"     -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q182_source_overlap" -> (sourceOverlap _),
@@ -999,6 +1016,33 @@ object Dedup {
           FROM t LEFT JOIN np USING (threshold_ppm)
           LEFT JOIN nl USING (threshold_ppm)
           ORDER BY threshold_ppm""",
+    // q222: q57's recursive components + two stacked aggregates
+    "q222_cluster_sizes" ->
+      s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s),
+          lab AS (
+            SELECT d_id, MIN(r) AS cluster_id FROM reach GROUP BY d_id),
+          cs AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM lab GROUP BY cluster_id)
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
     // q204: same deterministic record synthesis, same block + lev<=1 gate,
     // same transitive closure (the q57 recursive-CTE pattern)
     "q204_entity_resolution" ->

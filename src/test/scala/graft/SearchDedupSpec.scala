@@ -117,6 +117,21 @@ class SearchDedupSpec extends SparkSuite {
       s"unexpected flags: $got")
   }
 
+  test("q222 cluster sizes: the histogram partitions the corpus and " +
+      "matches the underlying components") {
+    val hist = Dedup.clusterSizeHistogram(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    val docs = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(hist.values.map(_._2).sum == docs,
+      "every document sits in exactly one cluster")
+    hist.foreach { case (size, (nc, nd)) =>
+      assert(nd == size * nc, s"size $size: $nd docs != $size * $nc")
+    }
+    // the planted near-dups guarantee at least one multi-doc cluster
+    assert(hist.keys.max >= 2L, s"no dup clusters found: $hist")
+  }
+
   test("q214 threshold sweep: raising the cutoff never admits more " +
       "pairs, and linked docs are bounded by pair endpoints") {
     val rows = Dedup.dedupThresholdSweep(spark, sf0001).collect()
