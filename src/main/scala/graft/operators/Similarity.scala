@@ -1021,7 +1021,49 @@ object Similarity {
     fin.select(col("dim"), col("vv").as("v_ppm")).orderBy("dim")
   }
 
+  /** q223: inter-label centroid affinity — the "source similarity map"
+    * mixture design reads before reweighting (labels standing in for
+    * sources/domains): pairwise cosine between per-label mean
+    * embeddings. The per-label counts cancel out of the cosine, so the
+    * whole computation rides the scaled-integer component SUMS
+    * (floor(v·1e4), the q150 quantization — Σ SaSb stays far under 2⁶³
+    * at any corpus size since sums grow with n but the RATIO doesn't):
+    * dot and both norms are exact BIGINTs, and the final
+    * divide-by-sqrt is one IEEE double op on exact inputs — identical
+    * in both engines, no accumulation-order hazard anywhere.
+    *
+    * Scale shape: one (label, pos) hash-agg collapses the corpus to
+    * labels × dims rows; the pair join is keyed on pos over that
+    * bounded frame (labels² × dims pairs — mixture label sets are
+    * small by construction). Nothing data-sized is paired. */
+  def centroidAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v").cast("double") * 1e4).cast("long")).as("s"))
+      .cache() // both pair sides + the norm agg read it
+    s.count()
+    val norms = s.groupBy("label").agg(sum(col("s") * col("s")).as("n2"))
+    val dots = s.select(col("label").as("la"), col("pos"), col("s").as("sa"))
+      .join(s.select(col("label").as("lb"), col("pos"), col("s").as("sb")),
+        Seq("pos"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(sum(col("sa") * col("sb")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("la"),
+        col("n2").as("na2"))), Seq("la"))
+      .join(broadcast(norms.select(col("label").as("lb"),
+        col("n2").as("nb2"))), Seq("lb"))
+      .select(col("la"), col("lb"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos"))
+      .orderBy("la", "lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_centroid_affinity" ->
+      ((s: SparkSession, d: String) => centroidAffinity(s, d)),
     "q216_dominant_direction" ->
       ((s: SparkSession, d: String) => dominantDirection(s, d)),
     "q202_embed_covariance" ->
@@ -1063,6 +1105,32 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q223: same scaled-integer component sums, same exact-BIGINT dot
+    // and norms, one final IEEE divide on exact inputs
+    "q223_centroid_affinity" ->
+      """WITH e AS (
+           SELECT label, embedding AS q FROM embeddings),
+         x AS (
+           SELECT label, unnest(range(1, len(q) + 1)) AS pos, q FROM e),
+         s AS (
+           SELECT label, pos,
+             CAST(sum(CAST(floor(CAST(q[pos] AS DOUBLE) * 10000.0)
+               AS BIGINT)) AS BIGINT) AS s
+           FROM x GROUP BY label, pos),
+         n2 AS (
+           SELECT label, CAST(sum(s * s) AS BIGINT) AS n2
+           FROM s GROUP BY label),
+         d AS (
+           SELECT a.label AS la, b.label AS lb,
+             CAST(sum(a.s * b.s) AS BIGINT) AS dot
+           FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY a.label, b.label)
+         SELECT la, lb, dot,
+           round(CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS cos
+         FROM d JOIN n2 na ON na.label = la JOIN n2 nb ON nb.label = lb
+         ORDER BY la, lb""",
     // q216: q202's covariance CTE mirrored to the full matrix, two
     // power-iteration rounds unrolled, same overflow-free normalization
     "q216_dominant_direction" ->

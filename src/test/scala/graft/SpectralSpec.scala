@@ -38,4 +38,26 @@ class SpectralSpec extends SparkSuite {
     // normalizer: [1e6, 2e6))
     assert(hotMag >= 1000000L && hotMag < 2000000L)
   }
+
+  test("q223 centroid affinity: identical-mean labels read 1.0, " +
+      "orthogonal labels read 0.0") {
+    val d = 4
+    def vec(axis: Int, scale: Float) =
+      (0 until d).map(i => if (i == axis) scale else 0.0f)
+    // labels 0 and 1 share their mean direction (axis 0, different
+    // scales and counts); label 2 is orthogonal (axis 2)
+    val rows = Seq(
+      (0L, vec(0, 0.5f), 0), (1L, vec(0, 0.7f), 0),
+      (2L, vec(0, 0.6f), 1), (3L, vec(0, 0.6f), 1), (4L, vec(0, 0.6f), 1),
+      (5L, vec(2, 0.8f), 2), (6L, vec(2, 0.4f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir("aff") + "/t"
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.centroidAffinity(spark, dir).collect()
+      .map(r => (r.getAs[Int]("la"), r.getAs[Int]("lb")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(got((0, 1)) == 1.0, s"colinear centroids: ${got((0, 1))}")
+    assert(got((0, 2)) == 0.0 && got((1, 2)) == 0.0,
+      s"orthogonal centroids: $got")
+  }
 }
