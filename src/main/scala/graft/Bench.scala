@@ -121,7 +121,13 @@ object Bench {
     // 1-partition q107 canary stays near its idle floor — the one
     // misconfiguration the canary protocol cannot catch. The artifact
     // now carries the evidence.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"starved":$starved,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the q107 canary (TPC-H Q6: one scan-aggregate, deliberately tiny)
+    // rides IN the artifact so a reader can judge host ambience without
+    // BENCH_NOTES: idle floor ~0.12-0.15 s on this box; >0.2 means the
+    // totals carry contention inflation (VERDICT r8 #8 — the close-out
+    // protocol keeps the LOWEST-canary run as bench_out.json)
+    val canary = results.toMap.get("q107_tpch_q6").map(r3).getOrElse("null")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"starved":$starved,"canary_s":$canary,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's log capture truncates long stdout lines (round 6 lost
     // 60 of 138 queries from BENCH_r06.json) — persist the full line to a

@@ -564,6 +564,50 @@ object Catalog {
     }
   }
 
+  /** Recovery-epoch file: the one cross-process signal for the protocol's
+    * single same-version mutation. `recoverAbortedSwap` moves bucket dirs
+    * (and their `_dv` sidecars) back WITHOUT a pointer advance, so the
+    * (path, version) probe key alone cannot tell other JVMs their cached
+    * probe now describes the crashed writer's half-swapped state. Recovery
+    * that actually restores a bucket bumps this file (fresh UUID,
+    * tmp+rename — same atomicity as the pointer); [[graft.layout.ReadProbeCache]]
+    * folds its content into the cache key, so every process re-derives on
+    * the first probe after a recovery. Absent file = "never recovered"
+    * (the common case: one `exists` per probe). */
+  private def recoveryEpochFile(dir: String) =
+    new Path(historyDir(dir), "_recovery_epoch")
+
+  private[graft] def readRecoveryEpoch(f: FileSystem, dir: String): String = {
+    val p = recoveryEpochFile(dir)
+    var i = 0
+    while (i < 100) {
+      try {
+        if (!f.exists(p)) return ""
+        return readSmallFile(f, p)
+      } catch {
+        // delete-then-rename window of a concurrent bump: transient, retry
+        case _: java.io.FileNotFoundException => ()
+      }
+      i += 1
+      Thread.sleep(2)
+    }
+    // epoch unreadable after the retry budget — return a unique value so
+    // the caller treats the probe as uncacheable rather than stale
+    "unreadable-" + java.util.UUID.randomUUID().toString
+  }
+
+  private[graft] def bumpRecoveryEpoch(f: FileSystem, dir: String): Unit = {
+    val p = recoveryEpochFile(dir)
+    val tmp = new Path(historyDir(dir),
+      "_recovery_epoch.tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit recovery epoch $p")
+  }
+
   private[graft] def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
     val p = pointerFile(dir)
     // unique tmp name: pointer writes for different versions are already
@@ -1759,8 +1803,17 @@ object Catalog {
       s"INSERT INTO $dir schema mismatch: table has " +
         curShape.keys.toSeq.sorted.mkString(", ") + "; insert carries " +
         nwShape.keys.toSeq.sorted.mkString(", "))
+    // normalize to the TABLE's column order and case before writing: the
+    // shape check above is order/case-insensitive, so without this a
+    // reordered or differently-cased insert would land parquet files
+    // whose physical schema disagrees with the table's — and (ADVICE r8)
+    // re-stamp the canonical sidecar with the insert frame's shape
+    val dfNorm = dfGen.select(curSchema.fields.map { fld =>
+      org.apache.spark.sql.functions.col(
+        dfGen.columns.find(_.equalsIgnoreCase(fld.name)).get).as(fld.name)
+    }.toSeq: _*)
     val stage = stagingPath(dir, "-insert")
-    val sw = dfGen.write.mode(SaveMode.Overwrite)
+    val sw = dfNorm.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) sw.partitionBy(partCols: _*) else sw)
       .parquet(stage.toString)
     val cons = readConstraintsPath(spark, dir) ++
@@ -1792,11 +1845,15 @@ object Catalog {
     if (f.exists(skipDir))
       org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
         f, new Path(tmp, "_skipping"), false, false, conf)
-    // re-stamp the schema sidecar (appends cannot change the schema —
-    // the shape check above proved dfGen ≡ table)
+    // re-stamp the schema sidecar from the TABLE's schema (sidecar when
+    // present, else inferred), not the insert frame's: the shape check
+    // above is case/order/nullability-insensitive, so stamping dfGen
+    // would let a reordered or differently-cased insert silently rewrite
+    // the table's canonical recorded schema for later consumers
+    // (ChangeFeed's append fast path, empty-slice frames)
     if (partCols.isEmpty)
       graft.merge.PartitionedMerge.writeSchemaSidecar(spark, tmp.toString,
-        dfGen.schema)
+        curSchema)
     commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
       commitTag, operation)
     }

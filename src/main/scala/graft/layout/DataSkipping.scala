@@ -471,55 +471,103 @@ object DataSkipping {
     val files = listDataFiles(spark, dir)
     val mp = manifestPath(dir)
     val f = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(mp)) return (files, files.size)
-    if (f.getFileStatus(mp).getLen > distributedThreshold(spark)) {
-      // header (one small read) carries the bloom geometry
-      val in = f.open(mp)
-      val header =
-        try {
-          val br = new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, "UTF-8"))
-          br.readLine()
-        } finally in.close()
-      val h = header.split("\t")
-      require(h(0) == "#graft-skipping", s"bad skipping manifest at $mp")
-      val (numBits, numHashes) = (h(2).toInt, h(3).toInt)
-      val predList = preds // local val: don't serialize `spark`
-      import spark.implicits._
-      val excluded = spark.read.textFile(mp.toString)
-        .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
-        .flatMap { l =>
-          val a = l.split("\t", -1)
-          if (a.length < 8) None
-          else {
-            val predsOn = predList.filter(_.column == a(2))
-            if (predsOn.isEmpty) None
-            else {
-              val cs = ColStats(a(3),
-                if (a(4) == "-") None else Some(unb64(a(4))),
-                if (a(5) == "-") None else Some(unb64(a(5))),
-                a(6).toLong,
-                if (a(7) == "-") None
-                else Some(Base64.getDecoder.decode(a(7))))
-              if (predsOn.forall(pd => statsPass(numBits, numHashes, cs, pd)))
-                None
-              else Some(unb64(a(0)))
+    // A concurrent analyze() commits the manifest via delete-then-rename,
+    // so a resolution landing in that window can catch FileNotFound or —
+    // worse — evaluate NEW manifest lines against the OLD header's bloom
+    // geometry, pruning files that actually match. Three guards: (a) the
+    // whole resolution retries on FileNotFound or a before/after stat
+    // mismatch; (b) the distributed job re-parses the header line IN the
+    // job and emits a retry sentinel when its geometry differs from the
+    // driver's copy (catches old-header/new-body splits the stat check
+    // can miss); (c) on retry exhaustion we skip NOTHING — callers
+    // re-apply the predicate, so an unpruned read is always correct.
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        if (!f.exists(mp)) return (files, files.size)
+        val st0 = f.getFileStatus(mp)
+        if (st0.getLen > distributedThreshold(spark)) {
+          // header (one small read) carries the bloom geometry
+          val in = f.open(mp)
+          val header =
+            try {
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8"))
+              br.readLine()
+            } finally in.close()
+          val h = header.split("\t")
+          require(h(0) == "#graft-skipping", s"bad skipping manifest at $mp")
+          val (numBits, numHashes) = (h(2).toInt, h(3).toInt)
+          val predList = preds // local val: don't serialize `spark`
+          val retrySentinel = "\u0000retry" // NUL never starts a file name
+          import spark.implicits._
+          val excluded = spark.read.textFile(mp.toString)
+            .filter((l: String) => l.nonEmpty)
+            .flatMap { l =>
+              if (l.startsWith("#")) {
+                // header echo: the task's view of the geometry must match
+                // the driver's, or the whole resolution is cross-version
+                val e = l.split("\t")
+                if (e(0) == "#graft-skipping" &&
+                    (e(2).toInt != numBits || e(3).toInt != numHashes))
+                  Some(retrySentinel)
+                else None
+              } else {
+                val a = l.split("\t", -1)
+                if (a.length < 8) None
+                else {
+                  val predsOn = predList.filter(_.column == a(2))
+                  if (predsOn.isEmpty) None
+                  else {
+                    val cs = ColStats(a(3),
+                      if (a(4) == "-") None else Some(unb64(a(4))),
+                      if (a(5) == "-") None else Some(unb64(a(5))),
+                      a(6).toLong,
+                      if (a(7) == "-") None
+                      else Some(Base64.getDecoder.decode(a(7))))
+                    if (predsOn.forall(pd =>
+                        statsPass(numBits, numHashes, cs, pd))) None
+                    else Some(unb64(a(0)))
+                  }
+                }
+              }
             }
-          }
+            .distinct().collect().toSet
+          val st1 = f.getFileStatus(mp)
+          if (excluded.contains(retrySentinel) ||
+              st1.getLen != st0.getLen ||
+              st1.getModificationTime != st0.getModificationTime) {
+            attempt += 1
+          } else return (files.filterNot(excluded), files.size)
+        } else return readManifest(spark, dir) match {
+          case None => (files, files.size)
+          case Some(m) =>
+            val kept = files.filter { rel =>
+              m.files.get(rel) match {
+                case None => true
+                case Some(fs) => preds.forall(p => filePasses(m, fs, p))
+              }
+            }
+            (kept, files.size)
         }
-        .distinct().collect().toSet
-      (files.filterNot(excluded), files.size)
-    } else readManifest(spark, dir) match {
-      case None => (files, files.size)
-      case Some(m) =>
-        val kept = files.filter { rel =>
-          m.files.get(rel) match {
-            case None => true
-            case Some(fs) => preds.forall(p => filePasses(m, fs, p))
-          }
-        }
-        (kept, files.size)
+      } catch {
+        case _: java.io.FileNotFoundException => attempt += 1
+        case e: org.apache.spark.SparkException
+            if rootIsFnf(e) => attempt += 1
+      }
     }
+    (files, files.size) // no consistent view within budget: prune nothing
+  }
+
+  /** A textFile task racing the manifest rename surfaces its
+    * FileNotFoundException wrapped in SparkException layers. */
+  private def rootIsFnf(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+    }
+    false
   }
 
   /** Stats-pruned read: scan only the files that could hold a match, with

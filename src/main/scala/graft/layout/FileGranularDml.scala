@@ -55,14 +55,14 @@ object FileGranularDml {
 
   // -------------------------------------------------- oracle surface
 
-  /** q142 — the flat copy-on-write lifecycle through the file-granular
+  /** q224 — the flat copy-on-write lifecycle through the file-granular
     * path: a snapshot of orders laid out so matches cluster in few files
     * gets a DELETE (status purge) and an UPDATE (priority relabel), then
     * reads back. The oracle replays both statements in SQL; equality
     * proves pass-through rows in rewritten files survive and linked
     * files subtract nothing. */
   def fileDmlLifecycle(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q142").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-q224").toString
     val t = s"$wh/orders"
     graft.Tables.load(spark, dir, "orders").select(
       col("o_orderkey").as("k"),
@@ -77,10 +77,10 @@ object FileGranularDml {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q142_file_dml" -> (fileDmlLifecycle _))
+    "q224_file_dml" -> (fileDmlLifecycle _))
 
   val oracles: Map[String, String] = Map(
-    "q142_file_dml" ->
+    "q224_file_dml" ->
       """SELECT o_orderkey AS k, o_orderstatus AS status,
                 CASE WHEN o_orderstatus = 'F' THEN '0-DONE'
                      ELSE o_orderpriority END AS prio

@@ -18,14 +18,20 @@ import org.apache.spark.sql.SparkSession
   * stale answer to a reader that observes the new version. The one
   * same-version mutation in the protocol — `recoverAbortedSwap` rolling
   * half-retired buckets back after a writer crash — invalidates
-  * explicitly, as does `writePointer` itself (belt and braces for in-JVM
-  * writers racing their own readers). Cross-process writers are caught by
-  * the version key: their commit moves the pointer this probe reads.
+  * explicitly for this JVM's readers AND bumps the table's
+  * `_recovery_epoch` file, which this cache folds into the key: a probe
+  * cached by process A before process B ran recovery misses on A's next
+  * lookup (the epoch changed), so cross-process recovery staleness is
+  * bounded to probes already in flight, not indefinite. Ordinary
+  * cross-process writers are caught by the version key: their commit
+  * moves the pointer this probe reads. `writePointer` also invalidates
+  * in-JVM (belt and braces for writers racing their own readers).
   *
   * Cost model: one `readPointer` (a small-file read, up to 3 metadata ops
-  * on a pointer-less table) replaces `listStatus` + (nBuckets+1) `exists`
-  * per read — and amortizes to ~zero for repeated reads of the same
-  * version, which is every refresh loop's shape.
+  * on a pointer-less table) plus one epoch `exists` (a content read only
+  * on tables that have ever crash-recovered) replaces `listStatus` +
+  * (nBuckets+1) `exists` per read — and amortizes to ~zero for repeated
+  * reads of the same version, which is every refresh loop's shape.
   */
 private[graft] object ReadProbeCache {
 
@@ -38,15 +44,20 @@ private[graft] object ReadProbeCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Probe]()
 
-  // NUL never appears in a filesystem path, so key = path NUL version is
-  // collision-free even for paths with spaces/digits
-  private def keyOf(path: String, v: Int) = path + "\u0000" + v
+  // NUL never appears in a filesystem path, so key = path NUL version NUL
+  // epoch is collision-free even for paths with spaces/digits
+  private def keyOf(path: String, v: Int, epoch: String) =
+    path + "\u0000" + v + "\u0000" + epoch
 
   def probe(spark: SparkSession, path: String): Probe = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = graft.catalog.Catalog.readPointer(fs, path)
-    val key = keyOf(path, v)
+    // epoch read BEFORE deriving: a recovery racing this probe lands the
+    // derived answer under the PRE-recovery epoch, so the next lookup
+    // (which reads the new epoch) misses and re-derives fresh state
+    val epoch = graft.catalog.Catalog.readRecoveryEpoch(fs, path)
+    val key = keyOf(path, v, epoch)
     val hit = cache.get(key)
     if (hit != null) hit
     else {

@@ -52,6 +52,16 @@ object PartitionedMerge {
     writeSchemaSidecar(df.sparkSession, path, bucketed.schema)
     writeBucketMeta(df.sparkSession, path, keys, nBuckets)
     stampCommitTime(df.sparkSession, path, 1)
+    // stamp the pointer at creation. A pointer-less bucketed table (the
+    // history dir exists for the commit-time marker, the `_current` file
+    // doesn't) costs every pre-first-merge readPointer the full
+    // pointer-absent retry loop — and makes the FIRST swap's crash window
+    // unrecoverable: readPointer would derive live = logged.max + 1 = 2
+    // from the in-flight v00001 retire entries, so recoverAbortedSwap
+    // would look at v00002 and never roll the half-retired buckets back.
+    val fsw = new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.catalog.Catalog.writePointer(fsw, path, 1)
   }
 
   /** Read the logical table (bucket column dropped, deletion vectors
@@ -362,16 +372,22 @@ object PartitionedMerge {
     import graft.catalog.Catalog
     val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
     if (!fs.exists(inFlight)) return
+    var restored = 0
     fs.listStatus(inFlight).map(_.getPath)
       .filter(_.getName.startsWith(s"$BucketCol=")).foreach { retired =>
         val dst = new Path(path, retired.getName)
-        if (!fs.exists(dst)) fs.rename(retired, dst)
+        if (!fs.exists(dst) && fs.rename(retired, dst)) restored += 1
       }
     // the one same-version mutation in the protocol: bucket dirs (and
     // their _dv sidecars) just moved without a pointer advance — the
     // cached probe for this version may describe the crashed writer's
-    // half-swapped state
-    graft.layout.ReadProbeCache.invalidate(path)
+    // half-swapped state. The in-JVM invalidate handles our own readers;
+    // the epoch bump makes the mutation observable to OTHER processes,
+    // whose probe caches key on (path, version, epoch).
+    if (restored > 0) {
+      Catalog.bumpRecoveryEpoch(fs, path)
+      graft.layout.ReadProbeCache.invalidate(path)
+    }
   }
 
   /** Reconstruct table version `v` (bucket column retained). Version v of

@@ -542,7 +542,7 @@ object Dedup {
     // the cached shingle arrays, |A∪B| as |A|+|B|−|∩| (sets are distinct)
     val sideA = d.select(col("doc_id"), col("sh").as("sh_a"))
     val sideB = d.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
-    cand
+    val res = cand
       .join(maybeBroadcast(sideA, nDocs), Seq("doc_id"))
       .join(maybeBroadcast(sideB, nDocs), Seq("bench_id"))
       .withColumn("inter",
@@ -552,6 +552,13 @@ object Dedup {
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select("doc_id", "bench_id", "jaccard_ppm")
       .orderBy("doc_id", "bench_id")
+    // pin the (small) contaminated-pair result, then release both caches
+    // (the seedDistance protocol): cached shingle/band blocks must not
+    // leak across queries in long Verify/Bench sessions
+    val fin = res.localCheckpoint()
+    bands.unpersist(blocking = false)
+    d.unpersist(blocking = false)
+    fin
   }
 
   /** q222: dup-cluster size distribution — the dedup REPORT table every
@@ -626,7 +633,7 @@ object Dedup {
       .agg(countDistinct(col("d")).as("n_docs_linked"))
     // left-join from the full threshold list so empty cutoffs still
     // report a zero row instead of vanishing
-    spark.range(1).select(
+    val res = spark.range(1).select(
         explode(array(thresholdsPpm.map(lit): _*)).as("threshold_ppm"))
       .join(nPairs, Seq("threshold_ppm"), "left")
       .join(nLinked, Seq("threshold_ppm"), "left")
@@ -634,6 +641,10 @@ object Dedup {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"))
       .orderBy("threshold_ppm")
+    // pin the O(thresholds) result, release the pair-fact cache
+    val fin = res.localCheckpoint()
+    pairs.unpersist(blocking = false)
+    fin
   }
 
   /** Line-level dedup (CCNet / RefinedWeb-style boilerplate removal): a
@@ -711,13 +722,15 @@ object Dedup {
       explode(array_distinct(shingles3(col("text")))).as("s"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // discriminative shingles only: document frequency <= 5% of corpus.
-    // greatest(1, ...) floors the cap so sub-20-document fixtures keep
-    // df=1 shingles instead of silently emptying the index (ADVICE r7 —
-    // mirrors the q196 containment cap).
+    // greatest(2, ...) floors the cap so tiny corpora neither empty the
+    // index (the cap-0 silent-zero-rows hazard, ADVICE r7) nor drop the
+    // MINIMAL overlap evidence — a df=2 shingle is exactly one shared
+    // pair, and excluding it makes overlap undetectable below 40 docs.
+    // At real scale 5% of the corpus dwarfs 2, so the floor is inert.
     val keep = ex.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= expr("greatest(1, n_docs * 5 DIV 100)"))
+      .filter(col("df") <= expr("greatest(2, n_docs * 5 DIV 100)"))
       .select("s")
     val ss = ex.join(keep, "s").select("source", "s").distinct()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -781,7 +794,7 @@ object Dedup {
     val keep = ex.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= expr("greatest(1, n_docs * 5 DIV 100)"))
+      .filter(col("df") <= expr("greatest(2, n_docs * 5 DIV 100)"))
       .select("s")
     val g = ex.join(keep, "s").select("doc_id", "s").cache()
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -1122,7 +1135,7 @@ object Dedup {
           keep AS (
             SELECT s FROM sh GROUP BY s
             HAVING count(DISTINCT doc_id) <=
-              greatest(1, (SELECT count(*) * 5 // 100 FROM documents))),
+              greatest(2, (SELECT count(*) * 5 // 100 FROM documents))),
           g AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
           sizes AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
@@ -1266,7 +1279,7 @@ object Dedup {
           keep AS (
             SELECT s FROM ex GROUP BY s
             HAVING count(DISTINCT doc_id) <=
-              (SELECT greatest(1, count(*) * 5 // 100) FROM documents)),
+              (SELECT greatest(2, count(*) * 5 // 100) FROM documents)),
           ss AS (
             SELECT DISTINCT source, s FROM ex JOIN keep USING (s)),
           sizes AS (

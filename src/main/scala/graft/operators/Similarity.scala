@@ -1049,7 +1049,7 @@ object Similarity {
         Seq("pos"))
       .filter(col("la") < col("lb"))
       .groupBy("la", "lb").agg(sum(col("sa") * col("sb")).as("dot"))
-    dots
+    val res = dots
       .join(broadcast(norms.select(col("label").as("la"),
         col("n2").as("na2"))), Seq("la"))
       .join(broadcast(norms.select(col("label").as("lb"),
@@ -1059,6 +1059,12 @@ object Similarity {
           (sqrt(col("na2").cast("double")) *
             sqrt(col("nb2").cast("double"))), 6).as("cos"))
       .orderBy("la", "lb")
+    // pin the labels² result, release the centroid cache (the
+    // seedDistance protocol — cached blocks must not outlive the query
+    // in long Verify/Bench sessions)
+    val fin = res.localCheckpoint()
+    s.unpersist(blocking = false)
+    fin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

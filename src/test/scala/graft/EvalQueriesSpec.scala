@@ -91,6 +91,28 @@ class EvalQueriesSpec extends SparkSuite {
       "identical shingle sets must read as full overlap")
   }
 
+  test("source overlap: a <= 20-doc corpus keeps its index and detects " +
+      "the planted pair (df-cap floor, VERDICT r8 #1)") {
+    val dir = tmpDir("overlap-tiny") + "/d"
+    val shared = "alpha beta gamma delta" // 2 distinct 3-shingles, df = 2
+    // 10 docs: without the floor the cap is 10 * 5 DIV 100 = 0 and the
+    // whole index silently empties; with floor 1 the df=2 overlap
+    // evidence is still dropped. Floor 2 keeps exactly the minimal
+    // shared-pair signal.
+    val rows = Seq(
+      (0L, shared, "en", "srcA", shared.length.toLong),
+      (1L, shared, "en", "srcB", shared.length.toLong)) ++
+      (2L until 10L).map { i =>
+        (i, s"u${i}a u${i}b u${i}c", "en", s"src$i", 10L)
+      }
+    writeDocs(dir, rows)
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+    assert(out.length == 1, s"planted pair must survive the floored cap " +
+      s"on a tiny corpus: ${out.toSeq}")
+    assert(out(0).getString(0) == "srcA" && out(0).getString(1) == "srcB")
+    assert(out(0).getAs[Long]("jaccard_ppm") == 1000000L)
+  }
+
   test("fleiss kappa: perfect panel = 1e6, three-way split = -0.5, degenerate cohort = NULL") {
     val dir = tmpDir("fleiss") + "/d"
     val long70 = Seq.fill(70)("abcdef").mkString(" ")   // 70 tok, len 489

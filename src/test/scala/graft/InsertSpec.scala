@@ -367,4 +367,27 @@ class InsertSpec extends SparkSuite {
       Seq(graft.layout.DataSkipping.Range("score", Some(500.0), None)))
     assert(rowsOf(pruned, "id") == Seq(Seq(51L, 510.0)))
   }
+
+  test("a reordered / differently-cased insert cannot rewrite the " +
+      "table's canonical schema sidecar (ADVICE r8)") {
+    val cat = new Catalog(spark, tmpDir("graft-ins-sidecar"))
+    cat.overwriteSnapshot(Seq((1L, "a", 1.0)).toDF("id", "Val", "score"),
+      "silver", "sc1")
+    val dir = cat.path("silver", "sc1")
+    val before = graft.merge.PartitionedMerge.schemaOf(spark, dir)
+    assert(before.isDefined)
+    assert(before.get.fields.map(_.name).toSeq == Seq("id", "Val", "score"),
+      "sanity: the sidecar records the table's declared case and order")
+    // shape check is case/order-insensitive, so this append is legal —
+    // but it must NOT become the recorded schema
+    cat.append(Seq((3.0, 2L, "b")).toDF("SCORE", "ID", "val"),
+      "silver", "sc1")
+    val after = graft.merge.PartitionedMerge.schemaOf(spark, dir)
+    assert(after.isDefined)
+    assert(after.get.fields.map(_.name).toSeq == Seq("id", "Val", "score"),
+      s"append re-stamped the sidecar with the INSERT frame's shape: " +
+        after.get.simpleString)
+    // and the data itself is intact under the table's schema
+    assert(cat.read("silver", "sc1").count() == 2)
+  }
 }

@@ -73,4 +73,61 @@ class ReadProbeCacheSpec extends SparkSuite {
     assert(pr.dvDirs.nonEmpty,
       "a foreign commit (pointer moved by another process) must re-probe")
   }
+
+  test("same-version recovery by ANOTHER process is caught by the epoch " +
+      "key (ADVICE r8: recoverAbortedSwap is the one mutation the version " +
+      "key cannot see)") {
+    val dir = tmpDir("probe-epoch") + "/t"
+    spark.range(10L).toDF("id").write.parquet(dir)
+    // prime the cache: no DV sidecar at this version
+    assert(ReadProbeCache.probe(spark, dir).dvDirs.isEmpty)
+    // simulate the OTHER process's recovery outcome: the rolled-back state
+    // re-exposes a _dv sidecar, with NO pointer movement (raw FS writes —
+    // none of this JVM's invalidation hooks fire)
+    Seq(("part-00000-fake.parquet", 0L)).toDF("file_name", "row_index")
+      .write.parquet(s"$dir/${DeletionVectors.DvDirName}")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // without the epoch bump the cached probe is (correctly, per the key
+    // design) still served — this is the staleness the epoch exists for
+    assert(ReadProbeCache.probe(spark, dir).dvDirs.isEmpty,
+      "sanity: version unchanged + epoch unchanged = cached answer")
+    // the foreign recovery's epoch bump makes the mutation observable
+    fs.mkdirs(Catalog.historyDir(dir))
+    Catalog.bumpRecoveryEpoch(fs, dir)
+    assert(ReadProbeCache.probe(spark, dir).dvDirs.nonEmpty,
+      "an epoch bump by another process must force a re-probe at the " +
+        "same pointer version")
+  }
+
+  test("recoverAbortedSwap bumps the epoch iff it restored a bucket") {
+    val dir = tmpDir("probe-recover") + "/t"
+    PartitionedMerge.write(
+      (1L to 40L).toDF("k").withColumn("v", col("k") * 10),
+      dir, Seq("k"), 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Catalog.readRecoveryEpoch(fs, dir) == "",
+      "a never-recovered table has no epoch")
+    // nothing to restore: no in-flight retire entries → no epoch bump
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    assert(Catalog.readRecoveryEpoch(fs, dir) == "")
+    // simulate a crash after retire, before stage-in: one live bucket dir
+    // moved under v{cur} and never replaced
+    val cur = Catalog.readPointer(fs, dir)
+    val vdir = Catalog.versionDir(dir, cur)
+    fs.mkdirs(vdir)
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("gbucket=")).head
+    assert(fs.rename(bucket,
+      new org.apache.hadoop.fs.Path(vdir, bucket.getName)))
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val epoch1 = Catalog.readRecoveryEpoch(fs, dir)
+    assert(epoch1.nonEmpty, "a restoring recovery must bump the epoch")
+    assert(fs.exists(bucket), "the retired bucket must be rolled back")
+    assert(PartitionedMerge.read(spark, dir).count() == 40)
+    // idempotent re-run restores nothing → epoch unchanged
+    PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    assert(Catalog.readRecoveryEpoch(fs, dir) == epoch1)
+  }
 }
