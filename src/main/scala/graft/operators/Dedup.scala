@@ -69,6 +69,65 @@ object Dedup {
     * being hashed/shuffled per raw candidate. |A∪B| is computed as
     * |A|+|B|−|A∩B| (arrays are distinct) to avoid materializing the
     * union array per pair. */
+  /** Exact word-set intersection for CANDIDATE PAIRS via
+    * dictionary-encoded bitset masks — q34's verification path, factored
+    * so every band-join consumer prices per-pair work as straight-line
+    * codegen'd integer ops instead of interpreted array traversals
+    * (candidate pairs vastly outnumber documents, so per-pair cost
+    * rules; measured on q227: 9-280 s with array_intersect per pair vs
+    * ~2 s with masks at sf0.1). Vocab ids come from a single-partition
+    * window over DISTINCT WORDS — O(vocab) << O(corpus) even at 100 TB
+    * (a cluster swaps it for zipWithIndex); past 64 mask chunks (4096
+    * distinct words) falls back to sorted-array intersection. Input `d`
+    * must carry (doc_id, wset); `pairs` must carry (doc_a, doc_b) and
+    * may carry extra columns, which ride through. Output: the pairs'
+    * columns + exact `inter`, `n_a`, `n_b` word counts. */
+  private def wordsetIntersect(d: DataFrame, nDocs: Long,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docWords = d.select(col("doc_id"), explode(col("wset")).as("w"))
+    val vocab = docWords.select("w").distinct()
+      .withColumn("wid",
+        (row_number().over(Window.orderBy("w")) - 1).cast("long"))
+      .cache()
+    val nChunks = math.max(1, ((vocab.count() + 63) / 64).toInt)
+    val masks =
+      if (nChunks <= 64) {
+        val maskAggs = (0 until nChunks).map(c => expr(
+          s"bit_or(IF(CAST(wid DIV 64 AS INT) = $c, " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)), " +
+            "CAST(0 AS BIGINT)))").as(s"m$c"))
+        docWords.join(maybeBroadcast(vocab, nDocs), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), maskAggs: _*)
+      } else {
+        d.select(col("doc_id"), array_sort(col("wset")).as("wset"))
+          .select(col("doc_id"),
+            size(col("wset")).cast("long").as("n_words"), col("wset"))
+      }
+    val msk = masks.cache()
+    val featCols = msk.columns.filterNot(_ == "doc_id").toSeq
+    def side(tag: String) = msk.select(
+      col("doc_id").as(s"doc_$tag") +:
+        featCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    val inter =
+      if (nChunks <= 64)
+        (0 until nChunks).map(c => bit_count(
+          col(s"a_m$c").bitwiseAND(col(s"b_m$c"))).cast("long"))
+          .reduce(_ + _)
+      else size(array_intersect(col("a_wset"), col("b_wset"))).cast("long")
+    // Feature fetch: doc-feature table is dim-sized next to the pair
+    // fact. Small corpus -> broadcast; large -> bucket-equi-join by doc
+    // id (both sides hash-partition on doc_a/doc_b, masks cross once).
+    val keep = pairs.columns.map(col).toSeq
+    pairs
+      .join(maybeBroadcast(side("a"), nDocs), Seq("doc_a"))
+      .join(maybeBroadcast(side("b"), nDocs), Seq("doc_b"))
+      .withColumn("inter", inter)
+      .select(keep ++ Seq(col("inter"),
+        col("a_n_words").as("n_a"), col("b_n_words").as("n_b")): _*)
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPart = spark.sparkContext.defaultParallelism
@@ -102,58 +161,12 @@ object Dedup {
     val pairs = a.join(maybeBroadcast(b, nDocs), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // --- exact verification over dictionary-encoded bitset word-sets ---
-    // Candidate pairs vastly outnumber documents, so per-pair cost rules:
-    // each word-set becomes ceil(V/64) 64-bit mask COLUMNS over dense
-    // vocab ids, and |A∩B| is bit_count(a & b) — straight-line codegen'd
-    // integer ops — rather than a per-pair array/map traversal (arrays and
-    // higher-order functions run interpreted). The vocab window sort is
-    // single-partition but runs over distinct *words*: O(vocab) « O(corpus)
-    // even at 100 TB (a cluster would swap it for zipWithIndex). The
-    // doc-feature table broadcasts (docs are dim-sized vs the pair fact);
-    // at cluster scale both sides would bucket by doc id instead.
-    val docWords = d.select(col("doc_id"), explode(col("wset")).as("w"))
-    val vocab = docWords.select("w").distinct()
-      .withColumn("wid",
-        (row_number().over(Window.orderBy("w")) - 1).cast("long"))
-      .cache()
-    val nChunks = math.max(1, ((vocab.count() + 63) / 64).toInt)
-    // Dense masks only pay while rows stay narrow; past 64 chunks (4096
-    // distinct words) fall back to sorted-array intersection.
-    val masks =
-      if (nChunks <= 64) {
-        val maskAggs = (0 until nChunks).map(c => expr(
-          s"bit_or(IF(CAST(wid DIV 64 AS INT) = $c, " +
-            "shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)), " +
-            "CAST(0 AS BIGINT)))").as(s"m$c"))
-        docWords.join(maybeBroadcast(vocab, nDocs), Seq("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_words"), maskAggs: _*)
-      } else {
-        d.select(col("doc_id"), array_sort(col("wset")).as("wset"))
-          .select(col("doc_id"),
-            size(col("wset")).cast("long").as("n_words"), col("wset"))
-      }
-    val msk = masks.cache()
-    val featCols = msk.columns.filterNot(_ == "doc_id").toSeq
-    def side(tag: String) = msk.select(
-      col("doc_id").as(s"doc_$tag") +:
-        featCols.map(c => col(c).as(s"${tag}_$c")): _*)
-    val inter =
-      if (nChunks <= 64)
-        (0 until nChunks).map(c => bit_count(
-          col(s"a_m$c").bitwiseAND(col(s"b_m$c"))).cast("long"))
-          .reduce(_ + _)
-      else size(array_intersect(col("a_wset"), col("b_wset"))).cast("long")
-    // Feature fetch: doc-feature table is dim-sized next to the pair fact.
-    // Small corpus → broadcast; large → bucket-equi-join by doc id (both
-    // sides hash-partition on doc_a/doc_b, arrays cross the wire once).
-    pairs
-      .join(maybeBroadcast(side("a"), nDocs), Seq("doc_a"))
-      .join(maybeBroadcast(side("b"), nDocs), Seq("doc_b"))
-      .withColumn("inter", inter)
+    // exact verification over dictionary-encoded bitset word-sets (the
+    // shared [[wordsetIntersect]] path — see its scaladoc for the cost
+    // argument and the >4096-word fallback)
+    wordsetIntersect(d, nDocs, pairs)
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("a_n_words") + col("b_n_words") - col("inter")).cast("double"), 6))
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -519,7 +532,8 @@ object Dedup {
     * pairs only. The benchmark membership rule (`doc_id % benchMod`)
     * stands in for the eval-suite table a real pipeline would join. */
   def fuzzyDecontam(spark: SparkSession, dir: String, benchMod: Int = 5,
-      minJaccardPpm: Long = 500000L): DataFrame = {
+      minJaccardPpm: Long = 500000L,
+      checkpointResult: Boolean = true): DataFrame = {
     val nPart = spark.sparkContext.defaultParallelism
     // one cached slim projection: distinct shingle set per doc (the
     // 12 sig components, the verify arrays, and the bench split all
@@ -554,9 +568,155 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
     // pin the (small) contaminated-pair result, then release both caches
     // (the seedDistance protocol): cached shingle/band blocks must not
-    // leak across queries in long Verify/Bench sessions
+    // leak across queries in long Verify/Bench sessions. Callers that
+    // need the LAZY plan (plan-inspection specs, further composition)
+    // pass checkpointResult = false and own the cache lifetime.
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      bands.unpersist(blocking = false)
+      d.unpersist(blocking = false)
+      fin
+    }
+  }
+
+  /** q225: incremental ingest dedup against a PERSISTED band index — the
+    * operational shape corpus dedup actually runs at 100 TB: the corpus
+    * arrives in ingest batches, and re-deduplicating the whole corpus per
+    * batch is O(corpus) per ingest where the right cost is O(batch). The
+    * pipeline keeps a band index TABLE (band_key → doc_id, appended per
+    * ingest through the versioned snapshot layer); each new batch builds
+    * its own bands, equi-joins them against the index (never against the
+    * corpus text), exact-verifies the candidates with integer-ppm shingle
+    * Jaccard, and then appends its bands so the NEXT batch sees it. The
+    * index keeps every INGESTED doc's bands (kept or flagged — removed
+    * near-dups must not creep back through a later batch that resembles
+    * them), the standard "match against seen" semantics.
+    *
+    * The fixture has no arrival order, so generations are assigned
+    * deterministically (`gen = doc_id % gens`) and replayed identically
+    * by the oracle: a batch-g doc is flagged iff some LOWER-generation
+    * doc shares an LSH band and verifies at Jaccard >= threshold; the
+    * reported match is the lowest qualifying earlier doc_id.
+    *
+    * Scale shape: per ingest, one map pass over the BATCH (bands), one
+    * equi-join of batch bands against the index on band_key (shuffle-hash
+    * both sides at scale, batch side broadcast under the gate), exact
+    * verification on candidates only, and one snapshot append of O(batch)
+    * index rows. Nothing re-reads or re-pairs the existing corpus; the
+    * per-ingest cost is O(batch + candidates), which is the whole point. */
+  def incrementalDedup(spark: SparkSession, dir: String, gens: Int = 3,
+      minJaccardPpm: Long = 800000L,
+      checkpointResult: Boolean = true): DataFrame = {
+    val nPart = spark.sparkContext.defaultParallelism
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % gens).cast("int").as("gen"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+      .repartition(nPart).cache()
+    val nDocs = d.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft-q225")
+      .toString + "/band_index"
+    def bandsOf(g: Int): DataFrame = d.filter(col("gen") === g)
+      .select(col("doc_id"),
+        explode(lshBandKeysOfSet(col("sh"))).as("band_key"))
+    // gen 0 seeds the index before any dedup decision
+    graft.catalog.Catalog.appendPath(spark, bandsOf(0), idx)
+    val perGen = (1 until gens).map { g =>
+      val newBands = bandsOf(g)
+      // index side is corpus-scaled: never broadcast it; the batch side
+      // rides the standard gate (broadcast small, SHUFFLE_HASH at scale)
+      val cand = spark.read.parquet(idx)
+        .withColumnRenamed("doc_id", "matched_id")
+        .join(maybeBroadcast(newBands, nDocs), Seq("band_key"))
+        .select(col("doc_id"), col("matched_id")).distinct()
+      val verified = cand
+        .join(maybeBroadcast(
+          d.select(col("doc_id"), col("sh").as("sh_a")), nDocs),
+          Seq("doc_id"))
+        .join(maybeBroadcast(
+          d.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
+          nDocs), Seq("matched_id"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard_ppm", expr(
+          "1000000 * inter DIV (size(sh_a) + size(sh_b) - inter)"))
+        .filter(col("jaccard_ppm") >= minJaccardPpm)
+        .groupBy("doc_id")
+        // lowest qualifying earlier doc wins; struct min carries its ppm
+        .agg(min(struct(col("matched_id"), col("jaccard_ppm"))).as("m"))
+        .select(col("doc_id"), lit(g).cast("int").as("gen"),
+          col("m.matched_id").as("matched_id"),
+          col("m.jaccard_ppm").as("jaccard_ppm"))
+      // pin this batch's verdicts BEFORE appending its bands (the append
+      // mutates the index the verdicts were computed against) — even
+      // with checkpointResult = false, per-gen pinning is semantic, not
+      // hygiene, so only the LAST generation can stay lazy for a plan
+      // inspection
+      val pinned = if (checkpointResult || g < gens - 1)
+        verified.localCheckpoint() else verified
+      graft.catalog.Catalog.appendPath(spark, newBands, idx)
+      pinned
+    }
+    val res = perGen.reduce(_ unionByName _).orderBy("doc_id")
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      d.unpersist(blocking = false)
+      fin
+    }
+  }
+
+  /** q227: LSH band PRECISION audit — the measured complement to the
+    * recall pins (AnnRecallSpec): per band, how many candidate pairs the
+    * band join surfaces and what fraction survive exact verification.
+    * This is the table a pipeline reads when tuning the band/row split
+    * (more bands = higher recall, lower per-band precision = more
+    * verification compute): band precision collapsing means the band key
+    * stopped discriminating (hub keys, degenerate signatures) and the
+    * candidate volume — the dominant dedup cost at 100 TB — is about to
+    * blow past its budget. q34's exact machinery (12 sigs, 4 bands of 3,
+    * word-set Jaccard ≥ 0.5) with the verification verdict AGGREGATED
+    * per band instead of the surviving pairs emitted.
+    *
+    * Scale shape: identical to q34 up to the candidate fact (band
+    * equi-join, never all-pairs); the audit adds two map-side-combinable
+    * aggregates and emits 4 rows. */
+  def lshPrecisionAudit(spark: SparkSession, dir: String,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    val nPart = spark.sparkContext.defaultParallelism
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+      .repartition(nPart).cache()
+    val nDocs = d.count()
+    val ex = d.select(col("doc_id"),
+      posexplode(lshBandKeysOfSet(col("wset"))).as(Seq("band_id", "band_key")))
+    // the band key embeds its band index, so the join key alone pairs
+    // docs within one band; band_id rides the left side for the grouping
+    val a = ex.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val b = ex.select(col("band_key"), col("doc_id").as("doc_b"))
+    // ONE fully-pipelined pass: candidates -> bitset-mask verification
+    // ([[wordsetIntersect]], q34's path) -> aggregate. A pair colliding
+    // on several bands re-runs its (cheap, codegen'd) bit_count once per
+    // band; nothing corpus-quadratic is ever MATERIALIZED — the "verify
+    // each distinct pair once, join the verdict back" variant cached the
+    // pair fact and paid 13-50x more in shuffle + memory than the
+    // repeated intersects it saved.
+    val cand = a.join(maybeBroadcast(b, nDocs), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("band_id", "doc_a", "doc_b").distinct()
+    val verified = wordsetIntersect(d, nDocs, cand)
+      .withColumn("j_ppm",
+        expr("1000000 * inter DIV (n_a + n_b - inter)"))
+    val res = verified.groupBy("band_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("j_ppm") >= minJaccardPpm, 1L).otherwise(0L))
+          .as("n_verified"))
+      .withColumn("precision_ppm",
+        expr("1000000 * n_verified DIV n_cand"))
+      .orderBy("band_id")
     val fin = res.localCheckpoint()
-    bands.unpersist(blocking = false)
     d.unpersist(blocking = false)
     fin
   }
@@ -890,6 +1050,10 @@ object Dedup {
       ((s: SparkSession, d: String) => fuzzyDecontam(s, d)),
     "q214_threshold_sweep" ->
       ((s: SparkSession, d: String) => dedupThresholdSweep(s, d)),
+    "q225_incremental_dedup" ->
+      ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "q227_lsh_precision" ->
+      ((s: SparkSession, d: String) => lshPrecisionAudit(s, d)),
     "q222_cluster_sizes" ->
       ((s: SparkSession, d: String) => clusterSizeHistogram(s, d)),
     "q204_entity_resolution" -> (entityResolution _),
@@ -984,6 +1148,76 @@ object Dedup {
             CAST(1000000 * i // (ab - i) AS BIGINT) AS jaccard_ppm
           FROM v WHERE 1000000 * i // (ab - i) >= 500000
           ORDER BY doc_id, bench_id"""
+    },
+    // q227: q34's band construction and word-set Jaccard, verdicts
+    // aggregated per band; band_id via UNION ALL (SQL posexplode)
+    "q227_lsh_precision" -> {
+      val sigs = (0 until 12).map(sigSql)
+      val bandKeys = (0 until 4).map(b =>
+        s"md5(concat_ws('|', '$b', ${sigs.slice(b * 3, b * 3 + 3).mkString(", ")})) AS band$b")
+        .mkString(", ")
+      val ex = (0 until 4).map(b =>
+        s"SELECT doc_id, wset, $b AS band_id, band$b AS band_key FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH sigs AS (
+            SELECT doc_id, $wsetSql AS wset, $bandKeys FROM documents),
+          ex AS ($ex),
+          cand AS (
+            SELECT DISTINCT a.band_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.wset AS wa, b.wset AS wb
+            FROM ex a JOIN ex b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          v AS (
+            SELECT band_id,
+              1000000 * len(list_intersect(wa, wb)) //
+                (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS j_ppm
+            FROM cand)
+          SELECT CAST(band_id AS INT) AS band_id,
+            CAST(count(*) AS BIGINT) AS n_cand,
+            CAST(sum(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_verified,
+            CAST(1000000 * sum(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END)
+              // count(*) AS BIGINT) AS precision_ppm
+          FROM v GROUP BY band_id ORDER BY band_id"""
+    },
+    // q225: same deterministic generations (doc_id % 3), same 12-sig /
+    // 4-band LSH over shingle sets, same lower-gen band join + exact
+    // integer-ppm verification, same lowest-qualifying-match pick. The
+    // oracle sees all generations at once (SQL has no ingest loop), which
+    // is equivalent BECAUSE the index keeps every ingested doc's bands —
+    // "matched against seen" has no order dependence beyond gen < gen.
+    "q225_incremental_dedup" -> {
+      val sigs = (0 until 12).map(sigShSql)
+      val bandKeys = (0 until 4).map(b =>
+        s"md5(concat_ws('|', '$b', ${sigs.slice(b * 3, b * 3 + 3).mkString(", ")})) AS band$b")
+        .mkString(", ")
+      s"""WITH sh0 AS (
+            SELECT doc_id, CAST(doc_id % 3 AS INT) AS gen,
+              list_distinct($shinglesSql) AS sh
+            FROM documents),
+          sigs AS (SELECT doc_id, gen, sh, $bandKeys FROM sh0),
+          ex AS (
+            SELECT doc_id, gen, sh,
+              unnest([band0, band1, band2, band3]) AS band_key
+            FROM sigs),
+          cand AS (
+            SELECT DISTINCT n.doc_id AS doc_id, n.gen AS gen,
+              o.doc_id AS matched_id, n.sh AS sh_a, o.sh AS sh_b
+            FROM ex n JOIN ex o
+              ON n.band_key = o.band_key AND o.gen < n.gen),
+          v AS (
+            SELECT doc_id, gen, matched_id,
+              CAST(1000000 * len(list_intersect(sh_a, sh_b)) //
+                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                AS BIGINT) AS jaccard_ppm
+            FROM cand),
+          q AS (SELECT * FROM v WHERE jaccard_ppm >= 800000),
+          m AS (SELECT doc_id, gen, min(matched_id) AS matched_id
+                FROM q GROUP BY 1, 2)
+          SELECT m.doc_id, m.gen, m.matched_id, q.jaccard_ppm
+          FROM m JOIN q
+            ON q.doc_id = m.doc_id AND q.matched_id = m.matched_id
+          ORDER BY m.doc_id"""
     },
     // q214: same inverted-index pair fact (shared shingle + lang +
     // len_bucket), same integer-ppm jaccard, same 4-cutoff sweep with

@@ -636,6 +636,58 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q226: quality-filter ABLATION matrix — the design table read before
+    * fixing a filter stack: for every pair of candidate filters, how many
+    * docs each keeps and how much their keep-sets overlap (exact Jaccard,
+    * integer ppm). Two filters with overlap ≈ 1 are redundant (keep the
+    * cheaper); overlap ≈ independence means both earn their place. Real
+    * curation pipelines (FineWeb's ablation studies, Gopher App. A) run
+    * exactly this audit because every extra filter is a full corpus scan.
+    *
+    * Four representative filters, all integer-exact so both engines hash
+    * identically: length band (n_chars in [200, 2000]), word count
+    * (≥ 20), Gopher stopword evidence (≥ 2 distinct hits), alphabetic
+    * word ratio (≥ 80% in ppm).
+    *
+    * Scale shape: ONE codegen'd map pass computes all four flags, one
+    * global aggregate folds the 4 keep counts and 6 pairwise
+    * intersections (map-side combine, 1 row out), and the 6-row matrix is
+    * a driver-free reshape of that row. At 100 TB this is the minimal
+    * possible cost for the table: one scan, no shuffle, no joins. */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val stoplist = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val flagged = Tables.load(spark, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .withColumn("f_len",
+        (col("n_chars") >= 200 && col("n_chars") <= 2000).cast("long"))
+      .withColumn("f_words", (size(col("ws")) >= 20).cast("long"))
+      .withColumn("f_stop",
+        (size(array_intersect(col("ws"), typedLit(stoplist))) >= 2)
+          .cast("long"))
+      .withColumn("f_alpha",
+        (expr("1000000 * size(filter(ws, w -> w rlike '[a-z]')) " +
+          "DIV size(ws)") >= 800000L).cast("long"))
+    val names = Seq("f_len", "f_words", "f_stop", "f_alpha")
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val aggs = names.map(n => sum(col(n)).as(s"n_$n")) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"n_${a}_$b") }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("filter_a"), lit(b).as("filter_b"),
+        col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+        col(s"n_${a}_$b").as("n_both"),
+        // union can be 0 only when both filters keep nothing — define
+        // that as 0 overlap rather than a divide-by-zero
+        expr(s"CASE WHEN n_$a + n_$b - n_${a}_$b = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE 1000000 * n_${a}_$b DIV (n_$a + n_$b - n_${a}_$b) END")
+          .as("overlap_ppm"))
+    }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("filter_a", "filter_b")
+  }
+
   /** Temperature-based multilingual mixture reweighting — the mT5/XLM-R
     * alpha-sampling recipe (Xue et al. 2021 §3.1; Conneau et al. 2020):
     * sample language l with probability ∝ p_l^α so low-resource languages
@@ -1446,6 +1498,7 @@ object TextQueries {
     "q31_fingerprint" -> (fingerprintQuery _),
     "q49_rolling_fp"  -> (rollingFingerprint _),
     "q99_substring_dup" -> ((s: SparkSession, d: String) => substringDup(s, d)),
+    "q226_filter_ablation" -> (filterAblation _),
     "q133_span_strike" -> ((s: SparkSession, d: String) => spanStrike(s, d)))
 
   // DuckDB formulations of the same expressions. `words` =
@@ -1486,6 +1539,38 @@ object TextQueries {
         ELSE [trim(lower(text))] END"""
 
   val oracles: Map[String, String] = Map(
+    // q226: same four integer-exact flags, same one-aggregate fold, the
+    // 6-row matrix spelled as UNION ALL (SQL has no struct-explode)
+    "q226_filter_ablation" -> {
+      val flags =
+        s"""SELECT doc_id,
+             CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN len($wordsSql) >= 20 THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN len(list_intersect($wordsSql,
+               ['the','be','to','of','and','that','have','with'])) >= 2
+               THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN 1000000 * len(list_filter($wordsSql,
+               w -> regexp_matches(w, '[a-z]'))) // len($wordsSql) >= 800000
+               THEN 1 ELSE 0 END AS f_alpha
+           FROM documents"""
+      val names = Seq("f_len", "f_words", "f_stop", "f_alpha")
+      val pairs = for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield (names(i), names(j))
+      val sums = (names.map(n => s"CAST(sum($n) AS BIGINT) AS n_$n") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum($a * $b) AS BIGINT) AS n_${a}_$b" }).mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS filter_a, '$b' AS filter_b,
+              n_$a AS n_a, n_$b AS n_b, n_${a}_$b AS n_both,
+              CASE WHEN n_$a + n_$b - n_${a}_$b = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1000000 * n_${a}_$b //
+                  (n_$a + n_$b - n_${a}_$b) AS BIGINT) END AS overlap_ppm
+            FROM a"""
+      }.mkString(" UNION ALL ")
+      s"""WITH b AS ($flags), a AS (SELECT $sums FROM b)
+          $rows ORDER BY filter_a, filter_b"""
+    },
     // q221: same distinct-value cumulative window, same strict-before
     // bucket rule
     "q221_equidepth_hist" ->

@@ -173,4 +173,37 @@ class ConcurrencySpec extends SparkSuite {
     cat.vacuum("silver", "dvr")
     assert(cat.readVersion("silver", "dvr", before).count() == 20)
   }
+
+  test("pruned reads racing a re-ANALYZE never lose rows (retry + " +
+      "no-prune fallback close the manifest rename window)") {
+    import graft.layout.DataSkipping
+    val dir = tmpDir("graft-skip-race") + "/t"
+    (1L to 2000L).map(i => (i, i * 3 % 997)).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // force the distributed path (threshold 0) so the race crosses the
+    // header read AND the textFile job, not just the driver parse
+    spark.conf.set("graft.skipping.distributedThresholdBytes", "0")
+    try {
+      DataSkipping.analyze(spark, dir, Seq("id", "v"))
+      val preds = Seq(DataSkipping.Range("id", Some(100L), Some(250L)))
+      val expect = spark.read.parquet(dir)
+        .filter(col("id") >= 100L && col("id") <= 250L).count()
+      val res = race(
+        Seq.fill(3)(() => {
+          var n = 0L
+          (1 to 8).foreach { _ =>
+            n = DataSkipping.read(spark, dir, preds).count()
+            assert(n == expect,
+              s"pruned read lost rows mid-analyze: $n != $expect")
+          }
+          n
+        }) :+ (() => {
+          (1 to 6).foreach(_ => DataSkipping.analyze(spark, dir, Seq("id", "v")))
+          expect
+        }))
+      val failures = res.collect { case Left(e) => e }
+      assert(failures.isEmpty,
+        s"racing reads/analyzes must not throw: ${failures.map(_.toString)}")
+    } finally spark.conf.unset("graft.skipping.distributedThresholdBytes")
+  }
 }

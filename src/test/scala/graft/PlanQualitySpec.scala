@@ -602,7 +602,7 @@ class PlanQualitySpec extends SparkSuite {
 
   test("q210: fuzzy-decontam candidates come from the band equi-join, " +
       "never all-pairs") {
-    val p = plan(Dedup.fuzzyDecontam(spark, sfDir))
+    val p = plan(Dedup.fuzzyDecontam(spark, sfDir, checkpointResult = false))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"q210: candidate generation fell to an all-pairs join:\n$p")
@@ -624,5 +624,16 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("BroadcastHashJoin"),
       s"q204: block key is not driving a keyed join:\n$p")
+  }
+
+  test("q225: incremental dedup joins batch bands against the index on " +
+      "band_key; nothing degenerates to all-pairs") {
+    val p = plan(graft.operators.Dedup
+      .incrementalDedup(spark, sf0001, checkpointResult = false))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q225: candidate generation fell to an all-pairs join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q225: band/index join is not key-based:\n$p")
   }
 }

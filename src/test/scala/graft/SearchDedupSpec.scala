@@ -24,6 +24,65 @@ class SearchDedupSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("incrementalDedup: cross-generation dups flagged with the lowest " +
+      "earlier match; intra-generation pairs are the NEXT batch's problem") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    val rows = Seq(
+      (0L, t),            // gen 0: seeds the index
+      (1L, t),            // gen 1: dup of 0
+      (2L, t),            // gen 2: dup of 0 AND 1 -> lowest match wins (0)
+      (3L, "three unique words here now one"),        // gen 0, unique
+      (4L, "another set of words entirely different"), // gen 1
+      (7L, "another set of words entirely different"), // gen 1 = same text
+                          // as 4, SAME generation -> not flagged (the
+                          // index only holds LOWER generations)
+      (5L, "fifth document with its own content")      // gen 2, unique
+    ).map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("incdedup") + "/d"
+    rows.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.incrementalDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("gen"),
+        r.getAs[Long]("matched_id"), r.getAs[Long]("jaccard_ppm")))
+    assert(out.toSeq == Seq((1L, 1, 0L, 1000000L), (2L, 2, 0L, 1000000L)),
+      s"got: ${out.toSeq}")
+  }
+
+  test("lshPrecisionAudit: all four bands report, verified <= candidates, " +
+      "precision is a valid ppm") {
+    val out = Dedup.lshPrecisionAudit(spark, sf0001).collect()
+    assert(out.map(_.getAs[Int]("band_id")).toSeq == Seq(0, 1, 2, 3),
+      s"every band must surface candidates on the planted-dup fixture: " +
+        s"${out.toSeq}")
+    out.foreach { r =>
+      val (c, v, p) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_verified"),
+        r.getAs[Long]("precision_ppm"))
+      assert(v <= c && c > 0, s"band ${r.get(0)}: verified $v of $c")
+      assert(p >= 0 && p <= 1000000L && p == 1000000L * v / c,
+        s"band ${r.get(0)}: precision $p inconsistent with $v/$c")
+    }
+  }
+
+  test("filterAblation: 6 pairs, intersection bounded by both sides, " +
+      "overlap is a valid ppm jaccard") {
+    val out = graft.operators.TextQueries.filterAblation(spark, sf0001)
+      .collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val (na, nb, both, ppm) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("overlap_ppm"))
+      assert(both <= math.min(na, nb),
+        s"${r.get(0)}/${r.get(1)}: intersection $both exceeds a side")
+      assert(ppm >= 0 && ppm <= 1000000L)
+      val union = na + nb - both
+      assert(union == 0 && ppm == 0 || ppm == 1000000L * both / union)
+    }
+    // the pair list is the sorted upper triangle of the 4 filters
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      out.map(r => (r.getString(0), r.getString(1))).toSeq.sorted)
+  }
+
   test("lineDedup can empty a document without dropping its row") {
     // 84 docs: ids 0..69 share one body line (70 > 10 → boilerplate), and
     // with 84 docs every synthesized footer group has 12 docs (> 10), so
