@@ -49,6 +49,19 @@ class SearchDedupSpec extends SparkSuite {
       s"got: ${out.toSeq}")
   }
 
+  test("incrementalDedup: the 100 TB posture (broadcast gate OFF, " +
+      "SHUFFLE_HASH everywhere) returns the identical verdict set") {
+    val broadcastRows = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(_.toString).sorted.toSeq
+    spark.conf.set("graft.dedup.broadcastMaxDocs", "0")
+    try {
+      val shuffleRows = Dedup.incrementalDedup(spark, sf0001).collect()
+        .map(_.toString).sorted.toSeq
+      assert(shuffleRows == broadcastRows,
+        "flipping the join-strategy gate must never change results")
+    } finally spark.conf.unset("graft.dedup.broadcastMaxDocs")
+  }
+
   test("lshPrecisionAudit: all four bands report, verified <= candidates, " +
       "precision is a valid ppm") {
     val out = Dedup.lshPrecisionAudit(spark, sf0001).collect()
