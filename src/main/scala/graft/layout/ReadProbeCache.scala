@@ -28,10 +28,13 @@ import org.apache.spark.sql.SparkSession
   * in-JVM (belt and braces for writers racing their own readers).
   *
   * Cost model: one `readPointer` (a small-file read, up to 3 metadata ops
-  * on a pointer-less table) plus one epoch `exists` (a content read only
-  * on tables that have ever crash-recovered) replaces `listStatus` +
-  * (nBuckets+1) `exists` per read — and amortizes to ~zero for repeated
-  * reads of the same version, which is every refresh loop's shape.
+  * on a pointer-less table), one epoch `exists` (a content read only on
+  * tables that have ever crash-recovered), and one crash-probe `exists`
+  * on the in-flight version dir (read-side self-healing — the crashed
+  * mid-swap state changes neither version nor epoch, so it must be
+  * probed, not keyed) replaces `listStatus` + (nBuckets+1) `exists` per
+  * read — and amortizes to near-zero for repeated reads of the same
+  * version, which is every refresh loop's shape.
   */
 private[graft] object ReadProbeCache {
 
@@ -52,6 +55,13 @@ private[graft] object ReadProbeCache {
   def probe(spark: SparkSession, path: String): Probe = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed-swap self-heal BEFORE keying: a writer that died between
+    // its retire renames and its pointer write leaves a bucket with no
+    // live dir at an UNCHANGED (version, epoch) — the one state the key
+    // cannot see — and a scan would silently drop its rows. One `exists`
+    // answers the steady state; see PartitionedMerge.healCrashedSwap for
+    // the live-writer grace protocol.
+    graft.merge.PartitionedMerge.healCrashedSwap(spark, fs, path)
     val v = graft.catalog.Catalog.readPointer(fs, path)
     // epoch read BEFORE deriving: a recovery racing this probe lands the
     // derived answer under the PRE-recovery epoch, so the next lookup

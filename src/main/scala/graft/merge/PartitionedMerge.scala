@@ -67,8 +67,15 @@ object PartitionedMerge {
   /** Read the logical table (bucket column dropped, deletion vectors
     * applied — a bucketed table can carry per-bucket `_dv` sidecars from
     * merge-on-read DML, see [[graft.layout.BucketedDml]]). */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // heal BEFORE the scan lists the live tree: readRaw resolves files
+    // eagerly, so a post-hoc probe could not bring a rolled-back bucket
+    // into THIS read's plan
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healCrashedSwap(spark, fs, path)
     applyBucketDvs(spark, path, readRaw(spark, path)).drop(BucketCol)
+  }
 
   /** Subtract per-bucket deletion-vector positions from a frame read off
     * this table's LIVE bucket dirs. The sidecar probe comes from the
@@ -362,6 +369,50 @@ object PartitionedMerge {
     spark.catalog.refreshByPath(path)
   }
 
+  /** READ-side self-healing for the crash window writers recover lazily:
+    * between a crashed writer's retire renames and the next write's
+    * [[recoverAbortedSwap]], a bucket sits in `v{current}` with NO live
+    * dir — and a scan of the live tree would SILENTLY drop its rows (the
+    * one partial-data window in the protocol; flat tables fail loudly
+    * instead because their whole snapshot dir is gone). Every read path
+    * calls this first: one `exists` on the in-flight version dir answers
+    * the steady state; when missing-live entries are found, a HEALTHY
+    * writer mid-swap is identified by FRESHNESS (each retire rename
+    * touches the in-flight dir's mtime) and left alone; a state stale
+    * past [[HealGraceMs]] is a crashed writer — recovered inline, epoch
+    * bumped, so every process re-probes. Trade-off, documented: a live
+    * writer stalled longer than the grace inside its rename window can
+    * have its swap rolled back under it; it then fails its stage-in
+    * rename LOUDLY and retries — reader correctness is bought with a
+    * writer retry, never silence. */
+  private[graft] val HealGraceMs = 3000L
+
+  private[graft] def healCrashedSwap(spark: SparkSession,
+      path: String): Unit =
+    healCrashedSwap(spark, new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+
+  private[graft] def healCrashedSwap(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import graft.catalog.Catalog
+    val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
+    val st =
+      try { if (!fs.exists(inFlight)) return else fs.getFileStatus(inFlight) }
+      catch { case _: java.io.FileNotFoundException => return }
+    // freshness gates the verdict, not a wait loop: every retire rename
+    // updates the in-flight dir's mtime, so a FRESH entry is a live
+    // writer mid-swap — reads give it grace and proceed (racing a
+    // healthy swap is the rename-layout's known listing window, closed
+    // by the writer within ms); an entry stale past HealGraceMs with a
+    // missing live dir is a crashed writer, recovered inline.
+    if (System.currentTimeMillis() - st.getModificationTime < HealGraceMs)
+      return
+    val missing = fs.listStatus(inFlight).map(_.getPath)
+      .exists(p => p.getName.startsWith(s"$BucketCol=") &&
+        !fs.exists(new Path(path, p.getName)))
+    if (missing) recoverAbortedSwap(spark, fs, path)
+  }
+
   /** Roll back a swap that crashed before its pointer write: entries under
     * `v{current}` whose live bucket dir is MISSING were retired but never
     * replaced — restore them so the pruned scan reads pre-merge data.
@@ -414,6 +465,11 @@ object PartitionedMerge {
       s"version $v out of range for $path (current = $cur)")
     def hasData(p: Path) =
       fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
+    // v == cur lists the LIVE tree — the same crashed-swap partial-data
+    // window read() heals; historical versions are immune (a crashed
+    // v{cur} retire entry holds the bucket's state AT cur, which is
+    // exactly what reconstruction of any v <= cur should use)
+    if (v == cur) healCrashedSwap(spark, path)
     if (v == cur)
       return fs.listStatus(new Path(path)).map(_.getPath)
         .filter(p => p.getName.startsWith(s"$BucketCol=") &&

@@ -100,6 +100,43 @@ class ReadProbeCacheSpec extends SparkSuite {
         "same pointer version")
   }
 
+  test("a crashed mid-swap bucket heals on READ — no silent partial data") {
+    val dir = tmpDir("probe-heal") + "/t"
+    PartitionedMerge.write(
+      (1L to 40L).toDF("k").withColumn("v", col("k") * 10),
+      dir, Seq("k"), 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // warm read: probe cached at (version, epoch)
+    assert(PartitionedMerge.read(spark, dir).count() == 40)
+    // simulate the crash: one bucket retired into v{cur}, pointer never
+    // advanced — version AND epoch are unchanged, so no cache key moves
+    val cur = Catalog.readPointer(fs, dir)
+    val vdir = Catalog.versionDir(dir, cur)
+    fs.mkdirs(vdir)
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("gbucket=")).head
+    val lost = spark.read.parquet(bucket.toString).count()
+    assert(lost > 0)
+    assert(fs.rename(bucket,
+      new org.apache.hadoop.fs.Path(vdir, bucket.getName)))
+    // a FRESH in-flight state is a live writer's grace window: the read
+    // must NOT roll it back (and, listing the live tree, sees fewer rows
+    // — the rename-layout's inherent mid-swap listing window)
+    assert(PartitionedMerge.read(spark, dir).count() == 40 - lost)
+    assert(!fs.exists(bucket),
+      "healing must not touch a fresh in-flight transition")
+    // age the state past the grace: now it reads as a CRASHED writer and
+    // the very next read self-heals, seeing every row again
+    fs.setTimes(vdir,
+      System.currentTimeMillis() - PartitionedMerge.HealGraceMs - 1000, -1)
+    assert(PartitionedMerge.read(spark, dir).count() == 40,
+      "a read past the crashed-swap grace returned partial data")
+    assert(fs.exists(bucket), "healing must restore the live bucket dir")
+    assert(Catalog.readRecoveryEpoch(fs, dir).nonEmpty,
+      "read-side healing must bump the epoch for other processes")
+  }
+
   test("recoverAbortedSwap bumps the epoch iff it restored a bucket") {
     val dir = tmpDir("probe-recover") + "/t"
     PartitionedMerge.write(
