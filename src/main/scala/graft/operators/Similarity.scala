@@ -219,6 +219,75 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** q228: incremental ANN ingest against PERSISTED IVF posting lists —
+    * the embedding-side twin of q225's incremental dedup, and the shape
+    * a serving-scale vector index actually grows by: vectors arrive in
+    * batches, and re-building the index per batch is O(corpus) where
+    * the right cost is O(batch). The coarse quantizer is FROZEN from the
+    * first generation (re-training per ingest would invalidate every
+    * existing posting list — production IVF services freeze centroids
+    * and retrain offline); each new batch is assigned to its cells in
+    * one map pass against the broadcast centroids, its probe queries
+    * search ONLY the persisted lists (gens before it) within nprobe
+    * cells, and the batch's own postings are appended through the
+    * versioned snapshot layer for the next batch to see.
+    *
+    * Scale shape: centroids are bounded (k x dims) and broadcast;
+    * assignment is one pass over the BATCH; search is an equi-join on
+    * cent_id between the batch's probes and the posting-list table
+    * (bucketable by cent_id at scale, so the probe is cell-local);
+    * the append is O(batch). Nothing re-reads or re-scores the corpus.
+    * Generations are deterministic (vec_id % gens), so the oracle
+    * replays the whole lattice without a loop: candidates are exactly
+    * the postings of LOWER generations. */
+  def incrementalAnn(spark: SparkSession, dir: String, gens: Int = 3,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), (col("vec_id") % gens).cast("int").as("gen"),
+        col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .cache()
+    e.count()
+    val cent = e.filter(col("gen") === 0 && col("vec_id") % 101 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    def assigned(g: Int) = e.filter(col("gen") === g)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn")), 6))
+      .withColumn("rn_c", row_number().over(wAssign))
+    def postings(g: Int) = assigned(g).filter(col("rn_c") === 1)
+      .select(col("cent_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("lv"), col("nrm").as("ln"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-q228")
+      .toString + "/postings"
+    graft.catalog.Catalog.appendPath(spark, postings(0), idx)
+    val perGen = (1 until gens).map { g =>
+      val ag = assigned(g)
+      val qprobe = ag.filter(col("vec_id") % 50 === 1 && col("rn_c") <= nprobe)
+        .select(col("cent_id"), col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = spark.read.parquet(idx).join(qprobe, Seq("cent_id"))
+        .withColumn("cos", round(dot(col("qv"), col("lv")) /
+          (col("qn") * col("ln")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      val res = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), lit(g).cast("int").as("gen"),
+          col("rn"), col("cand_id"), col("cos"))
+      // pin verdicts BEFORE the batch's postings join the index
+      val pinned = res.localCheckpoint()
+      graft.catalog.Catalog.appendPath(spark, postings(g), idx)
+      pinned
+    }
+    val out = perGen.reduce(_ unionByName _).orderBy("query_id", "rn")
+    val fin = out.localCheckpoint()
+    e.unpersist(blocking = false)
+    fin
+  }
+
   /** ANN recall audit as a first-class query (the serving-time health
     * check an index rollout gates on): per probe query, how many of the
     * exact top-k does IVF-with-nprobe recover — exact BIGINT ppm per
@@ -1096,7 +1165,9 @@ object Similarity {
     "q39_cosine_topk"    -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q40_ann_lsh"        -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q41_embed_neardup"  -> (embeddingNearDup _),
-    "q44_ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)))
+    "q44_ann_ivf"        -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "q228_incremental_ann" ->
+      ((s: SparkSession, d: String) => incrementalAnn(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -1810,6 +1881,42 @@ object Similarity {
           SELECT query_id, n_exact, n_hits,
             CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
           FROM h ORDER BY query_id""",
+    // q228: same frozen gen-0 centroids, same assignment/probe windows,
+    // candidates = postings of LOWER generations (the loop-free replay —
+    // valid because postings only ever append, so a gen-g query's index
+    // IS exactly the union of gens < g)
+    "q228_incremental_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(vec_id % 3 AS INT) AS gen,
+                       embedding, ${normSql("embedding")} AS nrm
+                     FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+                   FROM e WHERE gen = 0 AND vec_id % 101 = 7),
+          assigned AS (
+            SELECT e.vec_id, e.gen, e.embedding, e.nrm, cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "cv")} / (e.nrm * cn), 6) DESC,
+                         cent_id ASC) AS rn_c
+            FROM e CROSS JOIN cent),
+          lists AS (SELECT cent_id, vec_id AS cand_id, gen AS cgen,
+                      embedding AS lv, nrm AS ln
+                    FROM assigned WHERE rn_c = 1),
+          qprobe AS (SELECT cent_id, vec_id AS query_id, gen AS qgen,
+                       embedding AS qv, nrm AS qn
+                     FROM assigned
+                     WHERE vec_id % 50 = 1 AND gen >= 1 AND rn_c <= 2),
+          scored AS (
+            SELECT query_id, qgen, cand_id,
+              round(${dotSql("qv", "lv")} / (qn * ln), 6) AS cos
+            FROM qprobe q JOIN lists l USING (cent_id)
+            WHERE cgen < qgen),
+          ranked AS (
+            SELECT query_id, qgen, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, CAST(qgen AS INT) AS gen, rn, cand_id, cos
+          FROM ranked WHERE rn <= 3
+          ORDER BY query_id, rn""",
     "q44_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                      FROM embeddings),

@@ -114,4 +114,26 @@ class AnnRecallSpec extends SparkSuite {
     assert(meanRatio <= 1.2,
       f"routed negatives drifted from optimal: mean ratio $meanRatio%.3f")
   }
+
+  test("incremental ANN (q228): queries only ever match LOWER-generation " +
+      "postings, ranks are dense per query, cosines are valid") {
+    val out = graft.operators.Similarity
+      .incrementalAnn(spark, sf0001).collect()
+    assert(out.nonEmpty, "the probe subset must produce matches")
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (qid, rows) =>
+      val gen = rows.head.getAs[Int]("gen")
+      assert(gen >= 1, s"query $qid: generation-0 vectors never query")
+      rows.foreach { r =>
+        val cand = r.getAs[Long]("cand_id")
+        assert((cand % 3) < gen,
+          s"query $qid (gen $gen) matched cand $cand of gen ${cand % 3} — " +
+            "the index must only hold EARLIER generations at query time")
+        val cos = r.getAs[Double]("cos")
+        assert(cos >= -1.000001 && cos <= 1.000001)
+      }
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq ==
+        (1 to rows.length), s"query $qid: ranks not dense")
+    }
+  }
 }
