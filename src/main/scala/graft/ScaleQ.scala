@@ -89,17 +89,24 @@ object ScaleQ {
 
     def timeAt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
+      var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, dir).count()
         catch { case e: Throwable =>
+          ok = false
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[sweep] $name @ $dir failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       scrub()
-      times.min
+      // a crashed rep fast-fails: its elapsed time is not a measurement,
+      // and min-of-reps would smuggle it into the artifact as a healthy-
+      // looking (misleadingly small) number next to the `failed` listing —
+      // emit NaN instead; the JSON writer renders it as null and NaN never
+      // compares > flagAt, so failed queries can't be ratio-flagged either
+      if (ok) times.min else Double.NaN
     }
 
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -108,7 +115,8 @@ object ScaleQ {
         val tS = timeAt(name, fn, small)
         val tL = timeAt(name, fn, large)
         // floor the denominator at 50 ms: below that the small-SF time is
-        // pure constant and the ratio is noise, not growth
+        // pure constant and the ratio is noise, not growth. A failed
+        // (NaN) side makes the ratio NaN → null in the artifact.
         val ratio = tL / math.max(tS, 0.05)
         System.err.println(
           f"[sweep] $name%-28s t_small=$tS%7.3f t_large=$tL%7.3f ratio=$ratio%6.2f" +
@@ -117,7 +125,8 @@ object ScaleQ {
       }
 
     def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (v.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val flagged = rows.filter(_._4 > flagAt).map(_._1)
     val canary = rows.find(_._1 == "q107_tpch_q6")
     val qs = rows.map { case (k, tS, tL, ratio) =>
@@ -126,7 +135,7 @@ object ScaleQ {
     val flaggedJson = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scale_sweep","flag_at":${r3(flagAt)},"cpus":$cpus""" +
+      s"""{"metric":"scale_sweep","flag_at":${r3(flagAt)},"cpus":$cpus,"reps":$reps""" +
         s""","canary_small_s":${canary.map(c => r3(c._2)).getOrElse("null")}""" +
         s""","canary_large_s":${canary.map(c => r3(c._3)).getOrElse("null")}""" +
         s""","sf_small":"$small","sf_large":"$large"""" +

@@ -582,10 +582,19 @@ object Catalog {
     var i = 0
     while (i < 100) {
       try {
-        if (!f.exists(p)) return ""
-        return readSmallFile(f, p)
+        if (f.exists(p)) return readSmallFile(f, p)
+        // ABSENT is ambiguous: "never recovered" (the common case), or a
+        // concurrent bump's delete-then-rename window — in which a probe
+        // returning "" would cache a pre-recovery answer under the
+        // never-recovered epoch (ADVICE r9). The bump's unique tmp file is
+        // visible for exactly that window: if one exists, retry; if none
+        // does AND the epoch is still absent, it genuinely never existed.
+        val hist = historyDir(dir)
+        val bumpInFlight = f.exists(hist) && f.listStatus(hist)
+          .exists(_.getPath.getName.startsWith("_recovery_epoch.tmp-"))
+        if (!bumpInFlight && !f.exists(p)) return ""
       } catch {
-        // delete-then-rename window of a concurrent bump: transient, retry
+        // listing/read races with a concurrent bump: transient, retry
         case _: java.io.FileNotFoundException => ()
       }
       i += 1
@@ -603,6 +612,14 @@ object Catalog {
     val out = f.create(tmp, true)
     try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
     finally out.close()
+    // Delete-then-rename has an absent window a concurrent
+    // readRecoveryEpoch must not mistake for "never recovered"; the
+    // reader disambiguates by the tmp file this bump leaves visible for
+    // exactly that window (see readRecoveryEpoch). A FileContext
+    // overwrite-rename would close the window writer-side, but on the
+    // checksummed local FS its 3-arg renameInternal bypasses ChecksumFs
+    // and strands the destination's stale .crc — measured as
+    // ChecksumException on the next pointer read.
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"could not commit recovery epoch $p")

@@ -348,8 +348,33 @@ object PartitionedMerge {
         if (!fs.rename(dst, retired))
           throw new IllegalStateException(s"bucket retire failed for $dst")
       } else fs.mkdirs(retired) // bucket absent before this version
-      if (fs.exists(src) && !fs.rename(src, dst))
-        throw new IllegalStateException(s"bucket swap failed for $dst")
+      if (fs.exists(src)) {
+        // Reader-side heal can roll this swap back if the writer stalls
+        // past HealGraceMs between the retire above and this stage-in:
+        // the live dir REAPPEARS, and RawLocalFileSystem.rename onto an
+        // existing non-empty dir falls back to copy-INTO-child
+        // (bucket=b/bucket=b nesting) and returns true — the one path
+        // that could advance the pointer over a corrupted bucket. Fail
+        // loudly instead; the caller retries the merge, which starts from
+        // recoverAbortedSwap and finds a consistent tree.
+        if (fs.exists(dst))
+          throw new IllegalStateException(
+            s"bucket swap pre-empted for $dst: live dir reappeared " +
+              s"(reader-side heal rolled back a swap stalled past " +
+              s"${HealGraceMs}ms; raise -Dgraft.heal.graceMs on stall-prone " +
+              "hosts) — retry the merge")
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(s"bucket swap failed for $dst")
+        // heal racing BETWEEN the check and the rename leaves the staged
+        // dir NESTED under the restored live dir — detect, remove, fail
+        val nested = new Path(dst, src.getName)
+        if (fs.exists(nested)) {
+          fs.delete(nested, true)
+          throw new IllegalStateException(
+            s"bucket swap for $dst nested under a heal-restored live dir " +
+              "— removed the nested copy; retry the merge")
+        }
+      }
     }
     fs.delete(new Path(tmp), true)
     Catalog.writePointer(fs, path, cur + 1)
@@ -384,8 +409,14 @@ object PartitionedMerge {
     * writer stalled longer than the grace inside its rename window can
     * have its swap rolled back under it; it then fails its stage-in
     * rename LOUDLY and retries — reader correctness is bought with a
-    * writer retry, never silence. */
-  private[graft] val HealGraceMs = 3000L
+    * writer retry, never silence (swapBuckets checks for a reappeared
+    * live dir before AND after the stage-in rename, because a plain
+    * rename onto a restored dir would silently nest instead of failing).
+    * Hosts with multi-second IO stalls can widen the window with
+    * `-Dgraft.heal.graceMs=<millis>`. */
+  private[graft] def HealGraceMs: Long =
+    sys.props.get("graft.heal.graceMs").flatMap(s =>
+      scala.util.Try(s.toLong).toOption).getOrElse(3000L)
 
   private[graft] def healCrashedSwap(spark: SparkSession,
       path: String): Unit =
@@ -423,19 +454,31 @@ object PartitionedMerge {
     import graft.catalog.Catalog
     val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
     if (!fs.exists(inFlight)) return
-    var restored = 0
-    fs.listStatus(inFlight).map(_.getPath)
-      .filter(_.getName.startsWith(s"$BucketCol=")).foreach { retired =>
-        val dst = new Path(path, retired.getName)
-        if (!fs.exists(dst) && fs.rename(retired, dst)) restored += 1
-      }
     // the one same-version mutation in the protocol: bucket dirs (and
-    // their _dv sidecars) just moved without a pointer advance — the
-    // cached probe for this version may describe the crashed writer's
-    // half-swapped state. The in-JVM invalidate handles our own readers;
-    // the epoch bump makes the mutation observable to OTHER processes,
-    // whose probe caches key on (path, version, epoch).
-    if (restored > 0) {
+    // their _dv sidecars) move without a pointer advance — the cached
+    // probe for this version may describe the crashed writer's
+    // half-swapped state. Bump + invalidate whenever a missing live
+    // entry was DETECTED (not only when a restore rename succeeded: a
+    // failed restore leaves the tree half-swapped, and serving the
+    // pre-recovery probe for it would hide exactly that). The in-JVM
+    // invalidate handles our own readers; the epoch bump makes the
+    // mutation observable to OTHER processes, whose probe caches key on
+    // (path, version, epoch).
+    var missingSeen = false
+    try {
+      fs.listStatus(inFlight).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol=")).foreach { retired =>
+          val dst = new Path(path, retired.getName)
+          if (!fs.exists(dst)) {
+            missingSeen = true
+            // a failed restore rename must surface, not be dropped: the
+            // table would keep serving with the bucket's rows missing
+            if (!fs.rename(retired, dst))
+              throw new IllegalStateException(
+                s"crash recovery could not restore $dst from $retired")
+          }
+        }
+    } finally if (missingSeen) {
       Catalog.bumpRecoveryEpoch(fs, path)
       graft.layout.ReadProbeCache.invalidate(path)
     }

@@ -46,17 +46,27 @@ object Streams {
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
       statePartitions: Int = 8): DataFrame = {
-    val spark = df.sparkSession
+    val parent = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    val clamped = math.min(saved.toInt, statePartitions).toString
-    spark.conf.set(key, clamped)
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, saved)
-    spark.table(name)
+    // Drain on a CLONED session: the clamp is session-global, and a
+    // set-then-restore on the caller's session holds the narrowed value
+    // for the whole drain window — any concurrent query on that session
+    // would silently plan its shuffles at the clamp (ADVICE r9). A
+    // newSession shares the SparkContext + catalog but owns its conf, so
+    // the clamp cannot leak; the memory-sink table registers in the
+    // child session and is returned from there.
+    val session = parent.newSession()
+    // non-numeric parent conf (never set, or set to a malformed value):
+    // fall back to the clamp alone instead of throwing on toInt
+    val parentN = scala.util.Try(parent.conf.get(key).toInt).toOption
+    session.conf.set(key,
+      math.min(parentN.getOrElse(statePartitions), statePartitions).toString)
+    val df2 = org.apache.spark.sql.GraftShims.ofRows(
+      session, df.queryExecution.analyzed)
+    val q = df2.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    session.table(name)
   }
 
   /** Stream-stream interval join: each click matched to same-user views at
