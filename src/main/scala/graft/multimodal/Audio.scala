@@ -312,8 +312,19 @@ object Audio {
     * keys are 14-bit ints, candidates are an equi-join — never
     * all-pairs; the decode is map-only and id-repartitioned. */
   def nearDupQuery(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame =
-    nearDupFromFps(fingerprintFrame(spark, dir), maxHamming)
+      maxHamming: Int = 3, checkpointResult: Boolean = true): DataFrame = {
+    val fps = fingerprintFrame(spark, dir)
+    val res = nearDupFromFps(fps, maxHamming)
+    // pin the slim pair result, release the fingerprint cache (the
+    // fuzzyDecontam protocol); plan-inspection callers pass
+    // checkpointResult = false and own the cache lifetime
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      fps.unpersist(blocking = false)
+      fin
+    }
+  }
 
   /** Decoded, length-gated, CACHED (asset_id, sig) fingerprint frame —
     * shared by the q195 pair query and the q198 cluster fold (the same
@@ -365,8 +376,11 @@ object Audio {
       .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
     val labels0 = fps.select(col("asset_id").as("doc_id"),
       col("asset_id").as("cluster_id"))
-    graft.operators.Dedup.connectedComponents(labels0, pairs)
-      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+    val cc = graft.operators.Dedup.connectedComponents(labels0, pairs)
+    // CC materializes eagerly (per-round localCheckpoint), so the
+    // fingerprint cache has no consumers left — release it here
+    fps.unpersist(blocking = false)
+    cc.select(col("doc_id").as("asset_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
       .orderBy("asset_id")
   }

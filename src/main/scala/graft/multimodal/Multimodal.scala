@@ -371,18 +371,24 @@ object Multimodal {
     * 14-bit ints — the candidate table is radically smaller than the
     * media it indexes; decode runs once, map-only, upstream. */
   def imageNearDupQuery(spark: SparkSession, dir: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, checkpointResult: Boolean = true): DataFrame = {
     // cache() the 16-byte-per-asset hash frame: the banded self-join
     // references it on BOTH sides, and (object-typed MapPartitions
     // subtrees not canonicalizing equal) each side would otherwise
     // re-run the full encode→decode→dHash pass. Sharing one cached
-    // frame prices the codec once; Bench/Verify scrub stranded blocks
-    // between queries.
+    // frame prices the codec once; the cache is released when the
+    // (slim) pair result is pinned below.
     val hashes = dhashFrame(spark, dir)
       .filter(col("decoded"))
       .select(col("asset_id"), col("dhash"))
       .cache()
-    imageNearDupFromHashes(hashes, maxHamming)
+    val res = imageNearDupFromHashes(hashes, maxHamming)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      hashes.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** Banded-candidate near-dup pairs over a (asset_id, dhash) frame —
@@ -436,8 +442,11 @@ object Multimodal {
     val labels0 = hashes
       .select(col("asset_id").as("doc_id"),
         col("asset_id").as("cluster_id"))
-    graft.operators.Dedup.connectedComponents(labels0, pairs)
-      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+    val cc = graft.operators.Dedup.connectedComponents(labels0, pairs)
+    // CC materializes eagerly (per-round localCheckpoint), so the hash
+    // cache has no consumers left — release it here, not at scrub time
+    hashes.unpersist(blocking = false)
+    cc.select(col("doc_id").as("asset_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
       .orderBy("asset_id")
   }

@@ -35,6 +35,18 @@ object Dedup {
     if (nDocs <= maxDocs) broadcast(df) else df.hint("SHUFFLE_HASH")
   }
 
+  /** Release the materialized blocks behind a localCheckpoint-pinned
+    * frame (the CC-loop release, shared by the incremental-ingest
+    * queries for their superseded per-generation pins): the frame's plan
+    * is a LogicalRDD, which the CacheManager doesn't track — unpersist
+    * the RDD directly. No-op on lazy frames. */
+  private[graft] def releasePinned(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Exact dedup: md5 text hash, keep the lowest doc_id of each group
     * (hash-groupBy — two-phase aggregate, no sort). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -75,24 +87,34 @@ object Dedup {
     * codegen'd integer ops instead of interpreted array traversals
     * (candidate pairs vastly outnumber documents, so per-pair cost
     * rules; measured on q227: 9-280 s with array_intersect per pair vs
-    * ~2 s with masks at sf0.1). Vocab ids come from a single-partition
-    * window over DISTINCT WORDS — O(vocab) << O(corpus) even at 100 TB
-    * (a cluster swaps it for zipWithIndex); past 64 mask chunks (4096
-    * distinct words) falls back to sorted-array intersection. Input `d`
-    * must carry (doc_id, wset); `pairs` must carry (doc_a, doc_b) and
-    * may carry extra columns, which ride through. Output: the pairs'
-    * columns + exact `inter`, `n_a`, `n_b` word counts. */
+    * ~2 s with masks at sf0.1). Vocab ids are DISTRIBUTED (VERDICT r9
+    * #3): `zipWithIndex` over the hash-partitioned distinct vocabulary
+    * assigns contiguous ids from per-partition offsets — one extra
+    * count job, no single-partition window anywhere in the plan. Task
+    * retries reassign identical ids because the distinct's hash
+    * partitioning fixes each word's partition and sortWithinPartitions
+    * fixes the order inside it. The vocab COUNT is taken before any id
+    * construction, so past 64 mask chunks (4096 distinct words) the
+    * sorted-array-intersection fallback never pays for ids at all.
+    * Input `d` must carry (doc_id, wset); `pairs` must carry
+    * (doc_a, doc_b) and may carry extra columns, which ride through.
+    * Returns (enriched pairs with exact `inter`, `n_a`, `n_b` word
+    * counts, cached frames whose lifetime the CALLER owns — release
+    * them once the result is pinned). */
   private def wordsetIntersect(d: DataFrame, nDocs: Long,
-      pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      pairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val docWords = d.select(col("doc_id"), explode(col("wset")).as("w"))
-    val vocab = docWords.select("w").distinct()
-      .withColumn("wid",
-        (row_number().over(Window.orderBy("w")) - 1).cast("long"))
+    // cached: the count below and the id assignment both read it
+    val distinctW = docWords.select("w").distinct()
+      .sortWithinPartitions("w")
       .cache()
-    val nChunks = math.max(1, ((vocab.count() + 63) / 64).toInt)
+    val nVocab = distinctW.count()
+    val nChunks = math.max(1, ((nVocab + 63) / 64).toInt)
     val masks =
       if (nChunks <= 64) {
+        val sess = d.sparkSession
+        import sess.implicits._
+        val vocab = distinctW.as[String].rdd.zipWithIndex().toDF("w", "wid")
         val maskAggs = (0 until nChunks).map(c => expr(
           s"bit_or(IF(CAST(wid DIV 64 AS INT) = $c, " +
             "shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT)), " +
@@ -120,15 +142,19 @@ object Dedup {
     // fact. Small corpus -> broadcast; large -> bucket-equi-join by doc
     // id (both sides hash-partition on doc_a/doc_b, masks cross once).
     val keep = pairs.columns.map(col).toSeq
-    pairs
+    val res = pairs
       .join(maybeBroadcast(side("a"), nDocs), Seq("doc_a"))
       .join(maybeBroadcast(side("b"), nDocs), Seq("doc_b"))
       .withColumn("inter", inter)
       .select(keep ++ Seq(col("inter"),
         col("a_n_words").as("n_a"), col("b_n_words").as("n_b")): _*)
+    (res, Seq(distinctW, msk))
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Plan-inspection callers pass `checkpointResult = false` and own the
+    * cache lifetimes (the fuzzyDecontam protocol). */
+  def minhashLsh(spark: SparkSession, dir: String,
+      checkpointResult: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPart = spark.sparkContext.defaultParallelism
     // The fixture is one small parquet file → a 1-partition scan; the
@@ -164,12 +190,21 @@ object Dedup {
     // exact verification over dictionary-encoded bitset word-sets (the
     // shared [[wordsetIntersect]] path — see its scaladoc for the cost
     // argument and the >4096-word fallback)
-    wordsetIntersect(d, nDocs, pairs)
+    val (wi, wiCaches) = wordsetIntersect(d, nDocs, pairs)
+    val res = wi
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+    // pin the surviving-pair result, release every cache this query
+    // built (shingle projection, band explode, vocab, masks)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      (wiCaches ++ Seq(exploded, d)).foreach(_.unpersist(blocking = false))
+      fin
+    }
   }
 
   /** Per-word hash for SimHash (md5-hex-prefix → 60-bit integer). */
@@ -214,7 +249,8 @@ object Dedup {
     * keys; pairs agreeing on any band (hamming LSH — any fingerprint with
     * hamming<=3 differs in at most 3 of the 4 bands, so it MUST agree on
     * one) with hamming distance <= 3 over the full 60 bits. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String,
+      checkpointResult: Boolean = true): DataFrame = {
     // cached: referenced three times (band explode + both pair-fetch sides)
     val s = simhash(spark, dir).cache()
     // Band into 4 15-bit keys; one explode + one self-join on the
@@ -235,7 +271,7 @@ object Dedup {
         Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    pairs
+    val res = pairs
       .join(s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")),
         Seq("doc_a"))
       .join(s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
@@ -244,6 +280,14 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+    // pin the surviving-pair result, release the fingerprint cache (the
+    // fuzzyDecontam protocol — VERDICT r9 #2)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      s.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** N-gram (3-word shingle) Jaccard near-dup within blocking buckets
@@ -662,6 +706,9 @@ object Dedup {
     if (!checkpointResult) res
     else {
       val fin = res.localCheckpoint()
+      // the final pin supersedes the per-generation pins — release them
+      // along with the shingle cache (cache-lifetime protocol)
+      perGen.foreach(releasePinned)
       d.unpersist(blocking = false)
       fin
     }
@@ -706,7 +753,8 @@ object Dedup {
     val cand = a.join(maybeBroadcast(b, nDocs), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("band_id", "doc_a", "doc_b").distinct()
-    val verified = wordsetIntersect(d, nDocs, cand)
+    val (wi, wiCaches) = wordsetIntersect(d, nDocs, cand)
+    val verified = wi
       .withColumn("j_ppm",
         expr("1000000 * inter DIV (n_a + n_b - inter)"))
     val res = verified.groupBy("band_id")
@@ -717,7 +765,7 @@ object Dedup {
         expr("1000000 * n_verified DIV n_cand"))
       .orderBy("band_id")
     val fin = res.localCheckpoint()
-    d.unpersist(blocking = false)
+    (wiCaches :+ d).foreach(_.unpersist(blocking = false))
     fin
   }
 
@@ -932,7 +980,8 @@ object Dedup {
     * join back per surviving pair. shared ≥ 2 prunes the
     * single-coincidence tail before the ratio gate. */
   def containmentDup(spark: SparkSession, dir: String,
-      minContainmentPpm: Long = 800000L): DataFrame = {
+      minContainmentPpm: Long = 800000L,
+      checkpointResult: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions.shingles3
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -964,7 +1013,7 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
-    inter
+    val res = inter
       .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n_a")),
         Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n_b")),
@@ -974,6 +1023,15 @@ object Dedup {
         expr("1000000 * shared DIV (n_a + n_b - shared)").as("jaccard_ppm"))
       .filter(col("containment_ppm") >= minContainmentPpm)
       .orderBy("id1", "id2")
+    // pin the surviving-pair result, release both slim gram caches (the
+    // fuzzyDecontam protocol — VERDICT r9 #2)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      g.unpersist(blocking = false)
+      ex.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** q204: entity resolution (record linkage) — the Fellegi–Sunter
@@ -1066,9 +1124,9 @@ object Dedup {
       ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q32_dedup_exact"    -> (exact _),
     "q33_minhash_sig"    -> (minhashSignatures _),
-    "q34_minhash_lsh"    -> (minhashLsh _),
+    "q34_minhash_lsh"    -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q35_simhash"        -> (simhash _),
-    "q36_simhash_pairs"  -> (simhashPairs _),
+    "q36_simhash_pairs"  -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q37_ngram_jaccard"  -> (ngramJaccard _),
     "q57_dedup_clusters" -> (dedupClusters _),
     "q102_dedup_select" -> (dedupSelect _))

@@ -284,6 +284,9 @@ object Similarity {
     }
     val out = perGen.reduce(_ unionByName _).orderBy("query_id", "rn")
     val fin = out.localCheckpoint()
+    // the final pin supersedes the per-generation pins — release them
+    // along with the embedding cache (cache-lifetime protocol)
+    perGen.foreach(Dedup.releasePinned)
     e.unpersist(blocking = false)
     fin
   }
@@ -495,14 +498,21 @@ object Similarity {
     * BIGINT (floor(cos·1e6) — identical doubles in both engines, then
     * integer-only margin arithmetic), so the ranking hash-compares.
     *
-    * Scale shape: the probe slice is bounded and BROADCAST against the
-    * target corpus (the q39 exact-baseline posture — a production sweep
-    * batches probes; an LSH/IVF-bucketed variant prunes candidates, q40/
-    * q44); per-pair cost is the native vec_dot loop; the two top-k
-    * neighborhoods are windows over the bounded pair frame, cached once
-    * for its three consumers. */
+    * Scale shape (the q40 posture, VERDICT r9 #1): candidate pairs come
+    * from the sign-LSH bucket EQUI-JOIN — both sides key on
+    * [[signBucket]] over the first 4 components, so the pair space is
+    * Σ_bucket |a_bucket|·|b_bucket|, never the |a|·|b| all-pairs frame
+    * (CCMatrix itself mines within FAISS cells for exactly this reason).
+    * The probe slice GROWS with the corpus, so it rides the
+    * size-estimate [[maybeBroadcast]] gate: broadcast at fixture scale
+    * (no shuffle of the target side), SHUFFLE_HASH on the bucket key at
+    * cluster scale. Per-pair cost is the native vec_dot loop; the two
+    * top-k neighborhoods are windows over the bucketed pair frame,
+    * cached once for its three consumers, released when the (topK-row)
+    * result is pinned. Plan-inspection callers pass
+    * `checkpointResult = false` and own the cache lifetime. */
   def bitextMargin(spark: SparkSession, dir: String, k: Int = 4,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50, checkpointResult: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.dotF
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
@@ -512,12 +522,17 @@ object Similarity {
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
     val joined = docs.join(embs, "doc_id")
     val a = joined.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("src_id"), col("v").as("va"),
-        col("nrm").as("na"))
+      .select(signBucket(col("v"), 4).as("bucket"),
+        col("doc_id").as("src_id"), col("v").as("va"), col("nrm").as("na"))
     val b = joined.filter(col("lang") === "de")
-      .select(col("doc_id").as("tgt_id"), col("v").as("vb"),
-        col("nrm").as("nb"))
-    val pairs = b.crossJoin(broadcast(a))
+      .select(signBucket(col("v"), 4).as("bucket"),
+        col("doc_id").as("tgt_id"), col("v").as("vb"), col("nrm").as("nb"))
+    // probe-side size estimate: the en slice is ~1/5 of langs × 1/5 of
+    // ids over the embedding store — a driver-side metadata read, the
+    // same signal every ANN sibling's gate uses
+    val probeBytes = Tables.load(spark, dir, "embeddings")
+      .queryExecution.optimizedPlan.stats.sizeInBytes / 25
+    val pairs = b.join(maybeBroadcast(a, probeBytes), Seq("bucket"))
       .withColumn("cos_q",
         floor(dotF(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long"))
@@ -533,7 +548,7 @@ object Similarity {
     val sumy = pairs.withColumn("ry", row_number().over(wy))
       .filter(col("ry") <= k).groupBy("tgt_id")
       .agg(sum("cos_q").as("sy"), count(lit(1)).as("ky"))
-    pairs.join(sumx, "src_id").join(sumy, "tgt_id")
+    val res = pairs.join(sumx, "src_id").join(sumy, "tgt_id")
       .withColumn("den", expr("sx * ky + sy * kx"))
       .filter(col("cos_q") > 0 && col("den") > 0)
       .withColumn("margin_ppm",
@@ -542,6 +557,15 @@ object Similarity {
         col("tgt_id").asc)
       .limit(topK)
       .select("src_id", "tgt_id", "cos_q", "margin_ppm")
+    // pin the topK-row result, release the pair-frame cache (the
+    // fuzzyDecontam protocol — cached blocks must not leak across
+    // queries in long Verify/Bench sessions)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      pairs.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** Full Lloyd's k-means over the embedding store — the iterated
@@ -653,9 +677,10 @@ object Similarity {
     * controls the block size; the paper runs k≈100k on web scale). The
     * k×d centroid table is broadcast; the duplicate-id set is a slim
     * DISTINCT on vec_id equi-joined back. Returns one row per vector:
-    * (vec_id, cluster, kept 1/0). */
+    * (vec_id, cluster, kept 1/0). Plan-inspection callers pass
+    * `checkpointResult = false` and own the assignment cache's lifetime. */
   def semanticDedup(spark: SparkSession, dir: String, k: Int = 10,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35, checkpointResult: Boolean = true): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -694,11 +719,19 @@ object Similarity {
       .filter(cosine(col("va"), col("vb")) >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
       .withColumn("dup", lit(1L))
-    assigned.select("vec_id", "cluster")
+    val res = assigned.select("vec_id", "cluster")
       .join(dupIds, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
       .orderBy("vec_id")
+    // pin the O(vectors)-slim result, release the assignment cache (the
+    // fuzzyDecontam protocol — VERDICT r9 #2)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      assigned.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** Assign every vector to its nearest centroid from a (cluster, pos, c)
@@ -936,9 +969,12 @@ object Similarity {
     * candidate scoring never touches float rows — the two cuts compose:
     * IO ∝ (probed fraction) × (code bytes), which is the product of the
     * q44 and q132 levers. Both building blocks are the oracle-pinned
-    * recipes, so the composition is hash-checked end to end. */
+    * recipes, so the composition is hash-checked end to end.
+    * Plan-inspection callers pass `checkpointResult = false` and own the
+    * assignment cache's lifetime. */
   def ivfAdc(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
-      nprobe: Int = 2, pool: Int = 20, k: Int = 5): DataFrame = {
+      nprobe: Int = 2, pool: Int = 20, k: Int = 5,
+      checkpointResult: Boolean = true): DataFrame = {
     val dsub = 64 / m
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
@@ -981,7 +1017,7 @@ object Similarity {
       .orderBy(col("approx").asc, col("cand_id").asc)
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    probed.join(broadcast(qdt), "query_id")
+    val res = probed.join(broadcast(qdt), "query_id")
       .withColumn("approx", pqAdc(m))
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= pool)
@@ -994,6 +1030,14 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "rn", "cand_id", "cos")
       .orderBy("query_id", "rn")
+    // pin the k·|queries|-row result, release the assignment cache (the
+    // fuzzyDecontam protocol — VERDICT r9 #2)
+    if (!checkpointResult) res
+    else {
+      val fin = res.localCheckpoint()
+      assigned.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** q202: covariance matrix of the embedding dimensions — the first step
@@ -1403,10 +1447,11 @@ object Similarity {
            floor(q_scale * 1000000.0) / 1000000.0 AS q_scale
          FROM sc ORDER BY vec_id""",
     "q162_bitext_margin" ->
-      // same probe slice, same sequential-fold cosine floored to ppm
-      // BEFORE any aggregation, same integer margin — the engines agree
-      // bit for bit through the whole ranking
-      """WITH e AS (
+      // same probe slice, same sign-LSH bucket equi-join (the candidate
+      // pruning IS the semantics at scale), same sequential-fold cosine
+      // floored to ppm BEFORE any aggregation, same integer margin — the
+      // engines agree bit for bit through the whole ranking
+      s"""WITH e AS (
            SELECT d.doc_id, d.lang,
              list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(
@@ -1415,17 +1460,19 @@ object Similarity {
            FROM documents d
            JOIN embeddings em ON d.doc_id = em.vec_id),
          a AS (
-           SELECT doc_id AS src_id, v AS va, nrm AS na FROM e
+           SELECT ${bucketSql("v", 4)} AS bucket,
+             doc_id AS src_id, v AS va, nrm AS na FROM e
            WHERE lang = 'en' AND doc_id % 5 = 0),
          b AS (
-           SELECT doc_id AS tgt_id, v AS vb, nrm AS nb FROM e
+           SELECT ${bucketSql("v", 4)} AS bucket,
+             doc_id AS tgt_id, v AS vb, nrm AS nb FROM e
            WHERE lang = 'de'),
          p AS (
            SELECT a.src_id, b.tgt_id,
              CAST(floor(list_sum(list_transform(list_zip(a.va, b.vb),
                q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
                / (a.na * b.nb) * 1e6) AS BIGINT) AS cos_q
-           FROM b CROSS JOIN a),
+           FROM b JOIN a ON a.bucket = b.bucket),
          rx AS (
            SELECT src_id, tgt_id, cos_q,
              ROW_NUMBER() OVER (PARTITION BY src_id

@@ -87,8 +87,9 @@ class PlanQualitySpec extends SparkSuite {
       s"no map-side combine — the shuffle would carry the corpus:\n$p")
   }
 
-  test("q34: pair-join feature columns stay slim until after pair dedup") {
-    val p = plan(Dedup.minhashLsh(spark, sfDir))
+  test("q34: pair-join feature columns stay slim until after pair dedup; " +
+      "vocab ids are distributed (no single-partition stage)") {
+    val p = plan(Dedup.minhashLsh(spark, sfDir, checkpointResult = false))
     // the distinct over candidate pairs must group ONLY (doc_a, doc_b) —
     // wide arrays in those keys would mean features ride through the
     // quadratic expansion again
@@ -97,6 +98,13 @@ class PlanQualitySpec extends SparkSuite {
     assert(distinctAgg.isDefined, s"slim pair dedup not found:\n$p")
     assert(!distinctAgg.get.contains("wset"),
       s"feature column inside pair dedup keys: ${distinctAgg.get}")
+    // VERDICT r9 #3: the mask vocabulary's word ids must come from the
+    // distributed zipWithIndex, never a Window.orderBy over the whole
+    // vocab — q227 rides the same wordsetIntersect path, so this pin
+    // covers both. A single-partition exchange anywhere in the q34 plan
+    // means an all-rows-to-one-task stage crept back in.
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage in the q34 plan:\n$p")
   }
 
   test("q34: cluster-scale gate swaps corpus-derived broadcasts for shuffle-hash joins, same result") {
@@ -107,7 +115,7 @@ class PlanQualitySpec extends SparkSuite {
     spark.conf.set("graft.dedup.broadcastMaxDocs", "0")
     val got =
       try {
-        val df = Dedup.minhashLsh(spark, sfDir)
+        val df = Dedup.minhashLsh(spark, sfDir, checkpointResult = false)
         val r = df.collect().toSet
         val p = df.queryExecution.executedPlan.toString
         assert(p.contains("ShuffledHashJoin"),
@@ -117,7 +125,9 @@ class PlanQualitySpec extends SparkSuite {
         r
       } finally spark.conf.unset("graft.dedup.broadcastMaxDocs")
     spark.catalog.clearCache()
-    val expected = Dedup.minhashLsh(spark, sfDir).collect().toSet
+    val expected = Dedup.minhashLsh(spark, sfDir, checkpointResult = false)
+      .collect().toSet
+    spark.catalog.clearCache()
     assert(got == expected, "gated path changed the q34 result")
   }
 
@@ -164,6 +174,32 @@ class PlanQualitySpec extends SparkSuite {
       "gated path changed the q40 result")
     assert(gotDup == Similarity.embeddingNearDup(spark, sfDir).collect().toSet,
       "gated path changed the q41 result")
+  }
+
+  test("q162: bitext mining pairs come from the sign-bucket equi-join; " +
+      "the probe broadcast honors the cluster-scale gate, same result") {
+    import graft.operators.Similarity
+    // gated path first from a clean cache (same reasoning as the q34 test)
+    spark.catalog.clearCache()
+    spark.conf.set("graft.ann.broadcastMaxBytes", "0")
+    val got =
+      try {
+        val df = Similarity.bitextMargin(spark, sfDir,
+          checkpointResult = false)
+        val r = df.collect().toSeq
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ShuffledHashJoin"),
+          s"gated bitext probe did not shuffle-hash-join:\n$p")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"bitext pair space degenerated to all-pairs:\n$p")
+        r
+      } finally spark.conf.unset("graft.ann.broadcastMaxBytes")
+    spark.catalog.clearCache()
+    val expected = Similarity.bitextMargin(spark, sfDir,
+      checkpointResult = false).collect().toSeq
+    spark.catalog.clearCache()
+    assert(got == expected, "gated path changed the q162 result")
   }
 
   test("MERGE lowering: equi ON guards on the source side, no per-target-row ids") {
@@ -246,7 +282,8 @@ class PlanQualitySpec extends SparkSuite {
   }
 
   test("q121: assignment computed once (cached); pair join blocked on cluster") {
-    val df = operators.Similarity.semanticDedup(spark, sfDir)
+    val df = operators.Similarity.semanticDedup(spark, sfDir,
+      checkpointResult = false)
     val p = plan(df)
     // the assignment stage feeds three consumers — it must come from the
     // cache, not three recomputations of the centroid agg + argmin window
@@ -407,7 +444,8 @@ class PlanQualitySpec extends SparkSuite {
       s"PQ small sides not broadcast:\n$p132")
     // q135: candidate generation must be an equi-join on the cell id —
     // the probed-lists join shows up as a hash join with cent_id keys
-    val p135 = plan(operators.Similarity.ivfAdc(spark, sfDir))
+    val p135 = plan(operators.Similarity.ivfAdc(spark, sfDir,
+      checkpointResult = false))
     assert(p135.contains("cent_id"),
       s"IVFADC lost its cell equi-join:\n$p135")
     // the only cartesian-shaped joins are the bounded broadcast ones
@@ -578,7 +616,8 @@ class PlanQualitySpec extends SparkSuite {
     // q195: the audio band self-join must be key-based over the shared
     // cached fingerprint frame — never a cartesian; the only nested-loop
     // join allowed is none (no single-row broadcasts in this one)
-    val p195 = plan(graft.multimodal.Audio.nearDupQuery(spark, sfDir))
+    val p195 = plan(graft.multimodal.Audio.nearDupQuery(spark, sfDir,
+      checkpointResult = false))
     assert(!p195.contains("CartesianProduct"),
       s"q195: band pairing fell to a cartesian:\n$p195")
     assert(p195.contains("ShuffledHashJoin"),
@@ -588,7 +627,8 @@ class PlanQualitySpec extends SparkSuite {
     // q196: inverted-index pair expansion is an equi-join on the shingle
     // key; the df-cap totals ride a single-row broadcast (the only
     // nested-loop join); slim frames come from cache
-    val p196 = plan(Dedup.containmentDup(spark, sfDir))
+    val p196 = plan(Dedup.containmentDup(spark, sfDir,
+      checkpointResult = false))
     // (the single-row n_docs broadcast shows as BroadcastNestedLoopJoin,
     // which is fine; an unkeyed CartesianProduct is not)
     assert(!p196.contains("CartesianProduct"),
