@@ -35,6 +35,19 @@ object Dedup {
     if (nDocs <= maxDocs) broadcast(df) else df.hint("SHUFFLE_HASH")
   }
 
+  /** Spread a NARROW scan across the session's cores before per-row-
+    * expensive (tokenization, hashing) or pair-quadratic work. Gated on
+    * the plan's actual partition count (VERDICT r9 #6): the single-file
+    * test fixture scans as one partition and would otherwise run the
+    * expensive stage on one core, but a production multi-file table is
+    * already wide — repartitioning it there would shuffle the full text
+    * for nothing. The probe costs no job (partition count comes from the
+    * planned RDD, not an action). */
+  private def spread(df: DataFrame): DataFrame = {
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < nPart) df.repartition(nPart) else df
+  }
+
   /** Release the materialized blocks behind a localCheckpoint-pinned
     * frame (the CC-loop release, shared by the incremental-ingest
     * queries for their superseded per-generation pins): the frame's plan
@@ -156,7 +169,6 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
       checkpointResult: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nPart = spark.sparkContext.defaultParallelism
     // The fixture is one small parquet file → a 1-partition scan; the
     // signature computation and (quadratic) candidate expansion would run
     // on a single core without this spread. Cached: the join sides and the
@@ -164,10 +176,9 @@ object Dedup {
     // the distinct word-set is materialized INTO the cached projection so
     // the 12 signature components and the mask build read it as a column
     // instead of re-running the regexp tokenization per use
-    val d = Tables.load(spark, dir, "documents")
+    val d = spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(words(col("text"))).as("wset"))
-      .repartition(nPart).cache()
+        array_distinct(words(col("text"))).as("wset"))).cache()
     val sigs = (0 until 12).map(i => minhashSigOfSet(col("wset"), i))
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (lit(b) +: sigs.slice(b * 3, b * 3 + 3)): _*))
@@ -231,8 +242,8 @@ object Dedup {
     * words, bit set where the vote is positive. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // spread the 1-partition fixture scan before the per-word md5 work
-    val d = Tables.load(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // (gated — see [[spread]])
+    val d = spread(Tables.load(spark, dir, "documents"))
     val w = d.select(col("doc_id"),
       explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", wordHash(col("w")))
@@ -299,7 +310,7 @@ object Dedup {
   /** DataFrame-based form (composable from pipelines over any snapshot of
     * the documents shape: doc_id, text, lang, n_chars). */
   def ngramJaccardOf(d0: DataFrame): DataFrame = {
-    val d = d0.repartition(d0.sparkSession.sparkContext.defaultParallelism)
+    val d = spread(d0)
     // Inverted-index formulation: blocking on (lang, len_bucket) alone
     // admits every same-block pair (quadratic, almost all jaccard≈0); but
     // jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
@@ -578,14 +589,12 @@ object Dedup {
   def fuzzyDecontam(spark: SparkSession, dir: String, benchMod: Int = 5,
       minJaccardPpm: Long = 500000L,
       checkpointResult: Boolean = true): DataFrame = {
-    val nPart = spark.sparkContext.defaultParallelism
     // one cached slim projection: distinct shingle set per doc (the
     // 12 sig components, the verify arrays, and the bench split all
     // read it), spread off the 1-partition fixture scan
-    val d = Tables.load(spark, dir, "documents")
+    val d = spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(shingles3(col("text"))).as("sh"))
-      .repartition(nPart).cache()
+        array_distinct(shingles3(col("text"))).as("sh"))).cache()
     val isBench = col("doc_id") % benchMod === 0
     val bands = d.select(col("doc_id"),
         explode(lshBandKeysOfSet(col("sh"))).as("band_key"))
@@ -652,12 +661,10 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String, gens: Int = 3,
       minJaccardPpm: Long = 800000L,
       checkpointResult: Boolean = true): DataFrame = {
-    val nPart = spark.sparkContext.defaultParallelism
-    val d = Tables.load(spark, dir, "documents")
+    val d = spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         (col("doc_id") % gens).cast("int").as("gen"),
-        array_distinct(shingles3(col("text"))).as("sh"))
-      .repartition(nPart).cache()
+        array_distinct(shingles3(col("text"))).as("sh"))).cache()
     val nDocs = d.count()
     val idx = java.nio.file.Files.createTempDirectory("graft-q225")
       .toString + "/band_index"
@@ -731,10 +738,9 @@ object Dedup {
     * aggregates and emits 4 rows. */
   def lshPrecisionAudit(spark: SparkSession, dir: String,
       minJaccardPpm: Long = 500000L): DataFrame = {
-    val nPart = spark.sparkContext.defaultParallelism
-    val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
-      .repartition(nPart).cache()
+    val d = spread(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("wset")))
+      .cache()
     val nDocs = d.count()
     val ex = d.select(col("doc_id"),
       posexplode(lshBandKeysOfSet(col("wset"))).as(Seq("band_id", "band_key")))
@@ -801,8 +807,7 @@ object Dedup {
   def dedupThresholdSweep(spark: SparkSession, dir: String,
       thresholdsPpm: Seq[Long] =
         Seq(200000L, 400000L, 600000L, 800000L)): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val d = spread(Tables.load(spark, dir, "documents"))
     val ex = d.select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("len_bucket"),
       explode(array_distinct(shingles3(col("text")))).as("s"))
