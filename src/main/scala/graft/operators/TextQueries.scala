@@ -848,6 +848,49 @@ object TextQueries {
       .orderBy("source", "len_bucket")
   }
 
+  /** q230: t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the third rung of the release-gate ladder after q157 (cell size)
+    * and q218 (within-cell diversity): a cell can be large AND diverse
+    * yet still leak if its sensitive-attribute DISTRIBUTION deviates
+    * from the table's (skewness attack — "this cell is 90% one lang
+    * where the corpus is 20%"). For categorical attributes with uniform
+    * ground distance, the paper's EMD reduces to total variation:
+    * ½ Σ_v |p_cell(v) − p_global(v)|. Emitted as the DOUBLED integer
+    * sum (`tv_x2_ppm = Σ |ppm_cell − ppm_global|`, each share truncated
+    * to ppm first) so both engines do identical integer arithmetic —
+    * no halving truncation to disagree on. `breach` gates at t.
+    *
+    * Scale shape: two map-side-combined hash aggregates (cell×lang,
+    * lang), then a cells × langs expansion via BROADCAST of the
+    * bounded (langs, total) tables — absent languages must contribute
+    * their full global share, so the expansion is deliberate and its
+    * cardinality is cells × |langs|, never corpus-scaled. */
+  def tCloseness(spark: SparkSession, dir: String, tPpm: Long = 200000L)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), expr("n_chars DIV 500").as("len_bucket"),
+        col("lang"))
+    val global = docs.groupBy("lang").agg(count(lit(1)).as("n_lang_g"))
+    val totals = global.agg(sum(col("n_lang_g")).as("n_total"))
+    val cellLang = docs.groupBy("source", "len_bucket", "lang")
+      .agg(count(lit(1)).as("n_cl"))
+    val cells = cellLang.groupBy("source", "len_bucket")
+      .agg(sum(col("n_cl")).as("n_cell"))
+    cells
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(totals))
+      .join(cellLang, Seq("source", "len_bucket", "lang"), "left")
+      .withColumn("n_cl", coalesce(col("n_cl"), lit(0L)))
+      .withColumn("d", abs(expr("1000000 * n_cl DIV n_cell") -
+        expr("1000000 * n_lang_g DIV n_total")))
+      .groupBy("source", "len_bucket", "n_cell")
+      .agg(sum(col("d")).as("tv_x2_ppm"))
+      .select(col("source"), col("len_bucket"), col("n_cell"),
+        col("tv_x2_ppm"),
+        (col("tv_x2_ppm") > 2 * tPpm).cast("int").as("breach"))
+      .orderBy("source", "len_bucket")
+  }
+
   /** Inverse-cloze positive-pair mining (Lee et al. 2019, "Latent
     * Retrieval for Weakly Supervised Open Domain Question Answering"
     * §3.ted as ICT): from each document, one line becomes the pseudo-query
@@ -1453,6 +1496,8 @@ object TextQueries {
       ((s: SparkSession, d: String) => quotaSplit(s, d)),
     "q218_l_diversity" ->
       ((s: SparkSession, d: String) => lDiversity(s, d)),
+    "q230_t_closeness" ->
+      ((s: SparkSession, d: String) => tCloseness(s, d)),
     "q211_domain_blocklist" ->
       ((s: SparkSession, d: String) => domainBlocklist(s, d)),
     "q212_curation_funnel" ->
@@ -1632,6 +1677,34 @@ object TextQueries {
            CAST(CASE WHEN n_distinct < 2 THEN 1 ELSE 0 END AS INTEGER)
              AS homogeneous
          FROM t WHERE rk = 1 ORDER BY source, len_bucket""",
+    // q230: same cells × global-langs expansion, same truncated-ppm
+    // shares, same doubled total-variation sum
+    "q230_t_closeness" ->
+      """WITH d AS (
+           SELECT source, n_chars // 500 AS len_bucket, lang
+           FROM documents),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang_g
+               FROM d GROUP BY lang),
+         t AS (SELECT CAST(sum(n_lang_g) AS BIGINT) AS n_total FROM g),
+         cl AS (
+           SELECT source, len_bucket, lang, CAST(count(*) AS BIGINT) AS n_cl
+           FROM d GROUP BY 1, 2, 3),
+         c AS (
+           SELECT source, len_bucket, CAST(sum(n_cl) AS BIGINT) AS n_cell
+           FROM cl GROUP BY 1, 2),
+         x AS (
+           SELECT c.source, c.len_bucket, c.n_cell, g.lang,
+             abs(1000000 * COALESCE(cl.n_cl, 0) // c.n_cell
+               - 1000000 * g.n_lang_g // t.n_total) AS dd
+           FROM c CROSS JOIN g CROSS JOIN t
+           LEFT JOIN cl ON cl.source = c.source
+             AND cl.len_bucket = c.len_bucket AND cl.lang = g.lang)
+         SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket, n_cell,
+           CAST(sum(dd) AS BIGINT) AS tv_x2_ppm,
+           CAST(CASE WHEN sum(dd) > 400000 THEN 1 ELSE 0 END AS INTEGER)
+             AS breach
+         FROM x GROUP BY source, len_bucket, n_cell
+         ORDER BY source, len_bucket""",
     // q215: same Hare-quota arithmetic, same largest-remainder ranking
     "q215_quota_split" ->
       """WITH c AS (

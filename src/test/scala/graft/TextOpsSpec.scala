@@ -487,4 +487,38 @@ class TextOpsSpec extends SparkSuite {
       docs.select(md5(col("text"))).distinct().count(),
       "each distinct hash is new in exactly one dump")
   }
+
+  test("q230 t-closeness: TV bounds, cell conservation, breach gate, " +
+      "and exactness on a hand-built skewed table") {
+    val rows = TextQueries.tCloseness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_cell")).sum == corpus,
+      "cells must partition the corpus")
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_x2_ppm")
+      // doubled total variation lives in [0, 2e6]
+      assert(tv >= 0 && tv <= 2000000, s"TV out of range: $tv")
+      assert(r.getAs[Int]("breach") == (if (tv > 400000) 1 else 0),
+        "breach gate inconsistent with the reported TV")
+    }
+    // hand-built check: global = 50/50 over two langs; one cell is pure
+    // lang a (TV = 1, doubled ppm = 1e6), the other is exactly global
+    // (TV = 0). Uses the same (source, len_bucket, lang) schema via a
+    // temp parquet dir shaped like the documents table.
+    val dir = tmpDir("graft-tclose")
+    Seq(
+      (1L, "s1", 10L, "aa"), (2L, "s1", 20L, "aa"),
+      (3L, "s2", 10L, "aa"), (4L, "s2", 20L, "bb"),
+      (5L, "s2", 30L, "aa"), (6L, "s2", 40L, "bb"))
+      .toDF("doc_id", "source", "n_chars", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.tCloseness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("tv_x2_ppm"))).toMap
+    // global: aa 4/6 = 666666 ppm, bb 2/6 = 333333 ppm.
+    // s1 (all len_bucket 0): pure aa -> |1e6-666666| + |0-333333| = 666667
+    // s2: aa 1/2 = 500000 -> |500000-666666| + |500000-333333| = 333333
+    assert(got("s1") == 666667L, s"s1 TV: ${got("s1")}")
+    assert(got("s2") == 333333L, s"s2 TV: ${got("s2")}")
+  }
 }
