@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -338,7 +338,51 @@ object EvalQueries {
       .orderBy("lang")
   }
 
+  /** q231: the unbiased pass@k estimator (Chen et al. 2021, "Evaluating
+    * Large Language Models Trained on Code", eq. 1) — per task with n
+    * samples of which c pass, `pass@k = 1 − C(n−c,k)/C(n,k)`: the
+    * number every code-eval harness (HumanEval/MBPP) reports, and the
+    * aggregation a sampling-eval pipeline runs over millions of
+    * (task, sample, verdict) rows. Tasks and verdicts are synthesized
+    * deterministically (task = doc_id DIV 10 — a FIXED ~10 samples per
+    * task at every scale factor, which keeps the falling-factorial
+    * products in BIGINT range at any corpus size; a sample passes when
+    * its seeded-md5 uniform lands in 1/3), so the oracle replays them.
+    * The binomial ratio is computed EXACTLY: Π_{i<k}(n−c−i) /
+    * Π_{i<k}(n−i) with the C(m,k)=0-for-m<k convention riding the
+    * greatest(·,0) factors, one integer DIV per k, null when n < k.
+    *
+    * Scale shape: one map pass for verdicts, one map-side-combined hash
+    * aggregate keyed by task, per-row integer products — output is
+    * O(tasks). */
+  def passAtK(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val s = Tables.load(spark, dir, "documents")
+      .select(expr("doc_id DIV 10").as("task_id"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#pak42"))), 1, 6), 16, 10) % 3 === 0)
+          .cast("long").as("pass"))
+    val per = s.groupBy("task_id")
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("c"))
+    def fallProd(x: Column, k: Int): Column =
+      (0 until k).map(i => greatest(x - lit(i.toLong), lit(0L)))
+        .reduce(_ * _)
+    val withK = ks.foldLeft(per) { (df, k) =>
+      df.withColumn(s"num$k", fallProd(col("n") - col("c"), k))
+        .withColumn(s"den$k", fallProd(col("n"), k))
+        .withColumn(s"pass${k}_ppm",
+          when(col("n") >= k,
+            expr(s"1000000 - (1000000 * num$k) DIV den$k"))
+            .otherwise(lit(null).cast("long")))
+    }
+    withK.select(Seq(col("task_id"), col("n"), col("c")) ++
+      ks.map(k => col(s"pass${k}_ppm")): _*)
+      .orderBy("task_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_pass_at_k" ->
+      ((s: SparkSession, d: String) => passAtK(s, d)),
     "q179_bradley_terry" ->
       ((s: SparkSession, d: String) => bradleyTerry(s, d)),
     "q180_rater_agreement" -> (raterAgreement _),
@@ -476,7 +520,36 @@ object EvalQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** SQL falling-factorial product Π_{i<k} GREATEST(x−i, 0) — the exact
+    * binomial-ratio building block the q231 oracle shares with the Spark
+    * side (same factors, same zero convention). */
+  private def fallProdSql(x: String, k: Int): String =
+    (0 until k).map(i => s"GREATEST($x - $i, 0)").mkString(" * ")
+
   val oracles: Map[String, String] = Map(
+    // q231: same task/verdict synthesis, same exact falling-factorial
+    // binomial ratio, same n >= k gating
+    "q231_pass_at_k" ->
+      s"""WITH s AS (
+           SELECT doc_id // 10 AS task_id,
+             CASE WHEN CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || '#pak42'), 1, 6))
+               AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END AS pass
+           FROM documents),
+         p AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pass) AS BIGINT) AS c
+               FROM s GROUP BY task_id)
+         SELECT task_id, n, c,
+           CASE WHEN n >= 1 THEN 1000000
+             - (1000000 * ${fallProdSql("(n - c)", 1)})
+               // (${fallProdSql("n", 1)}) END AS pass1_ppm,
+           CASE WHEN n >= 5 THEN 1000000
+             - (1000000 * ${fallProdSql("(n - c)", 5)})
+               // (${fallProdSql("n", 5)}) END AS pass5_ppm,
+           CASE WHEN n >= 10 THEN 1000000
+             - (1000000 * ${fallProdSql("(n - c)", 10)})
+               // (${fallProdSql("n", 10)}) END AS pass10_ppm
+         FROM p ORDER BY task_id""",
     // identical cohorting, half-win units, and two unrolled integer MM
     // rounds (DuckDB `//` = Spark `DIV` on positive BIGINTs)
     "q179_bradley_terry" ->

@@ -327,4 +327,39 @@ class EvalQueriesSpec extends SparkSuite {
     assert(r.getAs[Long]("idcg_ppm") == idcg)
     assert(r.getAs[Long]("ndcg_ppm") == 1000000L * dcg / idcg)
   }
+
+  test("q231 pass@k: estimator bounds, monotonicity in k, degenerate " +
+      "tasks exact, and the textbook n=10 c=3 k=5 value") {
+    val rows = graft.operators.EvalQueries.passAtK(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val c = r.getAs[Long]("c")
+      val ks = Seq(1, 5, 10).map(k =>
+        k -> (if (r.isNullAt(r.fieldIndex(s"pass${k}_ppm"))) None
+              else Some(r.getAs[Long](s"pass${k}_ppm"))))
+      ks.foreach { case (k, v) =>
+        assert(v.isDefined == (n >= k), s"n=$n k=$k definedness")
+        v.foreach { p =>
+          assert(p >= 0 && p <= 1000000, s"pass@$k out of range: $p")
+          // degenerate tasks are exact regardless of k
+          if (c == 0) assert(p == 0L, "no passing sample must give 0")
+          if (c >= n) assert(p == 1000000L, "all-pass must give 1")
+          // k >= the failure count makes a pass certain in every draw
+          if (c > 0 && k > n - c) assert(p == 1000000L,
+            s"k=$k > n-c=${n - c} must be certain")
+        }
+      }
+      // monotone in k: drawing more samples can only help
+      val defined = ks.flatMap { case (_, v) => v }
+      assert(defined == defined.sorted, s"pass@k not monotone: $defined")
+    }
+    // hand value: n=10, c=3 -> pass@5 = 1 - C(7,5)/C(10,5)
+    //   = 1 - 21/252 = 11/12 -> 1e6 - (1e6*21*120... as the falling
+    //   factorial: 1e6 - (1e6 * 7*6*5*4*3) DIV (10*9*8*7*6) = 916667
+    val n = 10L; val c = 3L
+    def fp(x: Long, k: Int) = (0 until k).map(i => math.max(x - i, 0L)).product
+    assert(1000000L - 1000000L * fp(n - c, 5) / fp(n, 5) == 916667L)
+    rows.filter(r => r.getAs[Long]("n") == 10 && r.getAs[Long]("c") == 3)
+      .foreach(r => assert(r.getAs[Long]("pass5_ppm") == 916667L))
+  }
 }
