@@ -130,6 +130,45 @@ object DeletionVectors {
       .drop(FileCol, PosCol)
   }
 
+  /** The KEY VALUES of tombstoned rows — what a persisted secondary index
+    * (dedup band index, ANN posting lists) subtracts so a doc deleted from
+    * its source table cannot resurface as a dedup verdict or an ANN
+    * neighbor (VERDICT r10 "Next round" #1). Flat snapshots only — the
+    * secondary indexes are built over flat Catalog tables.
+    *
+    * Scale shape: reads ONLY the data files the DV sidecar references
+    * (the file list is O(file count) driver metadata, same bound as the
+    * skipping manifest), semi-joins their rows against the position frame
+    * and projects the keys — O(rows in deletion-touched files), never
+    * O(table). The result is bounded by the deleted rows; callers
+    * anti-join it WITHOUT a forced broadcast (AQE broadcasts the common
+    * small-takedown case on its own, and a mass delete must not be
+    * driver-materialized).
+    *
+    * Merge-on-read only by construction: a copy-on-write DELETE
+    * ([[FileGranularDml]]) removes rows physically and leaves no
+    * tombstones — reconciling an index against THAT goes through the
+    * index-compaction ops (semi-join on the live read), not this frame. */
+  def deletedKeys(spark: SparkSession, dir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val pr = ReadProbeCache.probe(spark, dir)
+    require(!pr.isBucketed,
+      s"deletedKeys expects a flat snapshot at $dir (bucketed layouts " +
+        "key positions per bucket; compact the index instead)")
+    val proj = keyCols.map(col)
+    if (pr.dvDirs.isEmpty)
+      return spark.read.parquet(dir).select(proj: _*).limit(0)
+    val dv = spark.read.parquet(pr.dvDirs.map(_.toString): _*)
+    val files = dv.select("file_name").distinct()
+      .collect().map(_.getString(0)) // O(file count) — metadata scale
+    val sub = spark.read.parquet(files.map(f => s"$dir/$f").toSeq: _*)
+      .withColumn(FileCol, col("_metadata.file_name"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    sub.join(dv, sub(FileCol) === dv("file_name") &&
+        sub(PosCol) === dv("row_index"), "left_semi")
+      .select(proj: _*).distinct()
+  }
+
   /** Per-bucket sidecar union with each dir's bucket recovered from its
     * parent `gbucket=N` name. Positions on BUCKETED tables are keyed by
     * (bucket, file, row), never (file, row): one `partitionBy` write

@@ -302,6 +302,13 @@ object Similarity {
   private def ivfCentDir(indexDir: String) = s"$indexDir/centroids"
   private def ivfPostDir(indexDir: String) = s"$indexDir/postings"
 
+  /** Read an index table through the versioned snapshot read path
+    * (heal-on-read, swap-window retry, DV application) — a raw
+    * `spark.read.parquet` could transiently observe a half-committed
+    * live dir when a search races index maintenance. */
+  private def readIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.layout.DeletionVectors.readPath(spark, dir)
+
   /** Commit-tag key carrying the index's posting-list skew bound — the
     * metadata DESCRIBE-DETAIL-style readers surface
     * (`Catalog.lastCommitTag(spark, dir, IvfMaxListTag)`). */
@@ -349,16 +356,55 @@ object Similarity {
     * property AnnRecallSpec pins. */
   def ivfSearchIndex(spark: SparkSession, dir: String, indexDir: String,
       k: Int = 3, probeBudget: Long = 200L): DataFrame = {
-    val postings = spark.read.parquet(ivfPostDir(indexDir))
-    val counts = postings.groupBy("cent_id")
-      .agg(count(lit(1)).as("n_cell"))
-    val cent = spark.read.parquet(ivfCentDir(indexDir))
-      .join(counts, Seq("cent_id"), "left")
-      .na.fill(0L, Seq("n_cell"))
     val q = Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         l2norm(col("embedding")).as("qn"))
+    ivfSearchFrom(spark, q, readIndex(spark, ivfPostDir(indexDir)),
+      readIndex(spark, ivfCentDir(indexDir)), k, probeBudget)
+  }
+
+  /** [[ivfSearchIndex]] against a LIVE source table: postings are
+    * tombstone-filtered through the source's deletion vectors and the
+    * probe set reads DV-applied, so a doc deleted from the source can
+    * neither QUERY nor SURFACE as a neighbor — without waiting for
+    * [[ivfCompact]] to repay the index debt (VERDICT r10 #1: the one
+    * place the lakehouse layer and the index layer could disagree about
+    * what exists).
+    *
+    * Scale shape: the tombstone frame is O(deleted rows)
+    * ([[graft.layout.DeletionVectors.deletedKeys]] reads only
+    * deletion-touched files); the anti-join is a plain equi-join — AQE
+    * broadcasts the common small-takedown case, and a mass delete flows
+    * as a shuffle join instead of a driver blow-up. Budget probing
+    * counts LIVE postings, so the same call after [[ivfCompact]] returns
+    * identical results (IndexDeleteSpec pins this equivalence). */
+  def ivfSearchIndexLive(spark: SparkSession, sourceDir: String,
+      indexDir: String, k: Int = 3, probeBudget: Long = 200L): DataFrame = {
+    val deleted = graft.layout.DeletionVectors
+      .deletedKeys(spark, sourceDir, Seq("vec_id"))
+      .withColumnRenamed("vec_id", "cand_id")
+    val postings = readIndex(spark, ivfPostDir(indexDir))
+      .join(deleted, Seq("cand_id"), "left_anti")
+    val q = graft.layout.DeletionVectors.readPath(spark, sourceDir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2norm(col("embedding")).as("qn"))
+    ivfSearchFrom(spark, q, postings, readIndex(spark, ivfCentDir(indexDir)),
+      k, probeBudget)
+  }
+
+  /** Budget-probed IVF search over explicit query/posting/centroid
+    * frames — the shared core of [[ivfSearchIndex]] and
+    * [[ivfSearchIndexLive]]. */
+  private def ivfSearchFrom(spark: SparkSession, q: DataFrame,
+      postings: DataFrame, cent0: DataFrame, k: Int,
+      probeBudget: Long): DataFrame = {
+    val counts = postings.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_cell"))
+    val cent = cent0
+      .join(counts, Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_cell"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("cent_id").asc)
     // a cell is probed while the postings BEFORE it (in rank order) have
@@ -415,20 +461,30 @@ object Similarity {
     var rnd = 0
     var done = false
     while (rnd < maxRounds && !done) {
-      val postings = spark.read.parquet(ivfPostDir(indexDir))
+      val postings = readIndex(spark, ivfPostDir(indexDir))
+      // O(#cells) driver state — metadata scale (cells × 16 bytes), never
+      // corpus scale; the same bound as the centroid broadcast at probe time
       val counts = postings.groupBy("cent_id")
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getLong(0) -> r.getLong(1))
       val hot = counts.filter(_._2 > maxList).map(_._1).sorted
       if (hot.isEmpty) done = true
       else {
-        val centroids = spark.read.parquet(ivfCentDir(indexDir))
-        val maxCent = counts.map(_._1).max
+        val centroids = readIndex(spark, ivfCentDir(indexDir))
+        // allocate past BOTH tables' max id: a child whose members all
+        // landed on its sibling survives in the centroid table while
+        // vanishing from the posting counts, and allocating from counts
+        // alone could reissue its id — a duplicate cent_id makes every
+        // probe scan the cell twice and emit duplicate candidates
+        val maxCent = math.max(counts.map(_._1).max,
+          centroids.agg(max(col("cent_id"))).collect()(0).getLong(0))
         // child ids: dense from the current max, deterministic in hot order
         val childIds = hot.zipWithIndex.map { case (h, i) =>
           h -> (maxCent + 2 * i + 1, maxCent + 2 * i + 2) }.toMap
-        val hotMembers = postings
-          .filter(col("cent_id").isin(hot.map(Long.box): _*))
+        // the hot-cell set rides a broadcast frame, not an `isin` literal
+        // list — plan size stays constant when thousands of cells go hot
+        val hotDf = broadcast(hot.toSeq.toDF("cent_id"))
+        val hotMembers = postings.join(hotDf, Seq("cent_id"), "left_semi")
         // seed vectors: each hot cell's id extremes (bounded collect)
         val extremes = hotMembers.groupBy("cent_id")
           .agg(min(col("cand_id")).as("lo"), max(col("cand_id")).as("hi"))
@@ -474,13 +530,19 @@ object Similarity {
           .filter(col("rn_f") === 1)
           .select(col("child_id").as("cent_id"), col("cand_id"),
             col("lv"), col("ln"))
-        val newPostings = postings
-          .filter(!col("cent_id").isin(hot.map(Long.box): _*))
+          .cache() // feeds both commits below; released after the swap
+        val newPostings = postings.join(hotDf, Seq("cent_id"), "left_anti")
           .unionByName(reassigned)
-        val newCentroids = centroids
-          .filter(!col("cent_id").isin(hot.map(Long.box): _*))
-          .unionByName(refined.select(col("child_id").as("cent_id"),
-            col("cv"), col("cn")))
+        // only children that actually RECEIVED members enter the centroid
+        // table: a split where every member lands on one sibling would
+        // otherwise leave an empty centroid forever (probed at zero yield,
+        // and a trap for id allocation)
+        val liveChildren = reassigned
+          .select(col("cent_id").as("child_id")).distinct()
+        val newCentroids = centroids.join(hotDf, Seq("cent_id"), "left_anti")
+          .unionByName(refined
+            .join(liveChildren, Seq("child_id"), "left_semi")
+            .select(col("child_id").as("cent_id"), col("cv"), col("cn")))
         val tag = Some(IvfMaxListTag -> maxList.toString)
         // commit ORDER matters: both new frames read the OLD posting
         // files lazily, and the posting swap retires those files into the
@@ -491,7 +553,8 @@ object Similarity {
           ivfCentDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
         graft.catalog.Catalog.overwritePath(spark, newPostings,
           ivfPostDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
-        val childCounts = spark.read.parquet(ivfPostDir(indexDir))
+        reassigned.unpersist(blocking = false)
+        val childCounts = readIndex(spark, ivfPostDir(indexDir))
           .groupBy("cent_id").agg(count(lit(1)).as("n")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         hot.foreach { h =>
@@ -522,10 +585,209 @@ object Similarity {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-q229")
       .toString + "/index"
     ivfBuildIndex(spark, dir, indexDir, maxList)
-    ivfRebalance(spark, indexDir, maxList).count() // run the maintenance
-    spark.read.parquet(ivfPostDir(indexDir))
+    // the DuckDB oracle replays exactly ONE rebalance round — fail loudly
+    // if the engine needed a second (a fixture/scale drift would otherwise
+    // silently diverge the two); the log is O(#split cells), driver-safe
+    val rounds = ivfRebalance(spark, indexDir, maxList)
+      .select(col("round")).distinct().collect().map(_.getInt(0))
+    require(rounds.forall(_ == 0),
+      s"q229 oracle replays one rebalance round; engine ran rounds " +
+        rounds.sorted.mkString("[", ",", "]"))
+    readIndex(spark, ivfPostDir(indexDir))
       .groupBy("cent_id").agg(count(lit(1)).as("n_postings"))
       .orderBy("cent_id")
+  }
+
+  /** IVF maintenance, the INVERSE move of [[ivfRebalance]] (VERDICT r10
+    * "What's missing" #1): MERGE underfull cells and RETIRE empty ones so
+    * the centroid table stays bounded under sustained drift. Splitting
+    * alone grows centroids monotonically — every hot round adds children,
+    * and the probe-time ranking broadcasts the FULL centroid table, so an
+    * uncapped table eventually turns the bounded cells×dims broadcast into
+    * an unbounded one. The merge pass is the cap:
+    *
+    *   1. cells with 0 < postings < `minList` are UNDERFULL; cells present
+    *      in the centroid table with NO postings are retired outright
+    *      (heals pre-r11 indexes whose splits could leave empty children);
+    *   2. underfull cells sort by (count, cent_id) and pair greedily with
+    *      their neighbor — deterministic first-fit, no RNG; a pair merges
+    *      only if its combined count stays ≤ `maxList` (a merge must never
+    *      create the hot cell the split pass would immediately re-split);
+    *   3. each merged cell's centroid is the EXACT mean of the combined
+    *      members (the scaled-integer-sum arithmetic splits use), its id
+    *      allocated past max(centroid ids, posting ids) — the same
+    *      collision-safe rule as split children;
+    *   4. both tables commit as a new OPTIMIZE version; lower generations
+    *      stay searchable via `VERSION AS OF`.
+    *
+    * Scale shape: the driver holds only the O(#cells) count list (metadata
+    * scale); postings remap through ONE broadcast (cent_id → merged_id)
+    * equi-join touching only merged cells; the exact-mean reduce is
+    * map-side-combinable over merged members only. Search results are
+    * unaffected by construction — posting vectors never change, only
+    * their cell grouping (RebalanceProps pins exhaustive-budget search
+    * equivalence across a merge; AnnRecallSpec pins recall).
+    *
+    * Returns the maintenance log: one row per action —
+    * (`action` = merge|retire, `cent_id` = new/retired id, `left_id`,
+    * `right_id`, `n_postings` of the merged cell). */
+  def ivfMergeCells(spark: SparkSession, indexDir: String, maxList: Int,
+      minList: Int): DataFrame = {
+    import spark.implicits._
+    val postings = readIndex(spark, ivfPostDir(indexDir))
+    val counts = postings.groupBy("cent_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val countOf = counts.toMap
+    val centroids = readIndex(spark, ivfCentDir(indexDir))
+    val centIds = centroids.select("cent_id").collect().map(_.getLong(0))
+    val retired = centIds.filterNot(countOf.contains).sorted
+    val under = centIds.filter(c => countOf.get(c).exists(_ < minList))
+      .sortBy(c => (countOf(c), c))
+    val pairs = under.grouped(2).collect {
+      case Array(a, b) if countOf(a) + countOf(b) <= maxList => (a, b)
+    }.toSeq
+    val emptySchema = Seq.empty[(String, Long, Long, Long, Long)]
+      .toDF("action", "cent_id", "left_id", "right_id", "n_postings")
+    if (pairs.isEmpty && retired.isEmpty) return emptySchema
+    val maxCent = (counts.map(_._1) ++ centIds).max
+    val merges = pairs.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, maxCent + i + 1) }
+    val mapDf = broadcast(merges
+      .flatMap { case (a, b, m) => Seq((a, m), (b, m)) }
+      .toDF("cent_id", "merged_id"))
+    val remapped = postings.join(mapDf, Seq("cent_id"))
+      .select(col("merged_id").as("cent_id"), col("cand_id"),
+        col("lv"), col("ln"))
+      .cache() // feeds the mean, both commits, and the log count
+    val mergedCent = remapped
+      .select(col("cent_id"), posexplode(col("lv")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(sum(floor(col("x") * 1e9).cast("long")).as("sm"),
+        count(lit(1)).as("cnt"))
+      .withColumn("c",
+        col("sm").cast("double") / col("cnt").cast("double") / 1e9)
+      .groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val dropDf = broadcast(
+      (merges.flatMap { case (a, b, _) => Seq(a, b) } ++ retired)
+        .toDF("cent_id"))
+    val newCentroids = centroids.join(dropDf, Seq("cent_id"), "left_anti")
+      .unionByName(mergedCent)
+    val newPostings = postings.join(mapDf, Seq("cent_id"), "left_anti")
+      .unionByName(remapped)
+    val maxListTag = graft.catalog.Catalog
+      .lastCommitTag(spark, ivfPostDir(indexDir), IvfMaxListTag)
+      .getOrElse(maxList.toString)
+    val tag = Some(IvfMaxListTag -> maxListTag)
+    // same commit order as the split pass: the centroid means derive from
+    // the old posting files, so centroids commit while those are live
+    graft.catalog.Catalog.overwritePath(spark, newCentroids,
+      ivfCentDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
+    graft.catalog.Catalog.overwritePath(spark, newPostings,
+      ivfPostDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
+    remapped.unpersist(blocking = false)
+    val log =
+      merges.map { case (a, b, m) =>
+        ("merge", m, a, b, countOf(a) + countOf(b)) } ++
+      retired.map(c => ("retire", c, c, c, 0L))
+    log.toDF("action", "cent_id", "left_id", "right_id", "n_postings")
+      .orderBy("action", "cent_id")
+  }
+
+  /** q232: the IVF cell-merge maintenance as an oracle-checked query —
+    * build gen 0 into a temp dir, run [[ivfMergeCells]], report the final
+    * per-cell posting counts. The DuckDB oracle replays the full merge
+    * arithmetic (gen-0 assignment, underfull detection at `minList`,
+    * (count, id)-sorted greedy pairing, the ≤ `maxList` combined-size
+    * gate, dense merged-id allocation past the max cell id, remap), so
+    * the PAIRING DECISIONS — not just the machinery — are hash-checked.
+    * Thresholds sit where every fixture scale merges at least one pair. */
+  def ivfMergeQuery(spark: SparkSession, dir: String,
+      maxList: Int = 250, minList: Int = 100): DataFrame = {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-q232")
+      .toString + "/index"
+    ivfBuildIndex(spark, dir, indexDir, maxList)
+    ivfMergeCells(spark, indexDir, maxList, minList).count()
+    readIndex(spark, ivfPostDir(indexDir))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_postings"))
+      .orderBy("cent_id")
+  }
+
+  /** Index COMPACTION against the source's live rows: drop every posting
+    * whose vector no longer exists in the source table, and retire cells
+    * emptied by the drop. This is the one-shot maintenance that repays
+    * the index's delete debt for BOTH delete modes — merge-on-read
+    * (deletion-vector tombstones) AND copy-on-write
+    * ([[graft.layout.FileGranularDml]], which removes rows physically and
+    * leaves no tombstones to filter by — the semi-join on the live read
+    * is the only reconciliation that sees those).
+    *
+    * Scale shape: one equi-(semi-)join of the index against the source's
+    * live ids — O(index + source), shuffled on the id; a maintenance op,
+    * not a probe-time cost (probes use [[ivfSearchIndexLive]]'s bounded
+    * tombstone filter between compactions). Centroids stay FROZEN (the
+    * FAISS remove_ids practice — dropping members never retrains the
+    * quantizer), so a compacted index answers exactly like the
+    * tombstone-filtered stale one (IndexDeleteSpec pins it). Commits as
+    * OPTIMIZE; no-op (zero dangling postings) commits nothing.
+    * Returns one row: (n_removed, n_kept, n_cells_retired). */
+  def ivfCompact(spark: SparkSession, sourceDir: String,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    val postDir = ivfPostDir(indexDir)
+    val live = graft.layout.DeletionVectors.readPath(spark, sourceDir)
+      .select(col("vec_id").as("cand_id"))
+    val postings = readIndex(spark, postDir)
+    val kept = postings.join(live, Seq("cand_id"), "left_semi")
+      .cache() // feeds the count, both commits, and the retire audit
+    val nKept = kept.count()
+    val nAll = postings.count()
+    val centroids = readIndex(spark, ivfCentDir(indexDir))
+    val nCells = centroids.count()
+    if (nKept == nAll) {
+      kept.unpersist(blocking = false)
+      return Seq((0L, nAll, 0L))
+        .toDF("n_removed", "n_kept", "n_cells_retired")
+    }
+    val liveCells = kept.select("cent_id").distinct()
+    val newCentroids = centroids.join(liveCells, Seq("cent_id"), "left_semi")
+    val tag = graft.catalog.Catalog
+      .lastCommitTag(spark, postDir, IvfMaxListTag)
+      .map(IvfMaxListTag -> _)
+    graft.catalog.Catalog.overwritePath(spark, newCentroids,
+      ivfCentDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
+    graft.catalog.Catalog.overwritePath(spark, kept, postDir,
+      commitTag = tag, operation = "OPTIMIZE")
+    val nCellsAfter = readIndex(spark, ivfCentDir(indexDir)).count()
+    kept.unpersist(blocking = false)
+    Seq((nAll - nKept, nKept, nCells - nCellsAfter))
+      .toDF("n_removed", "n_kept", "n_cells_retired")
+  }
+
+  /** q234: delete-aware ANN serving as an oracle-checked query — copy the
+    * embedding store into a versioned table, build the IVF index over the
+    * FULL corpus, then DELETE a deterministic slice (`vec_id % 13 = 5`)
+    * through the merge-on-read DML layer and serve with
+    * [[ivfSearchIndexLive]]. The index is STALE (it still holds postings
+    * for every deleted vector); the oracle replays the search over the
+    * live rows only — equality proves the tombstone filter removes
+    * exactly the deleted candidates AND the deleted queries, including
+    * from the probe-budget arithmetic (live cell counts). */
+  def ivfDeleteAwareQuery(spark: SparkSession, dir: String,
+      maxList: Int = 250, k: Int = 3, probeBudget: Long = 200L): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q234").toString
+    val src = s"$root/embeddings.parquet"
+    graft.catalog.Catalog.overwritePath(spark,
+      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"),
+      src)
+    val indexDir = s"$root/index"
+    ivfBuildIndex(spark, root, indexDir, maxList)
+    graft.layout.DeletionVectors.deleteWhere(spark, src,
+      col("vec_id") % 13 === 5)
+    ivfSearchIndexLive(spark, src, indexDir, k, probeBudget)
   }
 
   /** ANN recall audit as a first-class query (the serving-time health
@@ -1450,7 +1712,11 @@ object Similarity {
     "q228_incremental_ann" ->
       ((s: SparkSession, d: String) => incrementalAnn(s, d)),
     "q229_ivf_rebalance" ->
-      ((s: SparkSession, d: String) => ivfRebalanceQuery(s, d)))
+      ((s: SparkSession, d: String) => ivfRebalanceQuery(s, d)),
+    "q232_ivf_merge" ->
+      ((s: SparkSession, d: String) => ivfMergeQuery(s, d)),
+    "q234_ann_delete_aware" ->
+      ((s: SparkSession, d: String) => ivfDeleteAwareQuery(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -2277,6 +2543,97 @@ object Similarity {
             SELECT vec_id, child_id AS cent_id FROM fa WHERE rn = 1)
           SELECT cent_id, CAST(count(*) AS BIGINT) AS n_postings
           FROM finalasg GROUP BY cent_id ORDER BY cent_id""",
+    // q234: delete-aware budget-probed serving replayed over live rows —
+    // FULL-corpus quantizer and assignment (the stale index), postings
+    // and queries filtered to vec_id % 13 <> 5, live per-cell counts
+    // driving the cumulative probe budget, cosine top-k
+    "q234_ann_delete_aware" ->
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              ${normSql("embedding")} AS nrm
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+                 FROM e WHERE vec_id % 101 = 7),
+          sc AS (
+            SELECT e.vec_id, c0.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.v", "c0.cv")} / (e.nrm * c0.cn), 6)
+                  DESC, c0.cent_id ASC) AS rn
+            FROM e CROSS JOIN c0),
+          lists AS (
+            SELECT s.cent_id, s.vec_id AS cand_id, e.v AS lv, e.nrm AS ln
+            FROM sc s JOIN e USING (vec_id)
+            WHERE s.rn = 1 AND s.vec_id % 13 <> 5),
+          cnt AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+                  FROM lists GROUP BY cent_id),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                FROM e WHERE vec_id % 100 = 0 AND vec_id % 13 <> 5),
+          pr AS (
+            SELECT q.query_id, c.cent_id, q.qv, q.qn,
+              round(${dotSql("q.qv", "c.cv")} / (q.qn * c.cn), 6) AS cos_c,
+              coalesce(t.n, 0) AS n
+            FROM q CROSS JOIN c0 c LEFT JOIN cnt t ON t.cent_id = c.cent_id),
+          probes AS (
+            SELECT query_id, cent_id, qv, qn,
+              coalesce(SUM(n) OVER (PARTITION BY query_id
+                ORDER BY cos_c DESC, cent_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS cum_before
+            FROM pr),
+          scored AS (
+            SELECT p.query_id, l.cand_id,
+              round(${dotSql("p.qv", "l.lv")} / (p.qn * l.ln), 6) AS cos
+            FROM probes p JOIN lists l USING (cent_id)
+            WHERE p.cum_before < 200 AND p.query_id <> l.cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM scored)
+          SELECT query_id, rn, cand_id, cos FROM ranked WHERE rn <= 3
+          ORDER BY query_id, rn""",
+    // q232: the merge-pass arithmetic replayed — gen-0 assignment,
+    // underfull cells (< 100 postings), (count, id)-sorted greedy
+    // pairing, the combined ≤ 250 gate, dense merged ids past the max
+    // cell id, remap, counts
+    "q232_ivf_merge" ->
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              ${normSql("embedding")} AS nrm
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+                 FROM e WHERE vec_id % 101 = 7),
+          sc AS (
+            SELECT e.vec_id, c0.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.v", "c0.cv")} / (e.nrm * c0.cn), 6)
+                  DESC, c0.cent_id ASC) AS rn
+            FROM e CROSS JOIN c0),
+          asg AS (SELECT vec_id, cent_id FROM sc WHERE rn = 1),
+          cnt AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+                  FROM asg GROUP BY cent_id),
+          uf AS (SELECT cent_id, n,
+                   ROW_NUMBER() OVER (ORDER BY n, cent_id) - 1 AS r
+                 FROM cnt WHERE n < 100),
+          pr AS (SELECT a.cent_id AS left_id, b.cent_id AS right_id, a.r AS p
+                 FROM uf a JOIN uf b ON b.r = a.r + 1 AND a.r % 2 = 0
+                 WHERE a.n + b.n <= 250),
+          mx AS (SELECT max(cent_id) AS m FROM cnt),
+          mg AS (SELECT left_id, right_id,
+                   m + ROW_NUMBER() OVER (ORDER BY p) AS new_id
+                 FROM pr CROSS JOIN mx),
+          remap AS (SELECT left_id AS cid, new_id FROM mg
+                    UNION ALL SELECT right_id, new_id FROM mg),
+          fin AS (
+            SELECT vec_id, cent_id FROM asg
+            WHERE cent_id NOT IN (SELECT cid FROM remap)
+            UNION ALL
+            SELECT a.vec_id, g.new_id AS cent_id
+            FROM asg a JOIN remap g ON a.cent_id = g.cid)
+          SELECT cent_id, CAST(count(*) AS BIGINT) AS n_postings
+          FROM fin GROUP BY cent_id ORDER BY cent_id""",
     "q44_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                      FROM embeddings),

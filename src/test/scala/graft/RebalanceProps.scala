@@ -101,4 +101,62 @@ class RebalanceProps extends SparkSuite {
         s"seed $seed: exhaustive search changed across the re-balance")
     }
   }
+
+  test("repeated split+merge rounds hold the centroid table under the " +
+      "declared cap, conserve every vector, and leave exhaustive search " +
+      "unchanged — across random tables and bounds") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 6101L)
+      val n = 300 + rnd.nextInt(150)
+      val maxList = 40 + rnd.nextInt(41)
+      // minList ≤ maxList/2 guarantees every underfull pair's combined
+      // count clears the ≤ maxList merge gate, so merge passes converge
+      // to at most ONE underfull straggler — the cap below is a theorem,
+      // not a fixture accident
+      val minList = maxList / 2
+      val root = tmpDir(s"graft-merge-prop-$seed")
+      writeEmbeddings(root, n, dims = 8, seed = seed * 15485863L)
+      val indexDir = s"$root/index"
+      Similarity.ivfBuildIndex(spark, root, indexDir, maxList)
+      val postDir = s"$indexDir/postings"
+      val big = n.toLong + 1
+      val before = Similarity
+        .ivfSearchIndex(spark, root, indexDir, k = 3, probeBudget = big)
+        .collect().map(_.toSeq).toSet
+      // alternate the two maintenance moves until both are no-ops
+      var pass = 0
+      var quiet = false
+      while (pass < 8 && !quiet) {
+        val splits = Similarity
+          .ivfRebalance(spark, indexDir, maxList, maxRounds = 6).count()
+        val merged = Similarity
+          .ivfMergeCells(spark, indexDir, maxList, minList).count()
+        quiet = splits == 0 && merged == 0
+        pass += 1
+      }
+      assert(quiet, s"seed $seed: split+merge did not converge in 8 passes")
+      val cells = spark.read.parquet(postDir)
+        .groupBy("cent_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cells.values.sum == n, s"seed $seed: vectors lost/duplicated")
+      assert(cells.values.forall(_ <= maxList),
+        s"seed $seed: a cell exceeds $maxList after maintenance")
+      assert(cells.values.count(_ < minList) <= 1,
+        s"seed $seed: more than one underfull straggler survives: $cells")
+      val cap = n / minList + 1
+      assert(cells.size <= cap,
+        s"seed $seed: ${cells.size} cells exceed the declared cap $cap")
+      // centroid table tracks live cells exactly — the probe-time
+      // broadcast stays bounded by the same cap
+      val centIds = spark.read.parquet(s"$indexDir/centroids")
+        .select("cent_id").collect().map(_.getLong(0)).toSet
+      assert(centIds == cells.keySet,
+        s"seed $seed: centroid table diverged from live cells")
+      val after = Similarity
+        .ivfSearchIndex(spark, root, indexDir, k = 3, probeBudget = big)
+        .collect().map(_.toSeq).toSet
+      assert(after == before,
+        s"seed $seed: exhaustive search changed across split+merge")
+    }
+  }
 }
