@@ -112,6 +112,30 @@ object Bench {
     // the single-line JSON contract this main exists to serve.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // IO-VISIBLE canary (VERDICT r10 #4): the q107 scan canary reads a
+    // page-cache-hot single file and provably undercounts the host's IO
+    // stalls (r10 carried 4-5x codec-family inflations at a CLEAN scan
+    // canary, each costing a manual re-time essay). This one pays a small
+    // parquet WRITE+READ round trip — allocate, fsync, footer, data pages
+    // — the same syscall path the codec/file-heavy queries pay. Idle
+    // floor on this box ~0.10-0.18 s; a clean canary_s with an inflated
+    // canary_io_s attributes codec-family inflation to host IO from the
+    // artifact alone. min-of-3, measured after the query loop, scrubbed.
+    val canaryIo = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-canary-io")
+      val t = (1 to 3).map { i =>
+        val dst = tmp.resolve(s"c$i").toString
+        val t0 = System.nanoTime()
+        spark.range(50000L).selectExpr("id", "id * 2 AS v")
+          .coalesce(2).write.mode("overwrite").parquet(dst)
+        // sum forces real data-page reads (count alone answers from
+        // parquet footers)
+        spark.read.parquet(dst).selectExpr("sum(v)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scrub()
+      t.min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -132,7 +156,13 @@ object Bench {
     // cache warmup, the spare absorbs a contention spike) — the scrub
     // protocol is documented once in BENCH_NOTES.md instead of being
     // re-adjudicated against ambient host noise every round.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"reps":$reps,"starved":$starved,"canary_s":$canary,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The headline fields ride at BOTH ends of the line: the driver's
+    // artifact capture has truncated from the head (round 6, lost query
+    // entries) AND from the tail-side (round 10, the committed artifact's
+    // tail cut before "value") — duplicating total/canaries/cpus/reps
+    // after the big "queries" map makes the headline readable from either
+    // partial capture (VERDICT r10 #7).
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"reps":$reps,"starved":$starved,"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir","tail_total":${r3(total)},"tail_canary_s":$canary,"tail_canary_io_s":${r3(canaryIo)},"tail_cpus":$cpus,"tail_reps":$reps,"tail_starved":$starved}"""
     println(line)
     // The driver's log capture truncates long stdout lines (round 6 lost
     // 60 of 138 queries from BENCH_r06.json) — persist the full line to a
@@ -144,6 +174,73 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }
+    // CROSS-RUN FLOOR artifact (VERDICT r10 #5): per-query MIN over this
+    // session's runs plus each run's canaries, so the round's steady-state
+    // floor is one artifact diff instead of a hand-computed adjudication
+    // narrative. "Session" is fenced by code identity (git HEAD read from
+    // .git, no exec) and scale factor — a floor never blends code
+    // versions or sf dirs; starved runs never contribute. Best-effort
+    // like bench_out.json.
+    if (!starved) try {
+      val floorPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FLOOR", "/root/repo/bench_floor.json"))
+      def headRef(): String = try {
+        val repo = java.nio.file.Paths.get("/root/repo/.git")
+        val head = new String(java.nio.file.Files.readAllBytes(
+          repo.resolve("HEAD")), "UTF-8").trim
+        if (head.startsWith("ref: ")) {
+          val rp = repo.resolve(head.stripPrefix("ref: "))
+          if (java.nio.file.Files.exists(rp))
+            new String(java.nio.file.Files.readAllBytes(rp), "UTF-8").trim
+          else head
+        } else head
+      } catch { case _: Exception => "unknown" }
+      val ref = headRef()
+      val qRe = """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r
+      val (prevQ, prevCanaries, prevRuns) =
+        if (java.nio.file.Files.exists(floorPath)) {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
+          val sameFence = txt.contains(s""""code":"$ref"""") &&
+            txt.contains(s""""sf":"$sfDir"""")
+          if (!sameFence) (Map.empty[String, Double], "", 0)
+          else {
+            val qStart = txt.indexOf("\"queries\":{")
+            val qEnd = if (qStart < 0) -1 else txt.indexOf("}", qStart)
+            val qm = if (qStart < 0) Map.empty[String, Double]
+              else qRe.findAllMatchIn(txt.substring(qStart + 10, qEnd + 1))
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val cStart = txt.indexOf("\"canaries\":[")
+            val cEnd = if (cStart < 0) -1 else txt.indexOf("]", cStart)
+            val cs = if (cStart < 0) ""
+              else txt.substring(cStart + 12, cEnd)
+            val runs = """"runs":(\d+)""".r.findFirstMatchIn(txt)
+              .map(_.group(1).toInt).getOrElse(0)
+            (qm, cs, runs)
+          }
+        } else (Map.empty[String, Double], "", 0)
+      val cur = results.toMap
+      val mergedKeys = (prevQ.keySet ++ cur.keySet).toSeq.sorted
+      val merged = mergedKeys.map { k =>
+        val v = (prevQ.get(k), cur.get(k)) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case (a, b) => a.orElse(b).get
+        }
+        s"\"" + k + "\":" + r3(v)
+      }.mkString("{", ",", "}")
+      val floorTotal = mergedKeys.map { k =>
+        math.min(prevQ.getOrElse(k, Double.MaxValue),
+          cur.getOrElse(k, Double.MaxValue)) }.sum
+      val runEntry =
+        s"""{"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"total":${r3(total)}}"""
+      val canaries =
+        if (prevCanaries.isEmpty) runEntry else prevCanaries + "," + runEntry
+      val floorLine =
+        s"""{"metric":"floor","runs":${prevRuns + 1},"code":"$ref","sf":"$sfDir","cpus":$cpus,"reps":$reps,"floor_total":${r3(floorTotal)},"canaries":[$canaries],"queries":$merged}"""
+      java.nio.file.Files.write(floorPath,
+        (floorLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_floor.json write failed: $e") }
     spark.stop()
     if (starved) sys.exit(2)
   }

@@ -129,6 +129,23 @@ object ScaleQ {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val flagged = rows.filter(_._4 > flagAt).map(_._1)
     val canary = rows.find(_._1 == "q107_tpch_q6")
+    // IO-visible canary, same protocol as Bench (VERDICT r10 #4): a small
+    // parquet write+read round trip prices the syscall/fsync path the
+    // codec-family queries pay, which the page-cache-hot scan canary
+    // undercounts
+    val canaryIo = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-canary-io")
+      val t = (1 to 3).map { i =>
+        val dst = tmp.resolve(s"c$i").toString
+        val t0 = System.nanoTime()
+        spark.range(50000L).selectExpr("id", "id * 2 AS v")
+          .coalesce(2).write.mode("overwrite").parquet(dst)
+        spark.read.parquet(dst).selectExpr("sum(v)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scrub()
+      t.min
+    }
     val qs = rows.map { case (k, tS, tL, ratio) =>
       s"\"$k\":{\"t_small\":${r3(tS)},\"t_large\":${r3(tL)},\"ratio\":${r3(ratio)}}"
     }.mkString("{", ",", "}")
@@ -138,6 +155,7 @@ object ScaleQ {
       s"""{"metric":"scale_sweep","flag_at":${r3(flagAt)},"cpus":$cpus,"reps":$reps""" +
         s""","canary_small_s":${canary.map(c => r3(c._2)).getOrElse("null")}""" +
         s""","canary_large_s":${canary.map(c => r3(c._3)).getOrElse("null")}""" +
+        s""","canary_io_s":${r3(canaryIo)}""" +
         s""","sf_small":"$small","sf_large":"$large"""" +
         s""","flagged":$flaggedJson,"failed":$failedJson,"queries":$qs}"""
     println(line)

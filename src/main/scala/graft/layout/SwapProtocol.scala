@@ -90,6 +90,14 @@ object SwapProtocol {
   private def recoveryEpochFile(dir: String) =
     new Path(historyDir(dir), "_recovery_epoch")
 
+  /** A bump's tmp older than this is a CRASHED bump's leftover, not an
+    * in-flight delete-then-rename window (that window is milliseconds;
+    * the gate is generous for FS timestamp granularity). Without the
+    * gate a stranded tmp makes every read spin the full retry budget and
+    * return a unique "unreadable-" epoch — probes on the table would be
+    * permanently uncacheable (ADVICE r10). */
+  private val StaleBumpMs = 10000L
+
   private[graft] def readRecoveryEpoch(f: FileSystem, dir: String): String = {
     val p = recoveryEpochFile(dir)
     var i = 0
@@ -100,11 +108,15 @@ object SwapProtocol {
         // concurrent bump's delete-then-rename window — in which a probe
         // returning "" would cache a pre-recovery answer under the
         // never-recovered epoch (ADVICE r9). The bump's unique tmp file is
-        // visible for exactly that window: if one exists, retry; if none
-        // does AND the epoch is still absent, it genuinely never existed.
+        // visible for exactly that window: if a FRESH one exists, retry;
+        // if none does AND the epoch is still absent, it genuinely never
+        // existed. Stale tmps (a bump that crashed between create and
+        // rename) are age-gated out so they cannot wedge the read path.
         val hist = historyDir(dir)
+        val now = System.currentTimeMillis()
         val bumpInFlight = f.exists(hist) && f.listStatus(hist)
-          .exists(_.getPath.getName.startsWith("_recovery_epoch.tmp-"))
+          .exists(s => s.getPath.getName.startsWith("_recovery_epoch.tmp-")
+            && now - s.getModificationTime < StaleBumpMs)
         if (!bumpInFlight && !f.exists(p)) return ""
       } catch {
         // listing/read races with a concurrent bump: transient, retry
@@ -136,5 +148,15 @@ object SwapProtocol {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"could not commit recovery epoch $p")
+    // reclaim tmps stranded by a CRASHED earlier bump (this bump's own
+    // tmp was just renamed away; a concurrent live bump's tmp is younger
+    // than the reader's staleness gate by construction)
+    try {
+      val cutoff = System.currentTimeMillis() - StaleBumpMs
+      f.listStatus(historyDir(dir))
+        .filter(s => s.getPath.getName.startsWith("_recovery_epoch.tmp-")
+          && s.getModificationTime < cutoff)
+        .foreach(s => f.delete(s.getPath, false))
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 }

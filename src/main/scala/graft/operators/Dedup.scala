@@ -721,6 +721,121 @@ object Dedup {
     }
   }
 
+  /** Band-index COMPACTION against the source table's live rows: drop
+    * every index entry whose document no longer exists, so the persisted
+    * index ([[incrementalDedup]]'s operational state) stops matching new
+    * batches against deleted docs. Covers BOTH delete modes — merge-on-
+    * read tombstones AND copy-on-write rewrites
+    * ([[graft.layout.FileGranularDml]]), because it reconciles against
+    * the LIVE read rather than the tombstone frame. Band keys are per-doc
+    * deterministic (hash MinHash, no corpus vocab), so a compacted index
+    * equals a fresh rebuild over the live docs EXACTLY — IndexDeleteSpec
+    * pins that equality.
+    *
+    * Scale shape: one semi-equi-join of the index against the live doc
+    * ids, shuffled on doc_id — O(index + source), a maintenance op, not
+    * a probe-time cost. No-op (nothing dangling) commits nothing.
+    * Returns one row: (n_removed, n_kept). */
+  def bandIndexCompact(spark: SparkSession, sourceDir: String,
+      idxDir: String): DataFrame = {
+    import spark.implicits._
+    val live = graft.layout.DeletionVectors.readPath(spark, sourceDir)
+      .select("doc_id")
+    val idx = graft.layout.DeletionVectors.readPath(spark, idxDir)
+    val kept = idx.join(live, Seq("doc_id"), "left_semi").cache()
+    val nKept = kept.count()
+    val nAll = idx.count()
+    if (nKept < nAll)
+      graft.catalog.Catalog.overwritePath(spark, kept, idxDir,
+        operation = "OPTIMIZE")
+    kept.unpersist(blocking = false)
+    Seq((nAll - nKept, nKept)).toDF("n_removed", "n_kept")
+  }
+
+  /** q233: DELETE-AWARE dedup against a STALE persisted band index — the
+    * takedown path a real corpus pipeline runs: docs get removed from the
+    * source table (licensing, privacy) AFTER their bands were indexed,
+    * and the index must stop producing them as match verdicts without an
+    * immediate rebuild. The query copies `documents` into a versioned
+    * table, indexes EVERY generation's bands (arrival order stamped on
+    * the entry — doc_id % 3, q225's deterministic generations), then
+    * deletes `doc_id % 7 = 3` through the merge-on-read DML layer and
+    * replays the probes delete-aware:
+    *
+    *   - probe batches read DV-applied (a deleted doc never queries),
+    *   - index candidates anti-join the tombstone keys
+    *     ([[graft.layout.DeletionVectors.deletedKeys]] — O(deleted rows),
+    *     filtered BEFORE the verification join so candidate volume drops
+    *     at the cheap end),
+    *   - verification shingles come from the live read.
+    *
+    * The DuckDB oracle replays q225's arithmetic over the live corpus
+    * only (`doc_id % 7 <> 3`) — equality proves a deleted doc can neither
+    * be FLAGGED nor serve as a MATCH, including through jaccard ties.
+    *
+    * Scale shape identical to q225 (band equi-join, candidates-only
+    * verification) plus one bounded anti-join; the stale index is never
+    * rebuilt ([[bandIndexCompact]] is the eventual repayment, and
+    * IndexDeleteSpec proves probe-equivalence between the two). */
+  def deleteAwareDedup(spark: SparkSession, dir: String, gens: Int = 3,
+      minJaccardPpm: Long = 800000L): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q233")
+      .toString
+    val src = s"$root/documents.parquet"
+    graft.catalog.Catalog.overwritePath(spark,
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      src)
+    val idx = s"$root/band_index"
+    val pre = graft.layout.DeletionVectors.readPath(spark, src)
+      .select(col("doc_id"),
+        (col("doc_id") % gens).cast("int").as("gen"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+    graft.catalog.Catalog.appendPath(spark,
+      pre.select(col("doc_id"), col("gen"),
+        explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idx)
+    graft.layout.DeletionVectors.deleteWhere(spark, src,
+      col("doc_id") % 7 === 3)
+    val deleted = graft.layout.DeletionVectors
+      .deletedKeys(spark, src, Seq("doc_id"))
+    val d = spread(graft.layout.DeletionVectors.readPath(spark, src)
+      .select(col("doc_id"),
+        (col("doc_id") % gens).cast("int").as("gen"),
+        array_distinct(shingles3(col("text"))).as("sh"))).cache()
+    val nDocs = d.count()
+    val probes = d.filter(col("gen") >= 1)
+      .select(col("doc_id"), col("gen"),
+        explode(lshBandKeysOfSet(col("sh"))).as("band_key"))
+    val idxLive = graft.layout.DeletionVectors.readPath(spark, idx)
+      .join(deleted, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("matched_id"), col("gen").as("mgen"),
+        col("band_key"))
+    val cand = idxLive
+      .join(maybeBroadcast(probes, nDocs), Seq("band_key"))
+      .filter(col("mgen") < col("gen"))
+      .select(col("doc_id"), col("gen"), col("matched_id")).distinct()
+    val verified = cand
+      .join(maybeBroadcast(
+        d.select(col("doc_id"), col("sh").as("sh_a")), nDocs),
+        Seq("doc_id"))
+      .join(maybeBroadcast(
+        d.select(col("doc_id").as("matched_id"), col("sh").as("sh_b")),
+        nDocs), Seq("matched_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "1000000 * inter DIV (size(sh_a) + size(sh_b) - inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .groupBy("doc_id", "gen")
+      .agg(min(struct(col("matched_id"), col("jaccard_ppm"))).as("m"))
+      .select(col("doc_id"), col("gen"),
+        col("m.matched_id").as("matched_id"),
+        col("m.jaccard_ppm").as("jaccard_ppm"))
+      .orderBy("doc_id")
+    val fin = verified.localCheckpoint()
+    d.unpersist(blocking = false)
+    fin
+  }
+
   /** q227: LSH band PRECISION audit — the measured complement to the
     * recall pins (AnnRecallSpec): per band, how many candidate pairs the
     * band join surfaces and what fraction survive exact verification.
@@ -1115,6 +1230,8 @@ object Dedup {
       ((s: SparkSession, d: String) => dedupThresholdSweep(s, d)),
     "q225_incremental_dedup" ->
       ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "q233_dedup_delete_aware" ->
+      ((s: SparkSession, d: String) => deleteAwareDedup(s, d)),
     "q227_lsh_precision" ->
       ((s: SparkSession, d: String) => lshPrecisionAudit(s, d)),
     "q222_cluster_sizes" ->
@@ -1258,6 +1375,43 @@ object Dedup {
             SELECT doc_id, CAST(doc_id % 3 AS INT) AS gen,
               list_distinct($shinglesSql) AS sh
             FROM documents),
+          sigs AS (SELECT doc_id, gen, sh, $bandKeys FROM sh0),
+          ex AS (
+            SELECT doc_id, gen, sh,
+              unnest([band0, band1, band2, band3]) AS band_key
+            FROM sigs),
+          cand AS (
+            SELECT DISTINCT n.doc_id AS doc_id, n.gen AS gen,
+              o.doc_id AS matched_id, n.sh AS sh_a, o.sh AS sh_b
+            FROM ex n JOIN ex o
+              ON n.band_key = o.band_key AND o.gen < n.gen),
+          v AS (
+            SELECT doc_id, gen, matched_id,
+              CAST(1000000 * len(list_intersect(sh_a, sh_b)) //
+                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                AS BIGINT) AS jaccard_ppm
+            FROM cand),
+          q AS (SELECT * FROM v WHERE jaccard_ppm >= 800000),
+          m AS (SELECT doc_id, gen, min(matched_id) AS matched_id
+                FROM q GROUP BY 1, 2)
+          SELECT m.doc_id, m.gen, m.matched_id, q.jaccard_ppm
+          FROM m JOIN q
+            ON q.doc_id = m.doc_id AND q.matched_id = m.matched_id
+          ORDER BY m.doc_id"""
+    },
+    // q233: q225's arithmetic replayed over the LIVE corpus only
+    // (doc_id % 7 <> 3) — the engine runs against the STALE full index
+    // with tombstone-filtered probes; equality proves deleted docs
+    // neither flag nor match
+    "q233_dedup_delete_aware" -> {
+      val sigs = (0 until 12).map(sigShSql)
+      val bandKeys = (0 until 4).map(b =>
+        s"md5(concat_ws('|', '$b', ${sigs.slice(b * 3, b * 3 + 3).mkString(", ")})) AS band$b")
+        .mkString(", ")
+      s"""WITH sh0 AS (
+            SELECT doc_id, CAST(doc_id % 3 AS INT) AS gen,
+              list_distinct($shinglesSql) AS sh
+            FROM documents WHERE doc_id % 7 <> 3),
           sigs AS (SELECT doc_id, gen, sh, $bandKeys FROM sh0),
           ex AS (
             SELECT doc_id, gen, sh,

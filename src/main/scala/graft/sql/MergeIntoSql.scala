@@ -870,7 +870,15 @@ case class GraftShowPartitionsCommand(nameParts: Seq[String])
   }
 }
 
+/** `VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]` — reclaim staging
+  * leftovers and history versions past the retention window (Delta's
+  * VACUUM, with the retention expressed in snapshot VERSIONS — this
+  * engine's log is version-addressed, not timestamp-addressed). DRY RUN
+  * lists what would go without deleting; RETAIN defaults to the
+  * catalog's keepVersions (10). `VERSION AS OF` within the retained
+  * window keeps reading (MergeSqlSpec pins the lifecycle). */
 case class GraftVacuumCommand(nameParts: Seq[String],
+    keepVersions: Option[Int] = None,
     dryRun: Boolean = false) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
@@ -878,7 +886,8 @@ case class GraftVacuumCommand(nameParts: Seq[String],
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSql.resolveDir(spark, nameParts, "VACUUM")
-    graft.catalog.Catalog.vacuumPath(spark, dir, dryRun = dryRun).map(Row(_))
+    graft.catalog.Catalog.vacuumPath(spark, dir,
+      keepVersions = keepVersions.getOrElse(10), dryRun = dryRun).map(Row(_))
   }
 }
 
@@ -911,7 +920,8 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *    aren't ours pass through to Spark's own resolution;
   *  - statements outside Spark's grammar are intercepted as anchored
   *    text: `DESCRIBE HISTORY` / `DESCRIBE DETAIL`, `OPTIMIZE [ZORDER
-  *    BY]`, `VACUUM [DRY RUN]`, `RESTORE … VERSION|TIMESTAMP AS OF`,
+  *    BY]`, `VACUUM [RETAIN n VERSIONS] [DRY RUN]`, `RESTORE …
+  *    VERSION|TIMESTAMP AS OF`,
   *    `COPY INTO`, `CREATE TABLE … DEEP|SHALLOW CLONE … [VERSION AS OF]`,
   *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
   *    CONSTRAINT`, `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS
@@ -957,9 +967,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCloneCommand(delegate.parseMultipartIdentifier(dst),
           delegate.parseMultipartIdentifier(src),
           Option(v).map(_.toInt), kind.equalsIgnoreCase("SHALLOW"))
-      case GraftSql.VacuumRe(ident, dry) =>
+      case GraftSql.VacuumRe(ident, retain, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
-          dryRun = dry != null)
+          keepVersions = Option(retain).map(_.toInt), dryRun = dry != null)
       case GraftSql.ShowPartitionsRe(ident)
           if GraftSql.resolvesToGraftTable(session, ident) =>
         GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(ident))
@@ -1156,7 +1166,7 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(DEEP|SHALLOW)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   private[sql] val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.`]+)(\s+DRY\s+RUN)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private[sql] val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*$""".r
   private[sql] val RestoreRe =
@@ -1371,9 +1381,11 @@ object GraftSql {
         GraftShims.ofRows(spark,
           GraftCloneCommand(splitIdent(dst), splitIdent(src),
             Option(v).map(_.toInt), kind.equalsIgnoreCase("SHALLOW")))
-      case VacuumRe(ident, dry) =>
+      case VacuumRe(ident, retain, dry) =>
         GraftShims.ofRows(spark,
-          GraftVacuumCommand(splitIdent(ident), dryRun = dry != null))
+          GraftVacuumCommand(splitIdent(ident),
+            keepVersions = Option(retain).map(_.toInt),
+            dryRun = dry != null))
       case ShowPartitionsRe(ident) if resolvesToGraftTable(spark, ident) =>
         GraftShims.ofRows(spark,
           GraftShowPartitionsCommand(splitIdent(ident)))

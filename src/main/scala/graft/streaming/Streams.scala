@@ -56,6 +56,16 @@ object Streams {
     // the clamp cannot leak; the memory-sink table registers in the
     // child session and is returned from there.
     val session = parent.newSession()
+    // newSession starts from the DEFAULTS, not the parent's runtime conf —
+    // carry every modifiable caller-set entry (timezone, AQE, state-store
+    // settings) onto the child so the drain plans under the same session
+    // semantics the caller's batch queries do (ADVICE r10); the clamp
+    // below then overrides the one key it exists to narrow
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (session.conf.isModifiable(k) &&
+          scala.util.Try(session.conf.get(k)).toOption != Some(v))
+        scala.util.Try(session.conf.set(k, v))
+    }
     // non-numeric parent conf (never set, or set to a malformed value):
     // fall back to the clamp alone instead of throwing on toInt
     val parentN = scala.util.Try(parent.conf.get(key).toInt).toOption

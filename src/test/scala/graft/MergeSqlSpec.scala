@@ -286,6 +286,48 @@ class MergeSqlSpec extends SparkSuite {
     cat.dropRegistration("gold", "opt_sql")
   }
 
+  test("VACUUM RETAIN n VERSIONS: dry-run lists without deleting, the " +
+      "real run drops versions past the window, reads within the window " +
+      "survive") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-vacret"))
+    for (i <- 1 to 4)
+      cat.overwriteSnapshot(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        "gold", "vac_sql")
+    cat.register("gold", "vac_sql")
+    assert(cat.currentVersion("gold", "vac_sql") == 4)
+    // DRY RUN at retain 1: versions 1 and 2 are past the window
+    // (<= cur-1-keep = 2) and get REPORTED, but nothing is deleted —
+    // both still read afterwards
+    val dry = s.sql("VACUUM gold.vac_sql RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry.exists(_.endsWith("/v00001")) && dry.exists(_.endsWith("/v00002")),
+      s"dry run must list the out-of-window versions: $dry")
+    assert(cat.readVersion("gold", "vac_sql", 1).count() == 1)
+    assert(cat.readVersion("gold", "vac_sql", 2).count() == 1)
+    // the real run reclaims them
+    val gone = s.sql("VACUUM gold.vac_sql RETAIN 1 VERSIONS")
+      .collect().map(_.getString(0)).toSeq
+    assert(gone.exists(_.endsWith("/v00001")) && gone.exists(_.endsWith("/v00002")))
+    // within the window: the previous version still time-travels and the
+    // current snapshot is untouched
+    assert(cat.readVersion("gold", "vac_sql", 3).count() == 1)
+    assert(s.table("gold.vac_sql").collect()(0).getString(1) == "v4")
+    // past the window: version 1 no longer reconstructs
+    val ex = intercept[Exception] {
+      cat.readVersion("gold", "vac_sql", 1).count() }
+    assert(ex != null)
+    // default retention (no RETAIN clause) keeps everything here: only
+    // 4 versions exist, well under keepVersions = 10 — a bare VACUUM
+    // reports no version dirs
+    val bare = s.sql("VACUUM gold.vac_sql").collect()
+      .map(_.getString(0)).filter(_.contains(".history/v"))
+    assert(bare.isEmpty, s"bare VACUUM must respect the default window: " +
+      bare.mkString(","))
+    cat.dropRegistration("gold", "vac_sql")
+  }
+
   test("COPY INTO parses and runs through the extension session's parser") {
     val s = sqlSpark
     import s.implicits._

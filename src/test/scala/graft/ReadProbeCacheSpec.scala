@@ -167,4 +167,33 @@ class ReadProbeCacheSpec extends SparkSuite {
     PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
     assert(Catalog.readRecoveryEpoch(fs, dir) == epoch1)
   }
+
+  test("a stale crashed-bump tmp neither wedges the epoch read nor " +
+      "survives the next bump") {
+    val dir = tmpDir("probe-staletmp") + "/t"
+    Catalog.overwritePath(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a bump that crashed between create(tmp) and rename: the
+    // tmp file exists, aged past the reader's staleness gate
+    val hist = Catalog.historyDir(dir)
+    fs.mkdirs(hist)
+    val tmp = new org.apache.hadoop.fs.Path(hist,
+      "_recovery_epoch.tmp-dead0000")
+    val out = fs.create(tmp, true)
+    try out.write("orphan".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(tmp, System.currentTimeMillis() - 60000L, -1)
+    // the read returns promptly with the real answer ("" — never
+    // recovered), NOT an uncacheable "unreadable-" sentinel after the
+    // full retry budget
+    val t0 = System.nanoTime()
+    val epoch = Catalog.readRecoveryEpoch(fs, dir)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(epoch == "", s"stale tmp wedged the epoch read: got '$epoch'")
+    assert(ms < 150, f"epoch read spun the retry budget ($ms%.0f ms)")
+    // a real bump succeeds and sweeps the orphan
+    Catalog.bumpRecoveryEpoch(fs, dir)
+    assert(Catalog.readRecoveryEpoch(fs, dir).nonEmpty)
+    assert(!fs.exists(tmp), "crashed-bump orphan must be reclaimed")
+  }
 }
