@@ -24,6 +24,8 @@ object SparkEntry {
     operators.EventQueries.queries ++
     operators.OlapQueries.queries ++
     operators.TextQueries.queries ++
+    operators.PrivacyQueries.queries ++
+    operators.MixQueries.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.SkewQueries.queries ++
@@ -50,6 +52,8 @@ object SparkEntry {
     operators.EventQueries.oracles ++
     operators.OlapQueries.oracles ++
     operators.TextQueries.oracles ++
+    operators.PrivacyQueries.oracles ++
+    operators.MixQueries.oracles ++
     operators.Dedup.oracles ++
     operators.Similarity.oracles ++
     operators.SkewQueries.oracles ++

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.TextQueries
+import graft.operators.{MixQueries, TextQueries}
 
 /** Property pin for q215 (fixed-seed scalacheck): the distributed
   * Hare-quota allocation must equal a sequential largest-remainder
@@ -41,7 +41,7 @@ class QuotaProps extends SparkSuite {
       val dir = tmpDir(s"qp$cse") + "/t"
       rows.toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.parquet(s"$dir/documents.parquet")
-      val got = TextQueries.quotaSplit(spark, dir).collect()
+      val got = MixQueries.quotaSplit(spark, dir).collect()
         .map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc")).toMap
       assert(got == model(cells), s"case $cse: cells=$cells")
     }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextQueries
+import graft.operators.{MixQueries, PrivacyQueries, TextQueries}
 
 /** The corners of the round-4 text operators the fixture corpus cannot
   * reach: CJK counting on real CJK text, PII patterns on real PII shapes,
@@ -99,7 +99,7 @@ class TextOpsSpec extends SparkSuite {
   }
 
   test("mixture upsampling replicates by floor(weight) plus a deterministic fraction") {
-    val out = TextQueries.mixUpsample(spark, sf0001)
+    val out = MixQueries.mixUpsample(spark, sf0001)
     val docs = Tables.load(spark, sf0001, "documents")
     val copies = out.groupBy("doc_id", "lang")
       .agg(max("copy_no").as("n"), count(lit(1)).as("c"))
@@ -115,7 +115,7 @@ class TextOpsSpec extends SparkSuite {
     assert(byLang("de")._1 >= 2 && byLang("de")._2 <= 3)
     assert(byLang.get("en").forall(_ == ((1, 1))))
     // determinism: a re-run replicates the same docs the same number of times
-    assert(rowsOf(TextQueries.mixUpsample(spark, sf0001), "doc_id", "copy_no")
+    assert(rowsOf(MixQueries.mixUpsample(spark, sf0001), "doc_id", "copy_no")
       == rowsOf(out, "doc_id", "copy_no"))
     // sub-1.0 strata actually dropped some docs
     val enAll = docs.filter(col("lang") === "en").count()
@@ -180,7 +180,7 @@ class TextOpsSpec extends SparkSuite {
       (16L to 25L).map(i => (i, Seq.fill(100)("w").mkString(" "), "big"))
     docs.toDF("doc_id", "text", "lang")
       .write.parquet(s"$dir/documents.parquet")
-    val out = graft.operators.TextQueries.unimaxMix(spark, dir)
+    val out = MixQueries.unimaxMix(spark, dir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // tiny: cap 3·10 = 30 < 666/3 = 222 → fully capped, 3.0 epochs
@@ -249,7 +249,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q206 mixture rebalance: distributed MW rounds equal the " +
       "sequential integer fold, and shares move toward the target") {
-    val rows = TextQueries.mixtureRebalance(spark, sf0001).collect()
+    val rows = MixQueries.mixtureRebalance(spark, sf0001).collect()
     assert(rows.nonEmpty)
     // rebuild the same arithmetic sequentially from the per-domain stats
     val base = rows.map { r =>
@@ -287,7 +287,7 @@ class TextOpsSpec extends SparkSuite {
        else "small", 40L + i % 7))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    val skew = TextQueries.mixtureRebalance(spark, dir).collect()
+    val skew = MixQueries.mixtureRebalance(spark, dir).collect()
     val tSkew = 1000000000L / skew.length
     val startDist = Seq(60L, 20L, 10L).map(c =>
       math.abs(1000000000L * c / 90L - tSkew)).sum
@@ -299,7 +299,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q208 water-filling: matches the sequential fold; caps respected; " +
       "slack redistributes to unsaturated domains") {
-    val rows = TextQueries.budgetWaterfill(spark, sf0001).collect()
+    val rows = MixQueries.budgetWaterfill(spark, sf0001).collect()
     assert(rows.nonEmpty)
     val supply = rows.map(r =>
       r.getAs[String]("source") -> r.getAs[Long]("supply")).toMap
@@ -377,7 +377,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q212 curation funnel: stages are cumulative and each gate " +
       "matches its single-stage operator") {
-    val rows = TextQueries.curationFunnel(spark, sf0001).collect()
+    val rows = MixQueries.curationFunnel(spark, sf0001).collect()
       .sortBy(_.getAs[Long]("stage"))
     assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
       Seq("raw", "exact_dedup", "quality", "language", "decontaminated"))
@@ -399,7 +399,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q215 quota split: allocations sum EXACTLY to the eval budget " +
       "and each cell gets at most one spare seat") {
-    val rows = TextQueries.quotaSplit(spark, sf0001).collect()
+    val rows = MixQueries.quotaSplit(spark, sf0001).collect()
     val total = graft.Tables.load(spark, sf0001, "documents").count()
     assert(rows.map(_.getAs[Long]("alloc")).sum == total / 10,
       "largest-remainder allocation must hit the budget exactly")
@@ -436,7 +436,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q220 rendezvous reshard: every moved doc lands on the NEW " +
       "shard and movement is near the 1/(N+1) minimum") {
-    val rows = TextQueries.rendezvousReshard(spark, sf0001).collect()
+    val rows = MixQueries.rendezvousReshard(spark, sf0001).collect()
     rows.foreach { r =>
       val (o, n, m) = (r.getAs[Long]("shard_old"),
         r.getAs[Long]("shard_new"), r.getAs[Int]("moved"))
@@ -465,7 +465,7 @@ class TextOpsSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = tmpDir("ldiv") + "/t"
     docs.write.parquet(s"$dir/documents.parquet")
-    val got = TextQueries.lDiversity(spark, dir).collect()
+    val got = PrivacyQueries.lDiversity(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
         ((r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
           r.getAs[Long]("dominant_ppm"), r.getAs[Int]("homogeneous"))))
@@ -490,7 +490,7 @@ class TextOpsSpec extends SparkSuite {
 
   test("q230 t-closeness: TV bounds, cell conservation, breach gate, " +
       "and exactness on a hand-built skewed table") {
-    val rows = TextQueries.tCloseness(spark, sf0001).collect()
+    val rows = PrivacyQueries.tCloseness(spark, sf0001).collect()
     assert(rows.nonEmpty)
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(rows.map(_.getAs[Long]("n_cell")).sum == corpus,
@@ -513,7 +513,7 @@ class TextOpsSpec extends SparkSuite {
       (5L, "s2", 30L, "aa"), (6L, "s2", 40L, "bb"))
       .toDF("doc_id", "source", "n_chars", "lang")
       .write.parquet(s"$dir/documents.parquet")
-    val got = TextQueries.tCloseness(spark, dir).collect()
+    val got = PrivacyQueries.tCloseness(spark, dir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("tv_x2_ppm"))).toMap
     // global: aa 4/6 = 666666 ppm, bb 2/6 = 333333 ppm.
     // s1 (all len_bucket 0): pure aa -> |1e6-666666| + |0-333333| = 666667
