@@ -157,9 +157,14 @@ class Catalog(spark: SparkSession, warehouse: String,
             st.isFile && !n.startsWith("_") && !n.startsWith(".")
           }
           if (nFiles > minFiles)
-            compact(layer, table,
+            // best-effort, like Delta's: the caller's OWN commit already
+            // landed, so losing the compaction race to a concurrent
+            // writer must not fail the write — the fragmentation debt
+            // simply re-triggers on the next commit
+            try compact(layer, table,
               spark.conf.getOption("graft.autoCompact.targetFileSize")
                 .map(_.trim.toLong).getOrElse(128L * 1024 * 1024))
+            catch { case _: Catalog.ConcurrentCommitException => () }
         }
       }
 
@@ -1360,6 +1365,43 @@ object Catalog {
     def this(dir: String) = this(
       s"concurrent commit on $dir: the live snapshot's files were retired " +
         "by another commit during staging — re-read and retry", null)
+  }
+
+  /** Bounded optimistic retry for commit bodies that are a pure function
+    * of the CURRENT table state — Delta's logical conflict resolution,
+    * expressed as a combinator. A blind append, a merge that re-reads
+    * its target, a DV delete recomputing matched positions: each attempt
+    * re-reads the live snapshot during staging, so losing the pointer
+    * race and re-running IS a correct rebase onto the winner's commit
+    * (the loser's semantics apply to whatever state the winner left).
+    * Bodies that cache a pre-read snapshot across attempts — or encode a
+    * decision taken against the old version — must NOT use this: they
+    * would silently overwrite the interleaved commit, the exact hazard
+    * the optimistic check exists to surface.
+    *
+    * Without this, N jobs appending to one table (per-hour metric
+    * writers, a fan-in of shard summaries — the everyday multi-writer
+    * shape on a large cluster) all fail but one; with it they serialize
+    * like Delta's non-conflicting ConcurrentAppend retries. Backoff is
+    * exponential with full jitter, capped at ~1.6 s per wait, so N
+    * racers don't re-collide in lockstep; exhaustion rethrows the final
+    * typed conflict with the attempt count in the message chain. */
+  def commitWithRetry[A](dir: String, maxAttempts: Int = 8)(body: => A): A = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"commit on $dir still conflicting after $attempt attempts", e)
+          val capMs = math.min(1 << math.min(attempt + 3, 14), 1600)
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(capMs.toLong) + 1)
+      }
+    }
+    throw new IllegalStateException("unreachable") // satisfies the type
   }
 
   /** Wrap a commit attempt whose STAGING reads the live snapshot

@@ -117,14 +117,107 @@ object PrivacyQueries {
       .orderBy("source", "len_bucket")
   }
 
+  /** q236: LOCAL-DP frequency release via generalized randomized
+    * response (Warner 1965; k-ary form per Kairouz et al. 2016) — the
+    * MECHANISM rung completing the ladder the three audits (q157 /
+    * q218 / q230) only measure: each row reports its true language with
+    * probability p = 3/4 and one of the k−1 others uniformly otherwise,
+    * giving ε = ln(p/q) = ln(3(k−1)) local differential privacy; the
+    * curator debiases the observed counts with the standard unbiased
+    * estimator est = (obs − n·q)/(p − q) where q = (1−p)/(k−1), folded
+    * to exact integers: est = (4(k−1)·obs − n) / (3k − 4), clamped at 0
+    * before the single integer division (negative estimates clamp in
+    * practice, and clamping keeps DIV semantics engine-identical —
+    * DuckDB's `//` floors where Spark's DIV truncates, which only
+    * diverge below zero). Coins come from disjoint slices of one seeded
+    * md5 per row, so both engines replay the exact mechanism.
+    *
+    * Scale shape: the label dictionary is bounded (k languages — the
+    * row_number window and the count() run over k rows, metadata
+    * scale), so the index map rides a broadcast; the per-row mechanism
+    * is one codegen'd map pass over the corpus; the release is a k-row
+    * hash-agg. Nothing driver-side scales with data. */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    // bounded label dictionary: k rows, contiguous ids by label order
+    val labs = docs.select(col("lang")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy("lang")).cast("long") - 1)
+    val k = labs.count() // driver-bounded: #languages, never data
+    require(k >= 2, s"randomized response needs >= 2 labels, corpus has $k")
+    // one md5 per row, two disjoint slices: hex[1,4] < 'c000' keeps the
+    // true label (p = 49152/65536 = 3/4 exactly); hex[5,4] mod (k-1)
+    // picks the uniform other label via the 1+j rotation (never self)
+    val h = md5(concat(col("doc_id").cast("string"), lit("#rr42")))
+    val keep = substring(h, 1, 4) < "c000"
+    val j = expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+      s"'#rr42')), 5, 4), 16, 10) AS BIGINT) % ${k - 1}")
+    val reported = docs
+      .join(broadcast(labs), Seq("lang"))
+      .withColumn("rep_idx",
+        when(keep, col("idx")).otherwise((col("idx") + lit(1L) + j) % k))
+    val obs = reported.groupBy("rep_idx").agg(count(lit(1)).as("obs_n"))
+    val truth = reported.groupBy("lang", "idx")
+      .agg(count(lit(1)).as("true_n"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    truth
+      .join(obs, col("idx") === col("rep_idx"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
+      .withColumn("est_n", expr(
+        s"greatest(0L, ${4 * (k - 1)} * obs_n - n_total) DIV ${3 * k - 4}"))
+      .select(col("lang"), col("true_n"), col("obs_n"), col("est_n"),
+        abs(col("est_n") - col("true_n")).as("abs_err"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
+    "q236_randomized_response" ->
+      ((s: SparkSession, d: String) => randomizedResponse(s, d)),
     "q218_l_diversity" ->
       ((s: SparkSession, d: String) => lDiversity(s, d)),
     "q230_t_closeness" ->
       ((s: SparkSession, d: String) => tCloseness(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // q236: same seeded md5 coins (keep slice, pick slice), same 1+j
+    // rotation, same clamped integer estimator — mechanism replayed
+    "q236_randomized_response" ->
+      """WITH labs AS (
+           SELECT lang,
+             CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx
+           FROM (SELECT DISTINCT lang FROM documents)),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM labs),
+         r AS (
+           SELECT d.doc_id, d.lang, l.idx,
+             CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || '#rr42'),
+                 1, 4) < 'c000'
+               THEN l.idx
+               ELSE (l.idx + 1 +
+                 (CAST(CONCAT('0x', substring(
+                    md5(CAST(d.doc_id AS VARCHAR) || '#rr42'), 5, 4))
+                  AS BIGINT) % (kk.k - 1))) % kk.k
+             END AS rep_idx
+           FROM documents d JOIN labs l ON d.lang = l.lang CROSS JOIN kk),
+         obs AS (SELECT rep_idx, CAST(count(*) AS BIGINT) AS obs_n
+                 FROM r GROUP BY rep_idx),
+         tr AS (SELECT lang, idx, CAST(count(*) AS BIGINT) AS true_n
+                FROM r GROUP BY lang, idx),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         SELECT tr.lang, tr.true_n,
+           COALESCE(obs.obs_n, 0) AS obs_n,
+           CAST(greatest(0, 4 * (kk.k - 1) * COALESCE(obs.obs_n, 0)
+               - tot.n_total) // (3 * kk.k - 4) AS BIGINT) AS est_n,
+           CAST(abs(CAST(greatest(0, 4 * (kk.k - 1)
+               * COALESCE(obs.obs_n, 0) - tot.n_total)
+               // (3 * kk.k - 4) AS BIGINT) - tr.true_n) AS BIGINT)
+             AS abs_err
+         FROM tr LEFT JOIN obs ON tr.idx = obs.rep_idx
+         CROSS JOIN kk CROSS JOIN tot
+         ORDER BY lang""",
     // same quasi-identifier tuple, same integer risk — exact
     "q157_k_anonymity" ->
       """SELECT lang, source, n_chars // 500 AS len_bucket,

@@ -839,6 +839,50 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q235: SEMANTIC benchmark decontamination — the embedding rung of
+    * the decontamination ladder (q71 exact n-gram overlap, q146
+    * bloom-prefiltered exact, q210 fuzzy-lexical MinHash): a paraphrase
+    * that shares no 8-gram and few shingles still lands next to its
+    * benchmark source in embedding space, so a train doc whose nearest
+    * BENCH neighbor clears a cosine bar is scrubbed. Bench slice is
+    * deterministic (vec_id % 37 = 5, ~3% — standing in for a fixed eval
+    * suite); candidates come from the q40 sign-LSH bucket EQUI-JOIN
+    * (both sides keyed on the 4-bit sign bucket), never train × bench;
+    * exact cosine confirms; each flagged train doc reports its best
+    * bench match (max cos, bench_id asc tiebreak).
+    *
+    * Scale shape: the BENCH side bounds the join — eval suites are
+    * fixed-size while train is the 100 TB side, so the bench build
+    * broadcasts below the gate and degrades to a SHUFFLE_HASH bucket
+    * equi-join above it; the train side streams through one codegen'd
+    * projection + probe with no self-pairing and no corpus shuffle.
+    * Threshold 0.25 ≈ the synthetic fixture's in-bucket tail (the q41
+    * calibration note: the corpus has no true clones, so the bar sits
+    * where the operator yields a verifiable non-empty result). */
+  def semanticDecontam(spark: SparkSession, dir: String,
+      thresh: Double = 0.25): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signBucket(col("embedding"), 4))
+    // the bench side is the corpus-derived 1/37 slice — gate on its size
+    val benchBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes / 37
+    val bench = e.filter(col("vec_id") % 37 === 5)
+      .select(col("bucket"), col("vec_id").as("bench_id"),
+        col("embedding").as("bv"), l2norm(col("embedding")).as("bn"))
+    val train = e.filter(col("vec_id") % 37 =!= 5)
+      .select(col("bucket"), col("vec_id").as("train_id"),
+        col("embedding").as("tv"), l2norm(col("embedding")).as("tn"))
+    val scored = train.join(maybeBroadcast(bench, benchBytes), Seq("bucket"))
+      .withColumn("cos", round(dot(col("tv"), col("bv")) /
+        (col("tn") * col("bn")), 6))
+      .filter(col("cos") >= thresh)
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("cos").desc, col("bench_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("train_id", "bench_id", "cos")
+      .orderBy("train_id")
+  }
+
   /** Per-label centroid components (the k-means/IVF "train" step q44's
     * training-free quantizer skips): posexplode spreads components so the
     * aggregation is an ordinary (label, pos) hash-agg — map-side partial,
@@ -1716,7 +1760,9 @@ object Similarity {
     "q232_ivf_merge" ->
       ((s: SparkSession, d: String) => ivfMergeQuery(s, d)),
     "q234_ann_delete_aware" ->
-      ((s: SparkSession, d: String) => ivfDeleteAwareQuery(s, d)))
+      ((s: SparkSession, d: String) => ivfDeleteAwareQuery(s, d)),
+    "q235_semantic_decontam" ->
+      ((s: SparkSession, d: String) => semanticDecontam(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -2293,6 +2339,25 @@ object Similarity {
             FROM scored)
           SELECT query_id, rn, cand_id, cos, bucket FROM ranked WHERE rn <= 3
           ORDER BY query_id, rn""",
+    // q235: same 4-bit sign buckets, same bench slice, same cosine
+    // confirm + best-match ranking — the bench-bounded join replayed
+    "q235_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+            CAST(${bucketSql("embedding", 4)} AS BIGINT) AS bucket FROM embeddings),
+          b AS (SELECT bucket, vec_id AS bench_id, embedding AS bv
+                FROM e WHERE vec_id % 37 = 5),
+          t AS (SELECT bucket, vec_id AS train_id, embedding AS tv
+                FROM e WHERE vec_id % 37 <> 5),
+          scored AS (
+            SELECT train_id, bench_id, ${cosSql("tv", "bv")} AS cos
+            FROM t JOIN b ON t.bucket = b.bucket),
+          ranked AS (
+            SELECT train_id, bench_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY train_id
+                ORDER BY cos DESC, bench_id ASC) AS rn
+            FROM scored WHERE cos >= 0.25)
+          SELECT train_id, bench_id, cos FROM ranked WHERE rn = 1
+          ORDER BY train_id""",
     "q41_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
             CAST(${bucketSql("embedding", 8)} AS BIGINT) AS bucket FROM embeddings)

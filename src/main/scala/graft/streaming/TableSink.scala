@@ -78,28 +78,37 @@ class GraftTableSink(sqlContext: SQLContext, dir: String,
     s"stream_epoch_${qid.getOrElse("default")}"
   }
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val tagKey = epochTagKey
-    val already = Catalog.lastCommitTag(spark, dir, tagKey)
-      .exists(_.toLong >= batchId)
-    if (already) return // replayed epoch: version already committed
-    val batch = GraftShims.batchFrame(sqlContext, data)
-    val tag = Some(tagKey -> batchId.toString)
-    val f = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = f.exists(new Path(dir))
-    if (outputMode == OutputMode.Complete())
-      Catalog.overwritePath(spark, batch, dir, partitionCols, keepVersions,
-        commitTag = tag, operation = "STREAMING COMPLETE")
-    else if (!exists)
-      // first epoch creates the table, honoring partitionBy from the
-      // writer (appendPath's first-load path would drop it)
-      Catalog.overwritePath(spark, batch, dir, partitionCols, keepVersions,
-        commitTag = tag, operation = "STREAMING APPEND")
-    else
-      Catalog.appendPath(spark, batch, dir, keepVersions,
-        commitTag = tag, operation = "STREAMING APPEND")
-  }
+  // The whole epoch commit runs under bounded optimistic retry: a batch
+  // table writer (an OPTIMIZE, a takedown DELETE) racing the stream's
+  // target must not kill the query — every attempt re-reads the epoch
+  // tag and the live files, so a retry rebases exactly-once onto the
+  // interleaved commit (the [[Catalog.commitWithRetry]] contract; a
+  // conflict is only ever raised BEFORE our version lands).
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    Catalog.commitWithRetry(dir) {
+      val tagKey = epochTagKey
+      val already = Catalog.lastCommitTag(spark, dir, tagKey)
+        .exists(_.toLong >= batchId)
+      if (!already) { // replayed epoch: version already committed
+        val batch = GraftShims.batchFrame(sqlContext, data)
+        val tag = Some(tagKey -> batchId.toString)
+        val f = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = f.exists(new Path(dir))
+        if (outputMode == OutputMode.Complete())
+          Catalog.overwritePath(spark, batch, dir, partitionCols,
+            keepVersions, commitTag = tag,
+            operation = "STREAMING COMPLETE")
+        else if (!exists)
+          // first epoch creates the table, honoring partitionBy from the
+          // writer (appendPath's first-load path would drop it)
+          Catalog.overwritePath(spark, batch, dir, partitionCols,
+            keepVersions, commitTag = tag, operation = "STREAMING APPEND")
+        else
+          Catalog.appendPath(spark, batch, dir, keepVersions,
+            commitTag = tag, operation = "STREAMING APPEND")
+      }
+    }
 
   override def toString: String = s"GraftTableSink[$dir]"
 }

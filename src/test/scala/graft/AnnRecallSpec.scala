@@ -260,4 +260,36 @@ class AnnRecallSpec extends SparkSuite {
         (1 to rows.length), s"query $qid: ranks not dense")
     }
   }
+
+  test("semantic decontamination (q235): planted bench clone flagged at " +
+      "cos 1.0, verdicts respect the slice and the threshold") {
+    import spark.implicits._
+    // synthetic corpus: 64-dim deterministic vectors; vec 5 is BENCH
+    // (5 % 37 = 5; so is 42) and vec 17 (17 % 37 = 17 — train side) is
+    // its EXACT CLONE — the paraphrased contamination the lexical rungs
+    // (q71/q146/q210) can miss
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 19) - 9) / 9.0f)
+    val rows = (0L until 60L).map { id =>
+      val v = if (id == 17L) vec(5) else vec(id.toInt)
+      (id, v, (id % 3).toInt)
+    }
+    val dir = tmpDir("graft-semdecontam")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.semanticDecontam(spark, dir)
+      .collect()
+    val flagged = out.map(r => r.getAs[Long]("train_id") ->
+      (r.getAs[Long]("bench_id"), r.getAs[Double]("cos"))).toMap
+    assert(flagged.contains(17L), "the planted clone must be flagged")
+    assert(flagged(17L) == (5L, 1.0),
+      s"clone must report its bench source at cos 1.0: ${flagged(17L)}")
+    // verdict hygiene: train side never in the bench slice, matches
+    // always in it, every cos clears the bar, one row per train doc
+    assert(out.forall(_.getAs[Long]("train_id") % 37 != 5))
+    assert(out.forall(_.getAs[Long]("bench_id") % 37 == 5))
+    assert(out.forall(_.getAs[Double]("cos") >= 0.25))
+    assert(out.map(_.getAs[Long]("train_id")).distinct.length == out.length,
+      "one best-match row per flagged train doc")
+  }
 }

@@ -135,6 +135,55 @@ class ConcurrencySpec extends SparkSuite {
       s"live state $live must be exactly one winner's dataset")
   }
 
+  test("commitWithRetry: four concurrent blind appends ALL land (Delta's " +
+      "non-conflicting ConcurrentAppend resolution)") {
+    val root = tmpDir("graft-race-retry")
+    val cat = new Catalog(spark, root)
+    cat.overwriteSnapshot(Seq((0L, "base")).toDF("id", "v"), "silver", "rt")
+    val dir = cat.path("silver", "rt")
+    val before = cat.currentVersion("silver", "rt")
+    // each appendPath attempt re-links the CURRENT files during staging,
+    // so a retry rebases onto whatever the winner committed — the
+    // combinator's contract
+    def attempt(writer: Long): () => Long = () => {
+      Catalog.commitWithRetry(dir) {
+        Catalog.appendPath(spark, Seq((writer, "w")).toDF("id", "v"), dir)
+      }
+      writer
+    }
+    val results = race(Seq(attempt(1L), attempt(2L), attempt(3L), attempt(4L)))
+    val losers = results.collect { case Left(e) => e }
+    assert(losers.isEmpty,
+      s"every append must land under retry, got: " +
+        losers.map(e => e.getClass.getName + ": " + e.getMessage))
+    val live = ids(cat.read("silver", "rt"))
+    assert(live == Set(0L, 1L, 2L, 3L, 4L),
+      s"all four appends plus base must be live, got $live")
+    // four real versions landed (each append is its own commit)
+    assert(cat.currentVersion("silver", "rt") == before + 4)
+  }
+
+  test("commitWithRetry: exhaustion rethrows the typed conflict with the " +
+      "attempt count") {
+    val dir = tmpDir("graft-retry-exhaust")
+    var calls = 0
+    val e = intercept[IllegalStateException] {
+      Catalog.commitWithRetry(dir, maxAttempts = 3) {
+        calls += 1
+        throw new Catalog.ConcurrentCommitException(dir, 1, 2)
+      }
+    }
+    assert(calls == 3, s"body must run exactly maxAttempts times: $calls")
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(e.getCause.isInstanceOf[Catalog.ConcurrentCommitException])
+    // non-conflict failures surface immediately, never retried
+    var once = 0
+    intercept[IllegalArgumentException] {
+      Catalog.commitWithRetry(dir) { once += 1; require(false, "boom") }
+    }
+    assert(once == 1)
+  }
+
   test("racing deletion-vector deletes: one wins, loser typed + retries to the union") {
     val root = tmpDir("graft-race-dv")
     val cat = new Catalog(spark, root)
