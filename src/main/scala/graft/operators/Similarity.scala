@@ -883,6 +883,69 @@ object Similarity {
       .orderBy("train_id")
   }
 
+  /** q237: k-center greedy CORESET selection (farthest-point traversal —
+    * Gonzalez 1985's 2-approximation, the coreset recipe of Sener &
+    * Savarese, ICLR 2018) — the data-SELECTION op next to the
+    * data-REMOVAL ops (SemDeDup q121, near-dup q41): pick k documents
+    * that maximally COVER embedding space, the shape used for
+    * diverse-subset distillation, annotation budgeting, and eval-set
+    * seeding. Seed = min vec_id; each round selects the point LEAST
+    * similar to its nearest already-selected center (min over points of
+    * max-cosine-to-centers, vec_id asc tie-break after 6-decimal
+    * rounding) and reports that coverage value.
+    *
+    * Scale shape: the textbook algorithm is k sequential passes and
+    * that is what this runs — each round broadcasts ONE center vector
+    * (d floats), updates the per-point best-similarity state in a
+    * single codegen'd map-join pass, and takes a global top-1
+    * (TakeOrdered, no full sort). Driver state is the k selected ids;
+    * per-round state is localCheckpoint-pinned so lineage stays O(1)
+    * across rounds (the kmeans/CC discipline). O(k·N·d) total work —
+    * the same budget k-means pays per iteration. */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .cache()
+    val seed = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    var selected = Vector[(Long, Option[Double])]((seed, None))
+    // (vec_id, best): max cosine to any selected center so far
+    var state: DataFrame = null
+    for (_ <- 1 until k) {
+      val lastId = selected.last._1
+      val c = e.filter(col("vec_id") === lastId)
+        .select(col("embedding").as("cv"), col("nrm").as("cn"))
+      val cosNew = e.crossJoin(broadcast(c))
+        .select(col("vec_id"), round(dot(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn")), 6).as("cos_new"))
+      val updated =
+        if (state == null) cosNew.withColumnRenamed("cos_new", "best")
+        else state.join(cosNew, Seq("vec_id"))
+          .withColumn("best", greatest(col("best"), col("cos_new")))
+          .drop("cos_new")
+      val prev = state
+      state = updated.localCheckpoint()
+      // selected ids are excluded explicitly — a bounded k-literal
+      // predicate, driver-held metadata scale
+      val sel = state
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .orderBy(col("best").asc, col("vec_id").asc).limit(1)
+        .select("vec_id", "best").collect()(0)
+      // the collect above materialized the new pin — the previous
+      // round's state is dead; release it so exactly ONE O(N) state
+      // copy is ever live, whatever k is
+      if (prev != null) Dedup.releasePinned(prev)
+      selected = selected :+ (sel.getLong(0), Some(sel.getDouble(1)))
+    }
+    if (state != null) Dedup.releasePinned(state)
+    e.unpersist(blocking = false)
+    selected.zipWithIndex.map { case ((id, s), r) => (r, id, s) }
+      .toDF("rnd", "center_id", "sel_cos")
+      .orderBy("rnd")
+  }
+
   /** Per-label centroid components (the k-means/IVF "train" step q44's
     * training-free quantizer skips): posexplode spreads components so the
     * aggregation is an ordinary (label, pos) hash-agg — map-side partial,
@@ -1762,7 +1825,9 @@ object Similarity {
     "q234_ann_delete_aware" ->
       ((s: SparkSession, d: String) => ivfDeleteAwareQuery(s, d)),
     "q235_semantic_decontam" ->
-      ((s: SparkSession, d: String) => semanticDecontam(s, d)))
+      ((s: SparkSession, d: String) => semanticDecontam(s, d)),
+    "q237_kcenter_coreset" ->
+      ((s: SparkSession, d: String) => kcenterCoreset(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -2339,6 +2404,39 @@ object Similarity {
             FROM scored)
           SELECT query_id, rn, cand_id, cos, bucket FROM ranked WHERE rn <= 3
           ORDER BY query_id, rn""",
+    // q237: the greedy farthest-point rounds unrolled (the q206/q208
+    // unrolled-CTE recipe) — same seed rule, same rounded-cosine
+    // min-of-max selection, same tie-break, round by round
+    "q237_kcenter_coreset" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+          m1 AS (SELECT e.vec_id, e.embedding,
+              ${cosSql("e.embedding", "c0.embedding")} AS best
+            FROM e CROSS JOIN c0 WHERE e.vec_id <> c0.vec_id),
+          c1 AS (SELECT vec_id, embedding, best FROM m1
+            ORDER BY best ASC, vec_id ASC LIMIT 1),
+          m2 AS (SELECT m.vec_id, m.embedding,
+              greatest(m.best, ${cosSql("m.embedding", "c.embedding")}) AS best
+            FROM m1 m CROSS JOIN c1 c WHERE m.vec_id <> c.vec_id),
+          c2 AS (SELECT vec_id, embedding, best FROM m2
+            ORDER BY best ASC, vec_id ASC LIMIT 1),
+          m3 AS (SELECT m.vec_id, m.embedding,
+              greatest(m.best, ${cosSql("m.embedding", "c.embedding")}) AS best
+            FROM m2 m CROSS JOIN c2 c WHERE m.vec_id <> c.vec_id),
+          c3 AS (SELECT vec_id, embedding, best FROM m3
+            ORDER BY best ASC, vec_id ASC LIMIT 1),
+          m4 AS (SELECT m.vec_id, m.embedding,
+              greatest(m.best, ${cosSql("m.embedding", "c.embedding")}) AS best
+            FROM m3 m CROSS JOIN c3 c WHERE m.vec_id <> c.vec_id),
+          c4 AS (SELECT vec_id, embedding, best FROM m4
+            ORDER BY best ASC, vec_id ASC LIMIT 1)
+          SELECT CAST(0 AS INTEGER) AS rnd, c0.vec_id AS center_id,
+            CAST(NULL AS DOUBLE) AS sel_cos FROM c0
+          UNION ALL SELECT 1, vec_id, best FROM c1
+          UNION ALL SELECT 2, vec_id, best FROM c2
+          UNION ALL SELECT 3, vec_id, best FROM c3
+          UNION ALL SELECT 4, vec_id, best FROM c4
+          ORDER BY rnd""",
     // q235: same 4-bit sign buckets, same bench slice, same cosine
     // confirm + best-match ranking — the bench-bounded join replayed
     "q235_semantic_decontam" ->

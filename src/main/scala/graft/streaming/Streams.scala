@@ -532,6 +532,79 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Decontamination GUARD at ingest — q235's semantic screen as an
+    * ADMISSION gate (the streaming member of the decontamination ladder
+    * q71/q146/q210/q235): every arriving doc's embedding probes a FIXED
+    * benchmark-embedding table on the sign-LSH bucket key; a hit at or
+    * above the cosine bar routes the doc — with its best bench match and
+    * the cosine attached — to `<table>_quarantine` instead of the
+    * corpus. The quarantine (not a silent drop) is the Expectations
+    * discipline: contamination verdicts are audit material.
+    *
+    * Scale shape: the bench side is an eval suite — fixed-size by
+    * construction, never corpus-scaled — so it broadcasts
+    * unconditionally; the batch side pays one codegen'd
+    * bucket+norm projection and a broadcast probe per micro-batch,
+    * O(batch), no shuffle of the corpus and no state store (the gate is
+    * stateless — the bench set alone decides). */
+  def appendDecontamGuard(
+      changes: DataFrame,
+      cat: graft.catalog.Catalog,
+      layer: String,
+      table: String,
+      benchTable: String,
+      embCol: String,
+      idCol: String,
+      checkpoint: String,
+      thresh: Double = 0.25): Unit = {
+    import graft.operators.Similarity
+    val quarantineTable = s"${table}_quarantine"
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val bench = cat.read(layer, benchTable)
+          .select(Similarity.signBucket(col(embCol), 4).as("__bucket"),
+            col(idCol).as("__bench_id"), col(embCol).as("__bv"),
+            Similarity.l2norm(col(embCol)).as("__bn"))
+        // cached: the probe and the clean/quarantine splits all read it
+        val batch = batch0
+          .withColumn("__bucket", Similarity.signBucket(col(embCol), 4))
+          .withColumn("__n", Similarity.l2norm(col(embCol)))
+          .cache()
+        try {
+          val wBest = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))
+            .orderBy(col("__cos").desc, col("__bench_id").asc)
+          val flagged = batch.join(broadcast(bench), Seq("__bucket"))
+            .withColumn("__cos",
+              round(Similarity.dot(col(embCol), col("__bv")) /
+                (col("__n") * col("__bn")), 6))
+            .filter(col("__cos") >= thresh)
+            .withColumn("__rn", row_number().over(wBest))
+            .filter(col("__rn") === 1)
+          val docCols = batch0.columns.toSeq
+          val quarantined = flagged.select(docCols.map(col) ++ Seq(
+            col("__bench_id").as("matched_bench_id"),
+            col("__cos").as("bench_cos")): _*)
+          val clean = batch
+            .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+            .select(docCols.map(col): _*)
+          def appendTo(t: String, df: DataFrame): Unit =
+            if (!df.isEmpty) {
+              if (!cat.exists(layer, t)) cat.create(df, layer, t)
+              else df.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(cat.path(layer, t))
+            }
+          appendTo(table, clean)
+          appendTo(quarantineTable, quarantined)
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   final case class PendingSessions(sessions: List[(Long, Long, Long)])
   final case class ClosedSession(user_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

@@ -292,4 +292,36 @@ class AnnRecallSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("train_id")).distinct.length == out.length,
       "one best-match row per flagged train doc")
   }
+
+  test("k-center coreset (q237): greedy covers every orthogonal direction " +
+      "before repeating one, coverage is non-decreasing") {
+    import spark.implicits._
+    // 4 orthogonal groups of 4 identical one-hot vectors: farthest-point
+    // from seed 0 (axis 0) must take one point from EACH uncovered axis
+    // (cos 0, min-id tie-break), and only then a duplicate (cos 1)
+    val rows = (0L until 16L).map { id =>
+      (id, Array.tabulate(64)(i =>
+        if (i == (id / 4) * 8) 1.0f else 0.0f), (id % 3).toInt)
+    }
+    val dir = tmpDir("graft-kcenter")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.kcenterCoreset(spark, dir, k = 5)
+      .collect()
+    val picks = out.map(r => (r.getAs[Int]("rnd"), r.getAs[Long]("center_id"),
+      if (r.isNullAt(2)) null else r.getAs[Double]("sel_cos"))).toSeq
+    assert(picks == Seq((0, 0L, null), (1, 4L, 0.0), (2, 8L, 0.0),
+      (3, 12L, 0.0), (4, 1L, 1.0)), s"greedy trajectory wrong: $picks")
+    // the coverage value at selection time can never decrease: each
+    // round's best-similarity state dominates the previous round's
+    val covs = picks.drop(1).map(_._3.asInstanceOf[Double])
+    assert(covs == covs.sorted, s"coverage not monotone: $covs")
+    // sanity on the driver fixture: k distinct centers, monotone coverage
+    val real = graft.operators.Similarity.kcenterCoreset(spark, sf0001)
+      .collect()
+    assert(real.length == 5)
+    assert(real.map(_.getAs[Long]("center_id")).distinct.length == 5)
+    val rc = real.drop(1).map(_.getAs[Double]("sel_cos")).toSeq
+    assert(rc == rc.sorted, s"fixture coverage not monotone: $rc")
+  }
 }

@@ -295,6 +295,56 @@ class StreamsSpec extends SparkSuite {
     assert(cat.read("bronze", "docs").count() == 3)
   }
 
+  test("appendDecontamGuard: bench clones quarantine with their match, " +
+      "clean docs land, replay is a no-op") {
+    import spark.implicits._
+    val root = tmpDir("graft-decontamguard")
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val land = new java.io.File(s"$root/landing"); land.mkdirs()
+    // bench vectors live in dims [0,32); clean docs in dims [32,64) —
+    // exactly orthogonal, so a clean doc can NEVER clear the cosine bar
+    // and a planted clone always scores 1.0
+    def benchVec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i < 32) (((seed * 31 + i * 7) % 19) - 9) / 9.0f else 0.0f)
+    def cleanVec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i >= 32) (((seed * 31 + i * 7) % 19) - 9) / 9.0f else 0.0f)
+    cat.create(Seq((100L, benchVec(1)), (101L, benchVec(2)),
+      (102L, benchVec(3))).toDF("doc_id", "embedding"), "bronze", "bench")
+    def drain(): Unit = Streams.appendDecontamGuard(
+      spark.readStream.schema("doc_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(land.toString),
+      cat, "bronze", "docs", "bench", "embedding", "doc_id", s"$root/_cp")
+
+    // batch 1: doc 1 is an exact clone of bench 101; docs 2/3 are clean
+    Seq((1L, benchVec(2)), (2L, cleanVec(7)), (3L, cleanVec(8)))
+      .toDF("doc_id", "embedding")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("bronze", "docs").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    val quar = cat.read("bronze", "docs_quarantine").collect()
+    assert(quar.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(quar(0).getAs[Long]("matched_bench_id") == 101L)
+    assert(quar(0).getAs[Double]("bench_cos") == 1.0)
+
+    // batch 2: another clone + another clean doc
+    Seq((4L, benchVec(3)), (5L, cleanVec(9)))
+      .toDF("doc_id", "embedding")
+      .write.mode("append").parquet(land.toString)
+    drain()
+    assert(cat.read("bronze", "docs").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 5L))
+    assert(cat.read("bronze", "docs_quarantine").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+
+    // checkpointed replay with nothing new: both tables unchanged
+    drain()
+    assert(cat.read("bronze", "docs").count() == 3)
+    assert(cat.read("bronze", "docs_quarantine").count() == 2)
+  }
+
   test("appendStream: each drained batch is a version; replays drop whole") {
     import spark.implicits._
     val root = tmpDir("graft-appendstream")
