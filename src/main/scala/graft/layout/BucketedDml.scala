@@ -145,6 +145,7 @@ object BucketedDml {
       val fs = root.getFileSystem(conf)
       require(fs.exists(root), s"no table at $dir")
       PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+      val stagedAgainst = Catalog.readPointer(fs, dir)
       val matched = taggedLive(spark, dir, alias)
         .filter(coalesce(cond, lit(false))).cache()
       try {
@@ -236,7 +237,7 @@ object BucketedDml {
               fs.delete(stage, true)
             }
             PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
-              keepVersions)
+              keepVersions, Some(stagedAgainst))
             affected
           } catch { case e: Throwable =>
             if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
@@ -272,6 +273,7 @@ object BucketedDml {
       val fs = new Path(dir).getFileSystem(conf)
       require(fs.exists(new Path(dir)), s"no table at $dir")
       PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+      val stagedAgainst = Catalog.readPointer(fs, dir)
       val live = taggedLive(spark, dir, alias)
       val c = coalesce(cond, lit(false))
       val matched = live.filter(c).cache()
@@ -334,7 +336,7 @@ object BucketedDml {
                 spark.read.schema(staged.schema).parquet(tmp), cons, dir)
             }
             PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
-              keepVersions)
+              keepVersions, Some(stagedAgainst))
             affected
           } catch { case e: Throwable =>
             if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
@@ -358,6 +360,7 @@ object BucketedDml {
     val fs = new Path(dir).getFileSystem(conf)
     require(fs.exists(new Path(dir)), s"no table at $dir")
     PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val stagedAgainst = Catalog.readPointer(fs, dir)
     val (keys, n) = PartitionedMerge.readBucketMeta(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"INSERT INTO bucketed table $dir requires its bucket-layout " +
@@ -435,7 +438,7 @@ object BucketedDml {
             }
           }
           PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
-            keepVersions)
+            keepVersions, Some(stagedAgainst))
         } catch { case e: Throwable =>
           if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
           throw e
@@ -468,6 +471,7 @@ object BucketedDml {
     val fs = new Path(dir).getFileSystem(conf)
     require(fs.exists(new Path(dir)), s"no table at $dir")
     PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val stagedAgainst = Catalog.readPointer(fs, dir)
     require(PartitionedMerge.readBucketMeta(spark, dir).nonEmpty,
       s"REPLACE WHERE on bucketed table $dir requires its bucket-layout " +
         "manifest (<path>.buckets); rewrite via PartitionedMerge.write " +
@@ -537,7 +541,7 @@ object BucketedDml {
               }
             }
           PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
-            keepVersions)
+            keepVersions, Some(stagedAgainst))
           affected
         } catch { case e: Throwable =>
           if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
@@ -644,6 +648,7 @@ object BucketedDml {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     PartitionedMerge.recoverAbortedSwap(spark, fs, dir)
+    val stagedAgainst = Catalog.readPointer(fs, dir)
     val touched = PartitionedMerge.liveBucketDirs(fs, dir)
       .filter(p => fs.exists(new Path(p, DeletionVectors.DvDirName)))
       .map(_.getName.stripPrefix(s"$BucketCol=").toInt).sorted
@@ -659,7 +664,7 @@ object BucketedDml {
         staged.write.mode(SaveMode.Overwrite)
           .partitionBy(BucketCol).parquet(tmp)
         PartitionedMerge.swapBuckets(spark, fs, dir, tmp, touched,
-          keepVersions)
+          keepVersions, Some(stagedAgainst))
       } catch { case e: Throwable =>
         if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
         throw e

@@ -253,6 +253,9 @@ object PartitionedMerge {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAbortedSwap(spark, fs, path)
+    // optimistic concurrency: everything from here reads live state the
+    // staged merge derives from — record the version staged against
+    val stagedAgainst = graft.catalog.Catalog.readPointer(fs, path)
     val touched = source
       .select(bucketExpr(keys, nBuckets).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -289,10 +292,10 @@ object PartitionedMerge {
     val merged = mergeFn(pruned, source)
 
     // unique per-attempt staging (vacuum's `.tmp` prefix sweep reclaims
-    // abandoned attempts). NOTE: bucketed merges are single-writer per
-    // table — swapBuckets treats a v{cur} entry as its own aborted
-    // attempt, so two CONCURRENT merges corrupt history; in practice the
-    // one streaming checkpoint per table serializes them (SCALE.md).
+    // abandoned attempts). Concurrent bucketed merges are EXCLUSIVE but
+    // SAFE (round 11): the swap checks `stagedAgainst` and claims the
+    // version transition, so a racer loses with the typed conflict
+    // instead of corrupting history — commitWithRetry serializes them.
     val tmp = s"$path.tmp-merge-" +
       java.util.UUID.randomUUID().toString.take(8)
     // staging write runs BEFORE any rename, so the (lazy) pruned scan and
@@ -314,7 +317,8 @@ object PartitionedMerge {
         fs.delete(new Path(tmp), true); throw e }
     }
 
-    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions,
+      Some(stagedAgainst))
     writeSchemaSidecar(spark, path, staged.schema)
     // legacy upgrade: a merge knows the layout, so tables written before
     // the bucket-meta manifest existed gain it on their next merge
@@ -329,12 +333,47 @@ object PartitionedMerge {
     * as "absent at this version"), rename the staged dir in, THEN advance
     * the pointer. A crash before the pointer write leaves the table
     * addressable at the old version; [[recoverAbortedSwap]] rolls the
-    * half-moved buckets back on the next merge. */
+    * half-moved buckets back on the next merge.
+    *
+    * Optimistic concurrency (round 11 — closes the documented
+    * single-writer corruption): `expectedVersion` is the pointer the
+    * caller read BEFORE its first live-state read — if the table moved,
+    * the staged work was derived from a superseded version and
+    * committing would silently drop the interleaved writer's changes,
+    * so the staging is discarded and the typed conflict raised (the
+    * flat protocol's `commitSwap` rule). Two racers that both pass the
+    * check still cannot interleave their retires into the same
+    * `v{cur}`: the transition is CLAIMED first via a rename-to-claim
+    * put-if-absent (the same primitive the flat retire rename plays) —
+    * the loser gets the typed conflict with its staging deleted and
+    * live state untouched. A crashed claimant's marker is swept by
+    * [[recoverAbortedSwap]] (unconditionally for completed transitions,
+    * age-gated by [[HealGraceMs]] for the in-flight one — the same
+    * liveness trade the heal path documents). With
+    * [[graft.catalog.Catalog.commitWithRetry]] around the caller,
+    * concurrent bucketed writers SERIALIZE safely instead of
+    * corrupting history. */
   private[graft] def swapBuckets(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
-      touched: Seq[Int], keepVersions: Int): Unit = {
+      touched: Seq[Int], keepVersions: Int,
+      expectedVersion: Option[Int] = None): Unit = {
     import graft.catalog.Catalog
     val cur = Catalog.readPointer(fs, path)
+    expectedVersion.filter(_ != cur).foreach { exp =>
+      fs.delete(new Path(tmp), true)
+      throw new Catalog.ConcurrentCommitException(path, exp, cur)
+    }
+    val hist = Catalog.historyDir(path)
+    fs.mkdirs(hist)
+    val claim = new Path(hist, s"_swap_claim_v$cur")
+    val uniq = new Path(hist,
+      s".claim-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.create(uniq, true).close()
+    if (!fs.rename(uniq, claim)) { // rename onto an existing FILE fails
+      fs.delete(uniq, false)
+      fs.delete(new Path(tmp), true)
+      throw new Catalog.ConcurrentCommitException(path)
+    }
     val retireRoot = Catalog.versionDir(path, cur)
     fs.mkdirs(retireRoot)
     touched.foreach { b =>
@@ -378,6 +417,10 @@ object PartitionedMerge {
     }
     fs.delete(new Path(tmp), true)
     Catalog.writePointer(fs, path, cur + 1)
+    // transition complete — release the claim (a crash before this
+    // leaves a claim for a version < the new pointer, which the next
+    // recoverAbortedSwap sweeps unconditionally)
+    fs.delete(claim, false)
     // date the new version for TIMESTAMP AS OF (retire-entry mtimes date
     // the NEXT commit, not the version they hold — see commitTimeMarker)
     stampCommitTime(spark, path, cur + 1)
@@ -452,7 +495,22 @@ object PartitionedMerge {
   private[graft] def recoverAbortedSwap(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import graft.catalog.Catalog
-    val inFlight = Catalog.versionDir(path, Catalog.readPointer(fs, path))
+    val cur = Catalog.readPointer(fs, path)
+    // sweep stranded swap claims: one for a COMPLETED transition
+    // (version < pointer — the claimant crashed between its pointer
+    // write and the release) is garbage unconditionally; one for the
+    // in-flight transition is a crashed mid-swap claimant only once it
+    // ages past the heal grace — younger claims belong to a LIVE
+    // concurrent writer and must be left to win or fail on their own
+    val hist = Catalog.historyDir(path)
+    if (fs.exists(hist)) fs.listStatus(hist).map(_.getPath)
+      .filter(_.getName.startsWith("_swap_claim_v")).foreach { c =>
+        val v = c.getName.stripPrefix("_swap_claim_v").toIntOption
+        val stale = v.exists(_ < cur) || (System.currentTimeMillis() -
+          fs.getFileStatus(c).getModificationTime > HealGraceMs)
+        if (stale) fs.delete(c, false)
+      }
+    val inFlight = Catalog.versionDir(path, cur)
     if (!fs.exists(inFlight)) return
     // the one same-version mutation in the protocol: bucket dirs (and
     // their _dv sidecars) move without a pointer advance — the cached
@@ -602,6 +660,7 @@ object PartitionedMerge {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAbortedSwap(spark, fs, path)
+    val stagedAgainst = graft.catalog.Catalog.readPointer(fs, path)
     val perBucket = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(_.getName.startsWith(s"$BucketCol="))
       .map { p =>
@@ -632,7 +691,8 @@ object PartitionedMerge {
     salted.repartition(col(BucketCol), col("__graft_salt"))
       .drop("__graft_salt")
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
-    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions,
+      Some(stagedAgainst))
     touched
   }
 
@@ -653,6 +713,7 @@ object PartitionedMerge {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAbortedSwap(spark, fs, path)
+    val stagedAgainst = graft.catalog.Catalog.readPointer(fs, path)
     val buckets = liveBucketDirs(fs, path)
     if (buckets.isEmpty) return Nil
     val touched = buckets
@@ -670,7 +731,8 @@ object PartitionedMerge {
     val tmp = s"$path.tmp-merge-" +
       java.util.UUID.randomUUID().toString.take(8)
     staged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
-    swapBuckets(spark, fs, path, tmp, touched, keepVersions)
+    swapBuckets(spark, fs, path, tmp, touched, keepVersions,
+      Some(stagedAgainst))
     touched
   }
 }

@@ -332,7 +332,51 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** q238: link PREDICTION on the co-purchase graph — common-neighbor
+    * count and neighborhood-Jaccard (Liben-Nowell & Kleinberg 2003's
+    * strongest simple predictors) for node pairs that are NOT yet
+    * edges: the "customers who bought X also bought Y" candidate
+    * generator, and the graph-side relative of the q37 set-similarity
+    * join (here the sets are adjacency lists). Candidates come from
+    * WEDGE enumeration — only pairs with at least one shared neighbor
+    * are ever materialized, never the V² pair space — minus existing
+    * edges via anti-join; top-50 by (common neighbors desc, jaccard
+    * desc, pair asc) — a total order, so the cut is deterministic.
+    *
+    * Scale shape: wedges are the q167 triangle machinery minus the
+    * closing-edge join (Σ deg² pairs, support-pruned); degrees and the
+    * anti-join are linear in edges; the top-50 runs as TakeOrdered —
+    * no global sort. */
+  def linkPrediction(spark: SparkSession, dir: String,
+      minSupport: Int = 2, topK: Int = 50): DataFrame = {
+    // cached: wedge enumeration reads it twice (both sym sides), the
+    // anti-join and degrees once more
+    val edges = supportEdges(spark, dir, minSupport).cache()
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val wedges = sym.as("a").join(sym.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+      .groupBy(col("a.u").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(edges, Seq("u", "v"), "left_anti")
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val res = cand
+      .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard_ppm",
+        expr("1000000 * cn DIV (deg_u + deg_v - cn)"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc,
+        col("u").asc, col("v").asc)
+      .limit(topK)
+      .select("u", "v", "cn", "jaccard_ppm")
+    val fin = res.localCheckpoint()
+    edges.unpersist(blocking = false)
+    fin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_link_prediction" ->
+      ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "q219_seed_distance" ->
       ((s: SparkSession, d: String) => seedDistance(s, d)),
     "q143_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
@@ -343,6 +387,35 @@ object GraphQueries {
       ((s: SparkSession, d: String) => labelPropagation(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // q238: same support-pruned edges, same wedge candidates, same
+    // anti-join and integer jaccard, same deterministic total order
+    "q238_link_prediction" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT a.pk AS u, b.pk AS v
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         w AS (
+           SELECT a.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS cn
+           FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+           GROUP BY a.u, b.v),
+         cand AS (
+           SELECT w.u, w.v, w.cn FROM w
+           LEFT JOIN e ON e.u = w.u AND e.v = w.v
+           WHERE e.u IS NULL),
+         d AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY u)
+         SELECT cand.u, cand.v, cand.cn,
+           CAST(1000000 * cand.cn // (du.deg + dv.deg - cand.cn)
+             AS BIGINT) AS jaccard_ppm
+         FROM cand
+         JOIN d du ON du.u = cand.u
+         JOIN d dv ON dv.u = cand.v
+         ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.u ASC, cand.v ASC
+         LIMIT 50""",
     // q219: same symmetrized edges, same seed rule; the capped min-plus
     // rounds are a depth-bounded recursive BFS with a MIN rollup
     "q219_seed_distance" ->

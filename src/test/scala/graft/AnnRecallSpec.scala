@@ -293,6 +293,47 @@ class AnnRecallSpec extends SparkSuite {
       "one best-match row per flagged train doc")
   }
 
+  test("IVF serving layout: results equal the index search exactly, the " +
+      "posting scan partition-prunes to the probed cells, and a " +
+      "maintenance refresh preserves the equality") {
+    import graft.operators.Similarity
+    val root = tmpDir("graft-serving")
+    val indexDir = s"$root/index"
+    val servingDir = s"$root/serving"
+    Similarity.ivfBuildIndex(spark, sf0001, indexDir, maxList = 200)
+    Similarity.ivfServingLayout(spark, indexDir, servingDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val budget = 10L
+    val fromIndex = rows(Similarity
+      .ivfSearchIndex(spark, sf0001, indexDir, k = 3, probeBudget = budget))
+    val served = Similarity
+      .ivfSearchServing(spark, sf0001, servingDir, k = 3,
+        probeBudget = budget)
+    assert(rows(served) == fromIndex,
+      "serving search diverged from the index search")
+    assert(fromIndex.nonEmpty)
+    // the posting scan carries a real partition filter on cent_id — the
+    // probe reads only the probed cells' directories
+    val scans = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("postings"))
+    assert(scans.nonEmpty, "no posting scan in the serving plan")
+    assert(scans.exists(s => s.contains("PartitionFilters") &&
+      s.contains("pcell") && s.contains(" IN (")),
+      s"posting scan not partition-pruned:\n${scans.mkString("\n")}")
+    // maintenance: split hot cells, refresh the serving artifact —
+    // serving still equals the index search on the new generation
+    Similarity.ivfRebalance(spark, indexDir, maxList = 20)
+    Similarity.ivfServingLayout(spark, indexDir, servingDir)
+    val afterIdx = rows(Similarity
+      .ivfSearchIndex(spark, sf0001, indexDir, k = 3, probeBudget = budget))
+    val afterServed = rows(Similarity
+      .ivfSearchServing(spark, sf0001, servingDir, k = 3,
+        probeBudget = budget))
+    assert(afterServed == afterIdx,
+      "serving search diverged after a rebalance + refresh")
+  }
+
   test("k-center coreset (q237): greedy covers every orthogonal direction " +
       "before repeating one, coverage is non-decreasing") {
     import spark.implicits._

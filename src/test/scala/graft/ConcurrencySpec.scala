@@ -163,6 +163,56 @@ class ConcurrencySpec extends SparkSuite {
     assert(cat.currentVersion("silver", "rt") == before + 4)
   }
 
+  test("racing bucketed merges: typed conflict instead of history " +
+      "corruption, and commitWithRetry lands BOTH") {
+    import graft.merge.PartitionedMerge
+    val path = tmpDir("graft-race-bm") + "/t"
+    val keys = Seq("k")
+    val nBuckets = 8
+    PartitionedMerge.write((1L to 16L).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, keys, nBuckets)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Catalog.readPointer(fs, path)
+    def upsert(src: org.apache.spark.sql.DataFrame): Unit = {
+      PartitionedMerge.prunedMerge(spark, path, src, keys, nBuckets) {
+        (pruned, s) =>
+          pruned.join(s.select("k"), Seq("k"), "left_anti").unionByName(s)
+      }
+      ()
+    }
+    // two writers, each retrying: every attempt re-reads the live
+    // buckets, so a rebase after a lost race is correct by construction
+    val srcA = Seq((1L, "A"), (2L, "A")).toDF("k", "v")
+    val srcB = Seq((3L, "B"), (4L, "B")).toDF("k", "v")
+    val results = race(Seq(
+      () => { Catalog.commitWithRetry(path)(upsert(srcA)); "A" },
+      () => { Catalog.commitWithRetry(path)(upsert(srcB)); "B" }))
+    val losers = results.collect { case Left(e) => e }
+    assert(losers.isEmpty, s"both merges must land under retry: " +
+      losers.map(e => e.getClass.getName + ": " + e.getMessage))
+    // both writers' rows present, untouched keys intact
+    val state = PartitionedMerge.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(1L) == "A" && state(2L) == "A")
+    assert(state(3L) == "B" && state(4L) == "B")
+    assert(state(9L) == "v9" && state.size == 16)
+    // two REAL versions landed and history is intact: the intermediate
+    // version reconstructs to exactly one writer's merge applied
+    assert(Catalog.readPointer(fs, path) == before + 2)
+    val mid = PartitionedMerge.readVersion(spark, path, before + 1)
+      .drop(PartitionedMerge.BucketCol)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aFirst = mid(1L) == "A" && mid(3L) == "v3"
+    val bFirst = mid(3L) == "B" && mid(1L) == "v1"
+    assert(aFirst || bFirst,
+      s"intermediate version must be exactly one merge applied: $mid")
+    // no stranded claim markers after both commits
+    val claims = fs.listStatus(Catalog.historyDir(path))
+      .map(_.getPath.getName).filter(_.startsWith("_swap_claim_v"))
+    assert(claims.isEmpty, s"stranded claims: ${claims.toSeq}")
+  }
+
   test("commitWithRetry: exhaustion rethrows the typed conflict with the " +
       "attempt count") {
     val dir = tmpDir("graft-retry-exhaust")

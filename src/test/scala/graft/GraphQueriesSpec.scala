@@ -107,6 +107,50 @@ class GraphQueriesSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("link prediction (q238): 4-cycle predicts exactly the two " +
+      "diagonals, never an existing edge") {
+    val dir = tmpDir("lp") + "/d"
+    // square 1—2—3—4—1 (each edge co-bought twice): the only pairs with
+    // a common neighbor and no edge are the diagonals (1,3) and (2,4) —
+    // two shared neighbors each, full-overlap jaccard 1e6
+    writeBaskets(dir, Seq(
+      (1L, Seq(1L, 2L)), (2L, Seq(1L, 2L)),
+      (3L, Seq(2L, 3L)), (4L, Seq(2L, 3L)),
+      (5L, Seq(1L, 4L)), (6L, Seq(1L, 4L)),
+      (7L, Seq(3L, 4L)), (8L, Seq(3L, 4L))))
+    val out = GraphQueries.linkPrediction(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 1000000L),
+      (2L, 4L, 2L, 1000000L)), s"wrong predictions: ${out.toSeq}")
+  }
+
+  test("link prediction on sf0.001: no predicted pair is an edge, " +
+      "scores well-formed") {
+    import org.apache.spark.sql.functions._
+    val out = GraphQueries.linkPrediction(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cn") >= 1L)
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j > 0L && j <= 1000000L)
+    }
+    // recompute the support-2 edge set independently; no overlap allowed
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val p = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      assert(!edges(p), s"predicted pair $p is already an edge")
+    }
+  }
+
   test("triangles: duplicate lineitem rows collapse before pairing") {
     val dir = tmpDir("tridup") + "/d"
     // part 1 appears twice in order 1 — (ok, pk) distinct must dedupe,
