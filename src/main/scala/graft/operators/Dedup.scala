@@ -1223,7 +1223,40 @@ object Dedup {
       .orderBy("rid")
   }
 
+  /** q239: SOURCE-PRECEDENCE dedup — the curation rule large corpora
+    * apply where q32 keeps min-id and q102 keeps max-quality: when the
+    * same content arrives from several FEEDS, keep the copy from the
+    * most-trusted source (The Pile / RefinedWeb's "prefer the curated
+    * feed over the crawl"). Content key = md5 of the 40-char prefix
+    * (the cheap fuzzy key; any of the q32–q37 keys slots in);
+    * precedence = the source's numeric rank (the fixture's src0 > src1
+    * > … standing in for wiki > books > cc), doc_id asc tiebreak.
+    * Emits the row-level verdicts for every multi-copy cluster — the
+    * keep/drop audit a takedown-reviewable pipeline logs, not just the
+    * survivor list.
+    *
+    * Scale shape: one hash shuffle on the content key; both the winner
+    * pick and the cluster-size gate are windows over that same
+    * partitioning — Catalyst plans a single exchange. */
+  def sourcePrecedenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(substring(col("text"), 1, 40)).as("fp"),
+        expr("CAST(substring(source, 4, 8) AS INT)").as("prec"))
+    d.withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("n_copies") > 1)
+      .withColumn("winner_id",
+        min(struct(col("prec"), col("doc_id"))).over(w).getField("doc_id"))
+      .withColumn("kept", (col("doc_id") === col("winner_id")).cast("int"))
+      .select("doc_id", "source", "n_copies", "winner_id", "kept")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_source_precedence" ->
+      ((s: SparkSession, d: String) => sourcePrecedenceDedup(s, d)),
     "q210_fuzzy_decontam" ->
       ((s: SparkSession, d: String) => fuzzyDecontam(s, d)),
     "q214_threshold_sweep" ->
@@ -1610,6 +1643,25 @@ object Dedup {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
          COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    // q239: same fuzzy content key, same (precedence, id) arg-min, same
+    // cluster gate — the keep/drop audit replayed row for row
+    "q239_source_precedence" ->
+      """WITH d AS (
+           SELECT doc_id, source, md5(substring(text, 1, 40)) AS fp,
+             CAST(substring(source, 4, 8) AS INT) AS prec
+           FROM documents),
+         t AS (
+           SELECT doc_id, source, fp,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+             first_value(doc_id) OVER (PARTITION BY fp
+               ORDER BY prec, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS winner_id
+           FROM d)
+         SELECT doc_id, source, n_copies, winner_id,
+           CAST(CASE WHEN doc_id = winner_id THEN 1 ELSE 0 END
+             AS INTEGER) AS kept
+         FROM t WHERE n_copies > 1 ORDER BY doc_id""",
     "q33_minhash_sig" ->
       s"""SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
           ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3

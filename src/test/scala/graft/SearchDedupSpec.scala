@@ -224,4 +224,29 @@ class SearchDedupSpec extends SparkSuite {
       assert(p == 0 || d >= 2, "any pair links at least two docs")
     }
   }
+
+  test("q239 source precedence: cross-feed copies keep the trusted " +
+      "source, singletons stay out of the audit") {
+    import spark.implicits._
+    val dir = tmpDir("graft-srcprec")
+    val pref = "x" * 40
+    Seq(
+      (1L, pref + " from the crawl", "src7"),
+      (2L, pref + " curated copy", "src2"),
+      (3L, pref + " other crawl copy", "src12"),
+      (4L, "a unique document body entirely different", "src0"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.sourcePrecedenceDedup(spark, dir).collect()
+    // singleton doc 4 never enters the audit
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { r =>
+      // winner is src2 (rank 2 beats 7 and 12 — NUMERIC, not lexical,
+      // precedence: src12 must lose to src2)
+      assert(r.getAs[Long]("winner_id") == 2L)
+      assert(r.getAs[Long]("n_copies") == 3L)
+    }
+    assert(out.map(r => r.getLong(0) -> r.getAs[Int]("kept")).toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
 }
