@@ -242,6 +242,35 @@ object OlapQueries {
       .orderBy("seg", "o_orderkey")
   }
 
+  /** q241: MAD robust outlier gate — the median-absolute-deviation
+    * sibling of q137's z-score (whose mean/stddev an outlier itself
+    * drags) and q138's fixed-percentile fences: per language, median
+    * document length, MAD = median(|x − med|), and the share of docs
+    * beyond the 3·MAD fence — the robust length filter a crawl
+    * pipeline runs where a few megabyte-long documents would poison a
+    * mean-based gate. Exact interpolated percentiles (the q63
+    * machinery, engine-parity established), three bounded hash
+    * aggregates + two broadcast join-backs — nothing corpus-scaled
+    * beyond the scans. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"))
+    val med = d.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("lang")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum((col("adev") > col("mad") * 3).cast("long")).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("1000000 * n_outliers DIV n"))
+      .orderBy("lang")
+  }
+
   /** Map-typed column surface: construction (map_from_arrays), lookup
     * (element_at), higher-order rewrites (transform_values, map_filter),
     * and key introspection — exercised end-to-end with the extracted
@@ -279,6 +308,7 @@ object OlapQueries {
     "q126_rolling_range" -> (rollingRange _),
     "q137_rolling_anomaly" -> (rollingAnomaly _),
     "q138_winsorize" -> (winsorize _),
+    "q241_mad_outliers" -> (madOutliers _),
     "q127_window_dist" -> (windowDistribution _),
     "q128_fuzzy_match" -> (fuzzyMatch _),
     "q129_stat_suite" -> (statSuite _),
@@ -354,6 +384,27 @@ object OlapQueries {
          SELECT user_id, epoch_s, value, n_prev, dev_ratio,
            coalesce(dev_ratio > 9.0, FALSE) AS is_anomaly
          FROM scored ORDER BY user_id, epoch_s, value""",
+    // q241: same exact interpolated medians (quantile_cont parity per
+    // q63), same 3-MAD fence and integer ppm
+    "q241_mad_outliers" ->
+      """WITH med AS (
+           SELECT lang, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang),
+         dev AS (
+           SELECT d.lang, abs(d.n_chars - med.med) AS adev, med.med
+           FROM documents d JOIN med ON d.lang = med.lang),
+         mad AS (
+           SELECT lang, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY lang)
+         SELECT dev.lang, CAST(count(*) AS BIGINT) AS n,
+           round(min(dev.med), 6) AS med,
+           round(min(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           CAST(1000000 * sum(CASE WHEN dev.adev > 3 * mad.mad
+             THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS outlier_ppm
+         FROM dev JOIN mad ON dev.lang = mad.lang
+         GROUP BY dev.lang ORDER BY dev.lang""",
     "q138_winsorize" ->
       // DuckDB quantile_cont == Spark percentile (exact interpolation);
       // identical clip/rescale expression shape, rounded at the edge

@@ -479,6 +479,54 @@ object TextQueries {
       .orderBy("shard", "pos")
   }
 
+  /** q240: deterministic MID-EPOCH RESUME — the skip-to-step read an
+    * interrupted training run needs: rows [step, step+n) of the seeded
+    * global training order (order key = (md5(doc_id||seed), doc_id) —
+    * q122's order flattened across shards), computed EXACTLY with no
+    * global sort anywhere. Two-phase distributed order statistics:
+    *
+    *   1. one map-side-combined count per 256 hash-prefix bucket —
+    *      driver state bounded at 256 rows (the q221 equi-depth
+    *      boundary pattern);
+    *   2. the driver prefix-sums bucket counts and keeps only the
+    *      buckets OVERLAPPING the window — ≤ 2 + n/mean_bucket, so the
+    *      second scan reads ~n rows however big the corpus is;
+    *   3. rank = bucket offset + row_number within the bucket
+    *      (per-bucket window over the pruned slice — never a global or
+    *      single-partition sort), filtered to [step, step+n).
+    *
+    * The DuckDB oracle replays it as the plain global ROW_NUMBER —
+    * agreement proves the order-statistics decomposition, and the
+    * windowed-slice consistency is pinned in TextOpsSpec. */
+  def resumeAt(spark: SparkSession, dir: String, step: Long = 100L,
+      n: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def hexVal(i: Int) =
+      s"CAST(instr('0123456789abcdef', substring(h, $i, 1)) - 1 AS BIGINT)"
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#shard42"))).as("h"))
+      .withColumn("bucket", expr(s"${hexVal(1)} * 16 + ${hexVal(2)}"))
+    val counts = base.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (b, c) =>
+      val o = off; off += c; (b, o, c) }
+    val wanted = offsets
+      .filter { case (_, o, c) => o < step + n && o + c > step }
+    val offDf = broadcast(wanted.map { case (b, o, _) => (b, o) }
+      .toSeq.toDF("bucket", "off"))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    base.join(offDf, Seq("bucket"))
+      .withColumn("rank",
+        col("off") + row_number().over(wB).cast("long") - 1)
+      .filter(col("rank") >= step && col("rank") < step + n)
+      .select(col("rank"), col("doc_id"))
+      .orderBy("rank")
+  }
+
   /** Materialize the q122 layout: one exchange hash-partitioned on shard,
     * rows sorted (shard, pos) WITHIN partitions, written partitioned by
     * shard — each shard directory holds its slice already in training
@@ -1086,6 +1134,7 @@ object TextQueries {
     "q144_gopher_rules" -> (gopherRules _),
     "q131_length_buckets" -> (lengthBuckets _),
     "q122_shard_shuffle"    -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
+    "q240_resume_at"        -> ((s: SparkSession, d: String) => resumeAt(s, d)),
     "q90_split"             -> (trainValTestSplit _),
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
@@ -1442,6 +1491,20 @@ object TextQueries {
           FROM t GROUP BY bucket ORDER BY bucket""",
     // the same seeded-md5 digit/rank construction: shard and training
     // order are pure functions of the id, bit-identical across engines
+    // q240: the order-statistics decomposition replayed as the plain
+    // global ROW_NUMBER over the same (md5, doc_id) order key
+    "q240_resume_at" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || '#shard42') AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                    AS BIGINT) AS rank
+           FROM h)
+         SELECT rank, doc_id FROM r
+         WHERE rank >= 100 AND rank < 120 ORDER BY rank""",
     "q122_shard_shuffle" ->
       """WITH h AS (
            SELECT doc_id,

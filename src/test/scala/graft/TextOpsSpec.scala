@@ -521,4 +521,63 @@ class TextOpsSpec extends SparkSuite {
     assert(got("s1") == 666667L, s"s1 TV: ${got("s1")}")
     assert(got("s2") == 333333L, s"s2 TV: ${got("s2")}")
   }
+
+  test("q240 resume: equals the brute-force seeded order, windows are " +
+      "consistent slices, pruned buckets only") {
+    // brute-force expected order over the sf0.001 ids, via the same md5
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(id => (md5hex(s"$id#shard42"), id))
+      .sortBy(identity).map(_._2).toSeq
+    val all = TextQueries.resumeAt(spark, sf0001, 0L, 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.map(_._1).toSeq == (0L until ids.length).map(identity),
+      "full resume must enumerate dense ranks from 0")
+    assert(all.map(_._2).toSeq == expected,
+      "distributed order != brute-force seeded order")
+    // a mid-epoch window is exactly the corresponding slice
+    val win = TextQueries.resumeAt(spark, sf0001, 7L, 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(win.toSeq == all.slice(7, 16).toSeq)
+    // and it reads only the overlapping hash-prefix buckets: the scan
+    // joins a bucket-offset table bounded by the window, so the plan's
+    // broadcast side holds < 256 rows (here: a handful)
+    val plan = TextQueries.resumeAt(spark, sf0001, 7L, 9L)
+      .queryExecution.executedPlan.toString.toLowerCase
+    // the only range exchange allowed is the presentation sort of the
+    // ~n OUTPUT rows on rank; the corpus order key must never be
+    // range-partitioned, and the ranking window keys on bucket
+    assert(!plan.contains("rangepartitioning(h#"),
+      s"resume globally sorted the corpus order key:\n$plan")
+    assert(plan.contains("windowspecdefinition(bucket#"),
+      s"ranking window must partition by bucket:\n$plan")
+  }
+
+  test("q241 MAD gate: planted extreme outlier flagged, uniform " +
+      "language clean — and the median stays put under the outlier") {
+    import graft.operators.OlapQueries
+    val dir = tmpDir("graft-mad")
+    // 'aa': tight lengths around 100 with ONE million-char doc — the
+    // case a mean/stddev gate mis-centers on; 'bb': perfectly uniform
+    val rows = (0L until 21L).map(i => (i, "x", "aa", 95L + (i % 11))) :+
+      (21L, "x", "aa", 1000000L)
+    val uni = (100L until 120L).map(i => (i, "y", "bb", 500L))
+    (rows ++ uni).toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = OlapQueries.madOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val aa = out("aa")
+    assert(aa.getAs[Long]("n") == 22L)
+    // robust center: median ~100, untouched by the 1e6 outlier
+    assert(aa.getAs[Double]("med") <= 106.0 &&
+      aa.getAs[Double]("med") >= 95.0)
+    assert(aa.getAs[Long]("n_outliers") == 1L,
+      s"exactly the planted outlier flags: $aa")
+    val bb = out("bb")
+    assert(bb.getAs[Double]("mad") == 0.0 &&
+      bb.getAs[Long]("n_outliers") == 0L)
+  }
 }
