@@ -374,9 +374,29 @@ object PartitionedMerge {
       fs.delete(new Path(tmp), true)
       throw new Catalog.ConcurrentCommitException(path)
     }
+    // Close the claim-release TOCTOU: a winner at this same version may
+    // have advanced the pointer and released its claim BETWEEN our
+    // pointer read above and the rename-to-claim — the rename then
+    // succeeds onto the now-absent name even though `cur` is stale.
+    // The claim makes this check race-free: nobody else can advance the
+    // v{cur}→v{cur+1} transition while we hold it, so a re-read that
+    // still equals `cur` proves the read was not superseded.
+    val recheck = Catalog.readPointer(fs, path)
+    if (recheck != cur) {
+      fs.delete(claim, false)
+      fs.delete(new Path(tmp), true)
+      throw new Catalog.ConcurrentCommitException(path, cur, recheck)
+    }
     val retireRoot = Catalog.versionDir(path, cur)
     fs.mkdirs(retireRoot)
     touched.foreach { b =>
+      // heartbeat: a live claimant refreshes its claim's mtime on every
+      // bucket it processes, so recoverAbortedSwap's age-gated sweep only
+      // ever evicts a genuinely stalled writer, not a slow-but-alive one
+      // working through many buckets (the sweep's grace is per-bucket,
+      // not per-swap)
+      try fs.setTimes(claim, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // swept ⇒ stage-in fails loudly
       val dst = new Path(s"$path/$BucketCol=$b")
       val src = new Path(s"$tmp/$BucketCol=$b")
       val retired = new Path(retireRoot, s"$BucketCol=$b")
@@ -506,8 +526,21 @@ object PartitionedMerge {
     if (fs.exists(hist)) fs.listStatus(hist).map(_.getPath)
       .filter(_.getName.startsWith("_swap_claim_v")).foreach { c =>
         val v = c.getName.stripPrefix("_swap_claim_v").toIntOption
-        val stale = v.exists(_ < cur) || (System.currentTimeMillis() -
-          fs.getFileStatus(c).getModificationTime > HealGraceMs)
+        val now = System.currentTimeMillis()
+        // the in-flight claim is swept only when BOTH heartbeats are
+        // stale: the claim file (refreshed per retire rename) AND the
+        // in-flight version dir (touched by each retire landing in it)
+        // — a live writer keeps at least one fresh; a claimant that
+        // crashed before its first retire has no version dir and the
+        // claim's own age decides
+        def dirStale: Boolean = {
+          val d = Catalog.versionDir(path, cur)
+          try now - fs.getFileStatus(d).getModificationTime > HealGraceMs
+          catch { case _: java.io.IOException => true } // no dir yet
+        }
+        val stale = v.exists(_ < cur) ||
+          (now - fs.getFileStatus(c).getModificationTime > HealGraceMs &&
+            dirStale)
         if (stale) fs.delete(c, false)
       }
     val inFlight = Catalog.versionDir(path, cur)

@@ -1244,7 +1244,13 @@ object Dedup {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         md5(substring(col("text"), 1, 40)).as("fp"),
-        expr("CAST(substring(source, 4, 8) AS INT)").as("prec"))
+        // a source that doesn't parse to a rank must deterministically
+        // LOSE precedence (Int.MaxValue sentinel) — without the coalesce,
+        // Spark's min(struct) sorts the NULL rank FIRST (it would win)
+        // while SQL ORDER BY defaults NULLS LAST (it would lose): an
+        // engine divergence on any malformed feed name
+        coalesce(expr("CAST(substring(source, 4, 8) AS INT)"),
+          lit(Int.MaxValue)).as("prec"))
     d.withColumn("n_copies", count(lit(1)).over(w))
       .filter(col("n_copies") > 1)
       .withColumn("winner_id",
@@ -1648,7 +1654,8 @@ object Dedup {
     "q239_source_precedence" ->
       """WITH d AS (
            SELECT doc_id, source, md5(substring(text, 1, 40)) AS fp,
-             CAST(substring(source, 4, 8) AS INT) AS prec
+             coalesce(CAST(substring(source, 4, 8) AS INT),
+               2147483647) AS prec
            FROM documents),
          t AS (
            SELECT doc_id, source, fp,

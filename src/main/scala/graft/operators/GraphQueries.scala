@@ -133,11 +133,55 @@ object GraphQueries {
       .select("u", "v")
   }
 
-  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2)
+  /** Default adjacency bound for the wedge-candidate family — far above
+    * any degree the fixture produces (the cap never binds there, so
+    * q167/q238 stay oracle-exact) yet finite, so Σ deg² wedge volume is
+    * bounded BY CONSTRUCTION on a skewed production graph. */
+  private[graft] val DefaultWedgeDegreeCap = 8192
+
+  /** Hub guard for wedge enumeration — the graph-side twin of q196's
+    * df-capped shingle index: a single hub of degree d emits d² wedges
+    * (a 10M-degree node would emit 10¹⁴ candidate pairs — unpayable at
+    * any cluster size), so before any wedge is built, every node's
+    * adjacency is bounded to `cap` in BOTH roles: keep the `cap`
+    * smallest neighbors per `u`, then per `v` (row_number windows —
+    * deterministic, and each is one linear hash shuffle + per-node sort,
+    * never quadratic). Wedges through any middle node are then ≤ cap²,
+    * total wedge volume ≤ min(cap·|E|, cap²·|V|). Below the cap the
+    * frame is IDENTICAL to the input, so results stay exact (the
+    * fixture's degrees are orders of magnitude under the default);
+    * above it, candidates through a hub's truncated adjacency are
+    * dropped — the same declared-precision trade the df-cap makes, and
+    * the cap is stamped into the result (`deg_cap`) so a consumer can
+    * read the guarantee. Both wedge sides consume this ONE capped
+    * frame, keeping the subtrees identical so the shuffle is planned
+    * once (ReuseExchange). */
+  private[graft] def capWedgeAdjacency(edges: DataFrame, cap: Int)
       : DataFrame = {
+    if (cap <= 0) edges
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val perU = Window.partitionBy(col("u")).orderBy(col("v"))
+      val perV = Window.partitionBy(col("v")).orderBy(col("u"))
+      edges
+        .withColumn("__ru", row_number().over(perU))
+        .filter(col("__ru") <= cap)
+        .withColumn("__rv", row_number().over(perV))
+        .filter(col("__rv") <= cap)
+        .drop("__ru", "__rv")
+    }
+  }
+
+  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2,
+      maxWedgeDegree: Int = DefaultWedgeDegreeCap): DataFrame = {
     val edges = supportEdges(spark, dir, minSupport)
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+    // wedge sides ride the hub-capped frame (exact below the cap); the
+    // closing-edge probe and the degree denominator stay on the full
+    // edge set, so every triangle the capped wedges surface is real and
+    // clustering coefficients use true degrees
+    val wedge = capWedgeAdjacency(edges, maxWedgeDegree)
+    val tri = wedge.as("e1")
+      .join(wedge.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"),
         col("e2.v").as("z"))
       .join(edges.as("e3"),
@@ -154,6 +198,7 @@ object GraphQueries {
         when(col("degree") >= 2,
           expr("2 * triangles * 1000000 DIV (degree * (degree - 1))"))
           .otherwise(lit(0L)))
+      .withColumn("deg_cap", lit(maxWedgeDegree))
       .orderBy("part")
     res
   }
@@ -348,13 +393,18 @@ object GraphQueries {
     * anti-join are linear in edges; the top-50 runs as TakeOrdered —
     * no global sort. */
   def linkPrediction(spark: SparkSession, dir: String,
-      minSupport: Int = 2, topK: Int = 50): DataFrame = {
+      minSupport: Int = 2, topK: Int = 50,
+      maxWedgeDegree: Int = DefaultWedgeDegreeCap): DataFrame = {
     // cached: wedge enumeration reads it twice (both sym sides), the
     // anti-join and degrees once more
     val edges = supportEdges(spark, dir, minSupport).cache()
     val sym = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    val wedges = sym.as("a").join(sym.as("b"),
+    // wedge enumeration rides the hub-capped adjacency (exact below the
+    // cap — the fixture never binds it); true degrees still feed the
+    // jaccard denominator
+    val symc = capWedgeAdjacency(sym, maxWedgeDegree)
+    val wedges = symc.as("a").join(symc.as("b"),
         col("a.v") === col("b.u") && col("a.u") < col("b.v"))
       .groupBy(col("a.u").as("u"), col("b.v").as("v"))
       .agg(count(lit(1)).as("cn"))
@@ -368,7 +418,8 @@ object GraphQueries {
       .orderBy(col("cn").desc, col("jaccard_ppm").desc,
         col("u").asc, col("v").asc)
       .limit(topK)
-      .select("u", "v", "cn", "jaccard_ppm")
+      .select(col("u"), col("v"), col("cn"), col("jaccard_ppm"),
+        lit(maxWedgeDegree).as("deg_cap"))
     val fin = res.localCheckpoint()
     edges.unpersist(blocking = false)
     fin
@@ -410,7 +461,8 @@ object GraphQueries {
                FROM sym GROUP BY u)
          SELECT cand.u, cand.v, cand.cn,
            CAST(1000000 * cand.cn // (du.deg + dv.deg - cand.cn)
-             AS BIGINT) AS jaccard_ppm
+             AS BIGINT) AS jaccard_ppm,
+           CAST(8192 AS INTEGER) AS deg_cap
          FROM cand
          JOIN d du ON du.u = cand.u
          JOIN d dv ON dv.u = cand.v
@@ -534,7 +586,8 @@ object GraphQueries {
            CASE WHEN d.degree >= 2 THEN
              2 * COALESCE(tn.triangles, 0) * 1000000
                // (d.degree * (d.degree - 1))
-           ELSE 0 END AS clustering_ppm
+           ELSE 0 END AS clustering_ppm,
+           CAST(8192 AS INTEGER) AS deg_cap
          FROM d LEFT JOIN tn ON d.part = tn.part
          ORDER BY d.part""",
     // same support-pruned symmetric edges, same (count desc, label asc)

@@ -493,10 +493,17 @@ object Similarity {
     *      same metadata-scale bound the rebalance driver state relies
     *      on) and pushed as a PARTITION filter, so the posting scan
     *      lists and reads only the probed `cent_id=` directories;
-    *   3. above `maxLiteralCells` probed cells the literal predicate
-    *      would bloat the plan faster than pruning pays (and pruning is
-    *      approaching a full read anyway) — the search degrades to the
-    *      plain unpruned join, results identical. */
+    *   3. above `maxLiteralCells` probed cells the per-literal IN list
+    *      would bloat the plan text, so the filter switches to a
+    *      set-backed `INSET` predicate (`isInCollection`) on the same
+    *      `pcell` partition column — still a STATIC partition filter,
+    *      so FileIndex listing prunes to the probed directories at
+    *      planning time at ANY probed-cell count (a 2k-of-100k-cell
+    *      probe at 100 TB is still a 50× IO win; the pre-r12 fallback
+    *      paid a full posting read exactly where pruning pays most).
+    *      Results identical on both sides of the gate (spec-pinned,
+    *      with an input-files assertion that the above-gate path reads
+    *      only probed partitions). */
   def ivfSearchServing(spark: SparkSession, dir: String,
       servingDir: String, k: Int = 3, probeBudget: Long = 200L,
       maxLiteralCells: Int = 1024): DataFrame = {
@@ -514,7 +521,14 @@ object Similarity {
       (if (cells.length <= maxLiteralCells)
         postingsAll.filter(col("pcell")
           .isin(cells.map(c => s"c$c").toSeq: _*))
-      else postingsAll).drop("pcell")
+      else
+        // INSET partition filter: one set-membership predicate instead
+        // of N literals — prunes the file listing identically, plan
+        // text stays O(1), and the set ships once per task (bounded by
+        // #cells metadata, never corpus)
+        postingsAll.filter(col("pcell")
+          .isInCollection(cells.map(c => s"c$c").toSeq))
+      ).drop("pcell")
     ivfScore(postings, probes, k)
   }
 

@@ -102,8 +102,15 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
     * SAME externals and SAME batchId has its agg deltas dropped by the
     * in-state replay guard instead of double-counted. Without it the id
     * auto-advances (at-least-once: re-presenting a batch re-applies it). */
+  /** `epoch`, when set, names a [[PipelineEpoch]] stream: after EVERY
+    * node commit succeeds, the run publishes one epoch marker recording
+    * each persisted table's committed version — readers that resolve
+    * through [[PipelineEpoch.read]] see this run's tables all-or-nothing
+    * (a crash mid-run leaves the previous epoch fully readable), closing
+    * the mixed-generation window per-table commits leave open. */
   def run(externals: Map[String, DataFrame] = Map.empty,
-      batchId: Option[Long] = None): RunResult = {
+      batchId: Option[Long] = None,
+      epoch: Option[String] = None): RunResult = {
     val order = topoOrder(externals.keySet)
     val viewOut = mutable.Map.empty[String, DataFrame]
     val violations = mutable.Map.empty[String, Map[String, Long]]
@@ -160,7 +167,11 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
           if (!mj.exists) mj.build() else { mj.refresh(); () }
       }
     }
-    RunResult(order, violations.toMap)
+    val committedEpoch = epoch.map { name =>
+      val persisted = order.filter(n => nodes(n).materialize != View)
+      PipelineEpoch.commit(spark, cat, name, persisted)
+    }
+    RunResult(order, violations.toMap, committedEpoch)
   }
 
   /** Read a persisted node's committed table (bucketed gold dims read
@@ -228,9 +239,11 @@ object PipelineGraph {
     * counts are still reported — quality telemetry without gating. */
   case object WarnOnly extends OnViolation
 
-  /** Execution order and per-node, per-rule dropped-row counts. */
+  /** Execution order, per-node per-rule dropped-row counts, and — when
+    * the run published a [[PipelineEpoch]] — its epoch number. */
   case class RunResult(order: Seq[String],
-      violations: Map[String, Map[String, Long]])
+      violations: Map[String, Map[String, Long]],
+      epoch: Option[Int] = None)
 
   private case class Node(name: String, inputs: Seq[String],
       expectations: Map[String, String], onViolation: OnViolation,

@@ -546,7 +546,17 @@ object Streams {
     * unconditionally; the batch side pays one codegen'd
     * bucket+norm projection and a broadcast probe per micro-batch,
     * O(batch), no shuffle of the corpus and no state store (the gate is
-    * stateless — the bench set alone decides). */
+    * stateless — the bench set alone decides).
+    *
+    * Exactly-once: both tables commit through
+    * [[graft.catalog.Catalog.appendPath]] carrying the same
+    * per-(checkpoint, batchId) commit tag [[appendStream]] uses — a crash
+    * after either table's commit but before the checkpoint offset commit
+    * replays the batch, finds its batchId already stamped on that table,
+    * and skips it; the sibling table (whose commit the crash preempted)
+    * commits on the replay. The other ingest sinks self-dedupe via
+    * anti-joins; this guard has no natural content key on the quarantine
+    * side, so the tag is the guard. */
   def appendDecontamGuard(
       changes: DataFrame,
       cat: graft.catalog.Catalog,
@@ -559,11 +569,14 @@ object Streams {
       thresh: Double = 0.25): Unit = {
     import graft.operators.Similarity
     val quarantineTable = s"${table}_quarantine"
+    val tagKey = commitTagKey(checkpoint)
     val q = changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        if (batchId > lastAppliedBatch(spark, checkpoint)) {
         val bench = cat.read(layer, benchTable)
           .select(Similarity.signBucket(col(embCol), 4).as("__bucket"),
             col(idCol).as("__bench_id"), col(embCol).as("__bv"),
@@ -591,15 +604,26 @@ object Streams {
           val clean = batch
             .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
             .select(docCols.map(col): _*)
+          // versioned commit per table with the batchId stamped as a
+          // commit tag: a replayed batch that already landed on a table
+          // is dropped whole there, never appended twice — the same
+          // two-marker contract appendStream documents
           def appendTo(t: String, df: DataFrame): Unit =
             if (!df.isEmpty) {
-              if (!cat.exists(layer, t)) cat.create(df, layer, t)
-              else df.write.mode(org.apache.spark.sql.SaveMode.Append)
-                .parquet(cat.path(layer, t))
+              val dir = cat.path(layer, t)
+              val onTable = graft.catalog.Catalog
+                .lastCommitTag(spark, dir, tagKey)
+                .exists(_.toLong >= batchId)
+              if (!onTable)
+                graft.catalog.Catalog.appendPath(spark, df, dir,
+                  commitTag = Some((tagKey, batchId.toString)),
+                  operation = "STREAMING APPEND")
             }
           appendTo(table, clean)
           appendTo(quarantineTable, quarantined)
+          recordAppliedBatch(spark, checkpoint, batchId)
         } finally batch.unpersist()
+        }
       }
       .start()
     q.awaitTermination()

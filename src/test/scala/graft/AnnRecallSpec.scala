@@ -334,6 +334,62 @@ class AnnRecallSpec extends SparkSuite {
       "serving search diverged after a rebalance + refresh")
   }
 
+  test("IVF serving search above the literal-cell gate: INSET partition " +
+      "filter keeps pruning — identical results, only probed " +
+      "directories read") {
+    import graft.operators.Similarity
+    val root = tmpDir("graft-serving-inset")
+    val indexDir = s"$root/index"
+    val servingDir = s"$root/serving"
+    // many small cells + a tight budget: each query probes only its
+    // best cell(s), so the probed union stays a strict subset and the
+    // pruning is observable in the file listing
+    Similarity.ivfBuildIndex(spark, sf0001, indexDir, maxList = 200)
+    Similarity.ivfRebalance(spark, indexDir, maxList = 20)
+    Similarity.ivfServingLayout(spark, indexDir, servingDir)
+    val budget = 2L
+    val below = Similarity.ivfSearchServing(spark, sf0001, servingDir,
+      k = 3, probeBudget = budget) // default gate: literal IN path
+    val above = Similarity.ivfSearchServing(spark, sf0001, servingDir,
+      k = 3, probeBudget = budget, maxLiteralCells = 0) // forced INSET path
+    assert(above.collect().map(_.toSeq).toSeq ==
+      below.collect().map(_.toSeq).toSeq,
+      "results diverged across the literal-cell gate")
+    // the above-gate path still partition-prunes: the executed posting
+    // scan carries the INSET predicate in its PartitionFilters and its
+    // runtime metrics show it LISTED fewer partitions than the table
+    // holds (Dataset.inputFiles would lie here — it ignores pruning)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case r: ReusedExchangeExec => fileScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(fileScans)
+    }
+    val scans = fileScans(above.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    assert(scans.nonEmpty, "no posting scan in the serving plan")
+    // the set-membership predicate renders as IN below the optimizer's
+    // InSet threshold (10) and INSET above it — both are the same static
+    // partition filter; what must NOT appear is an empty filter list
+    // (the pre-r12 unpruned fallback)
+    assert(scans.exists(s => s.metadata.get("PartitionFilters")
+        .exists(pf => pf.contains("pcell") &&
+          (pf.contains("INSET") || pf.contains(" IN (")))),
+      s"partition filter missing:\n${scans.map(_.metadata.get(
+        "PartitionFilters")).mkString("\n")}")
+    val allCells = graft.layout.DeletionVectors
+      .readPath(spark, s"$servingDir/postings")
+      .select("pcell").distinct().count()
+    val readPartitions = scans.map(_.metrics("numPartitions").value).max
+    assert(readPartitions > 0 && readPartitions < allCells,
+      s"INSET path read every cell ($readPartitions of $allCells)")
+  }
+
   test("k-center coreset (q237): greedy covers every orthogonal direction " +
       "before repeating one, coverage is non-decreasing") {
     import spark.implicits._

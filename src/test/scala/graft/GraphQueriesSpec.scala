@@ -263,4 +263,53 @@ class GraphQueriesSpec extends SparkSuite {
     assert(got == Map("S10" -> 0L, "C1" -> 1L, "S11" -> 2L, "C2" -> 3L,
       "S13" -> -1L, "C3" -> -1L, "S25" -> -1L), s"got $got")
   }
+
+  test("wedge degree cap: hub adjacency is bounded in both roles and " +
+      "candidate volume respects the cap on a synthetic hub graph") {
+    import spark.implicits._
+    // star: hub 0 ↔ leaves 1..300 (symmetrized), plus a small clique so
+    // non-hub structure survives the cap untouched
+    val hubDeg = 300
+    val star = (1 to hubDeg).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val clique = Seq((1001L, 1002L), (1002L, 1001L), (1001L, 1003L),
+      (1003L, 1001L), (1002L, 1003L), (1003L, 1002L))
+    val sym = (star ++ clique).toDF("u", "v")
+    for (cap <- Seq(4, 16, 64)) {
+      val capped = GraphQueries.capWedgeAdjacency(sym, cap).cache()
+      // the declared bound holds per node in BOTH roles
+      val maxOut = capped.groupBy("u").count().agg(max("count")).head.getLong(0)
+      val maxIn = capped.groupBy("v").count().agg(max("count")).head.getLong(0)
+      assert(maxOut <= cap && maxIn <= cap, s"cap=$cap out=$maxOut in=$maxIn")
+      // wedge candidate volume respects the cap² bound per middle node
+      val wedges = capped.as("a").join(capped.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v")).count()
+      val nodes = sym.select("u").distinct().count()
+      assert(wedges <= nodes.toLong * cap * cap,
+        s"cap=$cap wedges=$wedges nodes=$nodes")
+      capped.unpersist()
+    }
+    // uncapped, the hub alone emits deg·(deg−1)/2 ordered wedge pairs —
+    // the volume the cap exists to bound
+    val uncapped = sym.as("a").join(sym.as("b"),
+      col("a.v") === col("b.u") && col("a.u") < col("b.v")).count()
+    assert(uncapped >= hubDeg.toLong * (hubDeg - 1) / 2)
+    // a cap at or above the max degree is the identity — results exact
+    val id = GraphQueries.capWedgeAdjacency(sym, hubDeg)
+    assert(id.exceptAll(sym).isEmpty && sym.exceptAll(id).isEmpty)
+  }
+
+  test("wedge degree cap: a binding cap only DROPS candidates (monotone) " +
+      "and never invents triangles") {
+    // triangles through the full frame vs a tightly capped one on the
+    // sf0.001 trade graph: capped counts are a subset
+    val full = GraphQueries.triangleCount(spark, sf0001,
+        maxWedgeDegree = Int.MaxValue)
+      .select("part", "triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = GraphQueries.triangleCount(spark, sf0001, maxWedgeDegree = 2)
+      .select("part", "triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == full.keySet) // degree rows come from full edges
+    assert(capped.forall { case (p, t) => t <= full(p) })
+  }
 }

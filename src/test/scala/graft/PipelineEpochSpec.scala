@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.pipeline.{PipelineEpoch, PipelineGraph}
+
+/** Cross-table consistency through [[PipelineEpoch]]: a crash between a
+  * graph's dim commit and fact commit must leave epoch readers on the
+  * complete OLD generation (all-old), and a successful re-run must move
+  * them to the complete NEW one (all-new) — never a mix (the window the
+  * per-table version log alone cannot close). */
+class PipelineEpochSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Pipe = "goldrun"
+
+  /** dim commits first (fact depends on it); `failFact` injects the
+    * crash AFTER the dim commit, BEFORE the fact commit — the exact
+    * mixed-generation window. */
+  private def graph(cat: Catalog, src: DataFrame, failFact: Boolean)
+      : PipelineGraph = {
+    new PipelineGraph(spark, cat)
+      .table("gold.dim", inputs = Seq("src")) { in =>
+        in("src").select(col("id"), col("attr"))
+      }
+      .table("gold.fact", inputs = Seq("src", "gold.dim")) { in =>
+        if (failFact) throw new RuntimeException("injected crash")
+        in("src").groupBy("attr").agg(count(lit(1)).as("n"))
+      }
+  }
+
+  test("epoch readers see all-old across a mid-run crash, all-new after " +
+      "the re-run; direct reads show the mixed state the epoch hides") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch"))
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "attr")
+    val r1 = graph(cat, gen1, failFact = false)
+      .run(Map("src" -> gen1), epoch = Some(Pipe))
+    assert(r1.epoch.contains(1))
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 1)
+    val dim1 = PipelineEpoch.read(spark, cat, Pipe, "gold.dim")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val fact1 = PipelineEpoch.read(spark, cat, Pipe, "gold.fact")
+      .orderBy("attr").collect().map(_.toSeq).toSeq
+    assert(dim1 == Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(fact1.map(_.head) == Seq("a", "b"))
+
+    // generation 2 run CRASHES between the dim and fact commits
+    val gen2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr")
+    intercept[RuntimeException] {
+      graph(cat, gen2, failFact = true)
+        .run(Map("src" -> gen2), epoch = Some(Pipe))
+    }
+    // direct table reads now show the MIXED state (new dim, old fact)…
+    assert(cat.read("gold", "dim").count() == 3)
+    assert(cat.read("gold", "fact").count() == 2)
+    // …but the epoch pointer never advanced: epoch readers stay ALL-OLD
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 1)
+    val dimAfterCrash = PipelineEpoch.read(spark, cat, Pipe, "gold.dim")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val factAfterCrash = PipelineEpoch.read(spark, cat, Pipe, "gold.fact")
+      .orderBy("attr").collect().map(_.toSeq).toSeq
+    assert(dimAfterCrash == dim1, "epoch read leaked the half-committed dim")
+    assert(factAfterCrash == fact1)
+
+    // the re-run commits both nodes and publishes epoch 2: ALL-NEW
+    val r2 = graph(cat, gen2, failFact = false)
+      .run(Map("src" -> gen2), epoch = Some(Pipe))
+    assert(r2.epoch.contains(2))
+    val dim2 = PipelineEpoch.read(spark, cat, Pipe, "gold.dim")
+    val fact2 = PipelineEpoch.read(spark, cat, Pipe, "gold.fact")
+    assert(dim2.count() == 3)
+    assert(fact2.orderBy("attr").collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b", "c"))
+    // a consumer pinned to epoch 1 still sees the old generation intact
+    assert(PipelineEpoch.readAt(spark, cat, Pipe, "gold.dim", 1)
+      .count() == 2)
+  }
+
+  test("epoch commit heals a predecessor's published-but-unpointed " +
+      "manifest and racing commits take distinct numbers") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch-heal"))
+    val df = Seq((1L, "x")).toDF("id", "attr")
+    cat.create(df, "gold", "t")
+    assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 1)
+    // simulate a crash between manifest rename and pointer write: stage
+    // epoch_v2 by hand, leave the pointer at 1
+    val dir = new org.apache.hadoop.fs.Path(
+      cat.path("_pipeline_epochs", Pipe))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "epoch_v2")
+    val out = fs.create(orphan, true)
+    out.write("gold.t\t1".getBytes("UTF-8")); out.close()
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 1)
+    // the next commit publishes the orphan (epoch 2) and lands at 3
+    assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 3)
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 3)
+    assert(PipelineEpoch.tableVersions(spark, cat, Pipe, 2) ==
+      Map("gold.t" -> 1))
+  }
+}
