@@ -92,20 +92,32 @@ object Bench {
     // (mirrors Verify's 3rd arg); the driver's env-less call runs all.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Per-query phase split (VERDICT r11 #4): self-staging queries
+    // (q225/q228/q229/q232/q233/q234 build their fixture inside the timed
+    // body) record their setup via graft.BenchPhases; the artifact
+    // carries setup_s/probe_s from the rep that achieved the per-query
+    // min, so a probe-path regression is visible behind setup noise.
+    val phaseSplit = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        BenchPhases.clear()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val total = (System.nanoTime() - t0) / 1e9
+        (total, BenchPhases.take(name))
       }
       scrub()
-      name -> times.min
+      val best = times.minBy(_._1)
+      best._2.foreach { setup =>
+        phaseSplit(name) = (setup, math.max(0.0, best._1 - setup))
+      }
+      name -> best._1
     }
     // Locale.ROOT: f"" interpolation uses the JVM default locale, which on
     // comma-decimal locales (de_DE, fr_FR, ...) would emit "1,234" and break
@@ -138,6 +150,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // the split rides next to the per-query totals for every query that
+    // reported one (self-staging queries only) — see BENCH_NOTES.md
+    val phases = phaseSplit.toSeq.sortBy(_._1).map { case (k, (s, p)) =>
+      s"\"" + k + "\":{\"setup_s\":" + r3(s) + ",\"probe_s\":" + r3(p) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus is IN the line on purpose: a run without SPARK_GRAFT_CPUS set
@@ -162,7 +179,7 @@ object Bench {
     // tail cut before "value") — duplicating total/canaries/cpus/reps
     // after the big "queries" map makes the headline readable from either
     // partial capture (VERDICT r10 #7).
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"reps":$reps,"starved":$starved,"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir","tail_total":${r3(total)},"tail_canary_s":$canary,"tail_canary_io_s":${r3(canaryIo)},"tail_cpus":$cpus,"tail_reps":$reps,"tail_starved":$starved}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpus,"reps":$reps,"starved":$starved,"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"queries":$qs,"phases":$phases,"failed":$failedJson,"sf":"$sfDir","tail_total":${r3(total)},"tail_canary_s":$canary,"tail_canary_io_s":${r3(canaryIo)},"tail_cpus":$cpus,"tail_reps":$reps,"tail_starved":$starved}"""
     println(line)
     // The driver's log capture truncates long stdout lines (round 6 lost
     // 60 of 138 queries from BENCH_r06.json) — persist the full line to a
@@ -196,47 +213,98 @@ object Bench {
         } else head
       } catch { case _: Exception => "unknown" }
       val ref = headRef()
+      // PER-QUERY code fences (VERDICT r11 #5): a floor entry survives a
+      // commit iff the SOURCE defining its query is unchanged — fenced by
+      // a hash of every src/main file whose text mentions the query name
+      // (operator body, registry entry, and oracle SQL all live there).
+      // An additive commit no longer resets the unchanged queries' floors
+      // the way the old whole-repo HEAD fence did. Shared-infra edits
+      // that don't touch a query's defining files deliberately keep its
+      // floor: a floor is a best-observed min and the two-canary protocol
+      // adjudicates regressions; "code" (HEAD) stays as information only.
+      val srcTexts: Seq[(String, String)] = {
+        val root = java.nio.file.Paths.get("/root/repo/src/main/scala")
+        if (!java.nio.file.Files.exists(root)) Nil
+        else {
+          val stream = java.nio.file.Files.walk(root)
+          try {
+            val it = stream.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String)]
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.toString.endsWith(".scala"))
+                buf += ((p.toString, new String(
+                  java.nio.file.Files.readAllBytes(p), "UTF-8")))
+            }
+            buf.sortBy(_._1).toSeq
+          } finally stream.close()
+        }
+      }
+      def fenceOf(q: String): String = {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        srcTexts.foreach { case (p, t) =>
+          if (t.contains(q)) {
+            md.update(p.getBytes("UTF-8")); md.update(t.getBytes("UTF-8"))
+          }
+        }
+        md.digest().take(6).map(b => f"$b%02x").mkString
+      }
       val qRe = """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r
-      val (prevQ, prevCanaries, prevRuns) =
+      val fRe = """"([A-Za-z0-9_]+)":"([0-9a-f]+)"""".r
+      val (prevQ, prevFences, prevCanaries, prevRuns) =
         if (java.nio.file.Files.exists(floorPath)) {
           val txt = new String(
             java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
-          val sameFence = txt.contains(s""""code":"$ref"""") &&
-            txt.contains(s""""sf":"$sfDir"""")
-          if (!sameFence) (Map.empty[String, Double], "", 0)
+          // scale factor is the only whole-artifact fence left: floors
+          // never blend sf dirs; code identity is fenced per query below
+          if (!txt.contains(s""""sf":"$sfDir""""))
+            (Map.empty[String, Double], Map.empty[String, String], "", 0)
           else {
             val qStart = txt.indexOf("\"queries\":{")
             val qEnd = if (qStart < 0) -1 else txt.indexOf("}", qStart)
             val qm = if (qStart < 0) Map.empty[String, Double]
               else qRe.findAllMatchIn(txt.substring(qStart + 10, qEnd + 1))
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val fStart = txt.indexOf("\"fences\":{")
+            val fEnd = if (fStart < 0) -1 else txt.indexOf("}", fStart)
+            val fm = if (fStart < 0) Map.empty[String, String]
+              else fRe.findAllMatchIn(txt.substring(fStart + 9, fEnd + 1))
+                .map(m => m.group(1) -> m.group(2)).toMap
             val cStart = txt.indexOf("\"canaries\":[")
             val cEnd = if (cStart < 0) -1 else txt.indexOf("]", cStart)
             val cs = if (cStart < 0) ""
               else txt.substring(cStart + 12, cEnd)
             val runs = """"runs":(\d+)""".r.findFirstMatchIn(txt)
               .map(_.group(1).toInt).getOrElse(0)
-            (qm, cs, runs)
+            (qm, fm, cs, runs)
           }
-        } else (Map.empty[String, Double], "", 0)
+        } else (Map.empty[String, Double], Map.empty[String, String], "", 0)
       val cur = results.toMap
-      val mergedKeys = (prevQ.keySet ++ cur.keySet).toSeq.sorted
-      val merged = mergedKeys.map { k =>
-        val v = (prevQ.get(k), cur.get(k)) match {
-          case (Some(a), Some(b)) => math.min(a, b)
-          case (a, b) => a.orElse(b).get
+      val allKeys = (prevQ.keySet ++ cur.keySet).toSeq.sorted
+      val fences = allKeys.map(k => k -> fenceOf(k)).toMap
+      // merge rule: same fence → min carries across commits; fence moved
+      // → the entry reprices from THIS run (or drops, if not run)
+      val merged = allKeys.flatMap { k =>
+        val fenceHeld = prevFences.get(k).contains(fences(k))
+        (prevQ.get(k).filter(_ => fenceHeld), cur.get(k)) match {
+          case (Some(a), Some(b)) => Some(k -> math.min(a, b))
+          case (Some(a), None) => Some(k -> a)
+          case (None, Some(b)) => Some(k -> b)
+          case (None, None) => None
         }
-        s"\"" + k + "\":" + r3(v)
-      }.mkString("{", ",", "}")
-      val floorTotal = mergedKeys.map { k =>
-        math.min(prevQ.getOrElse(k, Double.MaxValue),
-          cur.getOrElse(k, Double.MaxValue)) }.sum
+      }
+      val mergedJson = merged.map { case (k, v) =>
+        s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val fencesJson = merged.map { case (k, _) =>
+        s"\"" + k + "\":\"" + fences(k) + "\"" }.mkString("{", ",", "}")
+      val floorTotal = merged.map(_._2).sum
       val runEntry =
-        s"""{"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"total":${r3(total)}}"""
+        s"""{"canary_s":$canary,"canary_io_s":${r3(canaryIo)},"total":${r3(total)},"code":"$ref"}"""
       val canaries =
         if (prevCanaries.isEmpty) runEntry else prevCanaries + "," + runEntry
       val floorLine =
-        s"""{"metric":"floor","runs":${prevRuns + 1},"code":"$ref","sf":"$sfDir","cpus":$cpus,"reps":$reps,"floor_total":${r3(floorTotal)},"canaries":[$canaries],"queries":$merged}"""
+        s"""{"metric":"floor","runs":${prevRuns + 1},"code":"$ref","sf":"$sfDir","cpus":$cpus,"reps":$reps,"floor_total":${r3(floorTotal)},"canaries":[$canaries],"fences":$fencesJson,"queries":$mergedJson}"""
       java.nio.file.Files.write(floorPath,
         (floorLine + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>

@@ -545,6 +545,25 @@ object Catalog {
     }
   }
 
+  /** Every commit tag visible on the LIVE snapshot (key → value, key
+    * order) — the material the SQL `SHOW TBLPROPERTIES` surface lists:
+    * operator-stamped bounds (`ivf.maxList`), materialized-view refresh
+    * watermarks, streaming batch markers, and the `operation` stamp.
+    * Tags carry forward across commits (the [[commitSwap]] rule), so
+    * the live dir alone answers — one bounded `listStatus`, no history
+    * walk. */
+  def listCommitTags(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_graft_commit_tag_"))
+      .map(p => p.getName.stripPrefix("_graft_commit_tag_") ->
+        readSmallFile(f, p))
+      .sortBy(_._1).toSeq
+  }
+
   /** Per-version (version, is_current, commit time, entry count, bytes,
     * operation) rows for a table directory — the computation behind both
     * [[Catalog!.history]] and the SQL `DESCRIBE HISTORY` command. The
@@ -765,6 +784,90 @@ object Catalog {
           f, new Path(tmp, "_skipping"), false, false, conf)
       commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
         None, "OPTIMIZE WHERE")
+    }
+  }
+
+  /** Partition-scoped OVERWRITE (Delta `replaceWhere` restricted to
+    * partition values, its safe core): atomically replace the listed
+    * `partCol=value` partitions with `df`'s rows. Every other
+    * partition's files hard-link into the new version unchanged, so the
+    * cost is O(replaced data + file-count metadata) — at 100 TB this is
+    * the difference between refreshing yesterday's partitions and
+    * rewriting the table. Semantics, all enforced:
+    *
+    *   - `df` may only carry rows for the listed values (Delta's
+    *     replaceWhere constraint) — anything else would silently widen
+    *     the replacement;
+    *   - a listed partition absent from `df` is DROPPED (replace means
+    *     replace); one not yet on the table is created;
+    *   - the swap is a single versioned commit (time travel, CDF,
+    *     RESTORE all see one transition), OCC-checked against the
+    *     version the staging linked. */
+  def replacePartitionValuesPath(spark: SparkSession, df: DataFrame,
+      dir: String, partCol: String, values: Seq[String],
+      keepVersions: Int = 10,
+      commitTag: Option[(String, String)] = None): Unit =
+      raceToConflict(dir) {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // if/else, not an early return — non-local returns throw through
+    // the raceToConflict closure (DeletionVectors' rule)
+    if (values.isEmpty) ()
+    else {
+    val dst = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = dst.getFileSystem(conf)
+    require(f.exists(dst), s"no table at $dir")
+    require(!isBucketedLayout(f, dir),
+      "bucketed layouts replace per bucket through merge/DML, not " +
+        "partition values")
+    require(!graft.layout.DeletionVectors.hasDv(spark, dir),
+      s"$dir carries a deletion-vector sidecar; OPTIMIZE (which folds " +
+        "it) before partition-scoped replacement")
+    val partCols = partitionColsOf(f, dir)
+    require(partCols.map(_.toLowerCase).contains(partCol.toLowerCase),
+      s"'$partCol' is not a partition column of $dir " +
+        s"(${partCols.mkString(", ")})")
+    require(df.columns.exists(_.equalsIgnoreCase(partCol)),
+      s"replacement frame must carry the partition column '$partCol'")
+    // Delta's replaceWhere gate: the frame may not smuggle rows into
+    // partitions outside the declared set
+    val stray = df.filter(!col(partCol).isInCollection(values)).isEmpty
+    require(stray, s"replacement frame carries rows outside the " +
+      s"listed $partCol values — widen `values` or filter the frame")
+    val stagedAgainst = readPointer(f, dir)
+    val all = spark.read.parquet(dir)
+    // which partition DIRS the listed values currently own: the pruned
+    // scan's own file list (no hand re-derivation of value escaping) —
+    // same technique as compactWherePath
+    val basePath = f.makeQualified(dst).toUri.getPath
+    val matchedRel = all.filter(col(partCol).isInCollection(values))
+      .select(input_file_name().as("p"))
+      .distinct().collect()
+      .map { r =>
+        val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        val rel = p.stripPrefix(basePath).stripPrefix("/")
+        rel.substring(0, rel.lastIndexOf('/'))
+      }.toSet
+    val tmp = stagingPath(dir, "")
+    f.mkdirs(tmp)
+    linkDataTree(f, conf, dst, tmp)
+    matchedRel.foreach(rel => f.delete(new Path(tmp, rel), true))
+    if (!df.isEmpty) {
+      val stage = stagingPath(dir, "-replace")
+      df.repartition(partCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*).parquet(stage.toString)
+      mergeStagedTree(f, stage, tmp)
+      f.delete(stage, true)
+    }
+    // linked files keep valid skipping stats; replaced partitions are
+    // unprofiled until the next analyze (appendPath's rule)
+    val skipDir = new Path(dst, "_skipping")
+    if (f.exists(skipDir))
+      org.apache.hadoop.fs.FileUtil.copy(f, skipDir,
+        f, new Path(tmp, "_skipping"), false, false, conf)
+    commitSwap(spark, f, dir, tmp, keepVersions, Some(stagedAgainst),
+      commitTag, "REPLACE WHERE")
     }
   }
 

@@ -671,8 +671,11 @@ object Dedup {
     def bandsOf(g: Int): DataFrame = d.filter(col("gen") === g)
       .select(col("doc_id"),
         explode(lshBandKeysOfSet(col("sh"))).as("band_key"))
-    // gen 0 seeds the index before any dedup decision
-    graft.catalog.Catalog.appendPath(spark, bandsOf(0), idx)
+    // gen 0 seeds the index before any dedup decision — fixture SETUP;
+    // the per-generation probe+append loop is what the query prices
+    graft.BenchPhases.setup("q225_incremental_dedup") {
+      graft.catalog.Catalog.appendPath(spark, bandsOf(0), idx)
+    }
     val perGen = (1 until gens).map { g =>
       val newBands = bandsOf(g)
       // index side is corpus-scaled: never broadcast it; the batch side
@@ -779,22 +782,28 @@ object Dedup {
     * IndexDeleteSpec proves probe-equivalence between the two). */
   def deleteAwareDedup(spark: SparkSession, dir: String, gens: Int = 3,
       minJaccardPpm: Long = 800000L): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q233")
-      .toString
-    val src = s"$root/documents.parquet"
-    graft.catalog.Catalog.overwritePath(spark,
-      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
-      src)
-    val idx = s"$root/band_index"
-    val pre = graft.layout.DeletionVectors.readPath(spark, src)
-      .select(col("doc_id"),
-        (col("doc_id") % gens).cast("int").as("gen"),
-        array_distinct(shingles3(col("text"))).as("sh"))
-    graft.catalog.Catalog.appendPath(spark,
-      pre.select(col("doc_id"), col("gen"),
-        explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idx)
-    graft.layout.DeletionVectors.deleteWhere(spark, src,
-      col("doc_id") % 7 === 3)
+    // fixture staging (copy + index build + DML delete) is SETUP, not the
+    // probe this query exists to price — phase-stamped so the bench
+    // artifact can't hide a probe regression behind setup noise
+    val (src, idx) = graft.BenchPhases.setup("q233_dedup_delete_aware") {
+      val root = java.nio.file.Files.createTempDirectory("graft-q233")
+        .toString
+      val srcP = s"$root/documents.parquet"
+      graft.catalog.Catalog.overwritePath(spark,
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")), srcP)
+      val idxP = s"$root/band_index"
+      val pre = graft.layout.DeletionVectors.readPath(spark, srcP)
+        .select(col("doc_id"),
+          (col("doc_id") % gens).cast("int").as("gen"),
+          array_distinct(shingles3(col("text"))).as("sh"))
+      graft.catalog.Catalog.appendPath(spark,
+        pre.select(col("doc_id"), col("gen"),
+          explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idxP)
+      graft.layout.DeletionVectors.deleteWhere(spark, srcP,
+        col("doc_id") % 7 === 3)
+      (srcP, idxP)
+    }
     val deleted = graft.layout.DeletionVectors
       .deletedKeys(spark, src, Seq("doc_id"))
     val d = spread(graft.layout.DeletionVectors.readPath(spark, src)

@@ -425,7 +425,21 @@ object GraphQueries {
     fin
   }
 
+  /** q243: link prediction with a BINDING degree cap — q238's operator
+    * run at a cap the fixture's degrees exceed, so the hub guard's
+    * declared-precision semantics (keep each node's `cap` smallest
+    * neighbors in both roles, enumerate wedges only through the capped
+    * adjacency, score against TRUE degrees) are themselves
+    * oracle-checked row for row, not just spec-pinned. The DuckDB
+    * oracle replays the same two ROW_NUMBER caps — agreement proves
+    * the cap is a well-defined cross-engine operator, not a Spark
+    * implementation detail. */
+  def linkPredictionCapped(spark: SparkSession, dir: String)
+      : DataFrame = linkPrediction(spark, dir, maxWedgeDegree = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_link_prediction_capped" ->
+      ((s: SparkSession, d: String) => linkPredictionCapped(s, d)),
     "q238_link_prediction" ->
       ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "q219_seed_distance" ->
@@ -438,6 +452,46 @@ object GraphQueries {
       ((s: SparkSession, d: String) => labelPropagation(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // q243: q238's lattice with the hub cap BINDING — the same two
+    // sequential ROW_NUMBER caps (per u on the symmetric frame, then
+    // per v on the survivor set) replayed in SQL, wedges only through
+    // the capped adjacency, degrees and the anti-join on the full frame
+    "q243_link_prediction_capped" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT a.pk AS u, b.pk AS v
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         c1 AS (
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v)
+               AS r FROM sym) WHERE r <= 4),
+         c2 AS (
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (PARTITION BY v ORDER BY u)
+               AS r FROM c1) WHERE r <= 4),
+         w AS (
+           SELECT a.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS cn
+           FROM c2 a JOIN c2 b ON a.v = b.u AND a.u < b.v
+           GROUP BY a.u, b.v),
+         cand AS (
+           SELECT w.u, w.v, w.cn FROM w
+           LEFT JOIN e ON e.u = w.u AND e.v = w.v
+           WHERE e.u IS NULL),
+         d AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY u)
+         SELECT cand.u, cand.v, cand.cn,
+           CAST(1000000 * cand.cn // (du.deg + dv.deg - cand.cn)
+             AS BIGINT) AS jaccard_ppm,
+           CAST(4 AS INTEGER) AS deg_cap
+         FROM cand
+         JOIN d du ON du.u = cand.u
+         JOIN d dv ON dv.u = cand.v
+         ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.u ASC, cand.v ASC
+         LIMIT 50""",
     // q238: same support-pruned edges, same wedge candidates, same
     // anti-join and integer jaccard, same deterministic total order
     "q238_link_prediction" ->

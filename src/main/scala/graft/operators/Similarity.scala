@@ -262,7 +262,11 @@ object Similarity {
         col("embedding").as("lv"), col("nrm").as("ln"))
     val idx = java.nio.file.Files.createTempDirectory("graft-q228")
       .toString + "/postings"
-    graft.catalog.Catalog.appendPath(spark, postings(0), idx)
+    // gen-0 index seeding is fixture SETUP; the per-generation
+    // probe+append loop is the incremental operation being priced
+    graft.BenchPhases.setup("q228_incremental_ann") {
+      graft.catalog.Catalog.appendPath(spark, postings(0), idx)
+    }
     val perGen = (1 until gens).map { g =>
       val ag = assigned(g)
       val qprobe = ag.filter(col("vec_id") % 50 === 1 && col("rn_c") <= nprobe)
@@ -458,19 +462,26 @@ object Similarity {
     * Derived + versioned: rebuild after each maintenance op (rebalance /
     * merge / compact) the way OPTIMIZE rewrites a table; the source
     * index generation's skew-bound tag carries over. */
+  /** Commit-tag key on the serving CENTROIDS table recording which
+    * source-postings version the serving artifact reflects — the cursor
+    * [[ivfServingRefresh]] advances. Stamped LAST in both the full
+    * export and the refresh, so a crash mid-refresh leaves the cursor
+    * behind and the re-run simply redoes the (idempotent) partition
+    * replacement. */
+  val IvfSourceVersionTag = "ivf.sourceVersion"
+
   def ivfServingLayout(spark: SparkSession, indexDir: String,
       servingDir: String): Unit = {
-    val postings = readIndex(spark, ivfPostDir(indexDir))
+    val postDir = ivfPostDir(indexDir)
+    val postings = readIndex(spark, postDir)
     val counts = postings.groupBy("cent_id")
       .agg(count(lit(1)).as("n_cell"))
     val cent = readIndex(spark, ivfCentDir(indexDir))
       .join(counts, Seq("cent_id"), "left")
       .na.fill(0L, Seq("n_cell"))
     val tag = graft.catalog.Catalog
-      .lastCommitTag(spark, ivfPostDir(indexDir), IvfMaxListTag)
+      .lastCommitTag(spark, postDir, IvfMaxListTag)
       .map(IvfMaxListTag -> _)
-    graft.catalog.Catalog.overwritePath(spark, cent,
-      s"$servingDir/centroids", commitTag = tag, operation = "OPTIMIZE")
     // partition key is a STRING ("c<id>"): numeric partition values read
     // back through parquet partition-type INFERENCE (int for small ids,
     // overflowing the id space and tripping the strict schema-on-write
@@ -480,6 +491,106 @@ object Similarity {
       postings.withColumn("pcell", concat(lit("c"), col("cent_id"))),
       s"$servingDir/postings", Seq("pcell"), commitTag = tag,
       operation = "OPTIMIZE")
+    // centroids commit LAST, carrying the source-version cursor: its tag
+    // becoming visible is the refresh protocol's "this generation is
+    // fully exported" marker
+    val srcV = {
+      val f = new org.apache.hadoop.fs.Path(postDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.catalog.Catalog.readPointer(f, postDir)
+    }
+    graft.catalog.Catalog.overwritePath(spark, cent,
+      s"$servingDir/centroids",
+      commitTag = Some(IvfSourceVersionTag -> srcV.toString),
+      operation = "OPTIMIZE")
+  }
+
+  /** INCREMENTAL refresh of an [[ivfServingLayout]] artifact — after an
+    * ingest (q228's append), only the cells whose postings actually
+    * changed are re-exported, not the whole index (a full re-export per
+    * ingest batch is O(index); the right cost is O(changed cells), and
+    * at 100 TB a batch touches a sliver of the cell space).
+    *
+    * Mechanics: the serving centroids carry the source-postings VERSION
+    * they reflect ([[IvfSourceVersionTag]]); the refresh diffs source
+    * versions through the change feed (pure appends read only the new
+    * files — O(batch)), collects the touched `cent_id`s (bounded by
+    * #cells), rebuilds exactly those cells' current rows as
+    *
+    *   old serving partition rows (partition-pruned — O(changed cells))
+    *   MINUS the feed's deletes PLUS its inserts,
+    *
+    * and commits them through the partition-scoped replace
+    * ([[graft.catalog.Catalog.replacePartitionValuesPath]] — untouched
+    * partitions hard-link forward). Centroid stats update from the same
+    * rebuilt rows (O(#cells) metadata). The cursor advances LAST, so a
+    * crash mid-refresh just re-runs the idempotent replacement.
+    *
+    * Returns the refreshed cell ids (empty = already current). A serving
+    * dir with no cursor (pre-refresh generations) falls back to one full
+    * [[ivfServingLayout]] export. Maintenance ops that reshape the cell
+    * SET (rebalance/merge) also flow through — their moved postings all
+    * appear in the feed — but their O(hot cells) rewrites usually touch
+    * enough of the index that the full export is the simpler call. */
+  def ivfServingRefresh(spark: SparkSession, indexDir: String,
+      servingDir: String): Seq[Long] = {
+    import graft.catalog.{Catalog, ChangeFeed}
+    val postDir = ivfPostDir(indexDir)
+    val f = new org.apache.hadoop.fs.Path(postDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curV = Catalog.readPointer(f, postDir)
+    val cursor = Catalog
+      .lastCommitTag(spark, s"$servingDir/centroids", IvfSourceVersionTag)
+      .flatMap(_.toIntOption)
+    cursor match {
+      case None => ivfServingLayout(spark, indexDir, servingDir); Nil
+      case Some(v) if v >= curV => Nil // already current
+      case Some(v) =>
+        val cdf = ChangeFeed
+          .tableChanges(spark, postDir, v, curV).cache()
+        try {
+          // bounded collect: ≤ #cells rows (metadata scale, never corpus)
+          val changed = cdf.select("cent_id").distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq
+          if (changed.nonEmpty) {
+            val pcells = changed.map(c => s"c$c")
+            val oldRows = readIndex(spark, s"$servingDir/postings")
+              .filter(col("pcell").isInCollection(pcells)).drop("pcell")
+            val dels = cdf.filter(col(ChangeFeed.ChangeCol) === "delete")
+              .drop(ChangeFeed.ChangeCol)
+            val ins = cdf.filter(col(ChangeFeed.ChangeCol)
+                .isin("insert", "update_postimage"))
+              .drop(ChangeFeed.ChangeCol)
+            val newRows = oldRows.exceptAll(dels.select(oldRows.columns
+              .map(col): _*)).unionByName(ins.select(oldRows.columns
+              .map(col): _*))
+            val tag = Catalog.lastCommitTag(spark, postDir, IvfMaxListTag)
+              .map(IvfMaxListTag -> _)
+            Catalog.replacePartitionValuesPath(spark,
+              newRows.withColumn("pcell", concat(lit("c"), col("cent_id"))),
+              s"$servingDir/postings", "pcell", pcells, commitTag = tag)
+          }
+          // stats patch: changed cells recount from their rebuilt
+          // partitions (partition-pruned), unchanged cells keep their
+          // stored n_cell; the centroid SET comes from the source table
+          // so cell create/retire flows through too
+          val freshCounts = readIndex(spark, s"$servingDir/postings")
+            .filter(col("pcell").isInCollection(changed.map(c => s"c$c")))
+            .groupBy("cent_id").agg(count(lit(1)).as("n_new"))
+          val oldStats = readIndex(spark, s"$servingDir/centroids")
+            .select(col("cent_id"), col("n_cell").as("n_old"))
+          val cent = readIndex(spark, ivfCentDir(indexDir))
+            .join(freshCounts, Seq("cent_id"), "left")
+            .join(oldStats, Seq("cent_id"), "left")
+            .withColumn("n_cell",
+              coalesce(col("n_new"), col("n_old"), lit(0L)))
+            .drop("n_new", "n_old")
+          Catalog.overwritePath(spark, cent, s"$servingDir/centroids",
+            commitTag = Some(IvfSourceVersionTag -> curV.toString),
+            operation = "OPTIMIZE")
+          changed
+        } finally { cdf.unpersist(blocking = false); () }
+    }
   }
 
   /** Budget-probed search against an [[ivfServingLayout]] artifact —
@@ -687,7 +798,10 @@ object Similarity {
       maxList: Int = 100): DataFrame = {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-q229")
       .toString + "/index"
-    ivfBuildIndex(spark, dir, indexDir, maxList)
+    // gen-0 build is fixture SETUP; the rebalance is what's priced
+    graft.BenchPhases.setup("q229_ivf_rebalance") {
+      ivfBuildIndex(spark, dir, indexDir, maxList)
+    }
     // the DuckDB oracle replays exactly ONE rebalance round — fail loudly
     // if the engine needed a second (a fixture/scale drift would otherwise
     // silently diverge the two); the log is O(#split cells), driver-safe
@@ -812,7 +926,10 @@ object Similarity {
       maxList: Int = 250, minList: Int = 100): DataFrame = {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-q232")
       .toString + "/index"
-    ivfBuildIndex(spark, dir, indexDir, maxList)
+    // gen-0 build is fixture SETUP; the merge pass is what's priced
+    graft.BenchPhases.setup("q232_ivf_merge") {
+      ivfBuildIndex(spark, dir, indexDir, maxList)
+    }
     ivfMergeCells(spark, indexDir, maxList, minList).count()
     readIndex(spark, ivfPostDir(indexDir))
       .groupBy("cent_id").agg(count(lit(1)).as("n_postings"))
@@ -883,13 +1000,17 @@ object Similarity {
       maxList: Int = 250, k: Int = 3, probeBudget: Long = 200L): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q234").toString
     val src = s"$root/embeddings.parquet"
-    graft.catalog.Catalog.overwritePath(spark,
-      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"),
-      src)
     val indexDir = s"$root/index"
-    ivfBuildIndex(spark, root, indexDir, maxList)
-    graft.layout.DeletionVectors.deleteWhere(spark, src,
-      col("vec_id") % 13 === 5)
+    // copy + build + DML delete are fixture SETUP; the delete-aware
+    // serving search is what's priced
+    graft.BenchPhases.setup("q234_ann_delete_aware") {
+      graft.catalog.Catalog.overwritePath(spark,
+        Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"),
+        src)
+      ivfBuildIndex(spark, root, indexDir, maxList)
+      graft.layout.DeletionVectors.deleteWhere(spark, src,
+        col("vec_id") % 13 === 5)
+    }
     ivfSearchIndexLive(spark, src, indexDir, k, probeBudget)
   }
 

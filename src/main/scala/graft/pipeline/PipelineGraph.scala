@@ -101,8 +101,9 @@ class PipelineGraph(spark: SparkSession, cat: Catalog,
     * exactly-once hook: a caller that re-runs a crashed graph with the
     * SAME externals and SAME batchId has its agg deltas dropped by the
     * in-state replay guard instead of double-counted. Without it the id
-    * auto-advances (at-least-once: re-presenting a batch re-applies it). */
-  /** `epoch`, when set, names a [[PipelineEpoch]] stream: after EVERY
+    * auto-advances (at-least-once: re-presenting a batch re-applies it).
+    *
+    * `epoch`, when set, names a [[PipelineEpoch]] stream: after EVERY
     * node commit succeeds, the run publishes one epoch marker recording
     * each persisted table's committed version — readers that resolve
     * through [[PipelineEpoch.read]] see this run's tables all-or-nothing

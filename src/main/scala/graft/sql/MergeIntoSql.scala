@@ -837,6 +837,30 @@ case class GraftDropConstraintCommand(nameParts: Seq[String],
   * from the directory tree — metadata-only, no data read. Bucketed
   * layouts report their live bucket directories the same way;
   * unpartitioned tables are rejected with Spark's own wording. */
+/** `SHOW TBLPROPERTIES <table> [('key')]` over a graft table — Delta
+  * surfaces its table properties here; this engine's equivalent
+  * material is the COMMIT TAGS carried on the live snapshot: operator
+  * bounds (`ivf.maxList` — the index skew bound, VERDICT r11 #8),
+  * materialized-view refresh watermarks, streaming exactly-once batch
+  * markers, and the `operation` stamp. With `('key')` the single value
+  * is returned (Spark's native one-key shape); an absent key yields an
+  * empty result rather than an error, matching a property-less table.
+  * Metadata-only: one bounded `listStatus` of the live dir. */
+case class GraftShowTblPropertiesCommand(nameParts: Seq[String],
+    key: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, nameParts, "SHOW TBLPROPERTIES")
+    val tags = graft.catalog.Catalog.listCommitTags(spark, dir)
+    key.fold(tags)(k => tags.filter(_._1 == k))
+      .map { case (k, v) => Row(k, v) }
+  }
+}
+
 case class GraftShowPartitionsCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
@@ -973,6 +997,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.ShowPartitionsRe(ident)
           if GraftSql.resolvesToGraftTable(session, ident) =>
         GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(ident))
+      case GraftSql.ShowTblPropertiesRe(ident, key)
+          if GraftSql.resolvesToGraftTable(session, ident) =>
+        GraftShowTblPropertiesCommand(
+          delegate.parseMultipartIdentifier(ident), Option(key))
       case GraftSql.RestoreRe(ident, v) =>
         GraftRestoreCommand(delegate.parseMultipartIdentifier(ident),
           Some(v.toInt))
@@ -1169,6 +1197,8 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private[sql] val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val ShowTblPropertiesRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)(?:\s*\(\s*'([^']*)'\s*\))?\s*;?\s*$""".r
   private[sql] val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private[sql] val RestoreTsRe =
@@ -1389,6 +1419,10 @@ object GraftSql {
       case ShowPartitionsRe(ident) if resolvesToGraftTable(spark, ident) =>
         GraftShims.ofRows(spark,
           GraftShowPartitionsCommand(splitIdent(ident)))
+      case ShowTblPropertiesRe(ident, key)
+          if resolvesToGraftTable(spark, ident) =>
+        GraftShims.ofRows(spark,
+          GraftShowTblPropertiesCommand(splitIdent(ident), Option(key)))
       case RestoreRe(ident, v) =>
         GraftShims.ofRows(spark,
           GraftRestoreCommand(splitIdent(ident), Some(v.toInt)))

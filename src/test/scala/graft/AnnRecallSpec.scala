@@ -390,6 +390,64 @@ class AnnRecallSpec extends SparkSuite {
       s"INSET path read every cell ($readPartitions of $allCells)")
   }
 
+  test("IVF serving refresh: after an ingest append, only the touched " +
+      "cells re-export, untouched partitions hard-link forward, and the " +
+      "refreshed artifact equals a full re-export") {
+    import graft.operators.Similarity
+    val root = tmpDir("graft-serving-refresh")
+    val indexDir = s"$root/index"
+    val servingDir = s"$root/serving"
+    val servingFull = s"$root/serving_full"
+    Similarity.ivfBuildIndex(spark, sf0001, indexDir, maxList = 200)
+    Similarity.ivfServingLayout(spark, indexDir, servingDir)
+    // no source change → refresh is a no-op
+    assert(Similarity.ivfServingRefresh(spark, indexDir, servingDir).isEmpty)
+    // ingest: append a small batch into ONE existing cell (the q228
+    // shape — frozen quantizer, batch assigned to existing cells)
+    val posts = graft.layout.DeletionVectors
+      .readPath(spark, s"$indexDir/postings")
+    val someCell = posts.select("cent_id").orderBy("cent_id")
+      .head.getLong(0)
+    val batch = posts.filter(col("cent_id") === someCell).limit(3)
+      .withColumn("cand_id", col("cand_id") + 1000000L)
+    graft.catalog.Catalog.appendPath(spark, batch, s"$indexDir/postings")
+    // snapshot an UNTOUCHED partition's file names before the refresh
+    val otherCell = posts.select("cent_id").orderBy(col("cent_id").desc)
+      .head.getLong(0)
+    assert(otherCell != someCell)
+    def partFiles(cell: Long): Seq[String] = {
+      val d = new java.io.File(s"$servingDir/postings/pcell=c$cell")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val untouchedBefore = partFiles(otherCell)
+    val refreshed = Similarity.ivfServingRefresh(spark, indexDir, servingDir)
+    // only the ingested cell re-exported
+    assert(refreshed == Seq(someCell), s"refreshed $refreshed")
+    // untouched partition's files carried forward by name (hard-linked,
+    // not rewritten) — the O(changed cells) evidence
+    assert(partFiles(otherCell) == untouchedBefore)
+    // refreshed artifact == full re-export, both tables
+    Similarity.ivfServingLayout(spark, indexDir, servingFull)
+    def rowsOfDir(sub: String, dir: String) = graft.layout.DeletionVectors
+      .readPath(spark, s"$dir/$sub")
+    val pA = rowsOfDir("postings", servingDir)
+    val pB = rowsOfDir("postings", servingFull)
+    assert(pA.exceptAll(pB).isEmpty && pB.exceptAll(pA).isEmpty,
+      "refreshed postings diverged from a full re-export")
+    val cA = rowsOfDir("centroids", servingDir)
+    val cB = rowsOfDir("centroids", servingFull)
+    assert(cA.exceptAll(cB).isEmpty && cB.exceptAll(cA).isEmpty,
+      "refreshed centroid stats diverged from a full re-export")
+    // serving search answers identically through either artifact
+    val viaRefreshed = Similarity.ivfSearchServing(spark, sf0001,
+      servingDir, k = 3, probeBudget = 10L).collect().map(_.toSeq).toSeq
+    val viaFull = Similarity.ivfSearchServing(spark, sf0001,
+      servingFull, k = 3, probeBudget = 10L).collect().map(_.toSeq).toSeq
+    assert(viaRefreshed == viaFull)
+    // a second refresh is a no-op (cursor advanced with the commit)
+    assert(Similarity.ivfServingRefresh(spark, indexDir, servingDir).isEmpty)
+  }
+
   test("k-center coreset (q237): greedy covers every orthogonal direction " +
       "before repeating one, coverage is non-decreasing") {
     import spark.implicits._

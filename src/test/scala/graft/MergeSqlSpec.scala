@@ -569,4 +569,36 @@ class MergeSqlSpec extends SparkSuite {
       .collect())
     assert(ex.getMessage.contains("not partitioned"))
   }
+
+  test("SHOW TBLPROPERTIES surfaces commit tags (operation, operator " +
+      "bounds), with the one-key form and tag carry-forward") {
+    val s = sqlSpark
+    import s.implicits._
+    val cat = new graft.catalog.Catalog(s, tmpDir("graft-sql-tblprops"))
+    graft.catalog.Catalog.overwritePath(s,
+      Seq((1L, "a")).toDF("id", "v"), cat.path("gold", "props"),
+      commitTag = Some("ivf.maxList" -> "250"))
+    cat.register("gold", "props")
+    val all = s.sql("SHOW TBLPROPERTIES gold.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all.get("ivf.maxList").contains("250"), s"got $all")
+    assert(all.get("operation").contains("WRITE"))
+    // one-key form (Spark's native shape)
+    val one = s.sql("SHOW TBLPROPERTIES gold.props ('ivf.maxList')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(one == Seq(("ivf.maxList", "250")))
+    assert(s.sql("SHOW TBLPROPERTIES gold.props ('nope')").collect().isEmpty)
+    // tags carry forward across a later untagged commit
+    graft.catalog.Catalog.appendPath(s,
+      Seq((2L, "b")).toDF("id", "v"), cat.path("gold", "props"))
+    val after = s.sql("SHOW TBLPROPERTIES gold.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.get("ivf.maxList").contains("250"))
+    assert(after.get("operation").contains("APPEND"))
+    // no-extension entry point agrees
+    val viaEntry = graft.sql.GraftSql
+      .sql(s, "SHOW TBLPROPERTIES gold.props ('ivf.maxList')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaEntry == one)
+  }
 }
