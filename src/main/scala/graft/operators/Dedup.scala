@@ -369,6 +369,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q246: LEAKAGE-FREE train/val/test split — q90's hash membership
+    * decided at the near-dup CLUSTER, not the document: every member of
+    * a dup cluster inherits the split of its CLUSTER id, so a training
+    * document's near-duplicate can never land in the eval set (the
+    * leakage bug document-level splitting leaves open, and the reason
+    * dedup clusters sit upstream of split assignment in every serious
+    * corpus pipeline — the q175 scaladoc's "leakage-free splitting at
+    * the community granularity", delivered). Same md5 rule as q90
+    * (pure function of cluster id + seed): reproducible across
+    * engines, cluster sizes, and re-runs, with no assignment table.
+    *
+    * Scale shape: clusters are q57's audited connected components
+    * (banded candidate pairs, O(diameter) checkpointed rounds); the
+    * split itself is one map-side expression on the cluster id — the
+    * only cost this adds over q57 is the expression. */
+  def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val h = substring(
+      md5(concat(col("cluster_id").cast("string"), lit("#split42"))), 1, 4)
+    dedupClustersOf(docs).select("doc_id", "cluster_id")
+      .withColumn("split",
+        when(h < lit("e666"), lit("train"))
+          .when(h < lit("f333"), lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-representative selection — the dedup ACTION on [[dedupClusters]]'
     * output: within each near-dup cluster keep the HIGHEST-QUALITY member
     * (q29's composite score, doc_id tiebreak), not the arbitrary
@@ -1299,6 +1326,8 @@ object Dedup {
     "q36_simhash_pairs"  -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q37_ngram_jaccard"  -> (ngramJaccard _),
     "q57_dedup_clusters" -> (dedupClusters _),
+    "q246_leakage_free_split" ->
+      ((s: SparkSession, d: String) => leakageFreeSplit(s, d)),
     "q102_dedup_select" -> (dedupSelect _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
@@ -1725,6 +1754,37 @@ object Dedup {
           SELECT d_id AS doc_id, MIN(r) AS cluster_id,
             CAST(d_id = MIN(r) AS INTEGER) AS is_kept
           FROM reach GROUP BY d_id ORDER BY doc_id""",
+    // q246: q57's recursive components + q90's hash membership decided
+    // on the CLUSTER id — members inherit their cluster's split
+    "q246_leakage_free_split" ->
+      s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s),
+          cl AS (
+            SELECT d_id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY d_id)
+          SELECT doc_id, cluster_id,
+            CASE
+              WHEN substring(md5(CAST(cluster_id AS VARCHAR) || '#split42'),
+                1, 4) < 'e666' THEN 'train'
+              WHEN substring(md5(CAST(cluster_id AS VARCHAR) || '#split42'),
+                1, 4) < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+          FROM cl ORDER BY doc_id""",
     // q57's recursive components + q29's quality expression + an argmax
     // window — the same decision rule, independently decorrelated
     "q102_dedup_select" ->

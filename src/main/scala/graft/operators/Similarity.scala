@@ -1014,6 +1014,68 @@ object Similarity {
     ivfSearchIndexLive(spark, src, indexDir, k, probeBudget)
   }
 
+  /** q242: the INCREMENTAL SERVING REFRESH as an oracle-checked query —
+    * the full operational loop: build an index over the BASE generation
+    * (`vec_id % 4 != 3`), export the serving layout, then INGEST the
+    * held-out quarter (assigned against the frozen quantizer — the q228
+    * rule), append its postings, and run [[ivfServingRefresh]]. Output
+    * is the refreshed serving artifact's per-cell posting counts next
+    * to its centroid `n_cell` stats; the DuckDB oracle replays the
+    * assignment of EVERY vector (base + batch) against the base-drawn
+    * centroids and counts per cell — agreement proves the incremental
+    * path (change-feed diff → partition replace → stats patch) lands
+    * exactly where a from-scratch export would, including the stats
+    * column the probe ranking trusts.
+    *
+    * Scale shape: setup is the build (phase-stamped); the refresh
+    * itself reads the change feed's new files (O(batch)) and the
+    * changed cells' serving partitions (partition-pruned), never the
+    * index. */
+  def ivfRefreshQuery(spark: SparkSession, dir: String,
+      maxList: Int = 250): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q242").toString
+    val src = s"$root/embeddings.parquet"
+    val indexDir = s"$root/index"
+    val servingDir = s"$root/serving"
+    graft.BenchPhases.setup("q242_ivf_refresh") {
+      graft.catalog.Catalog.overwritePath(spark,
+        Tables.load(spark, dir, "embeddings")
+          .filter(col("vec_id") % 4 =!= 3)
+          .select("vec_id", "embedding"), src)
+      ivfBuildIndex(spark, root, indexDir, maxList)
+      ivfServingLayout(spark, indexDir, servingDir)
+    }
+    // the ingest batch: held-out vectors assigned to the FROZEN
+    // quantizer (ivfBuildIndex's exact arithmetic), appended as a new
+    // postings version for the refresh to pick up
+    val cent = readIndex(spark, ivfCentDir(indexDir))
+    val batch = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val newPosts = batch.crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn")), 6))
+      .withColumn("rn_c", row_number().over(wAssign))
+      .filter(col("rn_c") === 1)
+      .select(col("cent_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("lv"), col("nrm").as("ln"))
+    graft.catalog.Catalog.appendPath(spark, newPosts, ivfPostDir(indexDir))
+    val refreshed = ivfServingRefresh(spark, indexDir, servingDir)
+    require(refreshed.nonEmpty, "q242 ingest touched no cell — fixture drift")
+    val counts = readIndex(spark, s"$servingDir/postings")
+      .groupBy("cent_id").agg(count(lit(1)).as("n_postings"))
+    readIndex(spark, s"$servingDir/centroids")
+      .select(col("cent_id"), col("n_cell"))
+      .join(counts, Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_postings"))
+      .select(col("cent_id"), col("n_postings"),
+        col("n_cell").as("n_stat"))
+      .orderBy("cent_id")
+  }
+
   /** ANN recall audit as a first-class query (the serving-time health
     * check an index rollout gates on): per probe query, how many of the
     * exact top-k does IVF-with-nprobe recover — exact BIGINT ppm per
@@ -2051,7 +2113,9 @@ object Similarity {
     "q235_semantic_decontam" ->
       ((s: SparkSession, d: String) => semanticDecontam(s, d)),
     "q237_kcenter_coreset" ->
-      ((s: SparkSession, d: String) => kcenterCoreset(s, d)))
+      ((s: SparkSession, d: String) => kcenterCoreset(s, d)),
+    "q242_ivf_refresh" ->
+      ((s: SparkSession, d: String) => ivfRefreshQuery(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -2066,6 +2130,32 @@ object Similarity {
       s"CASE WHEN $v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q242: the refresh replayed from first principles — centroids drawn
+    // from the BASE generation, EVERY vector (base + ingested batch)
+    // assigned by the same rounded-cosine argmax, per-cell counts; the
+    // engine's n_postings comes from the incrementally refreshed serving
+    // partitions and n_stat from its patched centroid stats, so equality
+    // checks both legs of the refresh
+    "q242_ivf_refresh" ->
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              ${normSql("embedding")} AS nrm
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+                 FROM e WHERE vec_id % 4 <> 3 AND vec_id % 101 = 7),
+          sc AS (
+            SELECT e.vec_id, c0.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.v", "c0.cv")} / (e.nrm * c0.cn), 6)
+                  DESC, c0.cent_id ASC) AS rn
+            FROM e CROSS JOIN c0),
+          asg AS (SELECT vec_id, cent_id FROM sc WHERE rn = 1)
+          SELECT c0.cent_id,
+            CAST(count(a.vec_id) AS BIGINT) AS n_postings,
+            CAST(count(a.vec_id) AS BIGINT) AS n_stat
+          FROM c0 LEFT JOIN asg a USING (cent_id)
+          GROUP BY c0.cent_id ORDER BY c0.cent_id""",
     // q223: same scaled-integer component sums, same exact-BIGINT dot
     // and norms, one final IEEE divide on exact inputs
     "q223_centroid_affinity" ->

@@ -221,6 +221,57 @@ object TextQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** q244: GLOBAL token-budget packing — q59's batch assembly WITHOUT
+    * its per-language partition crutch. q59's window partitions by
+    * `lang`, so each partition's prefix sum is an ordinary shuffle; a
+    * single global training stream has no such key, and the naive
+    * `Window.orderBy(doc_id)` with no partition collapses the corpus
+    * onto ONE task — the anti-pattern this operator exists to replace
+    * (its own scaladoc promised the rebased-offset form; this is it).
+    *
+    * Two-phase distributed prefix sum (the q240 order-statistics shape,
+    * over ORDERED range buckets instead of hash buckets):
+    *
+    *   1. 256 doc_id-range buckets; one map-side-combined token sum per
+    *      bucket — driver state is 256 rows, never corpus;
+    *   2. the driver prefix-sums bucket totals into per-bucket OFFSETS
+    *      (broadcast back — the rebase);
+    *   3. each row's exclusive global prefix = bucket offset + within-
+    *      bucket window sum; batch = prefix DIV budget, offset-in-batch
+    *      = prefix MOD budget. Exact BIGINT arithmetic end to end.
+    *
+    * The DuckDB oracle replays the plain global window — agreement
+    * proves the decomposition is exactly the global prefix sum. */
+  def globalPack(spark: SparkSession, dir: String,
+      budget: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text"))
+          .as("n_tokens"))
+    val bounds = base.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / 256L + 1L)
+    val bb = base.withColumn("bucket",
+      expr(s"CAST((doc_id - $lo) DIV $width AS BIGINT)"))
+    // bounded collect: ≤ 256 (bucket, token-total) rows — metadata scale
+    val sums = bb.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var off = 0L
+    val offsets = sums.map { case (b, t) => val o = off; off += t; (b, o) }
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "boff"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bb.join(offDf, Seq("bucket"))
+      .withColumn("cum_before",
+        col("boff") + coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .withColumn("batch_id", expr(s"cum_before DIV ${budget}L"))
+      .withColumn("offset_in_batch", expr(s"cum_before % ${budget}L"))
+      .select("doc_id", "n_tokens", "batch_id", "offset_in_batch")
+      .orderBy("doc_id")
+  }
+
   /** Hash-based stratified sampling: a row is kept iff the first 4 hex
     * digits of md5(id || '#' || seed) fall below floor(rate·65536) for its
     * stratum. Unlike engine-RNG `sampleBy`, membership is a pure function
@@ -1139,6 +1190,8 @@ object TextQueries {
     "q72_repetition"        -> (repetitionSignals _),
     "q58_stratified_sample" -> (stratifiedSample _),
     "q59_token_packing"     -> (tokenPacking _),
+    "q244_global_pack"      -> ((s: SparkSession, d: String) =>
+      globalPack(s, d)),
     "q76_pii_redact"        -> (piiRedact _),
     "q78_script_mix"        -> (scriptMix _),
     "q79_chunking"          -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
@@ -1671,6 +1724,22 @@ object TextQueries {
             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             - len($wordsSql) AS DOUBLE) / 2048.0) AS BIGINT) AS batch_id
           FROM documents ORDER BY lang, doc_id""",
+    // q244: the two-phase bucket decomposition replayed as the plain
+    // global exclusive prefix sum it must equal
+    "q244_global_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before
+            FROM t)
+          SELECT doc_id, n_tokens,
+            cum_before // 2048 AS batch_id,
+            cum_before % 2048 AS offset_in_batch
+          FROM c ORDER BY doc_id""",
     "q27_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars_m,
           len($wordsSql) AS n_words,

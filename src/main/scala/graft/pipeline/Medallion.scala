@@ -201,7 +201,12 @@ class Medallion(spark: SparkSession, cat: Catalog,
           r("gold.product_dim")))
   }
 
-  /** [[run]] through the declarative graph. */
+  /** [[run]] through the declarative graph. Publishes a
+    * [[PipelineEpoch]] (`"medallion"`) after all node commits, so a
+    * consumer resolving the gold star schema through
+    * `PipelineEpoch.read` joins dims and facts of ONE generation even
+    * while a new run is mid-commit — the cross-table atomicity the
+    * per-table version log alone cannot give. */
   def runDeclarative(bronzeCustomers: DataFrame, bronzeOrders: DataFrame,
       bronzeProducts: DataFrame, bronzeRegions: DataFrame,
       now: Column = current_timestamp()): PipelineGraph.RunResult =
@@ -209,5 +214,6 @@ class Medallion(spark: SparkSession, cat: Catalog,
       "bronze_customers" -> bronzeCustomers,
       "bronze_orders" -> bronzeOrders,
       "bronze_products" -> bronzeProducts,
-      "bronze_regions" -> bronzeRegions))
+      "bronze_regions" -> bronzeRegions),
+      epoch = Some("medallion"))
 }

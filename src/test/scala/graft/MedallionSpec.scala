@@ -213,6 +213,13 @@ class MedallionSpec extends SparkSuite {
     assert(pos("silver.customers") < pos("gold.customer_dim"))
     assert(pos("gold.customer_dim") < pos("gold.order_fact"))
     assert(pos("gold.product_dim") < pos("gold.order_fact"))
+    // each declarative run published a pipeline epoch (runs above: 2 in
+    // runTwice + this one), and epoch reads serve the same gold tables
+    assert(res.epoch.contains(3))
+    val viaEpoch = graft.pipeline.PipelineEpoch
+      .read(spark, dec, "medallion", "gold.order_fact")
+    assert(rowsOf(viaEpoch, "order_id") ==
+      rowsOf(dec.read("gold", "order_fact"), "order_id"))
   }
 
   test("pipeline graph rejects cycles, unknown inputs, and undeclared reads") {
