@@ -556,6 +556,37 @@ class TextOpsSpec extends SparkSuite {
       s"ranking window must partition by bucket:\n$plan")
   }
 
+  test("q244 global pack: batches fill to the budget in doc order, and " +
+      "the plan never range-partitions or single-tasks the corpus") {
+    val out = TextQueries.globalPack(spark, sf0001).cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    // equality with the single-pass sequential fold (the semantics the
+    // decomposition must reproduce)
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, n, batch, offset) =>
+      assert(batch == cum / 2048 && offset == cum % 2048,
+        s"doc $id: got (batch=$batch, off=$offset), want cum=$cum")
+      cum += n
+    }
+    // batch ids are dense from 0
+    val batches = rows.map(_._3).distinct.sorted
+    assert(batches.head == 0L && batches.toSeq ==
+      (0L to batches.max).toSeq)
+    // scale shape: the exclusive-prefix window keys on bucket (the
+    // rebased-offset decomposition), never on an empty partition spec,
+    // and the corpus is never range-partitioned for a global sort of
+    // the packing key (the final presentation orderBy on doc_id is the
+    // ~n output rows, allowed)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("windowspecdefinition(bucket#"),
+      s"prefix-sum window must partition by bucket:\n$plan")
+    assert(!plan.contains("windowspecdefinition(doc_id#") ||
+      plan.contains("windowspecdefinition(bucket#"),
+      s"global-window collapse:\n$plan")
+    out.unpersist()
+  }
+
   test("q241 MAD gate: planted extreme outlier flagged, uniform " +
       "language clean — and the median stays put under the outlier") {
     import graft.operators.OlapQueries
