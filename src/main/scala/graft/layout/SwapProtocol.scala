@@ -15,6 +15,43 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object SwapProtocol {
 
+  /** Atomic PUT-IF-ABSENT publish of a fully-staged small file — the
+    * primitive claims and manifests need. A plain `rename(staged,
+    * target)` is NOT it on the local FS: `ChecksumFileSystem.rename`
+    * implements fail-on-existing-file as an `exists` CHECK followed by
+    * the POSIX `rename(2)` (which silently REPLACES an existing
+    * destination), so two racers can interleave between check and act
+    * and both report success — found by PipelineEpochSpec's 4-way
+    * commit race, the same hazard class as the r11 swap-claim TOCTOU.
+    * On `file://` this uses `link(2)` instead: hard-linking is
+    * kernel-atomic (`EEXIST` if the target appears first) AND the
+    * target materializes with its full staged content — no partial
+    * visibility window. Non-local stores fall back to rename, whose
+    * HDFS/object-store contracts genuinely fail on an existing
+    * destination. Returns true iff THIS caller's staged file became
+    * the target; the staged file is consumed either way. */
+  private[graft] def publishIfAbsent(f: FileSystem, staged: Path,
+      target: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    def renameFallback(): Boolean =
+      if (f.rename(staged, target)) true
+      else { f.delete(staged, false); false }
+    if (scheme == "file") {
+      val s = java.nio.file.Paths.get(staged.toUri.getPath)
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(t, s)
+        f.delete(staged, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(staged, false); false
+        case _: UnsupportedOperationException => renameFallback()
+        case _: java.io.IOException => renameFallback()
+      }
+    } else renameFallback()
+  }
+
   private[graft] def historyDir(dir: String) = new Path(dir + ".history")
   private[graft] def versionDir(dir: String, v: Int) =
     new Path(historyDir(dir), f"v$v%05d")

@@ -369,8 +369,11 @@ object PartitionedMerge {
     val uniq = new Path(hist,
       s".claim-${java.util.UUID.randomUUID().toString.take(8)}")
     fs.create(uniq, true).close()
-    if (!fs.rename(uniq, claim)) { // rename onto an existing FILE fails
-      fs.delete(uniq, false)
+    // link-based put-if-absent (SwapProtocol.publishIfAbsent): the old
+    // rename-to-claim relied on ChecksumFileSystem's exists-check +
+    // POSIX rename, which two racers can interleave (both "win") —
+    // link(2) is kernel-atomic
+    if (!graft.layout.SwapProtocol.publishIfAbsent(fs, uniq, claim)) {
       fs.delete(new Path(tmp), true)
       throw new Catalog.ConcurrentCommitException(path)
     }

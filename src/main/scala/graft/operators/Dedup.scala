@@ -396,6 +396,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q247: TAKEDOWN CLOSURE — removal requests propagated through the
+    * near-dup graph: when a document must be removed (opt-out, DMCA,
+    * PII erasure), every near-duplicate has to go WITH it, or the
+    * removed content survives modulo whitespace — the legal-compliance
+    * twin of q246's leakage rule (there: splits must not straddle a
+    * cluster; here: removals must cover it). The request list is the
+    * deterministic `doc_id % 29 = 11` slice standing in for the
+    * takedown feed; verdicts are row-level audit material:
+    * `removed_direct` (named by a request), `removed_duplicate` (same
+    * cluster as a named doc), `retained`.
+    *
+    * Scale shape: clusters are q57's audited components; the closure is
+    * ONE max-over-cluster window on the cluster key (cardinality ~
+    * docs, no skew funnel) — the closure costs an expression, not a
+    * traversal, because the clustering already did the traversal. */
+  def takedownClosure(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val named = (col("doc_id") % 29 === 11).cast("int")
+    val wC = Window.partitionBy(col("cluster_id"))
+    dedupClustersOf(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("cluster_id"), named.as("is_named"))
+      .withColumn("cluster_named", max(col("is_named")).over(wC))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("is_named") === 1, lit("removed_direct"))
+          .when(col("cluster_named") === 1, lit("removed_duplicate"))
+          .otherwise(lit("retained")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-representative selection — the dedup ACTION on [[dedupClusters]]'
     * output: within each near-dup cluster keep the HIGHEST-QUALITY member
     * (q29's composite score, doc_id tiebreak), not the arbitrary
@@ -1328,6 +1357,8 @@ object Dedup {
     "q57_dedup_clusters" -> (dedupClusters _),
     "q246_leakage_free_split" ->
       ((s: SparkSession, d: String) => leakageFreeSplit(s, d)),
+    "q247_takedown_closure" ->
+      ((s: SparkSession, d: String) => takedownClosure(s, d)),
     "q102_dedup_select" -> (dedupSelect _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
@@ -1785,6 +1816,38 @@ object Dedup {
                 1, 4) < 'f333' THEN 'val'
               ELSE 'test' END AS split
           FROM cl ORDER BY doc_id""",
+    // q247: q57's recursive components + the named slice + the
+    // cluster-level OR — removal closure replayed as a GROUP BY MAX
+    "q247_takedown_closure" ->
+      s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s),
+          cl AS (
+            SELECT d_id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY d_id),
+          cn AS (
+            SELECT cluster_id,
+              MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS named
+            FROM cl GROUP BY cluster_id)
+          SELECT cl.doc_id, cl.cluster_id,
+            CASE WHEN cl.doc_id % 29 = 11 THEN 'removed_direct'
+                 WHEN cn.named = 1 THEN 'removed_duplicate'
+                 ELSE 'retained' END AS verdict
+          FROM cl JOIN cn USING (cluster_id) ORDER BY cl.doc_id""",
     // q57's recursive components + q29's quality expression + an argmax
     // window — the same decision rule, independently decorrelated
     "q102_dedup_select" ->

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.catalog.Catalog
+import graft.layout.SwapProtocol
 
 /** Cross-table PIPELINE EPOCHS — the consistency layer the per-table
   * version log cannot give on its own. Every [[PipelineGraph]] node
@@ -17,40 +18,37 @@ import graft.catalog.Catalog
   *
   *   - after ALL node commits succeed, [[commit]] stages a MANIFEST
   *     (every persisted node's table → its committed version, read from
-  *     the per-table version pointers), renames it to
-  *     `epoch_v{N}` (put-if-absent — racing runs serialize exactly like
-  *     table swaps), then advances the `_current` epoch pointer;
-  *   - [[read]] resolves a table THROUGH the current epoch: pointer →
-  *     manifest → `VERSION AS OF` that recorded version
-  *     ([[Catalog.versionRead]] — flat snapshots read the resolved dir,
-  *     bucketed tables reconstruct from the retire log). Every table a
-  *     reader touches through the same epoch is the same generation —
-  *     all-old or all-new, never mixed.
+  *     the per-table version pointers) and publishes it as
+  *     `epoch_v{N}` through [[SwapProtocol.publishIfAbsent]] — an
+  *     ATOMIC put-if-absent (hard link on the local FS; a plain rename's
+  *     exists-check races), so concurrent runs take distinct
+  *     consecutive numbers and a manifest is only ever visible COMPLETE.
+  *     The manifest itself IS the publication; the `_current` file is a
+  *     best-effort hint, never the authority;
+  *   - [[read]] resolves a table THROUGH the newest epoch: manifest →
+  *     `VERSION AS OF` its recorded version ([[Catalog.versionRead]] —
+  *     flat snapshots read the resolved dir, bucketed tables
+  *     reconstruct from the retire log). Every table a reader touches
+  *     through the same epoch is the same generation — all-old or
+  *     all-new, never mixed.
   *
-  * Crash windows, all safe:
-  *   - crash mid-run (some nodes committed, epoch not): the pointer
-  *     still names the previous epoch — epoch readers keep seeing the
-  *     complete OLD generation while direct table reads see the usual
-  *     per-table freshness; the re-run recommits and publishes;
-  *   - crash between the manifest rename and the pointer write: the
-  *     staged manifest is complete (it was fully written before its
-  *     rename), so the next committer publishes it before claiming the
-  *     following number — nothing is lost, nothing partial is ever
-  *     addressable.
+  * Crash safety falls out of the design: a run that dies mid-commit has
+  * published nothing (its manifest was never linked), so epoch readers
+  * keep the previous complete generation; a run that dies AFTER the
+  * link has published everything (the manifest was staged complete
+  * before linking). There is no partial state to heal.
   *
-  * Retention: an epoch's versions stay readable as long as the
-  * per-table version log retains them (the catalog's `keepVersions`,
-  * same contract as `VERSION AS OF`). Size an epoch-reading consumer's
-  * lag accordingly.
+  * Retention: [[commit]] prunes manifests older than `keepEpochs`
+  * (default 20) — this bounds the directory listing [[currentEpoch]]
+  * pays and mirrors the per-table `keepVersions` contract: an epoch's
+  * versions are only readable while the tables retain them anyway.
   *
   * Scale shape: the manifest is O(#nodes) driver-side metadata (a few
-  * dozen lines); commit adds one file create + two renames per RUN —
+  * dozen lines); commit adds one staged file + one link per RUN —
   * nothing per row, nothing per partition. */
 object PipelineEpoch {
   private def epochsDir(cat: Catalog, pipeline: String): String =
     cat.path("_pipeline_epochs", pipeline)
-
-  private def pointerFile(dir: String) = new Path(dir, "_current")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,53 +64,31 @@ object PipelineEpoch {
     } finally in.close()
   }
 
-  /** The published epoch number (0 = none committed yet). */
-  def currentEpoch(spark: SparkSession, cat: Catalog,
-      pipeline: String): Int = {
-    val dir = epochsDir(cat, pipeline)
-    val f = fsOf(spark, dir)
-    val p = pointerFile(dir)
-    // delete-then-rename pointer commit has a transient missing window —
-    // same retry discipline as SwapProtocol.readPointer
-    var i = 0
-    while (i < 100) {
-      try {
-        if (f.exists(p)) return readSmall(f, p).toInt
-        else if (!f.exists(new Path(dir))) return 0
-        else if (i > 10) { // pointer genuinely absent: derive from manifests
-          val staged = listManifests(f, dir)
-          return if (staged.isEmpty) 0 else staged.max
-        }
-      } catch { case _: java.io.FileNotFoundException => () }
-      i += 1; Thread.sleep(2)
-    }
-    0
-  }
-
   private def listManifests(f: FileSystem, dir: String): Seq[Int] =
     if (!f.exists(new Path(dir))) Nil
     else f.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("epoch_v"))
       .flatMap(n => n.stripPrefix("epoch_v").toIntOption)
 
-  private def writePointer(f: FileSystem, dir: String, v: Int): Unit = {
-    val tmp = new Path(dir,
-      "_current.tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val p = pointerFile(dir)
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"could not commit epoch pointer $p")
+  /** The newest published epoch (0 = none yet). Authority is the
+    * manifest files themselves — visible iff complete, unique by the
+    * atomic publish — so this is ONE bounded `listStatus` (the
+    * retention cap bounds the directory), not a pointer read that could
+    * lag a racing commit. */
+  def currentEpoch(spark: SparkSession, cat: Catalog,
+      pipeline: String): Int = {
+    val dir = epochsDir(cat, pipeline)
+    val ms = listManifests(fsOf(spark, dir), dir)
+    if (ms.isEmpty) 0 else ms.max
   }
 
   /** Record every table's CURRENT version under the next epoch number
-    * and publish it. Returns the committed epoch. Concurrency-safe: the
-    * manifest rename is put-if-absent, so racing runs take consecutive
-    * numbers; a predecessor's published-but-unpointed manifest is
-    * published first (see crash windows above). */
+    * and publish it atomically. Returns the committed epoch. Racing
+    * runs serialize: the put-if-absent link admits exactly one claimant
+    * per number; losers renumber and retry. */
   def commit(spark: SparkSession, cat: Catalog, pipeline: String,
-      tables: Seq[String]): Int = {
+      tables: Seq[String], keepEpochs: Int = 20): Int = {
+    require(keepEpochs >= 1, "keepEpochs must be >= 1")
     val dir = epochsDir(cat, pipeline)
     val f = fsOf(spark, dir)
     f.mkdirs(new Path(dir))
@@ -123,23 +99,30 @@ object PipelineEpoch {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
-      val cur = currentEpoch(spark, cat, pipeline)
-      val next = cur + 1
-      val target = new Path(dir, s"epoch_v$next")
-      if (f.exists(target)) {
-        // a committer crashed between its manifest rename and pointer
-        // write: the manifest is complete — publish, then retry ours
-        writePointer(f, dir, next)
-      } else {
-        val tmp = new Path(dir,
-          ".epoch-" + java.util.UUID.randomUUID().toString.take(8))
-        val out = f.create(tmp, true)
-        try out.write(manifest.getBytes("UTF-8")) finally out.close()
-        if (f.rename(tmp, target)) { // put-if-absent claim of this number
-          writePointer(f, dir, next)
-          return next
-        } else f.delete(tmp, false) // lost the race — renumber and retry
+      val next = currentEpoch(spark, cat, pipeline) + 1
+      val tmp = new Path(dir,
+        ".epoch-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = f.create(tmp, true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      if (SwapProtocol.publishIfAbsent(f, tmp, new Path(dir, s"epoch_v$next"))) {
+        // informational hint only (a crash or a racing lower write here
+        // costs nothing — readers list manifests, never trust this)
+        try {
+          val hint = new Path(dir, "_current")
+          val htmp = new Path(dir, ".hint-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          val ho = f.create(htmp, true)
+          try ho.write(next.toString.getBytes("UTF-8")) finally ho.close()
+          if (f.exists(hint)) f.delete(hint, false)
+          f.rename(htmp, hint)
+        } catch { case _: java.io.IOException => () }
+        // retention: bound the listing currentEpoch pays (same contract
+        // as per-table keepVersions — old epochs age out)
+        listManifests(f, dir).filter(_ <= next - keepEpochs)
+          .foreach(v => f.delete(new Path(dir, s"epoch_v$v"), false))
+        return next
       }
+      // lost the number race — renumber and retry
     }
     throw new IllegalStateException(
       s"could not commit pipeline epoch for '$pipeline' after $attempts " +
@@ -152,14 +135,16 @@ object PipelineEpoch {
     val dir = epochsDir(cat, pipeline)
     val f = fsOf(spark, dir)
     val p = new Path(dir, s"epoch_v$epoch")
-    require(f.exists(p), s"epoch $epoch of pipeline '$pipeline' not found")
+    require(f.exists(p),
+      s"epoch $epoch of pipeline '$pipeline' not found (published epochs: " +
+        s"${listManifests(f, dir).sorted.mkString(", ")})")
     readSmall(f, p).split('\n').filter(_.nonEmpty).map { line =>
       val Array(t, v) = line.split('\t')
       t -> v.toInt
     }.toMap
   }
 
-  /** Epoch-resolved read: `layer.table` AT the version the CURRENT epoch
+  /** Epoch-resolved read: `layer.table` AT the version the NEWEST epoch
     * recorded — all tables read through one epoch are one generation.
     * Fails if no epoch is committed yet, if the table is not in the
     * manifest, or if the recorded version fell out of the per-table

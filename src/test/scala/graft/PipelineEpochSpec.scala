@@ -78,25 +78,64 @@ class PipelineEpochSpec extends SparkSuite {
       .count() == 2)
   }
 
-  test("epoch commit heals a predecessor's published-but-unpointed " +
-      "manifest and racing commits take distinct numbers") {
+  test("a linked manifest IS the publication: a crash right after the " +
+      "link loses nothing, stale _current hints are ignored, and " +
+      "retention prunes old epochs") {
     val cat = new Catalog(spark, tmpDir("graft-epoch-heal"))
     val df = Seq((1L, "x")).toDF("id", "attr")
     cat.create(df, "gold", "t")
     assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 1)
-    // simulate a crash between manifest rename and pointer write: stage
-    // epoch_v2 by hand, leave the pointer at 1
+    // a committer that crashed immediately after its atomic link has a
+    // complete, visible manifest and a stale hint — readers must serve
+    // it (the manifest is the authority, the hint is not)
     val dir = new org.apache.hadoop.fs.Path(
       cat.path("_pipeline_epochs", Pipe))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orphan = new org.apache.hadoop.fs.Path(dir, "epoch_v2")
     val out = fs.create(orphan, true)
     out.write("gold.t\t1".getBytes("UTF-8")); out.close()
-    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 1)
-    // the next commit publishes the orphan (epoch 2) and lands at 3
-    assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 3)
-    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 3)
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 2)
     assert(PipelineEpoch.tableVersions(spark, cat, Pipe, 2) ==
       Map("gold.t" -> 1))
+    // the next commit takes the next number
+    assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 3)
+    // retention bounds the manifest listing
+    (4 to 25).foreach { i =>
+      assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"),
+        keepEpochs = 5) == i)
+    }
+    assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 25)
+    assert(PipelineEpoch.tableVersions(spark, cat, Pipe, 25).nonEmpty)
+    intercept[IllegalArgumentException] {
+      PipelineEpoch.tableVersions(spark, cat, Pipe, 3) // pruned
+    }
+  }
+
+  test("racing epoch commits serialize: distinct consecutive numbers, " +
+      "every manifest readable, pointer lands at the max") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch-race"))
+    val df = Seq((1L, "x")).toDF("id", "attr")
+    cat.create(df, "gold", "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            start.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"))
+          }
+        })
+      }
+      start.countDown()
+      val got = fs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        .sorted
+      assert(got == Seq(1, 2, 3, 4), s"epoch numbers collided: $got")
+      assert(PipelineEpoch.currentEpoch(spark, cat, Pipe) == 4)
+      got.foreach { e =>
+        assert(PipelineEpoch.tableVersions(spark, cat, Pipe, e) ==
+          Map("gold.t" -> 1))
+      }
+    } finally pool.shutdown()
   }
 }

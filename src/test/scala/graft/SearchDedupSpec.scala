@@ -270,4 +270,29 @@ class SearchDedupSpec extends SparkSuite {
       Seq("test", "train", "val"))
     out.unpersist()
   }
+
+  test("q247 takedown closure: a named doc removes its whole near-dup " +
+      "cluster, untouched clusters retain, singletons resolve directly") {
+    import spark.implicits._
+    val dir = tmpDir("graft-takedown")
+    def body(tail: String) =
+      ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3) + tail
+    // 11 is named (11 % 29 = 11); 12 is its near-dup (same lang +
+    // len_bucket, one-word tail change keeps 3-shingle jaccard high).
+    // 50/51 are an untouched near-dup pair; 69 a named singleton
+    // (69 % 29 = 11); 70 an untouched singleton.
+    Seq(
+      (11L, body("one"), "en", 150L), (12L, body("two"), "en", 150L),
+      (50L, body("three"), "en", 250L), (51L, body("four"), "en", 250L),
+      (69L, "a wholly unique taken-down document body", "en", 100L),
+      (70L, "another wholly unrelated retained body", "en", 100L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.takedownClosure(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == Map(
+      11L -> "removed_direct", 12L -> "removed_duplicate",
+      50L -> "retained", 51L -> "retained",
+      69L -> "removed_direct", 70L -> "retained"), s"got $got")
+  }
 }
