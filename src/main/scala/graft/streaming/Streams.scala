@@ -621,6 +621,15 @@ object Streams {
             }
           appendTo(table, clean)
           appendTo(quarantineTable, quarantined)
+          // cross-table atomic VISIBILITY for the pair: an epoch per
+          // drained batch, so an auditor joining corpus and quarantine
+          // through PipelineEpoch.read sees one batch generation, never
+          // the clean half of batch N with the quarantine half of N−1
+          // (each table's own commit is already exactly-once; the epoch
+          // closes the between-commits read window)
+          graft.pipeline.PipelineEpoch.commit(spark, cat,
+            s"decontam_$table",
+            Seq(s"$layer.$table", s"$layer.$quarantineTable"))
           recordAppliedBatch(spark, checkpoint, batchId)
         } finally batch.unpersist()
         }

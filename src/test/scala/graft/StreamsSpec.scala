@@ -343,6 +343,24 @@ class StreamsSpec extends SparkSuite {
     drain()
     assert(cat.read("bronze", "docs").count() == 3)
     assert(cat.read("bronze", "docs_quarantine").count() == 2)
+
+    // each drained batch published a cross-table epoch: auditors joining
+    // corpus + quarantine through it see ONE batch generation
+    import graft.pipeline.PipelineEpoch
+    val e = PipelineEpoch.currentEpoch(spark, cat, "decontam_docs")
+    assert(e >= 2, s"expected an epoch per drained batch, got $e")
+    assert(PipelineEpoch.read(spark, cat, "decontam_docs", "bronze.docs")
+      .count() == 3)
+    assert(PipelineEpoch
+      .read(spark, cat, "decontam_docs", "bronze.docs_quarantine")
+      .count() == 2)
+    // an epoch BEFORE batch 2 serves batch-1 state for BOTH tables
+    val v1 = PipelineEpoch.tableVersions(spark, cat, "decontam_docs", 1)
+    assert(PipelineEpoch
+      .readAt(spark, cat, "decontam_docs", "bronze.docs", 1).count() == 2,
+      s"epoch 1 recorded $v1")
+    assert(PipelineEpoch.readAt(spark, cat, "decontam_docs",
+      "bronze.docs_quarantine", 1).count() == 1)
   }
 
   test("appendStream: each drained batch is a version; replays drop whole") {
