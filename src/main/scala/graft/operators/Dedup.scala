@@ -396,6 +396,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q248: N-GRAM NOVELTY — the train→test overlap rate (Radford et
+    * al.'s 8-gram overlap audit, at this engine's 3-shingle grain): for
+    * every TEST document of the q90 hash split, what fraction of its
+    * distinct shingles also appears anywhere in TRAIN, in exact integer
+    * ppm. This is the memorization-risk measurement published with
+    * model releases — q246 prevents near-dup leakage structurally;
+    * this measures the residual n-gram-level leakage that survives any
+    * split (common phrases, boilerplate, genuinely shared text).
+    *
+    * Scale shape: one shingle explode (slim rows), one distinct over
+    * the train side, one hash equi-join test-shingles ⋈ train-set —
+    * both sides corpus-scaled, so nothing broadcasts unconditionally
+    * (AQE decides); the per-doc rollup rides the join's partitioning. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      md5(concat(col("doc_id").cast("string"), lit("#split42"))), 1, 4)
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(h < lit("e666"), lit("train"))
+          .when(h < lit("f333"), lit("val"))
+          .otherwise(lit("test")).as("split"),
+        explode(array_distinct(shingles3(col("text")))).as("s"))
+    val trainSet = sh.filter(col("split") === "train")
+      .select("s").distinct().withColumn("seen", lit(1))
+    sh.filter(col("split") === "test")
+      .join(trainSet, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+      .withColumn("overlap_ppm",
+        expr("1000000 * n_seen DIV n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** q247: TAKEDOWN CLOSURE — removal requests propagated through the
     * near-dup graph: when a document must be removed (opt-out, DMCA,
     * PII erasure), every near-duplicate has to go WITH it, or the
@@ -1359,6 +1393,8 @@ object Dedup {
       ((s: SparkSession, d: String) => leakageFreeSplit(s, d)),
     "q247_takedown_closure" ->
       ((s: SparkSession, d: String) => takedownClosure(s, d)),
+    "q248_ngram_novelty" ->
+      ((s: SparkSession, d: String) => ngramNovelty(s, d)),
     "q102_dedup_select" -> (dedupSelect _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
@@ -1816,6 +1852,29 @@ object Dedup {
                 1, 4) < 'f333' THEN 'val'
               ELSE 'test' END AS split
           FROM cl ORDER BY doc_id""",
+    // q248: q90's hash split + the same distinct-shingle explode on both
+    // sides, seen = membership in the train shingle set, exact ppm
+    "q248_ngram_novelty" ->
+      s"""WITH s AS (
+            SELECT doc_id,
+              CASE
+                WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#split42'),
+                  1, 4) < 'e666' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#split42'),
+                  1, 4) < 'f333' THEN 'val'
+                ELSE 'test' END AS split,
+              unnest(list_distinct($shinglesSql)) AS s
+            FROM documents),
+          tr AS (SELECT DISTINCT s FROM s WHERE split = 'train'),
+          te AS (
+            SELECT s.doc_id,
+              CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END AS seen
+            FROM s LEFT JOIN tr ON s.s = tr.s
+            WHERE s.split = 'test')
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(seen) AS BIGINT) AS n_seen,
+            CAST(1000000 * sum(seen) // count(*) AS BIGINT) AS overlap_ppm
+          FROM te GROUP BY doc_id ORDER BY doc_id""",
     // q247: q57's recursive components + the named slice + the
     // cluster-level OR — removal closure replayed as a GROUP BY MAX
     "q247_takedown_closure" ->

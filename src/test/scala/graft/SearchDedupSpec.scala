@@ -295,4 +295,32 @@ class SearchDedupSpec extends SparkSuite {
       50L -> "retained", 51L -> "retained",
       69L -> "removed_direct", 70L -> "retained"), s"got $got")
   }
+
+  test("q248 ngram novelty: a test doc copied from train reads 100% " +
+      "overlap, a disjoint one reads 0, only test docs are scored") {
+    import spark.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val h = md5hex(s"$id#split42").substring(0, 4)
+      if (h < "e666") "train" else if (h < "f333") "val" else "test"
+    }
+    val trainId = (1L to 200L).find(splitOf(_) == "train").get
+    val testIds = (1L to 200L).filter(splitOf(_) == "test").take(2)
+    assert(testIds.length == 2, "need two test-split ids under 200")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = tmpDir("graft-novelty")
+    Seq(
+      (trainId, shared),
+      (testIds(0), shared), // verbatim copy of a train doc
+      (testIds(1), "omega psi chi phi upsilon tau sigma rho"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("overlap_ppm"))
+      .toMap
+    assert(got == Map(testIds(0) -> 1000000L, testIds(1) -> 0L),
+      s"got $got (train=$trainId test=$testIds)")
+  }
 }
