@@ -223,7 +223,15 @@ object Bench {
       // floor: a floor is a best-observed min and the two-canary protocol
       // adjudicates regressions; "code" (HEAD) stays as information only.
       val srcTexts: Seq[(String, String)] = {
-        val root = java.nio.file.Paths.get("/root/repo/src/main/scala")
+        // source root resolves relative to THIS checkout (sysprop →
+        // env → cwd), not a hard-coded path: run from another clone the
+        // old constant made srcTexts empty and every fence a shared
+        // constant digest — floors silently surviving real code changes
+        val root = sys.props.get("graft.bench.srcRoot")
+          .orElse(sys.env.get("SPARK_GRAFT_SRC_ROOT"))
+          .map(java.nio.file.Paths.get(_))
+          .getOrElse(java.nio.file.Paths.get(
+            sys.props.getOrElse("user.dir", "."), "src", "main", "scala"))
         if (!java.nio.file.Files.exists(root)) Nil
         else {
           val stream = java.nio.file.Files.walk(root)
@@ -241,7 +249,16 @@ object Bench {
           } finally stream.close()
         }
       }
+      if (srcTexts.isEmpty)
+        System.err.println("[bench] WARN: no sources under the resolved " +
+          "src root — per-query code fences are DISABLED this run " +
+          "(prior floors will not carry; set -Dgraft.bench.srcRoot or " +
+          "SPARK_GRAFT_SRC_ROOT)")
       def fenceOf(q: String): String = {
+        // no sources → NO fence ("", never matching a stored digest):
+        // a constant digest here would match every prior floor and let
+        // stale floors survive unfenced
+        if (srcTexts.isEmpty) return ""
         val md = java.security.MessageDigest.getInstance("SHA-256")
         srcTexts.foreach { case (p, t) =>
           if (t.contains(q)) {

@@ -830,8 +830,13 @@ object Catalog {
     require(df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"replacement frame must carry the partition column '$partCol'")
     // Delta's replaceWhere gate: the frame may not smuggle rows into
-    // partitions outside the declared set
-    val stray = df.filter(!col(partCol).isInCollection(values)).isEmpty
+    // partitions outside the declared set. NULL partition values must
+    // fail the gate too — `!isInCollection` is NULL for them, so a
+    // bare negation would silently pass rows bound for the
+    // __HIVE_DEFAULT_PARTITION__ dir (Delta's replaceWhere rejects
+    // them; so do we)
+    val stray = df.filter(col(partCol).isNull ||
+      !col(partCol).isInCollection(values)).isEmpty
     require(stray, s"replacement frame carries rows outside the " +
       s"listed $partCol values — widen `values` or filter the frame")
     val stagedAgainst = readPointer(f, dir)
@@ -955,8 +960,60 @@ object Catalog {
         allowSchemaChange = true, operation = "RESTORE")
   }
 
+  /** Table versions a LIVE pipeline-epoch manifest references — vacuum
+    * retains these past `keepVersions`, or `PipelineEpoch.readAt`
+    * would fail inside the epoch retention window (the default
+    * `keepEpochs` = 20 exceeds the default `keepVersions` = 10, so on
+    * a busy table the windows WILL cross). Discovery is by the
+    * catalog's fixed path shape — `<warehouse>/<layer>/<table>` with
+    * epochs at `<warehouse>/_pipeline_epochs/<pipeline>/epoch_v*` — so
+    * every vacuum entry point (instance API, raw path, SQL `VACUUM`)
+    * honors the pin without new plumbing; a dir outside a warehouse
+    * simply finds no epochs root. Cost: one bounded listing per
+    * pipeline (`keepEpochs` caps each) plus one small read per
+    * manifest — metadata scale. Racing epoch commits/prunes are fine:
+    * a manifest vanishing mid-read is skipped (it was pruned → its
+    * pins are released). */
+  private[graft] def epochProtectedVersions(spark: SparkSession,
+      dir: String): Set[Int] = {
+    val p = new Path(dir)
+    val layerDir = p.getParent
+    if (layerDir == null || layerDir.getParent == null) return Set.empty
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochsRoot = new Path(layerDir.getParent, "_pipeline_epochs")
+    if (!f.exists(epochsRoot)) return Set.empty
+    val name = s"${layerDir.getName}.${p.getName}"
+    (for {
+      pipe <- f.listStatus(epochsRoot).toSeq if pipe.isDirectory
+      m <- f.listStatus(pipe.getPath).toSeq
+      if m.getPath.getName.startsWith("epoch_v")
+      line <- scala.util.Try(
+        graft.layout.SwapProtocol.readSmallFile(f, m.getPath))
+        .getOrElse("").split('\n').toSeq
+      parts = line.split('\t')
+      if parts.length == 2 && parts(0) == name
+      v <- parts(1).toIntOption
+    } yield v).toSet
+  }
+
+  /** Is version-log entry `e` of `dir` protected by an epoch pin?
+    * Flat snapshots are self-contained — exact membership. Bucketed
+    * reconstruction of version v walks EVERY retire entry v..cur
+    * (`versionBucketDirs` requires the range complete), so there a pin
+    * on v protects all entries ≥ v. */
+  private[graft] def epochPinProtects(spark: SparkSession, f: FileSystem,
+      dir: String, e: Int): Boolean = {
+    val pinned = epochProtectedVersions(spark, dir)
+    if (pinned.isEmpty) false
+    else if (isBucketedLayout(f, dir)) pinned.min <= e
+    else pinned.contains(e)
+  }
+
   /** [[Catalog!.vacuum]] on a raw table directory — the seam SQL
-    * `VACUUM <table>` shares with the layer.table API. */
+    * `VACUUM <table>` shares with the layer.table API. Versions
+    * referenced by a live pipeline-epoch manifest are retained past
+    * `keepVersions` ([[epochProtectedVersions]]) — the two retention
+    * policies never contradict each other. */
   def vacuumPath(spark: SparkSession, dir: String, keepVersions: Int = 10,
       dryRun: Boolean = false): Seq[String] = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -986,12 +1043,22 @@ object Catalog {
     val cur = readPointer(f, dir)
     val hist = historyDir(dir)
     if (f.exists(hist)) {
+      // hoisted: one manifest scan for the whole sweep, not one per entry
+      val pinned = epochProtectedVersions(spark, dir)
+      // bucketed reconstruction needs every entry ≥ the pinned version,
+      // so there the pin is a floor; flat snapshots pin exact entries
+      val pinFloor =
+        if (pinned.nonEmpty && isBucketedLayout(f, dir)) pinned.min
+        else Int.MaxValue
       f.listStatus(hist).map(_.getPath)
         .filter { p =>
           val n = p.getName
           n.startsWith("v") && n.drop(1).nonEmpty &&
             n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt <= cur - 1 - keepVersions
+            n.drop(1).toInt <= cur - 1 - keepVersions && {
+              val e = n.drop(1).toInt
+              e < pinFloor && !pinned.contains(e)
+            }
         }.foreach(rm)
       // pointer-write tmp files abandoned by a crashed commit
       f.listStatus(hist).map(_.getPath)
@@ -1777,8 +1844,10 @@ object Catalog {
     // every earlier commit pruned its own, so probing all version numbers
     // from 1 would add FS round-trips that grow with table age (a
     // per-micro-batch table reaches tens of thousands of commits). Entries
-    // orphaned by a lowered keepVersions are vacuum's job.
-    if (cur - keepVersions >= 1) {
+    // orphaned by a lowered keepVersions — or left behind by an epoch pin
+    // that has since been released — are vacuum's job.
+    if (cur - keepVersions >= 1 &&
+        !epochPinProtects(spark, f, dir, cur - keepVersions)) {
       val old = versionDir(dir, cur - keepVersions)
       if (f.exists(old)) f.delete(old, true)
       f.delete(graft.merge.PartitionedMerge.commitTimeMarker(

@@ -30,26 +30,59 @@ object SwapProtocol {
     * HDFS/object-store contracts genuinely fail on an existing
     * destination. Returns true iff THIS caller's staged file became
     * the target; the staged file is consumed either way. */
+  /** Count of publishes that degraded to the NON-atomic exists+rename
+    * path (link unsupported or persistently failing). Zero on a healthy
+    * local FS; a nonzero value means epoch/claim uniqueness is running
+    * on the racy fallback and the store should be looked at. */
+  private[graft] val nonAtomicPublishes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def publishIfAbsent(f: FileSystem, staged: Path,
       target: Path): Boolean = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
-    def renameFallback(): Boolean =
-      if (f.rename(staged, target)) true
+    def renameFallback(why: String): Boolean = {
+      if (scheme == "file") {
+        // on file:// the rename path is NOT put-if-absent (exists-check
+        // + replacing rename(2) — the TOCTOU this function closes);
+        // flag the degradation instead of silently reintroducing it
+        nonAtomicPublishes.incrementAndGet()
+        System.err.println(s"[graft] WARN publishIfAbsent: hard link " +
+          s"unavailable ($why) — degrading to non-atomic rename for " +
+          s"$target; concurrent-publish uniqueness is not guaranteed " +
+          "on this filesystem")
+      }
+      if (f.exists(target)) { f.delete(staged, false); false }
+      else if (f.rename(staged, target)) true
       else { f.delete(staged, false); false }
+    }
     if (scheme == "file") {
       val s = java.nio.file.Paths.get(staged.toUri.getPath)
       val t = java.nio.file.Paths.get(target.toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(t, s)
-        f.delete(staged, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(staged, false); false
-        case _: UnsupportedOperationException => renameFallback()
-        case _: java.io.IOException => renameFallback()
+      // bounded retry: a transient IOException (NFS hiccup, interrupted
+      // syscall) must not flip a correctness primitive onto the racy
+      // path — only a PERSISTENT link failure may, and observably
+      var attempt = 0
+      var lastErr: java.io.IOException = null
+      while (attempt < 3) {
+        try {
+          java.nio.file.Files.createLink(t, s)
+          f.delete(staged, false)
+          return true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(staged, false); return false
+          case _: UnsupportedOperationException =>
+            return renameFallback("link(2) unsupported")
+          case e: java.io.IOException =>
+            // a racer's link can land between our failure and this
+            // check — target existing IS the absent→present answer
+            if (f.exists(target)) { f.delete(staged, false); return false }
+            lastErr = e; attempt += 1
+            if (attempt < 3) Thread.sleep(5L << attempt)
+        }
       }
-    } else renameFallback()
+      renameFallback(s"link failed 3x: ${lastErr.getMessage}")
+    } else renameFallback("non-local scheme")
   }
 
   private[graft] def historyDir(dir: String) = new Path(dir + ".history")

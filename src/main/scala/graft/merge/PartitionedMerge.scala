@@ -449,8 +449,10 @@ object PartitionedMerge {
     stampCommitTime(spark, path, cur + 1)
     // prune the one entry that just left the retention window (reads at
     // versions <= it are no longer reconstructible; orphans from a lowered
-    // keepVersions are vacuum's job — same contract as Catalog snapshots)
-    if (cur - keepVersions >= 1) {
+    // keepVersions or a released epoch pin are vacuum's job — same
+    // contract as Catalog snapshots)
+    if (cur - keepVersions >= 1 &&
+        !Catalog.epochPinProtects(spark, fs, path, cur - keepVersions)) {
       val old = Catalog.versionDir(path, cur - keepVersions)
       if (fs.exists(old)) fs.delete(old, true)
       val marker = commitTimeMarker(path, cur - keepVersions)

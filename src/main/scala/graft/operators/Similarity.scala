@@ -473,7 +473,18 @@ object Similarity {
   def ivfServingLayout(spark: SparkSession, indexDir: String,
       servingDir: String): Unit = {
     val postDir = ivfPostDir(indexDir)
-    val postings = readIndex(spark, postDir)
+    // pin the source generation BEFORE anything reads or exports: the
+    // cursor must record what was actually exported. Reading the
+    // pointer after the export let a concurrent append land in between
+    // and be skipped forever ("cursor behind is safe, ahead is not" —
+    // a cursor stamped ahead of the exported snapshot violated it)
+    val srcV = {
+      val f = new org.apache.hadoop.fs.Path(postDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.catalog.Catalog.readPointer(f, postDir)
+    }
+    val postings =
+      graft.catalog.Catalog.versionRead(spark, postDir, srcV)
     val counts = postings.groupBy("cent_id")
       .agg(count(lit(1)).as("n_cell"))
     val cent = readIndex(spark, ivfCentDir(indexDir))
@@ -494,11 +505,6 @@ object Similarity {
     // centroids commit LAST, carrying the source-version cursor: its tag
     // becoming visible is the refresh protocol's "this generation is
     // fully exported" marker
-    val srcV = {
-      val f = new org.apache.hadoop.fs.Path(postDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.catalog.Catalog.readPointer(f, postDir)
-    }
     graft.catalog.Catalog.overwritePath(spark, cent,
       s"$servingDir/centroids",
       commitTag = Some(IvfSourceVersionTag -> srcV.toString),

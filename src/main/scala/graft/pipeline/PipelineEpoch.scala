@@ -40,8 +40,11 @@ import graft.layout.SwapProtocol
   *
   * Retention: [[commit]] prunes manifests older than `keepEpochs`
   * (default 20) — this bounds the directory listing [[currentEpoch]]
-  * pays and mirrors the per-table `keepVersions` contract: an epoch's
-  * versions are only readable while the tables retain them anyway.
+  * pays. The per-table `keepVersions` window never contradicts it:
+  * `Catalog.vacuumPath` pins every version a LIVE epoch manifest
+  * references ([[graft.catalog.Catalog.epochProtectedVersions]]), so
+  * [[readAt]] succeeds for any retained epoch even when
+  * `keepEpochs > keepVersions` — pins release as manifests age out.
   *
   * Scale shape: the manifest is O(#nodes) driver-side metadata (a few
   * dozen lines); commit adds one staged file + one link per RUN —
@@ -85,21 +88,47 @@ object PipelineEpoch {
   /** Record every table's CURRENT version under the next epoch number
     * and publish it atomically. Returns the committed epoch. Racing
     * runs serialize: the put-if-absent link admits exactly one claimant
-    * per number; losers renumber and retry. */
+    * per number; losers renumber and retry.
+    *
+    * Concurrent-commit monotonicity: the manifest is rebuilt on EVERY
+    * attempt (a lost number race means another run committed — its
+    * table versions may be newer than a snapshot taken before the
+    * loop), and each attempt merges against the newest published
+    * epoch: a table's recorded version is `max(freshly read, what the
+    * previous epoch recorded)`. A previous epoch's version is always a
+    * real committed one, so the merge never invents state — it only
+    * prevents a race loser from publishing a HIGHER epoch that records
+    * OLDER versions than the winner's (the regression an epoch-ordered
+    * reader would see as time going backwards). Per-table pointer
+    * reads within one attempt are still sequential — a writer landing
+    * between them can make the fresh snapshot mixed — so concurrent
+    * COMMITTERS of the SAME pipeline should be rare (one scheduler per
+    * pipeline is the intended shape); the merge guarantees epoch-order
+    * monotonicity even when they do race. */
   def commit(spark: SparkSession, cat: Catalog, pipeline: String,
       tables: Seq[String], keepEpochs: Int = 20): Int = {
     require(keepEpochs >= 1, "keepEpochs must be >= 1")
     val dir = epochsDir(cat, pipeline)
     val f = fsOf(spark, dir)
     f.mkdirs(new Path(dir))
-    val manifest = tables.sorted.map { t =>
-      val Array(layer, tbl) = t.split('.')
-      s"$t\t${cat.currentVersion(layer, tbl)}"
-    }.mkString("\n")
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val next = currentEpoch(spark, cat, pipeline) + 1
+      val fresh = tables.sorted.map { t =>
+        val Array(layer, tbl) = t.split('.')
+        t -> cat.currentVersion(layer, tbl)
+      }
+      // newest epoch's record (absent/pruned/racing-away → empty):
+      // the monotone floor for every table we are about to stamp
+      val prevRec: Map[String, Int] =
+        if (next <= 1) Map.empty
+        else scala.util.Try(
+          tableVersions(spark, cat, pipeline, next - 1))
+          .getOrElse(Map.empty)
+      val manifest = fresh.map { case (t, v) =>
+        s"$t\t${math.max(v, prevRec.getOrElse(t, 0))}"
+      }.mkString("\n")
       val tmp = new Path(dir,
         ".epoch-" + java.util.UUID.randomUUID().toString.take(8))
       val out = f.create(tmp, true)

@@ -138,4 +138,99 @@ class PipelineEpochSpec extends SparkSuite {
       }
     } finally pool.shutdown()
   }
+
+  test("vacuum pins every version a live epoch references: readAt " +
+      "succeeds for all retained epochs past keepVersions, unreferenced " +
+      "versions still reclaim, and pins release as epochs age out") {
+    // keepVersions=2 « epochs committed: the windows cross by design
+    val cat = new Catalog(spark, tmpDir("graft-epoch-vac"),
+      keepVersions = 2)
+    cat.create(Seq((0L, "g0")).toDF("id", "attr"), "gold", "t")
+    PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"))
+    (1 to 7).foreach { i =>
+      cat.overwriteSnapshot(Seq((i.toLong, s"g$i")).toDF("id", "attr"),
+        "gold", "t")
+      PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"))
+    }
+    // version 8 live, epochs 1..8 recording versions 1..8; vacuum with
+    // keepVersions=2 would reclaim v1..v5 — all epoch-pinned
+    val deleted = cat.vacuum("gold", "t")
+    (1 to 8).foreach { e =>
+      val rows = PipelineEpoch.readAt(spark, cat, Pipe, "gold.t", e)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq(((e - 1).toLong, s"g${e - 1}")),
+        s"epoch $e unreadable after vacuum: $rows (deleted: $deleted)")
+    }
+    // now age the epochs out (keepEpochs=3 prunes manifests ≤ 6 once
+    // epoch 9 commits) — the released versions reclaim on the next pass
+    cat.overwriteSnapshot(Seq((8L, "g8")).toDF("id", "attr"), "gold", "t")
+    PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"), keepEpochs = 3)
+    val deleted2 = cat.vacuum("gold", "t")
+    assert(deleted2.exists(_.contains("v00001")),
+      s"unpinned version v1 not reclaimed: $deleted2")
+    // retained epochs (7, 8, 9) still read
+    (7 to 9).foreach { e =>
+      assert(PipelineEpoch.readAt(spark, cat, Pipe, "gold.t", e)
+        .count() == 1)
+    }
+  }
+
+  test("a commit merges against the newest epoch: a higher epoch never " +
+      "records an older table version (race-loser regression guard)") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch-mono"))
+    val df = Seq((1L, "x")).toDF("id", "attr")
+    cat.create(df, "gold", "t") // version 1
+    // hand-publish epoch 1 recording a version AHEAD of our pointer
+    // read — the state a racing winner leaves when its table commit +
+    // epoch publish land between a loser's pointer read and publish
+    val dir = cat.path("_pipeline_epochs", Pipe)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val m = f.create(new org.apache.hadoop.fs.Path(dir, "epoch_v1"), true)
+    try m.write("gold.t\t7".getBytes("UTF-8")) finally m.close()
+    // the loser's commit (fresh read = 1) must publish max(1, 7) = 7,
+    // not regress epoch 2 below what epoch 1 already recorded
+    assert(PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t")) == 2)
+    assert(PipelineEpoch.tableVersions(spark, cat, Pipe, 2) ==
+      Map("gold.t" -> 7))
+  }
+
+  test("interleaved table writes + epoch commits keep per-table versions " +
+      "monotone across epoch order") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch-mono2"))
+    cat.create(Seq((1L, "x")).toDF("id", "attr"), "gold", "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            (1 to 3).foreach { j =>
+              var done = false
+              while (!done)
+                try {
+                  cat.overwriteSnapshot(
+                    Seq((i * 10L + j, "x")).toDF("id", "attr"), "gold", "t")
+                  done = true
+                } catch {
+                  case _: Catalog.ConcurrentCommitException =>
+                    Thread.sleep(10)
+                }
+              PipelineEpoch.commit(spark, cat, Pipe, Seq("gold.t"))
+            }
+          }
+        })
+      }
+      start.countDown()
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val top = PipelineEpoch.currentEpoch(spark, cat, Pipe)
+      assert(top == 12)
+      val vs = (1 to top).map(e =>
+        PipelineEpoch.tableVersions(spark, cat, Pipe, e)("gold.t"))
+      assert(vs == vs.sorted,
+        s"epoch-ordered versions regressed: $vs")
+    } finally pool.shutdown()
+  }
 }

@@ -57,6 +57,22 @@ class ReplaceWhereSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("a NULL partition value in the frame is rejected like any other " +
+      "stray row (no silent __HIVE_DEFAULT_PARTITION__ widening)") {
+    val dir = tmpDir("graft-rw-null") + "/t"
+    mkTable(dir)
+    // `!isInCollection` is NULL (not true) for a NULL partition value —
+    // a bare negation gate passed these rows through to the default
+    // partition dir, widening the replacement beyond the declared set
+    val bad = Seq((10L, Some("a")), (99L, None))
+      .toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      Catalog.replacePartitionValuesPath(spark, bad, dir, "p", Seq("a"))
+    }
+    assert(spark.read.parquet(dir).count() == 4)
+    assert(!new java.io.File(s"$dir/p=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
   test("empty value list is a no-op; non-partition column is rejected") {
     val dir = tmpDir("graft-rw-noop") + "/t"
     mkTable(dir)
