@@ -543,7 +543,57 @@ object Multimodal {
       .orderBy("asset_id", "by", "bx")
   }
 
+  /** q249: CROSS-MODAL takedown closure — q247 extended through every
+    * modality's near-dup graph. A removal request covers the document
+    * AND its extracted media: a named doc's text near-dups (q57
+    * clusters), image near-dups (q178), audio near-dups (q198), and
+    * video near-dups (q199) all go with it — real takedown obligations
+    * (DMCA, opt-out, PII erasure) attach to the CONTENT, not to one
+    * modality's fingerprint of it. The request feed is q247's
+    * deterministic `doc_id % 29 = 11` slice; verdicts are the same
+    * audit vocabulary plus `n_flagged` — how many modalities'
+    * clusters tie the doc to a named one (removed_direct docs flag in
+    * all of their modalities by construction).
+    *
+    * Scale shape: each modality's clusters are its ALREADY-AUDITED
+    * dedup query (banded/blocked candidates, pointer-doubled CC); the
+    * cross-modal closure itself is ONE window over (modality,
+    * cluster_id) — cardinality ~ 4×docs, no skew funnel — plus a
+    * per-doc rollup that rides the window's partitioning. No
+    * traversal: the per-modality clusterings already did it. */
+  def crossmodalTakedown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = graft.operators.Dedup
+      .dedupClustersOf(graft.Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), lit("text").as("modality"), col("cluster_id"))
+    val image = imageDedupClusters(spark, dir)
+      .select(col("asset_id").as("doc_id"), lit("image").as("modality"),
+        col("cluster_id"))
+    val audio = Audio.dedupClustersQuery(spark, dir)
+      .select(col("asset_id").as("doc_id"), lit("audio").as("modality"),
+        col("cluster_id"))
+    val video = videoDedupClusters(spark, dir)
+      .select(col("video").as("doc_id"), lit("video").as("modality"),
+        col("cluster_id"))
+    val u = text.unionByName(image).unionByName(audio).unionByName(video)
+    val wC = Window.partitionBy(col("modality"), col("cluster_id"))
+    u.withColumn("is_named", (col("doc_id") % 29 === 11).cast("int"))
+      .withColumn("cluster_named", max(col("is_named")).over(wC))
+      .groupBy("doc_id")
+      .agg(max(col("is_named")).as("is_named"),
+        max(col("cluster_named")).as("any_named"),
+        countDistinct(when(col("cluster_named") === 1,
+          col("modality"))).as("n_flagged"))
+      .select(col("doc_id"),
+        when(col("is_named") === 1, lit("removed_direct"))
+          .when(col("any_named") === 1, lit("removed_duplicate"))
+          .otherwise(lit("retained")).as("verdict"),
+        col("n_flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_crossmodal_takedown" -> (crossmodalTakedown _),
     "q217_image_resize"  ->
       ((s: SparkSession, d: String) => resizeQuery(s, d)),
     "q205_scene_cuts"    ->
@@ -677,7 +727,7 @@ object Multimodal {
   private val dhashArithSql: String =
     dhashArithSqlOver("SELECT doc_id AS id FROM documents")
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // q217: every resized pixel rebuilt arithmetically from the
     // gradient synthesis (same shift formula as the dHash oracles) —
     // 2×2 integer area average, truncating DIV on both engines
@@ -880,4 +930,39 @@ object Multimodal {
          TRUE AS decoded,
          CAST((doc_id % 256) // 32 AS INTEGER) AS lum_bin
          FROM documents ORDER BY asset_id""")
+
+  // q249: the four modalities' ALREADY-VERIFIED cluster oracles
+  // composed as derived tables (DuckDB admits WITH RECURSIVE in a
+  // subquery), then the same window closure the Spark side runs
+  val oracles: Map[String, String] = baseOracles +
+    ("q249_crossmodal_takedown" -> {
+      val parts = Seq(
+        "SELECT doc_id, 'text' AS modality, cluster_id FROM (" +
+          graft.operators.Dedup.oracles("q57_dedup_clusters") + ")",
+        "SELECT asset_id AS doc_id, 'image' AS modality, cluster_id FROM (" +
+          baseOracles("q178_image_dedup_clusters") + ")",
+        "SELECT asset_id AS doc_id, 'audio' AS modality, cluster_id FROM (" +
+          Audio.oracles("q198_audio_dedup_clusters") + ")",
+        "SELECT video AS doc_id, 'video' AS modality, cluster_id FROM (" +
+          baseOracles("q199_video_dedup_clusters") + ")")
+      s"""WITH u AS (${parts.mkString("\nUNION ALL\n")}),
+          f AS (
+            SELECT doc_id, modality,
+              MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY modality, cluster_id) AS cluster_named
+            FROM u),
+          g AS (
+            SELECT doc_id,
+              MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS is_named,
+              MAX(cluster_named) AS any_named,
+              CAST(count(DISTINCT CASE WHEN cluster_named = 1
+                THEN modality END) AS BIGINT) AS n_flagged
+            FROM f GROUP BY doc_id)
+          SELECT doc_id,
+            CASE WHEN is_named = 1 THEN 'removed_direct'
+                 WHEN any_named = 1 THEN 'removed_duplicate'
+                 ELSE 'retained' END AS verdict,
+            n_flagged
+          FROM g ORDER BY doc_id"""
+    })
 }

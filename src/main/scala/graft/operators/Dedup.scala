@@ -60,6 +60,22 @@ object Dedup {
       case _ => ()
     }
 
+  /** Eager lineage-truncating materialization for one round of a
+    * driver-looped iterative (CC / pageRank / k-center) — the shared
+    * snap half of the snap/[[releasePinned]] discipline.
+    * `localCheckpoint` by default (fast; an executor loss fails the
+    * job, the job reruns — fine for a driver-looped refinement);
+    * with `checkpointDir`, reliable `checkpoint()` into fault-tolerant
+    * storage so a round survives executor loss on a long cluster run.
+    * Both are EAGER (materialize AND truncate lineage) and release
+    * through [[releasePinned]]. */
+  private[graft] def snap(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+  }
+
   /** Exact dedup: md5 text hash, keep the lowest doc_id of each group
     * (hash-groupBy — two-phase aggregate, no sort). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -235,6 +251,15 @@ object Dedup {
     * (Manku et al., WWW'07 use 64-bit fingerprints, k=3, 4 bands). */
   val SimhashBits = 60
   val SimhashBands = 4
+
+  /** The persisted band index's recipe, stamped as a commit tag on
+    * every index commit so the declared scale knobs are SQL-visible
+    * (`SHOW TBLPROPERTIES` surfaces commit tags — the IvfMaxListTag
+    * discipline): 3-word shingles, 12 MinHash signatures in 4 bands
+    * of 3. A probe built with a DIFFERENT recipe would silently
+    * never match; the tag makes the mismatch checkable. */
+  val BandRecipeTag = "dedup.recipe"
+  val BandRecipe = "minhash shingle=3 sigs=12 bands=4x3"
   private val BandBits = SimhashBits / SimhashBands // 15
   private val BandMask = (1L << BandBits) - 1
 
@@ -516,19 +541,12 @@ object Dedup {
     *                      instead of executor-local `localCheckpoint()` */
   def connectedComponents(labels0: DataFrame, pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sc = labels0.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // release the materialized blocks behind a checkpointed frame: the
-    // Dataset's plan is a LogicalRDD over the (local)checkpointed RDD —
-    // df.unpersist() only consults the CacheManager and would miss it
-    def release(df: DataFrame): Unit =
-      df.queryExecution.logical.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    // the shared snap/releasePinned discipline: eager materialization
+    // truncates lineage per round; the superseded round's LogicalRDD
+    // blocks are unpersisted directly (the CacheManager doesn't track
+    // checkpointed frames, so df.unpersist() would miss them)
+    def snap(df: DataFrame): DataFrame = Dedup.snap(df, checkpointDir)
+    def release(df: DataFrame): Unit = releasePinned(df)
     val edges = pairs.select("doc_a", "doc_b")
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -764,7 +782,8 @@ object Dedup {
     // gen 0 seeds the index before any dedup decision — fixture SETUP;
     // the per-generation probe+append loop is what the query prices
     graft.BenchPhases.setup("q225_incremental_dedup") {
-      graft.catalog.Catalog.appendPath(spark, bandsOf(0), idx)
+      graft.catalog.Catalog.appendPath(spark, bandsOf(0), idx,
+        commitTag = Some((BandRecipeTag, BandRecipe)))
     }
     val perGen = (1 until gens).map { g =>
       val newBands = bandsOf(g)
@@ -799,7 +818,8 @@ object Dedup {
       // inspection
       val pinned = if (checkpointResult || g < gens - 1)
         verified.localCheckpoint() else verified
-      graft.catalog.Catalog.appendPath(spark, newBands, idx)
+      graft.catalog.Catalog.appendPath(spark, newBands, idx,
+        commitTag = Some((BandRecipeTag, BandRecipe)))
       pinned
     }
     val res = perGen.reduce(_ unionByName _).orderBy("doc_id")
@@ -840,7 +860,7 @@ object Dedup {
     val nAll = idx.count()
     if (nKept < nAll)
       graft.catalog.Catalog.overwritePath(spark, kept, idxDir,
-        operation = "OPTIMIZE")
+        operation = "OPTIMIZE", carryTags = true) // recipe tag survives
     kept.unpersist(blocking = false)
     Seq((nAll - nKept, nKept)).toDF("n_removed", "n_kept")
   }
@@ -889,7 +909,8 @@ object Dedup {
           array_distinct(shingles3(col("text"))).as("sh"))
       graft.catalog.Catalog.appendPath(spark,
         pre.select(col("doc_id"), col("gen"),
-          explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idxP)
+          explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idxP,
+        commitTag = Some((BandRecipeTag, BandRecipe)))
       graft.layout.DeletionVectors.deleteWhere(spark, srcP,
         col("doc_id") % 7 === 3)
       (srcP, idxP)

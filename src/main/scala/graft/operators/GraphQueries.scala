@@ -35,7 +35,10 @@ import graft.Tables
   * join is co-located (the same layout contract as
   * `PartitionedMerge`). Plan growth across rounds is linear in the
   * iteration count and the count is a small constant (3) — no
-  * checkpointing needed, unlike the data-dependent CC loop. */
+  * checkpointing needed by default, unlike the data-dependent CC
+  * loop; long cluster runs pass `checkpointDir` for reliable
+  * per-round checkpoints (fault tolerance against executor loss),
+  * the same option CC/k-center take. */
 object GraphQueries {
 
   /** Symmetric weighted trade edges: (src, dst, w) with w = number of
@@ -57,9 +60,17 @@ object GraphQueries {
   }
 
   /** Damped power iteration on the symmetrized trade graph; returns
-    * (node, rank_ppb) for every edge endpoint, ordered by node. */
-  def pageRank(spark: SparkSession, dir: String, iters: Int = 3)
-      : DataFrame = {
+    * (node, rank_ppb) for every edge endpoint, ordered by node.
+    *
+    * @param checkpointDir when set, every round's O(nodes) rank frame
+    *   reliably `checkpoint()`s into fault-tolerant storage (the
+    *   [[Dedup.connectedComponents]] option, same snap/release
+    *   protocol) so a long cluster run survives executor loss
+    *   mid-iteration; default keeps the fast path — no per-round pin
+    *   at all (plan growth is linear in the small fixed `iters`), one
+    *   final `localCheckpoint` to free the edge cache. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = tradeEdges(spark, dir)
     val out = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     val ew = edges.join(out, Seq("src")).cache()
@@ -72,17 +83,28 @@ object GraphQueries {
     var ranks = ew.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000L))
     for (_ <- 1 to iters) {
-      ranks = ew.join(ranks, col("src") === col("node"))
+      val next = ew.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank * w DIV wout").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
         .select(col("dst").as("node"),
           expr("150000000 + 85 * cs DIV 100").as("rank"))
+      ranks =
+        if (checkpointDir.isEmpty) next
+        else {
+          // reliable per-round pin: truncates lineage AND survives
+          // executor loss; the superseded round's blocks are released
+          val snapped = graft.operators.Dedup.snap(next, checkpointDir)
+          graft.operators.Dedup.releasePinned(ranks)
+          snapped
+        }
     }
     // eager O(nodes) checkpoint: pins the finished ranks so the edge
     // cache can be dropped NOW — unpersisting before this ran meant the
     // caller's action found every ew reference cold and recomputed the
-    // trade-edge build once per iteration
-    val fin = ranks.localCheckpoint()
+    // trade-edge build once per iteration. (With a checkpointDir the
+    // final round is already pinned — no second materialization.)
+    val fin =
+      if (checkpointDir.isEmpty) ranks.localCheckpoint() else ranks
     ew.unpersist(blocking = false)
     fin.select(col("node"), col("rank").as("rank_ppb"))
       .orderBy("node")

@@ -1131,6 +1131,73 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q250: the DECONTAM-EPOCH CONSUMER — the audit an external
+    * reviewer runs against the streaming guard's per-batch epochs.
+    * [[graft.streaming.Streams.appendDecontamGuard]] publishes one
+    * cross-table epoch per drained batch (write-side consistency);
+    * this query is the READ side: it stages the q235 semantic screen
+    * as a two-generation stream (bench = the `vec_id % 37 = 5` slice;
+    * generation 1 = even non-bench ids, generation 2 = odd — both
+    * deterministic, so DuckDB can replay the whole pipeline), drains
+    * it through the guard, then reads corpus AND quarantine THROUGH
+    * each retained epoch and reports the per-generation reconciliation
+    * (cumulative clean/quarantined counts plus how many distinct bench
+    * docs were matched). Reading both tables through ONE epoch is what
+    * makes the totals reconcile exactly — a direct read racing the
+    * guard would count the clean half of batch N against the
+    * quarantine half of N−1.
+    *
+    * Scale shape: the staged pipeline is the guard's own audited shape
+    * (bench-bounded broadcast probe, O(batch) per micro-batch, no
+    * corpus shuffle); the audit itself is one O(table-scan) count per
+    * epoch over epoch-resolved reads — the retention cap bounds the
+    * epoch count, and epoch resolution is metadata (manifest + version
+    * pointer), never a copy. */
+  def decontamEpochAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.PipelineEpoch
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q250").toString
+    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    cat.create(e.filter(col("doc_id") % 37 === 5), "bronze", "bench")
+    val land = s"$root/landing"
+    new java.io.File(land).mkdirs()
+    def drain(): Unit = graft.streaming.Streams.appendDecontamGuard(
+      spark.readStream
+        .schema("doc_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(land),
+      cat, "bronze", "docs", "bench", "embedding", "doc_id",
+      s"$root/_cp")
+    e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(land)
+    drain()
+    e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(land)
+    drain()
+    val pipe = "decontam_docs"
+    val top = PipelineEpoch.currentEpoch(spark, cat, pipe)
+    val rows = (1 to top).map { ep =>
+      // a table version of 0 in the manifest = the table did not exist
+      // at that generation (no quarantined rows yet) — count 0
+      val vs = PipelineEpoch.tableVersions(spark, cat, pipe, ep)
+      def cnt(t: String): Long =
+        if (vs.getOrElse(t, 0) <= 0) 0L
+        else PipelineEpoch.readAt(spark, cat, pipe, t, ep).count()
+      val nq =
+        if (vs.getOrElse("bronze.docs_quarantine", 0) <= 0) (0L, 0L)
+        else {
+          val q = PipelineEpoch
+            .readAt(spark, cat, pipe, "bronze.docs_quarantine", ep)
+          (q.count(), q.select("matched_bench_id").distinct().count())
+        }
+      (ep, cnt("bronze.docs"), nq._1, nq._2)
+    }
+    rows.toDF("epoch", "n_clean", "n_quarantined", "n_bench_matched")
+      .orderBy("epoch")
+  }
+
   /** q235: SEMANTIC benchmark decontamination — the embedding rung of
     * the decontamination ladder (q71 exact n-gram overlap, q146
     * bloom-prefiltered exact, q210 fuzzy-lexical MinHash): a paraphrase
@@ -1191,11 +1258,14 @@ object Similarity {
     * (d floats), updates the per-point best-similarity state in a
     * single codegen'd map-join pass, and takes a global top-1
     * (TakeOrdered, no full sort). Driver state is the k selected ids;
-    * per-round state is localCheckpoint-pinned so lineage stays O(1)
-    * across rounds (the kmeans/CC discipline). O(k·N·d) total work —
-    * the same budget k-means pays per iteration. */
-  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 5)
-      : DataFrame = {
+    * per-round state is snap-pinned so lineage stays O(1) across
+    * rounds (the kmeans/CC discipline) — `localCheckpoint` by
+    * default, reliable `checkpoint()` when `checkpointDir` is given
+    * (the [[graft.operators.Dedup.connectedComponents]] option: a
+    * long cluster run survives executor loss mid-selection). O(k·N·d)
+    * total work — the same budget k-means pays per iteration. */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
@@ -1218,7 +1288,7 @@ object Similarity {
           .withColumn("best", greatest(col("best"), col("cos_new")))
           .drop("cos_new")
       val prev = state
-      state = updated.localCheckpoint()
+      state = Dedup.snap(updated, checkpointDir)
       // selected ids are excluded explicitly — a bounded k-literal
       // predicate, driver-held metadata scale
       val sel = state
@@ -1482,13 +1552,24 @@ object Similarity {
     * init, exact integer sums (order-independent), argmin ties to the
     * lower cluster id.
     *
+    * `checkpointDir` pins the slim (vec_id, v) projection ONCE into
+    * fault-tolerant storage before the loop: every round then scans
+    * the checkpoint instead of re-reading (and re-projecting) the
+    * source table — at 100 TB that one write amortizes over
+    * `maxIters` scans, and a mid-run executor loss recovers from the
+    * checkpoint instead of the full parquet lineage. Default keeps
+    * the plain per-round parquet scan (no pin, nothing to release).
+    *
     * Returns (centroids, rounds): centroids as (cluster, pos, c) rows.
     * Assign with [[assignToCentroids]]. */
   def kmeans(spark: SparkSession, dir: String, k: Int = 10,
-      maxIters: Int = 10, tol: Double = 1e-9): (DataFrame, Int) = {
-    val e = Tables.load(spark, dir, "embeddings")
+      maxIters: Int = 10, tol: Double = 1e-9,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val e0 = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
+    val e =
+      if (checkpointDir.isEmpty) e0 else Dedup.snap(e0, checkpointDir)
     // exact mean of each vec_id % k group: same scaled-integer arithmetic
     // as labelCentroids, so the init is engine- and partitioning-proof
     def centroidsOf(assigned: DataFrame): Array[Array[Double]] = {
@@ -1519,6 +1600,9 @@ object Similarity {
       cents = next
       rounds += 1
     }
+    // the result is k×d driver-side literals — the pinned projection
+    // has no further reader
+    if (checkpointDir.nonEmpty) Dedup.releasePinned(e)
     (centsToDf(spark, cents), rounds)
   }
 
@@ -2121,7 +2205,9 @@ object Similarity {
     "q237_kcenter_coreset" ->
       ((s: SparkSession, d: String) => kcenterCoreset(s, d)),
     "q242_ivf_refresh" ->
-      ((s: SparkSession, d: String) => ivfRefreshQuery(s, d)))
+      ((s: SparkSession, d: String) => ivfRefreshQuery(s, d)),
+    "q250_decontam_epoch_audit" ->
+      ((s: SparkSession, d: String) => decontamEpochAudit(s, d)))
 
   // DuckDB mirrors: sequential double accumulation via list_sum over
   // double-cast products; identical rounding.
@@ -2776,6 +2862,34 @@ object Similarity {
             FROM scored WHERE cos >= 0.25)
           SELECT train_id, bench_id, cos FROM ranked WHERE rn = 1
           ORDER BY train_id""",
+    // q250: the guard's whole two-generation pipeline replayed — the
+    // q235 screen per generation (gen = doc_id % 2), epoch e =
+    // cumulative generations < e, best bench match per quarantined doc
+    "q250_decontam_epoch_audit" ->
+      s"""WITH e AS (SELECT vec_id AS doc_id, embedding,
+            CAST(${bucketSql("embedding", 4)} AS BIGINT) AS bucket
+            FROM embeddings),
+          b AS (SELECT bucket, doc_id AS bench_id, embedding AS bv
+                FROM e WHERE doc_id % 37 = 5),
+          t AS (SELECT doc_id, bucket, embedding AS tv,
+                  doc_id % 2 AS gen
+                FROM e WHERE doc_id % 37 <> 5),
+          best AS (
+            SELECT doc_id, gen, bench_id,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY ${cosSql("tv", "bv")} DESC, bench_id ASC) AS rn
+            FROM t JOIN b ON t.bucket = b.bucket
+            WHERE ${cosSql("tv", "bv")} >= 0.25),
+          quar AS (SELECT doc_id, gen, bench_id FROM best WHERE rn = 1),
+          ep AS (SELECT unnest([1, 2]) AS epoch)
+          SELECT epoch,
+            (SELECT count(*) FROM t WHERE gen < epoch
+               AND doc_id NOT IN (SELECT doc_id FROM quar)) AS n_clean,
+            (SELECT count(*) FROM quar WHERE gen < epoch)
+              AS n_quarantined,
+            (SELECT count(DISTINCT bench_id) FROM quar WHERE gen < epoch)
+              AS n_bench_matched
+          FROM ep ORDER BY epoch""",
     "q41_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
             CAST(${bucketSql("embedding", 8)} AS BIGINT) AS bucket FROM embeddings)

@@ -221,6 +221,37 @@ object TextQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Equi-depth split points for ordered-range bucketing: ≤ n−1 approx
+    * percentiles of `c` (GK sketch, one pass, driver gets ≤ n−1
+    * values). Duplicates collapse — a value heavier than a whole
+    * bucket yields fewer, wider buckets, never an empty or broken
+    * range. Longs round-trip through the sketch's doubles; above 2^53
+    * a boundary may land off by a few ulps, which only moves WORK
+    * between adjacent buckets (callers must be bound-agnostic). */
+  private[graft] def equidepthSplits(df: DataFrame, c: String,
+      n: Int): Array[Long] = {
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    df.stat.approxQuantile(c, probs, 0.001)
+      .map(math.round).distinct.sorted
+  }
+
+  /** Range-bucket id for sorted `splits`: bucket i holds
+    * splits(i−1) ≤ v < splits(i) (bucket 0 below the first split, the
+    * last bucket at/above the final one). A BINARY-SEARCH `when` tree
+    * — depth ⌈log₂(#splits+1)⌉ codegen'd comparisons per row, not a
+    * 256-way linear CASE and not an interpreted higher-order lambda
+    * (the q152 lesson). */
+  private[graft] def rangeBucket(c: org.apache.spark.sql.Column,
+      splits: Array[Long]): org.apache.spark.sql.Column = {
+    def go(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(c < lit(splits(mid)), go(lo, mid)).otherwise(go(mid + 1, hi))
+      }
+    go(0, splits.length)
+  }
+
   /** q244: GLOBAL token-budget packing — q59's batch assembly WITHOUT
     * its per-language partition crutch. q59's window partitions by
     * `lang`, so each partition's prefix sum is an ordinary shuffle; a
@@ -232,16 +263,27 @@ object TextQueries {
     * Two-phase distributed prefix sum (the q240 order-statistics shape,
     * over ORDERED range buckets instead of hash buckets):
     *
-    *   1. 256 doc_id-range buckets; one map-side-combined token sum per
-    *      bucket — driver state is 256 rows, never corpus;
+    *   1. ≤256 EQUI-DEPTH doc_id-range buckets (approx-percentile
+    *      bounds — the q221 discipline): a uniform (max−min)/256 split
+    *      collapses clustered id spaces (timestamp-prefixed/snowflake
+    *      ids, the norm at 100 TB) onto a few buckets and degenerates
+    *      the within-bucket window back toward the one-task global
+    *      sort this operator exists to kill; percentile bounds keep
+    *      per-bucket row counts near-uniform WHATEVER the id
+    *      distribution. One map-side-combined token sum per bucket —
+    *      driver state is ≤256 rows, never corpus;
     *   2. the driver prefix-sums bucket totals into per-bucket OFFSETS
     *      (broadcast back — the rebase);
     *   3. each row's exclusive global prefix = bucket offset + within-
     *      bucket window sum; batch = prefix DIV budget, offset-in-batch
     *      = prefix MOD budget. Exact BIGINT arithmetic end to end.
     *
-    * The DuckDB oracle replays the plain global window — agreement
-    * proves the decomposition is exactly the global prefix sum. */
+    * The decomposition is bound-AGNOSTIC — any ordered-range bucketing
+    * yields the identical global prefix sum (bucket ids never appear
+    * in the output) — so estimation error in the percentile sketch
+    * can only skew WORK, never results. The DuckDB oracle replays the
+    * plain global window — agreement proves the decomposition is
+    * exactly the global prefix sum. */
   def globalPack(spark: SparkSession, dir: String,
       budget: Long = 2048L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -250,11 +292,8 @@ object TextQueries {
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokenCountWs(col("text"))
           .as("n_tokens"))
-    val bounds = base.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val lo = bounds.getLong(0)
-    val width = math.max(1L, (bounds.getLong(1) - lo) / 256L + 1L)
-    val bb = base.withColumn("bucket",
-      expr(s"CAST((doc_id - $lo) DIV $width AS BIGINT)"))
+    val splits = equidepthSplits(base, "doc_id", 256)
+    val bb = base.withColumn("bucket", rangeBucket(col("doc_id"), splits))
     // bounded collect: ≤ 256 (bucket, token-total) rows — metadata scale
     val sums = bb.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -197,4 +197,66 @@ object PipelineEpoch {
     val Array(layer, tbl) = name.split('.')
     Catalog.versionRead(spark, cat.path(layer, tbl), v)
   }
+
+  // ---- path-addressed seam (the SQL surface's entry, mirroring
+  // Catalog.vacuumPath/versionRead): a resolved table directory is
+  // `<warehouse>/<layer>/<table>`, so the warehouse root, the epochs
+  // dir, and the manifest key all derive from the path shape — no
+  // Catalog instance needed, which is exactly what a SQL command
+  // resolving an identifier through the session catalog has in hand.
+
+  private def pathParts(tableDir: String): (String, String) = {
+    val p = new Path(tableDir)
+    val layerDir = p.getParent
+    require(layerDir != null && layerDir.getParent != null,
+      s"$tableDir is not a <warehouse>/<layer>/<table> directory")
+    (layerDir.getParent.toString, s"${layerDir.getName}.${p.getName}")
+  }
+
+  private def epochsDirOf(warehouse: String, pipeline: String): String =
+    s"$warehouse/_pipeline_epochs/$pipeline"
+
+  /** Newest published epoch, addressed by any member table's dir. */
+  def currentEpochPath(spark: SparkSession, tableDir: String,
+      pipeline: String): Int = {
+    val dir = epochsDirOf(pathParts(tableDir)._1, pipeline)
+    val ms = listManifests(fsOf(spark, dir), dir)
+    if (ms.isEmpty) 0 else ms.max
+  }
+
+  /** [[readAt]] addressed by the table's resolved directory. */
+  def readAtPath(spark: SparkSession, tableDir: String, pipeline: String,
+      epoch: Int): DataFrame = {
+    require(epoch > 0, s"pipeline '$pipeline' has no committed epoch")
+    val (warehouse, name) = pathParts(tableDir)
+    val dir = epochsDirOf(warehouse, pipeline)
+    val f = fsOf(spark, dir)
+    val p = new Path(dir, s"epoch_v$epoch")
+    require(f.exists(p),
+      s"epoch $epoch of pipeline '$pipeline' not found (published epochs: " +
+        s"${listManifests(f, dir).sorted.mkString(", ")})")
+    val versions = readSmall(f, p).split('\n').filter(_.nonEmpty).map { l =>
+      val Array(t, v) = l.split('\t'); t -> v.toInt
+    }.toMap
+    val v = versions.getOrElse(name, throw new IllegalArgumentException(
+      s"table '$name' is not part of pipeline '$pipeline' " +
+        s"(epoch $epoch records: ${versions.keys.toSeq.sorted.mkString(", ")})"))
+    require(v > 0, s"table '$name' did not exist at epoch $epoch")
+    Catalog.versionRead(spark, tableDir, v)
+  }
+
+  /** The audit view behind `pipeline_epochs(...)`: every retained
+    * epoch's manifest as (epoch, table_name, version) rows — bounded
+    * by keepEpochs × #tables, metadata scale. */
+  def manifestRows(spark: SparkSession, tableDir: String,
+      pipeline: String): Seq[(Int, String, Int)] = {
+    val dir = epochsDirOf(pathParts(tableDir)._1, pipeline)
+    val f = fsOf(spark, dir)
+    listManifests(f, dir).sorted.flatMap { e =>
+      scala.util.Try(readSmall(f, new Path(dir, s"epoch_v$e")))
+        .getOrElse("").split('\n').filter(_.nonEmpty).map { l =>
+          val Array(t, v) = l.split('\t'); (e, t, v.toInt)
+        }
+    }
+  }
 }

@@ -947,7 +947,9 @@ case class GraftRestoreCommand(nameParts: Seq[String],
   *    BY]`, `VACUUM [RETAIN n VERSIONS] [DRY RUN]`, `RESTORE …
   *    VERSION|TIMESTAMP AS OF`,
   *    `COPY INTO`, `CREATE TABLE … DEEP|SHALLOW CLONE … [VERSION AS OF]`,
-  *    `SELECT * FROM table_changes(...)`, `ALTER TABLE … ADD/DROP
+  *    `SELECT * FROM table_changes(...)`,
+  *    `SELECT * FROM pipeline_epoch('p'[, n], 't')` /
+  *    `pipeline_epochs('p', 't')`, `ALTER TABLE … ADD/DROP
   *    CONSTRAINT`, `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS
   *    IDENTITY`, `INSERT INTO … REPLACE WHERE`, and `ANALYZE TABLE …
   *    COMPUTE SKIPPING STATISTICS`;
@@ -983,6 +985,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftSql.splitZOrderCols(zcols), Option(wpred).map(_.trim))
       case GraftSql.TableChangesRe(ident, v1, v2, ks) =>
         GraftSql.tableChangesPlan(session, ident, v1, v2, ks)
+          .queryExecution.logical
+      case GraftSql.PipelineEpochRe(pipe, epoch, ident) =>
+        GraftSql.pipelineEpochPlan(session, pipe, epoch, ident)
+          .queryExecution.logical
+      case GraftSql.PipelineEpochsRe(pipe, ident) =>
+        GraftSql.pipelineEpochsPlan(session, pipe, ident)
           .queryExecution.logical
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
@@ -1179,6 +1187,42 @@ object GraftSql {
 
   private[sql] val TableChangesRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*'([^']*)'\s*)?\)\s*;?\s*$""".r
+
+  /** `SELECT * FROM pipeline_epoch('pipeline'[, epoch], 'layer.table')`
+    * — the SQL seam onto [[graft.pipeline.PipelineEpoch.readAt]]:
+    * cross-table generation consistency for SQL-first consumers
+    * (`VERSION AS OF` pins one table; this pins the PIPELINE — every
+    * table read through the same epoch number is one generation).
+    * Epoch omitted = the newest published one, resolved ONCE per
+    * statement; consumers needing one generation across several
+    * statements pass the explicit number. */
+  private[sql] val PipelineEpochRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+pipeline_epoch\(\s*'(\w+)'\s*,(?:\s*(\d+)\s*,)?\s*'([\w.`]+)'\s*\)\s*;?\s*$""".r
+
+  /** `SELECT * FROM pipeline_epochs('pipeline', 'layer.table')` — the
+    * audit listing: every retained epoch's manifest as (epoch,
+    * table_name, version) rows. The table identifier locates the
+    * warehouse (any pipeline member works). */
+  private[sql] val PipelineEpochsRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+pipeline_epochs\(\s*'(\w+)'\s*,\s*'([\w.`]+)'\s*\)\s*;?\s*$""".r
+
+  private[sql] def pipelineEpochPlan(session: SparkSession,
+      pipeline: String, epochGroup: String, ident: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = resolveDir(session, splitIdent(ident), "pipeline_epoch")
+    val epoch = Option(epochGroup).map(_.toInt).getOrElse(
+      graft.pipeline.PipelineEpoch.currentEpochPath(session, dir, pipeline))
+    graft.pipeline.PipelineEpoch.readAtPath(session, dir, pipeline, epoch)
+  }
+
+  private[sql] def pipelineEpochsPlan(session: SparkSession,
+      pipeline: String, ident: String): org.apache.spark.sql.DataFrame = {
+    val dir = resolveDir(session, splitIdent(ident), "pipeline_epochs")
+    val rows = graft.pipeline.PipelineEpoch
+      .manifestRows(session, dir, pipeline)
+    import session.implicits._
+    rows.toDF("epoch", "table_name", "version")
+  }
 
   private[sql] def tableChangesPlan(session: SparkSession, ident: String,
       fromV: String, toV: String, keysGroup: String)
@@ -1404,6 +1448,10 @@ object GraftSql {
             Option(wpred).map(_.trim)))
       case TableChangesRe(ident, v1, v2, ks) =>
         tableChangesPlan(spark, ident, v1, v2, ks)
+      case PipelineEpochRe(pipe, epoch, ident) =>
+        pipelineEpochPlan(spark, pipe, epoch, ident)
+      case PipelineEpochsRe(pipe, ident) =>
+        pipelineEpochsPlan(spark, pipe, ident)
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))

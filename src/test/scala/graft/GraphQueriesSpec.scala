@@ -61,6 +61,35 @@ class GraphQueriesSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("pagerank with a reliable checkpointDir: identical ranks, " +
+      "per-round lineage truncation (one checkpoint RDD per iteration), " +
+      "result plan rooted at the pinned RDD") {
+    val ckpt = tmpDir("pr-ckpt")
+    val plain = GraphQueries.pageRank(spark, sf0001, iters = 3)
+      .collect().map(_.toSeq).toSeq
+    val pinned = GraphQueries.pageRank(spark, sf0001, iters = 3,
+      checkpointDir = Some(ckpt))
+    assert(pinned.collect().map(_.toSeq).toSeq == plain)
+    // reliable per-round checkpoints materialized into the dir: one
+    // RDD per iteration (the final round doubles as the result pin)
+    def rddDirs(d: java.io.File): Seq[String] =
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) Seq(f.getName) else Nil) ++
+            rddDirs(f)
+        else Nil)
+    val n = rddDirs(new java.io.File(ckpt)).size
+    assert(n >= 3, s"expected >=3 per-round checkpoint RDDs, found $n")
+    // lineage truncated: the result subtree is a LogicalRDD scan, not
+    // the 3-round join/agg tower
+    val logical = pinned.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LogicalRDD") ||
+      pinned.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"lineage not truncated:\n$logical")
+  }
+
   test("dsir: planted two-language corpus separates exactly") {
     import spark.implicits._
     val dir = tmpDir("dsir") + "/d"

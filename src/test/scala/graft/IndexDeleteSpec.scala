@@ -38,7 +38,8 @@ class IndexDeleteSpec extends SparkSuite {
     Catalog.overwritePath(spark,
       Tables.load(spark, sf0001, "documents").select("doc_id", "text"), src)
     val idx = s"$root/band_index"
-    Catalog.appendPath(spark, bandsOf(src), idx)
+    Catalog.appendPath(spark, bandsOf(src), idx,
+      commitTag = Some((Dedup.BandRecipeTag, Dedup.BandRecipe)))
     val nBefore = spark.read.parquet(idx).count()
 
     // copy-on-write delete: rows physically gone, no tombstones to filter
@@ -62,6 +63,10 @@ class IndexDeleteSpec extends SparkSuite {
     // idempotent: a second compaction is a no-op
     val log2 = Dedup.bandIndexCompact(spark, src, idx).collect()(0)
     assert(log2.getAs[Long]("n_removed") == 0)
+    // the index recipe tag survives compaction (SQL-visible through
+    // SHOW TBLPROPERTIES, which surfaces commit tags)
+    assert(Catalog.lastCommitTag(spark, idx, Dedup.BandRecipeTag)
+      .contains(Dedup.BandRecipe), "recipe tag lost across OPTIMIZE")
   }
 
   test("IVF index + copy-on-write delete: compaction drops exactly the " +

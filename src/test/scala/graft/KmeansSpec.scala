@@ -54,6 +54,29 @@ class KmeansSpec extends SparkSuite {
       s"k-means must descend the objective: trained=$trained seed=$seed")
   }
 
+  test("kmeans and kcenterCoreset with a reliable checkpointDir return " +
+      "bit-identical results and materialize into the dir") {
+    val ckpt = tmpDir("iter-ckpt")
+    val (c1df, r1) = Similarity.kmeans(spark, sf0001, k = 10, maxIters = 3)
+    val (c2df, r2) = Similarity.kmeans(spark, sf0001, k = 10, maxIters = 3,
+      checkpointDir = Some(ckpt))
+    assert(r1 == r2)
+    assert(rowsOf(c1df, "cluster", "pos") == rowsOf(c2df, "cluster", "pos"))
+    val kc1 = Similarity.kcenterCoreset(spark, sf0001, k = 4)
+      .collect().map(_.toSeq).toSeq
+    val kc2 = Similarity.kcenterCoreset(spark, sf0001, k = 4,
+      checkpointDir = Some(ckpt)).collect().map(_.toSeq).toSeq
+    assert(kc1 == kc2)
+    def rdds(d: java.io.File): Int =
+      if (!d.exists()) 0
+      else d.listFiles().map(f =>
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) 1 else 0) + rdds(f)
+        else 0).sum
+    assert(rdds(new java.io.File(ckpt)) >= 4,
+      "reliable checkpoints not materialized")
+  }
+
   test("one extra round never increases the objective (Lloyd guarantee)") {
     val vs = vectors()
     val byIters = (1 to 3).map { it =>

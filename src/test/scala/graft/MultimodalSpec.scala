@@ -259,4 +259,55 @@ class MultimodalSpec extends SparkSuite {
       r.getAs[Long]("bx") == 0L && r.getAs[Long]("by") == 0L).get
     assert(b00.getAs[Long]("lum") == 36L, s"block (0,0) of asset 0: $b00")
   }
+
+  test("q249 cross-modal takedown: every member of ANY modality cluster " +
+      "holding a named doc is removed; a planted image-only partner of " +
+      "a named doc is removed without being a text near-dup") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.crossmodalTakedown(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    val named = out.keySet.filter(_ % 29 == 11)
+    assert(named.nonEmpty)
+    named.foreach(id => assert(out(id)._1 == "removed_direct"))
+    // independent per-modality cross-check: collect each modality's
+    // clusters and recompute the closure in driver code
+    val modClusters: Seq[(String, Map[Long, Long])] = Seq(
+      "text" -> graft.operators.Dedup
+        .dedupClustersOf(graft.Tables.load(spark, sf0001, "documents"))
+        .select("doc_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "image" -> Multimodal.imageDedupClusters(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "audio" -> graft.multimodal.Audio.dedupClustersQuery(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "video" -> Multimodal.videoDedupClusters(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val expected = out.keySet.map { id =>
+      val flagged = modClusters.filter { case (_, cl) =>
+        cl.get(id).exists(c =>
+          cl.exists { case (d, cd) => cd == c && d % 29 == 11 })
+      }.map(_._1)
+      val verdict =
+        if (id % 29 == 11) "removed_direct"
+        else if (flagged.nonEmpty) "removed_duplicate"
+        else "retained"
+      id -> ((verdict, flagged.size.toLong))
+    }.toMap
+    assert(out == expected,
+      s"closure mismatch: ${out.toSeq.diff(expected.toSeq).take(5)}")
+    // planted property: the image fixture clusters ids by doc_id DIV 4
+    // (shared gradient group), so a named doc's DIV-4 partners must be
+    // removed even when text ties them to nothing
+    val imgClusters = modClusters.toMap.apply("image")
+    val partner = named.flatMap(id =>
+      imgClusters.collect { case (d, c) if d != id &&
+        c == imgClusters(id) && d % 29 != 11 => d }).headOption
+    partner.foreach { p =>
+      assert(out(p)._1 == "removed_duplicate",
+        s"image partner $p of a named doc not removed: ${out(p)}")
+    }
+    assert(partner.nonEmpty, "fixture produced no image partner — " +
+      "planted case vacuous")
+  }
 }

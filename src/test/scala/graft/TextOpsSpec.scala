@@ -587,6 +587,35 @@ class TextOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q244 equi-depth buckets survive a pathologically clustered id " +
+      "space: per-bucket counts stay within a constant factor of " +
+      "uniform where the old (max-min)/n split collapses to one bucket") {
+    // snowflake-ish: 9,900 ids packed into a 10k-wide band near 10^12,
+    // 100 stragglers spread out to 10^15 — a uniform 16-way split puts
+    // ~99% of rows into bucket 0
+    val clustered = (0L until 9900L).map(i => 1000000000000L + i) ++
+      (1L to 100L).map(i => i * 10000000000000L)
+    val df = clustered.toDF("doc_id")
+    val n = 16
+    val splits = TextQueries.equidepthSplits(df, "doc_id", n)
+    val counts = df
+      .withColumn("bucket", TextQueries.rangeBucket(col("doc_id"), splits))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uniform = clustered.size.toDouble / n
+    val maxCount = counts.values.max
+    assert(maxCount <= 3 * uniform,
+      s"equi-depth bucket skew: max $maxCount vs uniform $uniform " +
+        s"($counts)")
+    // contrast: the uniform split this replaced really does collapse
+    val lo = clustered.min
+    val width = math.max(1L, (clustered.max - lo) / n + 1)
+    val collapsed = clustered.groupBy(id => (id - lo) / width)
+      .values.map(_.size).max
+    assert(collapsed >= 9900,
+      s"fixture not pathological enough: $collapsed")
+  }
+
   test("q241 MAD gate: planted extreme outlier flagged, uniform " +
       "language clean — and the median stays put under the outlier") {
     import graft.operators.OlapQueries
