@@ -1156,26 +1156,32 @@ object Similarity {
   def decontamEpochAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.pipeline.PipelineEpoch
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-q250").toString
-    val cat = new graft.catalog.Catalog(spark, s"$root/wh")
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-    cat.create(e.filter(col("doc_id") % 37 === 5), "bronze", "bench")
-    val land = s"$root/landing"
-    new java.io.File(land).mkdirs()
-    def drain(): Unit = graft.streaming.Streams.appendDecontamGuard(
-      spark.readStream
-        .schema("doc_id BIGINT, embedding ARRAY<FLOAT>")
-        .parquet(land),
-      cat, "bronze", "docs", "bench", "embedding", "doc_id",
-      s"$root/_cp")
-    e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 0)
-      .write.mode("append").parquet(land)
-    drain()
-    e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 1)
-      .write.mode("append").parquet(land)
-    drain()
+    // the guard pipeline (landing writes + two drains) is the fixture
+    // this audit reads — SETUP, phase-stamped so the bench artifact
+    // prices the epoch-resolved READS separately (the q225 discipline)
+    val cat = graft.BenchPhases.setup("q250_decontam_epoch_audit") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q250").toString
+      val c = new graft.catalog.Catalog(spark, s"$root/wh")
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      c.create(e.filter(col("doc_id") % 37 === 5), "bronze", "bench")
+      val land = s"$root/landing"
+      new java.io.File(land).mkdirs()
+      def drain(): Unit = graft.streaming.Streams.appendDecontamGuard(
+        spark.readStream
+          .schema("doc_id BIGINT, embedding ARRAY<FLOAT>")
+          .parquet(land),
+        c, "bronze", "docs", "bench", "embedding", "doc_id",
+        s"$root/_cp")
+      e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 0)
+        .write.mode("append").parquet(land)
+      drain()
+      e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 1)
+        .write.mode("append").parquet(land)
+      drain()
+      c
+    }
     val pipe = "decontam_docs"
     val top = PipelineEpoch.currentEpoch(spark, cat, pipe)
     val rows = (1 to top).map { ep =>
