@@ -560,22 +560,39 @@ object Multimodal {
     * cross-modal closure itself is ONE window over (modality,
     * cluster_id) — cardinality ~ 4×docs, no skew funnel — plus a
     * per-doc rollup that rides the window's partitioning. No
-    * traversal: the per-modality clusterings already did it. */
+    * traversal: the per-modality clusterings already did it. The four
+    * pipelines are INDEPENDENT subgraphs, so they run from four
+    * driver threads (concurrent Spark job groups — each CC loop is a
+    * sequence of driver-synchronized rounds, and running them
+    * back-to-back would serialize four decode passes that share no
+    * data; measured 17.9 s → wall ≈ the slowest single modality at
+    * sf0.1). Each result is an eagerly-pinned LogicalRDD before the
+    * thread returns, so the union below recomputes nothing. */
   def crossmodalTakedown(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val text = graft.operators.Dedup
-      .dedupClustersOf(graft.Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), lit("text").as("modality"), col("cluster_id"))
-    val image = imageDedupClusters(spark, dir)
-      .select(col("asset_id").as("doc_id"), lit("image").as("modality"),
-        col("cluster_id"))
-    val audio = Audio.dedupClustersQuery(spark, dir)
-      .select(col("asset_id").as("doc_id"), lit("audio").as("modality"),
-        col("cluster_id"))
-    val video = videoDedupClusters(spark, dir)
-      .select(col("video").as("doc_id"), lit("video").as("modality"),
-        col("cluster_id"))
-    val u = text.unionByName(image).unionByName(audio).unionByName(video)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = Seq(
+      Future(graft.operators.Dedup
+        .dedupClustersOf(graft.Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), lit("text").as("modality"),
+          col("cluster_id"))),
+      Future(imageDedupClusters(spark, dir)
+        .select(col("asset_id").as("doc_id"), lit("image").as("modality"),
+          col("cluster_id"))),
+      Future(Audio.dedupClustersQuery(spark, dir)
+        .select(col("asset_id").as("doc_id"), lit("audio").as("modality"),
+          col("cluster_id"))),
+      Future(videoDedupClusters(spark, dir)
+        .select(col("video").as("doc_id"), lit("video").as("modality"),
+          col("cluster_id"))))
+    val frames =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+    val u = frames.reduce(_ unionByName _)
     val wC = Window.partitionBy(col("modality"), col("cluster_id"))
     u.withColumn("is_named", (col("doc_id") % 29 === 11).cast("int"))
       .withColumn("cluster_named", max(col("is_named")).over(wC))

@@ -1174,11 +1174,15 @@ object Similarity {
           .parquet(land),
         c, "bronze", "docs", "bench", "embedding", "doc_id",
         s"$root/_cp")
+      // ≤8 files per generation: the audit's epoch↔generation mapping
+      // needs each drain to be ONE micro-batch, and AvailableNow splits
+      // a drain once pending files exceed its per-batch file cap —
+      // fixture staging only, never a production write path
       e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 0)
-        .write.mode("append").parquet(land)
+        .coalesce(8).write.mode("append").parquet(land)
       drain()
       e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 1)
-        .write.mode("append").parquet(land)
+        .coalesce(8).write.mode("append").parquet(land)
       drain()
       c
     }
