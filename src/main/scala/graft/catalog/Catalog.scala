@@ -974,6 +974,18 @@ object Catalog {
     * manifest — metadata scale. Racing epoch commits/prunes are fine:
     * a manifest vanishing mid-read is skipped (it was pruned → its
     * pins are released). */
+  /** Per-warehouse manifest cache for [[epochProtectedVersions]]:
+    * manifests are IMMUTABLE once published (put-if-absent link), so a
+    * pipeline's parsed pins stay valid while its manifest NAME SET is
+    * unchanged — one listing confirms that, versus re-reading every
+    * retained manifest on every commit (a per-micro-batch table would
+    * otherwise pay ~keepEpochs small reads per commit; on an object
+    * store those are GETs). Keyed by pipeline dir; value = (sorted
+    * manifest names, table → pinned versions). */
+  private val epochPinCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[String], Map[String, Set[Int]])]()
+
   private[graft] def epochProtectedVersions(spark: SparkSession,
       dir: String): Set[Int] = {
     val p = new Path(dir)
@@ -985,15 +997,29 @@ object Catalog {
     val name = s"${layerDir.getName}.${p.getName}"
     (for {
       pipe <- f.listStatus(epochsRoot).toSeq if pipe.isDirectory
-      m <- f.listStatus(pipe.getPath).toSeq
-      if m.getPath.getName.startsWith("epoch_v")
-      line <- scala.util.Try(
-        graft.layout.SwapProtocol.readSmallFile(f, m.getPath))
-        .getOrElse("").split('\n').toSeq
-      parts = line.split('\t')
-      if parts.length == 2 && parts(0) == name
-      v <- parts(1).toIntOption
-    } yield v).toSet
+    } yield {
+      val manifests = f.listStatus(pipe.getPath)
+        .map(_.getPath.getName).filter(_.startsWith("epoch_v"))
+        .sorted.toSeq
+      val key = pipe.getPath.toString
+      val cached = Option(epochPinCache.get(key))
+        .filter(_._1 == manifests).map(_._2)
+      val byTable = cached.getOrElse {
+        val parsed = (for {
+          mn <- manifests
+          line <- scala.util.Try(graft.layout.SwapProtocol
+            .readSmallFile(f, new Path(pipe.getPath, mn)))
+            .getOrElse("").split('\n').toSeq
+          parts = line.split('\t')
+          if parts.length == 2
+          v <- parts(1).toIntOption
+        } yield parts(0) -> v)
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        epochPinCache.put(key, (manifests, parsed))
+        parsed
+      }
+      byTable.getOrElse(name, Set.empty[Int])
+    }).foldLeft(Set.empty[Int])(_ ++ _)
   }
 
   /** Is version-log entry `e` of `dir` protected by an epoch pin?
