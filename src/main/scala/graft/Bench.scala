@@ -249,11 +249,14 @@ object Bench {
           } finally stream.close()
         }
       }
-      if (srcTexts.isEmpty)
+      if (srcTexts.isEmpty) {
+        // SQL-visible degradation (SHOW ENGINE HEALTH), not just stderr
+        graft.Health.benchFenceDisabled.set(true)
         System.err.println("[bench] WARN: no sources under the resolved " +
           "src root — per-query code fences are DISABLED this run " +
           "(prior floors will not carry; set -Dgraft.bench.srcRoot or " +
           "SPARK_GRAFT_SRC_ROOT)")
+      }
       def fenceOf(q: String): String = {
         // no sources → NO fence ("", never matching a stored digest):
         // a constant digest here would match every prior floor and let

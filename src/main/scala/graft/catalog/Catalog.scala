@@ -703,12 +703,21 @@ object Catalog {
     * Plain snapshots read the resolved snapshot dir; bucket-partitioned
     * tables reconstruct the version from the per-bucket retire log (bucket
     * column retained, matching the registered live relation's shape). */
-  def versionRead(spark: SparkSession, dir: String, v: Int): DataFrame = {
+  def versionRead(spark: SparkSession, dir: String, v: Int): DataFrame =
+    versionRead(spark, dir, v, None)
+
+  /** As [[versionRead]], with a caller-known schema forwarded to the
+    * snapshot read — skips the per-call footer-inference job when a
+    * caller resolves many versions of one table (the q250 epoch
+    * audit's shape). Bucketed reconstruction ignores the hint. */
+  def versionRead(spark: SparkSession, dir: String, v: Int,
+      schemaHint: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (isBucketedLayout(f, dir))
       graft.merge.PartitionedMerge.reconstructVersion(spark, dir, v)
     else graft.layout.DeletionVectors.readPath(spark,
-      resolveVersionPath(spark, dir, v))
+      resolveVersionPath(spark, dir, v), schemaHint)
   }
 
   /** [[Catalog!.compact]] on a raw table directory — the seam SQL
@@ -976,15 +985,57 @@ object Catalog {
     * pins are released). */
   /** Per-warehouse manifest cache for [[epochProtectedVersions]]:
     * manifests are IMMUTABLE once published (put-if-absent link), so a
-    * pipeline's parsed pins stay valid while its manifest NAME SET is
+    * pipeline's parsed pins stay valid while its manifest LISTING is
     * unchanged — one listing confirms that, versus re-reading every
     * retained manifest on every commit (a per-micro-batch table would
     * otherwise pay ~keepEpochs small reads per commit; on an object
-    * store those are GETs). Keyed by pipeline dir; value = (sorted
-    * manifest names, table → pinned versions). */
+    * store those are GETs). Keyed by pipeline dir; value = (manifest
+    * (name, mtime, length) fingerprints, table → pinned versions).
+    * The fingerprint includes mtime+length — not just names — because a
+    * warehouse deleted and recreated at the same path REPEATS manifest
+    * names (`epoch_v1`…) with different contents (ADVICE r13). Bounded:
+    * LRU-evicted past [[epochPinCacheCap]] pipelines, so a long-lived
+    * session touching many warehouses (a multi-tenant driver, every
+    * test run) cannot accumulate entries forever; a miss just re-parses
+    * a bounded manifest set. */
+  private[graft] var epochPinCacheCap = 64 // var: spec shrinks it to pin eviction
   private val epochPinCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (Seq[String], Map[String, Set[Int]])]()
+    new java.util.LinkedHashMap[
+        String, (Seq[(String, Long, Long)], Map[String, Set[Int]])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            String, (Seq[(String, Long, Long)], Map[String, Set[Int]])])
+          : Boolean = size() > epochPinCacheCap
+    }
+
+  private[graft] def epochPinCacheSize: Int =
+    epochPinCache.synchronized(epochPinCache.size())
+
+  /** One retained manifest's text for the PIN sweep. Failure semantics
+    * matter here (ADVICE r13 medium): a manifest VANISHING means it was
+    * pruned — its pins are released, read as empty. A manifest that
+    * still EXISTS but cannot be read is a storage fault; treating it as
+    * empty would fail OPEN (prune epoch-pinned versions and permanently
+    * break `PipelineEpoch.readAt` inside the retention window), so
+    * after bounded retries the sweep fails LOUDLY — the vacuum/commit
+    * that triggered it can rerun, the pinned snapshot cannot come back. */
+  private def readPinManifest(f: FileSystem, p: Path): String = {
+    var attempt = 0
+    while (true) {
+      try return graft.layout.SwapProtocol.readSmallFile(f, p)
+      catch {
+        case e: java.io.IOException =>
+          if (!f.exists(p)) return "" // pruned mid-sweep → pins released
+          attempt += 1
+          if (attempt >= 3) throw new IllegalStateException(
+            s"pipeline-epoch manifest $p exists but could not be read " +
+              "after 3 attempts — refusing to prune with unknown pins", e)
+          Thread.sleep(5L * attempt)
+      }
+    }
+    "" // unreachable
+  }
 
   private[graft] def epochProtectedVersions(spark: SparkSession,
       dir: String): Set[Int] = {
@@ -998,24 +1049,30 @@ object Catalog {
     (for {
       pipe <- f.listStatus(epochsRoot).toSeq if pipe.isDirectory
     } yield {
-      val manifests = f.listStatus(pipe.getPath)
-        .map(_.getPath.getName).filter(_.startsWith("epoch_v"))
-        .sorted.toSeq
+      val stats = f.listStatus(pipe.getPath).toSeq
+        .filter(_.getPath.getName.startsWith("epoch_v"))
+        .sortBy(_.getPath.getName)
+      val token = stats.map(s =>
+        (s.getPath.getName, s.getModificationTime, s.getLen))
       val key = pipe.getPath.toString
-      val cached = Option(epochPinCache.get(key))
-        .filter(_._1 == manifests).map(_._2)
+      val cached = epochPinCache.synchronized {
+        Option(epochPinCache.get(key))
+      }.filter(_._1 == token).map(_._2)
       val byTable = cached.getOrElse {
         val parsed = (for {
-          mn <- manifests
-          line <- scala.util.Try(graft.layout.SwapProtocol
-            .readSmallFile(f, new Path(pipe.getPath, mn)))
-            .getOrElse("").split('\n').toSeq
+          st <- stats
+          line <- readPinManifest(f, st.getPath).split('\n').toSeq
           parts = line.split('\t')
           if parts.length == 2
           v <- parts(1).toIntOption
         } yield parts(0) -> v)
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-        epochPinCache.put(key, (manifests, parsed))
+        // reached only when every retained manifest read cleanly
+        // (readPinManifest throws otherwise) — a failed parse is never
+        // cached under a still-matching fingerprint
+        epochPinCache.synchronized {
+          epochPinCache.put(key, (token, parsed))
+        }
         parsed
       }
       byTable.getOrElse(name, Set.empty[Int])

@@ -100,7 +100,19 @@ object DeletionVectors {
     * column (the raw read's shape) and subtract per-bucket positions
     * keyed by (bucket, file, row) — see [[bucketDvFrame]] for why the
     * bucket is part of the key. */
-  def readPath(spark: SparkSession, dir: String): DataFrame = {
+  def readPath(spark: SparkSession, dir: String): DataFrame =
+    readPath(spark, dir, None)
+
+  /** As [[readPath]], with an optional caller-known schema. Passing
+    * `schemaHint` skips the per-call parquet footer-inference job —
+    * one driver-latency job per `spark.read.parquet`, which dominates
+    * when a caller resolves MANY snapshots of the same table (q250's
+    * epoch audit reads keepEpochs versions whose schema is identical;
+    * EpochAuditJobsSpec pins the job count). Bucketed layouts read
+    * through their own reconstruction and ignore the hint. */
+  def readPath(spark: SparkSession, dir: String,
+      schemaHint: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     val pr = ReadProbeCache.probe(spark, dir)
     if (pr.isBucketed)
       // schema-safe for fully-emptied bucket trees (readRaw's sidecar
@@ -108,7 +120,8 @@ object DeletionVectors {
       graft.merge.PartitionedMerge.applyBucketDvs(spark, dir,
         graft.merge.PartitionedMerge.readRaw(spark, dir))
     else {
-      val data = spark.read.parquet(dir)
+      val data = schemaHint.fold(spark.read)(spark.read.schema(_))
+        .parquet(dir)
       if (pr.dvDirs.isEmpty) data
       else subtractPositions(data,
         spark.read.parquet(pr.dvDirs.map(_.toString): _*))
@@ -229,7 +242,25 @@ object DeletionVectors {
     else commitPositions(spark, dir, keepVersions, "DELETE",
       matched => matched.select(
         col(FileCol).as("file_name"), col(PosCol).as("row_index")),
-      newRows = None, alias)(cond)
+      newRows = None, alias)(_.filter(coalesce(cond, lit(false))))
+
+  /** `DELETE FROM t WHERE (keyCols) IN (SELECT … FROM keys)` — the
+    * set-membership takedown delete (q251's apply path): the rows whose
+    * key columns LEFT-SEMI join `keys` go into the position sidecar.
+    * The keys frame stays distributed end to end — no driver-collected
+    * IN-list, so a mass takedown prices like any other join. Flat
+    * snapshots only (same bound as every sidecar commit). Returns
+    * num_affected_rows. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String], keepVersions: Int = 10): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    commitPositions(spark, dir, keepVersions, "DELETE",
+      matched => matched.select(
+        col(FileCol).as("file_name"), col(PosCol).as("row_index")),
+      newRows = None, None)(
+      _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_semi"))
+  }
 
   /** `UPDATE … SET … WHERE cond`, merge-on-read: the matched rows' old
     * images go into the sidecar and their updated images append as new
@@ -256,17 +287,21 @@ object DeletionVectors {
           case Some(v) => v.cast(f.dataType).as(f.name)
           case None => col(f.name)
         }
-      }: _*)), alias)(cond)
+      }: _*)), alias)(_.filter(coalesce(cond, lit(false))))
   }
 
   /** Shared merge-on-read commit: links + sidecar (+ UPDATE's new files),
     * one optimistic swap. */
+  /** The curried tail is a MATCHER over the tagged live read rather
+    * than a bare predicate so set-membership deletes (`deleteKeys` —
+    * a left-semi join against a keys FRAME, never a driver-collected
+    * IN-list) share the one sidecar-commit path with predicate DML. */
   private def commitPositions(spark: SparkSession, dir: String,
       keepVersions: Int, operation: String,
       positions: DataFrame => DataFrame,
       newRows: Option[DataFrame => DataFrame],
       alias: Option[String] = None)(
-      cond: org.apache.spark.sql.Column): Long =
+      matcher: DataFrame => DataFrame): Long =
     Catalog.raceToConflictShim(dir) {
       val conf = spark.sparkContext.hadoopConfiguration
       val dst = new Path(dir)
@@ -285,8 +320,7 @@ object DeletionVectors {
       val hadDv = f.exists(dvPath)
       val existingCount =
         if (hadDv) spark.read.parquet(dvPath.toString).count() else 0L
-      val matched =
-        taggedLive(spark, dir, alias).filter(coalesce(cond, lit(false)))
+      val matched = matcher(taggedLive(spark, dir, alias))
 
       val tmp = Catalog.stagingPathShim(dir, "")
       f.mkdirs(tmp)

@@ -78,7 +78,18 @@ object SwapProtocol {
             // check — target existing IS the absent→present answer
             if (f.exists(target)) { f.delete(staged, false); return false }
             lastErr = e; attempt += 1
-            if (attempt < 3) Thread.sleep(5L << attempt)
+            if (attempt < 3) {
+              // an interrupt must not escape with the staged file
+              // un-consumed (the documented contract): restore the flag
+              // and settle through the fallback, which deletes or
+              // renames the staged file on every path
+              try Thread.sleep(5L << attempt)
+              catch {
+                case _: InterruptedException =>
+                  Thread.currentThread().interrupt()
+                  return renameFallback("interrupted during link retry")
+              }
+            }
         }
       }
       renameFallback(s"link failed 3x: ${lastErr.getMessage}")

@@ -262,9 +262,17 @@ object Audio {
   def syntheticNearDupWavAssets(spark: SparkSession, dir: String)
       : Dataset[AudioAsset] = {
     import spark.implicits._
-    graft.Tables.load(spark, dir, "documents")
+    wavAssetsOfIds(graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism))
+  }
+
+  /** The same deterministic WAVE encode for an arbitrary id set — the
+    * per-slice form the persisted cluster store feeds ingest batches
+    * through ([[graft.operators.ClusterStore]]). */
+  def wavAssetsOfIds(ids: Dataset[Long]): Dataset[AudioAsset] = {
+    import ids.sparkSession.implicits._
+    ids
       .mapPartitions { it =>
         it.map { id =>
           val frameLen = 16; val nF = 57
@@ -330,37 +338,63 @@ object Audio {
     * shared by the q195 pair query and the q198 cluster fold (the same
     * single-codec-pass discipline as the image side's hash frame). */
   private def fingerprintFrame(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val ds = syntheticNearDupWavAssets(spark, dir)
-    import ds.sparkSession.implicits._
+      : DataFrame =
+    audioSigsOf(graft.Tables.load(spark, dir, "documents")).cache()
+
+  /** Decoded, length-gated (asset_id, sig) fingerprint rows for a
+    * documents SLICE — the per-batch decode the persisted cluster store
+    * runs at ingest ([[graft.operators.ClusterStore]]). */
+  private[graft] def audioSigsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = wavAssetsOfIds(docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism))
     ds.mapPartitions(_.map(fingerprintOne(_))).toDF()
       .filter(col("decoded") && col("n_frames") === 57)
       .select(col("asset_id"), col("sig"))
-      .cache()
   }
 
-  private def nearDupFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = fps.select(col("asset_id"), col("sig"),
-      explode(sequence(lit(0), lit(3))).as("band_no"))
-      // sig is 56-bit non-negative, so arithmetic >> equals logical
+  private def nearDupFromFps(fps: DataFrame, maxHamming: Int): DataFrame =
+    audioPairsOf(fps, fps.withColumn("is_new", lit(true)), maxHamming)
+      .orderBy("id1", "id2")
+
+  /** Banded hamming near-dup pairs TOUCHING the probe side — the
+    * incremental form the persisted cluster store maintains
+    * ([[graft.operators.ClusterStore]]); same contract as the image
+    * side's `imagePairsOf`: `index` includes the probe's rows with
+    * `is_new` = true exactly on them, the `l < r OR NOT r.is_new` gate
+    * makes the output over probe = index = all EXACTLY the full
+    * self-join's pair set (ClusterStoreSpec pins it). */
+  private[graft] def audioPairsOf(probe: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
+    // sig is 56-bit non-negative, so arithmetic >> equals logical
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("band_no", explode(sequence(lit(0), lit(3))))
       .withColumn("band_val", expr("(sig >> (band_no * 14)) & 16383"))
     // SHUFFLE_HASH for the same reason as the image band join: the band
     // table is broadcast-sized but a broadcast build would serialize the
     // two subtree executions; with the shared cached frame either join
     // runs off in-memory blocks.
-    val pairs = banded.hint("SHUFFLE_HASH").as("l")
-      .join(banded.hint("SHUFFLE_HASH").as("r"),
+    val pairs = banded(probe.select(col("asset_id"), col("sig")))
+      .hint("SHUFFLE_HASH").as("l")
+      .join(banded(index.select(col("asset_id"), col("sig"),
+        col("is_new"))).hint("SHUFFLE_HASH").as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_val") === col("r.band_val") &&
-        col("l.asset_id") < col("r.asset_id"))
-      .select(col("l.asset_id").as("id1"), col("r.asset_id").as("id2"),
-        col("l.sig").as("s1"), col("r.sig").as("s2"))
+        (col("l.asset_id") < col("r.asset_id") || !col("r.is_new")))
+      // canonical (min, max); struct least keeps each id with ITS sig
+      .select(
+        least(struct(col("l.asset_id").as("id"), col("l.sig").as("s")),
+          struct(col("r.asset_id").as("id"), col("r.sig").as("s"))).as("a"),
+        greatest(struct(col("l.asset_id").as("id"), col("l.sig").as("s")),
+          struct(col("r.asset_id").as("id"), col("r.sig").as("s"))).as("b"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
       .distinct()
     pairs
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
-      .orderBy("id1", "id2")
   }
 
   /** q198: the audio dedup ACTION — q195's hamming pairs fold into

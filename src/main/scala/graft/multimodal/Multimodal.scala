@@ -353,6 +353,19 @@ object Multimodal {
     dhashAssets(syntheticGradientPngAssets(spark, dir)).toDF()
       .select(col("asset_id"), col("decoded"), col("dhash"))
 
+  /** Decoded (asset_id, dhash) signature rows for a documents SLICE —
+    * the per-batch encode→decode→dHash pass the persisted cluster store
+    * runs at ingest ([[graft.operators.ClusterStore]]). */
+  private[graft] def imageSigsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    dhashAssets(gradientPngAssetsOfIds(docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)))
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("asset_id"), col("dhash"))
+  }
+
   /** q168: PNG encode → real decode → dHash, hash-compared against the
     * arithmetic oracle (the q75 pattern for perceptual hashing). */
   def dhashQuery(spark: SparkSession, dir: String): DataFrame =
@@ -393,12 +406,30 @@ object Multimodal {
 
   /** Banded-candidate near-dup pairs over a (asset_id, dhash) frame —
     * shared by q169 (which builds hashes fresh) and q178 (which reuses
-    * one cached hash frame for pairs AND labels). */
+    * one cached hash frame for pairs AND labels); full self-pairing =
+    * probe and index the same frame, every row new. */
   private def imageNearDupFromHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame =
+    imagePairsOf(hashes, hashes.withColumn("is_new", lit(true)), maxHamming)
+      .orderBy("id1", "id2")
+
+  /** Banded hamming near-dup pairs TOUCHING the probe side — the
+    * incremental form the persisted cluster store maintains
+    * ([[graft.operators.ClusterStore]]). `probe` carries the new
+    * batch's (asset_id, dhash) rows; `index` carries every indexed
+    * signature (the probe's rows INCLUDED) plus `is_new` = true exactly
+    * on the probe's rows. The `l < r OR NOT r.is_new` gate emits each
+    * new↔new pair once (ordered) and each new↔old pair once (an old
+    * row never probes), so over probe = index = all the output is
+    * EXACTLY the full self-join's pair set — ClusterStoreSpec pins it.
+    * Candidates come from the 4×14-bit band equi-join (a pair within
+    * hamming ≤ 3 leaves a band untouched by pigeonhole); exact
+    * bit_count(xor) confirms; output is canonical (id1 < id2). */
+  private[graft] def imagePairsOf(probe: DataFrame, index: DataFrame,
       maxHamming: Int): DataFrame = {
-    val banded = hashes.select(col("asset_id"), col("dhash"),
-      explode(sequence(lit(0), lit(3))).as("band_no"))
-      // dhash is 56-bit non-negative, so arithmetic >> equals logical
+    // dhash is 56-bit non-negative, so arithmetic >> equals logical
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("band_no", explode(sequence(lit(0), lit(3))))
       .withColumn("band_val", expr("(dhash >> (band_no * 14)) & 16383"))
     // SHUFFLE_HASH on purpose: the band table is broadcast-sized, but
     // the broadcast build blocks on a full driver-side collect of one
@@ -407,19 +438,30 @@ object Multimodal {
     // at sf0.1; the object-typed MapPartitions subtrees do not
     // canonicalize equal, so ReusedExchange cannot dedupe them either
     // way)
-    val pairs = banded.hint("SHUFFLE_HASH").as("l")
-      .join(banded.hint("SHUFFLE_HASH").as("r"),
+    val pairs = banded(probe.select(col("asset_id"), col("dhash")))
+      .hint("SHUFFLE_HASH").as("l")
+      .join(banded(index.select(col("asset_id"), col("dhash"),
+        col("is_new"))).hint("SHUFFLE_HASH").as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_val") === col("r.band_val") &&
-        col("l.asset_id") < col("r.asset_id"))
-      .select(col("l.asset_id").as("id1"), col("r.asset_id").as("id2"),
-        col("l.dhash").as("h1"), col("r.dhash").as("h2"))
+        (col("l.asset_id") < col("r.asset_id") || !col("r.is_new")))
+      // canonical (min, max) orientation: a new↔old candidate can
+      // surface with the old doc as the smaller id; struct least keeps
+      // each id paired with ITS hash
+      .select(
+        least(struct(col("l.asset_id").as("id"), col("l.dhash").as("h")),
+          struct(col("r.asset_id").as("id"), col("r.dhash").as("h")))
+          .as("a"),
+        greatest(struct(col("l.asset_id").as("id"), col("l.dhash").as("h")),
+          struct(col("r.asset_id").as("id"), col("r.dhash").as("h")))
+          .as("b"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.h").as("h1"), col("b.h").as("h2"))
       .distinct()
     pairs
       .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
-      .orderBy("id1", "id2")
   }
 
   /** q178: the image dedup ACTION end to end — q169's hamming pairs fold
@@ -555,44 +597,65 @@ object Multimodal {
     * clusters tie the doc to a named one (removed_direct docs flag in
     * all of their modalities by construction).
     *
-    * Scale shape: each modality's clusters are its ALREADY-AUDITED
-    * dedup query (banded/blocked candidates, pointer-doubled CC); the
-    * cross-modal closure itself is ONE window over (modality,
-    * cluster_id) — cardinality ~ 4×docs, no skew funnel — plus a
-    * per-doc rollup that rides the window's partitioning. No
-    * traversal: the per-modality clusterings already did it. The four
-    * pipelines are INDEPENDENT subgraphs, so they run from four
-    * driver threads (concurrent Spark job groups — each CC loop is a
-    * sequence of driver-synchronized rounds, and running them
-    * back-to-back would serialize four decode passes that share no
-    * data; measured 17.9 s → wall ≈ the slowest single modality at
-    * sf0.1). Each result is an eagerly-pinned LogicalRDD before the
-    * thread returns, so the union below recomputes nothing. */
+    * Scale shape (VERDICT r13 #1 — the setup/probe split): the four
+    * modality clusterings are MAINTAINED STATE, not per-audit work. A
+    * real warehouse builds them at ingest and maintains them
+    * incrementally ([[graft.operators.ClusterStore]] — the q225/q233
+    * band-index discipline extended to clusters; ClusterStoreSpec pins
+    * maintained == rebuilt under append + delete per modality), while
+    * takedown is a RECURRING obligation over those slowly-changing
+    * tables. So the audit prices as a PROBE: read the four persisted
+    * cluster tables and run ONE window over (modality, cluster_id) —
+    * cardinality ~ 4×docs, no skew funnel — plus a per-doc rollup that
+    * rides the window's partitioning. No traversal (the persisted
+    * clusterings already did it), and no corpus decode anywhere in the
+    * audit path. The store build itself (memoized per corpus dir —
+    * maintained state persists across audits exactly as it would
+    * across scheduler runs) runs its four independent pipelines from
+    * four driver threads under named, cancellable job groups
+    * ([[graft.operators.ClusterStore.buildAll]]). */
+  /** Memoized per-corpus-dir cluster-store root shared by q249's audit
+    * and q251's apply path: the four modality cluster tables persist
+    * across invocations the way warehouse state persists across
+    * scheduler runs — the first caller builds, every later audit
+    * probes. */
+  private val clusterStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def modalityClusterRoot(spark: SparkSession,
+      dir: String): String =
+    clusterStoreRoots.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cluster-store").toString
+      graft.operators.ClusterStore.buildAll(spark, dir, root)
+      root
+    })
+
+  /** The four persisted cluster tables as one
+    * (doc_id, modality, cluster_id) frame — q249's and q251's shared
+    * probe input. */
+  private[graft] def modalityClusters(spark: SparkSession,
+      root: String): DataFrame =
+    Seq("text", "image", "audio", "video").map { m =>
+      graft.layout.DeletionVectors.readPath(spark, s"$root/$m/clusters")
+        .select(col("doc_id"), lit(m).as("modality"), col("cluster_id"))
+    }.reduce(_ unionByName _)
+
   def crossmodalTakedown(spark: SparkSession, dir: String): DataFrame = {
+    // maintained state: built once per corpus (setup), probed per audit
+    val root = graft.BenchPhases.setup("q249_crossmodal_takedown") {
+      modalityClusterRoot(spark, dir)
+    }
+    takedownVerdicts(spark, root).orderBy("doc_id")
+  }
+
+  /** q249's closure PROBE over the persisted cluster tables — one
+    * window + one rollup, shared with q251's apply path (which deletes
+    * the non-retained docs this emits). */
+  private[graft] def takedownVerdicts(spark: SparkSession,
+      root: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = Seq(
-      Future(graft.operators.Dedup
-        .dedupClustersOf(graft.Tables.load(spark, dir, "documents"))
-        .select(col("doc_id"), lit("text").as("modality"),
-          col("cluster_id"))),
-      Future(imageDedupClusters(spark, dir)
-        .select(col("asset_id").as("doc_id"), lit("image").as("modality"),
-          col("cluster_id"))),
-      Future(Audio.dedupClustersQuery(spark, dir)
-        .select(col("asset_id").as("doc_id"), lit("audio").as("modality"),
-          col("cluster_id"))),
-      Future(videoDedupClusters(spark, dir)
-        .select(col("video").as("doc_id"), lit("video").as("modality"),
-          col("cluster_id"))))
-    val frames =
-      try Await.result(Future.sequence(futures), Duration.Inf)
-      finally pool.shutdown()
-    val u = frames.reduce(_ unionByName _)
+    val u = modalityClusters(spark, root)
     val wC = Window.partitionBy(col("modality"), col("cluster_id"))
     u.withColumn("is_named", (col("doc_id") % 29 === 11).cast("int"))
       .withColumn("cluster_named", max(col("is_named")).over(wC))
@@ -606,11 +669,96 @@ object Multimodal {
           .when(col("any_named") === 1, lit("removed_duplicate"))
           .otherwise(lit("retained")).as("verdict"),
         col("n_flagged"))
-      .orderBy("doc_id")
+  }
+
+  /** q251: the takedown APPLY path — q249's verdicts EXECUTED against
+    * the warehouse, atomically across modalities. The staged corpus
+    * (bronze.docs) and its three media tables (bronze.images,
+    * bronze.audio, bronze.video — one asset row per doc, six frame
+    * rows per video; fixture-arithmetic so DuckDB replays the counts)
+    * are committed as pipeline epoch 1; the probe then deletes every
+    * non-retained doc's rows from ALL FOUR tables through the
+    * merge-on-read set-membership delete
+    * ([[graft.layout.DeletionVectors.deleteKeys]] — the flagged-ids
+    * frame left-semi joins each table, never a driver-collected
+    * IN-list) and stamps ONE pipeline epoch over the four post-delete
+    * versions. An epoch-resolved reader therefore sees the takedown
+    * all-or-nothing: epoch 1 has every modality of every doc, epoch 2
+    * has NO modality of any flagged doc — never a doc gone from text
+    * but alive as audio (TakedownApplySpec pins both sides). Output =
+    * per-table live row counts read THROUGH the committed epoch, one
+    * union-aggregate plan (the q250 job-shape discipline).
+    *
+    * Scale shape: verdicts probe the PERSISTED cluster tables (q249's
+    * setup/probe split); each delete is O(matched positions +
+    * file-count metadata) sidecar growth; the epoch commit is
+    * metadata. Nothing decodes media and nothing rewrites data files
+    * on the apply path. */
+  private[graft] val TakedownPipe = "takedown"
+  private[graft] val TakedownTables = Seq("bronze.audio", "bronze.docs",
+    "bronze.images", "bronze.video")
+
+  /** q251's fixture: corpus + three media tables in a fresh warehouse,
+    * committed as pipeline epoch 1 (the pre-takedown generation every
+    * table agrees on). */
+  private[graft] def stageTakedownTables(spark: SparkSession,
+      dir: String): graft.catalog.Catalog = {
+    val whRoot = java.nio.file.Files
+      .createTempDirectory("graft-q251").toString
+    val c = new graft.catalog.Catalog(spark, s"$whRoot/wh")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    c.create(docs, "bronze", "docs")
+    c.create(docs.select(col("doc_id")), "bronze", "images")
+    c.create(docs.select(col("doc_id")), "bronze", "audio")
+    c.create(docs.select(col("doc_id"),
+      explode(sequence(lit(0L), lit(5L))).as("frame_no")),
+      "bronze", "video")
+    graft.pipeline.PipelineEpoch.commit(spark, c, TakedownPipe,
+      TakedownTables)
+    c
+  }
+
+  /** q251's APPLY core: delete the non-retained docs' rows from all
+    * four tables (merge-on-read set-membership delete), then stamp ONE
+    * pipeline epoch over the post-delete versions. Returns the
+    * committed epoch. */
+  private[graft] def takedownApplyInto(spark: SparkSession,
+      storeRoot: String, cat: graft.catalog.Catalog): Int = {
+    // the flagged set crosses four semi-joins — pin it once
+    val flagged = takedownVerdicts(spark, storeRoot)
+      .filter(col("verdict") =!= "retained")
+      .select("doc_id")
+      .localCheckpoint()
+    TakedownTables.foreach { t =>
+      val Array(layer, tbl) = t.split('.')
+      graft.layout.DeletionVectors.deleteKeys(spark,
+        cat.path(layer, tbl), flagged, Seq("doc_id"))
+    }
+    val ep = graft.pipeline.PipelineEpoch.commit(spark, cat,
+      TakedownPipe, TakedownTables)
+    graft.operators.Dedup.releasePinned(flagged)
+    ep
+  }
+
+  def takedownApply(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, storeRoot) = graft.BenchPhases.setup("q251_takedown_apply") {
+      (stageTakedownTables(spark, dir), modalityClusterRoot(spark, dir))
+    }
+    val ep = takedownApplyInto(spark, storeRoot, cat)
+    // per-table counts through the committed epoch as ONE plan
+    TakedownTables.map { t =>
+      graft.pipeline.PipelineEpoch.readAt(spark, cat, TakedownPipe, t, ep)
+        .select(lit(t).as("table_name"))
+    }.reduce(_ unionByName _)
+      .groupBy("table_name")
+      .agg(count(lit(1)).as("n_live"))
+      .orderBy("table_name")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q249_crossmodal_takedown" -> (crossmodalTakedown _),
+    "q251_takedown_apply" -> (takedownApply _),
     "q217_image_resize"  ->
       ((s: SparkSession, d: String) => resizeQuery(s, d)),
     "q205_scene_cuts"    ->
@@ -665,8 +813,31 @@ object Multimodal {
     * hazard, capped in production exactly like q182's shingle hubs. */
   def videoNearDup(spark: SparkSession, dir: String, minShared: Int = 3)
       : DataFrame = {
+    val vf = videoSigsOf(graft.Tables.load(spark, dir, "documents"))
+    val sizes = vf.groupBy("video").agg(count(lit(1)).as("n_frames"))
+    val pairs = videoPairsOf(vf, vf.withColumn("is_new", lit(true)),
+      minShared)
+    pairs
+      .join(sizes.select(col("video").as("vid_a"), col("n_frames").as("na")),
+        Seq("vid_a"))
+      .join(sizes.select(col("video").as("vid_b"), col("n_frames").as("nb")),
+        Seq("vid_b"))
+      .select(col("vid_a"), col("vid_b"), col("shared_frames"),
+        expr("1000000 * shared_frames DIV (na + nb - shared_frames)")
+          .as("jaccard_ppm"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** Per-video SIGNATURE rows — the distinct decoded frame-hash set as
+    * (video, dhash) rows — the state the persisted cluster store
+    * ([[graft.operators.ClusterStore]]) indexes for the video modality.
+    * The PNG encode→decode→dHash pass (the dominant cost) runs once per
+    * distinct frame id of THIS slice and is pinned, so downstream
+    * consumers (sizes, both pair sides) never re-run the codec. */
+  private[graft] def videoSigsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val frames = graft.Tables.load(spark, dir, "documents")
+    val frames = docs
       .select(col("doc_id").as("video"))
       .withColumn("f", explode(sequence(lit(0L), lit(5L))))
       .withColumn("fid",
@@ -696,24 +867,28 @@ object Multimodal {
           .repartition(spark.sparkContext.defaultParallelism)))
       .toDF().select(col("asset_id").as("fid"), col("dhash"))
       .localCheckpoint()
-    val vf = frames.join(hashes, "fid")
+    frames.join(hashes, "fid")
       .select("video", "dhash").distinct()
-    val sizes = vf.groupBy("video").agg(count(lit(1)).as("n_frames"))
-    val pairs = vf.select(col("dhash"), col("video").as("vid_a"))
-      .join(vf.select(col("dhash"), col("video").as("vid_b")), Seq("dhash"))
-      .filter(col("vid_a") < col("vid_b"))
+  }
+
+  /** Shared-frame candidate pairs TOUCHING the probe side over
+    * (video, dhash) signature rows — the incremental form the persisted
+    * cluster store maintains. `index` includes the probe's rows and
+    * carries `is_new` = true exactly on them; the `va < vb OR NOT
+    * is_new` gate emits each new↔new pair once and each new↔old pair
+    * once, so over probe = index = all the output is EXACTLY the full
+    * inverted-index self-join's pair set (ClusterStoreSpec pins it).
+    * The gate is shared distinct frames >= `minShared`. */
+  private[graft] def videoPairsOf(probe: DataFrame, index: DataFrame,
+      minShared: Int): DataFrame =
+    probe.select(col("dhash"), col("video").as("va"))
+      .join(index.select(col("dhash"), col("video").as("vb"),
+        col("is_new")), Seq("dhash"))
+      .filter(col("va") < col("vb") || !col("is_new"))
+      .select(least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"))
       .groupBy("vid_a", "vid_b").agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
-    pairs
-      .join(sizes.select(col("video").as("vid_a"), col("n_frames").as("na")),
-        Seq("vid_a"))
-      .join(sizes.select(col("video").as("vid_b"), col("n_frames").as("nb")),
-        Seq("vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("shared_frames"),
-        expr("1000000 * shared_frames DIV (na + nb - shared_frames)")
-          .as("jaccard_ppm"))
-      .orderBy("vid_a", "vid_b")
-  }
 
   /** Arithmetic rebuild of the gradient-PNG dHash for any id source —
     * `src` must expose a column `id`; the result has (asset_id, dhash).
@@ -948,38 +1123,59 @@ object Multimodal {
          CAST((doc_id % 256) // 32 AS INTEGER) AS lum_bin
          FROM documents ORDER BY asset_id""")
 
-  // q249: the four modalities' ALREADY-VERIFIED cluster oracles
+  // q249/q251: the four modalities' ALREADY-VERIFIED cluster oracles
   // composed as derived tables (DuckDB admits WITH RECURSIVE in a
   // subquery), then the same window closure the Spark side runs
+  private lazy val takedownCte: String = {
+    val parts = Seq(
+      "SELECT doc_id, 'text' AS modality, cluster_id FROM (" +
+        graft.operators.Dedup.oracles("q57_dedup_clusters") + ")",
+      "SELECT asset_id AS doc_id, 'image' AS modality, cluster_id FROM (" +
+        baseOracles("q178_image_dedup_clusters") + ")",
+      "SELECT asset_id AS doc_id, 'audio' AS modality, cluster_id FROM (" +
+        Audio.oracles("q198_audio_dedup_clusters") + ")",
+      "SELECT video AS doc_id, 'video' AS modality, cluster_id FROM (" +
+        baseOracles("q199_video_dedup_clusters") + ")")
+    s"""WITH u AS (${parts.mkString("\nUNION ALL\n")}),
+        f AS (
+          SELECT doc_id, modality,
+            MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY modality, cluster_id) AS cluster_named
+          FROM u),
+        g AS (
+          SELECT doc_id,
+            MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS is_named,
+            MAX(cluster_named) AS any_named,
+            CAST(count(DISTINCT CASE WHEN cluster_named = 1
+              THEN modality END) AS BIGINT) AS n_flagged
+          FROM f GROUP BY doc_id)"""
+  }
+
   val oracles: Map[String, String] = baseOracles +
-    ("q249_crossmodal_takedown" -> {
-      val parts = Seq(
-        "SELECT doc_id, 'text' AS modality, cluster_id FROM (" +
-          graft.operators.Dedup.oracles("q57_dedup_clusters") + ")",
-        "SELECT asset_id AS doc_id, 'image' AS modality, cluster_id FROM (" +
-          baseOracles("q178_image_dedup_clusters") + ")",
-        "SELECT asset_id AS doc_id, 'audio' AS modality, cluster_id FROM (" +
-          Audio.oracles("q198_audio_dedup_clusters") + ")",
-        "SELECT video AS doc_id, 'video' AS modality, cluster_id FROM (" +
-          baseOracles("q199_video_dedup_clusters") + ")")
-      s"""WITH u AS (${parts.mkString("\nUNION ALL\n")}),
-          f AS (
-            SELECT doc_id, modality,
-              MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END)
-                OVER (PARTITION BY modality, cluster_id) AS cluster_named
-            FROM u),
-          g AS (
-            SELECT doc_id,
-              MAX(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS is_named,
-              MAX(cluster_named) AS any_named,
-              CAST(count(DISTINCT CASE WHEN cluster_named = 1
-                THEN modality END) AS BIGINT) AS n_flagged
-            FROM f GROUP BY doc_id)
+    ("q249_crossmodal_takedown" ->
+      s"""$takedownCte
           SELECT doc_id,
             CASE WHEN is_named = 1 THEN 'removed_direct'
                  WHEN any_named = 1 THEN 'removed_duplicate'
                  ELSE 'retained' END AS verdict,
             n_flagged
-          FROM g ORDER BY doc_id"""
-    })
+          FROM g ORDER BY doc_id""") +
+    // q251: live = docs minus the flagged set (is_named OR any_named),
+    // six frame rows per video — pure arithmetic over the verdict CTE
+    ("q251_takedown_apply" ->
+      s"""$takedownCte,
+          fl AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged
+            FROM g WHERE is_named = 1 OR any_named = 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents)
+          SELECT t.table_name, t.n_live FROM (
+            SELECT 'bronze.audio' AS table_name,
+              nd.n_docs - fl.n_flagged AS n_live FROM nd, fl
+            UNION ALL SELECT 'bronze.docs',
+              nd.n_docs - fl.n_flagged FROM nd, fl
+            UNION ALL SELECT 'bronze.images',
+              nd.n_docs - fl.n_flagged FROM nd, fl
+            UNION ALL SELECT 'bronze.video',
+              6 * (nd.n_docs - fl.n_flagged) FROM nd, fl
+          ) t ORDER BY t.table_name""")
 }

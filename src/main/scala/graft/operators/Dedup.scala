@@ -68,10 +68,31 @@ object Dedup {
     * with `checkpointDir`, reliable `checkpoint()` into fault-tolerant
     * storage so a round survives executor loss on a long cluster run.
     * Both are EAGER (materialize AND truncate lineage) and release
-    * through [[releasePinned]]. */
+    * through [[releasePinned]].
+    *
+    * The checkpoint dir is set only when the context's CURRENT dir does
+    * not already live under the requested root: `setCheckpointDir`
+    * mints a fresh UUID subdirectory per call AND mutates global
+    * SparkContext state, so calling it per round would create N dirs
+    * per N-round loop and race concurrent driver-threaded loops
+    * (ADVICE r13). One loop = one subdirectory; concurrent loops
+    * sharing a root share one. Loops with DIFFERENT roots on
+    * concurrent threads still race the global setting — callers pass
+    * one checkpoint root per session (the documented shape). */
   private[graft] def snap(df: DataFrame,
       checkpointDir: Option[String]): DataFrame = {
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      val sc = df.sparkSession.sparkContext
+      val want = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+      }
+      val alreadyUnder = sc.getCheckpointDir.exists { cur =>
+        Option(new org.apache.hadoop.fs.Path(cur).getParent)
+          .exists(_.toString == want)
+      }
+      if (!alreadyUnder) sc.setCheckpointDir(d)
+    }
     if (checkpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
   }
@@ -335,28 +356,57 @@ object Dedup {
   /** DataFrame-based form (composable from pipelines over any snapshot of
     * the documents shape: doc_id, text, lang, n_chars). */
   def ngramJaccardOf(d0: DataFrame): DataFrame = {
-    val d = spread(d0)
-    // Inverted-index formulation: blocking on (lang, len_bucket) alone
-    // admits every same-block pair (quadratic, almost all jaccard≈0); but
-    // jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
-    // (shingle, doc) index with itself and COUNTING matches per pair gives
-    // |A∩B| directly and visits only pairs that share shingles — the
-    // candidate space is sum over shingles of bucket², not block². This is
-    // the classic set-similarity-join shape (cf. PPJoin/VerifyJoin).
-    val ex = d.select(col("doc_id"), col("lang"),
+    val sigs = textSigsOf(d0)
+    // full self-pairing = probe and index the same frame, every row new
+    ngramJaccardPairsOf(sigs, sigs.withColumn("is_new", lit(true)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Text near-dup SIGNATURE rows — blocking keys (lang + length
+    * decile) plus the distinct 3-shingle set — the per-document state
+    * the persisted cluster store ([[ClusterStore]]) indexes. The
+    * expensive tokenize/shingle pass runs once per document here;
+    * everything downstream is joins over these rows. */
+  private[graft] def textSigsOf(d0: DataFrame): DataFrame =
+    spread(d0).select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("len_bucket"),
-      explode(array_distinct(shingles3(col("text")))).as("s"))
-    val inter = ex
-      .select(col("s"), col("lang"), col("len_bucket"),
-        col("doc_id").as("doc_a"))
-      .join(ex.select(col("s"), col("lang"), col("len_bucket"),
-        col("doc_id").as("doc_b")).hint("SHUFFLE_HASH"),
-        Seq("s", "lang", "len_bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+      array_distinct(shingles3(col("text"))).as("sh"))
+
+  /** Shingle-Jaccard near-dup pairs TOUCHING the probe side — the
+    * incremental form [[ClusterStore]] maintains. `probe` is the new
+    * batch's signature rows; `index` is every indexed signature (the
+    * probe's rows INCLUDED) carrying `is_new` = true exactly on the
+    * probe's rows. The `doc_a < doc_b OR NOT is_new` gate emits each
+    * new↔new pair once (ordered) and each new↔old pair once (an old
+    * row never sits on the probe side), so over probe = index = all
+    * the output is EXACTLY the full self-join's pair set — the
+    * equality ClusterStoreSpec pins.
+    *
+    * Inverted-index formulation: blocking on (lang, len_bucket) alone
+    * admits every same-block pair (quadratic, almost all jaccard≈0); but
+    * jaccard >= 0.2 requires >= 1 shared shingle, so joining the exploded
+    * (shingle, doc) index against the probe's and COUNTING matches per
+    * pair gives |A∩B| directly and visits only pairs that share shingles
+    * — the candidate space is sum over shingles of bucket², not block².
+    * This is the classic set-similarity-join shape (cf.
+    * PPJoin/VerifyJoin). */
+  private[graft] def ngramJaccardPairsOf(probe: DataFrame,
+      index: DataFrame): DataFrame = {
+    val exP = probe.select(col("doc_id").as("doc_a"), col("lang"),
+      col("len_bucket"), explode(col("sh")).as("s"))
+    val exI = index.select(col("doc_id").as("doc_b"), col("lang"),
+      col("len_bucket"), col("is_new"), explode(col("sh")).as("s"))
+    val inter = exP
+      .join(exI.hint("SHUFFLE_HASH"), Seq("s", "lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b") || !col("is_new"))
+      // canonical orientation: a new↔old candidate can surface with the
+      // old (index) doc as the smaller id — fold to (min, max) so the
+      // per-pair intersection count groups correctly
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("lang"))
       .groupBy("doc_a", "doc_b", "lang")
       .agg(count(lit(1)).as("inter"))
-    val sizes = d.select(col("doc_id"),
-      size(array_distinct(shingles3(col("text")))).as("n_sh"))
+    val sizes = index.select(col("doc_id"), size(col("sh")).as("n_sh"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         Seq("doc_a"))
@@ -366,7 +416,6 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "lang", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Dedup cluster assignment — connected components over the near-dup

@@ -1186,26 +1186,70 @@ object Similarity {
       drain()
       c
     }
+    epochAuditProbe(spark, cat).orderBy("epoch")
+  }
+
+  /** q250's PROBE, factored for the job-count pin (EpochAuditJobsSpec):
+    * ONE aggregation over the UNION of every retained epoch's
+    * epoch-resolved reads, with the epoch riding as a literal column —
+    * not one driver-synchronized `.count()` job per epoch per table
+    * (VERDICT r13 #5: 2×keepEpochs sequential jobs are driver-latency-
+    * bound on a real cluster; the union plan scans the same pinned
+    * snapshots but schedules them as one job's stages). Epoch
+    * resolution (manifest + version pointer per epoch) stays driver-
+    * side metadata — bounded by the retention cap, no data motion. A
+    * left join against the literal epoch list keeps zero-count epochs
+    * in the output exactly as the per-epoch loop did. */
+  private[graft] def epochAuditProbe(spark: SparkSession,
+      cat: graft.catalog.Catalog): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.PipelineEpoch
     val pipe = "decontam_docs"
     val top = PipelineEpoch.currentEpoch(spark, cat, pipe)
-    val rows = (1 to top).map { ep =>
-      // a table version of 0 in the manifest = the table did not exist
-      // at that generation (no quarantined rows yet) — count 0
-      val vs = PipelineEpoch.tableVersions(spark, cat, pipe, ep)
-      def cnt(t: String): Long =
-        if (vs.getOrElse(t, 0) <= 0) 0L
-        else PipelineEpoch.readAt(spark, cat, pipe, t, ep).count()
-      val nq =
-        if (vs.getOrElse("bronze.docs_quarantine", 0) <= 0) (0L, 0L)
-        else {
-          val q = PipelineEpoch
-            .readAt(spark, cat, pipe, "bronze.docs_quarantine", ep)
-          (q.count(), q.select("matched_bench_id").distinct().count())
-        }
-      (ep, cnt("bronze.docs"), nq._1, nq._2)
+    // one footer-inference job per TABLE (the live read), reused as the
+    // schema hint for every epoch-resolved snapshot — epoch versions of
+    // one table share a schema, so keepEpochs×tables inference jobs
+    // collapse to two
+    def liveSchema(t: String) = {
+      val Array(l, tb) = t.split('.')
+      spark.read.parquet(cat.path(l, tb)).schema
     }
-    rows.toDF("epoch", "n_clean", "n_quarantined", "n_bench_matched")
-      .orderBy("epoch")
+    lazy val docsSchema = Some(liveSchema("bronze.docs"))
+    lazy val quarSchema = Some(liveSchema("bronze.docs_quarantine"))
+    // a table version of 0 in the manifest = the table did not exist at
+    // that generation (no quarantined rows yet) — contribute no rows
+    val slices = (1 to top).flatMap { ep =>
+      val vs = PipelineEpoch.tableVersions(spark, cat, pipe, ep)
+      val clean =
+        if (vs.getOrElse("bronze.docs", 0) <= 0) None
+        else Some(PipelineEpoch.readAt(spark, cat, pipe, "bronze.docs", ep,
+          docsSchema)
+          .select(lit(ep).as("epoch"), lit(true).as("is_clean"),
+            lit(null).cast("long").as("bench_id")))
+      val quar =
+        if (vs.getOrElse("bronze.docs_quarantine", 0) <= 0) None
+        else Some(PipelineEpoch
+          .readAt(spark, cat, pipe, "bronze.docs_quarantine", ep,
+            quarSchema)
+          .select(lit(ep).as("epoch"), lit(false).as("is_clean"),
+            col("matched_bench_id").cast("long").as("bench_id")))
+      clean.toSeq ++ quar.toSeq
+    }
+    val epochs = (1 to top).toDF("epoch")
+    if (slices.isEmpty)
+      return epochs.select(col("epoch"), lit(0L).as("n_clean"),
+        lit(0L).as("n_quarantined"), lit(0L).as("n_bench_matched"))
+    val counted = slices.reduce(_ unionByName _)
+      .groupBy("epoch")
+      .agg(count(when(col("is_clean"), 1)).as("n_clean"),
+        count(when(!col("is_clean"), 1)).as("n_quarantined"),
+        countDistinct(when(!col("is_clean"), col("bench_id")))
+          .as("n_bench_matched"))
+    epochs.join(counted, Seq("epoch"), "left")
+      .select(col("epoch"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+        coalesce(col("n_bench_matched"), lit(0L)).as("n_bench_matched"))
   }
 
   /** q235: SEMANTIC benchmark decontamination — the embedding rung of

@@ -99,12 +99,52 @@ object PipelineEpoch {
     * real committed one, so the merge never invents state — it only
     * prevents a race loser from publishing a HIGHER epoch that records
     * OLDER versions than the winner's (the regression an epoch-ordered
-    * reader would see as time going backwards). Per-table pointer
-    * reads within one attempt are still sequential — a writer landing
-    * between them can make the fresh snapshot mixed — so concurrent
-    * COMMITTERS of the SAME pipeline should be rare (one scheduler per
-    * pipeline is the intended shape); the merge guarantees epoch-order
-    * monotonicity even when they do race. */
+    * reader would see as time going backwards). The snapshot itself is
+    * read-until-stable ([[stableSnapshot]]): per-table pointer reads
+    * within one pass are sequential, so a RACING WRITER landing between
+    * them would make a single pass mixed-generation — the snapshot is
+    * re-read until two consecutive passes agree, and version pointers
+    * are monotone, so an agreed pair proves an instant at which every
+    * table simultaneously held its recorded version. Every published
+    * manifest therefore records a real cross-table state, even under
+    * concurrent writers and committers. */
+  /** TEST SEAM (PipelineEpochSpec's between-pointer-reads writer):
+    * invoked after EVERY per-table pointer read inside
+    * [[stableSnapshot]]. Production value is a no-op. */
+  private[graft] var onSnapshotRead: () => Unit = () => ()
+
+  /** Read every table's current version until two consecutive passes
+    * agree — the cross-table analogue of a seqlock read. Version
+    * pointers only move FORWARD, so if pass N and pass N+1 return the
+    * same vector, each table's version was constant across the interval
+    * [its pass-N read, its pass-N+1 read]; all pass-N reads finish
+    * before pass N+1 starts, so at the boundary instant every table
+    * simultaneously held its recorded version — the snapshot is a real
+    * instantaneous cross-table state, never mixed-generation. Bounded:
+    * sustained writer churn that defeats 16 passes fails loudly rather
+    * than publishing a manifest of unknowable consistency. */
+  private def stableSnapshot(cat: Catalog,
+      tables: Seq[String]): Seq[(String, Int)] = {
+    def pass(): Seq[(String, Int)] = tables.sorted.map { t =>
+      val Array(layer, tbl) = t.split('.')
+      val v = cat.currentVersion(layer, tbl)
+      onSnapshotRead()
+      t -> v
+    }
+    var prev = pass()
+    var i = 0
+    while (i < 16) {
+      val cur = pass()
+      if (cur == prev) return cur
+      prev = cur
+      i += 1
+    }
+    throw new IllegalStateException(
+      "table versions kept moving across 16 consecutive snapshot " +
+        s"passes for tables ${tables.mkString(", ")} — refusing to " +
+        "publish a pipeline-epoch manifest under sustained writer churn")
+  }
+
   def commit(spark: SparkSession, cat: Catalog, pipeline: String,
       tables: Seq[String], keepEpochs: Int = 20): Int = {
     require(keepEpochs >= 1, "keepEpochs must be >= 1")
@@ -115,10 +155,7 @@ object PipelineEpoch {
     while (attempts < 50) {
       attempts += 1
       val next = currentEpoch(spark, cat, pipeline) + 1
-      val fresh = tables.sorted.map { t =>
-        val Array(layer, tbl) = t.split('.')
-        t -> cat.currentVersion(layer, tbl)
-      }
+      val fresh = stableSnapshot(cat, tables)
       // newest epoch's record (absent/pruned/racing-away → empty):
       // the monotone floor for every table we are about to stamp
       val prevRec: Map[String, Int] =
@@ -187,7 +224,9 @@ object PipelineEpoch {
     * consistent generation across many reads even while new epochs
     * publish underneath it. */
   def readAt(spark: SparkSession, cat: Catalog, pipeline: String,
-      name: String, epoch: Int): DataFrame = {
+      name: String, epoch: Int,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(epoch > 0, s"pipeline '$pipeline' has no committed epoch")
     val versions = tableVersions(spark, cat, pipeline, epoch)
     val v = versions.getOrElse(name, throw new IllegalArgumentException(
@@ -195,7 +234,7 @@ object PipelineEpoch {
         s"(epoch $epoch records: ${versions.keys.toSeq.sorted.mkString(", ")})"))
     require(v > 0, s"table '$name' did not exist at epoch $epoch")
     val Array(layer, tbl) = name.split('.')
-    Catalog.versionRead(spark, cat.path(layer, tbl), v)
+    Catalog.versionRead(spark, cat.path(layer, tbl), v, schemaHint)
   }
 
   // ---- path-addressed seam (the SQL surface's entry, mirroring

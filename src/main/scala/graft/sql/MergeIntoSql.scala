@@ -861,6 +861,24 @@ case class GraftShowTblPropertiesCommand(nameParts: Seq[String],
   }
 }
 
+/** `SHOW ENGINE HEALTH [FOR <table>]` — the degradation surface
+  * ([[graft.Health]]): non-atomic-publish count, bench fence status,
+  * epoch-pin cache size, declared graph bounds; with `FOR`, the
+  * table's epoch-pinned snapshot versions. Metadata-only. */
+case class GraftShowEngineHealthCommand(nameParts: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = nameParts.map(np =>
+      GraftSql.resolveDir(spark, np, "SHOW ENGINE HEALTH"))
+    graft.Health.rows(spark, dir).map { case (k, v) => Row(k, v) }
+  }
+}
+
 case class GraftShowPartitionsCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
@@ -1002,6 +1020,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.VacuumRe(ident, retain, dry) =>
         GraftVacuumCommand(delegate.parseMultipartIdentifier(ident),
           keepVersions = Option(retain).map(_.toInt), dryRun = dry != null)
+      case GraftSql.ShowEngineHealthRe(ident) =>
+        GraftShowEngineHealthCommand(
+          Option(ident).map(delegate.parseMultipartIdentifier))
       case GraftSql.ShowPartitionsRe(ident)
           if GraftSql.resolvesToGraftTable(session, ident) =>
         GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(ident))
@@ -1241,6 +1262,8 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private[sql] val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*$""".r
+  private[sql] val ShowEngineHealthRe =
+    """(?is)^\s*SHOW\s+ENGINE\s+HEALTH(?:\s+FOR\s+([\w.`]+))?\s*;?\s*$""".r
   private[sql] val ShowTblPropertiesRe =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)(?:\s*\(\s*'([^']*)'\s*\))?\s*;?\s*$""".r
   private[sql] val RestoreRe =
@@ -1464,6 +1487,9 @@ object GraftSql {
           GraftVacuumCommand(splitIdent(ident),
             keepVersions = Option(retain).map(_.toInt),
             dryRun = dry != null))
+      case ShowEngineHealthRe(ident) =>
+        GraftShims.ofRows(spark,
+          GraftShowEngineHealthCommand(Option(ident).map(splitIdent)))
       case ShowPartitionsRe(ident) if resolvesToGraftTable(spark, ident) =>
         GraftShims.ofRows(spark,
           GraftShowPartitionsCommand(splitIdent(ident)))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.pipeline.PipelineEpoch
+import graft.operators.Similarity
+
+/** q250's probe must be ONE aggregation plan over the union of
+  * epoch-resolved reads (VERDICT r13 #5) — not a driver-synchronized
+  * `.count()` job per epoch per table. The pin is a Spark job counter
+  * around the probe's single collect: with 6 retained epochs the old
+  * shape ran ≥ 2 jobs per epoch (12+); the union plan's job count is
+  * CONSTANT in the epoch count (a handful of AQE stage jobs), so the
+  * bound `jobs < epochs` both proves the shape and leaves AQE headroom.
+  * Values are asserted against hand-built epochs, including an epoch
+  * whose quarantine table did not exist yet (recorded version 0 → zero
+  * counts, not an error). */
+class EpochAuditJobsSpec extends SparkSuite {
+
+  test("epoch audit runs one job set, not one count per epoch") {
+    import spark.implicits._
+    val cat = new Catalog(spark, tmpDir("epochaudit") + "/wh")
+    val docs = (1L to 10L).toDF("doc_id")
+    cat.create(docs, "bronze", "docs")
+    // epoch 1: quarantine does not exist yet → recorded version 0
+    PipelineEpoch.commit(spark, cat, "decontam_docs",
+      Seq("bronze.docs", "bronze.docs_quarantine"))
+    val quar = Seq((100L, 5L), (101L, 5L), (102L, 7L))
+      .toDF("doc_id", "matched_bench_id")
+    cat.create(quar, "bronze", "docs_quarantine")
+    cat.append((11L to 15L).toDF("doc_id"), "bronze", "docs")
+    PipelineEpoch.commit(spark, cat, "decontam_docs",
+      Seq("bronze.docs", "bronze.docs_quarantine"))
+    // four more epochs of steady appends
+    (3 to 6).foreach { i =>
+      cat.append(Seq(15L + i).toDF("doc_id"), "bronze", "docs")
+      cat.append(Seq((200L + i, 9L)).toDF("doc_id", "matched_bench_id"),
+        "bronze", "docs_quarantine")
+      PipelineEpoch.commit(spark, cat, "decontam_docs",
+        Seq("bronze.docs", "bronze.docs_quarantine"))
+    }
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Similarity.epochAuditProbe(spark, cat)
+        .orderBy("epoch").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // listener events are async — give the bus a beat to drain before
+      // reading the counter (job STARTS all precede collect returning,
+      // but delivery to this listener can lag)
+      Thread.sleep(500)
+      assert(got.toSeq === Seq(
+        (1, 10L, 0L, 0L),
+        (2, 15L, 3L, 2L),
+        (3, 16L, 4L, 3L),
+        (4, 17L, 5L, 3L),
+        (5, 18L, 6L, 3L),
+        (6, 19L, 7L, 3L)))
+      // 2 schema-inference jobs (one per TABLE, hint-reused across
+      // epochs) + a handful of AQE stage jobs for the single union-agg
+      // plan — CONSTANT in the epoch count. The old per-epoch loop ran
+      // ≥ 2 jobs per epoch (11 inference + counts ≈ 17 measured at 6
+      // epochs), so < 12 (2/epoch) proves the shape with AQE headroom.
+      val n = jobs.get()
+      assert(n > 0 && n < 12,
+        s"expected a constant-in-epochs job count (< 12 for 6 epochs), got $n")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

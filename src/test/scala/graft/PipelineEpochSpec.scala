@@ -233,4 +233,84 @@ class PipelineEpochSpec extends SparkSuite {
         s"epoch-ordered versions regressed: $vs")
     } finally pool.shutdown()
   }
+
+  test("epoch-pin cache: LRU-bounded, a miss re-parses correctly, and a " +
+      "recreated warehouse's same-named manifests are not served stale") {
+    val prevCap = Catalog.epochPinCacheCap
+    Catalog.epochPinCacheCap = 4
+    try {
+      def mkWarehouse(i: Int): (Catalog, String) = {
+        val cat = new Catalog(spark, tmpDir(s"graft-pincache-$i"))
+        cat.create(Seq((i.toLong, i.toLong)).toDF("id", "v"), "gold", "t")
+        PipelineEpoch.commit(spark, cat, "p", Seq("gold.t"))
+        (cat, cat.path("gold", "t"))
+      }
+      val whs = (1 to 6).map(mkWarehouse)
+      // touching 6 pipelines through the pin sweep fills then evicts
+      whs.foreach { case (_, dir) =>
+        Catalog.epochProtectedVersions(spark, dir) }
+      assert(Catalog.epochPinCacheSize <= 4,
+        s"cache not bounded: ${Catalog.epochPinCacheSize}")
+      // evicted entry re-parses correctly on the next sweep (a miss is
+      // a re-read, never a wrong answer)
+      assert(Catalog.epochProtectedVersions(spark, whs.head._2) ==
+        Set(1))
+      // recreated warehouse at the SAME path: epoch_v1 repeats its NAME
+      // with different contents (another table name → another length);
+      // the (name, mtime, len) fingerprint must invalidate the cache
+      val root = tmpDir("graft-pincache-recreate")
+      def recreate(table: String): Catalog = {
+        val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        val cat = new Catalog(spark, root)
+        cat.create(Seq((1L, 1L)).toDF("id", "v"), "gold", table)
+        PipelineEpoch.commit(spark, cat, "p", Seq(s"gold.$table"))
+        cat
+      }
+      val c1 = recreate("t")
+      assert(Catalog.epochProtectedVersions(spark, c1.path("gold", "t"))
+        == Set(1))
+      val c2 = recreate("longer_name")
+      assert(Catalog.epochProtectedVersions(spark,
+        c2.path("gold", "longer_name")) == Set(1),
+        "stale cache served the old warehouse's pins for gold.t")
+      assert(Catalog.epochProtectedVersions(spark, c2.path("gold", "t"))
+        == Set.empty,
+        "recreated warehouse still pins the DELETED table's versions")
+    } finally Catalog.epochPinCacheCap = prevCap
+  }
+
+  test("a writer landing BETWEEN the commit's per-table pointer reads " +
+      "cannot produce a mixed-generation manifest (read-until-stable)") {
+    val cat = new Catalog(spark, tmpDir("graft-epoch-stable"))
+    // two tables written in LOCKSTEP: a real cross-table state always
+    // has equal versions, so any manifest recording a != b is mixed
+    def writeGen(g: Int): Unit = {
+      val df = Seq((g.toLong, g.toLong)).toDF("id", "g")
+      if (g == 1) { cat.create(df, "gold", "a"); cat.create(df, "gold", "b") }
+      else {
+        cat.overwriteSnapshot(df, "gold", "a")
+        cat.overwriteSnapshot(df, "gold", "b")
+      }
+    }
+    writeGen(1)
+    // the seam fires after EVERY per-table pointer read; advance both
+    // tables on the first few reads so the commit's first snapshot
+    // passes are GUARANTEED torn (table a read at gen g, table b at
+    // g+1) and only a later stable pair can publish
+    val gen = new java.util.concurrent.atomic.AtomicInteger(1)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    PipelineEpoch.onSnapshotRead = () => {
+      if (fired.incrementAndGet() <= 3) writeGen(gen.incrementAndGet())
+    }
+    try {
+      val ep = PipelineEpoch.commit(spark, cat, "stable",
+        Seq("gold.a", "gold.b"))
+      val vs = PipelineEpoch.tableVersions(spark, cat, "stable", ep)
+      assert(fired.get() > 2, "seam never fired — test wiring broken")
+      assert(vs("gold.a") == vs("gold.b"),
+        s"published manifest is mixed-generation: $vs")
+    } finally PipelineEpoch.onSnapshotRead = () => ()
+  }
 }
