@@ -298,4 +298,30 @@ object PipelineEpoch {
         }
     }
   }
+
+  /** Every retained epoch with its COMMIT METADATA — one row per epoch
+    * (the discovery listing `pipeline_epochs`' per-table rows don't
+    * give): commit time = the manifest file's mtime (the put-if-absent
+    * link is the publication instant, so the file's timestamp IS the
+    * commit's), the recorded table count, and the recorded version
+    * span. A SQL auditor uses this to DISCOVER epochs ("what committed
+    * last night?") instead of probing numbers. Bounded by the retention
+    * cap; a manifest pruned mid-listing is skipped (its epoch aged
+    * out). */
+  def historyRows(spark: SparkSession, tableDir: String,
+      pipeline: String): Seq[(Int, java.sql.Timestamp, Int, Int, Int)] = {
+    val dir = epochsDirOf(pathParts(tableDir)._1, pipeline)
+    val f = fsOf(spark, dir)
+    listManifests(f, dir).sorted.flatMap { e =>
+      val p = new Path(dir, s"epoch_v$e")
+      scala.util.Try {
+        val st = f.getFileStatus(p)
+        val vs = readSmall(f, p).split('\n').filter(_.nonEmpty).map { l =>
+          val Array(_, v) = l.split('\t'); v.toInt
+        }
+        (e, new java.sql.Timestamp(st.getModificationTime), vs.length,
+          if (vs.isEmpty) 0 else vs.min, if (vs.isEmpty) 0 else vs.max)
+      }.toOption
+    }
+  }
 }

@@ -1010,6 +1010,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case GraftSql.PipelineEpochsRe(pipe, ident) =>
         GraftSql.pipelineEpochsPlan(session, pipe, ident)
           .queryExecution.logical
+      case GraftSql.PipelineEpochHistoryRe(pipe, ident) =>
+        GraftSql.pipelineEpochHistoryPlan(session, pipe, ident)
+          .queryExecution.logical
       case GraftSql.CopyIntoRe(ident, src, fmt, opts) =>
         GraftCopyIntoCommand(delegate.parseMultipartIdentifier(ident), src,
           fmt.toLowerCase, GraftSql.parseFormatOptions(opts))
@@ -1226,6 +1229,26 @@ object GraftSql {
     * warehouse (any pipeline member works). */
   private[sql] val PipelineEpochsRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+pipeline_epochs\(\s*'(\w+)'\s*,\s*'([\w.`]+)'\s*\)\s*;?\s*$""".r
+
+  /** `SELECT * FROM pipeline_epoch_history('pipeline', 'layer.table')`
+    * — epoch DISCOVERY with commit metadata: one row per retained
+    * epoch as (epoch, committed_at, n_tables, min_version,
+    * max_version). `pipeline_epochs` answers "what does epoch N pin?";
+    * this answers "which epochs exist and when did they commit?" — the
+    * entry point an auditor needs before picking a number to read at. */
+  private[sql] val PipelineEpochHistoryRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+pipeline_epoch_history\(\s*'(\w+)'\s*,\s*'([\w.`]+)'\s*\)\s*;?\s*$""".r
+
+  private[sql] def pipelineEpochHistoryPlan(session: SparkSession,
+      pipeline: String, ident: String): org.apache.spark.sql.DataFrame = {
+    val dir = resolveDir(session, splitIdent(ident),
+      "pipeline_epoch_history")
+    val rows = graft.pipeline.PipelineEpoch
+      .historyRows(session, dir, pipeline)
+    import session.implicits._
+    rows.toDF("epoch", "committed_at", "n_tables", "min_version",
+      "max_version")
+  }
 
   private[sql] def pipelineEpochPlan(session: SparkSession,
       pipeline: String, epochGroup: String, ident: String)
@@ -1475,6 +1498,8 @@ object GraftSql {
         pipelineEpochPlan(spark, pipe, epoch, ident)
       case PipelineEpochsRe(pipe, ident) =>
         pipelineEpochsPlan(spark, pipe, ident)
+      case PipelineEpochHistoryRe(pipe, ident) =>
+        pipelineEpochHistoryPlan(spark, pipe, ident)
       case CopyIntoRe(ident, src, fmt, opts) =>
         GraftShims.ofRows(spark, GraftCopyIntoCommand(splitIdent(ident),
           src, fmt.toLowerCase, parseFormatOptions(opts)))

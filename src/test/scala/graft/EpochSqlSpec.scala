@@ -87,6 +87,17 @@ class EpochSqlSpec extends SparkSuite {
     assert(audit == Set((1, "gold.edim", 1), (1, "gold.efact", 1),
       (2, "gold.edim", 2), (2, "gold.efact", 2)), s"audit: $audit")
 
+    // epoch DISCOVERY: one row per epoch with commit metadata — the
+    // entry point an auditor uses before picking a number to read at
+    val hist = s.sql(
+      s"SELECT * FROM pipeline_epoch_history('$Pipe', 'gold.edim')")
+      .collect().map(r => (r.getInt(0), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getTimestamp(1)))
+    assert(hist.map(h => (h._1, h._2, h._3, h._4)).toSeq ==
+      Seq((1, 2, 1, 1), (2, 2, 2, 2)), s"history: ${hist.toSeq}")
+    // commit times are real and ordered with the epochs
+    assert(!hist(0)._5.after(hist(1)._5))
+
     // the extension-less entry point resolves the same statements
     assert(GraftSql.sql(s,
       s"SELECT * FROM pipeline_epoch('$Pipe', 1, 'gold.edim')")
@@ -94,6 +105,9 @@ class EpochSqlSpec extends SparkSuite {
     assert(GraftSql.sql(s,
       s"SELECT * FROM pipeline_epochs('$Pipe', 'gold.edim')")
       .count() == 4)
+    assert(GraftSql.sql(s,
+      s"SELECT * FROM pipeline_epoch_history('$Pipe', 'gold.edim')")
+      .count() == 2)
 
     // unknown epoch / non-member table fail loudly
     intercept[Exception] {
