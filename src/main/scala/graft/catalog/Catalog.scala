@@ -1012,6 +1012,13 @@ object Catalog {
   private[graft] def epochPinCacheSize: Int =
     epochPinCache.synchronized(epochPinCache.size())
 
+  /** TEST SEAM: the cache is process-wide and `removeEldestEntry` evicts
+    * at most one entry per put, so a spec shrinking the cap must start
+    * from empty for the bound to be assertable regardless of which
+    * suites ran first. */
+  private[graft] def epochPinCacheClear(): Unit =
+    epochPinCache.synchronized(epochPinCache.clear())
+
   /** One retained manifest's text for the PIN sweep. Failure semantics
     * matter here (ADVICE r13 medium): a manifest VANISHING means it was
     * pruned — its pins are released, read as empty. A manifest that
@@ -1054,7 +1061,21 @@ object Catalog {
         .sortBy(_.getPath.getName)
       val token = stats.map(s =>
         (s.getPath.getName, s.getModificationTime, s.getLen))
-      val key = pipe.getPath.toString
+      // fold the pipeline's warehouse-instance id into the KEY: a
+      // warehouse deleted and recreated at the same path republishes
+      // epoch_v1.. with different contents, and (name, mtime, length)
+      // can collide across the recreation within the store's mtime
+      // granularity (1 s on object stores) — the fresh instance UUID
+      // (put-if-absent at first commit) makes the recreated pipeline a
+      // different cache key, so a stale entry can never be served. The
+      // id read is one small file per pipeline per sweep and shares
+      // readPinManifest's fail-LOUD semantics (missing = legacy
+      // pre-instance dir, read as ""; exists-but-unreadable = throw).
+      val instP = new Path(pipe.getPath,
+        graft.pipeline.PipelineEpoch.InstanceFile)
+      val instanceId =
+        if (f.exists(instP)) readPinManifest(f, instP) else ""
+      val key = s"${pipe.getPath}@$instanceId"
       val cached = epochPinCache.synchronized {
         Option(epochPinCache.get(key))
       }.filter(_._1 == token).map(_._2)

@@ -366,36 +366,11 @@ object Audio {
     * makes the output over probe = index = all EXACTLY the full
     * self-join's pair set (ClusterStoreSpec pins it). */
   private[graft] def audioPairsOf(probe: DataFrame, index: DataFrame,
-      maxHamming: Int): DataFrame = {
-    // sig is 56-bit non-negative, so arithmetic >> equals logical
-    def banded(df: DataFrame): DataFrame = df
-      .withColumn("band_no", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("(sig >> (band_no * 14)) & 16383"))
-    // SHUFFLE_HASH for the same reason as the image band join: the band
-    // table is broadcast-sized but a broadcast build would serialize the
-    // two subtree executions; with the shared cached frame either join
-    // runs off in-memory blocks.
-    val pairs = banded(probe.select(col("asset_id"), col("sig")))
-      .hint("SHUFFLE_HASH").as("l")
-      .join(banded(index.select(col("asset_id"), col("sig"),
-        col("is_new"))).hint("SHUFFLE_HASH").as("r"),
-        col("l.band_no") === col("r.band_no") &&
-        col("l.band_val") === col("r.band_val") &&
-        (col("l.asset_id") < col("r.asset_id") || !col("r.is_new")))
-      // canonical (min, max); struct least keeps each id with ITS sig
-      .select(
-        least(struct(col("l.asset_id").as("id"), col("l.sig").as("s")),
-          struct(col("r.asset_id").as("id"), col("r.sig").as("s"))).as("a"),
-        greatest(struct(col("l.asset_id").as("id"), col("l.sig").as("s")),
-          struct(col("r.asset_id").as("id"), col("r.sig").as("s"))).as("b"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.s").as("s1"), col("b.s").as("s2"))
-      .distinct()
-    pairs
-      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
-  }
+      maxHamming: Int): DataFrame =
+    // the banding/gate/canonicalization mechanics are the image side's,
+    // verbatim — one implementation keeps the incremental-store
+    // invariants in one place ([[Multimodal.hammingBandPairsOf]])
+    Multimodal.hammingBandPairsOf(probe, index, "sig", maxHamming)
 
   /** q198: the audio dedup ACTION — q195's hamming pairs fold into
     * connected components (the pointer-doubled CC from

@@ -426,11 +426,22 @@ object Multimodal {
     * hamming ≤ 3 leaves a band untouched by pigeonhole); exact
     * bit_count(xor) confirms; output is canonical (id1 < id2). */
   private[graft] def imagePairsOf(probe: DataFrame, index: DataFrame,
-      maxHamming: Int): DataFrame = {
-    // dhash is 56-bit non-negative, so arithmetic >> equals logical
+      maxHamming: Int): DataFrame =
+    hammingBandPairsOf(probe, index, "dhash", maxHamming)
+
+  /** The ONE banded-hamming candidate→confirm join both perceptual-hash
+    * modalities run ([[imagePairsOf]] over `dhash`, [[Audio.audioPairsOf]]
+    * over `sig`) — the gate and canonicalization invariants the
+    * incremental cluster store depends on live in exactly one place.
+    * `hashCol` is a 56-bit non-negative long, so arithmetic >> equals
+    * logical; candidates come from the 4×14-bit band equi-join, exact
+    * bit_count(xor) confirms, output is canonical (id1 < id2). */
+  private[multimodal] def hammingBandPairsOf(probe: DataFrame,
+      index: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
     def banded(df: DataFrame): DataFrame = df
       .withColumn("band_no", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("(dhash >> (band_no * 14)) & 16383"))
+      .withColumn("band_val",
+        expr(s"($hashCol >> (band_no * 14)) & 16383"))
     // SHUFFLE_HASH on purpose: the band table is broadcast-sized, but
     // the broadcast build blocks on a full driver-side collect of one
     // decode branch before the probe side starts — the shuffle join
@@ -438,9 +449,9 @@ object Multimodal {
     // at sf0.1; the object-typed MapPartitions subtrees do not
     // canonicalize equal, so ReusedExchange cannot dedupe them either
     // way)
-    val pairs = banded(probe.select(col("asset_id"), col("dhash")))
+    val pairs = banded(probe.select(col("asset_id"), col(hashCol)))
       .hint("SHUFFLE_HASH").as("l")
-      .join(banded(index.select(col("asset_id"), col("dhash"),
+      .join(banded(index.select(col("asset_id"), col(hashCol),
         col("is_new"))).hint("SHUFFLE_HASH").as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_val") === col("r.band_val") &&
@@ -449,11 +460,13 @@ object Multimodal {
       // surface with the old doc as the smaller id; struct least keeps
       // each id paired with ITS hash
       .select(
-        least(struct(col("l.asset_id").as("id"), col("l.dhash").as("h")),
-          struct(col("r.asset_id").as("id"), col("r.dhash").as("h")))
+        least(struct(col("l.asset_id").as("id"),
+            col(s"l.$hashCol").as("h")),
+          struct(col("r.asset_id").as("id"), col(s"r.$hashCol").as("h")))
           .as("a"),
-        greatest(struct(col("l.asset_id").as("id"), col("l.dhash").as("h")),
-          struct(col("r.asset_id").as("id"), col("r.dhash").as("h")))
+        greatest(struct(col("l.asset_id").as("id"),
+            col(s"l.$hashCol").as("h")),
+          struct(col("r.asset_id").as("id"), col(s"r.$hashCol").as("h")))
           .as("b"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.h").as("h1"), col("b.h").as("h2"))
@@ -619,17 +632,27 @@ object Multimodal {
     * across invocations the way warehouse state persists across
     * scheduler runs — the first caller builds, every later audit
     * probes. */
+  // memoized as a lazy cell, NOT built inside computeIfAbsent: the
+  // four-modality build runs minutes of Spark jobs, and holding the
+  // map's bin lock that long would stall an unrelated corpus dir
+  // hashing to the same bin. computeIfAbsent only installs the cell
+  // (cheap); the build runs under the cell's own lazy-init lock, so
+  // concurrent callers for the SAME dir still build exactly once.
   private val clusterStoreRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
   private[graft] def modalityClusterRoot(spark: SparkSession,
       dir: String): String =
     clusterStoreRoots.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-cluster-store").toString
-      graft.operators.ClusterStore.buildAll(spark, dir, root)
-      root
-    })
+      lazy val built: String = {
+        // registered fixture root — deleted on driver exit; a real
+        // warehouse keeps its stores under the catalog root instead
+        val root = graft.TempRoots.create("graft-cluster-store")
+        graft.operators.ClusterStore.buildAll(spark, dir, root)
+        root
+      }
+      () => built
+    })()
 
   /** The four persisted cluster tables as one
     * (doc_id, modality, cluster_id) frame — q249's and q251's shared
@@ -693,7 +716,14 @@ object Multimodal {
     * setup/probe split); each delete is O(matched positions +
     * file-count metadata) sidecar growth; the epoch commit is
     * metadata. Nothing decodes media and nothing rewrites data files
-    * on the apply path. */
+    * on the apply path.
+    *
+    * The cluster STORES deliberately keep the flagged docs' signatures
+    * and edges: a takedown obligation attaches to the CONTENT, so a
+    * re-upload (or a near-dup arriving later) must still fold into the
+    * named doc's cluster and flag — deleting the graph rows would
+    * amnesty future copies. The stores are audit/index state, not
+    * servable corpus; the corpus tables are what the delete scrubs. */
   private[graft] val TakedownPipe = "takedown"
   private[graft] val TakedownTables = Seq("bronze.audio", "bronze.docs",
     "bronze.images", "bronze.video")
@@ -703,8 +733,7 @@ object Multimodal {
     * table agrees on). */
   private[graft] def stageTakedownTables(spark: SparkSession,
       dir: String): graft.catalog.Catalog = {
-    val whRoot = java.nio.file.Files
-      .createTempDirectory("graft-q251").toString
+    val whRoot = graft.TempRoots.create("graft-q251")
     val c = new graft.catalog.Catalog(spark, s"$whRoot/wh")
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))

@@ -89,7 +89,13 @@ final class ClusterStore(spark: SparkSession, root: String,
   def build(docs: DataFrame): Unit = {
     // pinned: the pair join consumes the signature frame on BOTH sides
     // and the table write reads it once more — decode exactly once
-    val sigs = spec.sigsOf(docs).localCheckpoint()
+    val raw = spec.sigsOf(docs)
+    val sigs = raw.localCheckpoint()
+    // a sigsOf may pin frames of its OWN (videoSigsOf checkpoints its
+    // decoded frame-hash table); the outer checkpoint replaced the plan,
+    // so release the raw frame's pins too or every build/append leaks
+    // one pinned RDD per modality for the driver's lifetime
+    Dedup.releasePinned(raw)
     Catalog.overwritePath(spark, sigs, sigsDir, commitTag = recipeTag)
     Catalog.overwritePath(spark,
       spec.pairsOf(sigs, sigs.withColumn("is_new", lit(true))), pairsDir,
@@ -98,21 +104,87 @@ final class ClusterStore(spark: SparkSession, root: String,
     Dedup.releasePinned(sigs)
   }
 
+  /** TEST SEAM (ClusterStoreSpec's crash-replay case): invoked between
+    * the sigs append and the pairs append — the window a micro-batch
+    * crash leaves the batch's signatures committed without its edges.
+    * Production value is a no-op. */
+  private[graft] var onSigsAppended: () => Unit = () => ()
+
   /** Ingest one batch: decode the BATCH, probe its signatures against
     * the persisted index (old rows flagged `is_new` = false, so each
-    * new↔old edge is found once), append signatures + edges, refold. */
-  def append(docs: DataFrame): Unit = {
-    val newSigs = spec.sigsOf(docs).localCheckpoint()
-    val index = readSigs.withColumn("is_new", lit(false))
+    * new↔old edge is found once), append signatures + edges, refold.
+    *
+    * `batchTag` ((tagKey, batchId) from a streaming drain) makes the op
+    * EXACTLY-ONCE under micro-batch replay — the decontam guard's
+    * commit-tag contract: each table append is skipped when the batch's
+    * id is already stamped on that table, so a crash between the two
+    * appends replays into "sigs skip, pairs land". The probe index is
+    * built from the persisted sigs MINUS the batch's own doc ids: on
+    * that replay the batch's rows are ALREADY in the sigs table, and
+    * probing them as `is_new` = false rows would emit self-pairs (the
+    * gate admits l = r when r is old) and the batch's pairs twice. The
+    * anti-join is one broadcast of the batch's ids (map-side filter,
+    * O(batch)) and a semantic no-op on the clean path. */
+  def append(docs: DataFrame,
+      batchTag: Option[(String, Long)] = None): Unit = {
+    def alreadyOn(dir: String): Boolean = batchTag.exists { case (k, id) =>
+      Catalog.lastCommitTag(spark, dir, k).exists(_.toLong >= id)
+    }
+    if (alreadyOn(sigsDir) && alreadyOn(pairsDir)) {
+      // fully-landed replay: only the refold (idempotent overwrite)
+      // might have been lost to the crash
+      recluster(); return
+    }
+    val raw = spec.sigsOf(docs)
+    val newSigs = raw.localCheckpoint()
+    Dedup.releasePinned(raw) // sigsOf-internal pins (see build)
+    val index = readSigs
+      .join(newSigs.select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti")
+      .withColumn("is_new", lit(false))
       .unionByName(newSigs.withColumn("is_new", lit(true)))
     // pin the batch's edges BEFORE the sig append: `index` reads the
     // sigs table lazily, and appending first would double the batch
     val newPairs = spec.pairsOf(newSigs, index).localCheckpoint()
-    Catalog.appendPath(spark, newSigs, sigsDir, commitTag = recipeTag)
-    Catalog.appendPath(spark, newPairs, pairsDir, commitTag = recipeTag)
+    val tag = batchTag.map { case (k, id) => (k, id.toString) }
+    if (!alreadyOn(sigsDir))
+      Catalog.appendPath(spark, newSigs, sigsDir,
+        commitTag = tag.orElse(recipeTag))
+    onSigsAppended()
+    if (!alreadyOn(pairsDir))
+      Catalog.appendPath(spark, newPairs, pairsDir,
+        commitTag = tag.orElse(recipeTag))
     recluster()
     Dedup.releasePinned(newSigs)
     Dedup.releasePinned(newPairs)
+  }
+
+  /** Drain a stream of document batches into this store — the INGEST
+    * side of maintained cluster state (VERDICT r13 #1's steady-state
+    * shape closed end to end: clusters are maintained AT ingest, and
+    * takedown/dedup obligations probe them). Exactly-once composition:
+    * the applied-batch marker skips fully-applied batches on restart,
+    * and [[append]]'s per-table commit tags + replay-safe probe index
+    * make a partially-applied batch converge to exactly its clean
+    * result — the same two-marker contract the decontam guard and the
+    * streaming table sink document. Each drained batch leaves
+    * `clusters` consistent with the corpus seen so far. */
+  def maintainStream(changes: DataFrame, checkpoint: String): Unit = {
+    import graft.streaming.Streams
+    val tagKey = Streams.commitTagKey(checkpoint)
+    val q = changes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (batchId > Streams.lastAppliedBatch(s, checkpoint)) {
+          append(batch, Some((tagKey, batchId)))
+          Streams.recordAppliedBatch(s, checkpoint, batchId)
+        }
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Takedown/licensing delete: drop matching docs' signature rows and
@@ -185,6 +257,69 @@ object ClusterStore {
         p.withColumnRenamed("doc_id", "video"),
         i.withColumnRenamed("doc_id", "video"), minShared = 3)
         .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))))
+
+  /** q252: STREAMING maintenance of the persisted text cluster store —
+    * the ingest path that keeps q249/q251's maintained state true at a
+    * warehouse that never stops ingesting. The corpus arrives as a
+    * bootstrap slice plus a file-per-micro-batch stream: the store is
+    * built over the bootstrap, then [[ClusterStore.maintainStream]]
+    * drains the remaining files under `Trigger.AvailableNow` with the
+    * exactly-once two-marker contract, each batch decoding only itself,
+    * probing the persisted signature index, and refolding the persisted
+    * edges. The final `clusters` table equals the from-scratch
+    * clustering of the full corpus (incremental == rebuilt —
+    * ClusterStoreSpec), so the oracle is q57's recursive-CTE clustering
+    * verbatim, which makes the whole streamed composition
+    * hash-checked, not just spec-asserted.
+    *
+    * Bench shape: chunk staging is memoized per corpus dir and
+    * phase-stamped as setup, as is the bootstrap build; the PRICED
+    * probe is the streamed maintenance drain itself (a fresh store +
+    * checkpoint per invocation — a memoized store would price a no-op
+    * drain, hiding the maintenance cost the query exists to measure). */
+  def streamTextClusterQuery(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val qn = "q252_stream_cluster_maintenance"
+    val staged = graft.BenchPhases.setup(qn)(docChunksOf(spark, dir))
+    val root = graft.BenchPhases.setup(qn) {
+      val r = graft.TempRoots.create("graft-stream-cluster")
+      storeOf(spark, r, "text")
+        .build(spark.read.parquet(s"$staged/base"))
+      r
+    }
+    val store = storeOf(spark, root, "text")
+    val schema = graft.Tables.load(spark, dir, "documents").schema
+    store.maintainStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staged/stream"),
+      s"$root/_checkpoint")
+    store.clusters.orderBy("doc_id")
+  }
+
+  /** Staged corpus for [[streamTextClusterQuery]], memoized per corpus
+    * dir: `base/` holds the bootstrap third of the documents table,
+    * `stream/` two single-file chunks the drain consumes one per
+    * micro-batch. Deterministic doc_id % 3 slicing — batch ORDER never
+    * affects the final clusters (incremental == rebuilt), so any
+    * arrival order is equally checkable against the oracle. */
+  private val stagedChunks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+
+  private def docChunksOf(spark: SparkSession, dir: String): String =
+    stagedChunks.computeIfAbsent(dir, _ => {
+      lazy val built: String = {
+        val out = graft.TempRoots.create("graft-stream-src")
+        val docs = graft.Tables.load(spark, dir, "documents")
+        docs.filter(col("doc_id") % 3 === 0)
+          .write.mode("overwrite").parquet(s"$out/base")
+        (1 to 2).foreach { i =>
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(s"$out/stream")
+        }
+        out
+      }
+      () => built
+    })()
 
   def storeOf(spark: SparkSession, root: String,
       modality: String): ClusterStore = {

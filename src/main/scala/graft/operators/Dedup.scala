@@ -1465,6 +1465,9 @@ object Dedup {
       ((s: SparkSession, d: String) => takedownClosure(s, d)),
     "q248_ngram_novelty" ->
       ((s: SparkSession, d: String) => ngramNovelty(s, d)),
+    "q252_stream_cluster_maintenance" ->
+      ((s: SparkSession, d: String) =>
+        ClusterStore.streamTextClusterQuery(s, d)),
     "q102_dedup_select" -> (dedupSelect _))
 
   private val wordsSql = raw"string_split_regex(trim(lower(text)), '\s+')"
@@ -1511,6 +1514,31 @@ object Dedup {
 
   private def sigShSql(i: Int) =
     s"list_min(list_transform(sh, s -> md5('$i|' || s)))"
+
+  /** q57's recursive-CTE clustering — shared verbatim by q252's
+    * streamed-maintenance oracle (the drain must land on exactly the
+    * from-scratch clusters). */
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+          dd AS (
+            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   list_distinct($shinglesSql) AS sh
+            FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dd a JOIN dd b ON a.lang = b.lang
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
+          e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(d_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
+          SELECT d_id AS doc_id, MIN(r) AS cluster_id,
+            CAST(d_id = MIN(r) AS INTEGER) AS is_kept
+          FROM reach GROUP BY d_id ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     // q210: same shingle minhash (12 sigs, 4 bands of 3), same
@@ -1870,27 +1898,11 @@ object Dedup {
                 CAST(len(list_distinct(list_concat(wset_a, wset_b))) AS DOUBLE), 6) >= 0.5
           ORDER BY doc_a, doc_b"""
     },
-    "q57_dedup_clusters" ->
-      s"""WITH RECURSIVE
-          dd AS (
-            SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
-                   list_distinct($shinglesSql) AS sh
-            FROM documents),
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM dd a JOIN dd b ON a.lang = b.lang
-              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.2),
-          e AS (SELECT doc_a AS s, doc_b AS t FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          reach(d_id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.d_id, e.t FROM reach JOIN e ON reach.r = e.s)
-          SELECT d_id AS doc_id, MIN(r) AS cluster_id,
-            CAST(d_id = MIN(r) AS INTEGER) AS is_kept
-          FROM reach GROUP BY d_id ORDER BY doc_id""",
+    "q57_dedup_clusters" -> dedupClustersSql,
+    // q252: the STREAMED store maintenance lands on the same final
+    // clusters as the one-shot clustering (incremental == rebuilt), so
+    // the from-scratch oracle checks the whole drain end to end
+    "q252_stream_cluster_maintenance" -> dedupClustersSql,
     // q246: q57's recursive components + q90's hash membership decided
     // on the CLUSTER id — members inherit their cluster's split
     "q246_leakage_free_split" ->

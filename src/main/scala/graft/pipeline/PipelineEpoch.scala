@@ -145,12 +145,37 @@ object PipelineEpoch {
         "publish a pipeline-epoch manifest under sustained writer churn")
   }
 
+  /** The pipeline directory's WAREHOUSE-INSTANCE id file. Epoch names
+    * repeat when a warehouse is deleted and recreated at the same path
+    * (epoch_v1.. again, different contents), and (name, mtime, length)
+    * fingerprints can collide across the recreation within the store's
+    * mtime granularity — so the first commit put-if-absents a UUID the
+    * pin sweep folds into its cache key
+    * ([[graft.catalog.Catalog.epochProtectedVersions]]): a recreated
+    * pipeline gets a fresh id, and a stale cache entry keyed by the old
+    * id can never be served for the new warehouse's manifests. */
+  private[graft] val InstanceFile = "_instance"
+
+  private def ensureInstanceId(f: FileSystem, dir: String): Unit = {
+    val p = new Path(dir, InstanceFile)
+    if (!f.exists(p)) {
+      val tmp = new Path(dir,
+        ".inst-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = f.create(tmp, true)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
+      // loser's staged file is consumed either way; winner's id stands
+      SwapProtocol.publishIfAbsent(f, tmp, p)
+    }
+  }
+
   def commit(spark: SparkSession, cat: Catalog, pipeline: String,
       tables: Seq[String], keepEpochs: Int = 20): Int = {
     require(keepEpochs >= 1, "keepEpochs must be >= 1")
     val dir = epochsDir(cat, pipeline)
     val f = fsOf(spark, dir)
     f.mkdirs(new Path(dir))
+    ensureInstanceId(f, dir)
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -284,6 +309,43 @@ object PipelineEpoch {
     Catalog.versionRead(spark, tableDir, v)
   }
 
+  /** One retained manifest for a LISTING. `None` = the file VANISHED
+    * (pruned mid-listing — its epoch aged out, skipping it is correct).
+    * Exists-but-unreadable throws after bounded retries: an auditor
+    * discovering epochs through `pipeline_epochs`/`pipeline_epoch_history`
+    * must never see a live epoch silently absent and conclude it was
+    * never committed — the same vanished-vs-unreadable distinction the
+    * vacuum pin sweep draws (ADVICE r13 medium; Catalog.readPinManifest). */
+  private def readManifestOrPruned(f: FileSystem, p: Path)
+      : Option[String] = {
+    var attempt = 0
+    while (true) {
+      try return Some(readSmall(f, p))
+      catch {
+        case e: java.io.IOException =>
+          if (!f.exists(p)) return None
+          attempt += 1
+          if (attempt >= 3) throw new IllegalStateException(
+            s"pipeline-epoch manifest $p exists but could not be read " +
+              "after 3 attempts — refusing to list an epoch set of " +
+              "unknowable completeness", e)
+          Thread.sleep(5L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
+  /** A manifest's parsed (table, version) lines; malformed lines are
+    * tolerated PER-LINE (the pin sweep's discipline) rather than
+    * failing or dropping the whole epoch. */
+  private def parsedLines(text: String): Seq[(String, Int)] =
+    text.split('\n').toSeq.flatMap { l =>
+      l.split('\t') match {
+        case Array(t, v) => v.toIntOption.map(t -> _)
+        case _ => None
+      }
+    }
+
   /** The audit view behind `pipeline_epochs(...)`: every retained
     * epoch's manifest as (epoch, table_name, version) rows — bounded
     * by keepEpochs × #tables, metadata scale. */
@@ -292,10 +354,8 @@ object PipelineEpoch {
     val dir = epochsDirOf(pathParts(tableDir)._1, pipeline)
     val f = fsOf(spark, dir)
     listManifests(f, dir).sorted.flatMap { e =>
-      scala.util.Try(readSmall(f, new Path(dir, s"epoch_v$e")))
-        .getOrElse("").split('\n').filter(_.nonEmpty).map { l =>
-          val Array(t, v) = l.split('\t'); (e, t, v.toInt)
-        }
+      readManifestOrPruned(f, new Path(dir, s"epoch_v$e")).toSeq
+        .flatMap(parsedLines).map { case (t, v) => (e, t, v) }
     }
   }
 
@@ -314,14 +374,17 @@ object PipelineEpoch {
     val f = fsOf(spark, dir)
     listManifests(f, dir).sorted.flatMap { e =>
       val p = new Path(dir, s"epoch_v$e")
-      scala.util.Try {
-        val st = f.getFileStatus(p)
-        val vs = readSmall(f, p).split('\n').filter(_.nonEmpty).map { l =>
-          val Array(_, v) = l.split('\t'); v.toInt
-        }
-        (e, new java.sql.Timestamp(st.getModificationTime), vs.length,
-          if (vs.isEmpty) 0 else vs.min, if (vs.isEmpty) 0 else vs.max)
-      }.toOption
+      // vanished mid-listing → the epoch aged out, skip; unreadable or
+      // stat-failed while present → readManifestOrPruned's loud failure
+      readManifestOrPruned(f, p).flatMap { text =>
+        val vs = parsedLines(text).map(_._2)
+        // stat after a successful read: a miss here means the manifest
+        // was pruned between the two calls — same skip as a pruned read
+        (try Some(f.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }).map(st =>
+          (e, new java.sql.Timestamp(st.getModificationTime), vs.length,
+            if (vs.isEmpty) 0 else vs.min, if (vs.isEmpty) 0 else vs.max))
+      }
     }
   }
 }

@@ -51,6 +51,64 @@ class ClusterStoreSpec extends SparkSuite {
     }
   }
 
+  test("crash-replay exactly-once: a batch that died between the sigs " +
+      "and pairs appends converges to the clean result on replay") {
+    val spec = ClusterStore.modalitySpecs.find(_.name == "text").get
+    val store = new ClusterStore(spark, tmpDir("cs-replay"), spec)
+    store.build(docs.filter(col("doc_id") % 3 === 0))
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    // crash in the window a micro-batch replay must heal: sigs
+    // committed, pairs not, marker not advanced
+    store.onSigsAppended = () => throw new RuntimeException("crash")
+    intercept[RuntimeException] {
+      store.append(batch, batchTag = Some(("cs-replay", 1L)))
+    }
+    store.onSigsAppended = () => ()
+    // the replay: same batch, same tag — sigs must skip (already
+    // stamped), pairs must land, and the probe index must NOT see the
+    // batch's own already-landed rows as old (self-pairs/doubled edges)
+    store.append(batch, batchTag = Some(("cs-replay", 1L)))
+    val clean = new ClusterStore(spark, tmpDir("cs-replay-clean"), spec)
+    clean.build(docs.filter(col("doc_id") % 3 === 0))
+    clean.append(docs.filter(col("doc_id") % 3 === 1))
+    assert(clusterRows(store.clusters) === clusterRows(clean.clusters))
+    // pair-set equality is the sharper check: self-pairs or doubled
+    // edges would survive cluster folding invisibly
+    def pairRows(s: ClusterStore) = graft.layout.DeletionVectors
+      .readPath(spark, s.pairsDir).select("doc_a", "doc_b")
+      .collect().map(_.toSeq).toSeq
+    assert(pairRows(store).sortBy(_.toString) ===
+      pairRows(clean).sortBy(_.toString))
+    // a FULLY-landed replay (both tables stamped) is a pure no-op
+    store.append(batch, batchTag = Some(("cs-replay", 1L)))
+    assert(pairRows(store).size === pairRows(clean).size)
+  }
+
+  test("maintainStream drains a file-per-batch source into the store " +
+      "exactly-once and lands on the from-scratch clusters") {
+    val spec = ClusterStore.modalitySpecs.find(_.name == "text").get
+    val root = tmpDir("cs-stream")
+    val store = new ClusterStore(spark, root, spec)
+    store.build(docs.filter(col("doc_id") % 3 === 0))
+    val src = tmpDir("cs-stream-src")
+    (1 to 2).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = docs.schema
+    def drain(): Unit = store.maintainStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src), s"$root/_checkpoint")
+    drain()
+    val rebuilt = new ClusterStore(spark, tmpDir("cs-stream-clean"), spec)
+    rebuilt.build(docs)
+    assert(clusterRows(store.clusters) === clusterRows(rebuilt.clusters))
+    // a RESTARTED drain over the same checkpoint finds no new files and
+    // changes nothing — exactly-once across restarts, not just batches
+    drain()
+    assert(clusterRows(store.clusters) === clusterRows(rebuilt.clusters))
+  }
+
   test("full-corpus store equals each one-shot clustering query") {
     val root = tmpDir("cs-full")
     ClusterStore.buildAll(spark, sf0001, root)

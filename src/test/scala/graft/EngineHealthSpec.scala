@@ -42,10 +42,22 @@ class EngineHealthSpec extends SparkSuite {
     val before = SwapProtocol.nonAtomicPublishes.get()
     // force EXDEV: staged on tmpfs, target on /tmp — link(2) cannot
     // cross filesystems, so after bounded retries the publish degrades
-    // (and still lands through rename)
+    // (and still lands through rename). Guarded: hosts without a
+    // /dev/shm mount (macOS, slim containers), or where it resolves to
+    // the same filesystem as the target, cannot force the degradation —
+    // skip rather than fail/invert there.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    assume(java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm),
+      "needs a writable /dev/shm tmpfs mount to force EXDEV")
     val stagedDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "graft-health").toString
+      shm, "graft-health").toString
     val targetDir = tmpDir("graft-health-target")
+    assume(java.nio.file.Files.getFileStore(
+        java.nio.file.Paths.get(stagedDir)) !=
+      java.nio.file.Files.getFileStore(
+        java.nio.file.Paths.get(targetDir)),
+      "staged and target dirs must sit on different mounts for EXDEV")
     val f = new Path(targetDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val staged = new Path(stagedDir, "claim.staged")

@@ -42,20 +42,35 @@ class EpochAuditJobsSpec extends SparkSuite {
     }
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // count ONLY this probe's jobs (job-group filter): the listener
+    // rides the suite-shared SparkContext, so an unrelated suite's
+    // concurrent jobs must not inflate the pin
+    val group = "graft-epoch-audit-jobs-pin"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (j.properties != null && group ==
+            j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "epoch audit job-count pin")
     try {
       val got = Similarity.epochAuditProbe(spark, cat)
         .orderBy("epoch").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      // listener events are async — give the bus a beat to drain before
-      // reading the counter (job STARTS all precede collect returning,
-      // but delivery to this listener can lag)
-      Thread.sleep(500)
+      // listener events are async — job STARTS all precede collect
+      // returning, but delivery to this listener can lag. Poll until
+      // the counter is stable rather than a fixed sleep (a loaded CI
+      // box can lag past any constant; stability is the actual signal).
+      var last = -1
+      var stableFor = 0
+      var waited = 0
+      while (stableFor < 3 && waited < 5000) {
+        val cur = jobs.get()
+        if (cur == last) stableFor += 1 else { stableFor = 0; last = cur }
+        Thread.sleep(100); waited += 100
+      }
       assert(got.toSeq === Seq(
         (1, 10L, 0L, 0L),
         (2, 15L, 3L, 2L),
@@ -71,6 +86,9 @@ class EpochAuditJobsSpec extends SparkSuite {
       val n = jobs.get()
       assert(n > 0 && n < 12,
         s"expected a constant-in-epochs job count (< 12 for 6 epochs), got $n")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

@@ -238,6 +238,10 @@ class PipelineEpochSpec extends SparkSuite {
       "recreated warehouse's same-named manifests are not served stale") {
     val prevCap = Catalog.epochPinCacheCap
     Catalog.epochPinCacheCap = 4
+    // the cache is process-wide and eviction removes ONE eldest entry
+    // per put — start from empty or entries left by earlier suites keep
+    // the size above the shrunken cap no matter how many puts follow
+    Catalog.epochPinCacheClear()
     try {
       def mkWarehouse(i: Int): (Catalog, String) = {
         val cat = new Catalog(spark, tmpDir(s"graft-pincache-$i"))
@@ -278,6 +282,44 @@ class PipelineEpochSpec extends SparkSuite {
       assert(Catalog.epochProtectedVersions(spark, c2.path("gold", "t"))
         == Set.empty,
         "recreated warehouse still pins the DELETED table's versions")
+      // SAME-FINGERPRINT recreation: "ta" -> "tb" republishes epoch_v1
+      // with identical byte length, and the new manifest's mtime is
+      // forced equal to the old one (the collision a 1 s-granularity
+      // object store produces on its own) — the (name, mtime, len)
+      // token is then IDENTICAL across the recreation while the cache
+      // still holds the OLD warehouse's parse, so only the
+      // per-pipeline _instance UUID in the cache KEY stops the sweep
+      // from serving the old pins. The recreation is hand-built (bytes
+      // written directly, no sweep in between) to pin exactly that
+      // adversarial interleaving.
+      val c3 = recreate("ta")
+      assert(Catalog.epochProtectedVersions(spark, c3.path("gold", "ta"))
+        == Set(1)) // <- caches {ta -> 1} for this pipeline
+      val fsR = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val manifestP = new org.apache.hadoop.fs.Path(
+        s"$root/_pipeline_epochs/p/epoch_v1")
+      val oldSt = fsR.getFileStatus(manifestP)
+      def put(p: org.apache.hadoop.fs.Path, text: String): Unit = {
+        val o = fsR.create(p, true)
+        try o.write(text.getBytes("UTF-8")) finally o.close()
+      }
+      fsR.delete(new org.apache.hadoop.fs.Path(root), true)
+      val c4 = new Catalog(spark, root)
+      c4.create(Seq((1L, 1L)).toDF("id", "v"), "gold", "tb")
+      put(manifestP, "gold.tb\t1") // same length as "gold.ta\t1"
+      put(new org.apache.hadoop.fs.Path(s"$root/_pipeline_epochs/p/" +
+        PipelineEpoch.InstanceFile),
+        java.util.UUID.randomUUID().toString)
+      assert(fsR.getFileStatus(manifestP).getLen == oldSt.getLen,
+        "fixture drift: ta/tb manifests must have equal lengths")
+      fsR.setTimes(manifestP, oldSt.getModificationTime, -1)
+      assert(Catalog.epochProtectedVersions(spark, c4.path("gold", "tb"))
+        == Set(1),
+        "stale cache served the old same-fingerprint warehouse's pins")
+      assert(Catalog.epochProtectedVersions(spark, c4.path("gold", "ta"))
+        == Set.empty,
+        "same-fingerprint recreation still pins the DELETED table's versions")
     } finally Catalog.epochPinCacheCap = prevCap
   }
 
