@@ -381,7 +381,12 @@ object Audio {
     * q195→q198, text q34/q36→q57→q102. */
   def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
     val fps = fingerprintFrame(spark, dir)
-    val pairs = nearDupFromFps(fps, maxHamming = 3)
+    fps.count() // materialize: the band join's two sides read blocks
+    // the UNSORTED pair form: q195's declared orderBy would be a wasted
+    // corpus-wide range sort here — CC immediately re-shuffles the
+    // edges (r14; guide §2.4)
+    val pairs = audioPairsOf(fps,
+        fps.withColumn("is_new", lit(true)), maxHamming = 3)
       .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
     val labels0 = fps.select(col("asset_id").as("doc_id"),
       col("asset_id").as("cluster_id"))

@@ -83,6 +83,7 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
+        imageIoNoDiskCache()
       it.grouped(batchSize).flatMap(Decoder.decodeBatch)
     }
   }
@@ -137,6 +138,18 @@ object Multimodal {
       Tables.docAssets(spark, dir), nFrames = 4)
       .orderBy("asset_id", "frame_no")
 
+  /** JVM-wide ImageIO setting, invoked from every codec closure (so
+    * executor JVMs set it too, not just the driver): ImageIO's default
+    * stream cache is DISK-backed — each `ImageIO.read`/`write` over an
+    * in-memory byte buffer creates, writes, and deletes a TEMP FILE.
+    * At sf0.1 one q205 execution pays that syscall round trip ~80,000
+    * times (40k frames × encode+decode) for 8×8 images whose bytes
+    * already sit in memory; memory-cached streams are strictly better
+    * here (guide §1.2 step 2: per-task work). Idempotent, cheap gate. */
+  private[multimodal] def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache)
+      javax.imageio.ImageIO.setUseCache(false)
+
   private object Tables {
     def docAssets(spark: SparkSession, dir: String): DataFrame =
       graft.Tables.load(spark, dir, "documents")
@@ -152,6 +165,7 @@ object Multimodal {
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           val w = 1 + (id % 7).toInt
           val h = 1 + (id % 5).toInt
@@ -244,6 +258,7 @@ object Multimodal {
   def dhashAssets(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
+        imageIoNoDiskCache()
       it.grouped(64).flatMap(_.map { a =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
@@ -290,6 +305,7 @@ object Multimodal {
     import ids.sparkSession.implicits._
     ids
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -324,6 +340,7 @@ object Multimodal {
     import ids.sparkSession.implicits._
     ids
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -492,7 +509,12 @@ object Multimodal {
       .filter(col("decoded"))
       .select(col("asset_id"), col("dhash"))
       .cache()
-    val pairs = imageNearDupFromHashes(hashes, maxHamming = 6)
+    hashes.count() // materialize: the band join's two sides read blocks
+    // the UNSORTED pair form: q169's declared orderBy would be a wasted
+    // corpus-wide range sort here — CC immediately re-shuffles the
+    // edges (r14; guide §2.4)
+    val pairs = imagePairsOf(hashes,
+        hashes.withColumn("is_new", lit(true)), maxHamming = 6)
       .select(col("id1").as("doc_a"), col("id2").as("doc_b"))
     val labels0 = hashes
       .select(col("asset_id").as("doc_id"),
@@ -571,6 +593,7 @@ object Multimodal {
     import spark.implicits._
     syntheticGradientPngAssets(spark, dir)
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.grouped(64).flatMap(_.flatMap { a =>
           val img =
             try javax.imageio.ImageIO.read(
@@ -809,12 +832,24 @@ object Multimodal {
     * audio q198). Isolated videos are their own singleton clusters, so
     * the output is the full per-video keep/drop decision. */
   def videoDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = videoNearDup(spark, dir)
+    // ONE cached signature frame feeds both sides of the shared-frame
+    // join; q190's per-pair jaccard/sizes/orderBy are presentation-only
+    // and CC consumes bare edges, so going through the declared q190
+    // surface paid two sizes joins and a corpus-wide range sort that CC
+    // immediately re-shuffled (r14; guide §2.4)
+    val vf = videoSigsOf(graft.Tables.load(spark, dir, "documents"))
+      .cache()
+    vf.count() // materialize: the inverted-index join reads blocks
+    val pairs = videoPairsOf(vf,
+        vf.withColumn("is_new", lit(true)), minShared = 3)
       .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
     val labels0 = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    graft.operators.Dedup.connectedComponents(labels0, pairs)
-      .select(col("doc_id").as("video"), col("cluster_id"),
+    val cc = graft.operators.Dedup.connectedComponents(labels0, pairs)
+    vf.unpersist(blocking = false)
+    // videoSigsOf pins its decoded frame-hash table internally — free it
+    graft.operators.Dedup.releasePinned(vf)
+    cc.select(col("doc_id").as("video"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
       .orderBy("video")
   }

@@ -356,10 +356,18 @@ object Dedup {
   /** DataFrame-based form (composable from pipelines over any snapshot of
     * the documents shape: doc_id, text, lang, n_chars). */
   def ngramJaccardOf(d0: DataFrame): DataFrame = {
-    val sigs = textSigsOf(d0)
+    // cache()+count: the pair join consumes the signature frame on both
+    // sides (and once more for sizes) — the tokenize/shingle pass runs
+    // once per execution, not three times (the q178/q198 hash-frame
+    // discipline; r14). Released after the slim pair result is pinned.
+    val sigs = textSigsOf(d0).cache()
+    sigs.count()
     // full self-pairing = probe and index the same frame, every row new
-    ngramJaccardPairsOf(sigs, sigs.withColumn("is_new", lit(true)))
+    val res = ngramJaccardPairsOf(sigs, sigs.withColumn("is_new", lit(true)))
       .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    res
   }
 
   /** Text near-dup SIGNATURE rows — blocking keys (lang + length
@@ -433,14 +441,35 @@ object Dedup {
     dedupClustersOf(Tables.load(spark, dir, "documents"))
 
   /** DataFrame-based form for pipeline composition. */
-  def dedupClustersOf(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardOf(docs).select("doc_a", "doc_b")
-    val labels0 = docs
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    connectedComponents(labels0, pairs)
+  def dedupClustersOf(docs: DataFrame): DataFrame =
+    dedupComponentsOf(docs)
       .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast("int"))
       .orderBy("doc_id")
+
+  /** UNSORTED component labels over the shingle-Jaccard near-dup graph
+    * — the composition form q102/q222/q246/q247 build on. Those queries
+    * all re-aggregate or re-window and re-sort, so routing them through
+    * the declared q57 surface made each one pay a wasted corpus-wide
+    * range-partition sort (sampling job + exchange) on an intermediate
+    * nothing ever read in order (r14; guide §2.4 "an orderBy used only
+    * to make output deterministic").
+    *
+    * The signature frame is cache()d and materialized BEFORE the pair
+    * join consumes it on both sides — the image/audio modality
+    * discipline (q178/q198's cached hash frames) brought to text: the
+    * tokenize/shingle pass, the dominant map cost, runs once per
+    * execution instead of once per pair-join side, and the initial
+    * labels read the same blocks. Released once CC has materialized its
+    * own per-round checkpoints. */
+  private[graft] def dedupComponentsOf(docs: DataFrame): DataFrame = {
+    val sigs = textSigsOf(docs).cache()
+    sigs.count() // materialize once; both pair-join sides read blocks
+    val pairs = ngramJaccardPairsOf(sigs,
+      sigs.withColumn("is_new", lit(true))).select("doc_a", "doc_b")
+    val labels0 = sigs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val cc = connectedComponents(labels0, pairs)
+    sigs.unpersist(blocking = false)
+    cc
   }
 
   /** q246: LEAKAGE-FREE train/val/test split — q90's hash membership
@@ -462,7 +491,7 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     val h = substring(
       md5(concat(col("cluster_id").cast("string"), lit("#split42"))), 1, 4)
-    dedupClustersOf(docs).select("doc_id", "cluster_id")
+    dedupComponentsOf(docs).select("doc_id", "cluster_id")
       .withColumn("split",
         when(h < lit("e666"), lit("train"))
           .when(h < lit("f333"), lit("val"))
@@ -523,7 +552,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val named = (col("doc_id") % 29 === 11).cast("int")
     val wC = Window.partitionBy(col("cluster_id"))
-    dedupClustersOf(Tables.load(spark, dir, "documents"))
+    dedupComponentsOf(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("cluster_id"), named.as("is_named"))
       .withColumn("cluster_named", max(col("is_named")).over(wC))
       .select(col("doc_id"), col("cluster_id"),
@@ -543,7 +572,7 @@ object Dedup {
     * skew funnel; all other work is [[dedupClustersOf]]'s audited shape. */
   def dedupSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val clusters = dedupClustersOf(docs).select("doc_id", "cluster_id")
+    val clusters = dedupComponentsOf(docs).select("doc_id", "cluster_id")
     val scored = docs.select(col("doc_id"),
       graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
     val w = org.apache.spark.sql.expressions.Window
@@ -579,10 +608,34 @@ object Dedup {
     * `checkpoint()` — same protocol, blocks written to fault-tolerant
     * storage so a round survives executor loss.
     *
-    * Superseded rounds are released: once `changed` is computed against the
-    * new labels, the previous round's checkpointed blocks are unpersisted —
-    * otherwise executor storage grows O(rounds) on high-diameter graphs,
-    * the very case the checkpointing targets.
+    * Superseded rounds are released: once the new round's labels are
+    * materialized and its convergence sum read, the previous round's
+    * checkpointed blocks are unpersisted — otherwise executor storage
+    * grows O(rounds) on high-diameter graphs, the very case the
+    * checkpointing targets.
+    *
+    * Convergence is detected by a MONOTONE SUM, not a join (r14 §2.4):
+    * every per-doc label is non-increasing round over round (the edge
+    * hop takes a min over a set containing the doc's own label; the
+    * shortcut takes `least` of that), and the doc set is constant, so
+    * Σ cluster_id is strictly decreasing until the fixpoint and equal
+    * exactly at it. Comparing this round's sum with the last round's
+    * replaces the old per-round `join(oldLabels) … count()` — which
+    * re-shuffled BOTH label tables every round — with one shuffle-free
+    * two-stage aggregate over the freshly checkpointed blocks. The sum
+    * is exact (decimal(38,0) accumulation — no double rounding, no
+    * long overflow until 38 digits).
+    *
+    * Edge layout (r14 §2.4): the pair GENERATION — often the most
+    * expensive subtree in the query (codec passes, band joins) — is
+    * materialized ONCE (`snap`), then the both-orientations union is
+    * re-materialized pre-partitioned on the probe key `doc_b`. The
+    * checkpointed frame advertises that hash partitioning, so the
+    * per-round label join never re-shuffles the edge table — only the
+    * (smaller) label side moves each round. The old shape cached the
+    * union of two pair-subtree instances (computing the generation
+    * twice) under UnknownPartitioning (re-shuffling 2·E rows every
+    * round).
     *
     * @param labels0 (doc_id, cluster_id) initial labels, cluster_id=doc_id
     * @param pairs   (doc_a, doc_b) undirected edges, either orientation
@@ -596,19 +649,25 @@ object Dedup {
     // checkpointed frames, so df.unpersist() would miss them)
     def snap(df: DataFrame): DataFrame = Dedup.snap(df, checkpointDir)
     def release(df: DataFrame): Unit = releasePinned(df)
-    val edges = pairs.select("doc_a", "doc_b")
-      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+    val spark = labels0.sparkSession
+    // pair generation runs exactly once; the union below only reads
+    // the pinned blocks
+    val p0 = snap(pairs.select("doc_a", "doc_b"))
+    val edges = snap(p0
+      .unionByName(p0.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .cache()
-    // materialize the cache BEFORE the loop: round 1's pointer-doubling
-    // self-join executes two subtrees concurrently, and a cold cache is
-    // raced — both sides compute the (possibly expensive) edge generation
-    // in full before either populates the blocks. One count() here turns
-    // that into a single materialization every later round reuses.
-    edges.count()
-    var labels = snap(labels0)
-    var changed = 1L
-    while (changed > 0) {
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_b")))
+    release(p0) // superseded by the partitioned union
+    var labels = snap(labels0.select(col("doc_id"), col("cluster_id")))
+    def sumOf(df: DataFrame): Option[java.math.BigDecimal] = Option(
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+        .getDecimal(0))
+    // seeded with labels0's sum so an already-converged input (no edges,
+    // or labels0 = the fixpoint) finishes after ONE no-change round —
+    // the same round count the old join-based `changed` check had
+    var prevSum: Option[java.math.BigDecimal] = sumOf(labels)
+    var converged = false
+    while (!converged) {
       val viaEdges = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("cluster_id"))
@@ -625,12 +684,13 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), col("__lbl_of_lbl")).as("cluster_id"))
       val snapped = snap(next) // eager: materializes AND truncates lineage
-      changed = snapped.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      val roundSum = sumOf(snapped)
+      converged = roundSum == prevSum
+      prevSum = roundSum
       release(labels) // superseded round: free its blocks before moving on
       labels = snapped
     }
-    edges.unpersist()
+    release(edges)
     labels
   }
 
@@ -939,30 +999,48 @@ object Dedup {
     * verification) plus one bounded anti-join; the stale index is never
     * rebuilt ([[bandIndexCompact]] is the eventual repayment, and
     * IndexDeleteSpec proves probe-equivalence between the two). */
+  /** q233's staged warehouse (versioned doc copy + stale band index +
+    * DML delete), memoized per corpus dir — deterministic in `dir`, and
+    * read-only to the probe. Lazy cell outside the map's bin lock (the
+    * clusterStoreRoots pattern). */
+  private val deleteAwareFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, () => (String, String)]()
+
+  private def deleteAwareFixtureOf(spark: SparkSession, dir: String,
+      gens: Int): (String, String) =
+    deleteAwareFixtures.computeIfAbsent(s"$dir#gens=$gens", _ => {
+      lazy val built: (String, String) = {
+        val root = graft.TempRoots.create("graft-q233")
+        val srcP = s"$root/documents.parquet"
+        graft.catalog.Catalog.overwritePath(spark,
+          Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), srcP)
+        val idxP = s"$root/band_index"
+        val pre = graft.layout.DeletionVectors.readPath(spark, srcP)
+          .select(col("doc_id"),
+            (col("doc_id") % gens).cast("int").as("gen"),
+            array_distinct(shingles3(col("text"))).as("sh"))
+        graft.catalog.Catalog.appendPath(spark,
+          pre.select(col("doc_id"), col("gen"),
+            explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idxP,
+          commitTag = Some((BandRecipeTag, BandRecipe)))
+        graft.layout.DeletionVectors.deleteWhere(spark, srcP,
+          col("doc_id") % 7 === 3)
+        (srcP, idxP)
+      }
+      () => built
+    })()
+
   def deleteAwareDedup(spark: SparkSession, dir: String, gens: Int = 3,
       minJaccardPpm: Long = 800000L): DataFrame = {
     // fixture staging (copy + index build + DML delete) is SETUP, not the
-    // probe this query exists to price — phase-stamped so the bench
-    // artifact can't hide a probe regression behind setup noise
+    // probe this query exists to price — phase-stamped AND memoized per
+    // corpus dir (the q249/q252 staging discipline: the stale-index
+    // warehouse is maintained state that persists across audits exactly
+    // as it would across scheduler runs; the probe never mutates it, so
+    // the first caller stages and every later invocation probes)
     val (src, idx) = graft.BenchPhases.setup("q233_dedup_delete_aware") {
-      val root = java.nio.file.Files.createTempDirectory("graft-q233")
-        .toString
-      val srcP = s"$root/documents.parquet"
-      graft.catalog.Catalog.overwritePath(spark,
-        Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text")), srcP)
-      val idxP = s"$root/band_index"
-      val pre = graft.layout.DeletionVectors.readPath(spark, srcP)
-        .select(col("doc_id"),
-          (col("doc_id") % gens).cast("int").as("gen"),
-          array_distinct(shingles3(col("text"))).as("sh"))
-      graft.catalog.Catalog.appendPath(spark,
-        pre.select(col("doc_id"), col("gen"),
-          explode(lshBandKeysOfSet(col("sh"))).as("band_key")), idxP,
-        commitTag = Some((BandRecipeTag, BandRecipe)))
-      graft.layout.DeletionVectors.deleteWhere(spark, srcP,
-        col("doc_id") % 7 === 3)
-      (srcP, idxP)
+      deleteAwareFixtureOf(spark, dir, gens)
     }
     val deleted = graft.layout.DeletionVectors
       .deletedKeys(spark, src, Seq("doc_id"))
@@ -1067,7 +1145,7 @@ object Dedup {
     * aggregates over the O(docs) label frame — the CC fold dominates,
     * the report is free. */
   def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(spark, dir)
+    dedupComponentsOf(Tables.load(spark, dir, "documents"))
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"),
@@ -1377,7 +1455,12 @@ object Dedup {
       .join(records.as("b"),
         col("a.block") === col("b.block") &&
           col("a.rid") < col("b.rid") &&
-          levenshtein(col("a.email"), col("b.email")) <= 1)
+          // thresholded form (Spark 3.5+): banded DP with early exit —
+          // O(len·k) per pair instead of O(len²), and almost every
+          // in-block pair is a reject that exits on its first band
+          // (guide §1.2 step 2: per-task work on the pruned pairs).
+          // Returns -1 iff distance > 1, so the gate is identical.
+          levenshtein(col("a.email"), col("b.email"), 1) =!= -1)
       .select(col("a.rid").as("doc_a"), col("b.rid").as("doc_b"))
     (records, edges)
   }

@@ -1160,8 +1160,24 @@ object Similarity {
     // this audit reads — SETUP, phase-stamped so the bench artifact
     // prices the epoch-resolved READS separately (the q225 discipline)
     val cat = graft.BenchPhases.setup("q250_decontam_epoch_audit") {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q250").toString
+      decontamAuditFixtureOf(spark, dir)
+    }
+    epochAuditProbe(spark, cat).orderBy("epoch")
+  }
+
+  /** q250's staged guard pipeline (landing writes + two drains),
+    * memoized per corpus dir — deterministic in `dir` and read-only to
+    * the audit probe, so it persists across invocations the way the
+    * guard's warehouse persists across scheduler runs (the q249/q252
+    * staging discipline; lazy cell outside the map's bin lock). */
+  private val decontamAuditFixtures = new java.util.concurrent
+    .ConcurrentHashMap[String, () => graft.catalog.Catalog]()
+
+  private def decontamAuditFixtureOf(spark: SparkSession,
+      dir: String): graft.catalog.Catalog =
+    decontamAuditFixtures.computeIfAbsent(dir, _ => {
+      lazy val built: graft.catalog.Catalog = {
+      val root = graft.TempRoots.create("graft-q250")
       val c = new graft.catalog.Catalog(spark, s"$root/wh")
       val e = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -1185,9 +1201,9 @@ object Similarity {
         .coalesce(8).write.mode("append").parquet(land)
       drain()
       c
-    }
-    epochAuditProbe(spark, cat).orderBy("epoch")
-  }
+      }
+      () => built
+    })()
 
   /** q250's PROBE, factored for the job-count pin (EpochAuditJobsSpec):
     * ONE aggregation over the UNION of every retained epoch's
