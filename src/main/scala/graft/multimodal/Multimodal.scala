@@ -881,7 +881,10 @@ object Multimodal {
     val sizes = vf.groupBy("video").agg(count(lit(1)).as("n_frames"))
     val pairs = videoPairsOf(vf, vf.withColumn("is_new", lit(true)),
       minShared)
-    pairs
+    // pin the slim pair result, then release videoSigsOf's internal
+    // frame-hash pin — q199 already followed this discipline; q190 was
+    // the one consumer leaving the pin ownerless (ADVICE r14)
+    val fin = pairs
       .join(sizes.select(col("video").as("vid_a"), col("n_frames").as("na")),
         Seq("vid_a"))
       .join(sizes.select(col("video").as("vid_b"), col("n_frames").as("nb")),
@@ -890,6 +893,9 @@ object Multimodal {
         expr("1000000 * shared_frames DIV (na + nb - shared_frames)")
           .as("jaccard_ppm"))
       .orderBy("vid_a", "vid_b")
+      .localCheckpoint()
+    graft.operators.Dedup.releasePinned(vf)
+    fin
   }
 
   /** Per-video SIGNATURE rows — the distinct decoded frame-hash set as

@@ -178,6 +178,13 @@ object Dedup {
             size(col("wset")).cast("long").as("n_words"), col("wset"))
       }
     val msk = masks.cache()
+    // materialize BEFORE the two per-side broadcast builds below: those
+    // run CONCURRENTLY on the broadcast-exchange thread pool, and a cold
+    // cache is raced — both sides would compute the whole mask build
+    // (explode + vocab join + 64-way bit_or aggregate) in full before
+    // either populates the blocks (the CC-fold race, r15). One count()
+    // here turns that into a single materialization both sides reuse.
+    msk.count()
     val featCols = msk.columns.filterNot(_ == "doc_id").toSeq
     def side(tag: String) = msk.select(
       col("doc_id").as(s"doc_$tag") +:
@@ -354,7 +361,14 @@ object Dedup {
     ngramJaccardOf(Tables.load(spark, dir, "documents"))
 
   /** DataFrame-based form (composable from pipelines over any snapshot of
-    * the documents shape: doc_id, text, lang, n_chars). */
+    * the documents shape: doc_id, text, lang, n_chars).
+    *
+    * The returned frame is localCheckpoint-PINNED (eager, lineage-free);
+    * ownership of the pin transfers to the CALLER — release it with
+    * [[releasePinned]] once consumed, or rely on a session-level scrub
+    * (Bench/Verify unpersist all stray blocks between queries). Repeated
+    * un-released invocations in one JVM accumulate pinned RDD blocks
+    * (ADVICE r14). */
   def ngramJaccardOf(d0: DataFrame): DataFrame = {
     // cache()+count: the pair join consumes the signature frame on both
     // sides (and once more for sizes) — the tokenize/shingle pass runs
@@ -653,19 +667,34 @@ object Dedup {
     // pair generation runs exactly once; the union below only reads
     // the pinned blocks
     val p0 = snap(pairs.select("doc_a", "doc_b"))
+    // SIZE-AWARE width (r15, guide §2): the union is 2·|pairs| slim id
+    // rows — counting the already-materialized p0 blocks is one cheap
+    // job, and deriving the partition count from it replaces the fixed
+    // defaultParallelism width that paid 32-wide task overhead per CC
+    // round on fixture-sized graphs while capping a 100 TB edge set at
+    // core count. The per-round label join still never re-shuffles the
+    // edge side — only its width now follows the data.
+    val edgeParts = Tables.sizedPartitions(spark, p0.count() * 2)
     val edges = snap(p0
       .unionByName(p0.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_b")))
+      .repartition(edgeParts, col("doc_b")))
     release(p0) // superseded by the partitioned union
     var labels = snap(labels0.select(col("doc_id"), col("cluster_id")))
-    def sumOf(df: DataFrame): Option[java.math.BigDecimal] = Option(
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
-        .getDecimal(0))
+    // (sum, count) in ONE aggregate (ADVICE r14): the count is free in
+    // the same two-stage agg and guards the two implicit preconditions
+    // of sum-convergence — a round-1 doc-set GROWTH (edge endpoints
+    // outside labels0's doc set) and a decimal(38,0) overflow-to-null
+    // (None == None would otherwise converge silently).
+    def sumOf(df: DataFrame): (Option[java.math.BigDecimal], Long) = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (Option(r.getDecimal(0)), r.getLong(1))
+    }
     // seeded with labels0's sum so an already-converged input (no edges,
     // or labels0 = the fixpoint) finishes after ONE no-change round —
     // the same round count the old join-based `changed` check had
-    var prevSum: Option[java.math.BigDecimal] = sumOf(labels)
+    var (prevSum, prevN) = sumOf(labels)
     var converged = false
     while (!converged) {
       val viaEdges = edges
@@ -684,9 +713,16 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), col("__lbl_of_lbl")).as("cluster_id"))
       val snapped = snap(next) // eager: materializes AND truncates lineage
-      val roundSum = sumOf(snapped)
-      converged = roundSum == prevSum
+      val (roundSum, roundN) = sumOf(snapped)
+      require(roundSum.isDefined || roundN == 0,
+        "connectedComponents: decimal(38,0) label-sum overflowed — " +
+          "sum convergence is unsound for this input")
+      // count must be stable too: edge endpoints outside labels0's doc
+      // set grow the doc set in round 1, where an equal-sum coincidence
+      // could otherwise terminate early (ADVICE r14)
+      converged = roundSum == prevSum && roundN == prevN
       prevSum = roundSum
+      prevN = roundN
       release(labels) // superseded round: free its blocks before moving on
       labels = snapped
     }
@@ -1104,8 +1140,13 @@ object Dedup {
       .select(col("doc_id"), array_distinct(words(col("text"))).as("wset")))
       .cache()
     val nDocs = d.count()
+    // cached: the band-key computation (12 interpreted minhash lambdas
+    // per doc) would otherwise run TWICE — once for the probe side and
+    // once for the broadcast/build side (q34 has always cached its
+    // exploded band frame; q227 was missing the same discipline — r15)
     val ex = d.select(col("doc_id"),
       posexplode(lshBandKeysOfSet(col("wset"))).as(Seq("band_id", "band_key")))
+      .cache()
     // the band key embeds its band index, so the join key alone pairs
     // docs within one band; band_id rides the left side for the grouping
     val a = ex.select(col("band_id"), col("band_key"),
@@ -1117,10 +1158,15 @@ object Dedup {
     // band; nothing corpus-quadratic is ever MATERIALIZED — the "verify
     // each distinct pair once, join the verdict back" variant cached the
     // pair fact and paid 13-50x more in shuffle + memory than the
-    // repeated intersects it saved.
+    // repeated intersects it saved. No pair-dedup here, unlike q34: each
+    // doc emits exactly ONE key per band (and the key embeds its band
+    // index), so a (band_id, doc_a, doc_b) row can only surface once —
+    // the old `.distinct()` was a semantic no-op costing a full exchange
+    // + dedup of the candidate fact, the query's largest shuffle (r15,
+    // guide §2.4 "a distinct on data that is already unique").
     val cand = a.join(maybeBroadcast(b, nDocs), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("band_id", "doc_a", "doc_b").distinct()
+      .select("band_id", "doc_a", "doc_b")
     val (wi, wiCaches) = wordsetIntersect(d, nDocs, cand)
     val verified = wi
       .withColumn("j_ppm",
@@ -1133,7 +1179,7 @@ object Dedup {
         expr("1000000 * n_verified DIV n_cand"))
       .orderBy("band_id")
     val fin = res.localCheckpoint()
-    (wiCaches :+ d).foreach(_.unpersist(blocking = false))
+    (wiCaches ++ Seq(ex, d)).foreach(_.unpersist(blocking = false))
     fin
   }
 

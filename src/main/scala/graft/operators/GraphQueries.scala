@@ -73,17 +73,30 @@ object GraphQueries {
       checkpointDir: Option[String] = None): DataFrame = {
     val edges = tradeEdges(spark, dir)
     val out = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-    val ew = edges.join(out, Seq("src")).cache()
-    // materialize the cache up front: the round-1 plan references ew
-    // twice (join side + the initial rank frame's lineage) and a cold
-    // cache is raced by concurrent subtrees — and the final plan holds
-    // one ew reference PER iteration, so the cache must also still be
-    // alive when the result executes (see the checkpoint below).
-    ew.count()
+    // Edge layout (r15, the CC-fold discipline): the old `cache()` held
+    // ew under UnknownPartitioning, so every iteration re-shuffled (and
+    // sorted) the edge table into its rank join. Materialize it ONCE,
+    // pre-partitioned on the join key `src` at a size-derived width —
+    // each iteration then only moves the O(nodes) rank frame, and the
+    // contribution shuffle (groupBy dst) that pagerank fundamentally
+    // needs. localCheckpoint doubles as the up-front materialization the
+    // old count() provided (the final plan holds one ew reference per
+    // iteration).
+    val p0 = edges.join(out, Seq("src")).localCheckpoint()
+    val nP = graft.Tables.sizedPartitions(spark, p0.count())
+    val ew = p0.repartition(nP, col("src")).localCheckpoint()
+    graft.operators.Dedup.releasePinned(p0)
     var ranks = ew.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000L))
+    // releasePinned walks the WHOLE plan tree; the INITIAL rank frame is
+    // lazy over ew's LogicalRDD, so releasing it round 1 would kill the
+    // pinned edge table mid-loop (it did, once ew moved from cache() to
+    // localCheckpoint — caught by GraphQueriesSpec's checkpointDir case).
+    // Only rounds that snap() produced are released.
+    var ranksPinned = false
     for (_ <- 1 to iters) {
-      val next = ew.join(ranks, col("src") === col("node"))
+      val next = ew.join(ranks.hint("SHUFFLE_HASH"),
+          col("src") === col("node"))
         .select(col("dst"), expr("rank * w DIV wout").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
         .select(col("dst").as("node"),
@@ -94,18 +107,19 @@ object GraphQueries {
           // reliable per-round pin: truncates lineage AND survives
           // executor loss; the superseded round's blocks are released
           val snapped = graft.operators.Dedup.snap(next, checkpointDir)
-          graft.operators.Dedup.releasePinned(ranks)
+          if (ranksPinned) graft.operators.Dedup.releasePinned(ranks)
+          ranksPinned = true
           snapped
         }
     }
     // eager O(nodes) checkpoint: pins the finished ranks so the edge
-    // cache can be dropped NOW — unpersisting before this ran meant the
+    // blocks can be dropped NOW — releasing before this ran meant the
     // caller's action found every ew reference cold and recomputed the
     // trade-edge build once per iteration. (With a checkpointDir the
     // final round is already pinned — no second materialization.)
     val fin =
       if (checkpointDir.isEmpty) ranks.localCheckpoint() else ranks
-    ew.unpersist(blocking = false)
+    graft.operators.Dedup.releasePinned(ew)
     fin.select(col("node"), col("rank").as("rank_ppb"))
       .orderBy("node")
   }
@@ -248,18 +262,29 @@ object GraphQueries {
   def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 2,
       minSupport: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e0 = supportEdges(spark, dir, minSupport)
-    val sym = e0.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
-      .cache()
-    // eager: the support-pruned edge build (join + agg + filter) is
-    // referenced once per round plus once for the seed labels — cached
-    // cold it would be recomputed by every reference at action time
-    sym.count()
-    var labels = sym.select(col("a").as("node")).distinct()
+    // Edge layout (r15, the CC-fold discipline): the support-pruned
+    // edge build runs ONCE (snap), the symmetrized union is re-pinned
+    // pre-partitioned on the probe key `b` at a size-derived width, and
+    // each round's label frame is kept hash-partitioned on `a`/`node`
+    // at the SAME width — the per-round join is co-partitioned and the
+    // (a,label) count + per-a window pick share ONE exchange (clustering
+    // by `a` satisfies both), where the old shape re-shuffled the cached
+    // edge table every round plus two label exchanges.
+    def release(df: DataFrame): Unit = Dedup.releasePinned(df)
+    val p0 = supportEdges(spark, dir, minSupport).localCheckpoint()
+    val nP = graft.Tables.sizedPartitions(spark, p0.count() * 2)
+    val sym = p0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(p0.select(col("v").as("a"), col("u").as("b")))
+      .repartition(nP, col("b"))
+      .localCheckpoint()
+    release(p0)
+    var labels = sym.select(col("a").as("node"))
+      .repartition(nP, col("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      val counted = sym.join(labels, col("b") === col("node"))
+      val counted = sym.join(labels.hint("SHUFFLE_HASH"),
+          col("b") === col("node"))
+        .repartition(nP, col("a"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
       val pick = Window.partitionBy("a")
         .orderBy(col("c").desc, col("label").asc)
@@ -267,10 +292,10 @@ object GraphQueries {
         .filter(col("rn") === 1)
         .select(col("a").as("node"), col("label"))
     }
-    // pin the O(nodes) result eagerly so the edge cache can be released
+    // pin the O(nodes) result eagerly so the edge blocks can be released
     // before the caller's action runs
     val fin = labels.localCheckpoint()
-    sym.unpersist(blocking = false)
+    release(sym)
     fin
       .withColumn("community_size", count(lit(1)).over(
         Window.partitionBy("label")))
@@ -312,15 +337,21 @@ object GraphQueries {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+    // Edge layout (r15, the CC-fold discipline): HITS joins the edge
+    // aggregate on ALTERNATING keys (cust for the authority push, supp
+    // for the hub push), so ONE pre-partitioned copy can't serve both.
+    // Pin TWO slim copies, each hash-partitioned on its half-round's
+    // key at a size-derived width — every half-round then moves only
+    // the O(nodes) score frame; the old UnknownPartitioning cache
+    // re-shuffled (and sorted) the edge table into every half-round.
+    val eAgg = snap(li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .agg(count(lit(1)).as("w"))
-      .cache()
-    // eager: round 1's first snap references edges twice (join side +
-    // the seed hubs' lineage); a cold cache is raced, computing the
-    // edge aggregate twice concurrently
-    edges.count()
-    var hubs = edges.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("w")))
+    val nP = graft.Tables.sizedPartitions(spark, eAgg.count())
+    val eByCust = snap(eAgg.repartition(nP, col("cust")))
+    val eBySupp = snap(eAgg.repartition(nP, col("supp")))
+    release(eAgg)
+    var hubs = eByCust.select(col("cust")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
     val snapped = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -328,12 +359,12 @@ object GraphQueries {
       // checkpoint the RAW per-node sums (one heavy join+agg job each);
       // the max and the rescale are lazy projections over the cached
       // frame, so no half-round is ever evaluated twice
-      val araw = snap(edges.join(hubs, "cust")
+      val araw = snap(eByCust.join(hubs.hint("SHUFFLE_HASH"), "cust")
         .groupBy("supp").agg(sum(col("h") * col("w")).as("ar")))
       val amax = araw.agg(max(col("ar")).as("am"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("supp"), expr("ar * 1000000 DIV am").as("a"))
-      val hraw = snap(edges.join(auths, "supp")
+      val hraw = snap(eBySupp.join(auths.hint("SHUFFLE_HASH"), "supp")
         .groupBy("cust").agg(sum(col("a") * col("w")).as("hr")))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hubs = hraw.crossJoin(broadcast(hmax))
@@ -341,9 +372,9 @@ object GraphQueries {
       snapped += araw; snapped += hraw
     }
     // superseded rounds are released; the final round's two raw frames
-    // back the returned (lazily normalized) result and stay cached
+    // back the returned (lazily normalized) result and stay pinned
     snapped.dropRight(2).foreach(release)
-    edges.unpersist(blocking = false) // final frames are materialized
+    release(eByCust); release(eBySupp) // final frames are materialized
     hubs.select(lit("hub").as("role"), col("cust").as("node"),
         col("h").as("score_ppm"))
       .unionAll(auths.select(lit("authority").as("role"),
@@ -368,31 +399,46 @@ object GraphQueries {
     * round's join is co-located — the PartitionedMerge layout contract. */
   def seedDistance(spark: SparkSession, dir: String, maxHops: Int = 3)
       : DataFrame = {
-    val edges = tradeEdges(spark, dir).select("src", "dst").cache()
-    edges.count() // eager: referenced once per round + the node seed
+    // Edge layout (r15, the CC-fold discipline from guide §2.4): the old
+    // shape cached the edge frame under UnknownPartitioning, so EVERY
+    // hop re-shuffled (and sort-merge-sorted) the 2·E edge rows into the
+    // join plus both label frames into the min-aggregate — ~3 exchanges
+    // per hop over the largest table in the query. Now the edges are
+    // materialized ONCE, pre-partitioned on the probe key `dst` at a
+    // size-derived width, and every label frame is kept hash-partitioned
+    // on `node` at the SAME width — the per-hop join is co-partitioned
+    // (zero exchanges; SHUFFLE_HASH so no per-hop sort either) and the
+    // only exchange left per hop is the one the min-aggregate
+    // fundamentally needs (the hopped rows moving back to their node).
+    def release(df: DataFrame): Unit = Dedup.releasePinned(df)
+    val p0 = tradeEdges(spark, dir).select("src", "dst").localCheckpoint()
+    val nP = graft.Tables.sizedPartitions(spark, p0.count())
+    val edges = p0.repartition(nP, col("dst")).localCheckpoint()
+    release(p0) // superseded by the partitioned copy
     val Unreached = 999L
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = edges.select(col("src").as("node"))
+      .repartition(nP, col("node")).distinct()
       .withColumn("dist",
         when(col("node").startsWith("S") &&
           substring(col("node"), 2, 10).cast("long") % 10 === 0, 0L)
           .otherwise(Unreached))
       .localCheckpoint()
     for (_ <- 1 to maxHops) {
-      val hopped = edges.join(labels, col("dst") === col("node"))
+      val hopped = edges
+        .join(labels.hint("SHUFFLE_HASH"), col("dst") === col("node"))
         .select(col("src").as("node"),
           when(col("dist") < Unreached, col("dist") + 1)
             .otherwise(Unreached).as("dist"))
+      // the explicit repartition keys the min-aggregate's one exchange
+      // on (node, nP) so the NEXT hop's join stays co-partitioned
       val next = labels.unionByName(hopped)
+        .repartition(nP, col("node"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      labels.queryExecution.logical.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      release(labels)
       labels = next
     }
-    edges.unpersist(blocking = false) // labels already materialized
+    release(edges) // labels already materialized
     labels.select(col("node"),
         when(col("dist") === Unreached, lit(-1L))
           .otherwise(col("dist")).as("dist"))

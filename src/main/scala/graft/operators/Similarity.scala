@@ -1170,13 +1170,24 @@ object Similarity {
     * the audit probe, so it persists across invocations the way the
     * guard's warehouse persists across scheduler runs (the q249/q252
     * staging discipline; lazy cell outside the map's bin lock). */
+  // memoizes the WAREHOUSE ROOT (session-agnostic state), not the
+  // Catalog wrapper: a Catalog holds its constructing SparkSession, and
+  // a later invocation from a NEW session in the same JVM would get a
+  // wrapper over a stopped/stale session (ADVICE r14). The caller-facing
+  // accessor rebuilds the cheap wrapper per call with the live session.
   private val decontamAuditFixtures = new java.util.concurrent
-    .ConcurrentHashMap[String, () => graft.catalog.Catalog]()
+    .ConcurrentHashMap[String, () => String]()
 
   private def decontamAuditFixtureOf(spark: SparkSession,
       dir: String): graft.catalog.Catalog =
-    decontamAuditFixtures.computeIfAbsent(dir, _ => {
-      lazy val built: graft.catalog.Catalog = {
+    new graft.catalog.Catalog(spark,
+      decontamAuditFixtures.computeIfAbsent(dir, _ => {
+        lazy val built: String = decontamAuditStage(spark, dir)
+        () => built
+      })())
+
+  private def decontamAuditStage(spark: SparkSession,
+      dir: String): String = {
       val root = graft.TempRoots.create("graft-q250")
       val c = new graft.catalog.Catalog(spark, s"$root/wh")
       val e = Tables.load(spark, dir, "embeddings")
@@ -1200,10 +1211,8 @@ object Similarity {
       e.filter(col("doc_id") % 37 =!= 5 && col("doc_id") % 2 === 1)
         .coalesce(8).write.mode("append").parquet(land)
       drain()
-      c
-      }
-      () => built
-    })()
+      s"$root/wh"
+  }
 
   /** q250's PROBE, factored for the job-count pin (EpochAuditJobsSpec):
     * ONE aggregation over the UNION of every retained epoch's
@@ -2118,14 +2127,22 @@ object Similarity {
       .select(
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("q"))
-    val pairs = q.select(explode(expr(
-      """flatten(transform(q, (x, i) ->
-           transform(slice(q, i + 1, size(q) - i), (y, j) ->
-             struct(CAST(i + 1 AS BIGINT) AS i,
-                    CAST(i + j + 1 AS BIGINT) AS j,
-                    x AS xi, y AS yj, x * y AS xy))))""")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.xi").as("xi"), col("p.yj").as("yj"), col("p.xy").as("xy"))
+    // Upper-triangle expansion as TWO chained generators instead of the
+    // old nested transform+flatten into an array of structs (r15, guide
+    // §1.2 step 2 / §4 "eliminate non-codegen expressions in the hot
+    // path"): higher-order-function lambdas evaluate INTERPRETED per
+    // element and the struct array churned allocations per row, while
+    // posexplode runs inside whole-stage codegen. Same rows, same
+    // integers, same single map-side-combinable shuffle of d² partial
+    // aggregates per mapper.
+    val pairs = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i0", "xi")))
+      .select(col("i0"), col("xi"),
+        posexplode(slice(col("q"), col("i0") + 1,
+          size(col("q")) - col("i0"))).as(Seq("j0", "yj")))
+      .select((col("i0") + 1).cast("long").as("i"),
+        (col("i0") + col("j0") + 1).cast("long").as("j"),
+        col("xi"), col("yj"), (col("xi") * col("yj")).as("xy"))
     pairs.groupBy("i", "j").agg(
         count(lit(1)).as("n"),
         sum(col("xi")).as("s_i"),
