@@ -130,7 +130,18 @@ object SwapProtocol {
         if (f.exists(p)) return readSmallFile(f, p).toInt
         else if (!f.exists(historyDir(dir)))
           return if (f.exists(new Path(dir))) 1 else 0
-      } catch { case _: java.io.FileNotFoundException => () }
+      } catch {
+        case _: java.io.FileNotFoundException => ()
+        // same transient window as FileNotFound, via the OTHER sidecar:
+        // ChecksumFileSystem renames a file and its .crc in two steps,
+        // so a reader landing between the pointer swap's delete and the
+        // second rename can see new bytes against a stale/absent crc.
+        // Retrying reads a settled pair (r15: surfaced by
+        // ConcurrencySpec's optimistic-overwrite race, ~1/15 runs —
+        // the loser failed with ChecksumException instead of the typed
+        // conflict).
+        case _: org.apache.hadoop.fs.ChecksumException => ()
+      }
       i += 1
       Thread.sleep(2)
     }

@@ -782,10 +782,26 @@ object Multimodal {
       .filter(col("verdict") =!= "retained")
       .select("doc_id")
       .localCheckpoint()
-    TakedownTables.foreach { t =>
-      val Array(layer, tbl) = t.split('.')
-      graft.layout.DeletionVectors.deleteKeys(spark,
-        cat.path(layer, tbl), flagged, Seq("doc_id"))
+    // the four per-table deletes are INDEPENDENT commits on disjoint
+    // tables — run them from a small thread pool so each table's delete
+    // back-fills the others' driver/commit latency (guide §2.6 "overlap
+    // independent jobs"); the epoch commit below still happens strictly
+    // after all four
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(TakedownTables.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(TakedownTables.map { t =>
+        Future {
+          val Array(layer, tbl) = t.split('.')
+          graft.layout.DeletionVectors.deleteKeys(spark,
+            cat.path(layer, tbl), flagged, Seq("doc_id"))
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
     val ep = graft.pipeline.PipelineEpoch.commit(spark, cat,
       TakedownPipe, TakedownTables)

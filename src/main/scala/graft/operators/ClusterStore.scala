@@ -154,7 +154,20 @@ final class ClusterStore(spark: SparkSession, root: String,
     if (!alreadyOn(pairsDir))
       Catalog.appendPath(spark, newPairs, pairsDir,
         commitTag = tag.orElse(recipeTag))
-    reclusterAppend(newSigs, newPairs)
+    // COST-BASED refold choice (r15): the incremental merge-fold wins
+    // when the batch's edge set is small next to the persisted pairs —
+    // the steady state at scale. A bootstrap-sized batch (pairs
+    // comparable to the whole table) degenerates to a super-graph the
+    // size of the full fold plus remap overhead, so it takes the full
+    // recluster instead. Both counts are cheap: newPairs is pinned,
+    // the pairs table is a metadata-scale count. Ratio conf-tunable
+    // (graft.cluster.incrementalRefoldMaxRatio, default 0.25).
+    val nNew = newPairs.count()
+    val nAll = math.max(1L, readPairs.count())
+    val maxRatio = spark.conf
+      .get("graft.cluster.incrementalRefoldMaxRatio", "0.25").toDouble
+    if (nNew <= nAll * maxRatio) reclusterAppend(newSigs, newPairs)
+    else recluster()
     Dedup.releasePinned(newSigs)
     Dedup.releasePinned(newPairs)
   }
@@ -187,14 +200,24 @@ final class ClusterStore(spark: SparkSession, root: String,
     val m = clusters.select(col("doc_id"), col("cluster_id"))
       .unionByName(newSigs
         .select(col("doc_id"), col("doc_id").as("cluster_id")))
-    val superEdges = newPairs.select("doc_a", "doc_b")
-      .join(m.select(col("doc_id").as("doc_a"),
-        col("cluster_id").as("ca")), Seq("doc_a"))
-      .join(m.select(col("doc_id").as("doc_b"),
-        col("cluster_id").as("cb")), Seq("doc_b"))
+    // every join here keeps the O(corpus) label map on the PROBE side
+    // and broadcasts the O(batch) side explicitly (guide §8 "attach the
+    // plan without the join sneaking the shuffle back in"): the pinned
+    // batch frames carry no size statistics, so left to the planner
+    // these were sort-merge joins SHUFFLING the corpus-sized label map
+    // per refold.
+    val e1 = m.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca"))
+      .join(broadcast(newPairs.select("doc_a", "doc_b")), Seq("doc_a"))
+      .select(col("ca"), col("doc_b"))
+      .localCheckpoint()
+    val superEdges = m.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb"))
+      .join(broadcast(e1), Seq("doc_b"))
       .filter(col("ca") =!= col("cb"))
       .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
       .localCheckpoint()
+    Dedup.releasePinned(e1)
     val touched = superEdges.select(col("doc_a").as("doc_id"))
       .unionByName(superEdges.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -202,8 +225,8 @@ final class ClusterStore(spark: SparkSession, root: String,
     val superL = Dedup.connectedComponents(touched, superEdges)
       .select(col("doc_id").as("__old_label"),
         col("cluster_id").as("__new_label"))
-    val next = m.join(superL, m("cluster_id") === col("__old_label"),
-        "left")
+    val next = m.join(broadcast(superL),
+        m("cluster_id") === col("__old_label"), "left")
       .select(m("doc_id"),
         coalesce(col("__new_label"), m("cluster_id")).as("cluster_id"))
     Catalog.overwritePath(spark,

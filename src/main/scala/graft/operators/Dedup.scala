@@ -675,11 +675,22 @@ object Dedup {
     // core count. The per-round label join still never re-shuffles the
     // edge side — only its width now follows the data.
     val edgeParts = Tables.sizedPartitions(spark, p0.count() * 2)
-    val edges = snap(p0
+    // CACHE (not localCheckpoint) for the partitioned union: a
+    // checkpointed LogicalRDD advertises UnknownPartitioning (verified
+    // against Spark 4.1 plans, r15 — plans/r15/q57_*: `Scan ExistingRDD
+    // …, UnknownPartitioning(0)`), so a snap here silently put the
+    // 2·E-row exchange back into EVERY round's label join. An
+    // InMemoryRelation preserves its child's hashpartitioning(doc_b)
+    // (AQE cannot re-shape a cached plan's output partitioning by
+    // default), so the hop join consumes the clustering — only labels
+    // move per round, now for real. p0 stays pinned until the loop ends:
+    // a recomputed cache partition must still find its source blocks.
+    val edges = p0
       .unionByName(p0.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .repartition(edgeParts, col("doc_b")))
-    release(p0) // superseded by the partitioned union
+      .repartition(edgeParts, col("doc_b"))
+      .cache()
+    edges.count() // materialize before round 1's concurrent subtrees
     var labels = snap(labels0.select(col("doc_id"), col("cluster_id")))
     // (sum, count) in ONE aggregate (ADVICE r14): the count is free in
     // the same two-stage agg and guards the two implicit preconditions
@@ -697,8 +708,18 @@ object Dedup {
     var (prevSum, prevN) = sumOf(labels)
     var converged = false
     while (!converged) {
+      // the label side is re-keyed to the EDGE table's exact layout
+      // (hash(doc_id, edgeParts)) before the join: a checkpointed label
+      // frame carries UnknownPartitioning, and letting EnsureRequirements
+      // shuffle it would land on spark.sql.shuffle.partitions — a width
+      // MISMATCH that drags the cached edge side back into an exchange
+      // of 2·E rows per round (r15 plan evidence). This explicit
+      // repartition costs exactly the label exchange the join needed
+      // anyway; SHUFFLE_HASH skips the per-round sorts.
+      val aligned = labels.repartition(edgeParts, col("doc_id"))
       val viaEdges = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
+        .join(aligned.hint("SHUFFLE_HASH"),
+          edges("doc_b") === aligned("doc_id"))
         .select(col("doc_a").as("doc_id"), col("cluster_id"))
       val hopped = labels.select(col("doc_id"), col("cluster_id"))
         .unionByName(viaEdges)
@@ -726,7 +747,8 @@ object Dedup {
       release(labels) // superseded round: free its blocks before moving on
       labels = snapped
     }
-    release(edges)
+    edges.unpersist(blocking = false)
+    release(p0)
     labels
   }
 
@@ -1215,10 +1237,13 @@ object Dedup {
   def dedupThresholdSweep(spark: SparkSession, dir: String,
       thresholdsPpm: Seq[Long] =
         Seq(200000L, 400000L, 600000L, 800000L)): DataFrame = {
-    val d = spread(Tables.load(spark, dir, "documents"))
-    val ex = d.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 100).cast("long").as("len_bucket"),
-      explode(array_distinct(shingles3(col("text")))).as("s"))
+    // one tokenize/shingle pass (r15 — the q37/q57 cached-signature
+    // discipline): the shingle set was previously recomputed for BOTH
+    // self-join sides and a third time for the size denominator
+    val sigs = textSigsOf(Tables.load(spark, dir, "documents")).cache()
+    sigs.count()
+    val ex = sigs.select(col("doc_id"), col("lang"), col("len_bucket"),
+      explode(col("sh")).as("s"))
     val inter = ex
       .select(col("s"), col("lang"), col("len_bucket"),
         col("doc_id").as("doc_a"))
@@ -1228,8 +1253,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    val sizes = d.select(col("doc_id"),
-      size(array_distinct(shingles3(col("text")))).cast("long").as("n_sh"))
+    val sizes = sigs.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_sh"))
     // the pair fact is tiny next to the candidate expansion — cache it;
     // both sweep aggregates and all four thresholds read it
     val pairs = inter
@@ -1262,9 +1287,10 @@ object Dedup {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"))
       .orderBy("threshold_ppm")
-    // pin the O(thresholds) result, release the pair-fact cache
+    // pin the O(thresholds) result, release the pair-fact + sig caches
     val fin = res.localCheckpoint()
     pairs.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
     fin
   }
 
@@ -1408,9 +1434,15 @@ object Dedup {
     // both slim frames fan out (ex → df build + cap join; g → sizes +
     // both self-join sides): cached, the augmentation join + shingle
     // explode run once instead of four times (2.9 → 1.2-1.8 s at sf0.1;
-    // Bench/Verify scrub stranded blocks between queries)
+    // Bench/Verify scrub stranded blocks between queries). The cache is
+    // KEYED on the shingle (r15, guide §2.4 "operations keyed the same
+    // way share one exchange"): one AQE-coalescible exchange here makes
+    // the df build's groupBy(s), the cap join, AND both self-join sides
+    // all consume the clustering — three downstream exchanges of the
+    // exploded gram table removed.
     val ex = corpus.select(col("doc_id"),
       explode(array_distinct(shingles3(col("text")))).as("s"))
+      .repartition(col("s"))
       .cache()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val keep = ex.groupBy("s")

@@ -84,8 +84,13 @@ object GraphQueries {
     // iteration).
     val p0 = edges.join(out, Seq("src")).localCheckpoint()
     val nP = graft.Tables.sizedPartitions(spark, p0.count())
-    val ew = p0.repartition(nP, col("src")).localCheckpoint()
-    graft.operators.Dedup.releasePinned(p0)
+    // CACHE the partitioned copy (not localCheckpoint): a checkpointed
+    // LogicalRDD advertises UnknownPartitioning (r15 plan evidence, see
+    // connectedComponents), so only an InMemoryRelation hands
+    // hash(src, nP) to the per-iteration rank join. p0 stays pinned
+    // until the final ranks are pinned.
+    val ew = p0.repartition(nP, col("src")).cache()
+    ew.count()
     var ranks = ew.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000L))
     // releasePinned walks the WHOLE plan tree; the INITIAL rank frame is
@@ -95,7 +100,9 @@ object GraphQueries {
     // Only rounds that snap() produced are released.
     var ranksPinned = false
     for (_ <- 1 to iters) {
-      val next = ew.join(ranks.hint("SHUFFLE_HASH"),
+      // rank side re-keyed to the edge cache's width (see seedDistance)
+      val next = ew.join(
+          ranks.repartition(nP, col("node")).hint("SHUFFLE_HASH"),
           col("src") === col("node"))
         .select(col("dst"), expr("rank * w DIV wout").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
@@ -119,7 +126,8 @@ object GraphQueries {
     // final round is already pinned — no second materialization.)
     val fin =
       if (checkpointDir.isEmpty) ranks.localCheckpoint() else ranks
-    graft.operators.Dedup.releasePinned(ew)
+    ew.unpersist(blocking = false)
+    graft.operators.Dedup.releasePinned(p0)
     fin.select(col("node"), col("rank").as("rank_ppb"))
       .orderBy("node")
   }
@@ -157,11 +165,20 @@ object GraphQueries {
     * inside whole-stage codegen. Shared by q167/q175. */
   private def supportEdges(spark: SparkSession, dir: String,
       minSupport: Int): DataFrame = {
+    // ONE exchange feeds everything up to the pair aggregate (r15,
+    // guide §2.4 "two operations keyed the same way share one
+    // exchange"): hash(ok) clustering satisfies the (ok, pk) distinct
+    // (same-key rows co-located) AND both self-join sides, so the old
+    // shape's three shuffles of the lineitem projection — the distinct's
+    // (ok, pk) exchange plus the join's re-shuffle on ok — collapse to
+    // this keyed repartition (AQE-coalescible: no fixed width), and the
+    // SHUFFLE_HASH hint drops the self-join's two per-side sorts.
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
       .distinct()
     li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+      .join(li.as("b").hint("SHUFFLE_HASH"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("support"))
@@ -273,11 +290,15 @@ object GraphQueries {
     def release(df: DataFrame): Unit = Dedup.releasePinned(df)
     val p0 = supportEdges(spark, dir, minSupport).localCheckpoint()
     val nP = graft.Tables.sizedPartitions(spark, p0.count() * 2)
+    // CACHED partitioned union (not a snap): a checkpointed LogicalRDD
+    // advertises UnknownPartitioning (r15 plan evidence, see
+    // connectedComponents) — the cache is what actually hands
+    // hash(b, nP) to each round's join. p0 stays pinned to the end.
     val sym = p0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(p0.select(col("v").as("a"), col("u").as("b")))
       .repartition(nP, col("b"))
-      .localCheckpoint()
-    release(p0)
+      .cache()
+    sym.count()
     var labels = sym.select(col("a").as("node"))
       .repartition(nP, col("node")).distinct()
       .withColumn("label", col("node"))
@@ -295,7 +316,8 @@ object GraphQueries {
     // pin the O(nodes) result eagerly so the edge blocks can be released
     // before the caller's action runs
     val fin = labels.localCheckpoint()
-    release(sym)
+    sym.unpersist(blocking = false)
+    release(p0)
     fin
       .withColumn("community_size", count(lit(1)).over(
         Window.partitionBy("label")))
@@ -348,9 +370,13 @@ object GraphQueries {
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .agg(count(lit(1)).as("w")))
     val nP = graft.Tables.sizedPartitions(spark, eAgg.count())
-    val eByCust = snap(eAgg.repartition(nP, col("cust")))
-    val eBySupp = snap(eAgg.repartition(nP, col("supp")))
-    release(eAgg)
+    // CACHED partitioned copies (not snaps): a checkpointed LogicalRDD
+    // advertises UnknownPartitioning (r15 plan evidence, see
+    // connectedComponents), so only InMemoryRelations hand each
+    // half-round its key's clustering. eAgg stays pinned to the end.
+    val eByCust = eAgg.repartition(nP, col("cust")).cache()
+    val eBySupp = eAgg.repartition(nP, col("supp")).cache()
+    eByCust.count(); eBySupp.count()
     var hubs = eByCust.select(col("cust")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
@@ -359,12 +385,15 @@ object GraphQueries {
       // checkpoint the RAW per-node sums (one heavy join+agg job each);
       // the max and the rescale are lazy projections over the cached
       // frame, so no half-round is ever evaluated twice
-      val araw = snap(eByCust.join(hubs.hint("SHUFFLE_HASH"), "cust")
+      // score sides re-keyed to the edge caches' width (see seedDistance)
+      val araw = snap(eByCust.join(hubs.repartition(nP, col("cust"))
+          .hint("SHUFFLE_HASH"), "cust")
         .groupBy("supp").agg(sum(col("h") * col("w")).as("ar")))
       val amax = araw.agg(max(col("ar")).as("am"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("supp"), expr("ar * 1000000 DIV am").as("a"))
-      val hraw = snap(eBySupp.join(auths.hint("SHUFFLE_HASH"), "supp")
+      val hraw = snap(eBySupp.join(auths.repartition(nP, col("supp"))
+          .hint("SHUFFLE_HASH"), "supp")
         .groupBy("cust").agg(sum(col("a") * col("w")).as("hr")))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hubs = hraw.crossJoin(broadcast(hmax))
@@ -374,7 +403,9 @@ object GraphQueries {
     // superseded rounds are released; the final round's two raw frames
     // back the returned (lazily normalized) result and stay pinned
     snapped.dropRight(2).foreach(release)
-    release(eByCust); release(eBySupp) // final frames are materialized
+    eByCust.unpersist(blocking = false) // final frames are materialized
+    eBySupp.unpersist(blocking = false)
+    release(eAgg)
     hubs.select(lit("hub").as("role"), col("cust").as("node"),
         col("h").as("score_ppm"))
       .unionAll(auths.select(lit("authority").as("role"),
@@ -413,8 +444,13 @@ object GraphQueries {
     def release(df: DataFrame): Unit = Dedup.releasePinned(df)
     val p0 = tradeEdges(spark, dir).select("src", "dst").localCheckpoint()
     val nP = graft.Tables.sizedPartitions(spark, p0.count())
-    val edges = p0.repartition(nP, col("dst")).localCheckpoint()
-    release(p0) // superseded by the partitioned copy
+    // CACHE the partitioned copy: a checkpointed LogicalRDD advertises
+    // UnknownPartitioning (r15 plan evidence, see connectedComponents),
+    // so only an InMemoryRelation actually hands hash(dst, nP) to the
+    // per-hop join. p0 stays pinned until the loop ends (cache
+    // recomputation must find its source blocks).
+    val edges = p0.repartition(nP, col("dst")).cache()
+    edges.count()
     val Unreached = 999L
     var labels = edges.select(col("src").as("node"))
       .repartition(nP, col("node")).distinct()
@@ -424,8 +460,13 @@ object GraphQueries {
           .otherwise(Unreached))
       .localCheckpoint()
     for (_ <- 1 to maxHops) {
+      // re-key the (checkpointed, UnknownPartitioning) label frame to
+      // the edge cache's exact width — otherwise EnsureRequirements
+      // shuffles labels to spark.sql.shuffle.partitions and the width
+      // mismatch re-exchanges the edge side too (r15 plan evidence)
       val hopped = edges
-        .join(labels.hint("SHUFFLE_HASH"), col("dst") === col("node"))
+        .join(labels.repartition(nP, col("node")).hint("SHUFFLE_HASH"),
+          col("dst") === col("node"))
         .select(col("src").as("node"),
           when(col("dist") < Unreached, col("dist") + 1)
             .otherwise(Unreached).as("dist"))
@@ -438,7 +479,8 @@ object GraphQueries {
       release(labels)
       labels = next
     }
-    release(edges) // labels already materialized
+    edges.unpersist(blocking = false) // labels already materialized
+    release(p0)
     labels.select(col("node"),
         when(col("dist") === Unreached, lit(-1L))
           .otherwise(col("dist")).as("dist"))

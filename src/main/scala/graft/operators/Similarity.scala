@@ -759,6 +759,19 @@ object Similarity {
         // and a trap for id allocation)
         val liveChildren = reassigned
           .select(col("cent_id").as("child_id")).distinct()
+        // split-log counts from the CACHED reassignment, not a re-read
+        // of the committed index (r15, guide §1.2: the committed child
+        // postings ARE reassigned's rows verbatim, so one O(hot-members)
+        // aggregate replaces a full posting read + aggregate per round).
+        // Collected BEFORE the commits: the posting overwrite's
+        // refreshByPath invalidates every cache built over the old
+        // posting files, and a post-commit collect would silently
+        // re-evaluate against the NEW generation (empty hot cells). This
+        // collect also doubles as the cache materialization both commit
+        // frames reuse.
+        val childCounts = reassigned
+          .groupBy("cent_id").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val newCentroids = centroids.join(hotDf, Seq("cent_id"), "left_anti")
           .unionByName(refined
             .join(liveChildren, Seq("child_id"), "left_semi")
@@ -774,9 +787,6 @@ object Similarity {
         graft.catalog.Catalog.overwritePath(spark, newPostings,
           ivfPostDir(indexDir), commitTag = tag, operation = "OPTIMIZE")
         reassigned.unpersist(blocking = false)
-        val childCounts = readIndex(spark, ivfPostDir(indexDir))
-          .groupBy("cent_id").agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         hot.foreach { h =>
           val (idLo, idHi) = childIds(h)
           splitLog += ((rnd, h, idLo, childCounts.getOrElse(idLo, 0L)))
@@ -2191,7 +2201,10 @@ object Similarity {
     var v = full.select(col("i").as("dim")).distinct()
       .withColumn("vv", lit(1000000L))
     for (_ <- 1 to rounds) {
-      val u = full.join(v, full("j") === v("dim"))
+      // the iterate is O(d) rows — broadcast it so each round is one
+      // map-side hash join over the cached d² matrix + one aggregate,
+      // not a per-round sort-merge exchange pair (r15, guide §3.1)
+      val u = full.join(broadcast(v), full("j") === v("dim"))
         .groupBy(full("i")).agg(sum(col("cov_m2") * col("vv")).as("u"))
       val mx = u.agg(max(abs(col("u"))).as("mx"))
       v = u.crossJoin(broadcast(mx))

@@ -51,6 +51,32 @@ class ClusterStoreSpec extends SparkSuite {
     }
   }
 
+  for ((ratio, label) <- Seq("1e18" -> "incremental merge-fold",
+      "0.0" -> "full refold")) {
+    test(s"append refold path pinned to the $label (ratio=$ratio): " +
+        "maintained equals a from-scratch build either way") {
+      // the cost gate (graft.cluster.incrementalRefoldMaxRatio) picks
+      // between reclusterAppend's cluster-space merge and the full
+      // recluster; force EACH path and pin the same equality, so the
+      // gate can never hide a divergence between them
+      val spec = ClusterStore.modalitySpecs.find(_.name == "text").get
+      spark.conf.set("graft.cluster.incrementalRefoldMaxRatio", ratio)
+      try {
+        val maintained =
+          new ClusterStore(spark, tmpDir(s"cs-gate-$label"), spec)
+        maintained.build(docs.filter(col("doc_id") % 3 === 0))
+        maintained.append(docs.filter(col("doc_id") % 3 === 1))
+        maintained.append(docs.filter(col("doc_id") % 3 === 2))
+        val rebuilt =
+          new ClusterStore(spark, tmpDir(s"cs-gate-$label-r"), spec)
+        rebuilt.build(docs)
+        assert(clusterRows(maintained.clusters) ===
+          clusterRows(rebuilt.clusters))
+      } finally spark.conf
+        .unset("graft.cluster.incrementalRefoldMaxRatio")
+    }
+  }
+
   test("crash-replay exactly-once: a batch that died between the sigs " +
       "and pairs appends converges to the clean result on replay") {
     val spec = ClusterStore.modalitySpecs.find(_.name == "text").get

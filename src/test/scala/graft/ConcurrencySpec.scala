@@ -25,13 +25,28 @@ class ConcurrencySpec extends SparkSuite {
     val futures = thunks.map { t =>
       pool.submit(new java.util.concurrent.Callable[Either[Throwable, A]] {
         def call(): Either[Throwable, A] = {
-          start.await(10, TimeUnit.SECONDS)
+          start.await(60, TimeUnit.SECONDS)
           try Right(t()) catch { case e: Throwable => Left(e) }
         }
       })
     }
     start.countDown()
-    futures.map(_.get(120, TimeUnit.SECONDS))
+    // generous harvest timeout (was 120 s): the only nondeterminism this
+    // suite accepts is WHO wins a race, never WHETHER a commit finishes —
+    // but on a loaded host (the driver runs 98 suites back to back, 23
+    // minutes wall) a burst of contending Spark jobs can push a racer
+    // past two minutes, and a TimeoutException here reads as a protocol
+    // failure when it is only scheduling (r15: the one driver-run
+    // ConcurrencySpec failure was not reproducible in 8 quiet-host
+    // runs). A real deadlock still fails, ten minutes later.
+    futures.zipWithIndex.map { case (f, i) =>
+      try f.get(600, TimeUnit.SECONDS)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          fail(s"racer $i still running after 600 s — deadlock, not a " +
+            s"lost race", e)
+      }
+    }
   }
 
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
